@@ -1,0 +1,391 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{GraftQuery, Tables}
+
+/** The reference's relational operator surface (SURVEY.md §2) re-expressed
+  * as declarative Spark queries over the harness tables.
+  *
+  * Design notes for 100 TB scale:
+  *  - every query is a single lazy plan: filters/projections sit directly
+  *    on the parquet scan so Catalyst pushes them into the reader;
+  *  - aggregates are plain hash-aggregates (partial + final, map-side
+  *    combine free), pivots carry explicit label lists so no eager
+  *    distinct-value job runs (SURVEY.md §4 "Pivot planning");
+  *  - dimension joins mark the small side with `broadcast(...)` so the
+  *    plan stays shuffle-free on the fact table where possible;
+  *  - no `collect()` anywhere — results stream to the caller's sink.
+  */
+object CoreQueries {
+
+  private val eventLabels = Seq("click", "error", "purchase", "signup", "view")
+  private val dowLabels   = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+
+  /** Per-topic positivity rate + counts — reference A1/A2/P8/P9
+    * (spark_app/functions/functions.py:100-107): avg of a CASE
+    * indicator, rounded to 2dp, plus group row count. */
+  val positivity: GraftQuery = GraftQuery(
+    "q01_positivity",
+    """SELECT event_type,
+      |       round(avg(CASE WHEN value > 100 THEN 1 ELSE 0 END), 2) AS positivity_rate,
+      |       count(*) AS counts
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(when(col("value") > 100, 1).otherwise(0)), 2).as("positivity_rate"),
+        count(lit(1)).as("counts"))
+  }
+
+  /** Pivot long→wide with an explicit label list — reference A3/R1/P14
+    * (functions.py:109-111). Explicit values keep the output schema
+    * static and skip the eager distinct job. */
+  val pivotCounts: GraftQuery = GraftQuery(
+    "q02_pivot_counts",
+    s"""SELECT user_id % 10 AS bucket,
+       |${eventLabels.map(l => s"       count(CASE WHEN event_type = '$l' THEN 1 END) AS $l").mkString(",\n")}
+       |FROM events GROUP BY user_id % 10""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .withColumn("bucket", col("user_id") % 10)
+      .groupBy(col("bucket"))
+      .pivot("event_type", eventLabels)
+      .count()
+      .na.fill(0)
+  }
+
+  /** Inner equi-join of two small aggregates, both key columns retained —
+    * reference J1 (functions.py:113-115). Both sides are tiny relative
+    * to the fact table, so Catalyst broadcast-joins them. */
+  val joinAggregates: GraftQuery = GraftQuery(
+    "q03_join_agg",
+    s"""SELECT * FROM
+       |  (SELECT event_type AS topic_agg,
+       |          round(avg(CASE WHEN value > 100 THEN 1 ELSE 0 END), 2) AS positivity_rate,
+       |          count(*) AS counts
+       |   FROM events GROUP BY event_type) a
+       |JOIN
+       |  (SELECT event_type AS topic,
+       |${dowLabels.map(l => s"          count(CASE WHEN strftime(ts, '%a') = '$l' THEN 1 END) AS $l").mkString(",\n")}
+       |   FROM events GROUP BY event_type) b
+       |ON a.topic_agg = b.topic""".stripMargin) { (spark, sf) =>
+    val ev = Tables.events(spark, sf)
+    val bySentiment = ev
+      .groupBy(col("event_type").as("topic_agg"))
+      .agg(
+        round(avg(when(col("value") > 100, 1).otherwise(0)), 2).as("positivity_rate"),
+        count(lit(1)).as("counts"))
+    val byDow = ev
+      .withColumn("dow", date_format(col("ts"), "EEE"))
+      .groupBy(col("event_type").as("topic"))
+      .pivot("dow", dowLabels)
+      .count()
+      .na.fill(0)
+    bySentiment.join(byDow, bySentiment("topic_agg") === byDow("topic"), "inner")
+  }
+
+  /** TPC-H Q1-shaped pricing summary: the headline wide aggregate.
+    * Filter reaches the parquet scan (PushedFilters), aggregate is a
+    * two-phase hash aggregate over 6 groups. */
+  val pricingSummary: GraftQuery = GraftQuery(
+    "q04_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 2) AS avg_qty,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (spark, sf) =>
+    Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Star join: fact (orders) against broadcast dims (customer is the
+    * mid-size side, nation/region tiny). Grouped revenue per region ×
+    * nation. At 100 TB the orders⋈customer join shuffles on the key;
+    * nation/region stay broadcast. */
+  val revenueByNation: GraftQuery = GraftQuery(
+    "q05_revenue_by_nation",
+    """SELECT r_name, n_name,
+      |       round(sum(o_totalprice), 2) AS revenue,
+      |       count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin) { (spark, sf) =>
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val n = Tables.nation(spark, sf)
+    val r = Tables.region(spark, sf)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Per-group share via windowed sum — reference A7/A10
+    * (streamlit/charts/charts.py:28-29): counts normalized within each
+    * day. The window runs over the already-aggregated (tiny) relation,
+    * not the fact table. */
+  val windowShare: GraftQuery = GraftQuery(
+    "q06_window_share",
+    """SELECT day, event_type, counts,
+      |       round(CAST(counts AS DOUBLE) / sum(counts) OVER (PARTITION BY day), 4) AS share
+      |FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS counts
+      |      FROM events GROUP BY 1, 2) t""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("counts"))
+      .withColumn("share",
+        round(col("counts") / sum(col("counts")).over(Window.partitionBy(col("day"))), 4))
+  }
+
+  /** Grand-total percent — reference A6 (charts.py:91): share of the
+    * overall total via an empty-frame window over the aggregate. */
+  val shareOfTotal: GraftQuery = GraftQuery(
+    "q07_share_of_total",
+    """SELECT event_type, counts,
+      |       round(CAST(counts AS DOUBLE) * 100.0 / sum(counts) OVER (), 4) AS pct
+      |FROM (SELECT event_type, count(*) AS counts FROM events GROUP BY 1) t""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("counts"))
+      .withColumn("pct",
+        round(col("counts") * lit(100.0) / sum(col("counts")).over(Window.partitionBy()), 4))
+  }
+
+  /** Global mean reference line — reference A5/A8 (charts.py:141,149):
+    * per-topic mean plus the all-topic mean appended to every row. */
+  val globalMean: GraftQuery = GraftQuery(
+    "q08_global_mean",
+    """SELECT event_type, positivity_rate,
+      |       round(avg(positivity_rate) OVER (), 2) AS global_rate
+      |FROM (SELECT event_type,
+      |             round(avg(CASE WHEN value > 100 THEN 1 ELSE 0 END), 2) AS positivity_rate
+      |      FROM events GROUP BY event_type) t""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(round(avg(when(col("value") > 100, 1).otherwise(0)), 2).as("positivity_rate"))
+      .withColumn("global_rate",
+        round(avg(col("positivity_rate")).over(Window.partitionBy()), 2))
+  }
+
+  /** Boxplot statistics — reference A9 (charts.py:173-199): exact
+    * interpolated quartiles + min/max per group. Exact `percentile`
+    * keeps oracle parity; swap to `percentile_approx` at 100 TB where
+    * a bounded-memory sketch is required. */
+  val quantiles: GraftQuery = GraftQuery(
+    "q09_quantiles",
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.25), 2) AS q1,
+      |       round(quantile_cont(value, 0.50), 2) AS median,
+      |       round(quantile_cont(value, 0.75), 2) AS q3,
+      |       round(min(value), 2) AS lo,
+      |       round(max(value), 2) AS hi
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 2).as("q1"),
+        round(expr("percentile(value, 0.50)"), 2).as("median"),
+        round(expr("percentile(value, 0.75)"), 2).as("q3"),
+        round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"))
+  }
+
+  /** Unpivot wide→long — reference R2 (charts.py:24-27, pandas melt).
+    * Uses Dataset.unpivot (Spark ≥3.4) over the pivoted relation. */
+  val unpivotCounts: GraftQuery = GraftQuery(
+    "q10_unpivot",
+    s"""WITH wide AS (
+       |  SELECT user_id % 10 AS bucket,
+       |${eventLabels.map(l => s"         count(CASE WHEN event_type = '$l' THEN 1 END) AS $l").mkString(",\n")}
+       |  FROM events GROUP BY user_id % 10)
+       |${eventLabels.map(l => s"SELECT bucket, '$l' AS event_type, $l AS counts FROM wide").mkString("\nUNION ALL\n")}""".stripMargin) { (spark, sf) =>
+    val wide = Tables.events(spark, sf)
+      .withColumn("bucket", col("user_id") % 10)
+      .groupBy(col("bucket"))
+      .pivot("event_type", eventLabels)
+      .count()
+      .na.fill(0)
+    wide.unpivot(Array(col("bucket")), eventLabels.map(col).toArray, "event_type", "counts")
+  }
+
+  /** Latest-N — reference L1 (streamlit/main.py:100-102): last 25 rows
+    * in insertion order; event_id is the arrival sequence. Plans as
+    * TakeOrderedAndProject (no global sort materialization). */
+  val latestInputs: GraftQuery = GraftQuery(
+    "q11_latest",
+    """SELECT event_id,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+      |       event_type, value
+      |FROM events ORDER BY event_id DESC LIMIT 25""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .orderBy(col("event_id").desc)
+      .limit(25)
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("event_type"), col("value"))
+  }
+
+  /** Deterministic dedup-keep-first — reference F3 (utilities.py:27)
+    * with the nondeterminism fixed: keep the lowest event_id (arrival
+    * order) per (user_id, event_type). row_number over a hash-
+    * partitioned window — shuffles once on the dedup key. */
+  val dedupFirst: GraftQuery = GraftQuery(
+    "q12_dedup_first",
+    """SELECT event_id, user_id, event_type, value FROM (
+      |  SELECT event_id, user_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1""".stripMargin) { (spark, sf) =>
+    val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("event_id"))
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** JSON parse with explicit schema — reference P2/P3 (functions.py:
+    * 37-40), parsed ONCE into a struct then field-extracted (the
+    * reference parses twice; Catalyst would CSE it, we don't rely on
+    * that). */
+  val jsonExtract: GraftQuery = GraftQuery(
+    "q13_json_extract",
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .withColumn("parsed", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .select(col("event_id"), col("parsed.k").cast("long").as("k"))
+  }
+
+  /** Event-time bucket derivation — reference P5/P13 (functions.py:
+    * 42-43, utilities.py:17-24): partition-key strings + hour component
+    * + hour truncation. */
+  val timeBuckets: GraftQuery = GraftQuery(
+    "q14_time_buckets",
+    """SELECT event_id,
+      |       strftime(ts, '%Y-%m-%d') AS day,
+      |       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+      |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS date_hour
+      |FROM events""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      hour(col("ts")).cast("long").as("hr"),
+      date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("date_hour"))
+  }
+
+  /** Message-key synthesis — reference P12 (tweepy functions.py:46):
+    * upper 2-char prefix of the topic + the id. */
+  val stringKey: GraftQuery = GraftQuery(
+    "q15_string_key",
+    """SELECT event_id,
+      |       upper(substring(event_type, 1, 2)) || CAST(event_id AS VARCHAR) AS msg_key
+      |FROM events""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf).select(
+      col("event_id"),
+      concat(upper(substring(col("event_type"), 1, 2)),
+        col("event_id").cast("string")).as("msg_key"))
+  }
+
+  /** Inequality + range filter — reference F2 (utilities.py:28). Both
+    * predicates push down into the parquet scan. */
+  val filterTopic: GraftQuery = GraftQuery(
+    "q16_filter",
+    """SELECT event_id, event_type, value
+      |FROM events WHERE event_type <> 'view' AND value >= 50""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .filter(col("event_type") =!= "view" && col("value") >= 50)
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  /** TPC-H Q3-shaped top-k revenue: fact⋈fact shuffle join + grouped
+    * sum + TakeOrderedAndProject. Ties broken by key for determinism. */
+  val topOrders: GraftQuery = GraftQuery(
+    "q17_top_orders",
+    """SELECT l_orderkey, orderdate, revenue FROM (
+      |  SELECT l_orderkey,
+      |         strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'O'
+      |  GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')) t
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (spark, sf) =>
+    val li = Tables.lineitem(spark, sf)
+    val o  = Tables.orders(spark, sf).filter(col("o_orderstatus") === "O")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one big order. */
+  val semiJoin: GraftQuery = GraftQuery(
+    "q18_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)""".stripMargin) { (spark, sf) =>
+    val c = Tables.customer(spark, sf)
+    val big = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey"))
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no large order. */
+  val antiJoin: GraftQuery = GraftQuery(
+    "q19_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)""".stripMargin) { (spark, sf) =>
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Rollup (beyond-reference extension): subtotal lattice over
+    * (event_type, day) in one pass — Spark expands grouping sets
+    * map-side, single shuffle. */
+  val rollupCounts: GraftQuery = GraftQuery(
+    "q20_rollup",
+    """SELECT event_type, day, count(*) AS counts, round(sum(value), 2) AS total_value
+      |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events) t
+      |GROUP BY ROLLUP (event_type, day)""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("counts"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
+    windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
+    latestInputs, dedupFirst, jsonExtract, timeBuckets, stringKey,
+    filterTopic, topOrders, semiJoin, antiJoin, rollupCounts)
+}

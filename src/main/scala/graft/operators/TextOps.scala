@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token statistics, fingerprinting. All row-local
+  * (narrow, no shuffle) — at 100 TB these run as a single map stage
+  * fused into the parquet scan by whole-stage codegen.
+  *
+  * The oracle SQL is generated from the same marker/stopword tables as
+  * the Spark expressions so the two cannot drift.
+  */
+object TextOps {
+
+  private def occSql(s: String, m: String): String =
+    s"(length($s) - length(replace($s, '$m', ''))) / ${m.length}"
+
+  private val langScoreSql: Seq[(String, String)] =
+    langMarkers.map { case (l, ms) =>
+      l -> ms.map(m => occSql("p", m)).mkString(" + ")
+    }
+
+  private val langCaseSql: String = {
+    val allZero = langScoreSql.map { case (l, _) => s"s_$l = 0" }.mkString(" AND ")
+    val arms = langScoreSql.zipWithIndex.init.map { case ((l, _), i) =>
+      val laterLangs = langScoreSql.drop(i + 1).map(_._1)
+      val cond = laterLangs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    s"CASE WHEN $allZero THEN 'und' ${arms.mkString(" ")} ELSE '${langScoreSql.last._1}' END"
+  }
+
+  /** Language identification via stopword-marker scoring. */
+  val langIdQ: GraftQuery = GraftQuery(
+    "t01_lang_id",
+    s"""WITH t AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+       |s AS (SELECT doc_id,
+       |${langScoreSql.map { case (l, e) => s"  $e AS s_$l" }.mkString(",\n")}
+       |      FROM t)
+       |SELECT doc_id, $langCaseSql AS lang_pred FROM s""".stripMargin) { (spark, sf) =>
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+  }
+
+  private val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Quality scoring: length / token-shape / stopword-ratio rules. */
+  val qualityQ: GraftQuery = GraftQuery(
+    "t02_quality",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS avg_len,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                  x -> x IN ($stopListSql))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS stop_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_tokens,
+       |       CAST(floor(avg_len * 10000) AS BIGINT) AS avg_len_e4,
+       |       round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+       |           + (CASE WHEN avg_len >= 3.0 AND avg_len <= 10.0 THEN 0.3 ELSE 0.0 END)
+       |           + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.5 THEN 0.3 ELSE 0.0 END), 2) AS quality
+       |FROM t""".stripMargin) { (spark, sf) =>
+    // avg token length emitted as floor(x*1e4): IEEE division is
+    // bit-identical across engines, so the floored integer is exact —
+    // unlike round(), whose tie-handling differs between engines.
+    Tables.documents(spark, sf).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      floor(avgTokenLength(col("text")) * 10000).cast("long").as("avg_len_e4"),
+      round(qualityScore(col("text")), 2).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens, distinct tokens, regex words,
+    * non-space chars. */
+  val tokenStatsQ: GraftQuery = GraftQuery(
+    "t03_token_stats",
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_words_re,
+      |       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace
+      |FROM documents""".stripMargin) { (spark, sf) =>
+    Tables.documents(spark, sf).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      distinctTokenCount(col("text")).as("n_distinct"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("n_words_re"),
+      length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_chars_nospace"))
+  }
+
+  /** Document fingerprinting: content hash + canonical token-set hash. */
+  val fingerprintQ: GraftQuery = GraftQuery(
+    "t04_fingerprint",
+    """SELECT doc_id,
+      |       md5(lower(text)) AS fp,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS tokenset_fp
+      |FROM documents""".stripMargin) { (spark, sf) =>
+    Tables.documents(spark, sf).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      md5(tokenSetSignature(col("text"))).as("tokenset_fp"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(langIdQ, qualityQ, tokenStatsQ, fingerprintQ)
+}
