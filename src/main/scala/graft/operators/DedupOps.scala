@@ -148,8 +148,7 @@ object DedupOps {
   /** Exact n-gram Jaccard on LSH candidates: MinHash proposes, the true
     * shingle-set Jaccard disposes (≥ 0.6). The expensive set compare
     * only runs on candidate pairs — never all pairs. */
-  val ngramJaccardQ: GraftQuery = GraftQuery.noOracle("d05_dedup_ngram") { (spark, sf) =>
-    val docs = Tables.documents(spark, sf)
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sets = shingles(docs).groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh"))
     val pairs = candidatePairs(docs).select(col("doc_a"), col("doc_b"))
@@ -159,8 +158,12 @@ object DedupOps {
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(jac, 3))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val ngramJaccardQ: GraftQuery = GraftQuery.noOracle("d05_dedup_ngram") { (spark, sf) =>
+    ngramJaccardPairs(Tables.documents(spark, sf), 0.6)
   }
 
   /** Embedding near-dup report: per vector, the most similar other

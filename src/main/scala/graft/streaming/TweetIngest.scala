@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Streaming ingest — the reference's continuous dataflow
+  * (SURVEY.md §2.1 S1/S2, §2.2 P1-P6; spark_app/functions/functions.py:20-54):
+  * Kafka-shaped messages → JSON parse → typed projection → event-time
+  * partition columns → checkpointed partitioned parquet lake.
+  *
+  * Differences from the reference, per SURVEY.md §4:
+  *  - `from_json` runs ONCE into a struct column (the reference parses
+  *    the value twice, functions.py:37-40);
+  *  - partition columns stay event-time derived strings (parity with
+  *    functions.py:42-43) so lake paths are byte-compatible.
+  *
+  * The transform is a pure DataFrame→DataFrame function, so the same
+  * code serves the streaming ingest (Kafka / MemoryStream / file
+  * source) and batch backfills. Map-only — no shuffle; parallelism
+  * follows the source partitioning (Kafka partitions at scale).
+  */
+object TweetIngest {
+
+  /** Kafka value schema — Twitter API v2 envelope subset
+    * (SURVEY.md §1.3-1; tweepy_ingestion/utilities/functions.py:41-46). */
+  val tweetSchema: StructType = StructType(Seq(
+    StructField("data", StructType(Seq(
+      StructField("id", StringType),
+      StructField("created_at", TimestampType),
+      StructField("text", StringType))))))
+
+  /** Lake row schema (SURVEY.md §1.3-2). */
+  val lakeSchema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("created_at", TimestampType),
+    StructField("text", StringType),
+    StructField("topic", StringType),
+    StructField("date", StringType),
+    StructField("hour", StringType)))
+
+  /** Kafka-shaped input (key/value binary + topic) → lake rows.
+    * Works on both streaming and batch frames. */
+  def parse(kafkaShaped: DataFrame): DataFrame = {
+    val parsed = from_json(col("value").cast("string"), tweetSchema)
+    kafkaShaped
+      .select(
+        col("key").cast("string").as("key"),
+        parsed.getField("data").getField("created_at").as("created_at"),
+        parsed.getField("data").getField("text").as("text"),
+        col("topic"))
+      .withColumn("hour", date_format(col("created_at"), "HH"))
+      .withColumn("date", date_format(col("created_at"), "yyyy-MM-dd"))
+  }
+
+  /** Kafka streaming source (reference functions.py:28-35). Not used in
+    * tests (no broker in the harness) but the production entry point. */
+  def readKafkaStream(spark: SparkSession, bootstrapServers: String, topics: Seq[String]): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "latest")
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** Checkpointed append-mode partitioned parquet lake sink
+    * (reference functions.py:47-54). */
+  def lakeWriter(lakeRows: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    lakeRows.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .option("path", path)
+      .partitionBy("date", "hour")
+
+  def startLake(lakeRows: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    lakeWriter(lakeRows, path, checkpoint).start()
+
+  /** Read one event-hour from the lake root with partition-column
+    * filters — Catalyst prunes to the single date=/hour= directory
+    * (replaces the reference's manual path construction,
+    * functions.py:63-76, with the same effective scan). */
+  def readHour(spark: SparkSession, lakeRoot: String, date: String, hour: String): DataFrame =
+    spark.read.schema(lakeSchema).parquet(lakeRoot)
+      .filter(col("date") === date && col("hour") === hour)
+}
+
+/** The hourly scheduler's clock math (reference spark_app/main.py:93-111
+  * + functions.py:63-73) as a pure function of an injected clock —
+  * including the midnight rollover the reference special-cases. */
+object HourlyClock {
+  import java.time.LocalDateTime
+  import java.time.format.DateTimeFormatter
+
+  private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+  private val hourFmt = DateTimeFormatter.ofPattern("HH")
+
+  /** (date, hour) partition of the hour preceding `now`. */
+  def previousHour(now: LocalDateTime): (String, String) = {
+    val prev = now.minusHours(1)
+    (prev.format(dateFmt), prev.format(hourFmt))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  /** Fixture corpus with one planted exact-dup pair, one near-dup pair
+    * (one token changed out of 40), and unrelated docs. */
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok${i % 13}w").mkString(" ")
+    val near = base.split(" ").updated(5, "MUTATED").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz${i * 7 % 17}q").mkString(" ")
+    Seq(
+      (0L, base),
+      (1L, base),          // exact dup of 0
+      (2L, near),          // near dup of 0/1
+      (3L, other),
+      (4L, "tiny doc here plus four more words now")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val sig = corpus.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+    val groups = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(0L) === 2) // docs 0+1 collapse
+    assert(groups(2L) === 1)
+    assert(groups(3L) === 1)
+  }
+
+  test("minhash signatures identical for identical docs, near-equal for near-dups") {
+    val sigs = DedupOps.minhashSignatures(corpus)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    val matching = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(matching >= DedupOps.NumHashes / 2,
+      s"near-dup should share most minhashes, got $matching/${DedupOps.NumHashes}")
+    val unrelated = sigs(0L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(unrelated <= DedupOps.NumHashes / 4,
+      s"unrelated docs should share few minhashes, got $unrelated")
+  }
+
+  test("LSH candidate pairs surface the planted dups without a cross product") {
+    val pairs = DedupOps.candidatePairs(corpus)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L },
+      "unrelated doc must not be a candidate")
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val sh = DedupOps.simhash(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L))
+    val hamming = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(hamming <= 12, s"near-dup hamming was $hamming")
+    val far = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(far > 12, s"unrelated hamming was $far")
+  }
+
+  test("exact n-gram jaccard on candidates matches direct set math") {
+    val sets = DedupOps.shingles(corpus)
+      .groupBy("doc_id").agg(collect_set("shingle").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expected = BigDecimal(sets(0L).intersect(sets(2L)).size.toDouble /
+      sets(0L).union(sets(2L)).size).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val got = DedupOps.ngramJaccardPairs(corpus, 0.0)
+      .filter(col("doc_a") === 0L && col("doc_b") === 2L)
+      .select("jaccard").collect()
+    assert(got.nonEmpty, "pair (0,2) must be an LSH candidate")
+    assert(BigDecimal(got.head.getDouble(0)) === expected)
+  }
+
+  test("planted near-dups in the harness corpus are found end-to-end") {
+    val found = DedupOps.minhashQ.run(spark, sf001)
+    assert(found.count() > 0, "sf0.001 documents contain planted near-dups")
+    // every reported pair estimates high jaccard
+    assert(found.filter(col("est_jaccard") < 0.5).count() === 0)
+  }
+
+  test("dedup is idempotent: re-deduping keeps row count") {
+    val once = DedupOps.exactQ.run(spark, sf001)
+    assert(once.count() === once.dropDuplicates("doc_id").count())
+  }
+}
