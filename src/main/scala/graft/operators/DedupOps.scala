@@ -52,9 +52,9 @@ object DedupOps {
     sigs.select(col("doc_id"), col("sig"), posexplode(bands).as(Seq("band", "band_key")))
   }
 
-  /** Candidate pairs: docs sharing any LSH band bucket. Equality join on
-    * (band, band_key) — never a cross product. */
-  def candidatePairs(docs: DataFrame): DataFrame = {
+  /** Band-join candidate rows (may contain a pair once per shared
+    * band): equality join on (band, band_key) — never a cross product. */
+  def rawCandidatePairs(docs: DataFrame): DataFrame = {
     val bands = bandKeys(minhashSignatures(docs))
     val a = bands.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -63,8 +63,11 @@ object DedupOps {
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Distinct candidate pairs with signatures. */
+  def candidatePairs(docs: DataFrame): DataFrame =
+    rawCandidatePairs(docs).dropDuplicates("doc_a", "doc_b")
 
   /** Exact dedup: one representative (min doc_id) per identical text. */
   val exactQ: GraftQuery = GraftQuery(
@@ -97,27 +100,33 @@ object DedupOps {
     * Hash-based — not ANSI-SQL-expressible, verified by ScalaTest
     * against the corpus's planted near-duplicates. */
   val minhashQ: GraftQuery = GraftQuery.noOracle("d03_dedup_minhash") { (spark, sf) =>
-    val pairs = candidatePairs(Tables.documents(spark, sf))
+    val pairs = rawCandidatePairs(Tables.documents(spark, sf))
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
+    // estimate BEFORE the pair-dedup so the dedup shuffle carries one
+    // double instead of two 32-element signature arrays
     pairs
       .withColumn("est_jaccard", round(matches.cast("double") / NumHashes, 3))
       .filter(col("est_jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** SimHash per doc (64-bit, token-frequency weighted) + near-dup pairs
-    * via 4×16-bit band blocking and Hamming distance ≤ 12. */
+    * via 4×16-bit band blocking and Hamming distance ≤ 12.
+    *
+    * Summing ±1 per token *occurrence* equals summing count-weighted ±1
+    * per distinct token, so no intermediate (doc, token) aggregation is
+    * needed — one shuffle on doc_id, with map-side partial aggregation
+    * shrinking it to 64 longs per document. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
       .withColumn("th", xxhash64(col("token")))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s$i")
+      sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1) === 1, lit(1))
+        .otherwise(lit(-1))).as(s"s$i")
     }
     tok.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
