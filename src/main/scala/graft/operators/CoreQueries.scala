@@ -383,9 +383,37 @@ object CoreQueries {
       .agg(count(lit(1)).as("counts"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Exact distinct-count aggregate (north-star extension; the
+    * reference has no distinct aggregates, SURVEY.md §2.5). Expands to
+    * a two-phase aggregate on (event_type, user_id). */
+  val distinctCounts: GraftQuery = GraftQuery(
+    "q21_distinct_counts",
+    """SELECT event_type,
+      |       count(DISTINCT user_id) AS n_users,
+      |       count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** HLL approximate distinct (north-star): sketch-based, single pass,
+    * O(1) state per group — the 100 TB path where exact distinct would
+    * shuffle every key. Sketch internals differ per engine, so the
+    * correctness check is the ScalaTest relative-error bound, not an
+    * oracle. */
+  val approxDistinct: GraftQuery = GraftQuery.noOracle("q22_approx_distinct") { (spark, sf) =>
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
     latestInputs, dedupFirst, jsonExtract, timeBuckets, stringKey,
-    filterTopic, topOrders, semiJoin, antiJoin, rollupCounts)
+    filterTopic, topOrders, semiJoin, antiJoin, rollupCounts,
+    distinctCounts, approxDistinct)
 }

@@ -83,14 +83,18 @@ object TextOps {
       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
       |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_words_re,
-      |       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace
+      |       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+      |       string_split(text, ' ')[1] AS first_token
       |FROM documents""".stripMargin) { (spark, sf) =>
+    // element_at is the reference's annotator-head extraction (P7,
+    // functions.py:88,95) — 1-based, null-safe on short arrays
     Tables.documents(spark, sf).select(
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
       distinctTokenCount(col("text")).as("n_distinct"),
       regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("n_words_re"),
-      length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_chars_nospace"))
+      length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_chars_nospace"),
+      element_at(tokens(col("text")), 1).as("first_token"))
   }
 
   /** Document fingerprinting: content hash + canonical token-set hash. */

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{HourlyClock, TweetIngest}
+
+/** The hourly batch driver — replaces the reference's wall-clock sleep
+  * loop (spark_app/main.py:93-111) with a single long-lived
+  * SparkSession and an injectable clock. Each cycle:
+  *
+  *   previous-hour lake partition (partition-pruned read) →
+  *   classifier enrichment → HourlyAggregate → sink.append
+  *
+  * Unlike the reference (functions.py:75-86, which sleeps an hour and
+  * then reads the *current* hour), a missing/empty partition is handled
+  * explicitly: the cycle is skipped and reported. Late data still lands
+  * in its event-time partition; the optional watermarked streaming
+  * aggregation in TweetIngest covers the late-data path.
+  */
+final class HourlyScheduler(
+    spark: SparkSession,
+    lakeRoot: String,
+    sink: AggregateSink,
+    sentiment: TextClassifier = LexiconSentimentClassifier,
+    emotion: TextClassifier = KeywordEmotionClassifier) {
+
+  /** Enrich one hour of lake rows with both classifiers. */
+  def enrich(hourRows: DataFrame): DataFrame =
+    emotion.annotate(sentiment.annotate(hourRows, "text"), "text")
+      .select(col("created_at"), col("text"), col("topic"),
+        col("sentiment"), col("emotion"))
+
+  /** Run one cycle for the hour preceding `now`.
+    * @return number of aggregate rows appended (0 = empty partition) */
+  def runOnce(now: LocalDateTime): Long = {
+    val (date, hour) = HourlyClock.previousHour(now)
+    val rows = TweetIngest.readHour(spark, lakeRoot, date, hour)
+    if (rows.isEmpty) 0L
+    else {
+      val agg = HourlyAggregate.aggregate(enrich(rows), stampTime = true)
+      val n = agg.count()
+      sink.append(agg)
+      n
+    }
+  }
+
+  /** Fire once per wall-clock hour change (reference main.py:96-111),
+    * bounded by `cycles` for testability. */
+  def loop(clock: () => LocalDateTime, cycles: Int, pollMs: Long = 1000): Seq[Long] = {
+    var lastHour = -1
+    val results = Seq.newBuilder[Long]
+    var remaining = cycles
+    while (remaining > 0) {
+      val now = clock()
+      if (now.getHour != lastHour) {
+        lastHour = now.getHour
+        results += runOnce(now)
+        remaining -= 1
+      } else Thread.sleep(pollMs)
+    }
+    results.result()
+  }
+}

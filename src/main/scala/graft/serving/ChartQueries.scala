@@ -1,0 +1,140 @@
+package graft.serving
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.pipeline.KeywordEmotionClassifier
+
+/** The dashboard's query layer (SURVEY.md §3.3; streamlit/utilities/
+  * utilities.py:13-33 + streamlit/charts/charts.py:15-199) as Spark
+  * queries over the aggregate table — one function per chart, each
+  * returning the exact chart-ready relation the reference computes in
+  * pandas/Altair. All queries run over the (tiny) aggregate relation,
+  * so every window/groupBy here is post-reduction — never on raw data.
+  */
+object ChartQueries {
+
+  val emotions: Seq[String] = KeywordEmotionClassifier.labels
+  private val emotionCols: Seq[Column] = emotions.map(col)
+
+  /** Normalize the raw sink read-back (reference `process_data`,
+    * utilities.py:13-33): derive date_hour/date buckets, dedup
+    * re-appended hourly batches deterministically (earliest created_at
+    * wins — the reference's drop_duplicates keep-first made
+    * deterministic), optionally drop excluded topics, fill missing
+    * emotion columns with 0. */
+  def processData(aggregates: DataFrame, excludeTopics: Seq[String] = Nil): DataFrame = {
+    val withBuckets = aggregates
+      .withColumn("date_hour", date_trunc("hour", col("created_at")))
+      .withColumn("date", to_date(col("created_at")))
+      .withColumn("hour", hour(col("created_at")))
+    val w = Window.partitionBy(col("topic"), col("date_hour"))
+      .orderBy(col("created_at"), col("counts"))
+    val deduped = withBuckets
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val filtered =
+      if (excludeTopics.isEmpty) deduped
+      else deduped.filter(!col("topic").isin(excludeTopics: _*))
+    filtered
+      .select((Seq("topic", "positivity_rate", "counts", "created_at",
+        "date_hour", "date", "hour").map(col) ++ emotionCols): _*)
+      .na.fill(0, emotions)
+  }
+
+  /** Emotion columns melted long per aggregation level (charts.py:24-27). */
+  def emotionLong(processed: DataFrame, aggLevel: String): DataFrame =
+    processed
+      .groupBy(col(aggLevel))
+      .agg(emotions.map(e => sum(col(e)).as(e)).head,
+        emotions.map(e => sum(col(e)).as(e)).tail: _*)
+      .unpivot(Array(col(aggLevel)), emotionCols.toArray, "emotion", "counts")
+
+  /** Per-level emotion share (charts.py:28-29): counts normalized
+    * within each aggregation bucket. */
+  def emotionShare(processed: DataFrame, aggLevel: String): DataFrame =
+    emotionLong(processed, aggLevel)
+      .withColumn("percent",
+        col("counts") / sum(col("counts")).over(Window.partitionBy(col(aggLevel))))
+
+  /** Global emotion distribution for the donut (charts.py:45-60):
+    * total counts per emotion + percent of grand total. */
+  def emotionDonut(processed: DataFrame): DataFrame =
+    processed
+      .select(emotionCols: _*)
+      .unpivot(Array.empty, emotionCols.toArray, "emotion", "counts")
+      .groupBy(col("emotion"))
+      .agg(sum(col("counts")).as("counts"))
+      .withColumn("percent",
+        col("counts") / sum(col("counts")).over(Window.partitionBy()))
+
+  /** Tweet-volume share per topic for the donut (charts.py:88-94). */
+  def countsDonut(processed: DataFrame): DataFrame =
+    processed
+      .groupBy(col("topic"))
+      .agg(sum(col("counts")).as("counts"))
+      .withColumn("percent",
+        col("counts") / sum(col("counts")).over(Window.partitionBy()))
+
+  /** Tweet volume per period (area chart, charts.py:99-106). */
+  def countsPeriod(processed: DataFrame, aggLevel: String): DataFrame =
+    processed
+      .groupBy(col(aggLevel))
+      .agg(sum(col("counts")).as("counts"))
+      .orderBy(col(aggLevel))
+
+  /** Volume per (period, topic) — stacked/normalized area
+    * (charts.py:111-133). */
+  def countsTopicPeriod(processed: DataFrame, aggLevel: String): DataFrame =
+    processed
+      .groupBy(col(aggLevel), col("topic"))
+      .agg(sum(col("counts")).as("counts"))
+      .withColumn("share",
+        col("counts") / sum(col("counts")).over(Window.partitionBy(col(aggLevel))))
+      .orderBy(col(aggLevel), col("topic"))
+
+  /** Mean positivity per topic + the global mean reference line
+    * (charts.py:138-155). */
+  def positivityByTopic(processed: DataFrame): DataFrame =
+    processed
+      .groupBy(col("topic"))
+      .agg(avg(col("positivity_rate")).as("positivity_rate"))
+      .withColumn("global_rate",
+        avg(col("positivity_rate")).over(Window.partitionBy()))
+
+  /** Mean positivity per (period, topic) — line chart (charts.py:160-168). */
+  def positivityPeriod(processed: DataFrame, aggLevel: String): DataFrame =
+    processed
+      .groupBy(col(aggLevel), col("topic"))
+      .agg(avg(col("positivity_rate")).as("positivity_rate"))
+      .orderBy(col(aggLevel), col("topic"))
+
+  /** Boxplot statistics per topic (charts.py:173-199): quartiles +
+    * 1.5·IQR whiskers clamped to the observed extremes. */
+  def positivityBoxplot(processed: DataFrame, byLevel: Option[String] = None): DataFrame = {
+    val keys = Seq(col("topic")) ++ byLevel.map(col)
+    val base = processed
+      .groupBy(keys: _*)
+      .agg(
+        expr("percentile(positivity_rate, 0.25)").as("q1"),
+        expr("percentile(positivity_rate, 0.5)").as("median"),
+        expr("percentile(positivity_rate, 0.75)").as("q3"),
+        min(col("positivity_rate")).as("lo"),
+        max(col("positivity_rate")).as("hi"))
+    base
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("whisker_lo", greatest(col("lo"), col("q1") - lit(1.5) * col("iqr")))
+      .withColumn("whisker_hi", least(col("hi"), col("q3") + lit(1.5) * col("iqr")))
+  }
+
+  /** Latest-N aggregate rows in insertion order (streamlit/main.py:
+    * 100-102): ordered by the batch stamp, ties by counts. */
+  def latestInputs(processed: DataFrame, n: Int = 25): DataFrame =
+    processed
+      .orderBy(col("created_at").desc, col("topic"))
+      .limit(n)
+      .select((Seq("created_at", "topic", "positivity_rate", "counts").map(col)
+        ++ emotionCols): _*)
+}

@@ -78,6 +78,18 @@ object TweetIngest {
   def startLake(lakeRows: DataFrame, path: String, checkpoint: String): StreamingQuery =
     lakeWriter(lakeRows, path, checkpoint).start()
 
+  /** Idiomatic streaming alternative to the hourly batch tier
+    * (SURVEY.md §2.9 "Windows"): event-time tumbling window with a
+    * watermark, so late rows within the watermark still aggregate —
+    * the batch path silently drops them (reference functions.py:63-76).
+    * State is bounded: the watermark lets Spark evict closed windows. */
+  def windowedTopicCounts(lakeRows: DataFrame, lateness: String = "2 hours"): DataFrame =
+    lakeRows
+      .withWatermark("created_at", lateness)
+      .groupBy(window(col("created_at"), "1 hour"), col("topic"))
+      .agg(count(lit(1)).as("counts"))
+      .select(col("window.start").as("hour_start"), col("topic"), col("counts"))
+
   /** Read one event-hour from the lake root with partition-column
     * filters — Catalyst prunes to the single date=/hour= directory
     * (replaces the reference's manual path construction,

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.serving.ChartQueries
+import graft.streaming.{KafkaMsg, TweetIngest}
+
+/** Full reference-pipeline parity: stream fixture tweets → parquet lake
+  * → hourly scheduler (classify + aggregate + sink append, twice to
+  * simulate a replayed hour) → serving chart queries. */
+class EndToEndSpec extends SparkSpec {
+
+  private def msg(id: Int, topic: String, createdAt: String, text: String): KafkaMsg =
+    KafkaMsg(
+      key = s"${topic.take(2).toUpperCase}$id".getBytes("UTF-8"),
+      value = s"""{"data": {"id": "$id", "created_at": "$createdAt", "text": "$text"}}""".getBytes("UTF-8"),
+      topic = topic)
+
+  private val hour10 = Seq(
+    msg(1, "alpha", "2022-03-01T10:05:00Z", "spark is fast and big"),
+    msg(2, "alpha", "2022-03-01T10:25:00Z", "this is slow and small"),
+    msg(3, "alpha", "2022-03-01T10:45:00Z", "big value here"),
+    msg(4, "beta", "2022-03-01T10:15:00Z", "dup dup dup"),
+    msg(5, "beta", "2022-03-01T10:55:00Z", "neutral words entirely"))
+
+  test("ingest -> scheduler -> sink -> serving charts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lake = Files.createTempDirectory("e2e_lake").toString
+    val ckpt = Files.createTempDirectory("e2e_ckpt").toString
+    val aggPath = Files.createTempDirectory("e2e_agg").toString + "/aggregates"
+
+    // 1. streaming ingest
+    val source = MemoryStream[KafkaMsg]
+    source.addData(hour10: _*)
+    val q = TweetIngest.startLake(TweetIngest.parse(source.toDF()), lake, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    // 2. hourly batch at 11:xx aggregates hour 10; run twice (replay)
+    val sink = new ParquetAggregateSink(aggPath)
+    val sched = new HourlyScheduler(spark, lake, sink)
+    val now = LocalDateTime.of(2022, 3, 1, 11, 30)
+    assert(sched.runOnce(now) === 2) // two topics
+    assert(sched.runOnce(now) === 2) // replayed append
+    // empty partition -> 0, no crash (reference would throw)
+    assert(sched.runOnce(LocalDateTime.of(2022, 3, 1, 9, 30)) === 0)
+
+    val raw = sink.readBack(spark)
+    assert(raw.count() === 4) // duplicated batch in the sink
+
+    // 3. serving layer dedups the replay
+    val processed = ChartQueries.processData(raw)
+    assert(processed.count() === 2)
+
+    val alpha = processed.filter(col("topic") === "alpha").collect().head
+    // alpha: positive, negative, positive -> 2/3 = 0.67
+    assert(alpha.getAs[Double]("positivity_rate") === 0.67)
+    assert(alpha.getAs[Long]("counts") === 3)
+
+    // emotions: alpha texts -> joy("fast"), anger("slow"), love("value")
+    assert(alpha.getAs[Long]("joy") === 1)
+    assert(alpha.getAs[Long]("anger") === 1)
+    assert(alpha.getAs[Long]("love") === 1)
+
+    // chart invariants
+    val donut = ChartQueries.countsDonut(processed).agg(sum("percent")).collect().head.getDouble(0)
+    assert(math.abs(donut - 1.0) < 1e-9)
+    val shares = ChartQueries.emotionShare(processed, "date_hour")
+      .groupBy("date_hour").agg(sum("percent").as("s")).collect()
+    shares.foreach(r => assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-9))
+    val box = ChartQueries.positivityBoxplot(processed).collect()
+    box.foreach { r =>
+      assert(r.getAs[Double]("whisker_lo") <= r.getAs[Double]("median"))
+      assert(r.getAs[Double]("median") <= r.getAs[Double]("whisker_hi"))
+    }
+    assert(ChartQueries.latestInputs(processed).count() === 2)
+    assert(ChartQueries.emotionDonut(processed)
+      .agg(sum("counts")).collect().head.getLong(0) === 5)
+  }
+
+  test("watermarked streaming aggregation accepts late rows the batch tier drops") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[KafkaMsg]
+    val counts = TweetIngest.windowedTopicCounts(TweetIngest.parse(source.toDF()))
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+
+    source.addData(hour10: _*)
+    q.processAllAvailable()
+    // a late hour-10 row arriving after hour-11 data: within watermark -> counted
+    source.addData(msg(6, "alpha", "2022-03-01T11:20:00Z", "next hour"))
+    q.processAllAvailable()
+    source.addData(msg(7, "alpha", "2022-03-01T10:59:00Z", "late arrival"))
+    q.processAllAvailable()
+    val out = spark.sql(
+      "SELECT counts FROM win_counts WHERE topic = 'alpha' AND hour(hour_start) = 10")
+      .collect()
+    q.stop()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 4) // 3 on-time + 1 late
+  }
+}
