@@ -9,13 +9,7 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q04_pricing_summary")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.get(name) match {
       case Some(fn) => fn(spark, sfDir).explain("formatted")

@@ -18,11 +18,15 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. Read nanos as long (runtime conf) and convert to a
-    * microsecond TimestampType column — second-level derivations match
-    * the nanosecond-native readers (DuckDB) exactly. */
+    * reader rejects. The `nanosAsLong` conf is set once at session
+    * construction (GraftSession) — not mutated per-read here, which
+    * would leak into unrelated reads and race under concurrency — and
+    * the long is converted to a microsecond TimestampType column;
+    * second-level derivations match nanosecond-native readers (DuckDB)
+    * exactly. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "build the session via GraftSession.builder (sets nanosAsLong for events.ts)")
     load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -11,17 +12,60 @@ import graft.functions.VectorFunctions._
   * Two paths:
   *  - brute-force cosine top-k for a small query set: the query side is
   *    broadcast, so the scan over the corpus is map-only + one window
-  *    per query partition — the exactness baseline;
-  *  - sign-LSH bucketed top-k for all vectors: candidates restricted to
-  *    the query's bucket (equality join), the 100 TB-scale path — no
-  *    cross product anywhere.
+  *    per query partition — the exactness baseline (and the only one
+  *    with a SQL oracle: DuckDB cross-joins the same 8 queries);
+  *  - banded multi-table sign-LSH top-k for all vectors, the
+  *    100 TB-scale path: candidates come from equality joins on
+  *    (table, bucket) keys whose cardinality grows with the corpus
+  *    (planesForCorpus), so candidate volume stays O(n·bucket·tables)
+  *    and the join parallelism is never capped by a fixed bucket count.
   */
 object SimilarityOps {
 
   private val K = 5
 
+  /** Embedding dimensionality of the harness corpus (TESTDATA.md). */
+  val Dim = 64
+
+  /** Number of independent LSH tables (OR-amplified recall). */
+  val LshTables = 4
+
+  /** Directed candidate pairs (vec_id, neighbor_id, cos_sim) from the
+    * banded multi-table sign-LSH: explode each vector into one
+    * (table, bucket) key per table, equi-join on the key, compute
+    * cosine, and collapse pairs that collide in several tables.
+    * Cosine is computed BEFORE the pair-dedup so the dedup shuffle
+    * carries one double instead of two dim-length vectors. */
+  def cosineCandidates(emb: DataFrame, tables: Int, planesPerTable: Int): DataFrame = {
+    val banded = emb
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(lshBandBuckets(col("v"), tables, planesPerTable, Dim))
+          .as(Seq("table", "bucket")))
+    val b = banded.select(col("table"), col("bucket"),
+      col("vec_id").as("neighbor_id"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    banded.join(b, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", dot(col("v"), col("v_b")) / (col("nrm") * col("nrm_b")))
+      .groupBy(col("vec_id"), col("neighbor_id"))
+      .agg(max(col("cos_sim")).as("cos_sim"))
+  }
+
   /** Brute-force exact top-k neighbors for query vectors vec_id < 8. */
-  val knnBruteQ: GraftQuery = GraftQuery.noOracle("s01_knn_brute") { (spark, sf) =>
+  val knnBruteQ: GraftQuery = GraftQuery(
+    "s01_knn_brute",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+       |s AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+       |        list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS cos,
+       |        row_number() OVER (
+       |          PARTITION BY q.query_id
+       |          ORDER BY list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) DESC,
+       |                   n.vec_id) AS rank
+       |      FROM q JOIN n ON n.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+       |FROM s WHERE rank <= $K""".stripMargin) { (spark, sf) =>
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -38,23 +82,17 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
-  /** LSH-bucketed approximate top-k for every vector (the scale path:
-    * bucket equality join replaces the cross product; recall traded for
-    * a ~n²/buckets candidate count). */
+  /** LSH-bucketed approximate top-k for every vector. The plane count
+    * adapts to the corpus (one metadata-only count() sizes it), so the
+    * same query runs with ~2^4 buckets/table at sf0.001 and ~2^18 at
+    * 100 TB — join keys scale with n instead of capping at 64. */
   val knnLshQ: GraftQuery = GraftQuery.noOracle("s02_knn_lsh") { (spark, sf) =>
-    val planes = hyperplanes(nPlanes = 6, dim = 64)
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
-      .withColumn("nrm", norm(col("v")))
-    val a = emb.select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
-    val b = emb.select(col("bucket"), col("vec_id").as("neighbor_id"),
-      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val planes = planesForCorpus(emb.count())
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", dot(col("v"), col("v_b")) / (col("nrm") * col("nrm_b")))
+    cosineCandidates(emb, LshTables, planes)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("vec_id"), col("neighbor_id"),

@@ -61,4 +61,49 @@ class VectorSpec extends SparkSpec {
     assert(counts.map(_.getLong(0)).toSet === Set(5L))
     assert(knn.filter(col("cos_sim") > 1.0 || col("cos_sim") < -1.0).count() === 0)
   }
+
+  test("planesForCorpus scales bucket count with corpus size") {
+    assert(planesForCorpus(500) === 4)                 // floor at 2^4 buckets/table
+    assert(planesForCorpus(1000000) === 15)            // 1M/32 = 2^15
+    assert(planesForCorpus(1000000000L) === 25)        // 1B/32 ~ 2^25
+    assert(planesForCorpus(Long.MaxValue) === 30)      // capped
+    // monotone: more data never means fewer buckets
+    val seq = Seq(1L, 100L, 10000L, 1000000L, 100000000L).map(planesForCorpus(_))
+    assert(seq === seq.sorted)
+  }
+
+  test("banded multi-table LSH: identical vectors collide in every table") {
+    import spark.implicits._
+    val v = Seq.fill(64)(scala.util.Random.nextFloat())
+    val df = Seq((1L, v), (2L, v)).toDF("id", "emb")
+      .select(col("id"), lshBandBuckets(toDouble(col("emb")), 4, 8, 64).as("buckets"))
+    val rows = df.select("buckets").as[Seq[Long]].collect()
+    assert(rows(0) === rows(1))
+    assert(rows(0).length === 4)
+    assert(rows(0).distinct.length > 1, "tables must hash independently")
+  }
+
+  test("banded LSH candidates recover a planted high-cosine duplicate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    val near = base.clone(); near(0) += 0.05 // cos ~ 0.999
+    val others = (2L until 40L).map(i => i -> Array.fill(64)(rnd.nextGaussian()))
+    val emb = ((0L -> base) +: (1L -> near) +: others)
+      .map { case (id, a) => (id, a.toSeq) }
+      .toDF("vec_id", "v")
+    val cand = graft.operators.SimilarityOps.cosineCandidates(emb, 4, 4)
+    val found = cand.filter(col("vec_id") === 0L && col("neighbor_id") === 1L)
+    assert(found.count() === 1, "planted near-dup must be a candidate")
+    assert(found.select("cos_sim").collect().head.getDouble(0) > 0.99)
+  }
+
+  test("s02 LSH knn on harness data: ranks bounded, cosine sane") {
+    val knn = graft.operators.SimilarityOps.knnLshQ.run(spark, sf001)
+    assert(knn.count() > 0)
+    assert(knn.filter(col("rank") > 3).count() === 0)
+    assert(knn.filter(col("cos_sim") > 1.0 || col("cos_sim") < -1.0).count() === 0)
+    // per (vec, rank) uniqueness: window ranks are deterministic + dense
+    assert(knn.groupBy("vec_id", "rank").count().filter(col("count") > 1).count() === 0)
+  }
 }

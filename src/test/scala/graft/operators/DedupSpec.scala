@@ -65,6 +65,51 @@ class DedupSpec extends SparkSpec {
     assert(far > 12, s"unrelated hamming was $far")
   }
 
+  test("simhash blocking finds pairs up to the advertised Hamming threshold") {
+    import spark.implicits._
+    // Plant a pair at Hamming 10 with differing bits spread across ALL
+    // four 16-bit quarters (3+3+2+2) — the old 4-block scheme had no
+    // clean block and could never surface it; the pigeonhole blocking
+    // (maxHamming+1 = 13 blocks) guarantees a clean block exists.
+    val base = 0x5A5A5A5A5A5A5A5AL
+    val mask = (1L << 1) | (1L << 3) | (1L << 5) |   // quarter 0
+      (1L << 17) | (1L << 19) | (1L << 21) |         // quarter 1
+      (1L << 33) | (1L << 35) |                      // quarter 2
+      (1L << 49) | (1L << 51)                        // quarter 3
+    assert(java.lang.Long.bitCount(mask) === 10)
+    val sh = Seq((0L, base), (1L, base ^ mask), (2L, ~base)).toDF("doc_id", "simhash")
+    val pairs = DedupOps.simhashPairs(sh, DedupOps.SimhashMaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((0L, 1L, 10L)))
+  }
+
+  test("simhash end-to-end surfaces the planted text near-dup") {
+    val pairs = DedupOps.simhashPairs(
+      DedupOps.simhash(corpus), DedupOps.SimhashMaxHamming)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "identical pair must be found")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      "near-dup pair must be found")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not match")
+  }
+
+  test("hot-band guard keeps a boilerplate corpus from going quadratic") {
+    import spark.implicits._
+    // 500 distinct near-identical docs: every band untouched by the
+    // per-doc mutation is shared by all 500 -> bucket_n = 500 > cap.
+    val base = (1 to 40).map(i => s"tok${i % 13}w").mkString(" ").split(" ")
+    val boiler = (0 until 500)
+      .map(i => (i.toLong, base.updated(i % 40, s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dropped = DedupOps.hotBandReport(boiler)
+    assert(dropped.count() > 0, "boilerplate bands must be reported as hot")
+    val nPairs = DedupOps.rawCandidatePairs(boiler).count()
+    // uncapped, the shared bands alone would emit ~16 x 500^2/2 rows
+    assert(nPairs < 50000, s"hot buckets must be excluded, got $nPairs pairs")
+  }
+
   test("exact n-gram jaccard on candidates matches direct set math") {
     val sets = DedupOps.shingles(corpus)
       .groupBy("doc_id").agg(collect_set("shingle").as("sh"))
