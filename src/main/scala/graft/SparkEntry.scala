@@ -15,7 +15,8 @@ object SparkEntry {
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
       operators.MultimodalOps.all ++
-      operators.ServingQueries.all
+      operators.ServingQueries.all ++
+      operators.ChartRegistry.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.pipeline.{KeywordEmotionClassifier, LexiconSentimentClassifier}
+import graft.serving.ChartQueries
+
+/** The dashboard's ~10 chart computations as oracle-gated registry
+  * queries over the REAL aggregate-table path (reference
+  * streamlit/charts/charts.py:15-199 + utilities.py:13-33), not the
+  * events-table analogues in CoreQueries.
+  *
+  * A deterministic aggregate-table fixture stands in for the hourly
+  * sink read-back: documents are enriched with both classifiers,
+  * stamped with an event-time derived from doc_id (24 hourly batches),
+  * aggregated per (topic, hour) exactly like HourlyAggregate, and —
+  * crucially — re-appended for every 6th hour with a later stamp and a
+  * perturbed count, so the serving layer's keep-first dedup (F3) is
+  * load-bearing in every oracle below, mirroring the at-least-once
+  * Mongo appends the reference dashboard has to repair.
+  *
+  * Every chart query is ChartQueries.<fn> over that fixture, with the
+  * DuckDB oracle generated from the same classifier constants (the
+  * pattern proven by p01/p02).
+  */
+object ChartRegistry {
+
+  private val labels = KeywordEmotionClassifier.labels
+  private val labelCols = labels.map(col)
+
+  val Epoch = "2022-03-01 00:00:00"
+  val HourBuckets = 72 // three days of hourly batches -> real date-level groups
+  val ReplayEveryHours = 6
+
+  // ---------------------------------------------------------------- Spark side
+
+  /** Deterministic aggregate-table fixture (see object doc). */
+  def aggregates(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source").as("topic"), col("text"))
+    val enriched = KeywordEmotionClassifier.annotate(
+        LexiconSentimentClassifier.annotate(docs, "text"), "text")
+      .withColumn("created_at",
+        expr(s"timestampadd(HOUR, CAST(doc_id % $HourBuckets AS INT), TIMESTAMP'$Epoch')"))
+    val aggExprs =
+      round(avg(when(col("sentiment") <=> "positive", 1).otherwise(0)), 2)
+        .as("positivity_rate") +:
+        count(lit(1)).as("counts") +:
+        labels.map(l => sum(when(col("emotion") === l, 1L).otherwise(0L)).as(l))
+    val agg = enriched
+      .groupBy(col("topic"), col("created_at"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val replays = agg
+      .filter(hour(col("created_at")) % ReplayEveryHours === 0)
+      .withColumn("created_at", expr("timestampadd(MINUTE, 10, created_at)"))
+      .withColumn("counts", col("counts") + 1)
+    agg.unionByName(replays)
+      .select((Seq("topic", "positivity_rate", "counts", "created_at").map(col)
+        ++ labelCols): _*)
+  }
+
+  /** The serving layer's normalized relation (dedup winner = first). */
+  def processed(spark: SparkSession, sf: String): DataFrame =
+    ChartQueries.processData(aggregates(spark, sf))
+
+  // ---------------------------------------------------------------- SQL side
+
+  private val emotionCountsSql: String = labels
+    .map(l => s"         count(CASE WHEN emotion = '$l' THEN 1 END) AS $l")
+    .mkString(",\n")
+
+  private val labelList: String = labels.mkString(", ")
+
+  /** Shared WITH-chain mirroring aggregates() + processData(). */
+  private val processedSql: String =
+    s"""enriched AS (
+       |  SELECT source AS topic,
+       |         ${ServingQueries.sentimentSql} AS sentiment,
+       |         ${ServingQueries.emotionSql} AS emotion,
+       |         TIMESTAMP '$Epoch' + (doc_id % $HourBuckets) * INTERVAL 1 HOUR AS created_at
+       |  FROM documents),
+       |agg AS (
+       |  SELECT topic, created_at,
+       |         round(avg(CASE WHEN sentiment = 'positive' THEN 1 ELSE 0 END), 2) AS positivity_rate,
+       |         count(*) AS counts,
+       |$emotionCountsSql
+       |  FROM enriched GROUP BY topic, created_at),
+       |aggregates AS (
+       |  SELECT topic, positivity_rate, counts, created_at, $labelList FROM agg
+       |  UNION ALL
+       |  SELECT topic, positivity_rate, counts + 1, created_at + INTERVAL 10 MINUTE, $labelList
+       |  FROM agg WHERE hour(created_at) % $ReplayEveryHours = 0),
+       |processed AS (
+       |  SELECT topic, positivity_rate, counts, created_at,
+       |         date_trunc('hour', created_at) AS date_hour,
+       |         CAST(created_at AS DATE) AS "date",
+       |         CAST(hour(created_at) AS INT) AS "hour",
+       |         $labelList
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY topic, date_trunc('hour', created_at)
+       |          ORDER BY created_at, counts) AS rn
+       |        FROM aggregates) t
+       |  WHERE rn = 1)""".stripMargin
+
+  private def withProcessed(body: String): String = s"WITH $processedSql\n$body"
+
+  /** Wide per-level emotion sums CTE (BIGINT-cast: DuckDB sums of
+    * BIGINT widen to HUGEINT, Spark stays long). */
+  private def wideSql(level: String): String =
+    s"""wide AS (
+       |  SELECT $level, ${labels.map(l => s"CAST(sum($l) AS BIGINT) AS $l").mkString(", ")}
+       |  FROM processed GROUP BY $level)""".stripMargin
+
+  private def longSql(level: String, from: String = "wide"): String =
+    labels.map(l => s"  SELECT $level, '$l' AS emotion, $l AS counts FROM $from")
+      .mkString("\n  UNION ALL\n")
+
+  // ---------------------------------------------------------------- registry
+
+  /** F3/P13/P14/P15: the normalized serving relation itself. */
+  val processDataQ: GraftQuery = GraftQuery(
+    "c01_process_data",
+    withProcessed("SELECT * FROM processed")) { (spark, sf) =>
+    processed(spark, sf)
+  }
+
+  /** A4+R2: per-hour emotion melt (charts.py:24-27). */
+  val emotionLongQ: GraftQuery = GraftQuery(
+    "c02_emotion_long",
+    withProcessed(
+      s""", ${wideSql("date_hour")}
+         |${longSql("date_hour")}""".stripMargin)) { (spark, sf) =>
+    ChartQueries.emotionLong(processed(spark, sf), "date_hour")
+  }
+
+  /** A7/A10: per-day emotion share (charts.py:28-29). */
+  val emotionShareQ: GraftQuery = GraftQuery(
+    "c03_emotion_share",
+    withProcessed(
+      s""", ${wideSql("\"date\"")},
+         |long AS (
+         |${longSql("\"date\"")})
+         |SELECT "date", emotion, counts,
+         |       counts / CAST(sum(counts) OVER (PARTITION BY "date") AS DOUBLE) AS percent
+         |FROM long""".stripMargin)) { (spark, sf) =>
+    ChartQueries.emotionShare(processed(spark, sf), "date")
+  }
+
+  /** A6: global emotion donut (charts.py:45-60). */
+  val emotionDonutQ: GraftQuery = GraftQuery(
+    "c04_emotion_donut",
+    withProcessed(
+      s""", long AS (
+         |${labels.map(l => s"  SELECT '$l' AS emotion, $l AS counts FROM processed").mkString("\n  UNION ALL\n")}),
+         |d AS (SELECT emotion, CAST(sum(counts) AS BIGINT) AS counts FROM long GROUP BY emotion)
+         |SELECT emotion, counts,
+         |       counts / CAST(sum(counts) OVER () AS DOUBLE) AS percent
+         |FROM d""".stripMargin)) { (spark, sf) =>
+    ChartQueries.emotionDonut(processed(spark, sf))
+  }
+
+  /** A6: tweet-volume share per topic (charts.py:88-94). */
+  val countsDonutQ: GraftQuery = GraftQuery(
+    "c05_counts_donut",
+    withProcessed(
+      """, d AS (SELECT topic, CAST(sum(counts) AS BIGINT) AS counts
+        |        FROM processed GROUP BY topic)
+        |SELECT topic, counts,
+        |       counts / CAST(sum(counts) OVER () AS DOUBLE) AS percent
+        |FROM d""".stripMargin)) { (spark, sf) =>
+    ChartQueries.countsDonut(processed(spark, sf))
+  }
+
+  /** A4: volume per period (charts.py:99-106). */
+  val countsPeriodQ: GraftQuery = GraftQuery(
+    "c06_counts_period",
+    withProcessed(
+      """SELECT date_hour, CAST(sum(counts) AS BIGINT) AS counts
+        |FROM processed GROUP BY date_hour""".stripMargin)) { (spark, sf) =>
+    ChartQueries.countsPeriod(processed(spark, sf), "date_hour")
+  }
+
+  /** A4/A10: stacked volume per (day, topic) (charts.py:111-133). */
+  val countsTopicPeriodQ: GraftQuery = GraftQuery(
+    "c07_counts_topic_period",
+    withProcessed(
+      """, d AS (SELECT "date", topic, CAST(sum(counts) AS BIGINT) AS counts
+        |        FROM processed GROUP BY "date", topic)
+        |SELECT "date", topic, counts,
+        |       counts / CAST(sum(counts) OVER (PARTITION BY "date") AS DOUBLE) AS share
+        |FROM d""".stripMargin)) { (spark, sf) =>
+    ChartQueries.countsTopicPeriod(processed(spark, sf), "date")
+  }
+
+  /** A5+A8: mean positivity per topic + global mean line
+    * (charts.py:138-155). */
+  val positivityTopicQ: GraftQuery = GraftQuery(
+    "c08_positivity_topic",
+    withProcessed(
+      """, g AS (SELECT topic, round(avg(positivity_rate), 4) AS positivity_rate
+        |        FROM processed GROUP BY topic)
+        |SELECT topic, positivity_rate,
+        |       round(avg(positivity_rate) OVER (), 4) AS global_rate
+        |FROM g""".stripMargin)) { (spark, sf) =>
+    ChartQueries.positivityByTopic(processed(spark, sf))
+  }
+
+  /** A5: mean positivity per (day, topic) (charts.py:160-168). */
+  val positivityPeriodQ: GraftQuery = GraftQuery(
+    "c09_positivity_period",
+    withProcessed(
+      """SELECT "date", topic, round(avg(positivity_rate), 4) AS positivity_rate
+        |FROM processed GROUP BY "date", topic""".stripMargin)) { (spark, sf) =>
+    ChartQueries.positivityPeriod(processed(spark, sf), "date")
+  }
+
+  /** A9: boxplot statistics per topic (charts.py:173-199). */
+  val positivityBoxplotQ: GraftQuery = GraftQuery(
+    "c10_positivity_boxplot",
+    withProcessed(
+      """, b AS (SELECT topic,
+        |          round(quantile_cont(positivity_rate, 0.25), 4) AS q1,
+        |          round(quantile_cont(positivity_rate, 0.50), 4) AS median,
+        |          round(quantile_cont(positivity_rate, 0.75), 4) AS q3,
+        |          min(positivity_rate) AS lo,
+        |          max(positivity_rate) AS hi
+        |        FROM processed GROUP BY topic)
+        |SELECT topic, q1, median, q3, lo, hi,
+        |       q3 - q1 AS iqr,
+        |       greatest(lo, q1 - 1.5 * (q3 - q1)) AS whisker_lo,
+        |       least(hi, q3 + 1.5 * (q3 - q1)) AS whisker_hi
+        |FROM b""".stripMargin)) { (spark, sf) =>
+    ChartQueries.positivityBoxplot(processed(spark, sf))
+  }
+
+  /** L1: latest-25 aggregate rows (streamlit/main.py:100-102). */
+  val latestInputsQ: GraftQuery = GraftQuery(
+    "c11_latest_inputs",
+    withProcessed(
+      s"""SELECT created_at, topic, positivity_rate, counts, $labelList
+         |FROM processed ORDER BY created_at DESC, topic LIMIT 25""".stripMargin)) { (spark, sf) =>
+    ChartQueries.latestInputs(processed(spark, sf))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    processDataQ, emotionLongQ, emotionShareQ, emotionDonutQ, countsDonutQ,
+    countsPeriodQ, countsTopicPeriodQ, positivityTopicQ, positivityPeriodQ,
+    positivityBoxplotQ, latestInputsQ)
+}

@@ -23,7 +23,7 @@ object ServingQueries {
 
   private def q(s: String) = s"'$s'"
 
-  private val sentimentSql: String = {
+  private[operators] val sentimentSql: String = {
     val pos = LexiconSentimentClassifier.positiveLexicon.map(q).mkString(", ")
     val neg = LexiconSentimentClassifier.negativeLexicon.map(q).mkString(", ")
     s"""CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ($pos)))
@@ -31,7 +31,7 @@ object ServingQueries {
        |     THEN 'positive' ELSE 'negative' END""".stripMargin
   }
 
-  private val emotionSql: String = {
+  private[operators] val emotionSql: String = {
     val kwArms = KeywordEmotionClassifier.keywords
       .map { case (l, kw) => s"WHEN contains(text, '$kw') THEN '$l'" }
       .mkString(" ")

@@ -23,14 +23,25 @@ object ChartQueries {
     * re-appended hourly batches deterministically (earliest created_at
     * wins — the reference's drop_duplicates keep-first made
     * deterministic), optionally drop excluded topics, fill missing
-    * emotion columns with 0. */
-  def processData(aggregates: DataFrame, excludeTopics: Seq[String] = Nil): DataFrame = {
+    * emotion columns with 0.
+    *
+    * @param latestWins reverse the dedup so a corrected re-aggregation
+    *        appended later in the same hour supersedes the first write
+    *        (the sink contract allows at-least-once re-appends; the
+    *        default keeps reference keep-first parity) */
+  def processData(
+      aggregates: DataFrame,
+      excludeTopics: Seq[String] = Nil,
+      latestWins: Boolean = false): DataFrame = {
     val withBuckets = aggregates
       .withColumn("date_hour", date_trunc("hour", col("created_at")))
       .withColumn("date", to_date(col("created_at")))
       .withColumn("hour", hour(col("created_at")))
+    val order =
+      if (latestWins) Seq(col("created_at").desc, col("counts").desc)
+      else Seq(col("created_at").asc, col("counts").asc)
     val w = Window.partitionBy(col("topic"), col("date_hour"))
-      .orderBy(col("created_at"), col("counts"))
+      .orderBy(order: _*)
     val deduped = withBuckets
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -96,31 +107,34 @@ object ChartQueries {
       .orderBy(col(aggLevel), col("topic"))
 
   /** Mean positivity per topic + the global mean reference line
-    * (charts.py:138-155). */
+    * (charts.py:138-155). Means are emitted at 4dp — chart precision,
+    * and stable under partial-aggregation sum order. */
   def positivityByTopic(processed: DataFrame): DataFrame =
     processed
       .groupBy(col("topic"))
-      .agg(avg(col("positivity_rate")).as("positivity_rate"))
+      .agg(round(avg(col("positivity_rate")), 4).as("positivity_rate"))
       .withColumn("global_rate",
-        avg(col("positivity_rate")).over(Window.partitionBy()))
+        round(avg(col("positivity_rate")).over(Window.partitionBy()), 4))
 
   /** Mean positivity per (period, topic) — line chart (charts.py:160-168). */
   def positivityPeriod(processed: DataFrame, aggLevel: String): DataFrame =
     processed
       .groupBy(col(aggLevel), col("topic"))
-      .agg(avg(col("positivity_rate")).as("positivity_rate"))
+      .agg(round(avg(col("positivity_rate")), 4).as("positivity_rate"))
       .orderBy(col(aggLevel), col("topic"))
 
   /** Boxplot statistics per topic (charts.py:173-199): quartiles +
-    * 1.5·IQR whiskers clamped to the observed extremes. */
+    * 1.5·IQR whiskers clamped to the observed extremes. Quartiles are
+    * rounded to 4dp before the derived iqr/whisker arithmetic so every
+    * emitted value is a deterministic function of rounded inputs. */
   def positivityBoxplot(processed: DataFrame, byLevel: Option[String] = None): DataFrame = {
     val keys = Seq(col("topic")) ++ byLevel.map(col)
     val base = processed
       .groupBy(keys: _*)
       .agg(
-        expr("percentile(positivity_rate, 0.25)").as("q1"),
-        expr("percentile(positivity_rate, 0.5)").as("median"),
-        expr("percentile(positivity_rate, 0.75)").as("q3"),
+        round(expr("percentile(positivity_rate, 0.25)"), 4).as("q1"),
+        round(expr("percentile(positivity_rate, 0.5)"), 4).as("median"),
+        round(expr("percentile(positivity_rate, 0.75)"), 4).as("q3"),
         min(col("positivity_rate")).as("lo"),
         max(col("positivity_rate")).as("hi"))
     base
