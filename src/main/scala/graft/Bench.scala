@@ -36,8 +36,20 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).map(_._1)
+    // a crashed query must not flatter the total: count it loudly and
+    // exit nonzero so the driver can't mistake a partial run for a full one
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":${failed.length},""" +
+        s""""failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""sf":"$sfDir"}"""
+    println(line)
+    // also drop the JSON to a file: sbt decorates stdout with [info]
+    // prefixes, which has broken driver-side parsing before
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), line)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -275,8 +275,11 @@ object CoreQueries {
       |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events""".stripMargin) { (spark, sf) =>
     Tables.events(spark, sf)
-      .withColumn("parsed", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
-      .select(col("event_id"), col("parsed.k").cast("long").as("k"))
+      // k LONG: the parse domain must match the oracle's BIGINT cast —
+      // an INT schema would null out values beyond 32 bits that DuckDB
+      // still parses (latent divergence current data happens to avoid)
+      .withColumn("parsed", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+      .select(col("event_id"), col("parsed.k").as("k"))
   }
 
   /** Event-time bucket derivation — reference P5/P13 (functions.py:

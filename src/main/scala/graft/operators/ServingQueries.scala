@@ -74,7 +74,7 @@ object ServingQueries {
        |$emotionPivotSql
        |      FROM enriched GROUP BY topic)
        |SELECT * FROM a JOIN b ON a.topic_agg = b.topic""".stripMargin) { (spark, sf) =>
-    HourlyAggregate.aggregate(enriched(spark, sf), persistInput = false)
+    HourlyAggregate.aggregate(enriched(spark, sf))
   }
 
   /** Dashboard emotion melt + per-topic share (reference charts.py:

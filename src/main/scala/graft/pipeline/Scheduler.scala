@@ -2,8 +2,9 @@ package graft.pipeline
 
 import java.time.LocalDateTime
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.streaming.{HourlyClock, TweetIngest}
 
@@ -34,16 +35,28 @@ final class HourlyScheduler(
         col("sentiment"), col("emotion"))
 
   /** Run one cycle for the hour preceding `now`.
+    *
+    * The enriched frame is persisted across the aggregate's two branch
+    * reads and released before returning — a long-lived hourly loop
+    * must not accumulate one cached DataFrame per cycle. The appended
+    * row count rides the sink write via `observe`, so the whole cycle
+    * is a single action (no separate count() job).
+    *
     * @return number of aggregate rows appended (0 = empty partition) */
   def runOnce(now: LocalDateTime): Long = {
     val (date, hour) = HourlyClock.previousHour(now)
     val rows = TweetIngest.readHour(spark, lakeRoot, date, hour)
     if (rows.isEmpty) 0L
     else {
-      val agg = HourlyAggregate.aggregate(enrich(rows), stampTime = true)
-      val n = agg.count()
-      sink.append(agg)
-      n
+      val enriched = enrich(rows).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val agg = HourlyAggregate.aggregate(enriched, stampTime = true)
+        val obs = Observation(s"agg_rows_${date}_$hour")
+        sink.append(agg.observe(obs, count(lit(1)).as("rows")))
+        obs.get("rows").asInstanceOf[Long]
+      } finally {
+        enriched.unpersist()
+      }
     }
   }
 

@@ -50,6 +50,10 @@ class EndToEndSpec extends SparkSpec {
     // empty partition -> 0, no crash (reference would throw)
     assert(sched.runOnce(LocalDateTime.of(2022, 3, 1, 9, 30)) === 0)
 
+    // the per-cycle enriched cache must be released after the sink write
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "runOnce must unpersist its enriched frame")
+
     val raw = sink.readBack(spark)
     assert(raw.count() === 4) // duplicated batch in the sink
 

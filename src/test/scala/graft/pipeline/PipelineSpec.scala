@@ -19,7 +19,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("hourly aggregate: positivity with null-safe equality + pivot + join") {
-    val out = HourlyAggregate.aggregate(enrichedFixture, persistInput = false)
+    val out = HourlyAggregate.aggregate(enrichedFixture)
       .orderBy("topic_agg").collect()
     assert(out.length === 2)
     val alpha = out.head
@@ -36,7 +36,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("aggregate with stampTime appends created_at") {
-    val out = HourlyAggregate.aggregate(enrichedFixture, stampTime = true, persistInput = false)
+    val out = HourlyAggregate.aggregate(enrichedFixture, stampTime = true)
     assert(out.columns.contains("created_at"))
     assert(out.select("created_at").distinct().count() === 1)
   }
