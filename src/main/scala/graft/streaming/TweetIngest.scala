@@ -66,6 +66,14 @@ object TweetIngest {
       .option("failOnDataLoss", "false")
       .load()
 
+  /** Production ingest assembly from typed config (reference
+    * run_job, functions.py:121-126): Kafka source → single-parse
+    * projection → checkpointed partitioned lake sink. Plan-building
+    * only — call .start() to run. */
+  def fromConfig(spark: SparkSession, cfg: graft.GraftConfig): DataStreamWriter[Row] =
+    lakeWriter(parse(readKafkaStream(spark, cfg.kafkaServers, cfg.topics)),
+      cfg.lakePath, cfg.checkpointPath)
+
   /** Checkpointed append-mode partitioned parquet lake sink
     * (reference functions.py:47-54). */
   def lakeWriter(lakeRows: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
