@@ -45,6 +45,13 @@ object DedupOps {
     * safety valve for corpora where they weren't. */
   val MaxBandBucket = 256
 
+  /** SimHash blocking keys are narrow (64/(k+1) bits), so EXPECTED
+    * occupancy is n/2^width and grows with the corpus — the cap must
+    * sit well above it to only catch degenerate skew, and the members
+    * are 16-byte structs (vs 264 for MinHash signatures), so a bigger
+    * array stays cheap. */
+  val MaxSimhashBucket = 4096
+
   /** doc_id + exploded distinct 3-token shingles. */
   def shingles(docs: DataFrame): DataFrame =
     docs
@@ -71,40 +78,60 @@ object DedupOps {
     sigs.select(col("doc_id"), col("sig"), posexplode(bands).as(Seq("band", "band_key")))
   }
 
-  /** Band rows annotated with their bucket size, for the hot-bucket
-    * guard and for operational reporting. One shuffle on the band key —
-    * the same partitioning the candidate self-join needs, so the
-    * exchange is reused. */
-  private def sizedBands(docs: DataFrame): DataFrame =
-    bandKeys(minhashSignatures(docs))
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
-
   /** Buckets the guard would drop at the given cap — run this to see
     * what boilerplate a corpus is hiding. */
   def hotBandReport(docs: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame =
-    sizedBands(docs)
-      .filter(col("bucket_n") > maxBucket)
+    bandKeys(minhashSignatures(docs))
       .groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
 
-  /** Band-join candidate rows (may contain a pair once per shared
-    * band): equality join on (band, band_key) — never a cross product.
-    * Hot buckets above `maxBucket` are excluded (and counted in the
-    * `minhash_band_guard.dropped_band_rows` observed metric). */
-  def rawCandidatePairs(docs: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame = {
-    val guarded = sizedBands(docs)
-      .observe("minhash_band_guard",
-        sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)).as("dropped_band_rows"))
-    val kept = guarded.filter(col("bucket_n") <= maxBucket)
-    val a = kept.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = kept.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+  /** Within-bucket pair expansion: group band rows into bounded member
+    * arrays and explode the i<j pairs. ONE shuffle on the band key and
+    * ONE evaluation of the upstream plan — a band self-join would
+    * instead execute the whole signature pipeline once per join side
+    * (verified in the physical plan) and shuffle it twice. The bucket
+    * cap both guards against quadratic hot buckets (boilerplate docs
+    * collapsing one key) and bounds the collected array, so per-row
+    * memory is maxBucket·|struct|. Dropped volume is surfaced on the
+    * `<metric>.dropped_band_rows` observed metric. */
+  /** @param directed emit both (a,b) and (b,a) — for per-row top-k
+    *        consumers; undirected emits each positional i<j pair once
+    *        (half the generated rows; canonicalize ids downstream with
+    *        least/greatest when a total order matters) */
+  private[operators] def bucketPairs(
+      banded: DataFrame, keyCols: Seq[String], memberCols: Seq[String],
+      maxBucket: Int, metric: String, directed: Boolean = false): DataFrame = {
+    val buckets = banded
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(struct(memberCols.map(col): _*)).as("members"))
+      .observe(metric,
+        sum(when(size(col("members")) > maxBucket, size(col("members")))
+          .otherwise(0)).cast("long").as("dropped_band_rows"))
+      .filter(size(col("members")) <= maxBucket)
+    if (directed) // caller filters self-pairs on its id column
+      buckets
+        .select(explode(col("members")).as("a"), col("members"))
+        .select(col("a"), explode(col("members")).as("b"))
+    else
+      buckets
+        .select(posexplode(col("members")).as(Seq("i", "a")), col("members"))
+        .select(col("a"),
+          explode(slice(col("members"), col("i") + lit(2), lit(maxBucket))).as("b"))
   }
+
+  /** Banded candidate rows (a pair appears once per shared band):
+    * bounded within-bucket expansion — never a cross product, never a
+    * second evaluation of the signature pipeline. Ids are canonicalized
+    * doc_a < doc_b; the signatures ride unordered (every downstream
+    * compare is symmetric). */
+  def rawCandidatePairs(docs: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame =
+    bucketPairs(bandKeys(minhashSignatures(docs)),
+      keyCols = Seq("band", "band_key"), memberCols = Seq("doc_id", "sig"),
+      maxBucket, metric = "minhash_band_guard")
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
 
   /** Distinct candidate pairs with signatures. */
   def candidatePairs(docs: DataFrame): DataFrame =
@@ -192,7 +219,7 @@ object DedupOps {
     * ceiling; radius 12 is kept as the d04 contract because it is what
     * a 1-token-in-40 mutation needs on this corpus. */
   def simhashPairs(
-      sh: DataFrame, maxHamming: Int, maxBucket: Int = MaxBandBucket): DataFrame = {
+      sh: DataFrame, maxHamming: Int, maxBucket: Int = MaxSimhashBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val blocks = maxHamming + 1
     val base = 64 / blocks
@@ -202,6 +229,11 @@ object DedupOps {
       shiftrightunsigned(col("simhash"), starts(i))
         .bitwiseAND(lit((1L << widths(i)) - 1L))
     }
+    // Self-join, not bucketPairs: simhash members are 16 bytes and the
+    // narrow bands make candidate volume high, so the codegen'd hash
+    // join beats object-based collect_list + Generate expansion; the
+    // band shuffle feeding both sides is identical, so Spark's exchange
+    // reuse evaluates the fingerprint pipeline once at runtime.
     val banded = sh
       .select(col("doc_id"), col("simhash"),
         posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))

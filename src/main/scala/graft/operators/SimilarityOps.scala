@@ -30,23 +30,37 @@ object SimilarityOps {
   /** Number of independent LSH tables (OR-amplified recall). */
   val LshTables = 4
 
+  /** Buckets holding more vectors than this are dropped (and counted on
+    * the `cosine_lsh_guard.dropped_band_rows` observed metric): a
+    * massive near-identical embedding cluster should be collapsed by
+    * exact dedup before ANN, and 512 is 16× the expected occupancy the
+    * adaptive plane count targets. Also bounds the collected member
+    * array (512 × ~(8+8·dim) bytes). */
+  val MaxBucket = 512
+
   /** Directed candidate pairs (vec_id, neighbor_id, cos_sim) from the
     * banded multi-table sign-LSH: explode each vector into one
-    * (table, bucket) key per table, equi-join on the key, compute
-    * cosine, and collapse pairs that collide in several tables.
-    * Cosine is computed BEFORE the pair-dedup so the dedup shuffle
-    * carries one double instead of two dim-length vectors. */
-  def cosineCandidates(emb: DataFrame, tables: Int, planesPerTable: Int): DataFrame = {
+    * (table, bucket) key per table, expand pairs WITHIN each bounded
+    * bucket (one shuffle, one evaluation of the embedding scan — a
+    * bucket self-join would execute and shuffle the upstream plan once
+    * per side), compute cosine, and collapse pairs that collide in
+    * several tables. Cosine is computed BEFORE the pair-dedup so the
+    * dedup shuffle carries one double instead of two dim-length
+    * vectors. */
+  def cosineCandidates(
+      emb: DataFrame, tables: Int, planesPerTable: Int,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val banded = emb
       .withColumn("nrm", norm(col("v")))
       .select(col("vec_id"), col("v"), col("nrm"),
         posexplode(lshBandBuckets(col("v"), tables, planesPerTable, Dim))
           .as(Seq("table", "bucket")))
-    val b = banded.select(col("table"), col("bucket"),
-      col("vec_id").as("neighbor_id"), col("v").as("v_b"), col("nrm").as("nrm_b"))
-    banded.join(b, Seq("table", "bucket"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", dot(col("v"), col("v_b")) / (col("nrm") * col("nrm_b")))
+    DedupOps.bucketPairs(banded,
+      keyCols = Seq("table", "bucket"), memberCols = Seq("vec_id", "v", "nrm"),
+      maxBucket, metric = "cosine_lsh_guard", directed = true)
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .groupBy(col("vec_id"), col("neighbor_id"))
       .agg(max(col("cos_sim")).as("cos_sim"))
   }
