@@ -93,5 +93,78 @@ object MultimodalOps {
       round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x), 6).as("feature_sum"))
   }
 
-  val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ)
+  /** Frame geometry of the m03 sampler: fixed-size byte frames, every
+    * `FrameStride`-th frame kept — the video/audio frame-sampling
+    * pattern with the codec stubbed out (a real deployment decodes
+    * frames instead of chunking bytes; the Spark plumbing — batched
+    * per-partition iteration, bounded per-row state, deterministic
+    * sample selection — is identical). */
+  val FrameSize = 256
+  val FrameStride = 4
+
+  /** Output schema of the frame sampler. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("n_sampled", LongType, nullable = false),
+    StructField("sampled_bytes", LongType, nullable = false),
+    StructField("head_hex", StringType, nullable = false),
+    StructField("mid_hex", StringType, nullable = false)))
+
+  private def hex8(bytes: Array[Byte]): String =
+    bytes.take(8).map(b => f"${b & 0xFF}%02X").mkString
+
+  /** Per-partition batched frame sampling over the binary payload —
+    * same mapPartitions shape as extractFeatures. Emits frame counts,
+    * total sampled volume, and hex probes of the first and the
+    * stride-th frame (engine-agnostic, so the whole operator is
+    * oracle-checked byte for byte). */
+  def sampleFrames(payloads: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(frameSchema))
+    payloads.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val frames = payload.grouped(FrameSize).toArray
+          val sampled = frames.indices.collect {
+            case i if i % FrameStride == 0 => frames(i)
+          }
+          Row(
+            r.getAs[Long]("doc_id"),
+            frames.length.toLong,
+            sampled.length.toLong,
+            sampled.map(_.length.toLong).sum,
+            if (frames.nonEmpty) hex8(frames(0)) else "",
+            if (frames.length > FrameStride) hex8(frames(FrameStride)) else "")
+        }
+      }(enc)
+  }
+
+  /** Frame-sample end-to-end with a byte-exact DuckDB oracle: the
+    * sampled-volume arithmetic and both hex probes are recomputed in
+    * SQL over the same blob. */
+  val frameSampleQ: GraftQuery = GraftQuery(
+    "m03_frame_sample",
+    s"""WITH g AS (
+       |  SELECT doc_id, text,
+       |         octet_length(CAST(text AS BLOB)) AS n_bytes,
+       |         CAST(ceil(octet_length(CAST(text AS BLOB)) / $FrameSize.0) AS BIGINT) AS n_frames,
+       |         CAST(ceil(ceil(octet_length(CAST(text AS BLOB)) / $FrameSize.0) / $FrameStride.0) AS BIGINT) AS n_sampled
+       |  FROM documents)
+       |SELECT doc_id, n_frames, n_sampled,
+       |       CAST(coalesce(list_sum(list_transform(range(0, n_sampled),
+       |         i -> least($FrameSize, n_bytes - i * ${FrameStride * FrameSize}))), 0) AS BIGINT)
+       |         AS sampled_bytes,
+       |       -- character slicing == byte slicing: the corpus is ASCII
+       |       -- (DuckDB v1.0 has no BLOB substring; m01 uses the same cast)
+       |       CASE WHEN n_frames > 0
+       |            THEN upper(hex(CAST(substring(text, 1, 8) AS BLOB))) ELSE '' END AS head_hex,
+       |       CASE WHEN n_frames > $FrameStride
+       |            THEN upper(hex(CAST(substring(text, ${FrameStride * FrameSize} + 1, 8) AS BLOB)))
+       |            ELSE '' END AS mid_hex
+       |FROM g""".stripMargin) { (spark, sf) =>
+    sampleFrames(asMultimodal(spark, sf))
+  }
+
+  val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ)
 }

@@ -113,5 +113,74 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
-  val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ)
+  // ------------------------------------------------------------------- IVF
+
+  /** Coarse-cell count ~ sqrt(n), the classic IVF sizing: cell
+    * population and cell count grow together, so probe cost per query
+    * is O(probes·sqrt(n)) instead of O(n). */
+  def cellsForCorpus(n: Long): Int =
+    math.min(4096, math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Deterministic coarse quantizer: the first k vectors by vec_id,
+    * L2-normalized, as the codebook. An honest stand-in for k-means
+    * training (whose codebook equally lives on the driver and ships to
+    * executors as literals/broadcast in real IVF systems) — O(k·dim)
+    * driver memory, one bounded TakeOrdered action. */
+  def centroids(emb: DataFrame, k: Int): Array[Array[Double]] =
+    emb.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / (if (n == 0.0) 1.0 else n))
+      }
+
+  /** Per-row cell scores against the codebook: array of
+    * (dot(v, centroid_i), i) structs. Centroids are normalized, so the
+    * argmax over scores is the cosine argmax (|v| is constant per
+    * row). Struct ordering makes array_max a deterministic argmax. */
+  private def cellScores(cb: Array[Array[Double]]) =
+    array(cb.zipWithIndex.map { case (c, i) =>
+      struct(dot(col("v"), typedLit(c.toSeq)).as("score"), lit(i).as("cell"))
+    }: _*)
+
+  /** IVF approximate top-k for every vector — the data-dependent
+    * alternative to the hash-based s02: vectors index into their
+    * nearest cell, queries probe their `probes` nearest cells, and the
+    * search is an equi-join on cell id. Multi-probe recovers the recall
+    * a pure nearest-cell lookup loses at cell boundaries. Candidate
+    * volume is n·probes·(n/cells) = O(n·sqrt(n)) at the sqrt sizing —
+    * and the join key cardinality (cells) grows with the corpus. */
+  def knnIvf(emb: DataFrame, k: Int, probes: Int): DataFrame = {
+    val cb = centroids(emb, cellsForCorpus(emb.count()))
+    val scores = cellScores(cb)
+    val indexed = emb
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("cell", array_max(scores).getField("cell"))
+    val probed = emb
+      .withColumn("qnrm", norm(col("v")))
+      .withColumn("probe_cells",
+        slice(transform(sort_array(scores, asc = false), s => s.getField("cell")),
+          1, probes))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qnrm"),
+        explode(col("probe_cells")).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probed.join(indexed.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("nv")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  val knnIvfQ: GraftQuery = GraftQuery.noOracle("s03_knn_ivf") { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    knnIvf(emb, k = 3, probes = 4)
+  }
+
+  val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ)
 }

@@ -98,6 +98,29 @@ class VectorSpec extends SparkSpec {
     assert(found.select("cos_sim").collect().head.getDouble(0) > 0.99)
   }
 
+  test("IVF knn recovers a planted near-duplicate via multi-probe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    val near = base.clone(); near(1) += 0.05
+    val others = (2L until 60L).map(i => i -> Array.fill(64)(rnd.nextGaussian()))
+    val emb = ((0L -> base) +: (1L -> near) +: others)
+      .map { case (id, a) => (id, a.toSeq) }.toDF("vec_id", "v")
+    val knn = graft.operators.SimilarityOps.knnIvf(emb, k = 3, probes = 4)
+    val best = knn.filter(col("vec_id") === 0L && col("rank") === 1).collect()
+    assert(best.length === 1)
+    assert(best.head.getAs[Long]("neighbor_id") === 1L)
+    assert(best.head.getAs[Double]("cos_sim") > 0.99)
+  }
+
+  test("s03 IVF knn on harness data: ranks bounded, cosine sane") {
+    val knn = graft.operators.SimilarityOps.knnIvfQ.run(spark, sf001)
+    assert(knn.count() > 0)
+    assert(knn.filter(col("rank") > 3).count() === 0)
+    assert(knn.filter(col("cos_sim") > 1.0 || col("cos_sim") < -1.0).count() === 0)
+    assert(knn.groupBy("vec_id", "rank").count().filter(col("count") > 1).count() === 0)
+  }
+
   test("s02 LSH knn on harness data: ranks bounded, cosine sane") {
     val knn = graft.operators.SimilarityOps.knnLshQ.run(spark, sf001)
     assert(knn.count() > 0)

@@ -60,6 +60,25 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(f.filter(abs(col("feature_sum") - 1.0) > 0.001).count() === 0)
   }
 
+  test("frame sampler geometry on hand-built payloads (m03)") {
+    import spark.implicits._
+    // 1000 bytes -> 4 frames (256,256,256,232); stride 4 samples frame 0
+    // 1300 bytes -> 6 frames; samples frames 0 and 4
+    val docs = Seq(
+      (1L, "x" * 1000), (2L, "y" * 1300), (3L, "z"), (4L, "w" * 1024)
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = MultimodalOps.sampleFrames(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(out(1L) === ((4L, 1L, 256L, "78" * 8, "")))
+    assert(out(2L) === ((6L, 2L, 256L + 256L, "79" * 8, "79" * 8)))
+    assert(out(3L) === ((1L, 1L, 1L, "7A", "")))
+    // exactly 4 frames of 256: frame index 4 does not exist
+    assert(out(4L)._1 === 4L)
+    assert(out(4L)._5 === "")
+  }
+
   test("entry point returns rows (driver smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
