@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Dev tool: time one registry query (or a named sub-stage) k times at a
+  * given SF — `runMain graft.BenchOne <name> [reps] [sfDir]`. Stages let
+  * the expensive operators be attributed (signature computation vs
+  * candidate join vs verification) without touching Bench. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("d04_dedup_simhash")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val stages: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+      "d04_sig" -> ((s, sf) => operators.DedupOps.simhash(Tables.documents(s, sf))),
+      "d03_sig" -> ((s, sf) => operators.DedupOps.minhashSignatures(Tables.documents(s, sf))),
+      "d03_cand" -> ((s, sf) => operators.DedupOps.rawCandidatePairs(Tables.documents(s, sf))))
+    val fn = stages.getOrElse(name,
+      SparkEntry.queries.getOrElse(name, sys.error(s"unknown query/stage '$name'")))
+
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -413,10 +413,47 @@ object CoreQueries {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
   }
 
+  /** Event-time session windows per user (10-minute inactivity gap) via
+    * the native `session_window` — the same operator the streaming tier
+    * uses for stateful sessionization, here batch-planned. The oracle
+    * recomputes sessions with classic gaps-and-islands SQL (lag + cum
+    * sum): a new session starts when the gap is >= the duration,
+    * matching Spark's merge-iff-overlap (gap < duration) semantics.
+    * Session bounds are emitted as formatted strings (events.ts is
+    * TIMESTAMP(NANOS) in parquet; second-level formatting sidesteps the
+    * nanos-vs-micros physical type, as q14 does). */
+  val sessions: GraftQuery = GraftQuery(
+    "q23_sessions",
+    """WITH d AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   >= INTERVAL 10 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
     latestInputs, dedupFirst, jsonExtract, timeBuckets, stringKey,
-    filterTopic, topOrders, semiJoin, antiJoin, rollupCounts,
+    filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
     distinctCounts, approxDistinct)
 }

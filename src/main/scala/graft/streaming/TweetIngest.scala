@@ -66,6 +66,17 @@ object TweetIngest {
       .option("failOnDataLoss", "false")
       .load()
 
+  /** Replay-safe variant of the parse stage: drops Kafka redeliveries
+    * by message key within the watermark. The reference has NO dedup on
+    * its analytics path (SURVEY.md §2.9 — an at-least-once producer
+    * retry lands twice in the lake and inflates every downstream
+    * count); this bounds that with watermark-evicted per-key state, so
+    * state size follows the key arrival rate, not the stream length. */
+  def dedupedParse(kafkaShaped: DataFrame, lateness: String = "2 hours"): DataFrame =
+    parse(kafkaShaped)
+      .withWatermark("created_at", lateness)
+      .dropDuplicatesWithinWatermark("key")
+
   /** Production ingest assembly from typed config (reference
     * run_job, functions.py:121-126): Kafka source → single-parse
     * projection → checkpointed partitioned lake sink. Plan-building

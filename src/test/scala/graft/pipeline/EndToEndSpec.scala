@@ -87,6 +87,24 @@ class EndToEndSpec extends SparkSpec {
       .agg(sum("counts")).collect().head.getLong(0) === 5)
   }
 
+  test("streaming replay dedup drops redelivered keys within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[KafkaMsg]
+    val q = TweetIngest.dedupedParse(source.toDF())
+      .writeStream.format("memory").queryName("dedup_rows").outputMode("append").start()
+
+    source.addData(hour10: _*)
+    q.processAllAvailable()
+    // redeliver two of the same messages (same keys) in a later batch
+    source.addData(hour10.take(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.sql("SELECT key FROM dedup_rows").collect().map(_.getString(0))
+    assert(keys.length === hour10.length, s"replays must be dropped, got ${keys.toSeq}")
+    assert(keys.distinct.length === keys.length)
+  }
+
   test("watermarked streaming aggregation accepts late rows the batch tier drops") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -61,6 +61,9 @@ class IngestSpec extends SparkSpec {
     assert(hour10.count() === 2)
     // partition pruning reaches the scan: only the matching directory is read
     val scanned = hour10.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanned.contains("PartitionFilters") &&
+      scanned.contains("2022-03-01") && scanned.contains("10"),
+      s"scan must carry partition filters, got: $scanned")
     assert(hour10.select("key").orderBy("key").as[String].collect() === Array("AL1", "AL2"))
 
     // restart with same checkpoint + same data: no duplicates (exactly-once sink)
