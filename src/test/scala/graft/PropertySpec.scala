@@ -1,0 +1,115 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.pipeline.{HourlyAggregate, KeywordEmotionClassifier, LexiconSentimentClassifier}
+import graft.streaming.HourlyClock
+
+/** Property-based invariants (SURVEY.md §5-2): relational laws the
+  * operators must hold for ANY input, not just the fixtures. Inputs are
+  * ScalaCheck generators sampled from a fixed seed (deterministic CI);
+  * Spark-facing properties use a bounded sample count since every check
+  * is a full local job, pure functions get hundreds. */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic generator sampling. */
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val sentimentGen: Gen[String] =
+    Gen.oneOf("positive", "negative", "neutral-ish", "")
+  private val emotionGen: Gen[String] = Gen.oneOf(KeywordEmotionClassifier.labels)
+  private val topicGen: Gen[String] = Gen.oneOf("alpha", "beta", "gamma")
+
+  private val enrichedRowsGen: Gen[List[(String, String, String)]] =
+    Gen.nonEmptyListOf(Gen.zip(topicGen, sentimentGen, emotionGen))
+
+  test("positivity is a probability and counts partition the input (any labels)") {
+    import spark.implicits._
+    samples(enrichedRowsGen, 8).foreach { rows =>
+      val df = rows.toDF("topic", "sentiment", "emotion")
+      val agg = HourlyAggregate.aggregate(df).collect()
+      agg.foreach { r =>
+        val p = r.getAs[Double]("positivity_rate")
+        assert(p >= 0.0 && p <= 1.0, s"positivity out of range for $rows")
+      }
+      // per-topic counts partition the rows, and the emotion histogram
+      // row-sums equal the same counts (pivot loses nothing)
+      assert(agg.map(_.getAs[Long]("counts")).sum === rows.length)
+      agg.foreach { r =>
+        val emoSum = KeywordEmotionClassifier.labels.map(r.getAs[Long](_)).sum
+        assert(emoSum === r.getAs[Long]("counts"))
+      }
+    }
+  }
+
+  test("classifier labels always in-vocabulary (any text)") {
+    import spark.implicits._
+    val textGen = Gen.listOfN(30,
+      Gen.oneOf(Gen.alphaNumStr, Gen.oneOf("spark", "slow", "love", "dup", " ", "")))
+      .map(_.mkString(" "))
+    samples(Gen.nonEmptyListOf(textGen), 8).foreach { texts =>
+      val df = KeywordEmotionClassifier.annotate(
+        LexiconSentimentClassifier.annotate(texts.toDF("text"), "text"), "text")
+      df.select("sentiment", "emotion").collect().foreach { r =>
+        assert(LexiconSentimentClassifier.labels.contains(r.getString(0)))
+        assert(KeywordEmotionClassifier.labels.contains(r.getString(1)))
+      }
+    }
+  }
+
+  test("previousHour is total and matches minusHours formatting (any timestamp)") {
+    val dtGen = for {
+      y <- Gen.choose(1970, 2100); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+      h <- Gen.choose(0, 23); min <- Gen.choose(0, 59)
+    } yield LocalDateTime.of(y, m, d, h, min)
+    samples(dtGen, 500).foreach { now =>
+      val (date, hour) = HourlyClock.previousHour(now)
+      val prev = now.minusHours(1)
+      assert(date === f"${prev.getYear}%04d-${prev.getMonthValue}%02d-${prev.getDayOfMonth}%02d")
+      assert(hour === f"${prev.getHour}%02d")
+    }
+  }
+
+  test("minhash estimates stay within [0,1]; exact dedup idempotent (any corpus)") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(20, Gen.oneOf("a", "b", "c", "d", "tok")).map(_.mkString(" "))
+    samples(Gen.nonEmptyListOf(docGen), 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = graft.operators.DedupOps.rawCandidatePairs(docs)
+      val matches = aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
+      pairs.withColumn("e", matches.cast("double") / graft.operators.DedupOps.NumHashes)
+        .select("e").collect().map(_.getDouble(0))
+        .foreach(e => assert(e >= 0.0 && e <= 1.0))
+      val once = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      assert(once.count() === once.dropDuplicates("doc_id").count())
+    }
+  }
+
+  test("config round-trip: every generated valid config parses to its fields") {
+    val pathGen = Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+      .map(ps => "/" + ps.mkString("/"))
+    val cfgGen = for {
+      servers <- Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+        .map(_.map(_ + ":9092").mkString(","))
+      topics <- Gen.nonEmptyListOf(Gen.identifier.suchThat(_.nonEmpty))
+      ckpt <- pathGen; lake <- pathGen; agg <- pathGen
+    } yield (servers, topics.distinct, ckpt, lake, agg)
+    samples(cfgGen, 200).foreach { case (servers, topics, ckpt, lake, agg) =>
+      val json =
+        s"""{"kafka_servers": "$servers", "topic_list": "${topics.mkString(",")}",
+           | "checkpoint_path": "$ckpt", "lake_path": "$lake",
+           | "aggregates_path": "$agg"}""".stripMargin
+      val cfg = GraftConfig.fromJson(json)
+      assert(cfg.kafkaServers === servers)
+      assert(cfg.topics === topics)
+      assert(cfg.lakePath === lake)
+    }
+  }
+}
