@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.{GraftQuery, Tables}
 import graft.functions.TextFunctions._
@@ -110,5 +111,66 @@ object TextOps {
       md5(tokenSetSignature(col("text"))).as("tokenset_fp"))
   }
 
-  val all: Seq[GraftQuery] = Seq(langIdQ, qualityQ, tokenStatsQ, fingerprintQ)
+  /** Winnowing geometry: token-gram length and selection-window size
+    * (Schleimer, Wilkerson, Aiken 2003 — the MOSS local fingerprint,
+    * over token n-grams: ~6x fewer grams than char 8-grams on this
+    * corpus for the same dedup power). */
+  val WinnowN = 3
+  val WinnowW = 8
+
+  /** Winnowing document fingerprint: hash every token n-gram, keep the
+    * minimum hash of each sliding window of w consecutive grams — any
+    * shared run of w+n-1 tokens yields a shared selected fingerprint,
+    * so near-dups overlap heavily in fingerprint space while storage
+    * stays ~2/(w+1) of the gram count. Hashes are md5 strings (window
+    * min = lexicographic) so the oracle recomputes the identical
+    * selection in SQL; a production tuning would swap md5 for a custom
+    * rolling-hash Expression — the selection semantics, which is what
+    * this operator pins, are unchanged. */
+  val winnowQ: GraftQuery = GraftQuery(
+    "t05_winnow_fingerprint",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, len(tk) - ${WinnowN - 2}),
+       |           i -> md5(concat_ws(' ', tk[CAST(i AS INT)], tk[CAST(i+1 AS INT)], tk[CAST(i+2 AS INT)]))) AS kg
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id, kg,
+       |         list_transform(range(1, len(kg) - $WinnowW + 2),
+       |           i -> list_min(kg[CAST(i AS INT):CAST(i + ${WinnowW - 1} AS INT)])) AS sel
+       |  FROM g)
+       |SELECT doc_id,
+       |       CAST(len(kg) AS BIGINT) AS n_grams,
+       |       CAST(len(list_distinct(sel)) AS BIGINT) AS n_selected,
+       |       md5(array_to_string(list_sort(list_distinct(sel)), '')) AS fp_digest
+       |FROM s""".stripMargin) { (spark, sf) =>
+    winnowSelections(Tables.documents(spark, sf))
+      .select(
+        col("doc_id"),
+        size(col("kg")).cast("long").as("n_grams"),
+        size(array_distinct(col("sel"))).cast("long").as("n_selected"),
+        md5(concat_ws("", sort_array(array_distinct(col("sel"))))).as("fp_digest"))
+  }
+
+  /** doc_id + token-gram hashes + winnowed selections (see [[winnowQ]]).
+    * Row-local array expressions — narrow, no shuffle; gram count per
+    * doc is bounded by token count. (An exploded window-function
+    * formulation was tried and measured slower: Generate replicates the
+    * text column per position and the window forces a 5M-row shuffle.) */
+  def winnowSelections(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val kg = when(size(col("tk")) >= WinnowN,
+      transform(sequence(lit(1), size(col("tk")) - WinnowN + 1),
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(WinnowN))))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("kg", kg)
+      .withColumn("sel", when(size(col("kg")) >= WinnowW,
+        transform(sequence(lit(1), size(col("kg")) - WinnowW + 1),
+          i => array_min(slice(col("kg"), i, lit(WinnowW)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  val all: Seq[GraftQuery] = Seq(langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ)
 }

@@ -79,6 +79,24 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(out(4L)._5 === "")
   }
 
+  test("winnowing guarantee: shared substring >= w+k-1 chars => shared fingerprint (t05)") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different lead-in $shared other tail"),
+      (3L, "nothing in common with those two documents at all here")
+    ).toDF("doc_id", "text")
+    val sel = TextOps.winnowSelections(docs)
+      .select(col("doc_id"), array_distinct(col("sel")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((sel(1L) & sel(2L)).nonEmpty, "docs sharing a long substring must share fingerprints")
+    assert((sel(1L) & sel(3L)).isEmpty, "unrelated docs must not collide")
+    // density: winnowing keeps far fewer than all grams
+    assert(sel(1L).size < docs.filter(col("doc_id") === 1L)
+      .select(length(col("text"))).collect().head.getInt(0))
+  }
+
   test("entry point returns rows (driver smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
