@@ -22,10 +22,13 @@ object BenchOne {
     val fn = stages.getOrElse(name,
       SparkEntry.queries.getOrElse(name, sys.error(s"unknown query/stage '$name'")))
 
+    val doCount = sys.env.get("SPARK_GRAFT_COUNT").contains("1")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val extra =
+        if (doCount) s" rows=${fn(spark, sfDir).count()}"
+        else { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); "" }
+      println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s$extra")
     }
     spark.stop()
   }
