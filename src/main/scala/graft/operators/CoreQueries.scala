@@ -164,11 +164,15 @@ object CoreQueries {
     """SELECT event_type, counts,
       |       round(CAST(counts AS DOUBLE) * 100.0 / sum(counts) OVER (), 4) AS pct
       |FROM (SELECT event_type, count(*) AS counts FROM events GROUP BY 1) t""".stripMargin) { (spark, sf) =>
-    Tables.events(spark, sf)
+    val counts = Tables.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("counts"))
-      .withColumn("pct",
-        round(col("counts") * lit(100.0) / sum(col("counts")).over(Window.partitionBy()), 4))
+    // scalar agg + broadcast cross join, not an empty-frame window: same
+    // value, but no single-partition WindowExec stage
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("counts")).as("__total"))))
+      .withColumn("pct", round(col("counts") * lit(100.0) / col("__total"), 4))
+      .drop("__total")
   }
 
   /** Global mean reference line — reference A5/A8 (charts.py:141,149):
@@ -180,11 +184,11 @@ object CoreQueries {
       |FROM (SELECT event_type,
       |             round(avg(CASE WHEN value > 100 THEN 1 ELSE 0 END), 2) AS positivity_rate
       |      FROM events GROUP BY event_type) t""".stripMargin) { (spark, sf) =>
-    Tables.events(spark, sf)
+    val rates = Tables.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(round(avg(when(col("value") > 100, 1).otherwise(0)), 2).as("positivity_rate"))
-      .withColumn("global_rate",
-        round(avg(col("positivity_rate")).over(Window.partitionBy()), 2))
+    rates.crossJoin(broadcast(
+        rates.agg(round(avg(col("positivity_rate")), 2).as("global_rate"))))
   }
 
   /** Boxplot statistics — reference A9 (charts.py:173-199): exact

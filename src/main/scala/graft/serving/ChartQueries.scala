@@ -70,24 +70,33 @@ object ChartQueries {
       .withColumn("percent",
         col("counts") / sum(col("counts")).over(Window.partitionBy(col(aggLevel))))
 
+  /** Grand-total share without an empty-frame window: scalar aggregate
+    * broadcast cross-joined back — same value, no single-partition
+    * WindowExec stage (harmless on these post-aggregation relations,
+    * but the plan shouldn't carry the warning). */
+  private def withShareOfTotal(df: DataFrame, shareCol: String): DataFrame =
+    df.crossJoin(broadcast(df.agg(sum(col("counts")).as("__total"))))
+      .withColumn(shareCol, col("counts") / col("__total"))
+      .drop("__total")
+
   /** Global emotion distribution for the donut (charts.py:45-60):
     * total counts per emotion + percent of grand total. */
   def emotionDonut(processed: DataFrame): DataFrame =
-    processed
-      .select(emotionCols: _*)
-      .unpivot(Array.empty, emotionCols.toArray, "emotion", "counts")
-      .groupBy(col("emotion"))
-      .agg(sum(col("counts")).as("counts"))
-      .withColumn("percent",
-        col("counts") / sum(col("counts")).over(Window.partitionBy()))
+    withShareOfTotal(
+      processed
+        .select(emotionCols: _*)
+        .unpivot(Array.empty, emotionCols.toArray, "emotion", "counts")
+        .groupBy(col("emotion"))
+        .agg(sum(col("counts")).as("counts")),
+      "percent")
 
   /** Tweet-volume share per topic for the donut (charts.py:88-94). */
   def countsDonut(processed: DataFrame): DataFrame =
-    processed
-      .groupBy(col("topic"))
-      .agg(sum(col("counts")).as("counts"))
-      .withColumn("percent",
-        col("counts") / sum(col("counts")).over(Window.partitionBy()))
+    withShareOfTotal(
+      processed
+        .groupBy(col("topic"))
+        .agg(sum(col("counts")).as("counts")),
+      "percent")
 
   /** Tweet volume per period (area chart, charts.py:99-106). */
   def countsPeriod(processed: DataFrame, aggLevel: String): DataFrame =
@@ -109,12 +118,13 @@ object ChartQueries {
   /** Mean positivity per topic + the global mean reference line
     * (charts.py:138-155). Means are emitted at 4dp — chart precision,
     * and stable under partial-aggregation sum order. */
-  def positivityByTopic(processed: DataFrame): DataFrame =
-    processed
+  def positivityByTopic(processed: DataFrame): DataFrame = {
+    val rates = processed
       .groupBy(col("topic"))
       .agg(round(avg(col("positivity_rate")), 4).as("positivity_rate"))
-      .withColumn("global_rate",
-        round(avg(col("positivity_rate")).over(Window.partitionBy()), 4))
+    rates.crossJoin(broadcast(
+      rates.agg(round(avg(col("positivity_rate")), 4).as("global_rate"))))
+  }
 
   /** Mean positivity per (period, topic) — line chart (charts.py:160-168). */
   def positivityPeriod(processed: DataFrame, aggLevel: String): DataFrame =
