@@ -82,15 +82,34 @@ object MultimodalOps {
   }
 
   /** Feature extraction end-to-end: binary payload → per-partition
-    * batched decode stub → fixed-width feature vector. Summarized to a
-    * stable scalar per row for the rows-only gate; the array shape is
-    * asserted in ScalaTest. */
-  val featuresQ: GraftQuery = GraftQuery.noOracle("m02_features") { (spark, sf) =>
+    * batched decode stub → fixed-width feature vector, summarized per
+    * row as (dim, L1 sum, first bin). The oracle recomputes the first
+    * histogram bin and the normalization invariant from the raw bytes
+    * in SQL (ASCII corpus: char code == byte), so the decode path is
+    * hash-checked end-to-end, not just row-counted; full-vector shape
+    * is asserted in ScalaTest. */
+  val featuresQ: GraftQuery = GraftQuery(
+    "m02_features",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |         length(text) AS n_chars
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(n_bytes AS BIGINT) AS n_bytes,
+      |       'txt' AS format,
+      |       CAST(16 AS BIGINT) AS dim,
+      |       CASE WHEN n_bytes = 0 THEN 0.0 ELSE round(1.0, 6) END AS feature_sum,
+      |       round(CAST(len(list_filter(range(1, n_chars + 1),
+      |               i -> ascii(substring(text, CAST(i AS INT), 1)) % 16 = 0)) AS DOUBLE)
+      |             / greatest(n_bytes, 1), 6) AS feature_0
+      |FROM t""".stripMargin) { (spark, sf) =>
     val feats = extractFeatures(asMultimodal(spark, sf))
     feats.select(
       col("doc_id"), col("n_bytes"), col("format"),
       size(col("features")).cast("long").as("dim"),
-      round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x), 6).as("feature_sum"))
+      round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x), 6).as("feature_sum"),
+      round(element_at(col("features"), 1), 6).as("feature_0"))
   }
 
   /** Frame geometry of the m03 sampler: fixed-size byte frames, every

@@ -176,7 +176,53 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
-  val knnIvfQ: GraftQuery = GraftQuery.noOracle("s03_knn_ivf") { (spark, sf) =>
+  /** The deterministic codebook makes IVF fully oracle-able: DuckDB
+    * recomputes the same normalized first-ceil(sqrt(n)) centroids, the
+    * same argmax cell assignment (ties: higher cell id, matching
+    * struct-max semantics), the same 4-cell probes, and the same
+    * ranked cosine — every float op is the sequential-double formula
+    * both engines share. */
+  val knnIvfQ: GraftQuery = GraftQuery(
+    "s03_knn_ivf",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |cb AS (
+      |  SELECT CAST(rn - 1 AS INT) AS cell,
+      |         list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS c
+      |  FROM (SELECT vec_id, v, nrm,
+      |          row_number() OVER (ORDER BY vec_id) AS rn,
+      |          count(*) OVER () AS total
+      |        FROM n) t
+      |  WHERE rn <= greatest(4, least(4096, CAST(ceil(sqrt(total)) AS BIGINT)))),
+      |scores AS (
+      |  SELECT n.vec_id, cb.cell, list_dot_product(n.v, cb.c) AS score
+      |  FROM n CROSS JOIN cb),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores) t WHERE r = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores) t WHERE r <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |         list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm) AS cos
+      |  FROM probes p
+      |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN n qn ON qn.vec_id = p.query_id
+      |  JOIN n nn ON nn.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT query_id AS vec_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |SELECT vec_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+      |FROM ranked WHERE rank <= 3""".stripMargin) { (spark, sf) =>
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     knnIvf(emb, k = 3, probes = 4)
