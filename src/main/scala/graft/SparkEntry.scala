@@ -18,9 +18,12 @@ object SparkEntry {
       operators.ServingQueries.all ++
       operators.ChartRegistry.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full reference pipeline — classify → positivity ⋈
+    * pivoted emotion histogram — exercises more of the engine than any
+    * single aggregate. */
   def entry(spark: SparkSession): DataFrame =
-    operators.CoreQueries.positivity.run(spark, "/root/testdata/sf0.001")
+    operators.ServingQueries.pipelineAggregateQ.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -61,8 +61,16 @@ final class HourlyScheduler(
   }
 
   /** Fire once per wall-clock hour change (reference main.py:96-111),
-    * bounded by `cycles` for testability. */
-  def loop(clock: () => LocalDateTime, cycles: Int, pollMs: Long = 1000): Seq[Long] = {
+    * bounded by `cycles` for testability.
+    *
+    * @param failFast propagate a cycle failure (reference parity: its
+    *        loop dies on any error). With false, a failed hour is
+    *        reported as -1 and the loop keeps running — a transient
+    *        sink outage shouldn't cost every subsequent hour; the
+    *        at-least-once sink contract means the hour can be replayed. */
+  def loop(
+      clock: () => LocalDateTime, cycles: Int, pollMs: Long = 1000,
+      failFast: Boolean = true): Seq[Long] = {
     var lastHour = -1
     val results = Seq.newBuilder[Long]
     var remaining = cycles
@@ -70,7 +78,11 @@ final class HourlyScheduler(
       val now = clock()
       if (now.getHour != lastHour) {
         lastHour = now.getHour
-        results += runOnce(now)
+        results += (try runOnce(now) catch {
+          case e: Exception if !failFast =>
+            System.err.println(s"[scheduler] cycle for $now failed: ${e.getMessage}")
+            -1L
+        })
         remaining -= 1
       } else Thread.sleep(pollMs)
     }

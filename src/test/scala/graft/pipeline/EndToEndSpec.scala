@@ -87,6 +87,42 @@ class EndToEndSpec extends SparkSpec {
       .agg(sum("counts")).collect().head.getLong(0) === 5)
   }
 
+  test("resilient loop survives a failing sink cycle; fail-fast propagates") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val lake = Files.createTempDirectory("e2e_lake_r").toString
+    val ckpt = Files.createTempDirectory("e2e_ckpt_r").toString
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[KafkaMsg]
+    source.addData(hour10: _*)
+    val q = TweetIngest.startLake(TweetIngest.parse(source.toDF()), lake, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    val calls = new AtomicInteger(0)
+    val flaky = new AggregateSink {
+      val inner = new ParquetAggregateSink(
+        Files.createTempDirectory("e2e_agg_r").toString + "/agg")
+      override def append(df: org.apache.spark.sql.DataFrame): Unit = {
+        if (calls.getAndIncrement() == 0) sys.error("sink outage")
+        inner.append(df)
+      }
+      override def readBack(s: org.apache.spark.sql.SparkSession) = inner.readBack(s)
+    }
+    val sched = new HourlyScheduler(spark, lake, flaky)
+    // clock ticks 11:30 then 12:30 -> two cycles; first append fails
+    val ticks = Iterator(
+      LocalDateTime.of(2022, 3, 1, 11, 30), LocalDateTime.of(2022, 3, 1, 12, 30))
+    val results = sched.loop(() => ticks.next(), cycles = 2, pollMs = 1, failFast = false)
+    assert(results.head === -1L, "failed cycle reported, not fatal")
+    assert(results(1) === 0L, "empty hour-11 partition -> 0 (loop survived)")
+
+    val ticks2 = Iterator(LocalDateTime.of(2022, 3, 1, 11, 30))
+    calls.set(0)
+    intercept[RuntimeException] {
+      sched.loop(() => ticks2.next(), cycles = 1, pollMs = 1) // failFast default
+    }
+  }
+
   test("streaming replay dedup drops redelivered keys within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
