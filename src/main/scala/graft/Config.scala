@@ -46,11 +46,14 @@ object GraftConfig {
     }
     val topics = str("topic_list").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (topics.isEmpty) fail("topic_list", "no topics")
+    val replication = intOr("topic_replication", 3)
+    if (replication < 1 || replication > Short.MaxValue)
+      fail("topic_replication", s"out of range: $replication") // toShort would wrap silently
     GraftConfig(
       kafkaServers = str("kafka_servers"),
       topics = topics,
       topicPartitions = intOr("topic_partitions", 3),     // reference default
-      topicReplication = intOr("topic_replication", 3).toShort,
+      topicReplication = replication.toShort,
       checkpointPath = str("checkpoint_path"),
       lakePath = str("lake_path"),
       aggregatesPath = str("aggregates_path"))

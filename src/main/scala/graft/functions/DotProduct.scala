@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   * `list_dot_product` over `DOUBLE[]` produces), and allocates nothing.
   *
   * Null semantics match the HOF formulation it replaces: a null array
-  * on either side yields null, and any null *element* yields null
+  * on either side yields null, any null *element* yields null
   * (zip_with's `x * y` is null-propagating and `acc + null` poisons
-  * the fold). Arrays of different lengths fold over the shorter one.
+  * the fold), and arrays of different lengths yield null (zip_with
+  * pads the shorter side with nulls) — a truncated embedding must
+  * surface as missing, not as a plausible prefix cosine.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -48,7 +50,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val (af, bf) = (isFloat(left), isFloat(right))
     var s = 0.0
     var i = 0
@@ -70,11 +73,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $s += $getA * $getB;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $getA * $getB;
+         |  }
          |}
          |${ev.value} = $s;
          |""".stripMargin

@@ -45,7 +45,11 @@ object ChartRegistry {
       .withColumn("created_at",
         expr(s"timestampadd(HOUR, CAST(doc_id % $HourBuckets AS INT), TIMESTAMP'$Epoch')"))
     val aggExprs =
-      round(avg(when(col("sentiment") <=> "positive", 1).otherwise(0)), 2)
+      // 4dp, not the reference's 2dp: k/n ratios can land on 3-decimal
+      // ties (e.g. 3/40 = 0.075) where Spark's and DuckDB's round()
+      // disagree; at 4dp a tie needs n a multiple of 32 — impossible in
+      // these <=25-doc buckets (verify SKILL.md float-parity rule)
+      round(avg(when(col("sentiment") <=> "positive", 1).otherwise(0)), 4)
         .as("positivity_rate") +:
         count(lit(1)).as("counts") +:
         labels.map(l => sum(when(col("emotion") === l, 1L).otherwise(0L)).as(l))
@@ -83,7 +87,7 @@ object ChartRegistry {
        |  FROM documents),
        |agg AS (
        |  SELECT topic, created_at,
-       |         round(avg(CASE WHEN sentiment = 'positive' THEN 1 ELSE 0 END), 2) AS positivity_rate,
+       |         round(avg(CASE WHEN sentiment = 'positive' THEN 1 ELSE 0 END), 4) AS positivity_rate,
        |         count(*) AS counts,
        |$emotionCountsSql
        |  FROM enriched GROUP BY topic, created_at),

@@ -167,10 +167,7 @@ object CoreQueries {
     val counts = Tables.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("counts"))
-    // scalar agg + broadcast cross join, not an empty-frame window: same
-    // value, but no single-partition WindowExec stage
-    counts
-      .crossJoin(broadcast(counts.agg(sum(col("counts")).as("__total"))))
+    graft.functions.Relational.withGlobal(counts, sum(col("counts")).as("__total"))
       .withColumn("pct", round(col("counts") * lit(100.0) / col("__total"), 4))
       .drop("__total")
   }
@@ -187,8 +184,8 @@ object CoreQueries {
     val rates = Tables.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(round(avg(when(col("value") > 100, 1).otherwise(0)), 2).as("positivity_rate"))
-    rates.crossJoin(broadcast(
-        rates.agg(round(avg(col("positivity_rate")), 2).as("global_rate"))))
+    graft.functions.Relational.withGlobal(rates,
+      round(avg(col("positivity_rate")), 2).as("global_rate"))
   }
 
   /** Boxplot statistics — reference A9 (charts.py:173-199): exact
@@ -428,13 +425,21 @@ object CoreQueries {
     * nanos-vs-micros physical type, as q14 does). */
   val sessions: GraftQuery = GraftQuery(
     "q23_sessions",
-    """WITH d AS (
+    """WITH e AS (
+      |  -- truncate to microseconds first: the engine reads ts via the
+      |  -- nanosAsLong conf and compares micros-truncated gaps, so a
+      |  -- nano-precision gap straddling the exact 10-min boundary must
+      |  -- classify identically in both engines
+      |  SELECT user_id,
+      |         make_timestamp(CAST(epoch_ns(ts) // 1000 AS BIGINT)) AS ts
+      |  FROM events),
+      |d AS (
       |  SELECT user_id, ts,
       |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
       |                   >= INTERVAL 10 MINUTE
       |              THEN 1 ELSE 0 END AS new_s
-      |  FROM events),
+      |  FROM e),
       |s AS (
       |  SELECT user_id, ts,
       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts

@@ -97,9 +97,11 @@ object SimilarityOps {
   }
 
   /** LSH-bucketed approximate top-k for every vector. The plane count
-    * adapts to the corpus (one metadata-only count() sizes it), so the
-    * same query runs with ~2^4 buckets/table at sf0.001 and ~2^18 at
-    * 100 TB — join keys scale with n instead of capping at 64. */
+    * adapts to the corpus — sized by a count() job here (a narrow
+    * single-column scan; on a cluster the catalog's row-count statistic
+    * replaces it for free) — so the same query runs with ~2^4
+    * buckets/table at sf0.001 and ~2^18 at 100 TB: join keys scale
+    * with n instead of capping at 64. */
   val knnLshQ: GraftQuery = GraftQuery.noOracle("s02_knn_lsh") { (spark, sf) =>
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))

@@ -70,12 +70,10 @@ object ChartQueries {
       .withColumn("percent",
         col("counts") / sum(col("counts")).over(Window.partitionBy(col(aggLevel))))
 
-  /** Grand-total share without an empty-frame window: scalar aggregate
-    * broadcast cross-joined back — same value, no single-partition
-    * WindowExec stage (harmless on these post-aggregation relations,
-    * but the plan shouldn't carry the warning). */
+  /** Grand-total share via Relational.withGlobal (no empty-frame
+    * window, no single-partition WindowExec stage). */
   private def withShareOfTotal(df: DataFrame, shareCol: String): DataFrame =
-    df.crossJoin(broadcast(df.agg(sum(col("counts")).as("__total"))))
+    graft.functions.Relational.withGlobal(df, sum(col("counts")).as("__total"))
       .withColumn(shareCol, col("counts") / col("__total"))
       .drop("__total")
 
@@ -122,8 +120,8 @@ object ChartQueries {
     val rates = processed
       .groupBy(col("topic"))
       .agg(round(avg(col("positivity_rate")), 4).as("positivity_rate"))
-    rates.crossJoin(broadcast(
-      rates.agg(round(avg(col("positivity_rate")), 4).as("global_rate"))))
+    graft.functions.Relational.withGlobal(rates,
+      round(avg(col("positivity_rate")), 4).as("global_rate"))
   }
 
   /** Mean positivity per (period, topic) — line chart (charts.py:160-168). */

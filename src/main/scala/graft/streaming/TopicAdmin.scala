@@ -29,11 +29,14 @@ object TopicAdmin {
     * replication can't exceed the broker count, names must be legal. */
   def validate(spec: TopicSpec, brokerCount: Int): Either[String, TopicSpec] =
     if (spec.name.isEmpty || spec.name.length > 249 ||
+      spec.name == "." || spec.name == ".." || // Kafka reserves both
       !spec.name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'))
       Left(s"illegal topic name '${spec.name}'")
     else if (spec.partitions < 1)
       Left(s"${spec.name}: partitions must be >= 1")
-    else if (spec.replicationFactor < 1 || spec.replicationFactor > brokerCount)
+    else if (spec.replicationFactor < 1)
+      Left(s"${spec.name}: replication factor must be >= 1")
+    else if (spec.replicationFactor > brokerCount)
       Left(s"${spec.name}: replication factor ${spec.replicationFactor} " +
         s"exceeds broker count $brokerCount")
     else Right(spec)

@@ -43,5 +43,10 @@ class ConfigSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](
       GraftConfig.fromJson(valid.replace("Zelensky,Putin,Biden,NATO,NoFlyZone", " , ")))
     assert(e3.getMessage.contains("topic_list"))
+    // toShort would silently wrap 65539 -> 3
+    val overflow = valid.replace("\"topic_list\"",
+      "\"topic_replication\": 65539, \"topic_list\"")
+    val e4 = intercept[IllegalArgumentException](GraftConfig.fromJson(overflow))
+    assert(e4.getMessage.contains("topic_replication"))
   }
 }

@@ -23,6 +23,15 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - expected) < 1e-12)
   }
 
+  test("dot of mismatched-length arrays is null, not a prefix product") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f)))
+      .toDF("id", "a", "b")
+      .select(dot(col("a"), col("b")).as("d"))
+    assert(df.collect().head.isNullAt(0),
+      "a truncated embedding must surface as null (zip_with parity)")
+  }
+
   test("identical vectors share an LSH bucket; cosine=1") {
     import spark.implicits._
     val v = Seq.fill(64)(scala.util.Random.nextFloat())

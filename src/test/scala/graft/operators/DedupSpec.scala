@@ -83,6 +83,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L, 10L)))
   }
 
+  test("simhash maxHamming=0 is exact-duplicate mode (width-64 mask regression)") {
+    import spark.implicits._
+    // (1L << 64) wraps to 1 on the JVM; the unguarded mask zeroed every
+    // band value and collapsed all docs into one bucket
+    val sh = Seq((0L, 0x12345678L), (1L, 0x12345678L), (2L, 0x12345679L))
+      .toDF("doc_id", "simhash")
+    val pairs = DedupOps.simhashPairs(sh, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((0L, 1L, 0L)), "only the exact pair, via a real band key")
+  }
+
   test("simhash end-to-end surfaces the planted text near-dup") {
     val pairs = DedupOps.simhashPairs(
       DedupOps.simhash(corpus), DedupOps.SimhashMaxHamming)

@@ -24,6 +24,11 @@ class TopicAdminSpec extends AnyFunSuite {
     assert(validate(ok, brokerCount = 2).isLeft) // RF > brokers
     assert(validate(TopicSpec("bad topic!", 3, 1), 3).isLeft)
     assert(validate(TopicSpec("t", 0, 1), 3).isLeft)
+    assert(validate(TopicSpec(".", 3, 1), 3).isLeft)  // Kafka reserves . and ..
+    assert(validate(TopicSpec("..", 3, 1), 3).isLeft)
+    val rf0 = validate(TopicSpec("t", 3, 0), 3)
+    assert(rf0.isLeft && rf0.swap.toOption.get.contains(">= 1"),
+      "rf<1 must get its own message, not 'exceeds broker count'")
   }
 
   test("create plan is an idempotent diff and reports partition drift") {
