@@ -141,6 +141,32 @@ class EndToEndSpec extends SparkSpec {
     assert(keys.distinct.length === keys.length)
   }
 
+  test("mapGroupsWithState: running topic stats accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[KafkaMsg]
+    val stats = graft.streaming.StatefulOps.runningTopicStats(
+      TweetIngest.parse(source.toDF()))
+    val q = stats.toDF().writeStream.format("memory")
+      .queryName("topic_stats").outputMode("update").start()
+
+    source.addData(hour10: _*) // alpha x3, beta x2
+    q.processAllAvailable()
+    source.addData(msg(9, "alpha", "2022-03-01T11:40:00Z", "one more"))
+    q.processAllAvailable()
+    q.stop()
+    // latest update per topic wins: alpha counted across both batches
+    val latest = spark.sql(
+      """SELECT topic, max_by(count, lastSeen) AS c FROM topic_stats GROUP BY topic""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(latest("alpha") === 4L)
+    assert(latest("beta") === 2L)
+    val alphaSeen = spark.sql(
+      "SELECT max(lastSeen) FROM topic_stats WHERE topic = 'alpha'")
+      .collect().head.getTimestamp(0)
+    assert(alphaSeen.toInstant.toString.startsWith("2022-03-01T11:40"))
+  }
+
   test("watermarked streaming aggregation accepts late rows the batch tier drops") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
