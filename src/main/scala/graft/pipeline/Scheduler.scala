@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.time.LocalDateTime
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -38,9 +38,13 @@ final class HourlyScheduler(
     *
     * The enriched frame is persisted across the aggregate's two branch
     * reads and released before returning — a long-lived hourly loop
-    * must not accumulate one cached DataFrame per cycle. The appended
-    * row count rides the sink write via `observe`, so the whole cycle
-    * is a single action (no separate count() job).
+    * must not accumulate one cached DataFrame per cycle. The aggregate
+    * (≤ |topics| rows by construction — the broadcast-join of two
+    * per-topic relations) is materialized ONCE with a single action and
+    * appended as a local relation: the row count is free, a failed
+    * append can be retried without recomputation, and no Observation
+    * listener is left registered when the sink throws (Spark offers no
+    * public unregister for an un-fired Observation).
     *
     * @return number of aggregate rows appended (0 = empty partition) */
   def runOnce(now: LocalDateTime): Long = {
@@ -49,14 +53,18 @@ final class HourlyScheduler(
     if (rows.isEmpty) 0L
     else {
       val enriched = enrich(rows).persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val agg = HourlyAggregate.aggregate(enriched, stampTime = true)
-        val obs = Observation(s"agg_rows_${date}_$hour")
-        sink.append(agg.observe(obs, count(lit(1)).as("rows")))
-        obs.get("rows").asInstanceOf[Long]
-      } finally {
-        enriched.unpersist()
-      }
+      val (batch, n) =
+        try {
+          val agg = HourlyAggregate.aggregate(enriched, stampTime = true)
+          val collected = agg.collect()
+          (spark.createDataFrame(
+            java.util.Arrays.asList(collected: _*), agg.schema),
+            collected.length.toLong)
+        } finally {
+          enriched.unpersist()
+        }
+      sink.append(batch)
+      n
     }
   }
 

@@ -18,12 +18,16 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   */
 object StatefulOps {
 
-  final case class TopicState(count: Long, lastSeen: Timestamp)
-  final case class TopicStats(topic: String, count: Long, lastSeen: Timestamp)
+  // lastSeen is Option: a malformed tweet parses to null created_at and
+  // a sentinel Timestamp(Long.MinValue) would overflow the encoder's
+  // millis->micros conversion (multiplyExact) and kill the whole query
+  final case class TopicState(count: Long, lastSeen: Option[Timestamp])
+  final case class TopicStats(topic: String, count: Long, lastSeen: Option[Timestamp])
 
   /** Running stats over parsed lake rows (topic, created_at). Use with
     * outputMode("update"): each micro-batch emits one row per topic
-    * that received data. */
+    * that received data. Null event times count toward `count` but not
+    * `lastSeen`. */
   def runningTopicStats(lakeRows: DataFrame): Dataset[TopicStats] = {
     val spark = lakeRows.sparkSession
     import spark.implicits._
@@ -33,8 +37,9 @@ object StatefulOps {
       .mapGroupsWithState[TopicState, TopicStats](GroupStateTimeout.NoTimeout) {
         case (topic, rows, state) =>
           val batch = rows.toSeq
-          val prev = state.getOption.getOrElse(TopicState(0L, new Timestamp(Long.MinValue)))
-          val seen = (batch.flatMap(r => Option(r._2)) :+ prev.lastSeen).maxBy(_.getTime)
+          val prev = state.getOption.getOrElse(TopicState(0L, None))
+          val stamps = batch.flatMap(r => Option(r._2)) ++ prev.lastSeen
+          val seen = if (stamps.isEmpty) None else Some(stamps.maxBy(_.getTime))
           val next = TopicState(prev.count + batch.size, seen)
           state.update(next)
           TopicStats(topic, next.count, next.lastSeen)

@@ -30,7 +30,10 @@ object TopicAdmin {
   def validate(spec: TopicSpec, brokerCount: Int): Either[String, TopicSpec] =
     if (spec.name.isEmpty || spec.name.length > 249 ||
       spec.name == "." || spec.name == ".." || // Kafka reserves both
-      !spec.name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'))
+      // Kafka's legal set is ASCII [a-zA-Z0-9._-]; Char.isLetterOrDigit
+      // would wave through non-ASCII names the broker rejects
+      !spec.name.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'))
       Left(s"illegal topic name '${spec.name}'")
     else if (spec.partitions < 1)
       Left(s"${spec.name}: partitions must be >= 1")

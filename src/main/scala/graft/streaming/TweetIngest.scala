@@ -75,7 +75,14 @@ object TweetIngest {
   def dedupedParse(kafkaShaped: DataFrame, lateness: String = "2 hours"): DataFrame =
     parse(kafkaShaped)
       .withWatermark("created_at", lateness)
-      .dropDuplicatesWithinWatermark("key")
+      // null keys must NOT collapse into one row (an unkeyed producer
+      // would lose every distinct tweet but one); identity falls back
+      // to a content fingerprint, so true replays still dedup
+      .withColumn("_dedup_key",
+        coalesce(col("key"),
+          hex(xxhash64(col("topic"), col("created_at"), col("text")))))
+      .dropDuplicatesWithinWatermark("_dedup_key")
+      .drop("_dedup_key")
 
   /** Production ingest assembly from typed config (reference
     * run_job, functions.py:121-126): Kafka source → single-parse

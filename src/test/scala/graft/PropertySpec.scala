@@ -75,20 +75,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("minhash estimates stay within [0,1]; exact dedup idempotent (any corpus)") {
+  test("minhash: a planted exact duplicate is always a candidate with estimate 1 (any corpus)") {
     import spark.implicits._
-    val docGen = Gen.listOfN(20, Gen.oneOf("a", "b", "c", "d", "tok")).map(_.mkString(" "))
+    // distinct-ish docs of >= 5 tokens (shingling needs 3; near-identical
+    // generated docs may legitimately also reach estimate 1.0)
+    val docGen = Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "dd", "tok", "xy"))
+      .map(_.mkString(" "))
     samples(Gen.nonEmptyListOf(docGen), 5).foreach { texts =>
-      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-      val pairs = graft.operators.DedupOps.rawCandidatePairs(docs)
+      // plant an exact duplicate of the first doc at the end
+      val corpus = (texts :+ texts.head).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val dupId = texts.length.toLong
+      val pairs = graft.operators.DedupOps.rawCandidatePairs(corpus)
       val matches = aggregate(
         zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, x) => acc + x)
-      pairs.withColumn("e", matches.cast("double") / graft.operators.DedupOps.NumHashes)
-        .select("e").collect().map(_.getDouble(0))
-        .foreach(e => assert(e >= 0.0 && e <= 1.0))
-      val once = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      assert(once.count() === once.dropDuplicates("doc_id").count())
+      val ests = pairs
+        .withColumn("e", matches.cast("double") / graft.operators.DedupOps.NumHashes)
+        .select("doc_a", "doc_b", "e").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // the planted pair MUST surface (identical sigs share every band)
+      // with estimate exactly 1.0 — a broken hash family / band join /
+      // signature ordering fails this
+      assert(ests.contains((0L, dupId)), s"planted dup missing from ${ests.keySet}")
+      assert(ests((0L, dupId)) === 1.0)
+      ests.values.foreach(e => assert(e >= 0.0 && e <= 1.0))
+      // exact dedup groups the planted dup with its original
+      val groups = corpus.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      assert(groups.filter(col("rep") === 0L).collect().head.getAs[Long]("n") >= 2)
     }
   }
 

@@ -153,14 +153,23 @@ class EndToEndSpec extends SparkSpec {
     source.addData(hour10: _*) // alpha x3, beta x2
     q.processAllAvailable()
     source.addData(msg(9, "alpha", "2022-03-01T11:40:00Z", "one more"))
+    // a topic whose only row has NO created_at (malformed JSON) must not
+    // kill the query (Timestamp sentinel overflow regression)
+    source.addData(KafkaMsg("G1".getBytes, """{"data": {"id": "7"}}""".getBytes, "gamma"))
     q.processAllAvailable()
     q.stop()
     // latest update per topic wins: alpha counted across both batches
+    // (count is monotone, so max(count) is the latest update; max_by
+    // on lastSeen would trip over gamma's all-null stamps)
     val latest = spark.sql(
-      """SELECT topic, max_by(count, lastSeen) AS c FROM topic_stats GROUP BY topic""")
+      """SELECT topic, max(count) AS c FROM topic_stats GROUP BY topic""")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(latest("alpha") === 4L)
     assert(latest("beta") === 2L)
+    assert(latest("gamma") === 1L, "null-created_at row still counted")
+    assert(spark.sql(
+      "SELECT lastSeen FROM topic_stats WHERE topic = 'gamma'")
+      .collect().head.isNullAt(0), "no event time observed for gamma")
     val alphaSeen = spark.sql(
       "SELECT max(lastSeen) FROM topic_stats WHERE topic = 'alpha'")
       .collect().head.getTimestamp(0)
