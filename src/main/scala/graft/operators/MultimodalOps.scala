@@ -185,5 +185,53 @@ object MultimodalOps {
     sampleFrames(asMultimodal(spark, sf))
   }
 
-  val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ)
+  /** Downsampling stride of the m04 resize analogue. */
+  val ResizeStride = 4
+
+  /** Output schema of the resize stage. */
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("orig_bytes", LongType, nullable = false),
+    StructField("resized_bytes", LongType, nullable = false),
+    StructField("resized_md5", StringType, nullable = false)))
+
+  /** Per-partition batched payload resize — the image-thumbnail /
+    * audio-downsample pattern with the codec stubbed to byte striding
+    * (a real deployment decodes, resamples, re-encodes; the Spark
+    * plumbing — batched iteration, bounded output per row, deterministic
+    * digest — is what this exercises). Keeps every `ResizeStride`-th
+    * byte. */
+  def resizePayloads(payloads: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(resizeSchema))
+    payloads.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val resized = payload.indices.collect {
+            case i if i % ResizeStride == 0 => payload(i)
+          }.toArray
+          val digest = md.digest(resized).map(b => f"${b & 0xFF}%02x").mkString
+          Row(r.getAs[Long]("doc_id"), payload.length.toLong,
+            resized.length.toLong, digest)
+        }
+      }(enc)
+  }
+
+  /** Resize end-to-end with a byte-exact oracle: DuckDB re-derives the
+    * strided bytes from the text (ASCII corpus: char == byte) and
+    * digests the same sequence. */
+  val resizeQ: GraftQuery = GraftQuery(
+    "m04_resize",
+    s"""SELECT doc_id,
+       |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS orig_bytes,
+       |       CAST(len(range(1, length(text) + 1, $ResizeStride)) AS BIGINT) AS resized_bytes,
+       |       md5(array_to_string(
+       |         list_transform(range(1, length(text) + 1, $ResizeStride),
+       |           i -> substring(text, CAST(i AS INT), 1)), '')) AS resized_md5
+       |FROM documents""".stripMargin) { (spark, sf) =>
+    resizePayloads(asMultimodal(spark, sf))
+  }
+
+  val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ)
 }

@@ -97,6 +97,21 @@ class QueryInvariantsSpec extends SparkSpec {
       .select(length(col("text"))).collect().head.getInt(0))
   }
 
+  test("resize keeps every 4th byte with a stable digest (m04)") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "abc"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = MultimodalOps.resizePayloads(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // "abcdefghij" -> bytes at 0,4,8 = "aei"
+    val aei = java.security.MessageDigest.getInstance("MD5")
+      .digest("aei".getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
+    assert(out(1L) === ((10L, 3L, aei)))
+    assert(out(2L)._2 === 0L) // empty payload -> empty resize
+    assert(out(3L)._2 === 1L) // "abc" -> "a"
+  }
+
   test("entry point returns rows (driver smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
