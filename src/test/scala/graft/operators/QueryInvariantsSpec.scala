@@ -54,6 +54,20 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(grand.head.getLong(0) === graft.Tables.events(spark, sf001).count())
   }
 
+  test("approx distinct within the configured error of exact (q21/q22)") {
+    val exact = CoreQueries.distinctCounts.run(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    val approx = CoreQueries.approxDistinct.run(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users_approx")).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (et, a) =>
+      val e = exact(et).toDouble
+      // rsd 0.02 requested; 5% gives deterministic headroom
+      assert(math.abs(a - e) / e <= 0.05,
+        s"$et: approx $a vs exact ${exact(et)} exceeds 5% relative error")
+    }
+  }
+
   test("multimodal features: 16-dim, L1-normalized (m02)") {
     val f = MultimodalOps.featuresQ.run(spark, sf001)
     assert(f.filter(col("dim") =!= 16).count() === 0)
