@@ -208,9 +208,9 @@ object MultimodalOps {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          val resized = payload.indices.collect {
-            case i if i % ResizeStride == 0 => payload(i)
-          }.toArray
+          val resized = new Array[Byte]((payload.length + ResizeStride - 1) / ResizeStride)
+          var i = 0
+          while (i < resized.length) { resized(i) = payload(i * ResizeStride); i += 1 }
           val digest = md.digest(resized).map(b => f"${b & 0xFF}%02x").mkString
           Row(r.getAs[Long]("doc_id"), payload.length.toLong,
             resized.length.toLong, digest)

@@ -39,7 +39,11 @@ object StatefulOps {
           val batch = rows.toSeq
           val prev = state.getOption.getOrElse(TopicState(0L, None))
           val stamps = batch.flatMap(r => Option(r._2)) ++ prev.lastSeen
-          val seen = if (stamps.isEmpty) None else Some(stamps.maxBy(_.getTime))
+          // (getTime, getNanos): getTime alone is millis and would let
+          // lastSeen regress between same-millisecond microstamps
+          val seen =
+            if (stamps.isEmpty) None
+            else Some(stamps.maxBy(t => (t.getTime, t.getNanos)))
           val next = TopicState(prev.count + batch.size, seen)
           state.update(next)
           TopicStats(topic, next.count, next.lastSeen)

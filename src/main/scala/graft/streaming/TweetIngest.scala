@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.types._
@@ -43,14 +43,16 @@ object TweetIngest {
 
   /** Kafka-shaped input (key/value binary + topic) → lake rows.
     * Works on both streaming and batch frames. */
-  def parse(kafkaShaped: DataFrame): DataFrame = {
+  def parse(kafkaShaped: DataFrame): DataFrame = parseKeeping(kafkaShaped, Nil)
+
+  private def parseKeeping(kafkaShaped: DataFrame, extra: Seq[Column]): DataFrame = {
     val parsed = from_json(col("value").cast("string"), tweetSchema)
     kafkaShaped
-      .select(
+      .select(Seq(
         col("key").cast("string").as("key"),
         parsed.getField("data").getField("created_at").as("created_at"),
         parsed.getField("data").getField("text").as("text"),
-        col("topic"))
+        col("topic")) ++ extra: _*)
       .withColumn("hour", date_format(col("created_at"), "HH"))
       .withColumn("date", date_format(col("created_at"), "yyyy-MM-dd"))
   }
@@ -73,14 +75,17 @@ object TweetIngest {
     * count); this bounds that with watermark-evicted per-key state, so
     * state size follows the key arrival rate, not the stream length. */
   def dedupedParse(kafkaShaped: DataFrame, lateness: String = "2 hours"): DataFrame =
-    parse(kafkaShaped)
+    // null keys must NOT collapse into one row (an unkeyed producer
+    // would lose every distinct tweet but one); identity falls back to
+    // a fingerprint of the RAW value bytes — parsed fields won't do, as
+    // two different malformed payloads both parse to all-null fields
+    // (and xxhash64 skips null inputs, degenerating to hash(topic))
+    parseKeeping(
+      kafkaShaped.withColumn("_dedup_key",
+        coalesce(col("key").cast("string"),
+          hex(xxhash64(col("topic"), col("value").cast("string"))))),
+      Seq(col("_dedup_key")))
       .withWatermark("created_at", lateness)
-      // null keys must NOT collapse into one row (an unkeyed producer
-      // would lose every distinct tweet but one); identity falls back
-      // to a content fingerprint, so true replays still dedup
-      .withColumn("_dedup_key",
-        coalesce(col("key"),
-          hex(xxhash64(col("topic"), col("created_at"), col("text")))))
       .dropDuplicatesWithinWatermark("_dedup_key")
       .drop("_dedup_key")
 

@@ -135,10 +135,28 @@ class EndToEndSpec extends SparkSpec {
     // redeliver two of the same messages (same keys) in a later batch
     source.addData(hour10.take(2): _*)
     q.processAllAvailable()
+    // two DISTINCT unkeyed messages must BOTH survive (identity falls
+    // back to the raw value fingerprint, not to null-key equality),
+    // while an exact replay of one of them dedups. Note: replay dedup
+    // is watermark-scoped, so it requires an event time — rows with
+    // null created_at still avoid collapse but can't hold dedup state.
+    val unkeyed = Seq(
+      KafkaMsg(null,
+        """{"data": {"id": "7", "created_at": "2022-03-01T10:58:00Z", "text": "uk one"}}""".getBytes,
+        "alpha"),
+      KafkaMsg(null,
+        """{"data": {"id": "8", "created_at": "2022-03-01T10:59:00Z", "text": "uk two"}}""".getBytes,
+        "alpha"))
+    source.addData(unkeyed: _*)
+    q.processAllAvailable()
+    source.addData(unkeyed.head) // exact replay
+    q.processAllAvailable()
     q.stop()
     val keys = spark.sql("SELECT key FROM dedup_rows").collect().map(_.getString(0))
-    assert(keys.length === hour10.length, s"replays must be dropped, got ${keys.toSeq}")
-    assert(keys.distinct.length === keys.length)
+    assert(keys.count(_ != null) === hour10.length,
+      s"replays must be dropped, got ${keys.toSeq}")
+    assert(keys.count(_ == null) === 2,
+      "distinct unkeyed rows survive; the unkeyed replay dedups")
   }
 
   test("mapGroupsWithState: running topic stats accumulate across micro-batches") {
