@@ -130,9 +130,14 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query name has matching column names in spark result and oracle") {
-    // structural guard: every oracle key exists in queries
+  test("registry integrity: oracle keys subset of queries; no silent drops") {
     val qs = graft.SparkEntry.queries.keySet
     assert(graft.SparkEntry.oracleSql.keySet.subsetOf(qs))
+    // a refactor that drops registry entries must fail loudly, not
+    // silently shrink CORRECTNESS coverage (54 queries / 49 oracles as
+    // of round 2 — only grow these)
+    assert(qs.size >= 54, s"registry shrank to ${qs.size}")
+    assert(graft.SparkEntry.oracleSql.size >= 49,
+      s"oracle coverage shrank to ${graft.SparkEntry.oracleSql.size}")
   }
 }
