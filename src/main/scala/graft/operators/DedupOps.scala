@@ -45,11 +45,12 @@ object DedupOps {
     * safety valve for corpora where they weren't. */
   val MaxBandBucket = 256
 
-  /** SimHash blocking keys are narrow (64/(k+1) bits), so EXPECTED
-    * occupancy is n/2^width and grows with the corpus — the cap must
-    * sit well above it to only catch degenerate skew, and the members
-    * are 16-byte structs (vs 264 for MinHash signatures), so a bigger
-    * array stays cheap. */
+  /** SimHash blocking keys are 128/(k+1) bits wide at the production
+    * 2-lane fingerprint (9-10 bits at the radius-12 contract), so
+    * EXPECTED occupancy is n/2^width and grows with the corpus — the
+    * cap must sit well above it to only catch degenerate skew, and the
+    * members are 24-byte structs (vs 264 for MinHash signatures), so a
+    * bigger array stays cheap. */
   val MaxSimhashBucket = 4096
 
   /** doc_id + exploded distinct 3-token shingles. */
@@ -181,86 +182,144 @@ object DedupOps {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
-  /** SimHash per doc (64-bit, token-frequency weighted).
+  /** Lanes in the production SimHash fingerprint: 2 × 64-bit xxhash64
+    * lanes = 128 bits, so the radius-12 pigeonhole blocking gets
+    * 9-10-bit band keys (see [[simhashPairsMulti]]). */
+  val SimhashLanes = 2
+
+  /** Lane column names for an n-lane fingerprint. */
+  def simhashLaneCols(lanes: Int): Seq[String] = (0 until lanes).map(l => s"sh$l")
+
+  /** SimHash fingerprint per doc: `lanes` independent 64-bit lanes
+    * (token-frequency weighted), each from a seeded xxhash64 family —
+    * lane 0 is xxhash64(token), lane l is xxhash64(l, token).
     *
     * Summing ±1 per token *occurrence* equals summing count-weighted ±1
     * per distinct token, so no intermediate (doc, token) aggregation is
     * needed — one shuffle on doc_id, with map-side partial aggregation
-    * shrinking it to 64 longs per document. */
-  def simhash(docs: DataFrame): DataFrame = {
+    * shrinking it to 64·lanes longs per document. */
+  def simhashFingerprints(docs: DataFrame, lanes: Int = SimhashLanes): DataFrame = {
+    require(lanes >= 1, "need at least one fingerprint lane")
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .withColumn("th", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1) === 1, lit(1))
-        .otherwise(lit(-1))).as(s"s$i")
+    val hashed = (0 until lanes).foldLeft(tok) { (d, l) =>
+      d.withColumn(s"th$l",
+        if (l == 0) xxhash64(col("token")) else xxhash64(lit(l), col("token")))
     }
-    tok.groupBy(col("doc_id"))
+    val bitSums = for { l <- 0 until lanes; i <- 0 until 64 } yield
+      sum(when(shiftrightunsigned(col(s"th$l"), i).bitwiseAND(1) === 1, lit(1))
+        .otherwise(lit(-1))).as(s"s${l}_$i")
+    val laneVals = (0 until lanes).map { l =>
+      (0 until 64).map(i =>
+        when(col(s"s${l}_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as(s"sh$l")
+    }
+    hashed.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .select(col("doc_id") +: laneVals: _*)
   }
 
-  /** Near-dup pairs at Hamming distance ≤ maxHamming over (doc_id,
-    * simhash) rows, via pigeonhole blocking: the fingerprint is split
-    * into maxHamming+1 contiguous blocks, so any pair within the
-    * threshold agrees exactly on at least one block — the blocking
-    * GUARANTEES recall at the advertised threshold (unlike the former
-    * 4-block scheme, which promised ≤ 12 but only guaranteed ≤ 3).
+  /** Single-lane (64-bit) fingerprint, kept for callers that trade
+    * recall-contract scale for half the aggregation width. */
+  def simhash(docs: DataFrame): DataFrame =
+    simhashFingerprints(docs, lanes = 1).withColumnRenamed("sh0", "simhash")
+
+  /** Pigeonhole block widths: `blocks` contiguous blocks covering
+    * `totalBits`, the wide ones first. */
+  def pigeonholeWidths(totalBits: Int, blocks: Int): Seq[Int] = {
+    val base = totalBits / blocks
+    Seq.tabulate(blocks)(i => base + (if (i < totalBits % blocks) 1 else 0))
+  }
+
+  /** Near-dup pairs at Hamming distance ≤ maxHamming over a multi-lane
+    * fingerprint (laneCols are 64-bit lanes, low lane first), via
+    * pigeonhole blocking: the 64·lanes-bit fingerprint is split into
+    * maxHamming+1 contiguous blocks, so any pair within the threshold
+    * agrees exactly on at least one block — the blocking GUARANTEES
+    * recall at the advertised threshold.
     *
-    * The trade is explicit: block width is 64/(maxHamming+1) bits, so a
-    * large radius means narrow band keys (≤ 2^width distinct values per
-    * band) and more incidental candidates — all verified against the
-    * true Hamming distance after the join, and hot buckets are capped
-    * like the MinHash path. For 100 TB corpora prefer maxHamming ≤ 7
-    * (8-bit blocks) or the MinHash operator, which has no key-width
-    * ceiling; radius 12 is kept as the d04 contract because it is what
-    * a 1-token-in-40 mutation needs on this corpus. */
-  def simhashPairs(
-      sh: DataFrame, maxHamming: Int, maxBucket: Int = MaxSimhashBucket): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    * Block width is (64·lanes)/(maxHamming+1) bits, so the lane count
+    * sets the band-key cardinality at a given radius: radius 12 over
+    * one lane gives 4-5-bit keys (expected occupancy n/2^5 — every
+    * bucket blows the cap long before 100 TB), while the production
+    * 2-lane fingerprint gives 9-10-bit keys (occupancy n/2^10, and the
+    * cap only catches degenerate skew). Blocks may straddle a lane
+    * boundary; the band value stitches the two lane slices. All
+    * candidates are verified against the true Hamming distance after
+    * the join, and hot buckets are capped like the MinHash path. */
+  def simhashPairsMulti(
+      sh: DataFrame, laneCols: Seq[String], maxHamming: Int,
+      maxBucket: Int = MaxSimhashBucket): DataFrame = {
+    val totalBits = 64 * laneCols.size
+    require(laneCols.nonEmpty, "need at least one lane column")
+    require(maxHamming >= 0 && maxHamming < totalBits,
+      s"maxHamming must be in [0, $totalBits)")
     val blocks = maxHamming + 1
-    val base = 64 / blocks
-    val widths = Seq.tabulate(blocks)(i => base + (if (i < 64 % blocks) 1 else 0))
+    val widths = pigeonholeWidths(totalBits, blocks)
     val starts = widths.scanLeft(0)(_ + _)
-    // width 64 (maxHamming = 0, exact-duplicate mode): (1L << 64) wraps
-    // to 1 on the JVM, so the naive mask would zero every band value
+    // width 64 (lanes=1, maxHamming=0, exact-duplicate mode): (1L << 64)
+    // wraps to 1 on the JVM, so the naive mask would zero the band value
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1L
-    val bandVals = (0 until blocks).map { i =>
-      shiftrightunsigned(col("simhash"), starts(i))
-        .bitwiseAND(lit(mask(widths(i))))
+    def blockVal(start: Int, width: Int): Column = {
+      val lane = start / 64
+      val off = start % 64
+      val inLane = math.min(width, 64 - off)
+      val lo = shiftrightunsigned(col(laneCols(lane)), off)
+        .bitwiseAND(lit(mask(inLane)))
+      if (inLane >= width) lo
+      else // straddles into the next lane: stitch its low bits on top
+        lo.bitwiseOR(shiftleft(
+          col(laneCols(lane + 1)).bitwiseAND(lit(mask(width - inLane))), inLane))
     }
-    // Self-join, not bucketPairs: simhash members are 16 bytes and the
-    // narrow bands make candidate volume high, so the codegen'd hash
-    // join beats object-based collect_list + Generate expansion; the
-    // band shuffle feeding both sides is identical, so Spark's exchange
-    // reuse evaluates the fingerprint pipeline once at runtime.
+    val bandVals = (0 until blocks).map(i => blockVal(starts(i), widths(i)))
+    // Self-join, not bucketPairs: simhash members are 8·(lanes+1) bytes
+    // and candidate volume is high, so the codegen'd hash join beats
+    // object-based collect_list + Generate expansion; the band shuffle
+    // feeding both sides is identical, so Spark's exchange reuse
+    // evaluates the fingerprint pipeline once at runtime.
     val banded = sh
-      .select(col("doc_id"), col("simhash"),
-        posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
+      .select(col("doc_id") +: laneCols.map(col) :+
+        posexplode(array(bandVals: _*)).as(Seq("band", "band_val")): _*)
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("band_val"))))
       .observe("simhash_band_guard",
         sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)).as("dropped_band_rows"))
       .filter(col("bucket_n") <= maxBucket)
-    val a = banded.select(col("band"), col("band_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("band_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    val a = banded.select(col("band") +: col("band_val") +:
+      col("doc_id").as("doc_a") +: laneCols.map(c => col(c).as(s"${c}_a")): _*)
+    val b = banded.select(col("band") +: col("band_val") +:
+      col("doc_id").as("doc_b") +: laneCols.map(c => col(c).as(s"${c}_b")): _*)
+    val hamming = laneCols
+      .map(c => bit_count(col(s"${c}_a").bitwiseXOR(col(s"${c}_b"))))
+      .reduce(_ + _).cast("long")
     a.join(b, Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming) // verify before dedup: smaller shuffle
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Single-lane (64-bit) pigeonhole pairs over a `simhash` column —
+    * the historical API; prefer [[simhashPairsMulti]] with the 2-lane
+    * fingerprint for any radius above ~7. */
+  def simhashPairs(
+      sh: DataFrame, maxHamming: Int, maxBucket: Int = MaxSimhashBucket): DataFrame =
+    simhashPairsMulti(
+      sh.withColumnRenamed("simhash", "sh0"), Seq("sh0"), maxHamming, maxBucket)
+
+  /** d04 contract: Hamming ≤ 12 over the 128-bit (2-lane) fingerprint —
+    * normalized radius 12/128 ≈ 0.094. The former 64-bit radius-12
+    * contract (normalized 0.19) could not scale: its 4-5-bit band keys
+    * put every bucket over the cap at corpus sizes where 9-10-bit keys
+    * (this fingerprint) still have n/2^10 occupancy. Pairs that need
+    * the looser 0.19-normalized bar are d03 MinHash's territory — its
+    * band keys are full 64-bit hashes with no width ceiling. */
   val SimhashMaxHamming = 12
 
   val simhashQ: GraftQuery = GraftQuery.noOracle("d04_dedup_simhash") { (spark, sf) =>
-    simhashPairs(simhash(Tables.documents(spark, sf)), SimhashMaxHamming)
+    simhashPairsMulti(
+      simhashFingerprints(Tables.documents(spark, sf)),
+      simhashLaneCols(SimhashLanes), SimhashMaxHamming)
   }
 
   /** Exact n-gram Jaccard on LSH candidates: MinHash proposes, the true

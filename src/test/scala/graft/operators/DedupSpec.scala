@@ -106,6 +106,89 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not match")
   }
 
+  test("d04 band keys are >= 9 bits wide at the radius-12 contract") {
+    val widths = DedupOps.pigeonholeWidths(
+      64 * DedupOps.SimhashLanes, DedupOps.SimhashMaxHamming + 1)
+    assert(widths.sum === 128, "blocks must cover the fingerprint exactly")
+    assert(widths.size === 13)
+    assert(widths.min >= 9,
+      s"band-key width must scale (got ${widths.min}); expected occupancy n/2^9+")
+  }
+
+  test("2-lane fingerprints: identical docs equal in both lanes, lanes independent") {
+    val fp = DedupOps.simhashFingerprints(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L)._1 !== fp(0L)._2, "seeded lanes must differ")
+    // lane 0 of the 2-lane fingerprint is the single-lane simhash
+    val single = DedupOps.simhash(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L)._1 === single(0L))
+  }
+
+  test("128-bit blocking finds planted pairs up to Hamming 12, rejects 13") {
+    import spark.implicits._
+    // 12 differing bits spread across both lanes and 12 distinct blocks
+    val baseLo = 0x5A5A5A5A5A5A5A5AL
+    val baseHi = 0xA5A5A5A5A5A5A5A5L
+    val maskLo = (1L << 1) | (1L << 13) | (1L << 25) | (1L << 37) |
+      (1L << 49) | (1L << 58) // blocks [0,10),[10,20),[20,30),[30,40),[40,50),[50,60)
+    val maskHi = (1L << 8) | (1L << 18) | (1L << 28) | (1L << 38) |
+      (1L << 48) | (1L << 58) // bits 72,82,92,102,112,122 of the fingerprint
+    assert(java.lang.Long.bitCount(maskLo) + java.lang.Long.bitCount(maskHi) === 12)
+    val sh = Seq(
+      (0L, baseLo, baseHi),
+      (1L, baseLo ^ maskLo, baseHi ^ maskHi),     // hamming 12
+      (2L, baseLo ^ maskLo ^ (1L << 62), baseHi ^ maskHi), // hamming 13 vs doc 0
+      (3L, ~baseLo, ~baseHi)
+    ).toDF("doc_id", "sh0", "sh1")
+    val pairs = DedupOps.simhashPairsMulti(sh, Seq("sh0", "sh1"), 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((0L, 1L, 12L)), "Hamming-12 pair must be found")
+    assert(!pairs.exists { case (a, b, _) => (a, b) == ((0L, 2L)) },
+      "Hamming-13 pair must be rejected")
+  }
+
+  test("lane-straddling block [60,70) is extracted correctly") {
+    import spark.implicits._
+    // 12 differing bits, one per block EXCEPT the straddler [60,70):
+    // the straddle block is the ONLY guaranteed clean block, so the
+    // pair is surfaced iff the cross-lane stitch produces equal keys.
+    val bitsUsed = Seq(5, 15, 25, 35, 45, 55, // blocks 0-5 (widths 10)
+      75, 85, 95, 105, // blocks 7-10
+      112 + 3, 121 + 3) // the two 9-bit blocks [110,119),[119,128)
+    val maskLo = bitsUsed.filter(_ < 64).map(1L << _).reduce(_ | _)
+    val maskHi = bitsUsed.filter(_ >= 64).map(b => 1L << (b - 64)).reduce(_ | _)
+    assert(java.lang.Long.bitCount(maskLo) + java.lang.Long.bitCount(maskHi) === 12)
+    val baseLo = 0x123456789ABCDEF0L
+    val baseHi = 0x0FEDCBA987654321L
+    val sh = Seq((0L, baseLo, baseHi), (1L, baseLo ^ maskLo, baseHi ^ maskHi))
+      .toDF("doc_id", "sh0", "sh1")
+    val pairs = DedupOps.simhashPairsMulti(sh, Seq("sh0", "sh1"), 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((0L, 1L, 12L)))
+  }
+
+  test("d04 end-to-end: exact pair found at radius 12; near-dup at its true radius") {
+    val fp = DedupOps.simhashFingerprints(corpus)
+    val rows = fp.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val trueHamming = java.lang.Long.bitCount(rows(0L)._1 ^ rows(2L)._1) +
+      java.lang.Long.bitCount(rows(0L)._2 ^ rows(2L)._2)
+    val lanes = DedupOps.simhashLaneCols(DedupOps.SimhashLanes)
+    val at12 = DedupOps.simhashPairsMulti(fp, lanes, DedupOps.SimhashMaxHamming)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at12.contains((0L, 1L)), "identical pair must be found at radius 12")
+    assert(!at12.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not match")
+    // recall guarantee holds at whatever radius the text pair truly sits
+    val atTrue = DedupOps.simhashPairsMulti(fp, lanes, trueHamming)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atTrue.contains((0L, 2L)),
+      s"near-dup (128-bit hamming $trueHamming) must be found at its radius")
+  }
+
   test("hot-band guard keeps a boilerplate corpus from going quadratic") {
     import spark.implicits._
     // 500 distinct near-identical docs: every band untouched by the
