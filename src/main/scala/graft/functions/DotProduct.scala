@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.SparkSessionExtensions
@@ -100,5 +100,14 @@ object GraftExtensions {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cell_probes"),
+      new ExpressionInfo(classOf[CellProbes].getName, "graft_cell_probes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, Literal(id: Int, IntegerType), Literal(p: Int, IntegerType)) =>
+          CellProbes(v, CodebookRegistry.get(id), p)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_cell_probes(vec, <codebook registry id literal>, <probes literal>)")
+      }))
   }
 }

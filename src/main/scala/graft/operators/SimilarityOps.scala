@@ -119,9 +119,13 @@ object SimilarityOps {
 
   /** Coarse-cell count ~ sqrt(n), the classic IVF sizing: cell
     * population and cell count grow together, so probe cost per query
-    * is O(probes·sqrt(n)) instead of O(n). */
+    * is O(probes·sqrt(n)) instead of O(n). The ceiling is driver/
+    * broadcast memory only (65536 × 64 dims × 8 B = 32 MiB codebook —
+    * sqrt sizing holds through n = 4·10⁹ vectors; the former 4096 cap
+    * reintroduced O(n²/4096) candidate volume two orders of magnitude
+    * earlier). */
   def cellsForCorpus(n: Long): Int =
-    math.min(4096, math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
+    math.min(65536, math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** Deterministic coarse quantizer: the first k vectors by vec_id,
     * L2-normalized, as the codebook. An honest stand-in for k-means
@@ -137,35 +141,36 @@ object SimilarityOps {
         v.map(_ / (if (n == 0.0) 1.0 else n))
       }
 
-  /** Per-row cell scores against the codebook: array of
-    * (dot(v, centroid_i), i) structs. Centroids are normalized, so the
-    * argmax over scores is the cosine argmax (|v| is constant per
-    * row). Struct ordering makes array_max a deterministic argmax. */
-  private def cellScores(cb: Array[Array[Double]]) =
-    array(cb.zipWithIndex.map { case (c, i) =>
-      struct(dot(col("v"), typedLit(c.toSeq)).as("score"), lit(i).as("cell"))
-    }: _*)
-
   /** IVF approximate top-k for every vector — the data-dependent
     * alternative to the hash-based s02: vectors index into their
     * nearest cell, queries probe their `probes` nearest cells, and the
     * search is an equi-join on cell id. Multi-probe recovers the recall
     * a pure nearest-cell lookup loses at cell boundaries. Candidate
     * volume is n·probes·(n/cells) = O(n·sqrt(n)) at the sqrt sizing —
-    * and the join key cardinality (cells) grows with the corpus. */
-  def knnIvf(emb: DataFrame, k: Int, probes: Int): DataFrame = {
-    val cb = centroids(emb, cellsForCorpus(emb.count()))
-    val scores = cellScores(cb)
+    * and the join key cardinality (cells) grows with the corpus.
+    *
+    * The codebook reaches executors as a BROADCAST consumed by the
+    * `graft_cell_probes` expression ([[graft.functions.CellProbes]]):
+    * the plan carries a handle, not k·dim literal doubles (the round-2
+    * plan-bloat defect), and cell selection is one codegen-resident
+    * primitive loop per row — no n·k intermediate relation, no
+    * argmax window/aggregation shuffle. */
+  def knnIvf(
+      emb: DataFrame, k: Int, probes: Int,
+      codebook: DataFrame => Array[Array[Double]] = df => centroids(df, cellsForCorpus(df.count()))): DataFrame = {
+    val spark = emb.sparkSession
+    val cb = codebook(emb)
+    val cbId = lit(graft.functions.CodebookRegistry.register(
+      spark.sparkContext.broadcast(cb)))
     val indexed = emb
       .withColumn("nrm", norm(col("v")))
-      .withColumn("cell", array_max(scores).getField("cell"))
+      .withColumn("cell",
+        element_at(call_function("graft_cell_probes", col("v"), cbId, lit(1)), 1))
     val probed = emb
       .withColumn("qnrm", norm(col("v")))
-      .withColumn("probe_cells",
-        slice(transform(sort_array(scores, asc = false), s => s.getField("cell")),
-          1, probes))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qnrm"),
-        explode(col("probe_cells")).as("cell"))
+        explode(call_function("graft_cell_probes", col("v"), cbId, lit(probes)))
+          .as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     probed.join(indexed.select(col("cell"), col("vec_id").as("neighbor_id"),
@@ -195,7 +200,7 @@ object SimilarityOps {
       |          row_number() OVER (ORDER BY vec_id) AS rn,
       |          count(*) OVER () AS total
       |        FROM n) t
-      |  WHERE rn <= greatest(4, least(4096, CAST(ceil(sqrt(total)) AS BIGINT)))),
+      |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(total)) AS BIGINT)))),
       |scores AS (
       |  SELECT n.vec_id, cb.cell, list_dot_product(n.v, cb.c) AS score
       |  FROM n CROSS JOIN cb),

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -105,6 +106,41 @@ class VectorSpec extends SparkSpec {
     val found = cand.filter(col("vec_id") === 0L && col("neighbor_id") === 1L)
     assert(found.count() === 1, "planted near-dup must be a candidate")
     assert(found.select("cos_sim").collect().head.getDouble(0) > 0.99)
+  }
+
+  test("graft_cell_probes: ordering, tie-break, nulls, dim mismatch, float input") {
+    import spark.implicits._
+    // orthogonal unit codebook: scores are just v's components
+    val cb = Array(
+      Array(1.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val id = CodebookRegistry.register(spark.sparkContext.broadcast(cb))
+    def probes(v: Column, p: Int): Column =
+      call_function("graft_cell_probes", v, lit(id), lit(p))
+
+    val ordered = Seq(Seq(0.5, 2.0, 1.0)).toDF("v")
+      .select(probes(col("v"), 3).as("p")).as[Seq[Int]].collect().head
+    assert(ordered === Seq(1, 2, 0), "cells ordered by score desc")
+
+    val tied = Seq(Seq(1.0, 1.0, 0.0)).toDF("v")
+      .select(probes(col("v"), 2).as("p")).as[Seq[Int]].collect().head
+    assert(tied === Seq(1, 0), "score ties break toward the higher cell id")
+
+    val overP = Seq(Seq(1.0, 0.5, 0.0)).toDF("v")
+      .select(probes(col("v"), 9).as("p")).as[Seq[Int]].collect().head
+    assert(overP.length === 3, "probes beyond k truncate to k cells")
+
+    val floatIn = Seq(Seq(0.5f, 2.0f, 1.0f)).toDF("v")
+      .select(probes(col("v"), 1).as("p")).as[Seq[Int]].collect().head
+    assert(floatIn === Seq(1), "array<float> input widens per element")
+
+    val mismatch = Seq(Seq(1.0, 2.0)).toDF("v").select(probes(col("v"), 1).as("p"))
+    assert(mismatch.collect().head.isNullAt(0), "dim mismatch yields null")
+
+    val withNull = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 0.0))).toDF("v")
+      .select(probes(col("v"), 1).as("p"))
+    assert(withNull.collect().head.isNullAt(0), "null element yields null")
   }
 
   test("IVF knn recovers a planted near-duplicate via multi-probe") {
