@@ -141,6 +141,34 @@ object SimilarityOps {
         v.map(_ / (if (n == 0.0) 1.0 else n))
       }
 
+  /** Trained coarse quantizer: Lloyd's k-means (Spark ML, k-means||
+    * init) on an optional sample, centers L2-normalized to keep the
+    * dot-argmax = cosine-argmax property. Deterministic for a fixed
+    * seed + input. The sample bound caps training cost at large n —
+    * codebook quality needs a representative sample, not the corpus
+    * (classic IVF practice: train on ~max(10k, 50·k) vectors).
+    * First-k ([[centroids]]) remains the oracle-parity mode; this is
+    * the production codebook — balanced Voronoi cells mean balanced
+    * posting lists, which is what bounds probe cost at 100 TB. */
+  def kmeansCentroids(
+      emb: DataFrame, k: Int, seed: Long = 42L, maxIter: Int = 10,
+      maxSample: Long = 100000L): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = emb.count()
+    val sampled =
+      if (n <= maxSample) emb
+      else emb.sample(withReplacement = false, maxSample.toDouble / n, seed)
+    val data = sampled.select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+      .fit(data)
+    model.clusterCenters.map(_.toArray).map { v =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / (if (nrm == 0.0) 1.0 else nrm))
+    }
+  }
+
   /** IVF approximate top-k for every vector — the data-dependent
     * alternative to the hash-based s02: vectors index into their
     * nearest cell, queries probe their `probes` nearest cells, and the
@@ -235,5 +263,16 @@ object SimilarityOps {
     knnIvf(emb, k = 3, probes = 4)
   }
 
-  val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ)
+  /** IVF over the TRAINED codebook — the production ANN path. Not
+    * SQL-oracle-able (k-means|| internals are engine-specific);
+    * SimilaritySpec pins recall@3 against brute-force ground truth at
+    *-or-above the first-k codebook's. */
+  val knnIvfKmeansQ: GraftQuery = GraftQuery.noOracle("s04_knn_ivf_kmeans") { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    knnIvf(emb, k = 3, probes = 4,
+      codebook = df => kmeansCentroids(df, cellsForCorpus(df.count())))
+  }
+
+  val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ)
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorFunctions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def emb: DataFrame = Tables.embeddings(spark, sf001)
+    .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+
+  /** Exact top-3 per vector over the full corpus — the ground truth
+    * (the sf0.001 corpus is small enough to afford the cross join the
+    * engine itself must never do). */
+  private lazy val truth: Set[(Long, Long)] = {
+    val n = emb.withColumn("nrm", norm(col("v")))
+    val a = n.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    a.join(b, col("a") =!= col("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def recallAt3(knn: DataFrame): Double = {
+    val got = knn.select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.intersect(truth).size.toDouble / truth.size
+  }
+
+  test("trained k-means codebook: recall@3 improves over first-k, cells balanced") {
+    val k = SimilarityOps.cellsForCorpus(emb.count())
+    val firstK = recallAt3(SimilarityOps.knnIvf(emb, k = 3, probes = 4))
+    val trained = recallAt3(SimilarityOps.knnIvf(emb, k = 3, probes = 4,
+      codebook = df => SimilarityOps.kmeansCentroids(df, k)))
+    info(f"recall@3 first-k=$firstK%.4f trained=$trained%.4f (k=$k)")
+    assert(trained > firstK,
+      f"trained codebook must beat first-k recall ($trained%.4f vs $firstK%.4f)")
+
+    // the scale property: no degenerate mega-cell — probe cost per
+    // query is bounded by the largest posting list. (Trained cells can
+    // legitimately be LESS flat than arbitrary first-k centroids when
+    // the corpus has real cluster structure — dense clusters get dense
+    // cells — so the pin is an absolute skew bound, not a comparison.)
+    val id = graft.functions.CodebookRegistry.register(
+      spark.sparkContext.broadcast(SimilarityOps.kmeansCentroids(emb, k)))
+    val occ = emb.select(element_at(
+        call_function("graft_cell_probes", col("v"), lit(id), lit(1)), 1).as("cell"))
+      .groupBy("cell").count()
+    val maxOcc = occ.agg(max("count")).collect().head.getLong(0)
+    val n = emb.count()
+    info(s"max cell occupancy: $maxOcc of $n across ${occ.count()} cells (k=$k)")
+    assert(maxOcc < 5L * (n / k + 1),
+      s"largest trained cell ($maxOcc) must stay within 5x the mean posting list")
+  }
+
+  test("kmeansCentroids is deterministic for a fixed seed and unit-norm") {
+    val k = 8
+    val a = SimilarityOps.kmeansCentroids(emb, k, seed = 7L)
+    val b = SimilarityOps.kmeansCentroids(emb, k, seed = 7L)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "same seed, same codebook")
+    a.foreach { c =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9, s"centroid must be unit-norm, got $nrm")
+    }
+  }
+
+  test("s04 registry query: ranks bounded, cosine sane, per-rank unique") {
+    val knn = SimilarityOps.knnIvfKmeansQ.run(spark, sf001)
+    assert(knn.count() > 0)
+    assert(knn.filter(col("rank") > 3).count() === 0)
+    assert(knn.filter(col("cos_sim") > 1.0 || col("cos_sim") < -1.0).count() === 0)
+    assert(knn.groupBy("vec_id", "rank").count().filter(col("count") > 1).count() === 0)
+  }
+}
