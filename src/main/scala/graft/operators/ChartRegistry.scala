@@ -36,8 +36,30 @@ object ChartRegistry {
 
   // ---------------------------------------------------------------- Spark side
 
-  /** Deterministic aggregate-table fixture (see object doc). */
-  def aggregates(spark: SparkSession, sf: String): DataFrame = {
+  /** One materialization per (session, sf): every chart query reads
+    * the same fixture, and recomputing it means re-running classifier
+    * enrichment over the whole documents table — round 2's bench
+    * charged that 11×, ~10.8 s of a 42 s total. The fixture is a
+    * BOUNDED serving relation (≤ topics × HourBuckets × 7/6 rows
+    * regardless of corpus size — it is the output of the hourly
+    * aggregation, exactly what the reference dashboard reads back from
+    * its store), so collect + local relation is the honest analogue of
+    * that store read: no persistent RDD blocks to leak (scheduler
+    * specs assert none), no recomputation, and downstream chart plans
+    * see a local relation just like a sink read-back. */
+  private val fixtureCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def aggregates(spark: SparkSession, sf: String): DataFrame =
+    fixtureCache.getOrElseUpdate((spark, sf), {
+      val plan = aggregatesPlan(spark, sf)
+      val rows = plan.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
+    })
+
+  /** Deterministic aggregate-table fixture (see object doc) — the
+    * unmaterialized plan. */
+  def aggregatesPlan(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source").as("topic"), col("text"))
     val enriched = KeywordEmotionClassifier.annotate(
