@@ -270,8 +270,68 @@ object ChartRegistry {
     ChartQueries.latestInputs(processed(spark, sf))
   }
 
+  // The reference dashboard renders every chart at user-selected
+  // aggregation levels (streamlit/main.py:52-93 Global/Day/Hour);
+  // c12-c15 register the level variants c03/c07/c09/c10 don't cover,
+  // through the SAME ChartQueries functions with the level swapped.
+
+  /** A7/A10 at the hour level (main.py:58 + charts.py:28-29). */
+  val emotionShareHourQ: GraftQuery = GraftQuery(
+    "c12_emotion_share_hour",
+    withProcessed(
+      s""", ${wideSql("date_hour")},
+         |long AS (
+         |${longSql("date_hour")})
+         |SELECT date_hour, emotion, counts,
+         |       counts / CAST(sum(counts) OVER (PARTITION BY date_hour) AS DOUBLE) AS percent
+         |FROM long""".stripMargin)) { (spark, sf) =>
+    ChartQueries.emotionShare(processed(spark, sf), "date_hour")
+  }
+
+  /** A4/A10 stacked volume at the hour level (charts.py:111-133). */
+  val countsTopicHourQ: GraftQuery = GraftQuery(
+    "c13_counts_topic_hour",
+    withProcessed(
+      """, d AS (SELECT date_hour, topic, CAST(sum(counts) AS BIGINT) AS counts
+        |        FROM processed GROUP BY date_hour, topic)
+        |SELECT date_hour, topic, counts,
+        |       counts / CAST(sum(counts) OVER (PARTITION BY date_hour) AS DOUBLE) AS share
+        |FROM d""".stripMargin)) { (spark, sf) =>
+    ChartQueries.countsTopicPeriod(processed(spark, sf), "date_hour")
+  }
+
+  /** A5 mean positivity at the hour level (charts.py:160-168). */
+  val positivityHourQ: GraftQuery = GraftQuery(
+    "c14_positivity_hour",
+    withProcessed(
+      """SELECT date_hour, topic, round(avg(positivity_rate), 4) AS positivity_rate
+        |FROM processed GROUP BY date_hour, topic""".stripMargin)) { (spark, sf) =>
+    ChartQueries.positivityPeriod(processed(spark, sf), "date_hour")
+  }
+
+  /** A9 boxplot per (topic, day) — the Day level of c10 via the
+    * existing byLevel parameter (charts.py:173-199). */
+  val positivityBoxplotDayQ: GraftQuery = GraftQuery(
+    "c15_boxplot_day",
+    withProcessed(
+      """, b AS (SELECT topic, "date",
+        |          round(quantile_cont(positivity_rate, 0.25), 4) AS q1,
+        |          round(quantile_cont(positivity_rate, 0.50), 4) AS median,
+        |          round(quantile_cont(positivity_rate, 0.75), 4) AS q3,
+        |          min(positivity_rate) AS lo,
+        |          max(positivity_rate) AS hi
+        |        FROM processed GROUP BY topic, "date")
+        |SELECT topic, "date", q1, median, q3, lo, hi,
+        |       q3 - q1 AS iqr,
+        |       greatest(lo, q1 - 1.5 * (q3 - q1)) AS whisker_lo,
+        |       least(hi, q3 + 1.5 * (q3 - q1)) AS whisker_hi
+        |FROM b""".stripMargin)) { (spark, sf) =>
+    ChartQueries.positivityBoxplot(processed(spark, sf), byLevel = Some("date"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     processDataQ, emotionLongQ, emotionShareQ, emotionDonutQ, countsDonutQ,
     countsPeriodQ, countsTopicPeriodQ, positivityTopicQ, positivityPeriodQ,
-    positivityBoxplotQ, latestInputsQ)
+    positivityBoxplotQ, latestInputsQ,
+    emotionShareHourQ, countsTopicHourQ, positivityHourQ, positivityBoxplotDayQ)
 }
