@@ -46,10 +46,24 @@ object Bench {
     // a crashed query must not flatter the total: count it loudly and
     // exit nonzero so the driver can't mistake a partial run for a full one
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // streaming ingest throughput (separate from the query total so
+    // round-over-round query comparisons stay apples-to-apples)
+    val streamRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "60000").toInt
+    val stream =
+      if (streamRows <= 0) ""
+      else try {
+        val (written, sec) = streaming.IngestBench.run(spark, streamRows)
+        f""""stream":{"rows":$written,"sec":$sec%.3f,"rows_per_sec":${written / sec}%.0f},"""
+      } catch { case e: Throwable =>
+        s""""stream":{"error":"${e.getClass.getSimpleName}"},"""
+      }
+
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":${failed.length},""" +
         s""""failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        stream +
         s""""sf":"$sfDir"}"""
     println(line)
     // also drop the JSON to a file: sbt decorates stdout with [info]

@@ -87,6 +87,47 @@ class EndToEndSpec extends SparkSpec {
       .agg(sum("counts")).collect().head.getLong(0) === 5)
   }
 
+  test("corrected re-append: keep-first preserves batch 1, latestWins serves the fix") {
+    import java.sql.Timestamp
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val lake = Files.createTempDirectory("e2e_lake_lw").toString
+    val ckpt = Files.createTempDirectory("e2e_ckpt_lw").toString
+    val source = MemoryStream[graft.streaming.KafkaMsg]
+    source.addData(hour10: _*)
+    val q = TweetIngest.startLake(TweetIngest.parse(source.toDF()), lake, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    val sink = new ParquetAggregateSink(
+      Files.createTempDirectory("e2e_agg_lw").toString + "/agg")
+    val sched = new HourlyScheduler(spark, lake, sink)
+    val enriched = sched.enrich(TweetIngest.readHour(spark, lake, "2022-03-01", "10"))
+
+    // batch 1 lands at 11:00:05; a late-data backfill re-aggregates the
+    // same event hour and appends at 11:40 with corrected counts —
+    // deterministic stamps instead of runOnce's current_timestamp so
+    // the dedup window (topic, date_hour=11:00) is fixed by fixture
+    val batch1 = HourlyAggregate.aggregate(enriched)
+      .withColumn("created_at", lit(Timestamp.valueOf("2022-03-01 11:00:05")))
+    sink.append(batch1)
+    val corrected = HourlyAggregate.aggregate(enriched)
+      .withColumn("counts", col("counts") + 1) // the late tweet arrived
+      .withColumn("created_at", lit(Timestamp.valueOf("2022-03-01 11:40:00")))
+    sink.append(corrected)
+
+    val raw = sink.readBack(spark)
+    assert(raw.count() === 4)
+    def alphaCounts(latestWins: Boolean): Long =
+      ChartQueries.processData(raw, latestWins = latestWins)
+        .filter(col("topic") === "alpha").collect().head.getAs[Long]("counts")
+    assert(alphaCounts(latestWins = false) === 3,
+      "reference-parity keep-first serves the original batch")
+    assert(alphaCounts(latestWins = true) === 4,
+      "latestWins serves the corrected re-append")
+    assert(ChartQueries.processData(raw, latestWins = true).count() === 2,
+      "dedup still collapses to one row per (topic, hour)")
+  }
+
   test("resilient loop survives a failing sink cycle; fail-fast propagates") {
     import java.util.concurrent.atomic.AtomicInteger
     val lake = Files.createTempDirectory("e2e_lake_r").toString

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-case class KafkaMsg(key: Array[Byte], value: Array[Byte], topic: String)
+// KafkaMsg moved to graft.streaming.IngestBench (main) so the bench
+// can drive the same fixture shape.
 
 class IngestSpec extends SparkSpec {
 
@@ -92,6 +93,14 @@ class IngestSpec extends SparkSpec {
     val all = spark.read.schema(TweetIngest.lakeSchema).parquet(lake)
     assert(all.count() === 4)
     assert(all.select("key").distinct().count() === 4)
+  }
+
+  test("IngestBench canary writes exactly the deduped row count") {
+    // the throughput line is only a regression signal if its OWN
+    // output is pinned: 10% planted replays must dedup, nothing else
+    val (written, sec) = IngestBench.run(spark, nRows = 3000, batches = 3)
+    assert(written === 2700, s"expected 0.9x fed rows, got $written")
+    assert(sec > 0.0)
   }
 
   test("HourlyClock.previousHour handles midnight rollover") {
