@@ -367,6 +367,114 @@ object DedupOps {
     ngramJaccardPairs(Tables.documents(spark, sf), 0.6)
   }
 
+  /** Connected components over an undirected near-dup pair set:
+    * hash-to-min label propagation (each round every node takes the
+    * min label among itself and its neighbors) until fixpoint. Rounds
+    * needed = component diameter — near-dup clusters from LSH pair
+    * generation are near-cliques, so this is 2-3 in practice; the
+    * alternating large-star/small-star formulation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) is the
+    * public-knowledge upgrade if a corpus ever produces long chains.
+    *
+    * Execution shape: the convergence probe iterates PERSISTED rounds
+    * (one count action per round — this is how every distributed CC
+    * implementation decides when to stop), then releases every cached
+    * frame and returns a clean k-round plan, so the caller's single
+    * consumption runs the whole propagation as one job and nothing
+    * stays pinned in executor memory. Per round: one shuffle joining
+    * edge targets to labels + one shuffle for the per-node min —
+    * both keyed on ids, no fixed-cardinality keys anywhere. */
+  def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+
+    def step(labels: DataFrame): DataFrame = {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("v"), col("label").as("vlabel")), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("vlabel")).as("nlabel"))
+      labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    }
+
+    val init = nodes.select(col("doc_id"), col("doc_id").as("label"))
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    var rounds = 0
+    try {
+      // pair generation (the LSH + exact-verify pipeline upstream) is
+      // the expensive subtree and every probe round reads it twice —
+      // persist for the probe's duration only. Cache resolution happens
+      // at execution, so after the finally releases it the returned
+      // plan re-evaluates edges fresh (one job; identical exchanges
+      // dedup at runtime).
+      cached += edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cur = init
+      var changed = 1L
+      while (changed > 0 && rounds < maxIters) {
+        val next = step(cur).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += next
+        changed = next
+          .join(cur.select(col("doc_id"), col("label").as("prev")), "doc_id")
+          .filter(col("label") =!= col("prev")).count()
+        cur = next
+        rounds += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+    } finally cached.foreach(_.unpersist())
+    (0 until rounds).foldLeft(init)((l, _) => step(l))
+  }
+
+  /** Dedup clusters: every document labeled with its near-dup cluster
+    * (cluster_id = min doc_id in the component — the canonical
+    * representative a training pipeline keeps) and the cluster size.
+    * Pairs are the exact-verified n-gram Jaccard matches (d05), so the
+    * oracle can rebuild the same graph; transitivity is the point —
+    * A~B and B~C collapse into one cluster even when A and C don't
+    * qualify pairwise. Inherits d05's corpus agreement precondition
+    * (all-pairs oracle vs LSH-candidate engine; see [[ngramJaccardQ]]).
+    *
+    * The pair list is MATERIALIZED (parquet) before clustering — the
+    * standard pipeline shape at scale: the LSH + exact-verify pipeline
+    * runs once and every propagation round joins against the compact
+    * (doc_a, doc_b) relation, not the text-processing subtree. A
+    * distributed write, so it scales with the pair volume. */
+  val clustersQ: GraftQuery = GraftQuery(
+    "d07_dedup_clusters",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |          UNION ALL SELECT doc_b, doc_a FROM p),
+      |cc(u, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.v, c.label FROM cc c JOIN edges e ON e.u = c.u),
+      |lab AS (SELECT u AS doc_id, min(label) AS cluster_id FROM cc GROUP BY u),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+      |SELECT l.doc_id, l.cluster_id, s.cluster_size
+      |FROM lab l JOIN sz s USING (cluster_id)""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val pairsDir = java.nio.file.Files.createTempDirectory("graft_d07_pairs").toString
+    ngramJaccardPairs(docs, 0.6).select(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(pairsDir)
+    val pairs = spark.read.parquet(pairsDir)
+    val cc = connectedComponents(docs.select(col("doc_id")), pairs)
+    val sizes = cc.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Embedding near-dup report: per vector, the most similar other
     * vector among its banded-LSH candidates, with an is_dup flag at
     * 0.95 cosine. Multi-table banded LSH (SimilarityOps.cosineCandidates)
@@ -386,5 +494,5 @@ object DedupOps {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, embeddingDupQ)
+    exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ, embeddingDupQ)
 }

@@ -224,6 +224,35 @@ class DedupSpec extends SparkSpec {
     assert(found.filter(col("est_jaccard") < 0.5).count() === 0)
   }
 
+  test("connected components: transitivity over a path graph + singleton") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4 forces several propagation rounds)
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L), s"chain must collapse to min label, got $cc")
+    assert(cc(6L) === 6L, "singleton keeps its own label")
+  }
+
+  test("d07 clusters: planted A~B~C collapse transitively on the fixture corpus") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok${i % 13}w").mkString(" ")
+    val mid = base.split(" ").updated(5, "MUT1").mkString(" ")
+    // far: two mutations — similar to mid (1 token apart) but the
+    // extra distance from base keeps the chain honest via transitivity
+    val far = mid.split(" ").updated(20, "MUT2").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz${i * 7 % 17}q").mkString(" ")
+    val docs = Seq((0L, base), (1L, mid), (2L, far), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(docs, 0.6).select(col("doc_a"), col("doc_b"))
+    val cc = DedupOps.connectedComponents(docs.select(col("doc_id")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(0L) === 0L && cc(1L) === 0L && cc(2L) === 0L,
+      s"near-dup chain must share one cluster, got $cc")
+    assert(cc(3L) === 3L)
+  }
+
   test("dedup is idempotent: re-deduping keeps row count") {
     val once = DedupOps.exactQ.run(spark, sf001)
     assert(once.count() === once.dropDuplicates("doc_id").count())
