@@ -16,7 +16,7 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
 
     val stages: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
-      "d04_sig" -> ((s, sf) => operators.DedupOps.simhash(Tables.documents(s, sf))),
+      "d04_sig" -> ((s, sf) => operators.DedupOps.simhashFingerprints(Tables.documents(s, sf))),
       "d03_sig" -> ((s, sf) => operators.DedupOps.minhashSignatures(Tables.documents(s, sf))),
       "d03_cand" -> ((s, sf) => operators.DedupOps.rawCandidatePairs(Tables.documents(s, sf))))
     val fn = stages.getOrElse(name,

@@ -132,7 +132,7 @@ object CodebookRegistry {
   private val MaxEntries = 64
   private val books =
     new java.util.LinkedHashMap[Integer, Broadcast[Array[Array[Double]]]](
-      MaxEntries, 0.75f, false) {
+      MaxEntries, 0.75f, true) { // access-order: get() refreshes (true LRU)
       override def removeEldestEntry(
           e: java.util.Map.Entry[Integer, Broadcast[Array[Array[Double]]]]): Boolean =
         size() > MaxEntries

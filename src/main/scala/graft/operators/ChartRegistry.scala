@@ -52,6 +52,9 @@ object ChartRegistry {
 
   def aggregates(spark: SparkSession, sf: String): DataFrame =
     fixtureCache.getOrElseUpdate((spark, sf), {
+      // bound the memoization: a JVM cycling many sessions (test
+      // suites) must not pin stopped sessions + fixtures forever
+      if (fixtureCache.size >= 8) fixtureCache.clear()
       val plan = aggregatesPlan(spark, sf)
       val rows = plan.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)

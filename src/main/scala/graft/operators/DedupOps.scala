@@ -463,7 +463,12 @@ object DedupOps {
       |SELECT l.doc_id, l.cluster_id, s.cluster_size
       |FROM lab l JOIN sz s USING (cluster_id)""".stripMargin) { (spark, sf) =>
     val docs = Tables.documents(spark, sf)
-    val pairsDir = java.nio.file.Files.createTempDirectory("graft_d07_pairs").toString
+    // deterministic per-sf path, overwritten each run — a fresh temp
+    // dir per invocation would leak pair-volume parquet on every
+    // warmup/rep (the returned plan reads lazily, so the builder can
+    // never delete it)
+    val pairsDir = s"${System.getProperty("java.io.tmpdir")}/graft_d07_pairs_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(sf).toLong & 0xffffffffL)
     ngramJaccardPairs(docs, 0.6).select(col("doc_a"), col("doc_b"))
       .write.mode("overwrite").parquet(pairsDir)
     val pairs = spark.read.parquet(pairsDir)

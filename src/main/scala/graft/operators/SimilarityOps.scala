@@ -152,10 +152,10 @@ object SimilarityOps {
     * posting lists, which is what bounds probe cost at 100 TB. */
   def kmeansCentroids(
       emb: DataFrame, k: Int, seed: Long = 42L, maxIter: Int = 10,
-      maxSample: Long = 100000L): Array[Array[Double]] = {
+      maxSample: Long = 100000L, knownN: Option[Long] = None): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val n = emb.count()
+    val n = knownN.getOrElse(emb.count())
     val sampled =
       if (n <= maxSample) emb
       else emb.sample(withReplacement = false, maxSample.toDouble / n, seed)
@@ -270,8 +270,9 @@ object SimilarityOps {
   val knnIvfKmeansQ: GraftQuery = GraftQuery.noOracle("s04_knn_ivf_kmeans") { (spark, sf) =>
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = emb.count() // once: sizes both the cell count and the k-means sample
     knnIvf(emb, k = 3, probes = 4,
-      codebook = df => kmeansCentroids(df, cellsForCorpus(df.count())))
+      codebook = df => kmeansCentroids(df, cellsForCorpus(n), knownN = Some(n)))
   }
 
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ)

@@ -39,8 +39,13 @@ class SimilaritySpec extends SparkSpec {
     val trained = recallAt3(SimilarityOps.knnIvf(emb, k = 3, probes = 4,
       codebook = df => SimilarityOps.kmeansCentroids(df, k)))
     info(f"recall@3 first-k=$firstK%.4f trained=$trained%.4f (k=$k)")
-    assert(trained > firstK,
-      f"trained codebook must beat first-k recall ($trained%.4f vs $firstK%.4f)")
+    // >= not >: the s04 contract is at-or-above (a tie at a recall
+    // ceiling is not a regression); the absolute floor pins the
+    // improvement observed on this fixed corpus (0.43 -> 0.56)
+    assert(trained >= firstK,
+      f"trained codebook must not lose to first-k ($trained%.4f vs $firstK%.4f)")
+    assert(trained >= 0.5,
+      f"trained recall@3 must clear the 0.5 floor measured on this corpus ($trained%.4f)")
 
     // the scale property: no degenerate mega-cell — probe cost per
     // query is bounded by the largest posting list. (Trained cells can
