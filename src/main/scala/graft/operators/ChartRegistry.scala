@@ -332,9 +332,28 @@ object ChartRegistry {
     ChartQueries.positivityBoxplot(processed(spark, sf), byLevel = Some("date"))
   }
 
+  /** A4 volume area chart at the day level (charts.py:99-106). */
+  val countsPeriodDayQ: GraftQuery = GraftQuery(
+    "c16_counts_period_day",
+    withProcessed(
+      """SELECT "date", CAST(sum(counts) AS BIGINT) AS counts
+        |FROM processed GROUP BY "date"""".stripMargin)) { (spark, sf) =>
+    ChartQueries.countsPeriod(processed(spark, sf), "date")
+  }
+
+  /** A4+R2 emotion melt at the day level (charts.py:24-27). */
+  val emotionLongDayQ: GraftQuery = GraftQuery(
+    "c17_emotion_long_day",
+    withProcessed(
+      s""", ${wideSql("\"date\"")}
+         |${longSql("\"date\"")}""".stripMargin)) { (spark, sf) =>
+    ChartQueries.emotionLong(processed(spark, sf), "date")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     processDataQ, emotionLongQ, emotionShareQ, emotionDonutQ, countsDonutQ,
     countsPeriodQ, countsTopicPeriodQ, positivityTopicQ, positivityPeriodQ,
     positivityBoxplotQ, latestInputsQ,
-    emotionShareHourQ, countsTopicHourQ, positivityHourQ, positivityBoxplotDayQ)
+    emotionShareHourQ, countsTopicHourQ, positivityHourQ, positivityBoxplotDayQ,
+    countsPeriodDayQ, emotionLongDayQ)
 }
