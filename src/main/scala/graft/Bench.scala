@@ -55,7 +55,7 @@ object Bench {
     // (a comma decimal separator would corrupt the JSON).
     val stream =
       try {
-        val streamRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "60000").toInt
+        val streamRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "30000").toInt
         val streamReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt
         if (streamRows <= 0) ""
         else {

@@ -172,5 +172,63 @@ object TextOps {
         .otherwise(array().cast("array<string>")))
   }
 
-  val all: Seq[GraftQuery] = Seq(langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ)
+  /** Corpus vocabulary head: global top-20 tokens by frequency.
+    * Global top-k the scale-safe way — partial counts combine
+    * map-side, then TakeOrderedAndProject keeps k rows per partition
+    * and merges on the driver; the rank window runs over the ≤ k
+    * surviving rows (bounded, post-reduction — NOT the
+    * single-partition-window-over-the-corpus anti-pattern). */
+  val topTokensQ: GraftQuery = GraftQuery(
+    "t06_top_tokens",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+      |SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      |FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin) { (spark, sf) =>
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+  }
+
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf · ln((N+1)/(df+1)). Two keyed aggregations + a broadcast of
+    * the one-row corpus count; the per-doc rank window partitions on
+    * doc_id. Scores are rounded to 4dp BEFORE ranking on both engines:
+    * ln() implementations may differ in the last ulp, so both the
+    * emitted value and the tie-break order are functions of the
+    * rounded score. */
+  val tfidfQ: GraftQuery = GraftQuery(
+    "t07_tfidf_keywords",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT tf.doc_id, tf.token,
+      |        round(tf.tf * ln((nd.n_docs + 1.0) / (dfreq.dfreq + 1.0)), 4) AS score
+      |      FROM tf JOIN dfreq USING (token) CROSS JOIN nd),
+      |r AS (SELECT doc_id, token, score,
+      |        row_number() OVER (PARTITION BY doc_id
+      |                           ORDER BY score DESC, token) AS rank
+      |      FROM s)
+      |SELECT doc_id, token, score, rank FROM r WHERE rank <= 3""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("dfreq") + 1.0)), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("score"), col("rank"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ)
 }
