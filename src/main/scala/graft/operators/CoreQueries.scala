@@ -459,10 +459,28 @@ object CoreQueries {
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
   }
 
+  /** Approximate grouped quantiles via `percentile_approx`
+    * (Greenwald-Khanna sketch, accuracy 10000): O(sketch) state per
+    * group and mergeable partials, vs exact percentile's
+    * collect-all-values-per-group — at 100 TB the exact operator
+    * (q09) is the oracle-parity baseline and THIS is the tool.
+    * Sketch internals are engine-specific (no oracle); ScalaTest
+    * bounds it against exact q09 like q22 vs q21. */
+  val approxQuantiles: GraftQuery = GraftQuery.noOracle("q24_approx_quantiles") { (spark, sf) =>
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile_approx(value, 0.25, 10000)"), 2).as("q1"),
+        round(expr("percentile_approx(value, 0.50, 10000)"), 2).as("median"),
+        round(expr("percentile_approx(value, 0.75, 10000)"), 2).as("q3"),
+        round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
     latestInputs, dedupFirst, jsonExtract, timeBuckets, stringKey,
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
-    distinctCounts, approxDistinct)
+    distinctCounts, approxDistinct, approxQuantiles)
 }

@@ -54,6 +54,26 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(grand.head.getLong(0) === graft.Tables.events(spark, sf001).count())
   }
 
+  test("approx quantiles within tolerance of exact (q09/q24)") {
+    def byType(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> Seq("q1", "median", "q3")
+        .map(c => r.getAs[Double](c))).toMap
+    val exact = byType(CoreQueries.quantiles.run(spark, sf001))
+    val approx = byType(CoreQueries.approxQuantiles.run(spark, sf001))
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (et, qs) =>
+      qs.zip(exact(et)).zipWithIndex.foreach { case ((a, e), i) =>
+        // GK at accuracy 10000 is rank-exact at this n; 1% of the
+        // group's value spread absorbs interpolation-vs-rank-value
+        // differences (percentile interpolates, percentile_approx
+        // returns an observed value)
+        val spread = math.max(1e-9, exact(et)(2) - exact(et)(0))
+        assert(math.abs(a - e) <= 0.01 * spread + 0.02,
+          s"$et quantile $i: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("approx distinct within the configured error of exact (q21/q22)") {
     val exact = CoreQueries.distinctCounts.run(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
@@ -136,7 +156,7 @@ class QueryInvariantsSpec extends SparkSpec {
     // a refactor that drops registry entries must fail loudly, not
     // silently shrink CORRECTNESS coverage (54 queries / 49 oracles as
     // of round 2 — only grow these)
-    assert(qs.size >= 64, s"registry shrank to ${qs.size}")
+    assert(qs.size >= 65, s"registry shrank to ${qs.size}")
     assert(graft.SparkEntry.oracleSql.size >= 58,
       s"oracle coverage shrank to ${graft.SparkEntry.oracleSql.size}")
   }
