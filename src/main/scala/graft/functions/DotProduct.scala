@@ -101,6 +101,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_eq_count"),
+      new ExpressionInfo(classOf[EqCount].getName, "graft_eq_count"),
+      (children: Seq[Expression]) => EqCount(children.head, children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cell_probes"),
       new ExpressionInfo(classOf[CellProbes].getName, "graft_cell_probes"),
       (children: Seq[Expression]) => children match {

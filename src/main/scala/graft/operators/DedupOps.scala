@@ -170,9 +170,10 @@ object DedupOps {
     * against the corpus's planted near-duplicates. */
   val minhashQ: GraftQuery = GraftQuery.noOracle("d03_dedup_minhash") { (spark, sf) =>
     val pairs = rawCandidatePairs(Tables.documents(spark, sf))
-    val matches = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    // codegen'd signature-agreement kernel — the interpreted
+    // zip_with+aggregate fold allocated per candidate pair (see
+    // graft.functions.EqCount)
+    val matches = call_function("graft_eq_count", col("sig_a"), col("sig_b"))
     // estimate BEFORE the pair-dedup so the dedup shuffle carries one
     // double instead of two 32-element signature arrays
     pairs

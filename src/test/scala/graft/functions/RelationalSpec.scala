@@ -37,6 +37,26 @@ class RelationalSpec extends SparkSpec {
       s"no salt bucket may hold a quarter of the hot key's rows, got $max")
   }
 
+  test("graft_eq_count matches the HOF fold it replaces, incl. null semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 9L, 3L)), // 2 equal
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, null, 3L)), // null != null
+      (Seq[java.lang.Long](5L), Seq[java.lang.Long](5L, 5L)) // shorter side bounds
+    ).toDF("a", "b")
+    val native = df.select(call_function("graft_eq_count", col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    val hof = df.select(aggregate(
+        zip_with(col("a"), col("b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x))
+      .collect().map(_.getInt(0)).toSeq
+    assert(native === Seq(2, 2, 1))
+    assert(native === hof, "native kernel must agree with the HOF formulation")
+    val withNullArr = Seq((null.asInstanceOf[Seq[Long]], Seq(1L))).toDF("a", "b")
+      .select(call_function("graft_eq_count", col("a"), col("b")))
+    assert(withNullArr.collect().head.isNullAt(0))
+  }
+
   test("saltFactor=1 degenerates to the plain join") {
     import spark.implicits._
     val big = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
