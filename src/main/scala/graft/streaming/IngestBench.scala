@@ -59,6 +59,15 @@ object IngestBench {
     val sec = (System.nanoTime() - t0) / 1e9
     q.stop()
     val written = spark.read.parquet(lake).count()
+    // all actions are done — reclaim the fixture (reps would otherwise
+    // leak a lake+checkpoint pair per run)
+    Seq(lake, ckpt).foreach { d =>
+      scala.util.Try {
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+    }
     (written, sec)
   }
 }
