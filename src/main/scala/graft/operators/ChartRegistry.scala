@@ -350,10 +350,43 @@ object ChartRegistry {
     ChartQueries.emotionLong(processed(spark, sf), "date")
   }
 
+  /** Rolling window frames over the hourly series — the dashboard's
+    * smoothing layer: per-topic 3-hour rolling volume + moving average
+    * and the cumulative total. Frames are ROWS-based over the deduped
+    * (topic, date_hour) series, so contents are deterministic; the
+    * moving average divides an exact integer sum (IEEE-identical in
+    * both engines), and BIGINT casts pin DuckDB's HUGEINT widening. */
+  val rollingCountsQ: GraftQuery = GraftQuery(
+    "c18_rolling_counts",
+    withProcessed(
+      """SELECT topic, date_hour, counts,
+        |       CAST(sum(counts) OVER w3 AS BIGINT) AS counts_roll3,
+        |       CAST(sum(counts) OVER w3 AS DOUBLE)
+        |         / count(*) OVER w3 AS counts_ma3,
+        |       CAST(sum(counts) OVER wcum AS BIGINT) AS counts_cum
+        |FROM processed
+        |WINDOW
+        |  w3 AS (PARTITION BY topic ORDER BY date_hour
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  wcum AS (PARTITION BY topic ORDER BY date_hour
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)) { (spark, sf) =>
+    import org.apache.spark.sql.expressions.Window
+    val w3 = Window.partitionBy(col("topic")).orderBy(col("date_hour"))
+      .rowsBetween(-2, Window.currentRow)
+    val wCum = Window.partitionBy(col("topic")).orderBy(col("date_hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    processed(spark, sf)
+      .select(col("topic"), col("date_hour"), col("counts"))
+      .withColumn("counts_roll3", sum(col("counts")).over(w3))
+      .withColumn("counts_ma3",
+        sum(col("counts")).over(w3).cast("double") / count(lit(1)).over(w3))
+      .withColumn("counts_cum", sum(col("counts")).over(wCum))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     processDataQ, emotionLongQ, emotionShareQ, emotionDonutQ, countsDonutQ,
     countsPeriodQ, countsTopicPeriodQ, positivityTopicQ, positivityPeriodQ,
     positivityBoxplotQ, latestInputsQ,
     emotionShareHourQ, countsTopicHourQ, positivityHourQ, positivityBoxplotDayQ,
-    countsPeriodDayQ, emotionLongDayQ)
+    countsPeriodDayQ, emotionLongDayQ, rollingCountsQ)
 }

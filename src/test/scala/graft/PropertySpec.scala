@@ -127,4 +127,33 @@ class PropertySpec extends SparkSpec {
       assert(cfg.lakePath === lake)
     }
   }
+
+  test("pigeonhole widths cover the fingerprint exactly for every radius (any lanes)") {
+    for (lanes <- 1 to 4; totalBits = 64 * lanes;
+         r <- Seq(0, 1, 3, 7, 12, 24, totalBits - 1)) {
+      val widths = operators.DedupOps.pigeonholeWidths(totalBits, r + 1)
+      assert(widths.sum === totalBits, s"lanes=$lanes r=$r must tile the fingerprint")
+      assert(widths.size === r + 1)
+      assert(widths.min >= totalBits / (r + 1), s"lanes=$lanes r=$r floor width")
+      assert(widths.max - widths.min <= 1, "widths differ by at most one bit")
+    }
+  }
+
+  test("graft_eq_count agrees with the HOF fold on random signatures (any arrays)") {
+    import spark.implicits._
+    val sigGen = Gen.listOfN(8, Gen.chooseNum(0L, 3L)) // small domain forces matches
+    val pairGen = Gen.zip(sigGen, sigGen)
+    val pairs = samples(pairGen, 200)
+    val df = pairs.toDF("a", "b")
+    val both = df.select(
+        call_function("graft_eq_count", col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // and against plain Scala
+    pairs.zip(both).foreach { case ((a, b), r) =>
+      assert(r.getInt(0) === a.zip(b).count { case (x, y) => x == y })
+    }
+  }
 }
