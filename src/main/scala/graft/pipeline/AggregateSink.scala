@@ -27,3 +27,45 @@ final class ParquetAggregateSink(path: String) extends AggregateSink {
   override def readBack(spark: SparkSession): DataFrame =
     spark.read.parquet(path)
 }
+
+/** Append-only sink with explicit COMPACTION — the parquet analogue of
+  * the reference's Mongo replace-upsert, and the closing piece of the
+  * at-least-once story: replays and corrected re-appends accumulate in
+  * the store, and `compact()` collapses them to one row per
+  * (topic, hour) under the serving layer's own dedup rule (latest-wins
+  * by default, so a late-data backfill supersedes the first write —
+  * see ChartQueries.processData). Serving reads stay correct WITHOUT
+  * compaction (processData dedups on read); compaction bounds store
+  * growth and read cost.
+  *
+  * The rewrite is distributed (no driver materialization): compacted
+  * rows land in a fresh generation directory and the swap is two
+  * renames — crash before the first rename leaves the old generation
+  * intact; the temp generation is overwritten by the next compact. */
+final class CompactingAggregateSink(
+    path: String, latestWins: Boolean = true) extends AggregateSink {
+  private val inner = new ParquetAggregateSink(path)
+
+  override def append(df: DataFrame): Unit = inner.append(df)
+  override def readBack(spark: SparkSession): DataFrame = inner.readBack(spark)
+
+  /** One row per (topic, hour), serving-dedup rule applied. */
+  def compact(spark: SparkSession): Unit = {
+    val compacted = graft.serving.ChartQueries
+      .processData(readBack(spark), latestWins = latestWins)
+      .drop("date_hour", "date", "hour") // derived on read, not stored
+    val tmp = path + ".compacting"
+    compacted.write.mode("overwrite").parquet(tmp)
+    val dir = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    deleteRecursively(old)
+    require(dir.renameTo(old), s"could not stage old generation of $path")
+    require(new java.io.File(tmp).renameTo(dir), s"could not publish compaction of $path")
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+}

@@ -128,6 +128,34 @@ class EndToEndSpec extends SparkSpec {
       "dedup still collapses to one row per (topic, hour)")
   }
 
+  test("compacting sink: replays collapse on disk, reads identical before/after") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val sink = new CompactingAggregateSink(
+      Files.createTempDirectory("e2e_compact").toString + "/agg")
+    def batch(stamp: String, counts: Long) = Seq(
+      ("alpha", 0.5, counts, Timestamp.valueOf(stamp), 1L, 0L, 0L, 0L, 0L, 1L))
+      .toDF((Seq("topic", "positivity_rate", "counts", "created_at")
+        ++ ChartQueries.emotions): _*)
+    sink.append(batch("2022-03-01 11:00:05", 3L))
+    sink.append(batch("2022-03-01 11:40:00", 4L)) // corrected re-append
+    sink.append(batch("2022-03-01 12:00:10", 7L)) // next hour
+    assert(sink.readBack(spark).count() === 3)
+
+    val before = ChartQueries.processData(sink.readBack(spark), latestWins = true)
+      .collect().map(r => (r.getAs[Timestamp]("created_at"), r.getAs[Long]("counts"))).toSet
+    sink.compact(spark)
+    assert(sink.readBack(spark).count() === 2, "one stored row per (topic, hour)")
+    val after = ChartQueries.processData(sink.readBack(spark), latestWins = true)
+      .collect().map(r => (r.getAs[Timestamp]("created_at"), r.getAs[Long]("counts"))).toSet
+    assert(after === before, "compaction must not change what serving reads")
+    assert(after.exists(_._2 == 4L), "the correction is what survives on disk")
+
+    // appends keep working after a compaction (next generation)
+    sink.append(batch("2022-03-01 13:00:00", 9L))
+    assert(sink.readBack(spark).count() === 3)
+  }
+
   test("resilient loop survives a failing sink cycle; fail-fast propagates") {
     import java.util.concurrent.atomic.AtomicInteger
     val lake = Files.createTempDirectory("e2e_lake_r").toString
