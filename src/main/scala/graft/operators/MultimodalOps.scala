@@ -233,5 +233,92 @@ object MultimodalOps {
     resizePayloads(asMultimodal(spark, sf))
   }
 
-  val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ)
+  /** Perceptual average-hash over the payload: 64 stride means
+    * thresholded against the whole-payload mean — the classic aHash
+    * shape (resize to an 8×8 grid, threshold on the mean) with the
+    * decode step the same deterministic byte math as the rest of this
+    * family. Payloads shorter than 64 bytes are excluded (every stride
+    * must be occupied so both engines see the same 64 bits). */
+  val PhashBits = 64
+
+  def perceptualHashes(payloads: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .filter(length(col("payload")) >= PhashBits)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val n = bytes.length
+          val sums = new Array[Long](PhashBits)
+          val counts = new Array[Long](PhashBits)
+          var i = 0
+          var total = 0L
+          while (i < n) {
+            val s = (i.toLong * PhashBits / n).toInt
+            val v = bytes(i) & 0xFF
+            sums(s) += v; counts(s) += 1; total += v
+            i += 1
+          }
+          val mean = total.toDouble / n
+          var hash = 0L
+          var s = 0
+          while (s < PhashBits) {
+            if (sums(s).toDouble / counts(s) > mean) hash |= (1L << s)
+            s += 1
+          }
+          Row(r.getAs[Long]("doc_id"), hash)
+        }
+      }(enc)
+  }
+
+  /** Image-dedup composition: perceptual hashes blocked and verified by
+    * the SAME pigeonhole machinery as d04 (radius 6 over 64 bits →
+    * 9-10-bit band keys, inside the radius ≤ 7 single-lane scale rule).
+    * Pigeonhole blocking has EXACT recall, so — unlike the MinHash
+    * candidate semantics — the output is a deterministic function of
+    * the data and DuckDB can oracle it with an all-pairs Hamming
+    * check (affordable at gate SF; the engine never does all-pairs).
+    * Precondition shared with d05: no hot-bucket capping at gate SF.
+    *
+    * On the text stand-in corpus this yields ZERO pairs, and that is
+    * the correct answer (oracle agrees): a token edit shifts every
+    * downstream byte, so unaligned text never produces near phashes —
+    * aHash's contract is aligned media (resize normalizes image
+    * geometry; measured: true text near-dups sit at Hamming 15-35
+    * here, min random-pair distance 10). The planted-fixture spec
+    * proves the operator finds aligned in-place edits — the image
+    * near-dup shape — at small Hamming. */
+  val PhashMaxHamming = 6
+
+  val phashDupQ: GraftQuery = GraftQuery(
+    "m05_phash_dup",
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |           WHERE length(text) >= $PhashBits),
+       |b AS (SELECT doc_id,
+       |        CAST(i * $PhashBits / n AS INT) AS stride,
+       |        ord(substring(text, CAST(i + 1 AS INT), 1)) AS v
+       |      FROM (SELECT doc_id, text, n, unnest(range(0, n)) AS i FROM d) t),
+       |m AS (SELECT doc_id, sum(v) / CAST(count(*) AS DOUBLE) AS mean
+       |      FROM b GROUP BY doc_id),
+       |bits AS (SELECT b.doc_id, b.stride,
+       |           CASE WHEN sum(b.v) / CAST(count(*) AS DOUBLE) > min(m.mean)
+       |                THEN 1 ELSE 0 END AS bit
+       |         FROM b JOIN m USING (doc_id) GROUP BY b.doc_id, b.stride),
+       |h AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |        CAST(sum(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+       |      FROM bits a JOIN bits c
+       |        ON a.stride = c.stride AND a.doc_id < c.doc_id
+       |      GROUP BY a.doc_id, c.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM h
+       |WHERE hamming <= $PhashMaxHamming""".stripMargin) { (spark, sf) =>
+    DedupOps.simhashPairsMulti(
+      perceptualHashes(asMultimodal(spark, sf)).withColumnRenamed("phash", "sh0"),
+      Seq("sh0"), PhashMaxHamming)
+  }
+
+  val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ)
 }

@@ -131,6 +131,30 @@ class QueryInvariantsSpec extends SparkSpec {
       .select(length(col("text"))).collect().head.getInt(0))
   }
 
+  test("perceptual hash finds aligned in-place edits, rejects unrelated (m05)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val base = Array.fill(2000)(rnd.nextInt(256).toByte)
+    val near = base.clone() // image-like edit: values change, offsets don't
+    (0 until 40).foreach(k => near(k * 50) = ((near(k * 50) + 10) & 0xFF).toByte)
+    val far = Array.fill(2000)(rnd.nextInt(256).toByte)
+    val tiny = Array.fill(10)(1.toByte) // under the 64-byte floor -> excluded
+    val payloads = Seq(
+      (0L, base), (1L, base), (2L, near), (3L, far), (4L, tiny))
+      .toDF("doc_id", "payload")
+    val ph = graft.operators.MultimodalOps.perceptualHashes(payloads)
+    assert(ph.count() === 4, "sub-64-byte payloads are excluded")
+    val pairs = graft.operators.DedupOps.simhashPairsMulti(
+      ph.withColumnRenamed("phash", "sh0"), Seq("sh0"),
+      graft.operators.MultimodalOps.PhashMaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((0L, 1L)) === Some(0L), "identical payloads at Hamming 0")
+    assert(byPair.contains((0L, 2L)), "aligned in-place edit must be a near-dup")
+    assert(byPair((0L, 2L)) <= 6L)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated payload excluded")
+  }
+
   test("resize keeps every 4th byte with a stable digest (m04)") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "abc"))
@@ -156,8 +180,8 @@ class QueryInvariantsSpec extends SparkSpec {
     // a refactor that drops registry entries must fail loudly, not
     // silently shrink CORRECTNESS coverage (54 queries / 49 oracles as
     // of round 2 — only grow these)
-    assert(qs.size >= 66, s"registry shrank to ${qs.size}")
-    assert(graft.SparkEntry.oracleSql.size >= 59,
+    assert(qs.size >= 67, s"registry shrank to ${qs.size}")
+    assert(graft.SparkEntry.oracleSql.size >= 60,
       s"oracle coverage shrank to ${graft.SparkEntry.oracleSql.size}")
   }
 }
