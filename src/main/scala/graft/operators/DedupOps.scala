@@ -481,6 +481,67 @@ object DedupOps {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** doc_id + exploded distinct n-token shingles (generalized
+    * [[shingles]], which stays at the MinHash pipeline's n=3). */
+  def tokenShingles(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("shingle"))
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * n-gram with an evaluation set — the step a training pipeline runs
+    * before anything else ships. Exact gram-string equi-join (one
+    * shuffle keyed on the gram; at 100 TB you'd join on xxhash64(gram)
+    * to shrink the shuffle — exact strings here keep the operator
+    * fully oracle-able), benchmark side deduplicated and broadcast
+    * when small. Zero-hit documents are kept (left join) so the output
+    * is a complete per-document contamination report. */
+  val DecontamGram = 5
+
+  def decontaminate(train: DataFrame, benchmark: DataFrame, gram: Int = DecontamGram): DataFrame = {
+    val benchGrams = tokenShingles(benchmark, gram)
+      .select(col("shingle")).distinct()
+    val hits = tokenShingles(train, gram)
+      .join(benchGrams, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated_grams"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The fixture benchmark is every 50th document — a stand-in for an
+    * eval set drawn from the same distribution (template corpora
+    * guarantee non-trivial overlap). Benchmark members are excluded
+    * from the training side, as a real pipeline would. */
+  val decontaminateQ: GraftQuery = GraftQuery(
+    "d08_decontaminate",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (SELECT doc_id,
+       |            unnest(list_distinct(list_transform(range(1, len(t) - ${DecontamGram - 2}),
+       |              i -> concat_ws(' ', ${(0 until DecontamGram).map(k => s"t[i+$k]").mkString(", ")})))) AS g
+       |          FROM toks WHERE len(t) >= $DecontamGram),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+       |hits AS (SELECT g.doc_id, count(*) AS n_hits
+       |         FROM grams g JOIN bench b USING (g)
+       |         WHERE g.doc_id % 50 <> 0
+       |         GROUP BY g.doc_id),
+       |train AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+       |SELECT t.doc_id,
+       |       coalesce(h.n_hits, 0) AS n_contaminated_grams,
+       |       coalesce(h.n_hits, 0) > 0 AS contaminated
+       |FROM train t LEFT JOIN hits h USING (doc_id)""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+  }
+
   /** Embedding near-dup report: per vector, the most similar other
     * vector among its banded-LSH candidates, with an is_dup flag at
     * 0.95 cosine. Multi-table banded LSH (SimilarityOps.cosineCandidates)
@@ -500,5 +561,6 @@ object DedupOps {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ, embeddingDupQ)
+    exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
+    decontaminateQ, embeddingDupQ)
 }

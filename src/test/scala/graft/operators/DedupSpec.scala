@@ -253,6 +253,23 @@ class DedupSpec extends SparkSpec {
     assert(cc(3L) === 3L)
   }
 
+  test("decontamination flags benchmark n-gram overlap, keeps clean docs") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "padding words then the quick brown fox jumps in too"), // shares a 5-gram
+      (2L, "totally unrelated training text with enough tokens here"),
+      (3L, "short doc") // under the gram size -> 0 grams, kept as clean
+    ).toDF("doc_id", "text")
+    val out = DedupOps.decontaminate(train, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2 && out(1L)._1 >= 1, "overlapping doc must be flagged")
+    assert(out(2L) === ((0L, false)))
+    assert(out(3L) === ((0L, false)), "sub-gram-size docs are clean, not dropped")
+    assert(out.size === 3, "every training doc appears in the report")
+  }
+
   test("dedup is idempotent: re-deduping keeps row count") {
     val once = DedupOps.exactQ.run(spark, sf001)
     assert(once.count() === once.dropDuplicates("doc_id").count())

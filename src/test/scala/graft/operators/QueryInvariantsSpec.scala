@@ -180,8 +180,8 @@ class QueryInvariantsSpec extends SparkSpec {
     // a refactor that drops registry entries must fail loudly, not
     // silently shrink CORRECTNESS coverage (54 queries / 49 oracles as
     // of round 2 — only grow these)
-    assert(qs.size >= 67, s"registry shrank to ${qs.size}")
-    assert(graft.SparkEntry.oracleSql.size >= 60,
+    assert(qs.size >= 68, s"registry shrank to ${qs.size}")
+    assert(graft.SparkEntry.oracleSql.size >= 61,
       s"oracle coverage shrank to ${graft.SparkEntry.oracleSql.size}")
   }
 }
