@@ -53,14 +53,10 @@ object DedupOps {
     * bigger array stays cheap. */
   val MaxSimhashBucket = 4096
 
-  /** doc_id + exploded distinct 3-token shingles. */
-  def shingles(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - 3),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))).as("shingle"))
+  /** doc_id + exploded distinct 3-token shingles (the MinHash
+    * pipeline's fixed width; delegates to [[tokenShingles]] so the
+    * shingling definition lives in exactly one place). */
+  def shingles(docs: DataFrame): DataFrame = tokenShingles(docs, 3)
 
   /** MinHash signature per doc: element i = min over shingles of
     * xxhash64(i, shingle) (seeded hash family). */
@@ -481,8 +477,7 @@ object DedupOps {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
-  /** doc_id + exploded distinct n-token shingles (generalized
-    * [[shingles]], which stays at the MinHash pipeline's n=3). */
+  /** doc_id + exploded distinct n-token shingles. */
   def tokenShingles(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -299,7 +299,7 @@ object MultimodalOps {
     s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
        |           WHERE length(text) >= $PhashBits),
        |b AS (SELECT doc_id,
-       |        CAST(i * $PhashBits / n AS INT) AS stride,
+       |        CAST(i * $PhashBits AS BIGINT) // n AS stride,
        |        ord(substring(text, CAST(i + 1 AS INT), 1)) AS v
        |      FROM (SELECT doc_id, text, n, unnest(range(0, n)) AS i FROM d) t),
        |m AS (SELECT doc_id, sum(v) / CAST(count(*) AS DOUBLE) AS mean

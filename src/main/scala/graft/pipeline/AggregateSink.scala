@@ -40,28 +40,42 @@ final class ParquetAggregateSink(path: String) extends AggregateSink {
   *
   * The rewrite is distributed (no driver materialization): compacted
   * rows land in a fresh generation directory and the swap is two
-  * renames — crash before the first rename leaves the old generation
-  * intact; the temp generation is overwritten by the next compact. */
+  * renames. A crash between the renames leaves `path` absent with the
+  * previous generation staged at `path+".old"` — every entry point
+  * runs [[recover]] first, which restores the staged generation, so
+  * no window silently loses history.
+  *
+  * latestWins defaults to the serving layer's OWN default (keep-first,
+  * reference parity) so a default-constructed sink's compaction never
+  * changes what a default serving read returns; pass latestWins=true
+  * when the deployment serves corrections (and reads the same way). */
 final class CompactingAggregateSink(
-    path: String, latestWins: Boolean = true) extends AggregateSink {
+    path: String, latestWins: Boolean = false) extends AggregateSink {
   private val inner = new ParquetAggregateSink(path)
+  private def dir = new java.io.File(path)
+  private def staged = new java.io.File(path + ".old")
 
-  override def append(df: DataFrame): Unit = inner.append(df)
-  override def readBack(spark: SparkSession): DataFrame = inner.readBack(spark)
+  /** Heal a crash between compact's two renames: `path` missing with a
+    * staged previous generation present → restore it. Idempotent. */
+  def recover(): Unit =
+    if (!dir.exists() && staged.exists())
+      require(staged.renameTo(dir), s"could not restore staged generation of $path")
+
+  override def append(df: DataFrame): Unit = { recover(); inner.append(df) }
+  override def readBack(spark: SparkSession): DataFrame = { recover(); inner.readBack(spark) }
 
   /** One row per (topic, hour), serving-dedup rule applied. */
   def compact(spark: SparkSession): Unit = {
+    recover()
     val compacted = graft.serving.ChartQueries
-      .processData(readBack(spark), latestWins = latestWins)
+      .processData(inner.readBack(spark), latestWins = latestWins)
       .drop("date_hour", "date", "hour") // derived on read, not stored
     val tmp = path + ".compacting"
     compacted.write.mode("overwrite").parquet(tmp)
-    val dir = new java.io.File(path)
-    val old = new java.io.File(path + ".old")
-    deleteRecursively(old)
-    require(dir.renameTo(old), s"could not stage old generation of $path")
+    deleteRecursively(staged)
+    require(dir.renameTo(staged), s"could not stage old generation of $path")
     require(new java.io.File(tmp).renameTo(dir), s"could not publish compaction of $path")
-    deleteRecursively(old)
+    deleteRecursively(staged)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

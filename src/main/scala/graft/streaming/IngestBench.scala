@@ -62,11 +62,14 @@ object IngestBench {
     // all actions are done — reclaim the fixture (reps would otherwise
     // leak a lake+checkpoint pair per run)
     Seq(lake, ckpt).foreach { d =>
-      scala.util.Try {
-        java.nio.file.Files.walk(java.nio.file.Paths.get(d))
-          .sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try
+        walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      }
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[ingest-bench] could not reclaim $d: ${e.getMessage}")
+      } finally walk.close()
     }
     (written, sec)
   }

@@ -131,8 +131,9 @@ class EndToEndSpec extends SparkSpec {
   test("compacting sink: replays collapse on disk, reads identical before/after") {
     import java.sql.Timestamp
     import spark.implicits._
+    val aggPath = Files.createTempDirectory("e2e_compact").toString + "/agg"
     val sink = new CompactingAggregateSink(
-      Files.createTempDirectory("e2e_compact").toString + "/agg")
+      aggPath, latestWins = true) // this deployment serves corrections
     def batch(stamp: String, counts: Long) = Seq(
       ("alpha", 0.5, counts, Timestamp.valueOf(stamp), 1L, 0L, 0L, 0L, 0L, 1L))
       .toDF((Seq("topic", "positivity_rate", "counts", "created_at")
@@ -154,6 +155,11 @@ class EndToEndSpec extends SparkSpec {
     // appends keep working after a compaction (next generation)
     sink.append(batch("2022-03-01 13:00:00", 9L))
     assert(sink.readBack(spark).count() === 3)
+
+    // crash window between compact's two renames: path gone, previous
+    // generation staged — any entry point must restore it, not lose it
+    assert(new java.io.File(aggPath).renameTo(new java.io.File(aggPath + ".old")))
+    assert(sink.readBack(spark).count() === 3, "staged generation restored")
   }
 
   test("resilient loop survives a failing sink cycle; fail-fast propagates") {
