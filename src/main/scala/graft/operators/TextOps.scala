@@ -229,6 +229,42 @@ object TextOps {
       .select(col("doc_id"), col("token"), col("score"), col("rank"))
   }
 
+  /** Deterministic train/val/test split: bucket = md5(doc_id) mod 100,
+    * 80/10/10. Hash-based (not doc_id-mod) so the assignment is
+    * uncorrelated with insertion order or any id-range structure, yet
+    * stable across runs, repartitioning, and engines — md5 is the one
+    * keyed hash Spark and DuckDB both expose bit-identically, so the
+    * split is fully oracle-checked (the property a pipeline needs:
+    * re-running assignment NEVER moves a document between splits).
+    * The hex→int fold is column math (position in a hex alphabet), no
+    * UDF. */
+  val hashSplitQ: GraftQuery = {
+    val alphabet = "0123456789abcdef"
+    def hexVal(engine: String, i: Int): String = engine match {
+      // 1-indexed substring in both; instr/position returns 1-based
+      case "spark" => s"(instr('$alphabet', substring(md5(CAST(doc_id AS STRING)), $i, 1)) - 1)"
+      case _ => s"(position(substring(md5(CAST(doc_id AS VARCHAR)), $i, 1) IN '$alphabet') - 1)"
+    }
+    def bucketExpr(engine: String): String =
+      (1 to 4).map(i => s"${hexVal(engine, i)} * ${math.pow(16, 4 - i).toLong}")
+        .mkString("(", " + ", ") % 100")
+    GraftQuery(
+      "t08_hash_split",
+      s"""SELECT doc_id,
+         |       CAST(${bucketExpr("duckdb")} AS BIGINT) AS bucket,
+         |       CASE WHEN ${bucketExpr("duckdb")} < 80 THEN 'train'
+         |            WHEN ${bucketExpr("duckdb")} < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents""".stripMargin) { (spark, sf) =>
+      val b = expr(bucketExpr("spark")).cast("long")
+      Tables.documents(spark, sf).select(
+        col("doc_id"),
+        b.as("bucket"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ)
+    langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
+    hashSplitQ)
 }

@@ -54,6 +54,20 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(grand.head.getLong(0) === graft.Tables.events(spark, sf001).count())
   }
 
+  test("hash split partitions the corpus near 80/10/10, deterministically (t08)") {
+    val out = graft.operators.TextOps.hashSplitQ.run(spark, sf001)
+    val n = out.count()
+    val bySplit = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum === n, "splits partition the corpus")
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // md5 buckets are uniform; at n=500 the 80% split lands well inside ±10pp
+    assert(math.abs(bySplit("train").toDouble / n - 0.8) < 0.1, bySplit.toString)
+    // determinism: re-running assignment never moves a document
+    val again = graft.operators.TextOps.hashSplitQ.run(spark, sf001)
+    assert(out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() === 0)
+  }
+
   test("approx quantiles within tolerance of exact (q09/q24)") {
     def byType(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> Seq("q1", "median", "q3")
@@ -180,8 +194,8 @@ class QueryInvariantsSpec extends SparkSpec {
     // a refactor that drops registry entries must fail loudly, not
     // silently shrink CORRECTNESS coverage (54 queries / 49 oracles as
     // of round 2 — only grow these)
-    assert(qs.size >= 68, s"registry shrank to ${qs.size}")
-    assert(graft.SparkEntry.oracleSql.size >= 61,
+    assert(qs.size >= 69, s"registry shrank to ${qs.size}")
+    assert(graft.SparkEntry.oracleSql.size >= 62,
       s"oracle coverage shrank to ${graft.SparkEntry.oracleSql.size}")
   }
 }
