@@ -387,6 +387,30 @@ object CoreQueries {
       .agg(count(lit(1)).as("counts"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Cube: the full subtotal lattice over (event_type, day) — all four
+    * grouping sets in one pass, with `grouping()` flags distinguishing
+    * a real NULL key from a subtotal row (the standard disambiguation;
+    * without it rollup/cube outputs are unjoinable downstream). Same
+    * single-shuffle expansion as q20's rollup. */
+  val cubeCounts: GraftQuery = GraftQuery(
+    "q25_cube",
+    """SELECT event_type, day,
+      |       CAST(grouping(event_type) AS BIGINT) AS g_type,
+      |       CAST(grouping(day) AS BIGINT) AS g_day,
+      |       count(*) AS counts, round(sum(value), 2) AS total_value
+      |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events) t
+      |GROUP BY CUBE (event_type, day)""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .cube(col("event_type"), col("day"))
+      .agg(
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("day")).cast("long").as("g_day"),
+        count(lit(1)).as("counts"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("event_type"), col("day"), col("g_type"), col("g_day"),
+        col("counts"), col("total_value"))
+  }
+
   /** Exact distinct-count aggregate (north-star extension; the
     * reference has no distinct aggregates, SURVEY.md §2.5). Expands to
     * a two-phase aggregate on (event_type, user_id). */
@@ -482,5 +506,5 @@ object CoreQueries {
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
     latestInputs, dedupFirst, jsonExtract, timeBuckets, stringKey,
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
-    distinctCounts, approxDistinct, approxQuantiles)
+    distinctCounts, approxDistinct, approxQuantiles, cubeCounts)
 }

@@ -194,8 +194,8 @@ class QueryInvariantsSpec extends SparkSpec {
     // a refactor that drops registry entries must fail loudly, not
     // silently shrink CORRECTNESS coverage (54 queries / 49 oracles as
     // of round 2 — only grow these)
-    assert(qs.size >= 69, s"registry shrank to ${qs.size}")
-    assert(graft.SparkEntry.oracleSql.size >= 62,
+    assert(qs.size >= 70, s"registry shrank to ${qs.size}")
+    assert(graft.SparkEntry.oracleSql.size >= 63,
       s"oracle coverage shrank to ${graft.SparkEntry.oracleSql.size}")
   }
 }
