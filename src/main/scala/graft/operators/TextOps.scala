@@ -229,15 +229,17 @@ object TextOps {
       .select(col("doc_id"), col("token"), col("score"), col("rank"))
   }
 
-  /** Deterministic train/val/test split: bucket = md5(doc_id) mod 100,
+  /** Deterministic train/val/test split: bucket = (first 4 hex digits
+    * of md5(doc_id), i.e. the top 16 bits) mod 100, thresholds
     * 80/10/10. Hash-based (not doc_id-mod) so the assignment is
     * uncorrelated with insertion order or any id-range structure, yet
-    * stable across runs, repartitioning, and engines — md5 is the one
-    * keyed hash Spark and DuckDB both expose bit-identically, so the
-    * split is fully oracle-checked (the property a pipeline needs:
-    * re-running assignment NEVER moves a document between splits).
-    * The hex→int fold is column math (position in a hex alphabet), no
-    * UDF. */
+    * stable across runs, repartitioning, and engines — md5 is a hash
+    * Spark and DuckDB both expose bit-identically, so the split is
+    * fully oracle-checked (the property a pipeline needs: re-running
+    * assignment NEVER moves a document between splits). 65536 % 100 =
+    * 36 gives buckets 0-35 a +1/655 relative weight — ~0.005pp on the
+    * 80% split, irrelevant next to sampling noise. The hex→int fold is
+    * column math (position in a hex alphabet), no UDF. */
   val hashSplitQ: GraftQuery = {
     val alphabet = "0123456789abcdef"
     def hexVal(engine: String, i: Int): String = engine match {
@@ -250,12 +252,13 @@ object TextOps {
         .mkString("(", " + ", ") % 100")
     GraftQuery(
       "t08_hash_split",
-      s"""SELECT doc_id,
-         |       CAST(${bucketExpr("duckdb")} AS BIGINT) AS bucket,
-         |       CASE WHEN ${bucketExpr("duckdb")} < 80 THEN 'train'
-         |            WHEN ${bucketExpr("duckdb")} < 90 THEN 'val'
+      s"""SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val'
          |            ELSE 'test' END AS split
-         |FROM documents""".stripMargin) { (spark, sf) =>
+         |FROM (SELECT doc_id,
+         |        CAST(${bucketExpr("duckdb")} AS BIGINT) AS bucket
+         |      FROM documents) t""".stripMargin) { (spark, sf) =>
       val b = expr(bucketExpr("spark")).cast("long")
       Tables.documents(spark, sf).select(
         col("doc_id"),

@@ -59,7 +59,8 @@ class QueryInvariantsSpec extends SparkSpec {
     val n = out.count()
     val bySplit = out.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(bySplit.values.sum === n, "splits partition the corpus")
+    assert(out.filter(col("split").isNull || col("bucket").isNull).count() === 0,
+      "every document gets a non-null bucket and split")
     assert(bySplit.keySet === Set("train", "val", "test"))
     // md5 buckets are uniform; at n=500 the 80% split lands well inside ±10pp
     assert(math.abs(bySplit("train").toDouble / n - 0.8) < 0.1, bySplit.toString)
