@@ -12,6 +12,7 @@ object SparkEntry {
   private def registry: Seq[GraftQuery] =
     operators.CoreQueries.all ++
       operators.TextOps.all ++
+      operators.CurationOps.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
       operators.MultimodalOps.all ++

@@ -1,0 +1,358 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+
+/** Row of [[CurationOps.packQ]]'s input: one document routed to a
+  * pack shard with its token cost. */
+final case class PackIn(doc_id: Long, shard: Int, n_tokens: Long)
+
+/** Row of [[CurationOps.packQ]]'s output: the document's bin within
+  * its shard and its token offset within the bin. */
+final case class PackOut(
+    doc_id: Long, shard: Int, bin: Long, tok_offset: Long, n_tokens: Long)
+
+/** Training-data curation operators beyond per-doc text analysis
+  * ([[TextOps]]): corpus-level repetition signals, the composite
+  * keep/drop quality gate, PII redaction, stratified sampling, and
+  * sequence packing — the stages a 100 TB pretraining pipeline runs
+  * between raw crawl and tokenizer.
+  *
+  * Everything here is oracle-checked: signals are ratios of integer
+  * counts (raw IEEE doubles — bit-identical across engines) and the
+  * sequential packing loop is mirrored by a DuckDB recursive CTE.
+  */
+object CurationOps {
+
+  /** md5-derived integer bucket, generated as engine-native SQL for
+    * Spark and DuckDB: fold the top 16 bits (first 4 hex digits) of
+    * md5(input) into an int, mod `mod`. Salting the input string
+    * decorrelates independent uses (split vs sample vs shard). Same
+    * scheme as t08's split — hash-stable across runs, partitionings,
+    * and engines. */
+  private[operators] object Md5Bucket {
+    private val alphabet = "0123456789abcdef"
+    private def hexVal(engine: String, input: String, i: Int): String = engine match {
+      // 1-indexed substring in both; instr/position return 1-based
+      case "spark" => s"(instr('$alphabet', substring(md5($input), $i, 1)) - 1)"
+      case _       => s"(position(substring(md5($input), $i, 1) IN '$alphabet') - 1)"
+    }
+    def bucketSql(engine: String, input: String, mod: Int): String =
+      (1 to 4).map(i => s"${hexVal(engine, input, i)} * ${math.pow(16, 4 - i).toLong}")
+        .mkString("(", " + ", s") % $mod")
+  }
+
+  // ------------------------------------------------------ t09 repetition
+
+  /** Token n-gram occurrence counts per document: one (doc_id, gram, n)
+    * row per distinct gram. Two shuffles — (doc_id, gram) then doc_id —
+    * both keyed on per-document data, so parallelism scales with the
+    * corpus and no key exceeds a single document's gram count. */
+  private def gramCounts(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) >= n,
+          transform(sequence(lit(1), size(col("tk")) - n + 1),
+            i => array_join(slice(col("tk"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+
+  /** (doc_id, top2_frac): fraction of 2-gram occurrences accounted for
+    * by the document's most frequent 2-gram (Rae et al. 2021 "Gopher"
+    * §A1.1 repetition-signal family, over token grams). */
+  private[operators] def top2Frac(docs: DataFrame): DataFrame =
+    gramCounts(docs, 2)
+      .groupBy(col("doc_id"))
+      .agg((max(col("n")).cast("double") / sum(col("n"))).as("top2_frac"))
+
+  private def repetitionSql(gram: Int, agg: String): String = {
+    val parts = (0 until gram)
+      .map(o => s"tk[CAST(i${if (o == 0) "" else s" + $o"} AS INT)]")
+      .mkString(" || ' ' || ")
+    s"""g$gram AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(tk) - ${gram - 2}), i -> $parts)) AS g
+       |  FROM tk),
+       |c$gram AS (SELECT doc_id, g, count(*) AS n FROM g$gram GROUP BY doc_id, g),
+       |a$gram AS (SELECT doc_id, $agg FROM c$gram GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Per-document repetition signals over (doc_id, text) rows:
+    * most-common-2-gram occurrence fraction and duplicated-3-gram
+    * occurrence fraction. Documents too short to have grams report
+    * 0.0. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val dup3 = gramCounts(docs, 3)
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("n") > 1, col("n")).otherwise(0L)).cast("double")
+        / sum(col("n"))).as("dup3_frac"))
+    docs.select(col("doc_id"))
+      .join(top2Frac(docs), Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
+  }
+
+  /** [[repetitionSignals]] as a registry query. Raw doubles (ratios of
+    * integer counts — IEEE division is bit-identical across
+    * engines). */
+  val repetitionQ: GraftQuery = GraftQuery(
+    "t09_repetition",
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |${repetitionSql(2, "CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS top2_frac")},
+       |${repetitionSql(3, "CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS dup3_frac")}
+       |SELECT d.doc_id,
+       |       coalesce(a2.top2_frac, 0.0) AS top2_frac,
+       |       coalesce(a3.dup3_frac, 0.0) AS dup3_frac
+       |FROM documents d
+       |LEFT JOIN a2 ON a2.doc_id = d.doc_id
+       |LEFT JOIN a3 ON a3.doc_id = d.doc_id""".stripMargin) { (spark, sf) =>
+    repetitionSignals(Tables.documents(spark, sf))
+  }
+
+  // ---------------------------------------------------- t10 quality gate
+
+  /** Rule thresholds for the composite gate. Shapes are the C4/Gopher
+    * public rules (Raffel et al. 2020 §2.2; Rae et al. 2021 §A1.1);
+    * numeric cutoffs are tuned so each rule discriminates on the
+    * synthetic corpus (e.g. the Gopher top-2-gram cutoff of 0.20 never
+    * fires on 10-99-token documents — 0.08 is the same rule scaled to
+    * this length regime). */
+  val MinTokens = 20
+  val MaxTokens = 1000
+  val MaxTop2Frac = 0.08
+
+  /** Composite quality gate: keep a document only if it passes language
+    * (predicted en), length, token-shape, stopword-ratio, and
+    * repetition rules; failing rule names are emitted in fixed order as
+    * the audit trail. One corpus-level aggregation (the 2-gram signal);
+    * everything else is row-local and fuses into the scan. */
+  val qualityFilterQ: GraftQuery = GraftQuery(
+    "t10_quality_filter",
+    s"""WITH t AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+       |s AS (SELECT doc_id,
+       |${TextOps.langScoreSql.map { case (l, e) => s"  $e AS s_$l" }.mkString(",\n")}
+       |      FROM t),
+       |l AS (SELECT doc_id, ${TextOps.langCaseSql} AS lang_pred FROM s),
+       |m AS (SELECT doc_id,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |          / len(string_split(text, ' ')) AS avg_len,
+       |        CAST(len(list_filter(string_split(text, ' '),
+       |                 x -> x IN (${TextOps.stopListSql}))) AS DOUBLE)
+       |          / len(string_split(text, ' ')) AS stop_ratio
+       |      FROM documents),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |${repetitionSql(2, "CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS top2_frac")},
+       |f AS (SELECT m.doc_id,
+       |        l.lang_pred = 'en' AS ok_lang,
+       |        m.n_tokens BETWEEN $MinTokens AND $MaxTokens AS ok_len,
+       |        m.avg_len >= 3.0 AND m.avg_len <= 10.0 AS ok_shape,
+       |        m.stop_ratio >= 0.01 AND m.stop_ratio <= 0.5 AS ok_stop,
+       |        coalesce(a2.top2_frac, 0.0) <= $MaxTop2Frac AS ok_rep
+       |      FROM m
+       |      JOIN l ON l.doc_id = m.doc_id
+       |      LEFT JOIN a2 ON a2.doc_id = m.doc_id)
+       |SELECT doc_id,
+       |       CASE WHEN ok_lang AND ok_len AND ok_shape AND ok_stop AND ok_rep
+       |            THEN 'keep' ELSE 'drop' END AS verdict,
+       |       coalesce(array_to_string(list_filter([
+       |         CASE WHEN NOT ok_lang THEN 'lang' END,
+       |         CASE WHEN NOT ok_len THEN 'len' END,
+       |         CASE WHEN NOT ok_shape THEN 'shape' END,
+       |         CASE WHEN NOT ok_stop THEN 'stop' END,
+       |         CASE WHEN NOT ok_rep THEN 'rep' END], x -> x IS NOT NULL), ','), '') AS reasons
+       |FROM f""".stripMargin) { (spark, sf) =>
+    qualityVerdict(Tables.documents(spark, sf))
+  }
+
+  /** The t10 gate over (doc_id, text) rows: verdict + failed-rule audit
+    * trail. */
+  def qualityVerdict(docs: DataFrame): DataFrame = {
+    val sig = docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      avgTokenLength(col("text")).as("avg_len"),
+      (stopwordCount(col("text")).cast("double") / tokenCount(col("text"))).as("stop_ratio"),
+      langId(col("text")).as("lang_pred"))
+      .join(top2Frac(docs), Seq("doc_id"), "left")
+      .withColumn("top2_frac", coalesce(col("top2_frac"), lit(0.0)))
+    val okLang  = col("lang_pred") === "en"
+    val okLen   = col("n_tokens").between(MinTokens, MaxTokens)
+    val okShape = col("avg_len") >= 3.0 && col("avg_len") <= 10.0
+    val okStop  = col("stop_ratio") >= 0.01 && col("stop_ratio") <= 0.5
+    val okRep   = col("top2_frac") <= MaxTop2Frac
+    sig.select(
+      col("doc_id"),
+      when(okLang && okLen && okShape && okStop && okRep, "keep")
+        .otherwise("drop").as("verdict"),
+      array_join(filter(array(
+        when(!okLang, "lang"), when(!okLen, "len"), when(!okShape, "shape"),
+        when(!okStop, "stop"), when(!okRep, "rep")), x => x.isNotNull), ",")
+        .as("reasons"))
+  }
+
+  // --------------------------------------------------- t11 PII redaction
+
+  /** PII patterns, dialect-portable between java.util.regex (Spark) and
+    * RE2 (DuckDB): character classes, bounded repetition, and grouping
+    * only — no backreferences or lookaround. Public-shape patterns
+    * (precision-tuned variants of the classic email/IPv4/E.164
+    * expressions). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,6}"
+  val Ipv4Re  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** PII columns: match counts on the raw text plus the redacted text
+    * (email → ip → phone replacement order). Row-local, codegen'd. */
+  private[operators] def piiCols(text: org.apache.spark.sql.Column) = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    (regexp_count(text, lit(EmailRe)).cast("long"),
+      regexp_count(text, lit(Ipv4Re)).cast("long"),
+      regexp_count(text, lit(PhoneRe)).cast("long"),
+      redacted)
+  }
+
+  /** PII detection + redaction over the corpus. The synthetic corpus
+    * contains no PII, so the oracle hash additionally proves the
+    * no-false-positive side over every document; planted fixtures in
+    * CurationSpec prove detection/redaction (the m05 pattern: an empty
+    * result over honest data is a result, the spec plants the
+    * positives). Emits md5 of the redacted text — the contract is
+    * "redaction changed exactly the matched spans", not a text dump. */
+  val piiRedactQ: GraftQuery = GraftQuery(
+    "t11_pii_redact",
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |         '$EmailRe', '<EMAIL>', 'g'),
+       |         '$Ipv4Re', '<IP>', 'g'),
+       |         '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM documents""".stripMargin) { (spark, sf) =>
+    val (emails, ips, phones, redacted) = piiCols(col("text"))
+    Tables.documents(spark, sf).select(
+      col("doc_id"),
+      emails.as("n_emails"), ips.as("n_ips"), phones.as("n_phones"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  // ----------------------------------------------- t12 stratified sample
+
+  /** Per-language sampling rates in bucket percent: downsample the
+    * dominant language, thin the CJK slice harder, keep the rest. */
+  val SampleRates: Seq[(String, Int)] = Seq("en" -> 50, "zh" -> 25)
+  val DefaultRate = 100
+
+  /** Deterministic stratified sampling: keep a document iff its salted
+    * md5 bucket falls under its language's rate. Hash-based, so the
+    * sample is reproducible across runs/engines/partitionings and
+    * independent of t08's split assignment (different salt). A pure
+    * filter — fuses into the scan, no shuffle, trivially 100 TB-safe. */
+  val stratifiedSampleQ: GraftQuery = {
+    val rateCase = (engine: String) =>
+      s"CASE lang ${SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE $DefaultRate END"
+    GraftQuery(
+      "t12_stratified_sample",
+      s"""SELECT doc_id, lang, bucket
+         |FROM (SELECT doc_id, lang,
+         |        CAST(${Md5Bucket.bucketSql("duckdb", "'s:' || CAST(doc_id AS VARCHAR)", 100)} AS BIGINT) AS bucket
+         |      FROM documents) t
+         |WHERE bucket < ${rateCase("duckdb")}""".stripMargin) { (spark, sf) =>
+      val bucket = expr(Md5Bucket.bucketSql("spark", "concat('s:', CAST(doc_id AS STRING))", 100)).cast("long")
+      val rate = SampleRates.foldRight(lit(DefaultRate)) { case ((l, r), e) =>
+        when(col("lang") === l, lit(r)).otherwise(e)
+      }
+      Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") < rate)
+    }
+  }
+
+  // -------------------------------------------------- pk01 sequence pack
+
+  /** Token budget per packed bin (small to exercise multi-bin shards on
+    * the 10-99-token corpus; production would use the model context). */
+  val PackBudget = 256L
+
+  /** Pack shards: fixed here for oracle determinism; at scale the count
+    * is corpus-sized (n_docs·avg_tokens / desired shard footprint) —
+    * the algorithm is per-shard-sequential / cross-shard-parallel
+    * either way. */
+  val PackShards = 16
+
+  /** Greedy first-fit sequence packing of documents into token-budget
+    * bins — the pretraining step that concatenates documents into fixed
+    * context windows without splitting them. Documents are routed to a
+    * hash shard, ordered by doc_id, and packed left-to-right: a
+    * document that would overflow the current bin opens the next one
+    * (an oversized document gets a bin to itself).
+    *
+    * Exact greedy packing is inherently sequential per shard, so this
+    * is one of the rare legitimate `mapPartitions` operators: rows
+    * arrive hash-partitioned by shard and sorted (shard, doc_id), and
+    * a streaming O(1)-state pass assigns bins — no per-group buffering,
+    * no driver involvement, shards pack in parallel. The oracle mirrors
+    * the same loop as a DuckDB recursive CTE advancing all shards in
+    * lock-step. */
+  def packed(docs: DataFrame, shards: Int, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shard = expr(Md5Bucket.bucketSql("spark", "concat('p:', CAST(doc_id AS STRING))", shards)).cast("int")
+    docs
+      .select(col("doc_id"), shard.as("shard"), tokenCount(col("text")).as("n_tokens"))
+      .as[PackIn]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        var shard = Int.MinValue
+        var fill = 0L
+        var bin = 0L
+        it.map { r =>
+          if (r.shard != shard) { shard = r.shard; bin = 0L; fill = r.n_tokens }
+          else if (fill + r.n_tokens <= budget) { fill += r.n_tokens }
+          else { bin += 1L; fill = r.n_tokens }
+          PackOut(r.doc_id, r.shard, bin, fill - r.n_tokens, r.n_tokens)
+        }
+      }
+      .toDF()
+  }
+
+  val packQ: GraftQuery = GraftQuery(
+    "pk01_sequence_pack",
+    s"""WITH RECURSIVE o AS (
+       |  SELECT doc_id,
+       |         CAST(${Md5Bucket.bucketSql("duckdb", "'p:' || CAST(doc_id AS VARCHAR)", PackShards)} AS INT) AS shard,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         row_number() OVER (
+       |           PARTITION BY CAST(${Md5Bucket.bucketSql("duckdb", "'p:' || CAST(doc_id AS VARCHAR)", PackShards)} AS INT)
+       |           ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, shard, n_tokens, rn, n_tokens AS fill, CAST(0 AS BIGINT) AS bin
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+       |         CASE WHEN r.fill + o.n_tokens <= $PackBudget
+       |              THEN r.fill + o.n_tokens ELSE o.n_tokens END,
+       |         CASE WHEN r.fill + o.n_tokens <= $PackBudget
+       |              THEN r.bin ELSE r.bin + 1 END
+       |  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+       |SELECT doc_id, shard, bin, fill - n_tokens AS tok_offset, n_tokens
+       |FROM r""".stripMargin) { (spark, sf) =>
+    packed(Tables.documents(spark, sf), PackShards, PackBudget)
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    repetitionQ, qualityFilterQ, piiRedactQ, stratifiedSampleQ, packQ)
+}

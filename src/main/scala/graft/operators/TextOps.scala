@@ -19,12 +19,12 @@ object TextOps {
   private def occSql(s: String, m: String): String =
     s"(length($s) - length(replace($s, '$m', ''))) / ${m.length}"
 
-  private val langScoreSql: Seq[(String, String)] =
+  private[operators] val langScoreSql: Seq[(String, String)] =
     langMarkers.map { case (l, ms) =>
       l -> ms.map(m => occSql("p", m)).mkString(" + ")
     }
 
-  private val langCaseSql: String = {
+  private[operators] val langCaseSql: String = {
     val allZero = langScoreSql.map { case (l, _) => s"s_$l = 0" }.mkString(" AND ")
     val arms = langScoreSql.zipWithIndex.init.map { case ((l, _), i) =>
       val laterLangs = langScoreSql.drop(i + 1).map(_._1)
@@ -46,7 +46,7 @@ object TextOps {
       .select(col("doc_id"), langId(col("text")).as("lang_pred"))
   }
 
-  private val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
+  private[operators] val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
 
   /** Quality scoring: length / token-shape / stopword-ratio rules. */
   val qualityQ: GraftQuery = GraftQuery(

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-fixture coverage for the curation operators: the oracle
+  * proves corpus parity; these prove the semantics the synthetic
+  * corpus cannot exercise (PII positives, rule-by-rule gate failures,
+  * pack edge cases).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("t09 repetition signals match hand-computed gram fractions") {
+    // "a b a b a b": 2-grams (a b)x3 (b a)x2 -> top2 3/5;
+    //                3-grams (a b a)x2 (b a b)x2 -> dup3 4/4
+    val out = CurationOps.repetitionSignals(docs(
+      1L -> "a b a b a b",
+      2L -> "all tokens here are unique words",
+      3L -> "x")).collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == (0.6, 1.0))
+    assert(out(2L)._1 == 0.2) // 5 distinct 2-grams, max count 1
+    assert(out(2L)._2 == 0.0)
+    assert(out(3L) == (0.0, 0.0)) // too short for any gram
+  }
+
+  test("t10 gate fails exactly the planted rule per document") {
+    val enBase = "the market and the council of the state " // en-scored, stopword-rich
+    val cases = docs(
+      // 23 tokens, every adjacent 2-gram distinct (top2 = 1/22 < 0.08)
+      1L -> "the market and council of state report covers a policy outcome rather than procedure while staff remain careful about detail everyone watches closely",
+      2L -> (enBase + "short tail"),                       // < 20 tokens -> len
+      3L -> "le la et le la et le la et le la et le la et le la et le la et le la et", // fr -> lang (+shape/stop)
+      4L -> (enBase + Seq.fill(16)("of the").mkString(" ")))  // dominant 2-gram -> rep
+    val out = CurationOps.qualityVerdict(cases)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) == ("keep", ""))
+    assert(out(2L)._1 == "drop" && out(2L)._2.contains("len"))
+    assert(out(3L)._1 == "drop" && out(3L)._2.contains("lang"))
+    assert(out(4L)._1 == "drop" && out(4L)._2.contains("rep"))
+  }
+
+  test("t11 detects and redacts planted PII, leaves clean text alone") {
+    val (emails, ips, phones, redacted) = CurationOps.piiCols(col("text"))
+    val out = docs(
+      1L -> "contact john.doe@example.com or +12345678901 at host 10.0.0.12 now",
+      2L -> "no personal data in this row at all")
+      .select(col("doc_id"), emails.as("e"), ips.as("i"), phones.as("p"), redacted.as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(out(1L)._1 == ((1L, 1L, 1L)))
+    assert(out(1L)._2 == "contact <EMAIL> or <PHONE> at host <IP> now")
+    assert(out(2L)._1 == ((0L, 0L, 0L)))
+    assert(out(2L)._2 == "no personal data in this row at all")
+  }
+
+  test("pk01 greedy packing: bins close on overflow, oversized doc isolated") {
+    // Single shard (mod 1): order by doc_id, budget 10:
+    // 4+5=9 fits, +3 overflows -> bin1: 3+7=10 fits, 12 oversized -> bin2 alone,
+    // then 2 -> bin3
+    val fixture = docs(
+      1L -> Seq.fill(4)("w").mkString(" "),
+      2L -> Seq.fill(5)("w").mkString(" "),
+      3L -> Seq.fill(3)("w").mkString(" "),
+      4L -> Seq.fill(7)("w").mkString(" "),
+      5L -> Seq.fill(12)("w").mkString(" "),
+      6L -> Seq.fill(2)("w").mkString(" "))
+    val out = CurationOps.packed(fixture, shards = 1, budget = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      1L -> (0L, 0L), 2L -> (0L, 4L), 3L -> (1L, 0L), 4L -> (1L, 3L),
+      5L -> (2L, 0L), 6L -> (3L, 0L)))
+  }
+
+  test("pk01 matches a driver-side greedy reference on a multi-shard corpus") {
+    import spark.implicits._
+    val n = 300
+    val fixture = docs((0 until n).map(i =>
+      i.toLong -> Seq.fill(1 + (i * 7) % 23)("w").mkString(" ")): _*)
+    val budget = 40L
+    val out = CurationOps.packed(fixture, shards = 4, budget)
+      .as[PackOut].collect().map(p => p.doc_id -> p).toMap
+    // independent reference: group by the emitted shard, replay greedy
+    val expected = out.values.groupBy(_.shard).flatMap { case (_, rows) =>
+      var fill = 0L; var bin = -1L
+      rows.toSeq.sortBy(_.doc_id).map { r =>
+        if (bin < 0 || fill + r.n_tokens > budget) { bin += 1; fill = 0L }
+        val off = fill; fill += r.n_tokens
+        r.doc_id -> (bin, off)
+      }
+    }.toMap
+    assert(out.view.mapValues(p => (p.bin, p.tok_offset)).toMap == expected)
+    assert(out.size == n)
+  }
+
+  test("t12 stratified sample is deterministic and honors per-lang rates") {
+    val a = CurationOps.stratifiedSampleQ.run(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = CurationOps.stratifiedSampleQ.run(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b && a.nonEmpty)
+    val rates = CurationOps.SampleRates.toMap
+    assert(a.forall { case (_, lang, bucket) =>
+      bucket < rates.getOrElse(lang, CurationOps.DefaultRate)
+    })
+  }
+}
