@@ -15,6 +15,8 @@ object SparkEntry {
       operators.CurationOps.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
+      operators.TemporalOps.all ++
+      operators.VectorOps.all ++
       operators.MultimodalOps.all ++
       operators.ServingQueries.all ++
       operators.ChartRegistry.all

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{GraftQuery, Tables}
+
+/** Temporal operators over the events stream: the as-of join (the one
+  * join shape the built-in operators don't provide) and windowed
+  * hour-over-hour deltas.
+  *
+  * Timestamps are compared as integer microseconds on both engines —
+  * the engine's event time is nanos truncated to micros (Tables.events)
+  * and the oracle truncates the same way, so the strict "before"
+  * comparison can never disagree in the sub-microsecond range only one
+  * engine can see.
+  */
+object TemporalOps {
+
+  /** As-of join: each purchase paired with the user's latest strictly
+    * earlier click (null when none). Composed from built-ins the way a
+    * scalable as-of join wants to run: tag and union the two sides,
+    * shuffle ONCE on user_id, and let a running `last(ignoreNulls)`
+    * window carry the most recent click forward — no per-row range
+    * probe, no broadcast of either side, no skew beyond the natural
+    * per-user event volume. Purchases sort before clicks at the same
+    * instant (sortKind 0 < 1), which is exactly the strict `<`
+    * semantics; among same-instant clicks the max click_id wins.
+    *
+    * The oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    * implementation of the same semantics, not a SQL transcription of
+    * the window trick. */
+  def asOfClickBeforePurchase(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts_us"), lit(1).as("sortKind"),
+      col("event_id").as("click_id"), lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts_us"), lit(0).as("sortKind"),
+      lit(null).cast("long").as("click_id"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("sortKind"), coalesce(col("click_id"), lit(-1L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .select(col("*"),
+        last(col("click_id"), ignoreNulls = true).over(w).as("last_click_id"),
+        last(when(col("sortKind") === 1, col("ts_us")), ignoreNulls = true).over(w)
+          .as("last_click_ts"))
+      .filter(col("sortKind") === 0)
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        col("last_click_id").as("click_id"),
+        col("last_click_ts").as("click_ts_us"),
+        (col("ts_us") - col("last_click_ts")).as("gap_us"))
+  }
+
+  val asOfJoinQ: GraftQuery = GraftQuery(
+    "j01_asof_join",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             epoch_ns(ts) // 1000 AS ts_us
+      |           FROM events),
+      |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts_us
+      |      FROM e WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |       c.click_id, c.click_ts_us,
+      |       p.ts_us - c.click_ts_us AS gap_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts_us > c.click_ts_us""".stripMargin) {
+    (spark, sf) => asOfClickBeforePurchase(Tables.events(spark, sf))
+  }
+
+  /** Hour-over-hour event-volume deltas per event type: grouped counts
+    * plus a lag window partitioned on event_type — the window key is
+    * the low-cardinality dimension, but each partition is only
+    * n_hours rows AFTER aggregation, so the plan is one agg shuffle
+    * plus a bounded window (never a corpus-wide sort). */
+  val hourlyDeltasQ: GraftQuery = GraftQuery(
+    "q26_hourly_deltas",
+    """WITH h AS (
+      |  SELECT event_type,
+      |         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS date_hour,
+      |         count(*) AS n
+      |  FROM events GROUP BY event_type, date_hour)
+      |SELECT event_type, date_hour, n,
+      |       n - lag(n) OVER (PARTITION BY event_type ORDER BY date_hour) AS delta
+      |FROM h""".stripMargin) { (spark, sf) =>
+    val h = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("date_hour"))
+      .agg(count(lit(1)).as("n"))
+    h.withColumn("delta",
+      col("n") - lag(col("n"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("date_hour"))))
+  }
+
+  val all: Seq[GraftQuery] = Seq(asOfJoinQ, hourlyDeltasQ)
+}

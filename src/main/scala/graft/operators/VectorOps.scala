@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.VectorFunctions._
+
+/** Embedding-column operators beyond search ([[SimilarityOps]]):
+  * storage quantization and per-label aggregation — the vector-side
+  * utilities of a training-data pipeline (shrink the embedding store,
+  * summarize label clusters).
+  *
+  * Both are fully oracle-checked: quantization uses floor-based
+  * half-up rounding (identical in both engines, unlike round()) and
+  * all float reductions go through the shared fold-left dot product,
+  * so every emitted double is the same IEEE op sequence in Spark and
+  * DuckDB.
+  */
+object VectorOps {
+
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5) (half-up toward +inf in both
+    * engines), plus the reconstruction MSE computed from the three dot
+    * products — (v·v − 2s(v·q) + s²(q·q))/dim — so the float reduction
+    * order is the shared fold-left kernel, not an engine-specific sum.
+    * Row-local, no shuffle; the checksum qsum pins the full quantized
+    * array without dumping 64 ints per row. */
+  def quantized(emb: DataFrame, dim: Int = SimilarityOps.Dim): DataFrame =
+    emb
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127)
+      .withColumn("q",
+        when(col("scale") === 0, transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("scale") + 0.5).cast("int"))))
+      .withColumn("qd", transform(col("q"), _.cast("double")))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("qsum"),
+        ((dot(col("v"), col("v"))
+          - lit(2) * col("scale") * dot(col("v"), col("qd"))
+          + col("scale") * col("scale") * dot(col("qd"), col("qd"))) / dim).as("mse"))
+
+  val quantizeQ: GraftQuery = GraftQuery(
+    "v01_quantize_int8",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |        list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+       |      FROM e),
+       |q AS (SELECT vec_id, v, scale,
+       |        CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+       |             ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+       |        END AS q
+       |      FROM s),
+       |d AS (SELECT vec_id, v, scale, q,
+       |        list_transform(q, x -> CAST(x AS DOUBLE)) AS qd
+       |      FROM q)
+       |SELECT vec_id, scale,
+       |       CAST(list_sum(q) AS BIGINT) AS qsum,
+       |       (list_dot_product(v, v)
+       |         - 2 * scale * list_dot_product(v, qd)
+       |         + scale * scale * list_dot_product(qd, qd)) / ${SimilarityOps.Dim} AS mse
+       |FROM d""".stripMargin) { (spark, sf) =>
+    quantized(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
+  /** Per-label centroid in long form (label, pos, mean component) plus
+    * the label population: posexplode + one hash aggregation keyed on
+    * (label, dim-position) — cardinality labels×dim, so partial
+    * aggregation combines map-side and the shuffle carries one partial
+    * sum per key per partition regardless of corpus size. Means are
+    * rounded to 4dp on both engines (double-sum order differs across
+    * engines/partitionings; 4dp is far above the ulp drift and far
+    * below the signal). */
+  val labelCentroidsQ: GraftQuery = GraftQuery(
+    "v02_label_centroids",
+    s"""SELECT label, CAST(i AS INT) AS pos,
+       |       round(avg(v[i + 1]), 4) AS mean_val,
+       |       count(*) AS n
+       |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |CROSS JOIN range(0, ${SimilarityOps.Dim}) r(i)
+       |GROUP BY label, pos""".stripMargin) { (spark, sf) =>
+    labelCentroids(Tables.embeddings(spark, sf)
+      .select(col("label"), toDouble(col("embedding")).as("v")))
+  }
+
+  /** Long-form per-label componentwise means over (label, v) rows. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 4).as("mean_val"), count(lit(1)).as("n"))
+
+  val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ)
+}

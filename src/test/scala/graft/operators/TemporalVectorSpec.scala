@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-fixture semantics for the temporal and vector operators —
+  * the edge cases the synthetic corpus never produces (same-instant
+  * as-of candidates, clickless users, tie-broken clicks, oversized
+  * quantization inputs).
+  */
+class TemporalVectorSpec extends SparkSpec {
+
+  private def events(rows: (Long, Long, String, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+  }
+
+  test("as-of join is strict, picks the latest click, null when none") {
+    val out = TemporalOps.asOfClickBeforePurchase(events(
+      (1L, 7L, "click", 1000L),
+      (2L, 7L, "click", 2000L),
+      (3L, 7L, "purchase", 2000L),  // same instant as click 2 -> must take click 1
+      (4L, 7L, "purchase", 2500L),  // latest prior is click 2
+      (5L, 7L, "purchase", 500L),   // before any click -> null
+      (6L, 8L, "purchase", 9000L),  // clickless user -> null
+      (7L, 9L, "click", 1000L),
+      (8L, 9L, "click", 1000L),     // same-instant clicks: max event_id wins
+      (9L, 9L, "purchase", 1500L)))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out == Map(
+      3L -> Some(1L), 4L -> Some(2L), 5L -> None, 6L -> None, 9L -> Some(8L)))
+  }
+
+  test("as-of gap is the exact microsecond difference") {
+    val row = TemporalOps.asOfClickBeforePurchase(events(
+      (1L, 1L, "click", 1000L), (2L, 1L, "purchase", 3500L)))
+      .collect().head
+    assert(row.getLong(4) == 1000L && row.getLong(5) == 2500L)
+  }
+
+  test("hourly deltas: first hour null, then count differences") {
+    val fixture = events(
+      (1L, 1L, "view", 0L), (2L, 1L, "view", 1L),
+      (3L, 1L, "view", 3600L * 1000000L),
+      (4L, 1L, "view", 3600L * 1000000L + 5L),
+      (5L, 1L, "view", 3600L * 1000000L + 9L),
+      (6L, 1L, "click", 1L))
+    val h = fixture
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("date_hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("delta", col("n") - lag(col("n"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("date_hour"))))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).substring(11, 13)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(h(("view", "00")) == ((2L, None)))
+    assert(h(("view", "01")) == ((3L, Some(1L))))
+    assert(h(("click", "00")) == ((1L, None)))
+  }
+
+  test("int8 quantization: exact codes, checksum, and error bound") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0, -0.5, 0.25, 0.0)), (2L, Seq(0.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val out = VectorOps.quantized(emb, dim = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    val s = 1.0 / 127
+    // codes: 127, floor(-63.5+0.5)=-63, floor(31.75+0.5)=32, 0
+    assert(out(1L)._2 == 127L - 63L + 32L)
+    assert(out(1L)._1 == s)
+    val mseRef = (Seq(1.0, -0.5, 0.25, 0.0) zip Seq(127.0, -63.0, 32.0, 0.0))
+      .map { case (x, q) => val e = x - q * s; e * e }.sum / 4
+    assert(math.abs(out(1L)._3 - mseRef) < 1e-15)
+    assert(out(1L)._3 <= (s / 2) * (s / 2)) // max per-element error s/2
+    assert(out(2L) == ((0.0, 0L, 0.0)))     // zero vector: zero codes, zero error
+  }
+
+  test("label centroids: componentwise means per label") {
+    import spark.implicits._
+    val emb = Seq(
+      (0, Seq(1.0, 3.0)), (0, Seq(3.0, 5.0)), (1, Seq(10.0, 0.0)))
+      .toDF("label", "v")
+    val out = VectorOps.labelCentroids(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out == Map(
+      (0, 0) -> ((2.0, 2L)), (0, 1) -> ((4.0, 2L)),
+      (1, 0) -> ((10.0, 1L)), (1, 1) -> ((0.0, 1L))))
+  }
+}
