@@ -105,6 +105,15 @@ object GraftExtensions {
       new ExpressionInfo(classOf[EqCount].getName, "graft_eq_count"),
       (children: Seq[Expression]) => EqCount(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, Literal(id: Int, IntegerType)) =>
+          BloomContains(s, BloomRegistry.get(id))
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_bloom_contains(str, <bloom registry id literal>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cell_probes"),
       new ExpressionInfo(classOf[CellProbes].getName, "graft_cell_probes"),
       (children: Seq[Expression]) => children match {

@@ -537,6 +537,56 @@ object DedupOps {
       docs.filter(col("doc_id") % 50 === 0))
   }
 
+  /** d08 with a Bloom prefilter on the training side — the shape that
+    * matters at 100 TB, where the training corpus dwarfs the benchmark
+    * suite: build a Bloom filter (~1.2 bytes/gram at 1% fpp) over the
+    * benchmark grams with one bounded tree-aggregation, broadcast it,
+    * and drop non-matching training grams INSIDE the scan stage via
+    * the codegen'd `graft_bloom_contains` probe — so the exact-join
+    * shuffle carries only true hits plus the fpp sliver, instead of
+    * every distinct gram of the training corpus. Bloom filters have no
+    * false negatives and the exact join removes the false positives,
+    * so the result is IDENTICAL to [[decontaminate]] — d09 shares
+    * d08's oracle verbatim. */
+  def decontaminateBloom(
+      train: DataFrame, benchmark: DataFrame, gram: Int = DecontamGram,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val benchGrams = tokenShingles(benchmark, gram).select(col("shingle"))
+      .distinct().persist()
+    try {
+      val bloom = benchGrams.as[String].rdd.treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(
+          math.max(1L, benchGrams.count()), fpp))(
+        (bf, s) => { bf.putString(s); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+      val bloomId = lit(graft.functions.BloomRegistry.register(
+        spark.sparkContext.broadcast(bloom)))
+      val hits = tokenShingles(train, gram)
+        .filter(call_function("graft_bloom_contains", col("shingle"), bloomId))
+        .join(benchGrams, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      train.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_contaminated_grams"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+    } finally benchGrams.unpersist()
+    // the returned plan re-derives benchGrams lazily at execution; the
+    // cache only served the two driver-side actions (count + bloom build)
+  }
+
+  val decontaminateBloomQ: GraftQuery = GraftQuery(
+    "d09_decontaminate_bloom",
+    decontaminateQ.oracle.get) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    decontaminateBloom(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+  }
+
   /** Embedding near-dup report: per vector, the most similar other
     * vector among its banded-LSH candidates, with an is_dup flag at
     * 0.95 cosine. Multi-table banded LSH (SimilarityOps.cosineCandidates)
@@ -557,5 +607,5 @@ object DedupOps {
 
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
-    decontaminateQ, embeddingDupQ)
+    decontaminateQ, decontaminateBloomQ, embeddingDupQ)
 }

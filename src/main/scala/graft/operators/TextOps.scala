@@ -267,7 +267,36 @@ object TextOps {
     }
   }
 
+  /** Unigram negative log-likelihood per document — the cheap proxy
+    * for LM-perplexity quality filtering (CCNet-style): score =
+    * −mean ln(corpusFreq(token)/corpusTokens). Same two-aggregation +
+    * token-keyed join shape as t07 (vocab counts are corpus-sized and
+    * shuffle-joined on token; the one-row total broadcasts). Rounded
+    * to 4dp: ln() may differ in the last ulp across engines and the
+    * per-doc mean's summation order differs across partitionings. */
+  val unigramNllQ: GraftQuery = GraftQuery(
+    "t13_unigram_nll",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |f AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+      |tot AS (SELECT count(*) AS t FROM tok),
+      |s AS (SELECT tok.doc_id, ln(CAST(f.c AS DOUBLE) / t.t) AS lp
+      |      FROM tok JOIN f USING (token) CROSS JOIN tot t)
+      |SELECT doc_id, round(-avg(lp), 4) AS nll FROM s GROUP BY doc_id""".stripMargin) {
+    (spark, sf) => unigramNll(Tables.documents(spark, sf))
+  }
+
+  /** t13 over (doc_id, text) rows. */
+  def unigramNll(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = broadcast(tok.agg(count(lit(1)).as("t")))
+    tok.join(freq, "token")
+      .crossJoin(total)
+      .groupBy(col("doc_id"))
+      .agg(round(-avg(log(col("c").cast("double") / col("t"))), 4).as("nll"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
-    hashSplitQ)
+    hashSplitQ, unigramNllQ)
 }
