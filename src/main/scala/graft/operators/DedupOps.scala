@@ -547,7 +547,13 @@ object DedupOps {
     * every distinct gram of the training corpus. Bloom filters have no
     * false negatives and the exact join removes the false positives,
     * so the result is IDENTICAL to [[decontaminate]] — d09 shares
-    * d08's oracle verbatim. */
+    * d08's oracle verbatim.
+    *
+    * Crossover measured at sf0.1: d09 ~1.2 s vs d08 ~0.9 s — below
+    * the crossover the two fixed bloom-build actions dominate; the
+    * prefilter pays once training-gram volume dwarfs the benchmark
+    * (the 100 TB operating point, where d08 shuffles the full corpus
+    * gram set and d09 ships a few MB of filter instead). */
   def decontaminateBloom(
       train: DataFrame, benchmark: DataFrame, gram: Int = DecontamGram,
       fpp: Double = 0.01): DataFrame = {

@@ -95,5 +95,31 @@ object TemporalOps {
         Window.partitionBy(col("event_type")).orderBy(col("date_hour"))))
   }
 
-  val all: Seq[GraftQuery] = Seq(asOfJoinQ, hourlyDeltasQ)
+  /** Distribution ranks of event values within each event type: decile
+    * bucket, percent_rank, cume_dist — the remaining ranking-window
+    * family. Ordering is (value, event_id) so ranks are deterministic
+    * under value ties; percent_rank and cume_dist are ratios of
+    * integer positions (raw IEEE doubles, bit-identical across
+    * engines). Window partitions are the 5 event types — fine here;
+    * at corpus scale a global distribution rank would instead be
+    * computed via approx quantiles (q24's sketch) rather than a full
+    * per-key sort. */
+  val valueRanksQ: GraftQuery = GraftQuery(
+    "q27_value_ranks",
+    """SELECT event_id, event_type, value,
+      |       ntile(10) OVER w AS decile,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin) {
+    (spark, sf) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(spark, sf).select(
+        col("event_id"), col("event_type"), col("value"),
+        ntile(10).over(w).as("decile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(asOfJoinQ, hourlyDeltasQ, valueRanksQ)
 }
