@@ -59,7 +59,11 @@ case class BloomContains(
 /** Driver-side handoff of broadcast Bloom filters into analysis —
   * the [[CodebookRegistry]] mechanism for the literal-only SQL
   * function surface. Bounded LRU; built expressions hold their own
-  * strong reference, so eviction only bars NEW analyses. */
+  * strong reference, so eviction only bars NEW analyses. Callers
+  * should [[unregister]] once their plan is analyzed (Dataset
+  * construction analyzes eagerly, so the resolved [[BloomContains]]
+  * already holds the broadcast) — then the filter's lifetime is the
+  * plan's, not the process's. */
 object BloomRegistry {
   private val MaxEntries = 64
   private val filters =
@@ -81,5 +85,10 @@ object BloomRegistry {
     val b = filters.get(id)
     require(b != null, s"bloom filter $id is not registered (or was evicted)")
     b
+  }
+
+  /** Drop the registry's reference; live plans keep theirs. */
+  def unregister(id: Int): Unit = filters.synchronized {
+    filters.remove(id); ()
   }
 }

@@ -496,10 +496,13 @@ object DedupOps {
     * is a complete per-document contamination report. */
   val DecontamGram = 5
 
-  def decontaminate(train: DataFrame, benchmark: DataFrame, gram: Int = DecontamGram): DataFrame = {
-    val benchGrams = tokenShingles(benchmark, gram)
-      .select(col("shingle")).distinct()
-    val hits = tokenShingles(train, gram)
+  /** Shared exact-join tail of d08/d09: per-document hit counts of
+    * `trainGrams` against the deduplicated benchmark grams, left-joined
+    * back so zero-hit documents appear in the report. One function so
+    * the d09 ≡ d08 equivalence (and the shared oracle) can never drift. */
+  private def contaminationReport(
+      train: DataFrame, trainGrams: DataFrame, benchGrams: DataFrame): DataFrame = {
+    val hits = trainGrams
       .join(benchGrams, "shingle")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
@@ -508,6 +511,12 @@ object DedupOps {
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_contaminated_grams"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  def decontaminate(train: DataFrame, benchmark: DataFrame, gram: Int = DecontamGram): DataFrame = {
+    val benchGrams = tokenShingles(benchmark, gram)
+      .select(col("shingle")).distinct()
+    contaminationReport(train, tokenShingles(train, gram), benchGrams)
   }
 
   /** The fixture benchmark is every 50th document — a stand-in for an
@@ -567,18 +576,16 @@ object DedupOps {
           math.max(1L, benchGrams.count()), fpp))(
         (bf, s) => { bf.putString(s); bf },
         (a, b) => { a.mergeInPlace(b); a })
-      val bloomId = lit(graft.functions.BloomRegistry.register(
-        spark.sparkContext.broadcast(bloom)))
-      val hits = tokenShingles(train, gram)
-        .filter(call_function("graft_bloom_contains", col("shingle"), bloomId))
-        .join(benchGrams, "shingle")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_hits"))
-      train.select(col("doc_id"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_contaminated_grams"),
-          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      val bloomId = graft.functions.BloomRegistry.register(
+        spark.sparkContext.broadcast(bloom))
+      val prefiltered = try {
+        // Dataset construction analyzes eagerly, so the resolved
+        // BloomContains holds the broadcast by the time this returns —
+        // the registry entry is only needed for this one analysis
+        tokenShingles(train, gram)
+          .filter(call_function("graft_bloom_contains", col("shingle"), lit(bloomId)))
+      } finally graft.functions.BloomRegistry.unregister(bloomId)
+      contaminationReport(train, prefiltered, benchGrams)
     } finally benchGrams.unpersist()
     // the returned plan re-derives benchGrams lazily at execution; the
     // cache only served the two driver-side actions (count + bloom build)

@@ -30,7 +30,12 @@ object TemporalOps {
     *
     * The oracle is DuckDB's native ASOF LEFT JOIN — an independent
     * implementation of the same semantics, not a SQL transcription of
-    * the window trick. */
+    * the window trick. ASOF leaves the pick among equal-timestamp
+    * clicks unspecified, so the oracle first reduces clicks to one row
+    * per (user, instant) keeping max click_id — the same tie-break the
+    * window's (ts_us, sortKind, click_id) ordering gives — making both
+    * engines deterministic even when nanos→micros truncation collides
+    * two clicks onto one microsecond. */
   def asOfClickBeforePurchase(events: DataFrame): DataFrame = {
     val ev = events.withColumn("ts_us", unix_micros(col("ts")))
     val clicks = ev.filter(col("event_type") === "click").select(
@@ -61,8 +66,8 @@ object TemporalOps {
       |             epoch_ns(ts) // 1000 AS ts_us
       |           FROM events),
       |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
-      |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts_us
-      |      FROM e WHERE event_type = 'click')
+      |c AS (SELECT max(event_id) AS click_id, user_id, ts_us AS click_ts_us
+      |      FROM e WHERE event_type = 'click' GROUP BY user_id, ts_us)
       |SELECT p.event_id, p.user_id, p.ts_us,
       |       c.click_id, c.click_ts_us,
       |       p.ts_us - c.click_ts_us AS gap_us
@@ -76,6 +81,16 @@ object TemporalOps {
     * the low-cardinality dimension, but each partition is only
     * n_hours rows AFTER aggregation, so the plan is one agg shuffle
     * plus a bounded window (never a corpus-wide sort). */
+  def hourlyDeltas(events: DataFrame): DataFrame = {
+    val h = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("date_hour"))
+      .agg(count(lit(1)).as("n"))
+    h.withColumn("delta",
+      col("n") - lag(col("n"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("date_hour"))))
+  }
+
   val hourlyDeltasQ: GraftQuery = GraftQuery(
     "q26_hourly_deltas",
     """WITH h AS (
@@ -86,13 +101,7 @@ object TemporalOps {
       |SELECT event_type, date_hour, n,
       |       n - lag(n) OVER (PARTITION BY event_type ORDER BY date_hour) AS delta
       |FROM h""".stripMargin) { (spark, sf) =>
-    val h = Tables.events(spark, sf)
-      .groupBy(col("event_type"),
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("date_hour"))
-      .agg(count(lit(1)).as("n"))
-    h.withColumn("delta",
-      col("n") - lag(col("n"), 1).over(
-        Window.partitionBy(col("event_type")).orderBy(col("date_hour"))))
+    hourlyDeltas(Tables.events(spark, sf))
   }
 
   /** Distribution ranks of event values within each event type: decile

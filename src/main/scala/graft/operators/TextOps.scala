@@ -241,15 +241,12 @@ object TextOps {
     * 80% split, irrelevant next to sampling noise. The hex→int fold is
     * column math (position in a hex alphabet), no UDF. */
   val hashSplitQ: GraftQuery = {
-    val alphabet = "0123456789abcdef"
-    def hexVal(engine: String, i: Int): String = engine match {
-      // 1-indexed substring in both; instr/position returns 1-based
-      case "spark" => s"(instr('$alphabet', substring(md5(CAST(doc_id AS STRING)), $i, 1)) - 1)"
-      case _ => s"(position(substring(md5(CAST(doc_id AS VARCHAR)), $i, 1) IN '$alphabet') - 1)"
+    // same hex-fold bucket generator as t12 sampling / pk01 sharding
+    // (CurationOps.Md5Bucket) — one implementation, unsalted here
+    def bucketExpr(engine: String): String = {
+      val in = if (engine == "spark") "CAST(doc_id AS STRING)" else "CAST(doc_id AS VARCHAR)"
+      CurationOps.Md5Bucket.bucketSql(engine, in, 100)
     }
-    def bucketExpr(engine: String): String =
-      (1 to 4).map(i => s"${hexVal(engine, i)} * ${math.pow(16, 4 - i).toLong}")
-        .mkString("(", " + ", ") % 100")
     GraftQuery(
       "t08_hash_split",
       s"""SELECT doc_id, bucket,

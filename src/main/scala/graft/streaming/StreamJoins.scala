@@ -67,7 +67,10 @@ object StreamJoins {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) sink.append(batch)
+        // no empty-batch guard: `batch.isEmpty` would run the batch
+        // plan once and the append again (foreachBatch recomputes per
+        // action); appending an empty frame is a metadata-only write
+        sink.append(batch)
       }
 
   def startServingBridge(

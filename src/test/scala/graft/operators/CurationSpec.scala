@@ -104,9 +104,23 @@ class CurationSpec extends SparkSpec {
     val b = CurationOps.stratifiedSampleQ.run(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(a == b && a.nonEmpty)
+    // independent reference: recompute the salted-md5 bucket driver-side
+    // (java MessageDigest, not the query's SQL fold) and replay the
+    // per-language rate rule over the SOURCE table — exact set equality
+    // proves both the bucket hash and the rate CASE, and that no kept
+    // row is missing (a constant-zero bucket would fail here)
+    def bucketOf(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$id".getBytes("UTF-8"))
+      md5.take(2).foldLeft(0L)((acc, byt) => acc * 256 + (byt & 0xff)) % 100
+    }
     val rates = CurationOps.SampleRates.toMap
-    assert(a.forall { case (_, lang, bucket) =>
-      bucket < rates.getOrElse(lang, CurationOps.DefaultRate)
-    })
+    val expected = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .collect { case (id, lang) if bucketOf(id) < rates.getOrElse(lang, CurationOps.DefaultRate) =>
+        (id, lang, bucketOf(id))
+      }.toSet
+    assert(a == expected)
   }
 }

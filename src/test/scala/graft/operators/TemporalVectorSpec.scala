@@ -49,13 +49,7 @@ class TemporalVectorSpec extends SparkSpec {
       (4L, 1L, "view", 3600L * 1000000L + 5L),
       (5L, 1L, "view", 3600L * 1000000L + 9L),
       (6L, 1L, "click", 1L))
-    val h = fixture
-      .groupBy(col("event_type"),
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("date_hour"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("delta", col("n") - lag(col("n"), 1).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_type")).orderBy(col("date_hour"))))
+    val h = TemporalOps.hourlyDeltas(fixture)
       .collect()
       .map(r => (r.getString(0), r.getString(1).substring(11, 13)) ->
         (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
