@@ -150,4 +150,9 @@ object CodebookRegistry {
     require(b != null, s"codebook $id is not registered (or was evicted)")
     b
   }
+
+  /** Drop the registry's reference; live plans keep theirs. */
+  def unregister(id: Int): Unit = books.synchronized {
+    books.remove(id); ()
+  }
 }

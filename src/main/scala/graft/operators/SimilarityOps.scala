@@ -188,17 +188,22 @@ object SimilarityOps {
       codebook: DataFrame => Array[Array[Double]] = df => centroids(df, cellsForCorpus(df.count()))): DataFrame = {
     val spark = emb.sparkSession
     val cb = codebook(emb)
-    val cbId = lit(graft.functions.CodebookRegistry.register(
-      spark.sparkContext.broadcast(cb)))
-    val indexed = emb
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("cell",
-        element_at(call_function("graft_cell_probes", col("v"), cbId, lit(1)), 1))
-    val probed = emb
-      .withColumn("qnrm", norm(col("v")))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qnrm"),
-        explode(call_function("graft_cell_probes", col("v"), cbId, lit(probes)))
-          .as("cell"))
+    val cbId = graft.functions.CodebookRegistry.register(
+      spark.sparkContext.broadcast(cb))
+    // Dataset construction analyzes eagerly: both CellProbes
+    // expressions hold the broadcast once built, so the registry entry
+    // can be dropped before returning (lifetime = plan, not process)
+    val (indexed, probed) = try {
+      (emb
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("cell",
+          element_at(call_function("graft_cell_probes", col("v"), lit(cbId), lit(1)), 1)),
+       emb
+        .withColumn("qnrm", norm(col("v")))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qnrm"),
+          explode(call_function("graft_cell_probes", col("v"), lit(cbId), lit(probes)))
+            .as("cell")))
+    } finally graft.functions.CodebookRegistry.unregister(cbId)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     probed.join(indexed.select(col("cell"), col("vec_id").as("neighbor_id"),
