@@ -353,6 +353,52 @@ object CurationOps {
     packed(Tables.documents(spark, sf), PackShards, PackBudget)
   }
 
+  // ---------------------------------------------- t14 source reweight
+
+  /** Domain-mixture rebalancing: downsample over-represented sources
+    * toward a UNIFORM mixture. Per-source keep rate in basis points =
+    * min(10000, ⌊10000·total / (k·count_source)⌋) — pure integer math
+    * (`div`/`//`, not float division, so both engines floor the same
+    * quotient bit-for-bit) — and the keep decision is the salted-md5
+    * bucket against that rate (salt 'w:' decorrelates from t08's
+    * split and t12's sample). Emits the full per-document decision
+    * report, kept and dropped alike, so the downstream mixture is
+    * auditable.
+    *
+    * Scale shape: the rate table is O(sources) built by one
+    * map-combined aggregation and broadcast back; the per-document
+    * pass is row-local. No corpus-wide shuffle. */
+  val sourceReweightQ: GraftQuery = GraftQuery(
+    "t14_source_reweight",
+    s"""WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total, count(*) AS k FROM c),
+       |r AS (SELECT source,
+       |        least(10000, (10000 * n_total) // (k * n_src)) AS rate_bp
+       |      FROM c CROSS JOIN t)
+       |SELECT d.doc_id, d.source, r.rate_bp,
+       |       CAST(${Md5Bucket.bucketSql("duckdb", "'w:' || CAST(doc_id AS VARCHAR)", 10000)} AS BIGINT)
+       |         < r.rate_bp AS kept
+       |FROM documents d JOIN r USING (source)""".stripMargin) { (spark, sf) =>
+    sourceReweight(Tables.documents(spark, sf))
+  }
+
+  /** The t14 computation over any (doc_id, source) frame. */
+  def sourceReweight(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val totals = counts.agg(sum(col("n_src")).as("n_total"), count(lit(1)).as("k"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(10000L), expr("(10000 * n_total) div (k * n_src)")).as("rate_bp"))
+    docs
+      .select(col("doc_id"), col("source"),
+        expr(Md5Bucket.bucketSql("spark", "concat('w:', CAST(doc_id AS STRING))", 10000))
+          .cast("long").as("bucket"))
+      .join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("rate_bp"),
+        (col("bucket") < col("rate_bp")).as("kept"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    repetitionQ, qualityFilterQ, piiRedactQ, stratifiedSampleQ, packQ)
+    repetitionQ, qualityFilterQ, piiRedactQ, stratifiedSampleQ, packQ,
+    sourceReweightQ)
 }

@@ -459,22 +459,85 @@ object DedupOps {
       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
       |SELECT l.doc_id, l.cluster_id, s.cluster_size
       |FROM lab l JOIN sz s USING (cluster_id)""".stripMargin) { (spark, sf) =>
+    val cc = clusterLabels(spark, sf)
+    val sizes = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** (doc_id, cluster_id) connected-component labels over the
+    * 0.6-Jaccard near-dup graph — the shared front half of d07/d10.
+    * The pair list is materialized to a deterministic per-sf path,
+    * overwritten each run: a fresh temp dir per invocation would leak
+    * pair-volume parquet on every warmup/rep (the returned plan reads
+    * lazily, so the builder can never delete it). */
+  private def clusterLabels(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.documents(spark, sf)
-    // deterministic per-sf path, overwritten each run — a fresh temp
-    // dir per invocation would leak pair-volume parquet on every
-    // warmup/rep (the returned plan reads lazily, so the builder can
-    // never delete it)
     val pairsDir = s"${System.getProperty("java.io.tmpdir")}/graft_d07_pairs_" +
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(sf).toLong & 0xffffffffL)
     ngramJaccardPairs(docs, 0.6).select(col("doc_a"), col("doc_b"))
       .write.mode("overwrite").parquet(pairsDir)
     val pairs = spark.read.parquet(pairsDir)
-    val cc = connectedComponents(docs.select(col("doc_id")), pairs)
-    val sizes = cc.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    cc.select(col("doc_id"), col("label").as("cluster_id"))
-      .join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    connectedComponents(docs.select(col("doc_id")), pairs)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster-representative selection — the dedup output a pipeline
+    * actually ships: for every document, the SINGLE document of its
+    * near-dup cluster that survives (highest t02 quality score, ties
+    * to the smallest doc_id), as a (doc → representative) map with a
+    * kept flag. Composes d07's connected components with t02's
+    * scoring; the argmax is a first_value window keyed on cluster_id,
+    * whose partitions are near-dup cluster sizes — bounded by
+    * template-family size, never corpus-scale.
+    *
+    * The oracle recomputes the whole chain from the shared SQL
+    * fragments (d07's recursive-CTE components, t02's quality CTE), so
+    * the selection rule is hash-checked end-to-end. */
+  val clusterRepsQ: GraftQuery = GraftQuery(
+    "d10_cluster_reps",
+    s"""WITH RECURSIVE
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+       |       FROM toks WHERE len(t) >= 3),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |cc(u, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.v, c.label FROM cc c JOIN edges e ON e.u = c.u),
+       |lab AS (SELECT u AS doc_id, min(label) AS cluster_id FROM cc GROUP BY u),
+       |qs AS (${TextOps.qualityStatsSql.replace("\n", "\n       |")}),
+       |q AS (SELECT doc_id, ${TextOps.qualityExprSql.replace("\n", "\n       |")} AS quality
+       |      FROM qs)
+       |SELECT l.doc_id, l.cluster_id, q.quality,
+       |       first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+       |         ORDER BY q.quality DESC, l.doc_id) AS rep_doc_id,
+       |       l.doc_id = first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+       |         ORDER BY q.quality DESC, l.doc_id) AS kept
+       |FROM lab l JOIN q USING (doc_id)""".stripMargin) { (spark, sf) =>
+    clusterRepresentatives(Tables.documents(spark, sf), clusterLabels(spark, sf))
+  }
+
+  /** The d10 selection rule over any (doc_id, cluster_id) assignment:
+    * highest t02 quality survives, ties to the smallest doc_id. */
+  def clusterRepresentatives(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val labeled = clusters
+      .join(docs.select(col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 2).as("quality")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    labeled
+      .withColumn("rep_doc_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("rep_doc_id"), (col("doc_id") === col("rep_doc_id")).as("kept"))
   }
 
   /** doc_id + exploded distinct n-token shingles. */
@@ -620,5 +683,5 @@ object DedupOps {
 
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
-    decontaminateQ, decontaminateBloomQ, embeddingDupQ)
+    clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ)
 }

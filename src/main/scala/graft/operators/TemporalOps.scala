@@ -130,5 +130,55 @@ object TemporalOps {
         cume_dist().over(w).as("cd"))
   }
 
-  val all: Seq[GraftQuery] = Seq(asOfJoinQ, hourlyDeltasQ, valueRanksQ)
+  /** Ordered funnel view → click → purchase: a user advances a step
+    * only with an event STRICTLY after their first event of the
+    * previous step. Three chained (filter → join → min-aggregate)
+    * stages, every one keyed on user_id — the whole funnel is three
+    * shuffles on the same key (co-partitioned after the first), no
+    * window over raw events, no per-user state beyond one timestamp.
+    * The step table is 3 rows, so the final lag window is
+    * post-aggregation trivia. */
+  def funnel(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    def firstAfter(step: String, prev: DataFrame, prevTs: String, out: String) =
+      ev.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col(prevTs)), "user_id")
+        .filter(col("ts_us") > col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as(out))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_ts"))
+    val c = firstAfter("click", v, "v_ts", "c_ts")
+    val p = firstAfter("purchase", c, "c_ts", "p_ts")
+    def stepCount(df: DataFrame, step: Int, name: String) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(step).as("step"), lit(name).as("name"), col("users"))
+    val steps = stepCount(v, 1, "view")
+      .unionByName(stepCount(c, 2, "click"))
+      .unionByName(stepCount(p, 3, "purchase"))
+    steps.withColumn("conversion",
+      col("users").cast("double") /
+        lag(col("users"), 1).over(Window.orderBy(col("step"))))
+  }
+
+  val funnelQ: GraftQuery = GraftQuery(
+    "q28_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |           FROM events),
+      |v AS (SELECT user_id, min(ts_us) AS v_ts FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(ts_us) AS c_ts FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts_us > v_ts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ts_us) AS p_ts FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_us > c_ts GROUP BY e.user_id),
+      |s AS (SELECT 1 AS step, 'view' AS name, count(*) AS users FROM v
+      |      UNION ALL SELECT 2, 'click', count(*) FROM c
+      |      UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+      |SELECT step, name, users,
+      |       CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step) AS conversion
+      |FROM s""".stripMargin) { (spark, sf) =>
+    funnel(Tables.events(spark, sf))
+  }
+
+  val all: Seq[GraftQuery] = Seq(asOfJoinQ, hourlyDeltasQ, valueRanksQ, funnelQ)
 }

@@ -48,23 +48,33 @@ object TextOps {
 
   private[operators] val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** DuckDB CTE body computing the t02 quality statistics per document
+    * — shared with every oracle that scores quality (t02, d10) so the
+    * fragments cannot drift. */
+  private[operators] val qualityStatsSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS avg_len,
+       |       CAST(len(list_filter(string_split(text, ' '),
+       |                x -> x IN ($stopListSql))) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS stop_ratio
+       |FROM documents""".stripMargin
+
+  /** The t02 composite score over [[qualityStatsSql]]'s columns. */
+  private[operators] val qualityExprSql: String =
+    """round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+      |    + (CASE WHEN avg_len >= 3.0 AND avg_len <= 10.0 THEN 0.3 ELSE 0.0 END)
+      |    + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.5 THEN 0.3 ELSE 0.0 END), 2)""".stripMargin
+
   /** Quality scoring: length / token-shape / stopword-ratio rules. */
   val qualityQ: GraftQuery = GraftQuery(
     "t02_quality",
     s"""WITH t AS (
-       |  SELECT doc_id,
-       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |         CAST(length(replace(text, ' ', '')) AS DOUBLE)
-       |           / len(string_split(text, ' ')) AS avg_len,
-       |         CAST(len(list_filter(string_split(text, ' '),
-       |                  x -> x IN ($stopListSql))) AS DOUBLE)
-       |           / len(string_split(text, ' ')) AS stop_ratio
-       |  FROM documents)
+       |$qualityStatsSql)
        |SELECT doc_id, n_tokens,
        |       CAST(floor(avg_len * 10000) AS BIGINT) AS avg_len_e4,
-       |       round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
-       |           + (CASE WHEN avg_len >= 3.0 AND avg_len <= 10.0 THEN 0.3 ELSE 0.0 END)
-       |           + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.5 THEN 0.3 ELSE 0.0 END), 2) AS quality
+       |       $qualityExprSql AS quality
        |FROM t""".stripMargin) { (spark, sf) =>
     // avg token length emitted as floor(x*1e4): IEEE division is
     // bit-identical across engines, so the floored integer is exact —

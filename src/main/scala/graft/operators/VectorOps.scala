@@ -93,5 +93,67 @@ object VectorOps {
       .groupBy(col("label"), col("pos"))
       .agg(round(avg(col("x")), 4).as("mean_val"), count(lit(1)).as("n"))
 
-  val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ)
+  /** Per-vector outlier score: L2 distance to the vector's label
+    * centroid, z-scored within the label — the embedding-space
+    * mislabel/contamination probe a curation pipeline runs before
+    * training on labeled data.
+    *
+    * Float parity: centroid components are rounded to 4dp (double-sum
+    * order differs across engines — same contract as v02); every
+    * later op is then bit-identical in both engines: distance² comes
+    * from the dot identity v·v − 2·v·c + c·c over the SHARED fold-left
+    * kernel, sqrt is correctly-rounded IEEE, and z is plain arithmetic
+    * on the (4dp-rounded) per-label mean/stddev. So dist and z are
+    * emitted RAW.
+    *
+    * Scale shape: centroid and stats relations are O(labels) — both
+    * broadcast; the corpus is touched in two narrow map passes plus
+    * one labels×dim aggregation. No per-vector shuffle. */
+  def centroidOutliers(emb: DataFrame): DataFrame = {
+    val cent = emb
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 4).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"))
+    val d = emb.join(broadcast(cent), "label")
+      .withColumn("dist", sqrt(greatest(lit(0.0),
+        dot(col("v"), col("v"))
+          - lit(2) * dot(col("v"), col("c"))
+          + dot(col("c"), col("c")))))
+    val stats = d.groupBy(col("label"))
+      .agg(round(avg(col("dist")), 4).as("mu"),
+        round(stddev_samp(col("dist")), 4).as("sd"))
+    d.join(broadcast(stats), "label")
+      .withColumn("z", (col("dist") - col("mu")) / col("sd"))
+      .select(col("vec_id"), col("label"), col("dist"), col("z"),
+        (col("z") > 2.0).as("outlier"))
+  }
+
+  val centroidOutliersQ: GraftQuery = GraftQuery(
+    "v03_centroid_outliers",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |comp AS (SELECT label, i AS pos, round(avg(v[i + 1]), 4) AS m
+       |         FROM e CROSS JOIN range(0, ${SimilarityOps.Dim}) r(i)
+       |         GROUP BY label, pos),
+       |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM comp GROUP BY label),
+       |d AS (SELECT vec_id, e.label,
+       |        sqrt(greatest(0.0, list_dot_product(v, v)
+       |          - 2 * list_dot_product(v, c)
+       |          + list_dot_product(c, c))) AS dist
+       |      FROM e JOIN cent ON e.label = cent.label),
+       |st AS (SELECT label, round(avg(dist), 4) AS mu,
+       |         round(stddev_samp(dist), 4) AS sd
+       |       FROM d GROUP BY label)
+       |SELECT d.vec_id, d.label, d.dist,
+       |       (d.dist - st.mu) / st.sd AS z,
+       |       (d.dist - st.mu) / st.sd > 2.0 AS outlier
+       |FROM d JOIN st USING (label)""".stripMargin) { (spark, sf) =>
+    centroidOutliers(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v")))
+  }
+
+  val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ)
 }

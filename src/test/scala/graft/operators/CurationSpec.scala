@@ -98,6 +98,27 @@ class CurationSpec extends SparkSpec {
     assert(out.size == n)
   }
 
+  test("t14 reweight: uniform-mixture rates via integer division, capped at 10000") {
+    import spark.implicits._
+    // 8 docs from A, 2 from B: total 10, k=2, target 5 each ->
+    // rate_A = 10000*10 div (2*8) = 6250, rate_B capped at 10000
+    val fixture = ((1L to 8L).map(i => (i, "A")) ++ Seq((9L, "B"), (10L, "B")))
+      .toDF("doc_id", "source")
+    val out = CurationOps.sourceReweight(fixture)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 10)
+    assert(out.forall { case (_, s, rate, _) => rate == (if (s == "A") 6250L else 10000L) })
+    // independent bucket recompute (java md5, not the SQL fold)
+    def bucketOf(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$id".getBytes("UTF-8"))
+      d.take(2).foldLeft(0L)((acc, b) => acc * 256 + (b & 0xff)) % 10000
+    }
+    assert(out.forall { case (id, _, rate, kept) => kept == (bucketOf(id) < rate) })
+    // every B doc is kept (rate 10000 covers the whole bucket space)
+    assert(out.filter(_._2 == "B").forall(_._4))
+  }
+
   test("t12 stratified sample is deterministic and honors per-lang rates") {
     val a = CurationOps.stratifiedSampleQ.run(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet

@@ -253,6 +253,25 @@ class DedupSpec extends SparkSpec {
     assert(cc(3L) === 3L)
   }
 
+  test("d10 representatives: highest quality wins, ties to min doc_id, singleton keeps itself") {
+    import spark.implicits._
+    // full-quality text: 11 tokens, avg len in [3,10], 3/11 stopwords
+    val rich = "the market and council of state report covers policy outcome today"
+    val docs = Seq(
+      (1L, rich),                 // quality 1.0
+      (2L, "tiny doc"),           // < 10 tokens, no stopwords -> 0.3
+      (3L, rich + " extra"),      // also 1.0 -> ties with doc 1, larger id
+      (4L, "solo")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L))
+      .toDF("doc_id", "cluster_id")
+    val out = DedupOps.clusterRepresentatives(docs, clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)))
+    assert(out(3L) == ((1L, false))) // quality tie broken toward doc 1
+    assert(out(4L) == ((4L, true)))
+  }
+
   test("decontamination flags benchmark n-gram overlap, keeps clean docs") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))

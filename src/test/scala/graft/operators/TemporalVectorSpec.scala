@@ -58,6 +58,38 @@ class TemporalVectorSpec extends SparkSpec {
     assert(h(("click", "00")) == ((1L, None)))
   }
 
+  test("q28 funnel: steps require strictly-later events, per user") {
+    val out = TemporalOps.funnel(events(
+      (1L, 1L, "view", 1000L), (2L, 1L, "click", 2000L), (3L, 1L, "purchase", 3000L),
+      (4L, 2L, "click", 1000L), (5L, 2L, "view", 2000L), (6L, 2L, "purchase", 3000L),
+      (7L, 3L, "view", 1000L), (8L, 3L, "click", 1000L),   // same instant: not after
+      (9L, 4L, "click", 1000L), (10L, 4L, "purchase", 2000L))) // never viewed
+      .collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // user 1 completes; user 2 views but never clicks AFTER the view
+    // (their purchase therefore cannot count); user 3's same-instant
+    // click is not strictly later; user 4 never views
+    assert(out("view") == ((3L, None)))
+    assert(out("click") == ((1L, Some(1.0 / 3))))
+    assert(out("purchase") == ((1L, Some(1.0))))
+  }
+
+  test("v03 centroid outliers: the far vector is flagged, inliers are not") {
+    import spark.implicits._
+    val inliers = (0 until 5).map(i => (i.toLong, 0, Seq(0.0, 0.0))) ++
+      (5 until 10).map(i => (i.toLong, 0, Seq(2.0, 2.0)))
+    val far = Seq((99L, 0, Seq(100.0, 100.0)))
+    val out = VectorOps.centroidOutliers(
+      (inliers ++ far).toDF("vec_id", "label", "v"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(4))).toMap
+    // centroid = (10, 10); far sits at 90*sqrt(2) with z ≈ 3
+    assert(math.abs(out(99L)._1 - 90 * math.sqrt(2)) < 1e-9)
+    assert(out(99L)._2)
+    assert((0 until 10).forall(i => !out(i.toLong)._2))
+    assert(out.size == 11)
+  }
+
   test("int8 quantization: exact codes, checksum, and error bound") {
     import spark.implicits._
     val emb = Seq((1L, Seq(1.0, -0.5, 0.25, 0.0)), (2L, Seq(0.0, 0.0, 0.0, 0.0)))
