@@ -501,10 +501,42 @@ object CoreQueries {
         round(max(col("value")), 2).as("hi"))
   }
 
+  /** Fixed-width value histogram per event type: 20 global bins over
+    * [min, max] — the distribution-profiling pass a pipeline runs
+    * before choosing quality thresholds. The bin formula is plain IEEE
+    * arithmetic (sub, div, floor) on identical doubles, so bin
+    * assignment is bit-identical across engines (width_bucket's edge
+    * semantics differ between engines — the explicit formula doesn't).
+    * Scale: min/max is one map-combined agg broadcast everywhere; the
+    * corpus pass is row-local into a (types×20)-key aggregation. */
+  val valueHistogram: GraftQuery = GraftQuery(
+    "q29_value_histogram",
+    """WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+      |b AS (SELECT event_type,
+      |        CAST(least(19, floor((value - lo) / ((hi - lo) / 20))) AS BIGINT) AS bin,
+      |        lo, hi
+      |      FROM events CROSS JOIN mm)
+      |SELECT event_type, bin, count(*) AS n,
+      |       min(lo + bin * ((hi - lo) / 20)) AS bin_lo
+      |FROM b GROUP BY event_type, bin""".stripMargin) { (spark, sf) =>
+    val ev = Tables.events(spark, sf)
+    val mm = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(mm))
+      .select(col("event_type"),
+        least(lit(19L),
+          floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 20)))
+          .as("bin"),
+        col("lo"), col("hi"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo") + col("bin") * ((col("hi") - col("lo")) / 20)).as("bin_lo"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
     latestInputs, dedupFirst, jsonExtract, timeBuckets, stringKey,
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
-    distinctCounts, approxDistinct, approxQuantiles, cubeCounts)
+    distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
+    valueHistogram)
 }

@@ -180,5 +180,38 @@ object TemporalOps {
     funnel(Tables.events(spark, sf))
   }
 
-  val all: Seq[GraftQuery] = Seq(asOfJoinQ, hourlyDeltasQ, valueRanksQ, funnelQ)
+  /** Weekly retention cohorts: users grouped by first-seen week, each
+    * later active week counted at its offset — the engagement matrix
+    * behind every retention curve. Week starts are compared as integer
+    * microseconds of the Monday-aligned truncation (identical in both
+    * engines; offsets are exact multiples of a week, taken with
+    * integral division anyway). Two user_id-keyed stages (first-seen
+    * aggregate, then join back — co-partitioned, no second wide
+    * shuffle) into a cohort×offset aggregation of distinct users. */
+  def retention(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk_us")).as("cohort_us"))
+    ev.join(first, "user_id")
+      .groupBy(
+        date_format(timestamp_micros(col("cohort_us")), "yyyy-MM-dd").as("cohort_week"),
+        expr("(wk_us - cohort_us) div 604800000000").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("users"))
+  }
+
+  val retentionQ: GraftQuery = GraftQuery(
+    "q30_retention",
+    """WITH e AS (SELECT user_id, epoch_us(date_trunc('week', ts)) AS wk_us
+      |           FROM events),
+      |f AS (SELECT user_id, min(wk_us) AS cohort_us FROM e GROUP BY user_id)
+      |SELECT strftime(make_timestamp(cohort_us), '%Y-%m-%d') AS cohort_week,
+      |       (wk_us - cohort_us) // 604800000000 AS week_offset,
+      |       count(DISTINCT e.user_id) AS users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY cohort_week, week_offset""".stripMargin) { (spark, sf) =>
+    retention(Tables.events(spark, sf))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(asOfJoinQ, hourlyDeltasQ, valueRanksQ, funnelQ, retentionQ)
 }

@@ -75,6 +75,22 @@ class TemporalVectorSpec extends SparkSpec {
     assert(out("purchase") == ((1L, Some(1.0))))
   }
 
+  test("q30 retention: cohorts anchor at first-seen week, offsets count active weeks") {
+    val wk = 604800L * 1000000L // one week in micros; epoch is a Thursday,
+    val mon = 4L * 86400L * 1000000L // so Monday-align to avoid truncation surprises
+    val out = TemporalOps.retention(events(
+      (1L, 1L, "view", mon),              // user 1 cohort week 0
+      (2L, 1L, "view", mon + wk),         //   active week 1
+      (3L, 1L, "click", mon + wk + 5L),   //   same week: one distinct user
+      (4L, 2L, "view", mon + wk),         // user 2 cohort week 1
+      (5L, 2L, "view", mon + 2 * wk)))    //   active week 2
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("1970-01-05", 0L) -> 1L, ("1970-01-05", 1L) -> 1L,
+      ("1970-01-12", 0L) -> 1L, ("1970-01-12", 1L) -> 1L))
+  }
+
   test("v03 centroid outliers: the far vector is flagged, inliers are not") {
     import spark.implicits._
     val inliers = (0 until 5).map(i => (i.toLong, 0, Seq(0.0, 0.0))) ++
