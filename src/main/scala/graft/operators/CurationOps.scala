@@ -25,25 +25,27 @@ final case class PackOut(
   * counts (raw IEEE doubles — bit-identical across engines) and the
   * sequential packing loop is mirrored by a DuckDB recursive CTE.
   */
-object CurationOps {
-
-  /** md5-derived integer bucket, generated as engine-native SQL for
-    * Spark and DuckDB: fold the top 16 bits (first 4 hex digits) of
-    * md5(input) into an int, mod `mod`. Salting the input string
-    * decorrelates independent uses (split vs sample vs shard). Same
-    * scheme as t08's split — hash-stable across runs, partitionings,
-    * and engines. */
-  private[operators] object Md5Bucket {
-    private val alphabet = "0123456789abcdef"
-    private def hexVal(engine: String, input: String, i: Int): String = engine match {
-      // 1-indexed substring in both; instr/position return 1-based
-      case "spark" => s"(instr('$alphabet', substring(md5($input), $i, 1)) - 1)"
-      case _       => s"(position(substring(md5($input), $i, 1) IN '$alphabet') - 1)"
-    }
-    def bucketSql(engine: String, input: String, mod: Int): String =
-      (1 to 4).map(i => s"${hexVal(engine, input, i)} * ${math.pow(16, 4 - i).toLong}")
-        .mkString("(", " + ", s") % $mod")
+/** md5-derived integer bucket, generated as engine-native SQL for
+  * Spark and DuckDB: fold the top 16 bits (first 4 hex digits) of
+  * md5(input) into an int, mod `mod`. Salting the input string
+  * decorrelates independent uses (split vs sample vs shard vs
+  * reweight). Hash-stable across runs, partitionings, and engines.
+  * Top-level (not nested in [[CurationOps]]) because [[TextOps]]'s
+  * t08 split also uses it while CurationOps' t10 SQL reads TextOps
+  * vals — nesting would make module initialization order-sensitive. */
+private[operators] object Md5Bucket {
+  private val alphabet = "0123456789abcdef"
+  private def hexVal(engine: String, input: String, i: Int): String = engine match {
+    // 1-indexed substring in both; instr/position return 1-based
+    case "spark" => s"(instr('$alphabet', substring(md5($input), $i, 1)) - 1)"
+    case _       => s"(position(substring(md5($input), $i, 1) IN '$alphabet') - 1)"
   }
+  def bucketSql(engine: String, input: String, mod: Int): String =
+    (1 to 4).map(i => s"${hexVal(engine, input, i)} * ${math.pow(16, 4 - i).toLong}")
+      .mkString("(", " + ", s") % $mod")
+}
+
+object CurationOps {
 
   // ------------------------------------------------------ t09 repetition
 

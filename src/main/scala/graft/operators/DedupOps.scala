@@ -437,10 +437,13 @@ object DedupOps {
     * runs once and every propagation round joins against the compact
     * (doc_a, doc_b) relation, not the text-processing subtree. A
     * distributed write, so it scales with the pair volume. */
-  val clustersQ: GraftQuery = GraftQuery(
-    "d07_dedup_clusters",
-    """WITH RECURSIVE
-      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Shared DuckDB CTE chain labeling every document with its
+    * 0.6-Jaccard connected component: `lab(doc_id, cluster_id)`.
+    * One fragment for the d07/d10 oracles — the dedup contract
+    * (threshold, trigram width, min-label rule) cannot drift between
+    * them. Use after `WITH RECURSIVE`. */
+  private val clusterLabelsCteSql: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(t) - 1),
       |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
@@ -455,10 +458,15 @@ object DedupOps {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.v, c.label FROM cc c JOIN edges e ON e.u = c.u),
-      |lab AS (SELECT u AS doc_id, min(label) AS cluster_id FROM cc GROUP BY u),
-      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
-      |SELECT l.doc_id, l.cluster_id, s.cluster_size
-      |FROM lab l JOIN sz s USING (cluster_id)""".stripMargin) { (spark, sf) =>
+      |lab AS (SELECT u AS doc_id, min(label) AS cluster_id FROM cc GROUP BY u)""".stripMargin
+
+  val clustersQ: GraftQuery = GraftQuery(
+    "d07_dedup_clusters",
+    s"""WITH RECURSIVE
+       |$clusterLabelsCteSql,
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size
+       |FROM lab l JOIN sz s USING (cluster_id)""".stripMargin) { (spark, sf) =>
     val cc = clusterLabels(spark, sf, recompute = true)
     val sizes = cc.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -496,7 +504,12 @@ object DedupOps {
     connectedComponents(docs.select(col("doc_id")), pairs)
       .select(col("doc_id"), col("label").as("cluster_id"))
       .write.mode("overwrite").parquet(outDir)
-    if (labelsCache.size >= 8) labelsCache.clear() // don't pin stopped sessions
+    // evict only STOPPED sessions: a blanket clear would also drop a
+    // live session's entry and silently re-run the full CC chain on
+    // the next d10 call; live entries are bounded by live sessions
+    if (labelsCache.size >= 8)
+      labelsCache.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(labelsCache.remove)
     labelsCache.put((spark, sf), outDir)
     outDir
   }
@@ -524,22 +537,7 @@ object DedupOps {
   val clusterRepsQ: GraftQuery = GraftQuery(
     "d10_cluster_reps",
     s"""WITH RECURSIVE
-       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS (SELECT doc_id,
-       |         list_distinct(list_transform(range(1, len(t) - 1),
-       |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-       |       FROM toks WHERE len(t) >= 3),
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
-       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
-       |          UNION ALL SELECT doc_b, doc_a FROM p),
-       |cc(u, label) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.v, c.label FROM cc c JOIN edges e ON e.u = c.u),
-       |lab AS (SELECT u AS doc_id, min(label) AS cluster_id FROM cc GROUP BY u),
+       |$clusterLabelsCteSql,
        |qs AS (${TextOps.qualityStatsSql.replace("\n", "\n       |")}),
        |q AS (SELECT doc_id, ${TextOps.qualityExprSql.replace("\n", "\n       |")} AS quality
        |      FROM qs)

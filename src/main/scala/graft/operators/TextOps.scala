@@ -251,11 +251,11 @@ object TextOps {
     * 80% split, irrelevant next to sampling noise. The hex→int fold is
     * column math (position in a hex alphabet), no UDF. */
   val hashSplitQ: GraftQuery = {
-    // same hex-fold bucket generator as t12 sampling / pk01 sharding
-    // (CurationOps.Md5Bucket) — one implementation, unsalted here
+    // same hex-fold bucket generator as t12 sampling / t14 reweighting
+    // / pk01 sharding (Md5Bucket) — one implementation, unsalted here
     def bucketExpr(engine: String): String = {
       val in = if (engine == "spark") "CAST(doc_id AS STRING)" else "CAST(doc_id AS VARCHAR)"
-      CurationOps.Md5Bucket.bucketSql(engine, in, 100)
+      Md5Bucket.bucketSql(engine, in, 100)
     }
     GraftQuery(
       "t08_hash_split",

@@ -67,10 +67,15 @@ object StreamJoins {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // no empty-batch guard: `batch.isEmpty` would run the batch
-        // plan once and the append again (foreachBatch recomputes per
-        // action); appending an empty frame is a metadata-only write
-        sink.append(batch)
+        // persist before the two actions: foreachBatch recomputes the
+        // batch plan per action, so a bare isEmpty guard would run it
+        // twice — while no guard at all would land one empty part
+        // file per idle trigger, bloating the sink's file listing
+        // between compactions (windows close ~hourly; triggers fire
+        // far more often)
+        batch.persist()
+        try { if (!batch.isEmpty) sink.append(batch) }
+        finally { batch.unpersist(); () }
       }
 
   def startServingBridge(
