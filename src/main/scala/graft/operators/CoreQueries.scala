@@ -501,6 +501,41 @@ object CoreQueries {
         round(max(col("value")), 2).as("hi"))
   }
 
+  /** Arbitrary aggregation-lattice subset via GROUPING SETS — the
+    * member of the q20/q25 family rollup and cube cannot express:
+    * (type, day), (type, hour), and the grand total, with nothing in
+    * between. Spark plans one Expand (each input row replicated once
+    * per set) into a single hash aggregation — one shuffle for all
+    * three groupings; grouping flags disambiguate real nulls from
+    * subtotal rows, as in q20/q25. */
+  val groupingSets: GraftQuery = GraftQuery(
+    "q31_grouping_sets",
+    """SELECT event_type, day, hour,
+      |       CAST(grouping(event_type) AS BIGINT) AS g_type,
+      |       CAST(grouping(day) AS BIGINT) AS g_day,
+      |       CAST(grouping(hour) AS BIGINT) AS g_hour,
+      |       count(*) AS counts, round(sum(value), 4) AS total_value
+      |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |        strftime(ts, '%H') AS hour, value FROM events) t
+      |GROUP BY GROUPING SETS ((event_type, day), (event_type, hour), ())""".stripMargin) {
+    (spark, sf) =>
+      Tables.events(spark, sf)
+        .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          date_format(col("ts"), "HH").as("hour"), col("value"))
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("day")),
+            Seq(col("event_type"), col("hour")), Seq()),
+          col("event_type"), col("day"), col("hour"))
+        .agg(
+          grouping(col("event_type")).cast("long").as("g_type"),
+          grouping(col("day")).cast("long").as("g_day"),
+          grouping(col("hour")).cast("long").as("g_hour"),
+          count(lit(1)).as("counts"), round(sum(col("value")), 4).as("total_value"))
+        .select(col("event_type"), col("day"), col("hour"),
+          col("g_type"), col("g_day"), col("g_hour"),
+          col("counts"), col("total_value"))
+  }
+
   /** Fixed-width value histogram per event type: 20 global bins over
     * [min, max] — the distribution-profiling pass a pipeline runs
     * before choosing quality thresholds. The bin formula is plain IEEE
@@ -538,5 +573,5 @@ object CoreQueries {
     latestInputs, dedupFirst, jsonExtract, timeBuckets, stringKey,
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
     distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
-    valueHistogram)
+    valueHistogram, groupingSets)
 }
