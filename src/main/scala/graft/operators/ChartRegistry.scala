@@ -53,8 +53,12 @@ object ChartRegistry {
   def aggregates(spark: SparkSession, sf: String): DataFrame =
     fixtureCache.getOrElseUpdate((spark, sf), {
       // bound the memoization: a JVM cycling many sessions (test
-      // suites) must not pin stopped sessions + fixtures forever
-      if (fixtureCache.size >= 8) fixtureCache.clear()
+      // suites) must not pin stopped sessions + fixtures forever —
+      // but evict ONLY stopped sessions; a blanket clear would drop a
+      // live session's fixture and silently recompute the enrichment
+      if (fixtureCache.size >= 8)
+        fixtureCache.keys.filter(_._1.sparkContext.isStopped)
+          .foreach(fixtureCache.remove)
       val plan = aggregatesPlan(spark, sf)
       val rows = plan.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
