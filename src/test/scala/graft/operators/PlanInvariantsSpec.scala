@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkSpec
+
+/** Physical-plan invariants — the scan/exchange properties the 100 TB
+  * design depends on, pinned so a refactor cannot silently lose them:
+  * predicate pushdown and column pruning at the parquet scan, and
+  * broadcast (never cartesian) joins for the small-side relations.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q16: filter predicates are pushed to the parquet scan") {
+    val p = plan(CoreQueries.filterTopic.run(spark, sf001))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(value,50"), p)
+    assert(p.contains("Not(EqualTo(event_type,view))"), p)
+  }
+
+  test("q16: scan reads only the projected columns") {
+    val p = plan(CoreQueries.filterTopic.run(spark, sf001))
+    // events has user_id and props; a 3-column projection must not read them
+    assert(!p.contains("user_id"), p)
+    assert(!p.contains("props"), p)
+  }
+
+  test("t12: the documents scan is pruned to doc_id/lang — text is never read") {
+    val p = plan(CurationOps.stratifiedSampleQ.run(spark, sf001))
+    assert(!p.contains("text"), p)
+  }
+
+  test("t14: the O(sources) rate table joins as a broadcast, not a shuffle") {
+    val p = plan(CurationOps.sourceReweightQ.run(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q29: the 1-row min/max relation is a broadcast nested loop, not a cartesian") {
+    val p = plan(CoreQueries.valueHistogram.run(spark, sf001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
