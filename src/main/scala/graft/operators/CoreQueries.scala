@@ -567,11 +567,37 @@ object CoreQueries {
         min(col("lo") + col("bin") * ((col("hi") - col("lo")) / 20)).as("bin_lo"))
   }
 
+  /** Statistical moments per event type: sample stddev/variance of
+    * value plus its Pearson correlation with event time — the
+    * distribution-profiling aggregates (drift detection, threshold
+    * sizing) beyond plain avg/min/max. Sample (n−1) definitions in
+    * both engines; all three are sums of doubles whose order differs
+    * across engines/partitionings, so 4dp rounding applies (same
+    * contract as every mean in the registry). One map-combined
+    * aggregation — O(1) state per group, any scale. */
+  val moments: GraftQuery = GraftQuery(
+    "q32_moments",
+    """SELECT event_type,
+      |       round(stddev_samp(value), 4) AS sd,
+      |       round(var_samp(value), 4) AS variance,
+      |       round(corr(value, CAST(epoch_ns(ts) // 1000 AS DOUBLE)), 4) AS time_corr,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(var_samp(col("value")), 4).as("variance"),
+        round(corr(col("value"), unix_micros(col("ts")).cast("double")), 4)
+          .as("time_corr"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
     latestInputs, dedupFirst, jsonExtract, timeBuckets, stringKey,
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
     distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
-    valueHistogram, groupingSets)
+    valueHistogram, groupingSets, moments)
 }
