@@ -548,7 +548,9 @@ object CoreQueries {
     "q29_value_histogram",
     """WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
       |b AS (SELECT event_type,
-      |        CAST(least(19, floor((value - lo) / ((hi - lo) / 20))) AS BIGINT) AS bin,
+      |        CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+      |             ELSE CAST(least(19, floor((value - lo) / ((hi - lo) / 20))) AS BIGINT)
+      |        END AS bin,
       |        lo, hi
       |      FROM events CROSS JOIN mm)
       |SELECT event_type, bin, count(*) AS n,
@@ -556,10 +558,14 @@ object CoreQueries {
       |FROM b GROUP BY event_type, bin""".stripMargin) { (spark, sf) =>
     val ev = Tables.events(spark, sf)
     val mm = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    // Degenerate corpus guard (hi = lo ⇒ width 0): Spark's non-ANSI x/0 is
+    // NULL while DuckDB's IEEE x/0 is ±Inf/NaN, so bin must be decided
+    // before the division in BOTH engine texts.
     ev.crossJoin(broadcast(mm))
       .select(col("event_type"),
-        least(lit(19L),
-          floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 20)))
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(19L),
+            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 20))))
           .as("bin"),
         col("lo"), col("hi"))
       .groupBy(col("event_type"), col("bin"))

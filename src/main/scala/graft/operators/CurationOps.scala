@@ -202,11 +202,12 @@ object CurationOps {
   // --------------------------------------------------- t11 PII redaction
 
   /** PII patterns, dialect-portable between java.util.regex (Spark) and
-    * RE2 (DuckDB): character classes, bounded repetition, and grouping
-    * only — no backreferences or lookaround. Public-shape patterns
-    * (precision-tuned variants of the classic email/IPv4/E.164
-    * expressions). */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,6}"
+    * RE2 (DuckDB): character classes, bounded repetition, grouping, and
+    * the (?i) flag only — no backreferences or lookaround. Public-shape
+    * patterns (precision-tuned variants of the classic email/IPv4/E.164
+    * expressions). Email is (?i) so 'John.Doe@Example.COM' is caught —
+    * mail addresses are case-insensitive; IP/phone have no letters. */
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,6}"
   val Ipv4Re  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   val PhoneRe = "\\+[0-9]{7,15}"
 

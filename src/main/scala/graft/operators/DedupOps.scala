@@ -493,8 +493,18 @@ object DedupOps {
 
   private def computeClusterLabels(spark: SparkSession, sf: String): String = {
     val docs = Tables.documents(spark, sf)
+    // Paths are keyed by (session, sf): two concurrent sessions on the
+    // same sf can never overwrite each other's checkpoint. WITHIN a
+    // session the path is stable and overwritten on recompute — a d07
+    // recompute invalidates a still-unexecuted d10 plan returned
+    // earlier, which is fine under the registry's documented
+    // sequential-execution contract (producers run, and are fully
+    // consumed, before their consumers) and is what keeps warmup/rep
+    // loops from leaking one pair-volume dir per invocation.
     val sfTag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sf).toLong & 0xffffffffL)
+      (scala.util.hashing.MurmurHash3.stringHash(sf).toLong << 32
+        | System.identityHashCode(spark).toLong & 0xffffffffL)
+        & java.lang.Long.MAX_VALUE)
     val tmp = System.getProperty("java.io.tmpdir")
     val pairsDir = s"$tmp/graft_d07_pairs_$sfTag"
     ngramJaccardPairs(docs, 0.6).select(col("doc_a"), col("doc_b"))

@@ -125,10 +125,15 @@ object VectorOps {
     val stats = d.groupBy(col("label"))
       .agg(round(avg(col("dist")), 4).as("mu"),
         round(stddev_samp(col("dist")), 4).as("sd"))
+    // sd can round to 0 at 4dp (all distances in a label equal with n≥2):
+    // Spark's non-ANSI x/0 is NULL but DuckDB's IEEE x/0 is ±Inf, flipping
+    // the flag — so the degenerate case is decided before the division in
+    // both engine texts (z → NULL, outlier → false).
+    val sdOk = col("sd").isNotNull && col("sd") =!= 0.0
     d.join(broadcast(stats), "label")
-      .withColumn("z", (col("dist") - col("mu")) / col("sd"))
+      .withColumn("z", when(sdOk, (col("dist") - col("mu")) / col("sd")))
       .select(col("vec_id"), col("label"), col("dist"), col("z"),
-        (col("z") > 2.0).as("outlier"))
+        when(sdOk, col("z") > 2.0).otherwise(lit(false)).as("outlier"))
   }
 
   val centroidOutliersQ: GraftQuery = GraftQuery(
@@ -148,8 +153,10 @@ object VectorOps {
        |         round(stddev_samp(dist), 4) AS sd
        |       FROM d GROUP BY label)
        |SELECT d.vec_id, d.label, d.dist,
-       |       (d.dist - st.mu) / st.sd AS z,
-       |       (d.dist - st.mu) / st.sd > 2.0 AS outlier
+       |       CASE WHEN st.sd IS NULL OR st.sd = 0 THEN NULL
+       |            ELSE (d.dist - st.mu) / st.sd END AS z,
+       |       CASE WHEN st.sd IS NULL OR st.sd = 0 THEN false
+       |            ELSE (d.dist - st.mu) / st.sd > 2.0 END AS outlier
        |FROM d JOIN st USING (label)""".stripMargin) { (spark, sf) =>
     centroidOutliers(Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v")))

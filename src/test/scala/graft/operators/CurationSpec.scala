@@ -50,13 +50,17 @@ class CurationSpec extends SparkSpec {
     val (emails, ips, phones, redacted) = CurationOps.piiCols(col("text"))
     val out = docs(
       1L -> "contact john.doe@example.com or +12345678901 at host 10.0.0.12 now",
-      2L -> "no personal data in this row at all")
+      2L -> "no personal data in this row at all",
+      3L -> "escalate to John.Doe@Example.COM today")
       .select(col("doc_id"), emails.as("e"), ips.as("i"), phones.as("p"), redacted.as("r"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
     assert(out(1L)._1 == ((1L, 1L, 1L)))
     assert(out(1L)._2 == "contact <EMAIL> or <PHONE> at host <IP> now")
     assert(out(2L)._1 == ((0L, 0L, 0L)))
     assert(out(2L)._2 == "no personal data in this row at all")
+    // mixed-case address: email matching is (?i), so detection + redaction hold
+    assert(out(3L)._1 == ((1L, 0L, 0L)))
+    assert(out(3L)._2 == "escalate to <EMAIL> today")
   }
 
   test("pk01 greedy packing: bins close on overflow, oversized doc isolated") {
