@@ -189,9 +189,17 @@ object CoreQueries {
   }
 
   /** Boxplot statistics — reference A9 (charts.py:173-199): exact
-    * interpolated quartiles + min/max per group. Exact `percentile`
-    * keeps oracle parity; swap to `percentile_approx` at 100 TB where
-    * a bounded-memory sketch is required. */
+    * interpolated quartiles + min/max per group, computed through
+    * [[QuantileKernel]]'s distinct-value histogram rather than the
+    * `percentile` aggregate (whose buffer holds every distinct value
+    * of a group in ONE task — the r4-flagged scale defect). Memory
+    * bound: aggregation state and shuffle are the distinct (type,
+    * value) domain (2dp values in a bounded range ⇒ bounded, corpus-
+    * independent); the only sort is over that histogram. The same
+    * position arithmetic as `percentile`/`quantile_cont` keeps the
+    * 2dp-rounded output hash-identical to the unchanged oracle.
+    * `q24_approx_quantiles` remains the sketch for continuous
+    * domains. */
   val quantiles: GraftQuery = GraftQuery(
     "q09_quantiles",
     """SELECT event_type,
@@ -201,14 +209,16 @@ object CoreQueries {
       |       round(min(value), 2) AS lo,
       |       round(max(value), 2) AS hi
       |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
-    Tables.events(spark, sf)
-      .groupBy(col("event_type"))
-      .agg(
-        round(expr("percentile(value, 0.25)"), 2).as("q1"),
-        round(expr("percentile(value, 0.50)"), 2).as("median"),
-        round(expr("percentile(value, 0.75)"), 2).as("q3"),
-        round(min(col("value")), 2).as("lo"),
-        round(max(col("value")), 2).as("hi"))
+    val hist = QuantileKernel.cumulativeHistogram(
+      Tables.events(spark, sf), "event_type", "value")
+    QuantileKernel.contQuantiles(hist, "event_type", "value",
+      Seq("__q1" -> 0.25, "__median" -> 0.50, "__q3" -> 0.75))
+      .select(col("event_type"),
+        round(col("__q1"), 2).as("q1"),
+        round(col("__median"), 2).as("median"),
+        round(col("__q3"), 2).as("q3"),
+        round(col("__min"), 2).as("lo"),
+        round(col("__max"), 2).as("hi"))
   }
 
   /** Unpivot wide→long — reference R2 (charts.py:24-27, pandas melt).

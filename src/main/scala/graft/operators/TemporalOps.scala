@@ -106,13 +106,16 @@ object TemporalOps {
 
   /** Distribution ranks of event values within each event type: decile
     * bucket, percent_rank, cume_dist — the remaining ranking-window
-    * family. Ordering is (value, event_id) so ranks are deterministic
-    * under value ties; percent_rank and cume_dist are ratios of
-    * integer positions (raw IEEE doubles, bit-identical across
-    * engines). Window partitions are the 5 event types — fine here;
-    * at corpus scale a global distribution rank would instead be
-    * computed via approx quantiles (q24's sketch) rather than a full
-    * per-key sort. */
+    * family, with full per-row rank semantics (every row gets its own
+    * position). Ordering is (value, event_id) so ranks are
+    * deterministic under value ties; percent_rank and cume_dist are
+    * ratios of integer positions (raw IEEE doubles, bit-identical
+    * across engines). Per-row ranks inherently sort the corpus through
+    * the 5 event-type partitions — this query IS that operator and is
+    * gated to oracle scale; the scale-safe distribution-bucketing
+    * member is `q33_decile_buckets`, which broadcasts exact decile
+    * boundaries from [[QuantileKernel]]'s histogram and assigns
+    * buckets row-locally with no corpus-wide window. */
   val valueRanksQ: GraftQuery = GraftQuery(
     "q27_value_ranks",
     """SELECT event_id, event_type, value,
@@ -212,6 +215,38 @@ object TemporalOps {
     retention(Tables.events(spark, sf))
   }
 
+  /** Scale-safe decile bucketing — the 100 TB replacement for q27's
+    * per-row rank window: exact decile boundaries per event type come
+    * from [[QuantileKernel.discQuantiles]] (9 exact data members × 5
+    * types — no interpolation, so zero float-parity risk), are
+    * broadcast, and every row's bucket is 1 + the count of boundaries
+    * strictly below its value — a row-local array scan inside the
+    * probe stage. No corpus-wide window anywhere in the plan: the only
+    * sort is over the bounded distinct-value histogram
+    * (TemporalSpec pins Window-above-Aggregate; the boundary relation
+    * is 5 rows). Ties sit in the lower bucket in both engines by the
+    * shared strict-> comparison. */
+  val decileBucketsQ: GraftQuery = GraftQuery(
+    "q33_decile_buckets",
+    """WITH b AS (
+      |  SELECT event_type,
+      |         quantile_disc(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |       CAST(1 + len(list_filter(bs, x -> e.value > x)) AS BIGINT) AS decile
+      |FROM events e JOIN b USING (event_type)""".stripMargin) { (spark, sf) =>
+    val ev = Tables.events(spark, sf)
+    val hist = QuantileKernel.cumulativeHistogram(ev, "event_type", "value")
+    val probs = (1 to 9).map(i => s"__b$i" -> i / 10.0)
+    val bounds = QuantileKernel.discQuantiles(hist, "event_type", "value", probs)
+      .select(col("event_type"), array(probs.map(p => col(p._1)): _*).as("bs"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        (lit(1) + size(filter(col("bs"), x => col("value") > x))).cast("long")
+          .as("decile"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(asOfJoinQ, hourlyDeltasQ, valueRanksQ, funnelQ, retentionQ)
+    Seq(asOfJoinQ, hourlyDeltasQ, valueRanksQ, funnelQ, retentionQ,
+      decileBucketsQ)
 }

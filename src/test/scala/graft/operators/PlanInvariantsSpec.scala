@@ -44,4 +44,25 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  private def windowsOnlyAboveAggregates(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the histogram window in the plan")
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"corpus-wide window (no aggregate below it):\n$w")
+    }
+  }
+
+  test("q09: every window sits above the distinct-value histogram, never the corpus") {
+    windowsOnlyAboveAggregates(CoreQueries.quantiles.run(spark, sf001))
+  }
+
+  test("q33: no corpus-wide window; decile boundaries join as a broadcast") {
+    val df = TemporalOps.decileBucketsQ.run(spark, sf001)
+    windowsOnlyAboveAggregates(df)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
