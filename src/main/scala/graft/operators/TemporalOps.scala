@@ -76,6 +76,45 @@ object TemporalOps {
     (spark, sf) => asOfClickBeforePurchase(Tables.events(spark, sf))
   }
 
+  /** Windowed (tolerance-bounded) as-of join: j01's match is only
+    * valid within a maximum lookback — the attribution-window shape
+    * ("a click counts only if ≤ 10 min before the purchase"). Same
+    * single-shuffle kernel; the tolerance is a row-local null-out of
+    * the matched columns AFTER the as-of pick, which is the standard
+    * windowed-as-of semantics (a too-old click does NOT fall through
+    * to an even older one). Purchases with no in-window click keep
+    * their row with null match columns, so the row count is exactly
+    * j01's. */
+  def asOfWithin(events: DataFrame, maxGapUs: Long): DataFrame = {
+    val inWin = col("gap_us") <= maxGapUs
+    asOfClickBeforePurchase(events).select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      when(inWin, col("click_id")).as("click_id"),
+      when(inWin, col("click_ts_us")).as("click_ts_us"),
+      when(inWin, col("gap_us")).as("gap_us"))
+  }
+
+  val asOfWindowQ: GraftQuery = GraftQuery(
+    "j02_asof_window",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             epoch_ns(ts) // 1000 AS ts_us
+      |           FROM events),
+      |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT max(event_id) AS click_id, user_id, ts_us AS click_ts_us
+      |      FROM e WHERE event_type = 'click' GROUP BY user_id, ts_us),
+      |a AS (SELECT p.event_id, p.user_id, p.ts_us,
+      |             c.click_id, c.click_ts_us,
+      |             p.ts_us - c.click_ts_us AS gap_us
+      |      FROM p ASOF LEFT JOIN c
+      |        ON p.user_id = c.user_id AND p.ts_us > c.click_ts_us)
+      |SELECT event_id, user_id, ts_us,
+      |       CASE WHEN gap_us <= 600000000 THEN click_id END AS click_id,
+      |       CASE WHEN gap_us <= 600000000 THEN click_ts_us END AS click_ts_us,
+      |       CASE WHEN gap_us <= 600000000 THEN gap_us END AS gap_us
+      |FROM a""".stripMargin) { (spark, sf) =>
+    asOfWithin(Tables.events(spark, sf), 600000000L)
+  }
+
   /** Hour-over-hour event-volume deltas per event type: grouped counts
     * plus a lag window partitioned on event_type — the window key is
     * the low-cardinality dimension, but each partition is only
@@ -215,6 +254,82 @@ object TemporalOps {
     retention(Tables.events(spark, sf))
   }
 
+  /** Session-scoped funnel: q28's ordered view → click → purchase, but
+    * a step only counts INSIDE one session (10-minute inactivity gap,
+    * q23's definition) — "did the user convert in one sitting".
+    * Sessionization is gaps-and-islands over a user_id window (the
+    * same key every later stage shuffles on; partition size is one
+    * user's events, never corpus-scale), then the funnel is q28's
+    * chained filter → join → min-aggregate keyed on (user_id, sid) —
+    * co-partitioned after the first shuffle. Tied timestamps can't
+    * split a session: every tied row follows the one that opened it,
+    * so sid assignment is order-independent (q23's argument).
+    * Conversion is a ratio of integer counts — raw IEEE double. */
+  def sessionFunnel(events: DataFrame, gapUs: Long): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val tagged = ev
+      .withColumn("new_s",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(ord) < gapUs, 0)
+          .otherwise(1))
+      .withColumn("sid", sum(col("new_s")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val key = Seq("user_id", "sid")
+    def firstAfter(step: String, prev: DataFrame, prevTs: String, out: String) =
+      tagged.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("sid"), col(prevTs)), key)
+        .filter(col("ts_us") > col(prevTs))
+        .groupBy(key.map(col): _*).agg(min(col("ts_us")).as(out))
+    val v = tagged.filter(col("event_type") === "view")
+      .groupBy(key.map(col): _*).agg(min(col("ts_us")).as("v_ts"))
+    val c = firstAfter("click", v, "v_ts", "c_ts")
+    val p = firstAfter("purchase", c, "c_ts", "p_ts")
+    def stepCount(df: DataFrame, step: Int, name: String) =
+      df.agg(count(lit(1)).as("sessions"))
+        .select(lit(step).as("step"), lit(name).as("name"), col("sessions"))
+    stepCount(v, 1, "view")
+      .unionByName(stepCount(c, 2, "click"))
+      .unionByName(stepCount(p, 3, "purchase"))
+      .withColumn("conversion",
+        col("sessions").cast("double") /
+          lag(col("sessions"), 1).over(Window.orderBy(col("step"))))
+  }
+
+  val sessionFunnelQ: GraftQuery = GraftQuery(
+    "q34_session_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+      |           FROM events),
+      |d AS (SELECT user_id, event_type, ts_us,
+      |        CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+      |               OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+      |                  >= 600000000
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e),
+      |s AS (SELECT user_id, event_type, ts_us,
+      |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                         ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM d),
+      |v AS (SELECT user_id, sid, min(ts_us) AS v_ts FROM s
+      |      WHERE event_type = 'view' GROUP BY user_id, sid),
+      |c AS (SELECT s.user_id, s.sid, min(ts_us) AS c_ts
+      |      FROM s JOIN v USING (user_id, sid)
+      |      WHERE event_type = 'click' AND ts_us > v_ts
+      |      GROUP BY s.user_id, s.sid),
+      |p AS (SELECT s.user_id, s.sid, min(ts_us) AS p_ts
+      |      FROM s JOIN c USING (user_id, sid)
+      |      WHERE event_type = 'purchase' AND ts_us > c_ts
+      |      GROUP BY s.user_id, s.sid),
+      |st AS (SELECT 1 AS step, 'view' AS name, count(*) AS sessions FROM v
+      |       UNION ALL SELECT 2, 'click', count(*) FROM c
+      |       UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+      |SELECT step, name, sessions,
+      |       CAST(sessions AS DOUBLE) / lag(sessions) OVER (ORDER BY step)
+      |         AS conversion
+      |FROM st""".stripMargin) { (spark, sf) =>
+    sessionFunnel(Tables.events(spark, sf), 600000000L)
+  }
+
   /** Scale-safe decile bucketing — the 100 TB replacement for q27's
     * per-row rank window: exact decile boundaries per event type come
     * from [[QuantileKernel.discQuantiles]] (9 exact data members × 5
@@ -247,6 +362,6 @@ object TemporalOps {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(asOfJoinQ, hourlyDeltasQ, valueRanksQ, funnelQ, retentionQ,
-      decileBucketsQ)
+    Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
+      sessionFunnelQ, retentionQ, decileBucketsQ)
 }

@@ -42,6 +42,38 @@ class TemporalVectorSpec extends SparkSpec {
     assert(row.getLong(4) == 1000L && row.getLong(5) == 2500L)
   }
 
+  test("j02 windowed as-of: too-old clicks null out, they do not fall through") {
+    val out = TemporalOps.asOfWithin(events(
+      (1L, 1L, "click", 1000L),
+      (2L, 1L, "click", 5000L),
+      (3L, 1L, "purchase", 5500L),   // gap 500 <= 1000: matched to click 2
+      (4L, 1L, "purchase", 9000L),   // latest click gap 4000 > 1000: null,
+                                     // NOT the even-older click 1
+      (5L, 2L, "purchase", 100L)),   // no click at all: null
+      maxGapUs = 1000L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(5))))).toMap
+    assert(out == Map(3L -> Some((2L, 500L)), 4L -> None, 5L -> None))
+  }
+
+  test("q34 session funnel: steps only count within one session") {
+    val gap = 600000000L // 10 min
+    val out = TemporalOps.sessionFunnel(events(
+      // user 1: view+click+purchase inside one session -> all 3 steps
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 1000L), (3L, 1L, "purchase", 2000L),
+      // user 2: view, then click only in a LATER session -> view twice,
+      // but no session converts past step 1
+      (4L, 2L, "view", 0L), (5L, 2L, "click", gap + 1000L), (6L, 2L, "view", gap + 2000L),
+      // user 3: click precedes the view in-session -> stuck at view
+      (7L, 3L, "click", 0L), (8L, 3L, "view", 1000L)),
+      gapUs = gap)
+      .collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // sessions reaching view: u1 s1, u2 s1, u2 s2, u3 s1 = 4
+    assert(out == Map("view" -> 4L, "click" -> 1L, "purchase" -> 1L))
+  }
+
   test("hourly deltas: first hour null, then count differences") {
     val fixture = events(
       (1L, 1L, "view", 0L), (2L, 1L, "view", 1L),
