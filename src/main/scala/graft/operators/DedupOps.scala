@@ -244,9 +244,11 @@ object DedupOps {
     * boundary; the band value stitches the two lane slices. All
     * candidates are verified against the true Hamming distance after
     * the join, and hot buckets are capped like the MinHash path. */
-  def simhashPairsMulti(
-      sh: DataFrame, laneCols: Seq[String], maxHamming: Int,
-      maxBucket: Int = MaxSimhashBucket): DataFrame = {
+  /** The pigeonhole band values for a multi-lane fingerprint — shared
+    * by pair generation and the d11 coverage report so the two can
+    * never disagree about what a "block" is. */
+  private[operators] def pigeonholeBandVals(
+      laneCols: Seq[String], maxHamming: Int): Seq[Column] = {
     val totalBits = 64 * laneCols.size
     require(laneCols.nonEmpty, "need at least one lane column")
     require(maxHamming >= 0 && maxHamming < totalBits,
@@ -268,7 +270,13 @@ object DedupOps {
         lo.bitwiseOR(shiftleft(
           col(laneCols(lane + 1)).bitwiseAND(lit(mask(width - inLane))), inLane))
     }
-    val bandVals = (0 until blocks).map(i => blockVal(starts(i), widths(i)))
+    (0 until blocks).map(i => blockVal(starts(i), widths(i)))
+  }
+
+  def simhashPairsMulti(
+      sh: DataFrame, laneCols: Seq[String], maxHamming: Int,
+      maxBucket: Int = MaxSimhashBucket): DataFrame = {
+    val bandVals = pigeonholeBandVals(laneCols, maxHamming)
     // Self-join, not bucketPairs: simhash members are 8·(lanes+1) bytes
     // and candidate volume is high, so the codegen'd hash join beats
     // object-based collect_list + Generate expansion; the band shuffle
@@ -323,18 +331,24 @@ object DedupOps {
     * shingle-set Jaccard disposes (≥ threshold, tested on the unrounded
     * value so the SQL oracle's filter matches exactly). The expensive
     * set compare only runs on candidate pairs — never all pairs. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** @param emitRaw also emit the unrounded `jac_raw` (d11's coverage
+    *        report thresholds on it so its verified count can never
+    *        diverge from this function's own filter semantics) */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      emitRaw: Boolean = false): DataFrame = {
     val sets = shingles(docs).groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh"))
     val pairs = candidatePairs(docs).select(col("doc_a"), col("doc_b"))
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
-    pairs
+    val out = pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jac_raw", jac)
       .filter(col("jac_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 3).as("jaccard"))
+    val base = Seq(col("doc_a"), col("doc_b"), round(col("jac_raw"), 3).as("jaccard"))
+    val cols = if (emitRaw) base :+ col("jac_raw") else base
+    out.select(cols: _*)
   }
 
   /** The oracle computes the same exact Jaccard over ALL pairs (a cross
@@ -716,7 +730,89 @@ object DedupOps {
         (col("cos_sim") >= 0.95).as("is_dup"))
   }
 
+  /** d11 — dedup-guard coverage report: the exact integer funnel a
+    * pipeline operator reads to see where candidate recall erodes. One
+    * (stage, n) row per accounting line, all three guarded candidate
+    * generators covered:
+    *
+    *  - `minhash_*`: hot-bucket count, rows dropped by the cap, rows
+    *    kept, pair volume proposed from the kept buckets (Σ n·(n−1)/2
+    *    over the bucket-size histogram — exactly [[bucketPairs]]'s
+    *    output cardinality, derived WITHOUT materializing a pair),
+    *    distinct candidate pairs, and exact-verified pairs (true
+    *    n-gram Jaccard ≥ 0.6 — d05's kernel, so
+    *    `minhash_pairs_verified` always equals d05's oracled row
+    *    count: the report's exact-verify line is cross-checked by an
+    *    oracled query).
+    *  - `simhash_*`: hot pigeonhole blocks / rows dropped / kept, over
+    *    the SAME band values the pair generator uses
+    *    ([[pigeonholeBandVals]] is shared, not re-derived).
+    *  - `ann_*`: hot sign-LSH buckets / rows dropped / kept for the
+    *    s02/d06 embedding path at the corpus-adaptive plane count.
+    *
+    * Candidate semantics are hash-defined (xxhash64 signatures), so no
+    * SQL oracle exists for the LSH lines — DedupSpec pins the funnel
+    * instead: conservation (kept + dropped = total banded rows),
+    * monotonicity (proposed ≥ distinct ≥ verified), equality of
+    * `minhash_pairs_proposed` with the materialized candidate count,
+    * and exact drop accounting on a planted boilerplate family. */
+  val coverageQ: GraftQuery = GraftQuery.noOracle("d11_dedup_coverage") { (spark, sf) =>
+    coverageReport(Tables.documents(spark, sf),
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
+  def coverageReport(docs: DataFrame, emb: DataFrame): DataFrame = {
+    def guardAgg(buckets: DataFrame, cap: Int, prefix: String,
+        extra: Seq[Column] = Nil): DataFrame = {
+      val hot = col("bn") > cap
+      val aggs = Seq(
+        sum(when(hot, 1L).otherwise(0L)).as(s"${prefix}_hot_buckets"),
+        sum(when(hot, col("bn")).otherwise(0L)).as(s"${prefix}_rows_dropped"),
+        sum(when(!hot, col("bn")).otherwise(0L)).as(s"${prefix}_rows_kept")
+      ) ++ extra
+      buckets.agg(aggs.head, aggs.tail: _*)
+    }
+    def sizes(banded: DataFrame, keys: Seq[String]): DataFrame =
+      banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
+
+    val mh = guardAgg(
+      sizes(bandKeys(minhashSignatures(docs)), Seq("band", "band_key")),
+      MaxBandBucket, "minhash",
+      extra = Seq(sum(when(col("bn") <= MaxBandBucket,
+        expr("bn * (bn - 1) div 2")).otherwise(0L))
+        .as("minhash_pairs_proposed")))
+    // distinct + verified from ONE candidate subtree (threshold 0 keeps
+    // every pair): a second bucketPairs subtree in the same plan would
+    // duplicate the observe metric name, which Spark rejects; the
+    // verified line thresholds the UNROUNDED jaccard — d05's filter
+    val mhPairs = ngramJaccardPairs(docs, 0.0, emitRaw = true).agg(
+      count(lit(1)).as("minhash_pairs_distinct"),
+      sum(when(col("jac_raw") >= 0.6, 1L).otherwise(0L))
+        .as("minhash_pairs_verified"))
+
+    val sh = guardAgg(
+      sizes(simhashFingerprints(docs).select(
+        posexplode(array(pigeonholeBandVals(
+          simhashLaneCols(SimhashLanes), SimhashMaxHamming): _*))
+          .as(Seq("band", "band_val"))), Seq("band", "band_val")),
+      MaxSimhashBucket, "simhash")
+
+    val planes = planesForCorpus(emb.count())
+    val ann = guardAgg(
+      sizes(emb.select(
+        posexplode(lshBandBuckets(
+          col("v"), SimilarityOps.LshTables, planes, SimilarityOps.Dim))
+          .as(Seq("table", "bucket"))), Seq("table", "bucket")),
+      SimilarityOps.MaxBucket, "ann")
+
+    Seq(mh, mhPairs, sh, ann)
+      .map(df => df.unpivot(Array.empty, "stage", "n"))
+      .reduce(_.unionByName(_))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
-    clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ)
+    clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
+    coverageQ)
 }

@@ -293,4 +293,55 @@ class DedupSpec extends SparkSpec {
     val once = DedupOps.exactQ.run(spark, sf001)
     assert(once.count() === once.dropDuplicates("doc_id").count())
   }
+
+  private def embFixture(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 31 + j) + 0.01))
+    }.toDF("vec_id", "v")
+  }
+
+  private def report(docs: DataFrame, emb: DataFrame): Map[String, Long] =
+    DedupOps.coverageReport(docs, emb)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("d11 coverage: conservation, monotonic funnel, exact pair accounting") {
+    val rep = report(corpus, embFixture(10))
+    // conservation: every banded row is either kept or dropped
+    assert(rep("minhash_rows_kept") + rep("minhash_rows_dropped")
+      === 5L * DedupOps.Bands)
+    assert(rep("minhash_rows_dropped") === 0L)
+    assert(rep("simhash_rows_kept") + rep("simhash_rows_dropped")
+      === 5L * (DedupOps.SimhashMaxHamming + 1))
+    assert(rep("ann_rows_kept") + rep("ann_rows_dropped")
+      === 10L * SimilarityOps.LshTables)
+    // funnel is monotone and the histogram-derived pair volume equals
+    // the materialized candidate count
+    assert(rep("minhash_pairs_proposed") >= rep("minhash_pairs_distinct"))
+    assert(rep("minhash_pairs_distinct") >= rep("minhash_pairs_verified"))
+    assert(rep("minhash_pairs_proposed")
+      === DedupOps.rawCandidatePairs(corpus).count())
+    assert(rep("minhash_pairs_distinct")
+      === DedupOps.candidatePairs(corpus).count())
+    assert(rep("minhash_pairs_verified")
+      === DedupOps.ngramJaccardPairs(corpus, 0.6).count())
+  }
+
+  test("d11 coverage: a boilerplate family's dropped volume is accounted exactly") {
+    import spark.implicits._
+    val boiler = (100L until 400L).map(i =>
+      (i, "the same boilerplate sentence repeated verbatim in every copy"))
+      .toDF("doc_id", "text")
+    val docs = corpus.unionByName(boiler)
+    val rep = report(docs, embFixture(5))
+    // 300 identical docs share every band key: all 8 family buckets are
+    // over the 256 cap, and their full row volume shows up as dropped
+    assert(rep("minhash_hot_buckets") === DedupOps.Bands.toLong)
+    assert(rep("minhash_rows_dropped") === 300L * DedupOps.Bands)
+    assert(rep("minhash_rows_kept") + rep("minhash_rows_dropped")
+      === 305L * DedupOps.Bands)
+    // the dropped family never reaches the pair stages
+    assert(rep("minhash_pairs_proposed")
+      === DedupOps.rawCandidatePairs(docs).count())
+  }
 }
