@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale-stress proof for the dedup/ANN/curation families: the repo's
+  * central 100 TB claims — candidate volume stays O(n·bucket) because
+  * every generator is bucketed with a hot-key cap, and adaptive sizing
+  * (LSH planes, IVF cells) keeps occupancy flat as n grows — measured
+  * on an ADVERSARIAL corpus at two sizes (10× apart, the larger ~10×
+  * sf0.1's documents table) instead of asserted in scaladoc.
+  *
+  * Adversarial ingredients, per the shapes a crawl corpus actually
+  * has: one boilerplate template family at 5% of rows (members differ
+  * by one token — true near-dups that all collide in LSH space), 1%
+  * null-text rows, one dominant source, and (embeddings) one
+  * same-direction vector cluster at 5%.
+  *
+  * The spec asserts the MODEL, not absolute times (the box is
+  * multi-tenant): conservation of banded rows, the per-bucket cap
+  * bound on proposed pair volume, guard engagement exactly when a
+  * family outgrows its cap, and a sub-quadratic measured scaling
+  * exponent log(c₂/c₁)/log(n₂/n₁) for every surviving candidate
+  * volume. Measured values are logged as `SCALE |` lines — SCALE.md
+  * carries the table from a reference run.
+  */
+class ScaleStressSpec extends SparkSpec {
+
+  private val N1 = 2000
+  private val N2 = 20000
+
+  /** Deterministic adversarial corpus: everything derives from doc_id
+    * arithmetic so the two sizes are directly comparable (no RNG
+    * state). 5% template family (one token mutated per member), 1%
+    * null text, hot source on 60% of rows. */
+  private def stressDocs(n: Int): DataFrame = {
+    import spark.implicits._
+    val template = (0 until 40).map(i => s"boiler$i").toIndexedSeq
+    (0L until n.toLong).map { id =>
+      val text =
+        if (id % 100 == 99) null
+        else if (id % 20 == 0) // template family, 1-token mutation
+          template.updated((id / 20 % 40).toInt, s"mut$id").mkString(" ")
+        else
+          (0 until 40).map(i => s"w${(id * 40 + i) * 2654435761L % 50000}")
+            .mkString(" ")
+      val source = if (id % 10 < 6) "mega_source" else s"src${id % 7}"
+      (id, text, source)
+    }.toDF("doc_id", "text", "source")
+  }
+
+  /** Deterministic embeddings: pseudo-random directions, plus (when
+    * withHotCluster) a 5% same-direction cluster — the embedding-space
+    * boilerplate analogue. */
+  private def stressEmb(n: Int, withHotCluster: Boolean): DataFrame = {
+    import spark.implicits._
+    val clusterSize = if (withHotCluster) n / 20 else 0
+    (0 until n).map { i =>
+      val v =
+        if (i < clusterSize)
+          Array.tabulate(64)(j => math.cos(j * 0.7) + 1e-4 * math.sin(i * 13 + j))
+        else // hash-scrambled argument: independent-ish components, so
+             // bucket occupancy is the designed n/2^planes (a sinusoid
+             // in j would collapse every vector onto a 1-D manifold)
+          Array.tabulate(64)(j => math.sin(((i * 2654435761L + j * 40503L) % 10007L).toDouble))
+      (i.toLong, v)
+    }.toDF("vec_id", "v")
+  }
+
+  private def report(docs: DataFrame, emb: DataFrame): Map[String, Long] =
+    DedupOps.coverageReport(docs, emb)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def expo(c1: Long, c2: Long): Double =
+    math.log(c2.toDouble / c1.toDouble) / math.log(N2.toDouble / N1)
+
+  private def logScale(stage: String, c1: Long, c2: Long): Unit =
+    info(f"SCALE | $stage%-28s | n1=$c1%10d | n2=$c2%10d | exponent=${expo(c1, c2)}%6.2f")
+
+  test("d03 minhash: conservation, cap-bounded pair volume, guard engages at 10x") {
+    val (d1, d2) = (stressDocs(N1), stressDocs(N2))
+    val (r1, r2) = (report(d1, stressEmb(N1, withHotCluster = false)),
+      report(d2, stressEmb(N2, withHotCluster = true)))
+
+    // conservation against an independently computed banded-row count
+    // (null-text rows produce no bands; the report must account for
+    // exactly the rows that exist, no more)
+    val banded1 = DedupOps.bandKeys(DedupOps.minhashSignatures(d1)).count()
+    val banded2 = DedupOps.bandKeys(DedupOps.minhashSignatures(d2)).count()
+    assert(r1("minhash_rows_kept") + r1("minhash_rows_dropped") === banded1)
+    assert(r2("minhash_rows_kept") + r2("minhash_rows_dropped") === banded2)
+
+    // the O(n·bucket) model: a kept bucket holds ≤ cap members, so the
+    // proposed pair volume is bounded by kept_rows · cap / 2
+    assert(r1("minhash_pairs_proposed")
+      <= r1("minhash_rows_kept") * DedupOps.MaxBandBucket / 2)
+    assert(r2("minhash_pairs_proposed")
+      <= r2("minhash_rows_kept") * DedupOps.MaxBandBucket / 2)
+
+    // guard engagement is exactly the family-vs-cap relation:
+    // family(N1)=100 ≤ 256 ⇒ nothing dropped; family(N2)=1000 > 256 ⇒
+    // the family's band rows are dropped and surfaced
+    assert(r1("minhash_rows_dropped") === 0L)
+    assert(r2("minhash_rows_dropped") > 0L)
+    assert(r2("minhash_hot_buckets") > 0L)
+
+    // What "no quadratic blowup" means here, precisely: the banded
+    // volume feeding the generator is LINEAR in n (exponent ~1), and
+    // proposed pairs sit under the kept_rows·cap/2 envelope (asserted
+    // above) at BOTH sizes. Proposed pairs themselves may grow faster
+    // than n under the cap — a template family's true-duplicate
+    // density IS quadratic in family size (measured exponent ~1.85
+    // here), and those are real near-dups the operator must surface;
+    // the cap's job is bounding the per-bucket (and so per-task) cost,
+    // not denying true pairs.
+    logScale("minhash_pairs_proposed",
+      r1("minhash_pairs_proposed"), r2("minhash_pairs_proposed"))
+    logScale("minhash_rows_dropped",
+      r1("minhash_rows_dropped") max 1L, r2("minhash_rows_dropped"))
+    logScale("minhash_rows_kept", r1("minhash_rows_kept"), r2("minhash_rows_kept"))
+    logScale("minhash_hot_buckets",
+      r1("minhash_hot_buckets") max 1L, r2("minhash_hot_buckets"))
+    val eKept = expo(r1("minhash_rows_kept"), r2("minhash_rows_kept"))
+    assert(eKept < 1.1, s"banded-volume exponent $eKept is superlinear")
+    val envelope2 = r2("minhash_rows_kept") * DedupOps.MaxBandBucket / 2
+    assert(r2("minhash_pairs_proposed") <= envelope2,
+      "proposed pairs escaped the O(n·bucket) envelope")
+
+    // simhash conservation from the same reports (13 blocks per
+    // non-null doc at the radius-12 contract)
+    val nonNull1 = d1.filter(col("text").isNotNull).count()
+    val nonNull2 = d2.filter(col("text").isNotNull).count()
+    val blocks = DedupOps.SimhashMaxHamming + 1
+    assert(r1("simhash_rows_kept") + r1("simhash_rows_dropped")
+      === nonNull1 * blocks)
+    assert(r2("simhash_rows_kept") + r2("simhash_rows_dropped")
+      === nonNull2 * blocks)
+
+    // ANN: adaptive plane count holds occupancy, and the planted
+    // same-direction cluster (1000 > 512 cap, ×4 tables) is dropped
+    // and accounted
+    assert(r1("ann_rows_kept") + r1("ann_rows_dropped") === N1.toLong * SimilarityOps.LshTables)
+    assert(r2("ann_rows_kept") + r2("ann_rows_dropped") === N2.toLong * SimilarityOps.LshTables)
+    assert(r1("ann_rows_dropped") === 0L)
+    assert(r2("ann_rows_dropped") >= (N2 / 20).toLong * SimilarityOps.LshTables)
+    logScale("ann_rows_dropped", r1("ann_rows_dropped") max 1L, r2("ann_rows_dropped"))
+  }
+
+  test("d04 simhash: sub-cap family generates its true pairs; super-cap family drops, accounted") {
+    // sub-cap: the N1 family (100 members, 1-token mutations) must
+    // surface as near-dup pairs — the guard is not engaged
+    val pairs = DedupOps.simhashPairsMulti(
+      DedupOps.simhashFingerprints(
+        stressDocs(N1).filter(col("text").isNotNull)),
+      DedupOps.simhashLaneCols(DedupOps.SimhashLanes),
+      DedupOps.SimhashMaxHamming)
+    val familyPairs = pairs
+      .filter(col("doc_a") % 20 === 0 && col("doc_b") % 20 === 0).count()
+    assert(familyPairs > 0L, "sub-cap template family must produce near-dup pairs")
+
+    // super-cap: 5000 identical docs blow the 4096 block cap — all 13
+    // block buckets drop, the drop volume is exact, and no family pair
+    // survives (recall erosion is VISIBLE, not silent)
+    import spark.implicits._
+    val identical = (0L until 5000L)
+      .map(id => (100000L + id, "the exact same boilerplate page body", "mega"))
+      .toDF("doc_id", "text", "source")
+    val docs = stressDocs(N1).unionByName(identical)
+    val rep = report(docs, stressEmb(100, withHotCluster = false))
+    val blocks = DedupOps.SimhashMaxHamming + 1
+    // ≥ the family's full block volume; the slack is background docs
+    // whose 9-10-bit block value collides into the now-hot buckets
+    // (~n/2^10 per band — they drop too, and are accounted)
+    assert(rep("simhash_rows_dropped") >= 5000L * blocks)
+    assert(rep("simhash_rows_dropped") <= 5000L * blocks + 200L)
+    assert(rep("simhash_hot_buckets") === blocks.toLong)
+  }
+
+  test("s02 ANN: corpus-adaptive planes keep candidate volume sub-quadratic at 10x") {
+    val e1 = stressEmb(N1, withHotCluster = false)
+    val e2 = stressEmb(N2, withHotCluster = true)
+    val c1 = SimilarityOps.cosineCandidates(
+      e1, SimilarityOps.LshTables,
+      graft.functions.VectorFunctions.planesForCorpus(N1)).count()
+    val c2 = SimilarityOps.cosineCandidates(
+      e2, SimilarityOps.LshTables,
+      graft.functions.VectorFunctions.planesForCorpus(N2)).count()
+    val e = expo(c1, c2)
+    assert(e < 1.4, s"ANN candidate exponent $e looks quadratic")
+    logScale("ann_candidates", c1, c2)
+  }
+
+  test("s03 IVF: sqrt cell sizing and complete results at 10x") {
+    assert(SimilarityOps.cellsForCorpus(N1) === math.ceil(math.sqrt(N1)).toInt)
+    assert(SimilarityOps.cellsForCorpus(N2) === math.ceil(math.sqrt(N2)).toInt)
+    // cells grow ~sqrt(10): probe cost per query stays O(probes·sqrt n)
+    val ratio = SimilarityOps.cellsForCorpus(N2).toDouble /
+      SimilarityOps.cellsForCorpus(N1)
+    assert(ratio > 2.5 && ratio < 4.0)
+    val out = SimilarityOps.knnIvf(stressEmb(N2, withHotCluster = false), 3, 4)
+    assert(out.count() === N2.toLong * 3)
+  }
+
+  test("t09/t10 text curation holds shape at 10x with a hot source") {
+    val docs = stressDocs(N2).filter(col("text").isNotNull)
+    val n = docs.count()
+    val rep = CurationOps.repetitionSignals(docs)
+    assert(rep.count() === n, "repetition signals must stay per-document")
+  }
+
+  test("pk01 packing at 10x: every bin within budget, oversized docs isolated") {
+    val docs = stressDocs(N2).filter(col("text").isNotNull)
+    val budget = 512L
+    val packed = CurationOps.packed(docs, shards = 32, budget = budget)
+    packed.persist()
+    try {
+      val bins = packed.groupBy(col("shard"), col("bin"))
+        .agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_docs"))
+      val bad = bins.filter(col("total") > budget && col("n_docs") > 1).count()
+      assert(bad === 0L, "multi-doc bin over budget")
+      assert(packed.count() === docs.count(), "every doc must be packed")
+    } finally packed.unpersist()
+  }
+}
