@@ -568,9 +568,10 @@ object CoreQueries {
       |FROM b GROUP BY event_type, bin""".stripMargin) { (spark, sf) =>
     val ev = Tables.events(spark, sf)
     val mm = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    // Degenerate corpus guard (hi = lo ⇒ width 0): Spark's non-ANSI x/0 is
-    // NULL while DuckDB's IEEE x/0 is ±Inf/NaN, so bin must be decided
-    // before the division in BOTH engine texts.
+    // Degenerate corpus guard (hi = lo ⇒ width 0): Spark's non-ANSI x/0
+    // is NULL; DuckDB 1.0 also returns NULL but newer versions default
+    // to IEEE ±Inf — deciding the bin BEFORE the division in both
+    // engine texts makes parity oracle-version-independent.
     ev.crossJoin(broadcast(mm))
       .select(col("event_type"),
         when(col("hi") === col("lo"), lit(0L))

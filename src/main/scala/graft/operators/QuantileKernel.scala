@@ -34,7 +34,11 @@ object QuantileKernel {
     * a value ≤ this one inside the key and `n` the key's row total
     * (joined back as a broadcast — O(keys) rows). */
   def cumulativeHistogram(df: DataFrame, key: String, value: String): DataFrame = {
-    val h = df.groupBy(col(key), col(value)).agg(count(lit(1)).as("cnt"))
+    // NULL values are excluded up front: percentile/quantile_cont/
+    // quantile_disc all aggregate the non-null multiset, and a null
+    // histogram row would otherwise shift every cumulative position
+    val h = df.filter(col(value).isNotNull)
+      .groupBy(col(key), col(value)).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col(key)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = h.groupBy(col(key)).agg(sum(col("cnt")).as("n"))
@@ -74,9 +78,16 @@ object QuantileKernel {
 
   /** Discrete (`quantile_disc`) exact quantiles per key over a
     * [[cumulativeHistogram]]: exact data members, no interpolation —
-    * zero float-arithmetic parity risk. Convention pinned to DuckDB's
-    * (probed empirically, round5): 1-based rank ⌈p·n⌉ clamped to ≥ 1,
-    * i.e. the first histogram row with cum ≥ that rank. */
+    * the emitted VALUES carry no float-arithmetic parity risk.
+    * Convention pinned to DuckDB's (probed empirically, round 5,
+    * including sub-integer double products like 0.7·90): 1-based rank
+    * ⌈p·n⌉ clamped to ≥ 1, i.e. the first histogram row with
+    * cum ≥ that rank. The rank itself is computed as ceil over the
+    * IEEE double product — the probed DuckDB behavior; if a future
+    * oracle version computed the index with different float forms at
+    * astronomically large n (≥1e9 rows/group), the divergence would be
+    * one rank at exact decile boundaries and the gate would surface
+    * it. */
   def discQuantiles(hist: DataFrame, key: String, value: String,
       probs: Seq[(String, Double)]): DataFrame = {
     val aggs: Seq[Column] = probs.map { case (tag, p) =>

@@ -126,9 +126,10 @@ object VectorOps {
       .agg(round(avg(col("dist")), 4).as("mu"),
         round(stddev_samp(col("dist")), 4).as("sd"))
     // sd can round to 0 at 4dp (all distances in a label equal with n≥2):
-    // Spark's non-ANSI x/0 is NULL but DuckDB's IEEE x/0 is ±Inf, flipping
-    // the flag — so the degenerate case is decided before the division in
-    // both engine texts (z → NULL, outlier → false).
+    // Spark's non-ANSI x/0 is NULL; DuckDB 1.0 matches but newer versions
+    // default to IEEE ±Inf, which would flip the flag — deciding the
+    // degenerate case before the division in both engine texts makes
+    // parity oracle-version-independent (z → NULL, outlier → false).
     val sdOk = col("sd").isNotNull && col("sd") =!= 0.0
     d.join(broadcast(stats), "label")
       .withColumn("z", when(sdOk, (col("dist") - col("mu")) / col("sd")))

@@ -120,12 +120,23 @@ object TweetIngest {
     * (shingle → minhash → band keys as array expressions; the batch
     * explode/groupBy shape cannot run per-row in a stream), then OR-
     * amplified with one `dropDuplicatesWithinWatermark` PER BAND: a
-    * document sharing ANY band key with a doc ingested within the
-    * watermark is dropped at that band's stage; a kept document
-    * registers all its band keys. Chained per-band dedup state is how
-    * OR-semantics express under Spark's multiple-stateful-operator
-    * support; state is bands × (distinct kept keys within watermark) —
-    * still arrival-rate-bounded, watermark-evicted.
+    * document sharing ANY band key with prior state within the
+    * watermark is dropped at that band's stage. Chained per-band dedup
+    * state is how OR-semantics express under Spark's
+    * multiple-stateful-operator support; state is bands × (distinct
+    * keys that reached each stage within the watermark) —
+    * arrival-rate-bounded, watermark-evicted.
+    *
+    * Streaming trades, stated plainly (the batch d03 path has neither):
+    * there is NO exact-verify stage — a single 4-row band collision
+    * drops a document unverified (collision probability for unrelated
+    * docs is hash-negligible, but mid-similarity docs below the 0.6
+    * contract can drop: P ≈ 1-(1-J⁴)⁸); and a document dropped at
+    * stage b has already registered its band keys at stages < b, so a
+    * later document can be dropped against state left by a
+    * non-surviving near-dup — dedup decisions chain transitively, the
+    * same closure batch d07 computes explicitly. Precision knob:
+    * rowsPerBand (tighter bands drop only nearer dups).
     *
     * Documents without 3-shingles (null/short text) fall back to the
     * exact raw-payload fingerprint per band (dedup-by-identity), since

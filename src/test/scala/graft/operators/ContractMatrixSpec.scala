@@ -19,9 +19,7 @@ import graft.functions.VectorFunctions._
 class ContractMatrixSpec extends SparkSpec {
 
   private val sfs = Seq(
-    "sf0.001" -> "/root/testdata/sf0.001",
-    "sf0.01" -> "/root/testdata/sf0.01",
-    "sf0.1" -> "/root/testdata/sf0.1")
+    "sf0.001" -> sf001, "sf0.01" -> sf01, "sf0.1" -> sf1)
 
   // measured recall@3 per sf on the fixed corpora (round 5):
   //   s02: 0.469 / 0.474 / 0.219   s03: 0.426 / 0.444 / 0.325

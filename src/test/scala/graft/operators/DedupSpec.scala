@@ -327,6 +327,16 @@ class DedupSpec extends SparkSpec {
       === DedupOps.ngramJaccardPairs(corpus, 0.6).count())
   }
 
+  test("d11 coverage: degenerate corpus (no banded rows) reports exact zeros, not nulls") {
+    import spark.implicits._
+    val shorties = Seq((1L, "too short"), (2L, (null: String)))
+      .toDF("doc_id", "text") // no 3-shingles anywhere
+    val rep = DedupOps.coverageReport(shorties, embFixture(0))
+      .collect().map(r => (r.getString(0), r.isNullAt(1), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rep.forall(!_._2), s"null counter in $rep")
+    assert(rep.collect { case (s, _, n) if s.startsWith("minhash") => n }.forall(_ == 0L))
+  }
+
   test("d11 coverage: a boilerplate family's dropped volume is accounted exactly") {
     import spark.implicits._
     val boiler = (100L until 400L).map(i =>

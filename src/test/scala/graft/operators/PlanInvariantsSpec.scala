@@ -59,6 +59,19 @@ class PlanInvariantsSpec extends SparkSpec {
     windowsOnlyAboveAggregates(CoreQueries.quantiles.run(spark, sf001))
   }
 
+  test("quantile kernel ignores null values, like percentile and the oracle") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None))
+      .toDF("k", "v")
+    val hist = QuantileKernel.cumulativeHistogram(df, "k", "v")
+    val med = QuantileKernel.contQuantiles(hist, "k", "v", Seq("m" -> 0.5))
+      .select("m").collect().head.getDouble(0)
+    assert(med === 2.0, s"median over {1,2,3,NULL} must be 2.0, got $med")
+    val disc = QuantileKernel.discQuantiles(hist, "k", "v", Seq("m" -> 0.5))
+      .select("m").collect().head.getDouble(0)
+    assert(disc === 2.0)
+  }
+
   test("q33: no corpus-wide window; decile boundaries join as a broadcast") {
     val df = TemporalOps.decileBucketsQ.run(spark, sf001)
     windowsOnlyAboveAggregates(df)
