@@ -209,10 +209,15 @@ object CoreQueries {
       |       round(min(value), 2) AS lo,
       |       round(max(value), 2) AS hi
       |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
-    val hist = QuantileKernel.cumulativeHistogram(
-      Tables.events(spark, sf), "event_type", "value")
-    QuantileKernel.contQuantiles(hist, "event_type", "value",
+    val ev = Tables.events(spark, sf)
+    val hist = QuantileKernel.cumulativeHistogram(ev, "event_type", "value")
+    val q = QuantileKernel.contQuantiles(hist, "event_type", "value",
       Seq("__q1" -> 0.25, "__median" -> 0.50, "__q3" -> 0.75))
+    // left-join from the distinct keys: a group whose values are ALL
+    // null has no histogram rows but must still emit its row (with
+    // NULL stats) exactly as GROUP BY does in both engines
+    ev.select(col("event_type")).distinct()
+      .join(q, Seq("event_type"), "left")
       .select(col("event_type"),
         round(col("__q1"), 2).as("q1"),
         round(col("__median"), 2).as("median"),

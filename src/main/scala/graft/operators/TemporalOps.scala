@@ -198,9 +198,12 @@ object TemporalOps {
     val steps = stepCount(v, 1, "view")
       .unionByName(stepCount(c, 2, "click"))
       .unionByName(stepCount(p, 3, "purchase"))
+    // prior-step count 0 ⇒ conversion NULL in both engines (0/0 is
+    // NULL on Spark and DuckDB 1.0 but NaN under newer DuckDB's IEEE
+    // default — decide before dividing, the q29/v03 contract)
+    val prevUsers = lag(col("users"), 1).over(Window.orderBy(col("step")))
     steps.withColumn("conversion",
-      col("users").cast("double") /
-        lag(col("users"), 1).over(Window.orderBy(col("step"))))
+      when(prevUsers > 0, col("users").cast("double") / prevUsers))
   }
 
   val funnelQ: GraftQuery = GraftQuery(
@@ -217,7 +220,9 @@ object TemporalOps {
       |      UNION ALL SELECT 2, 'click', count(*) FROM c
       |      UNION ALL SELECT 3, 'purchase', count(*) FROM p)
       |SELECT step, name, users,
-      |       CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step) AS conversion
+      |       CASE WHEN lag(users) OVER (ORDER BY step) > 0
+      |            THEN CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step)
+      |       END AS conversion
       |FROM s""".stripMargin) { (spark, sf) =>
     funnel(Tables.events(spark, sf))
   }
@@ -292,8 +297,9 @@ object TemporalOps {
       .unionByName(stepCount(c, 2, "click"))
       .unionByName(stepCount(p, 3, "purchase"))
       .withColumn("conversion",
-        col("sessions").cast("double") /
-          lag(col("sessions"), 1).over(Window.orderBy(col("step"))))
+        when(lag(col("sessions"), 1).over(Window.orderBy(col("step"))) > 0,
+          col("sessions").cast("double") /
+            lag(col("sessions"), 1).over(Window.orderBy(col("step")))))
   }
 
   val sessionFunnelQ: GraftQuery = GraftQuery(
@@ -324,8 +330,9 @@ object TemporalOps {
       |       UNION ALL SELECT 2, 'click', count(*) FROM c
       |       UNION ALL SELECT 3, 'purchase', count(*) FROM p)
       |SELECT step, name, sessions,
-      |       CAST(sessions AS DOUBLE) / lag(sessions) OVER (ORDER BY step)
-      |         AS conversion
+      |       CASE WHEN lag(sessions) OVER (ORDER BY step) > 0
+      |            THEN CAST(sessions AS DOUBLE) / lag(sessions) OVER (ORDER BY step)
+      |       END AS conversion
       |FROM st""".stripMargin) { (spark, sf) =>
     sessionFunnel(Tables.events(spark, sf), 600000000L)
   }
@@ -348,16 +355,22 @@ object TemporalOps {
       |         quantile_disc(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
       |  FROM events GROUP BY event_type)
       |SELECT e.event_id, e.event_type, e.value,
-      |       CAST(1 + len(list_filter(bs, x -> e.value > x)) AS BIGINT) AS decile
-      |FROM events e JOIN b USING (event_type)""".stripMargin) { (spark, sf) =>
+      |       CASE WHEN e.value IS NULL OR bs IS NULL THEN NULL
+      |            ELSE CAST(1 + len(list_filter(bs, x -> e.value > x)) AS BIGINT)
+      |       END AS decile
+      |FROM events e LEFT JOIN b USING (event_type)""".stripMargin) { (spark, sf) =>
     val ev = Tables.events(spark, sf)
     val hist = QuantileKernel.cumulativeHistogram(ev, "event_type", "value")
     val probs = (1 to 9).map(i => s"__b$i" -> i / 10.0)
     val bounds = QuantileKernel.discQuantiles(hist, "event_type", "value", probs)
       .select(col("event_type"), array(probs.map(p => col(p._1)): _*).as("bs"))
-    ev.join(broadcast(bounds), "event_type")
+    // LEFT join + explicit null-out: a null value (or an all-null
+    // group, which has no boundary row) gets a NULL decile in BOTH
+    // engine texts rather than leaning on filter-lambda null semantics
+    ev.join(broadcast(bounds), Seq("event_type"), "left")
       .select(col("event_id"), col("event_type"), col("value"),
-        (lit(1) + size(filter(col("bs"), x => col("value") > x))).cast("long")
+        when(col("value").isNotNull && col("bs").isNotNull,
+          (lit(1) + size(filter(col("bs"), x => col("value") > x))).cast("long"))
           .as("decile"))
   }
 

@@ -98,7 +98,12 @@ object TweetIngest {
     * watermark like every stateful streaming op here. Null/malformed
     * payloads fall back to the raw-bytes fingerprint (two DIFFERENT
     * malformed payloads must not collapse; xxhash64 skips null
-    * children, so hashing parsed fields would degenerate). */
+    * children, so hashing parsed fields would degenerate). Caveat,
+    * platform-pinned since round 2: a malformed payload also has a
+    * null created_at, and null-event-time rows pass through watermark
+    * dedup WITHOUT being retained in state — so a REPLAY of the same
+    * malformed payload is not dropped; only well-formed content is
+    * dedup-guaranteed. */
   def contentDedupedParse(kafkaShaped: DataFrame, lateness: String = "2 hours"): DataFrame = {
     val raw = hex(xxhash64(col("topic"), col("value").cast("string")))
     parseKeeping(kafkaShaped, Seq(raw.as("_raw_fp")))
@@ -142,7 +147,8 @@ object TweetIngest {
     * exact raw-payload fingerprint per band (dedup-by-identity), since
     * their empty shingle set would minhash every row to one key. */
   def nearDupDedupedParse(kafkaShaped: DataFrame, lateness: String = "2 hours",
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = graft.operators.DedupOps.Bands,
+      rowsPerBand: Int = graft.operators.DedupOps.RowsPerBand): DataFrame = {
     val raw = hex(xxhash64(col("topic"), col("value").cast("string")))
     val parsed = parseKeeping(kafkaShaped, Seq(raw.as("_raw_fp")))
     val tokens = split(col("text"), " ")
