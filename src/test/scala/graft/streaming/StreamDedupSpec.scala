@@ -76,6 +76,38 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup dedup survives a checkpoint restart: state restores, replays still drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("nd_lake").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nd_ckpt").toString
+    def start(src: MemoryStream[KafkaMsg]) =
+      TweetIngest.nearDupDedupedParse(src.toDF())
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", lake)
+        .start()
+
+    val source = MemoryStream[KafkaMsg]
+    source.addData(msg(1, "a", "2022-03-01T10:00:00Z", base))
+    val q = start(source)
+    q.processAllAvailable(); q.stop()
+
+    // restart from the same checkpoint (8 chained dedup state stores
+    // must all restore); a near-dup of the pre-restart doc arrives
+    source.addData(
+      msg(2, "b", "2022-03-01T10:05:00Z", nearDup),
+      msg(3, "a", "2022-03-01T10:06:00Z", unrelated))
+    val q2 = start(source)
+    q2.processAllAvailable(); q2.stop()
+
+    val texts = spark.read.parquet(lake).select("text")
+      .collect().map(_.getString(0)).toSeq
+    assert(texts.contains(base) && texts.contains(unrelated))
+    assert(!texts.contains(nearDup),
+      "near-dup of a PRE-RESTART doc must drop against restored state")
+    assert(texts.size === 2)
+  }
+
   test("near-dup state is watermark-bounded: old band keys evict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
