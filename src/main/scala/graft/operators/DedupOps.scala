@@ -818,8 +818,112 @@ object DedupOps {
       .reduce(_.unionByName(_))
   }
 
+  /** d12 — incremental dedup: the job a production pipeline actually
+    * runs on every ingest — a NEW batch (delta) deduped against the
+    * EXISTING lake (corpus) AND within itself, one verdict per new
+    * document with keep-first semantics:
+    *
+    *   exact_corpus > exact_batch > near_corpus > near_batch > new
+    *
+    * (an exact corpus copy outranks everything; a batch-internal
+    * near-dup only drops against a SMALLER delta doc_id, so the first
+    * occurrence in the batch stays 'new').
+    *
+    * Shape: the exact tiers are one text-keyed semi-join / grouped
+    * first-id join; the near tier reuses the d03→d05 kernel over the
+    * union (in production the corpus side's signatures are the
+    * precomputed index — same plan, cached input), then every
+    * membership test is a doc_id-keyed semi-join, co-partitioned after
+    * the first shuffle. Nothing is corpus²: candidates stay bucketed
+    * and capped.
+    *
+    * Oracle: fully SQL-expressible — the near tier inherits d05's
+    * candidates ⊇ truth agreement on the gate corpora (every
+    * qualifying pair there has J ≥ 0.9, where banding recall is
+    * ~0.9998 and hash-deterministic), so DuckDB recomputes it as
+    * all-pairs Jaccard; the exact tiers and the precedence CASE are
+    * literal. */
+  def incrementalDedup(delta: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.6): DataFrame = {
+    val dIds = delta.select(col("doc_id"))
+    val exactCorpus = delta
+      .join(corpus.select(col("text")).distinct(), Seq("text"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("_ec", lit(true))
+    val exactBatch = delta
+      .join(delta.groupBy(col("text")).agg(min(col("doc_id")).as("_first_id")), "text")
+      .filter(col("doc_id") =!= col("_first_id"))
+      .select(col("doc_id")).distinct().withColumn("_eb", lit(true))
+    val near = ngramJaccardPairs(
+      delta.select(col("doc_id"), col("text"))
+        .unionByName(corpus.select(col("doc_id"), col("text"))), threshold)
+    // both directions, then keep the delta-side endpoints
+    val nearDelta = near.select(
+      explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as("other")),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as("other")))).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.other").as("other"))
+      .join(dIds, Seq("doc_id"), "left_semi")
+    val nearCorpus = nearDelta
+      .join(corpus.select(col("doc_id").as("other")), Seq("other"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("_nc", lit(true))
+    val nearBatch = nearDelta
+      .join(dIds.select(col("doc_id").as("other")), Seq("other"), "left_semi")
+      .filter(col("other") < col("doc_id"))
+      .select(col("doc_id")).distinct().withColumn("_nb", lit(true))
+    dIds
+      .join(exactCorpus, Seq("doc_id"), "left")
+      .join(exactBatch, Seq("doc_id"), "left")
+      .join(nearCorpus, Seq("doc_id"), "left")
+      .join(nearBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_ec"), "exact_corpus")
+          .when(col("_eb"), "exact_batch")
+          .when(col("_nc"), "near_corpus")
+          .when(col("_nb"), "near_batch")
+          .otherwise("new").as("verdict"))
+  }
+
+  val incrementalQ: GraftQuery = GraftQuery(
+    "d12_incremental_dedup",
+    """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |np AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+      |nd AS (SELECT doc_a AS doc_id, doc_b AS other FROM np
+      |       UNION ALL SELECT doc_b, doc_a FROM np),
+      |ec AS (SELECT DISTINCT d.doc_id FROM delta d JOIN corpus c ON d.text = c.text),
+      |eb AS (SELECT DISTINCT d.doc_id FROM delta d JOIN
+      |         (SELECT text, min(doc_id) AS fid FROM delta GROUP BY text) f
+      |       ON d.text = f.text AND d.doc_id <> f.fid),
+      |nc AS (SELECT DISTINCT nd.doc_id FROM nd JOIN delta USING (doc_id)
+      |       WHERE nd.other % 10 <> 0),
+      |nb AS (SELECT DISTINCT nd.doc_id FROM nd JOIN delta USING (doc_id)
+      |       WHERE nd.other % 10 = 0 AND nd.other < nd.doc_id)
+      |SELECT d.doc_id,
+      |       CASE WHEN ec.doc_id IS NOT NULL THEN 'exact_corpus'
+      |            WHEN eb.doc_id IS NOT NULL THEN 'exact_batch'
+      |            WHEN nc.doc_id IS NOT NULL THEN 'near_corpus'
+      |            WHEN nb.doc_id IS NOT NULL THEN 'near_batch'
+      |            ELSE 'new' END AS verdict
+      |FROM delta d
+      |LEFT JOIN ec ON d.doc_id = ec.doc_id
+      |LEFT JOIN eb ON d.doc_id = eb.doc_id
+      |LEFT JOIN nc ON d.doc_id = nc.doc_id
+      |LEFT JOIN nb ON d.doc_id = nb.doc_id""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    incrementalDedup(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
-    coverageQ)
+    coverageQ, incrementalQ)
 }

@@ -294,6 +294,46 @@ class DedupSpec extends SparkSpec {
     assert(once.count() === once.dropDuplicates("doc_id").count())
   }
 
+  test("d12 incremental dedup: verdict precedence on planted fixtures") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok${i % 13}w").mkString(" ")
+    val near = base.split(" ").updated(5, "MUTATED").mkString(" ")
+    val fresh = (1 to 40).map(i => s"new${i * 3 % 11}x").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely unrelated corpus text body here okay")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, base),   // exact copy of corpus doc 1      -> exact_corpus
+      (11L, near),   // 1-token edit of corpus doc 1    -> near_corpus
+      (12L, fresh),  // first occurrence in batch        -> new
+      (13L, fresh),  // exact copy of delta doc 12       -> exact_batch
+      (14L, fresh.split(" ").updated(7, "EDIT").mkString(" ")), // near 12 -> near_batch
+      (15L, "nothing like anything else at all truly")  // -> new
+    ).toDF("doc_id", "text")
+    val out = DedupOps.incrementalDedup(delta, corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      10L -> "exact_corpus", 11L -> "near_corpus", 12L -> "new",
+      13L -> "exact_batch", 14L -> "near_batch", 15L -> "new"))
+  }
+
+  test("d12 precedence: an exact corpus copy outranks its batch near-dups") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"pqr${i % 17}z").mkString(" ")
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    // 20 is an exact corpus copy AND near-dups 21; 21 is near both —
+    // corpus tier must win for both (exact for 20, near_corpus for 21,
+    // never near_batch)
+    val delta = Seq(
+      (20L, base),
+      (21L, base.split(" ").updated(3, "X").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = DedupOps.incrementalDedup(delta, corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(20L -> "exact_corpus", 21L -> "near_corpus"))
+  }
+
   private def embFixture(n: Int): DataFrame = {
     import spark.implicits._
     (0 until n).map { i =>
