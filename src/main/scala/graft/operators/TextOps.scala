@@ -303,7 +303,47 @@ object TextOps {
       .agg(round(-avg(log(col("c").cast("double") / col("t"))), 4).as("nll"))
   }
 
+  /** Perplexity-band corpus pruning (the CCNet practice t13 feeds):
+    * keep documents whose unigram NLL lies inside the [p10, p90]
+    * corpus band — the low tail is boilerplate (too predictable), the
+    * high tail is noise (too random). Boundaries are exact DISCRETE
+    * order statistics from [[QuantileKernel.discQuantiles]] over the
+    * 4dp-rounded NLL (so both engines compare identical doubles; the
+    * histogram the kernel sorts is bounded by the 4dp NLL domain —
+    * tens of thousands of distinct values at ANY corpus size, never
+    * corpus rows), broadcast to a row-local band assignment. */
+  val nllBandQ: GraftQuery = GraftQuery(
+    "t15_nll_band",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |f AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+      |tot AS (SELECT count(*) AS t FROM tok),
+      |s AS (SELECT tok.doc_id, ln(CAST(f.c AS DOUBLE) / t.t) AS lp
+      |      FROM tok JOIN f USING (token) CROSS JOIN tot t),
+      |n AS (SELECT doc_id, round(-avg(lp), 4) AS nll FROM s GROUP BY doc_id),
+      |b AS (SELECT quantile_disc(nll, 0.1) AS lo, quantile_disc(nll, 0.9) AS hi
+      |      FROM n)
+      |SELECT doc_id, nll,
+      |       CASE WHEN nll < lo THEN 'boilerplate'
+      |            WHEN nll > hi THEN 'noise'
+      |            ELSE 'keep' END AS band
+      |FROM n CROSS JOIN b""".stripMargin) { (spark, sf) =>
+    nllBand(Tables.documents(spark, sf))
+  }
+
+  /** t15 over (doc_id, text) rows. */
+  def nllBand(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nll = unigramNll(docs).withColumn("_k", lit(1))
+    val hist = QuantileKernel.cumulativeHistogram(nll, "_k", "nll")
+    val bounds = QuantileKernel.discQuantiles(hist, "_k", "nll",
+      Seq("lo" -> 0.1, "hi" -> 0.9))
+    nll.join(broadcast(bounds), "_k")
+      .select(col("doc_id"), col("nll"),
+        when(col("nll") < col("lo"), "boilerplate")
+          .when(col("nll") > col("hi"), "noise")
+          .otherwise("keep").as("band"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
-    hashSplitQ, unigramNllQ)
+    hashSplitQ, unigramNllQ, nllBandQ)
 }

@@ -46,4 +46,26 @@ class BloomSpec extends SparkSpec {
     assert(out(1L) == math.rint(-math.log(0.75) * 1e4) / 1e4)
     assert(out(2L) == math.rint(-math.log(0.25) * 1e4) / 1e4)
   }
+
+  test("t15 bands: repetition-graded corpus tails into boilerplate/keep/noise") {
+    import spark.implicits._
+    // doc i mixes (51-i) copies of the dominant token with one rare
+    // token: NLL rises monotonically with i, so the p10/p90 band cuts
+    // land on a graded distribution (a corpus of IDENTICAL docs has one
+    // giant tie at the boundary and nothing strictly outside it — the
+    // strict-inequality band semantics keep such a mass in 'keep')
+    val docs = (1L to 50L).map(i =>
+      i -> (Seq.fill(51 - i.toInt)("the") :+ s"tok$i").mkString(" "))
+      .toDF("doc_id", "text")
+    val out = TextOps.nllBand(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "boilerplate", s"most-repetitive doc: ${out(1L)}")
+    assert(out(50L) == "noise", s"rarest doc: ${out(50L)}")
+    assert(out(25L) == "keep")
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes("boilerplate") >= 2 && sizes("boilerplate") <= 8, sizes.toString)
+    assert(sizes("noise") >= 2 && sizes("noise") <= 8, sizes.toString)
+    // bands partition the corpus: every doc gets exactly one verdict
+    assert(out.size === 50)
+  }
 }
