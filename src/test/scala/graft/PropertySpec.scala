@@ -156,4 +156,43 @@ class PropertySpec extends SparkSpec {
       assert(r.getInt(0) === a.zip(b).count { case (x, y) => x == y })
     }
   }
+
+  /** Driver-side reference for the kernel's interpolated quantile —
+    * Spark `percentile`'s rank arithmetic over the sorted multiset. */
+  private def refCont(sorted: IndexedSeq[Double], p: Double): Double = {
+    val pos = p * (sorted.length - 1)
+    val (lower, higher) = (math.floor(pos), math.ceil(pos))
+    if (lower == higher) sorted(lower.toInt)
+    else sorted(lower.toInt) * (higher - pos) + sorted(higher.toInt) * (pos - lower)
+  }
+
+  /** Reference for the discrete quantile — ⌈p·n⌉ 1-based rank. */
+  private def refDisc(sorted: IndexedSeq[Double], p: Double): Double =
+    sorted((math.ceil(p * sorted.length).toLong.max(1L) - 1).toInt)
+
+  test("quantile kernel matches the sorted-multiset reference (any values, ties, negatives)") {
+    import spark.implicits._
+    val valuesGen: Gen[List[Double]] = Gen.nonEmptyListOf(
+      Gen.oneOf(
+        Gen.chooseNum(-100, 100).map(_.toDouble / 4), // ties + negatives
+        Gen.chooseNum(-1e6, 1e6).map(_ / 1e3)))
+    val probs = Seq("p10" -> 0.1, "p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    samples(valuesGen, 6).foreach { vs =>
+      val df = vs.map(("g", _)).toDF("k", "v")
+      val hist = graft.operators.QuantileKernel.cumulativeHistogram(df, "k", "v")
+      val cont = graft.operators.QuantileKernel.contQuantiles(hist, "k", "v", probs)
+        .collect().head
+      val disc = graft.operators.QuantileKernel.discQuantiles(hist, "k", "v", probs)
+        .collect().head
+      val sorted = vs.sorted.toIndexedSeq
+      probs.foreach { case (tag, p) =>
+        assert(cont.getAs[Double](tag) === refCont(sorted, p),
+          s"cont $tag over $vs")
+        assert(disc.getAs[Double](tag) === refDisc(sorted, p),
+          s"disc $tag over $vs")
+      }
+      assert(cont.getAs[Double]("__min") === sorted.head)
+      assert(cont.getAs[Double]("__max") === sorted.last)
+    }
+  }
 }

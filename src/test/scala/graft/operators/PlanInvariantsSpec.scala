@@ -78,4 +78,17 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("d12: candidate-composed incremental dedup plans without a cartesian product") {
+    val p = plan(DedupOps.incrementalQ.run(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t15: NLL band boundaries reach the probe side as a broadcast") {
+    val df = TextOps.nllBandQ.run(spark, sf001)
+    windowsOnlyAboveAggregates(df)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
