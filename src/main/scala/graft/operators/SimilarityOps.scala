@@ -280,5 +280,49 @@ object SimilarityOps {
       codebook = df => kmeansCentroids(df, cellsForCorpus(n), knownN = Some(n)))
   }
 
-  val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ)
+  /** Filtered (metadata-constrained) ANN — the "filtered search" every
+    * vector store offers: top-k neighbors restricted to rows sharing
+    * the query's label. The predicate composes BEFORE ranking (label
+    * equality rides the join condition, so Catalyst can push a
+    * selective label filter into the corpus scan); ranks therefore
+    * count only eligible neighbors — post-filtering a plain top-k
+    * would under-fill. At 100 TB the corpus side becomes the IVF index
+    * partitioned by label (same knnIvf kernel per label slice); this
+    * is the oracle-parity baseline, exactly like s01 for s02-s04. */
+  val knnFilteredQ: GraftQuery = GraftQuery(
+    "s05_knn_filtered",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qnrm
+       |      FROM n WHERE vec_id < 8),
+       |s AS (SELECT q.query_id, n.vec_id AS neighbor_id, n.label,
+       |        list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS cos,
+       |        row_number() OVER (
+       |          PARTITION BY q.query_id
+       |          ORDER BY list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) DESC,
+       |                   n.vec_id) AS rank
+       |      FROM q JOIN n ON n.vec_id <> q.query_id AND n.label = q.qlabel)
+       |SELECT query_id, neighbor_id, label, rank, round(cos, 4) AS cos_sim
+       |FROM s WHERE rank <= $K""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(queries,
+        col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        col("rank").cast("long").as("rank"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
+    knnFilteredQ)
 }

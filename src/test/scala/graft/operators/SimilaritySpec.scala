@@ -82,4 +82,28 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.filter(col("cos_sim") > 1.0 || col("cos_sim") < -1.0).count() === 0)
     assert(knn.groupBy("vec_id", "rank").count().filter(col("count") > 1).count() === 0)
   }
+
+  test("s05 filtered ANN: every neighbor shares the query's label, ranks fill within the slice") {
+    val labels = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label"))
+    val out = SimilarityOps.knnFilteredQ.run(spark, sf001)
+    // neighbor labels all equal the query's own label
+    val mismatched = out
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "expected"), "query_id")
+      .filter(col("label") =!= col("expected")).count()
+    assert(mismatched === 0L)
+    // the predicate applies BEFORE ranking: rank-1 within a label can
+    // differ from the unfiltered rank-1 (post-filtering would leave
+    // holes); every query still gets a full top-5 because each label
+    // slice at sf0.001 has > 5 members
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)
+    val unfiltered = SimilarityOps.knnBruteQ.run(spark, sf001)
+      .filter(col("rank") === 1).select(col("query_id"), col("neighbor_id").as("u1"))
+    val filtered1 = out.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("f1"))
+    val diverging = filtered1.join(unfiltered, "query_id")
+      .filter(col("f1") =!= col("u1")).count()
+    info(s"filtered rank-1 differs from unfiltered for $diverging of 8 queries")
+  }
 }
