@@ -374,7 +374,128 @@ object TemporalOps {
           .as("decile"))
   }
 
+  /** Winsorization — clamp each group's values into its exact [p10,
+    * p90] band before averaging (the standard outlier-robust mean for
+    * telemetry with fat tails). Boundaries are exact DISCRETE order
+    * statistics from [[QuantileKernel.discQuantiles]] (data members,
+    * no interpolation → no float-parity risk), broadcast, and the
+    * clamp is a row-local CASE inside the probe stage — the same
+    * boundary-broadcast shape as q33, so no corpus-wide window and no
+    * per-group value buffering anywhere in the plan. Groups whose
+    * values are all NULL have no histogram row and drop from both
+    * engines (oracle: `WHERE lo IS NOT NULL`). The winsorized mean is
+    * rounded to 4dp like every mean in the registry (summation
+    * order). */
+  val winsorizeQ: GraftQuery = GraftQuery(
+    "q35_winsorize",
+    """WITH b AS (
+      |  SELECT event_type, quantile_disc(value, 0.10) AS lo,
+      |         quantile_disc(value, 0.90) AS hi
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, lo, hi,
+      |       sum(CASE WHEN e.value < lo THEN 1 ELSE 0 END) AS n_low,
+      |       sum(CASE WHEN e.value > hi THEN 1 ELSE 0 END) AS n_high,
+      |       round(avg(CASE WHEN e.value < lo THEN lo
+      |                      WHEN e.value > hi THEN hi
+      |                      ELSE e.value END), 4) AS avg_winsorized,
+      |       count(e.value) AS n
+      |FROM events e JOIN b USING (event_type)
+      |WHERE lo IS NOT NULL
+      |GROUP BY 1, 2, 3""".stripMargin) { (spark, sf) =>
+    winsorizedMeans(Tables.events(spark, sf))
+  }
+
+  /** q35 over (event_type, value) rows. */
+  def winsorizedMeans(events: DataFrame): DataFrame = {
+    val hist = QuantileKernel.cumulativeHistogram(events, "event_type", "value")
+    val bounds = QuantileKernel.discQuantiles(hist, "event_type", "value",
+      Seq("lo" -> 0.10, "hi" -> 0.90))
+    events.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"), col("lo"), col("hi"))
+      .agg(
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        round(avg(
+          when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value"))), 4).as("avg_winsorized"),
+        count(col("value")).as("n"))
+  }
+
+  /** Point-in-interval join via bucket expansion — the non-equi join
+    * Spark has no native operator for (a raw `a.ts BETWEEN b.lo AND
+    * b.hi` condition plans as BroadcastNestedLoopJoin: every point
+    * probes every interval). Instead both sides are mapped onto a
+    * shared bucket grid: each interval explodes to the hour buckets it
+    * covers (bounded by span/bucket-width), each point lands in
+    * exactly ONE bucket, and the join becomes an equi-join on the
+    * bucket key with the BETWEEN kept only as a residual filter inside
+    * matched buckets. A point matches an interval in at most one
+    * bucket (its own), so no pair-dedup is needed. At 100 TB the
+    * bucket key is what bounds join width: probe cost per point is the
+    * intervals overlapping its hour, never the interval count.
+    *
+    * Intervals here are the daily active spans (min..max ts per day)
+    * of the 3 most active users (deterministic tie-break: user_id);
+    * the interval side is tiny after that filter and is explicitly
+    * broadcast — the bucket-grid shape is what generalizes when BOTH
+    * sides are corpus-sized (the equi-join then shuffles on the bucket
+    * key instead of nested-looping). The oracle runs DuckDB's native
+    * inequality join over the same intervals — an independent
+    * implementation, not a bucket transcription. */
+  val intervalJoinQ: GraftQuery = GraftQuery(
+    "j03_interval_join",
+    """WITH e AS (
+      |  SELECT user_id,
+      |         make_timestamp(CAST(epoch_ns(ts) // 1000 AS BIGINT)) AS ts
+      |  FROM events),
+      |tu AS (SELECT user_id FROM e GROUP BY user_id
+      |       ORDER BY count(*) DESC, user_id LIMIT 3),
+      |iv AS (SELECT e.user_id AS owner, min(ts) AS s_start, max(ts) AS s_end
+      |       FROM e JOIN tu USING (user_id)
+      |       GROUP BY e.user_id, date_trunc('day', ts))
+      |SELECT iv.owner,
+      |       strftime(iv.s_start, '%Y-%m-%d %H:%M:%S') AS span_start,
+      |       strftime(iv.s_end, '%Y-%m-%d %H:%M:%S') AS span_end,
+      |       count(*) AS n_events,
+      |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM iv JOIN e ON e.ts BETWEEN iv.s_start AND iv.s_end
+      |GROUP BY 1, 2, 3""".stripMargin) { (spark, sf) =>
+    intervalActivity(Tables.events(spark, sf), topUsers = 3)
+  }
+
+  /** j03 over (user_id, ts) rows: daily active spans of the `topUsers`
+    * most active users, joined back to every event inside the span
+    * (boundaries inclusive) through the hour-bucket grid. */
+  def intervalActivity(events: DataFrame, topUsers: Int): DataFrame = {
+    val ev = events.select(col("user_id"), col("ts"))
+    val top = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("user_id"))
+      .limit(topUsers)
+      .select(col("user_id"))
+    val spans = ev.join(top, "user_id")
+      .groupBy(col("user_id").as("owner"), date_trunc("day", col("ts")).as("d"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      .select(col("owner"), col("s_start"), col("s_end"),
+        explode(sequence(
+          date_trunc("hour", col("s_start")),
+          date_trunc("hour", col("s_end")),
+          expr("interval 1 hour"))).as("bucket"))
+    val pts = ev.withColumn("bucket", date_trunc("hour", col("ts")))
+    pts.join(broadcast(spans),
+        pts("bucket") === spans("bucket")
+          && pts("ts").between(col("s_start"), col("s_end")))
+      .groupBy(col("owner"), col("s_start"), col("s_end"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("owner"),
+        date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss").as("span_start"),
+        date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss").as("span_end"),
+        col("n_events"), col("n_users"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
-      sessionFunnelQ, retentionQ, decileBucketsQ)
+      sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ)
 }

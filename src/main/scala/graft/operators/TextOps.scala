@@ -343,7 +343,82 @@ object TextOps {
           .otherwise("keep").as("band"))
   }
 
+  /** Corpus-frequent n-gram coverage (the RefinedWeb/C4 boilerplate
+    * signal): score each document by the fraction of its tokens
+    * covered by a 3-gram that appears in ≥ K distinct documents.
+    * The corpus on this harness has no newlines, so the practice's
+    * line-level dedup is expressed at its token-gram granularity —
+    * the relational shape is identical.
+    *
+    * Scale shape: one hash aggregate keyed by gram (map-side combined;
+    * distinct-doc counting) produces the frequent set, whose size is
+    * bounded by total-gram-occurrences / K — it SHRINKS as K grows, so
+    * with K set proportionally to the corpus (as the practice does) it
+    * broadcasts; for a fixed small K over a huge corpus the same probe
+    * runs through the d09 Bloom kernel instead of a raw broadcast.
+    * Coverage is then a broadcast semi-probe of the gram stream, a
+    * 3-offset position expansion, and one doc_id-keyed distinct-count
+    * — no self-join, no window, nothing corpus-quadratic. */
+  val boilerplateQ: GraftQuery = GraftQuery(
+    "t16_boilerplate_coverage",
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs
+      |         WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+      |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |         i -> struct_pack(s := i, g := t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sg
+      |       FROM toks),
+      |g3 AS (SELECT doc_id, sg.s AS s, sg.g AS gram FROM g2),
+      |f AS (SELECT gram FROM g3 GROUP BY gram HAVING count(DISTINCT doc_id) >= 5),
+      |cov AS (SELECT DISTINCT doc_id, s + o.o AS p FROM g3 JOIN f USING (gram),
+      |        (VALUES (0), (1), (2)) o(o)),
+      |c AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CASE WHEN d.text IS NULL THEN CAST(0 AS BIGINT)
+      |            ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT) END AS n_tokens,
+      |       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+      |       CASE WHEN d.text IS NULL THEN NULL
+      |            ELSE round(CAST(coalesce(c.covered, 0) AS DOUBLE)
+      |                       / len(string_split(d.text, ' ')), 4)
+      |       END AS boilerplate_frac
+      |FROM docs d LEFT JOIN c USING (doc_id)""".stripMargin) { (spark, sf) =>
+    boilerplateCoverage(Tables.documents(spark, sf), minDocFreq = 5)
+  }
+
+  /** t16 over (doc_id, text) rows. Gram start positions are 0-based
+    * here and 1-based in the oracle — only distinct covered-position
+    * COUNTS are emitted, so the convention is internal to each
+    * engine. */
+  def boilerplateCoverage(docs: org.apache.spark.sql.DataFrame,
+      minDocFreq: Long): org.apache.spark.sql.DataFrame = {
+    val tk = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+    val grams = tk.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), col("pos").as("s"), col("col").as("gram"))
+    val freq = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("gram"))
+    val covered = grams.join(broadcast(freq), "gram")
+      .select(col("doc_id"),
+        explode(array(col("s"), col("s") + 1, col("s") + 2)).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("covered"))
+    docs.select(col("doc_id"), col("text"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("text").isNull, 0L)
+          .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        when(col("text").isNull, lit(null).cast("double"))
+          .otherwise(round(
+            coalesce(col("covered"), lit(0L)).cast("double")
+              / size(split(col("text"), " ")), 4)).as("boilerplate_frac"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
-    hashSplitQ, unigramNllQ, nllBandQ)
+    hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ)
 }

@@ -46,6 +46,28 @@ class CurationSpec extends SparkSpec {
     assert(out(4L)._1 == "drop" && out(4L)._2.contains("rep"))
   }
 
+  test("t16 boilerplate coverage: overlapping frequent grams cover distinct positions once") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "w x y a b"),      // "w x y"(0) + "x y a"(1): union {0,1,2,3} -> 4/5
+      (2L, "p w x y a x"),    // starts 1,2: union {1,2,3,4} -> 4/6
+      (3L, "w x y y"),        // "w x y"(0) only -> 3/4
+      (4L, "all words here are fresh ones"), // no frequent gram -> 0
+      (5L, "a b"),            // too short for any gram -> 0
+      (6L, null.asInstanceOf[String]))       // null text -> 0 tokens, NULL frac
+      .toDF("doc_id", "text")
+    val out = TextOps.boilerplateCoverage(fixture, minDocFreq = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) == ((5L, 4L, Some(0.8))))
+    assert(out(2L) == ((6L, 4L, Some(0.6667))))
+    assert(out(3L) == ((4L, 3L, Some(0.75))))
+    assert(out(4L) == ((6L, 0L, Some(0.0))))
+    assert(out(5L) == ((2L, 0L, Some(0.0))))
+    assert(out(6L) == ((0L, 0L, None)))
+  }
+
   test("t11 detects and redacts planted PII, leaves clean text alone") {
     val (emails, ips, phones, redacted) = CurationOps.piiCols(col("text"))
     val out = docs(

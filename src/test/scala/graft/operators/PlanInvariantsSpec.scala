@@ -91,4 +91,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q35: no corpus-wide window; winsor boundaries join as a broadcast") {
+    val df = TemporalOps.winsorizeQ.run(spark, sf001)
+    windowsOnlyAboveAggregates(df)
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
+  test("j03: the interval join is a bucket equi-join, never a nested loop") {
+    val p = plan(TemporalOps.intervalJoinQ.run(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t16: the frequent-gram probe joins as a broadcast, never a shuffle") {
+    val p = plan(TextOps.boilerplateQ.run(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

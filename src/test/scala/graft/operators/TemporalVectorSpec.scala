@@ -90,6 +90,43 @@ class TemporalVectorSpec extends SparkSpec {
     assert(h(("click", "00")) == ((1L, None)))
   }
 
+  test("q35 winsorize: exact discrete boundaries clamp the tails; all-null groups drop") {
+    import spark.implicits._
+    val ev = ((1 to 10).map(i => ("a", Option(i.toDouble))) ++
+      Seq(("a", None), ("b", None), ("b", None)))
+      .toDF("event_type", "value")
+    val out = TemporalOps.winsorizedMeans(ev).collect()
+    assert(out.length == 1, "the all-null group must drop, as in the oracle")
+    val r = out.head
+    // quantile_disc(0.1) over 1..10 = rank ceil(0.1*10)=1 -> 1.0; 0.9 -> rank 9 -> 9.0
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 9.0)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 1L) // only the 10 clamps
+    assert(r.getDouble(5) == 5.4)                    // (1+..+9 + 9)/10
+    assert(r.getLong(6) == 10L)                      // the NULL never counts
+  }
+
+  test("j03 interval join: hour-grid equi-join matches inclusive daily spans") {
+    val h = 3600L * 1000000L
+    val out = TemporalOps.intervalActivity(events(
+      // user 1 (3 events -> the single top user): day-1 span 01:30..03:10
+      (1L, 1L, "view", h + 1800L * 1000000L),
+      (2L, 1L, "view", 2 * h + 300L * 1000000L),
+      (3L, 1L, "view", 3 * h + 600L * 1000000L),
+      // user 2: one event inside the span, one far outside
+      (4L, 2L, "view", 2 * h),
+      (5L, 2L, "view", 5 * h),
+      // user 3: exactly at the span end — inclusive, must count
+      (6L, 3L, "view", 3 * h + 600L * 1000000L),
+      // user 1 day 2: a second single-event span
+      (7L, 1L, "view", 24 * h + 1800L * 1000000L)), topUsers = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      (1L, "1970-01-01 01:30:00", "1970-01-01 03:10:00") -> ((5L, 3L)),
+      (1L, "1970-01-02 00:30:00", "1970-01-02 00:30:00") -> ((1L, 1L))))
+  }
+
   test("q28 funnel: steps require strictly-later events, per user") {
     val out = TemporalOps.funnel(events(
       (1L, 1L, "view", 1000L), (2L, 1L, "click", 2000L), (3L, 1L, "purchase", 3000L),
