@@ -335,21 +335,8 @@ object DedupOps {
     *        report thresholds on it so its verified count can never
     *        diverge from this function's own filter semantics) */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      emitRaw: Boolean = false): DataFrame = {
-    val sets = shingles(docs).groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("sh"))
-    val pairs = candidatePairs(docs).select(col("doc_a"), col("doc_b"))
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b")))
-    val out = pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jac_raw", jac)
-      .filter(col("jac_raw") >= threshold)
-    val base = Seq(col("doc_a"), col("doc_b"), round(col("jac_raw"), 3).as("jaccard"))
-    val cols = if (emitRaw) base :+ col("jac_raw") else base
-    out.select(cols: _*)
-  }
+      emitRaw: Boolean = false): DataFrame =
+    jaccardVerify(docs, candidatePairs(docs), threshold, emitRaw)
 
   /** The oracle computes the same exact Jaccard over ALL pairs (a cross
     * join DuckDB may afford at sf0.01; the engine must not at 100 TB).
@@ -922,8 +909,196 @@ object DedupOps {
       docs.filter(col("doc_id") % 10 =!= 0))
   }
 
+  // ------------------------------------------------------------------
+  // d13: segment-level exact substring dedup (chunk granularity)
+  // ------------------------------------------------------------------
+
+  /** Chunk width for segment-level dedup. 16 tokens ≈ the paragraph /
+    * line granularity the exact-substring-dedup practice works at
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22, approximated at fixed-chunk rather than
+    * suffix-array granularity — the relational shape a shuffle engine
+    * can execute at 100 TB). */
+  val SegmentTokens = 16
+
+  /** Segment-level exact dedup with document reconstruction: split
+    * every document into fixed [[SegmentTokens]]-token chunks, keep
+    * only the FIRST corpus-wide occurrence of each distinct chunk
+    * (ordered by (doc_id, seg_idx)), and rebuild each document from
+    * its surviving chunks. Removes boilerplate spans repeated across
+    * documents — and repeated chunks within one document — while d01
+    * only removes whole-document copies.
+    *
+    * Scale shape: one map-side-combinable min-aggregation keyed on the
+    * chunk value picks the keeper, then a hash join back on the same
+    * key (the exchange is reused — chunk rows shuffle once); a hot
+    * chunk value (boilerplate repeated 10⁶ times) partial-aggregates
+    * on the map side instead of sorting one giant window partition,
+    * which is why this is NOT a row_number window. Reconstruction
+    * regroups by doc_id: per-group state is bounded by document
+    * length, never corpus size. */
+  def segmentDedup(docs: DataFrame, w: Int = SegmentTokens): DataFrame = {
+    val segs = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ceil(size(col("tk")) / lit(w.toDouble)).cast("int") - 1),
+        i => concat_ws(" ", slice(col("tk"), i * w + 1, lit(w))))))
+      .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg"))
+    val keeper = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
+    val kept = segs.join(keeper, "seg")
+      .filter(struct(col("doc_id"), col("seg_idx")) === col("k"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_segs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x("seg")), " ").as("dedup_text"))
+    docs.select(col("doc_id"), col("text"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(ceil(size(split(col("text"), " ")) / lit(w.toDouble)).cast("long"))
+          .as("n_segs"),
+        coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("dedup_text"), lit(""))).as("dedup_text"))
+  }
+
+  val segmentDedupQ: GraftQuery = GraftQuery(
+    "d13_segment_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE text IS NOT NULL),
+      |s0 AS (SELECT doc_id, unnest(list_transform(
+      |         range(0, CAST(ceil(len(t) / 16.0) AS INT)),
+      |         i -> struct_pack(si := i,
+      |                sg := array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ')))) AS s
+      |       FROM toks),
+      |seg AS (SELECT doc_id, s.si AS seg_idx, s.sg AS seg FROM s0),
+      |k AS (SELECT doc_id, seg_idx, seg,
+      |        row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      |      FROM seg),
+      |r AS (SELECT doc_id, count(*) AS kept_segs,
+      |        string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text
+      |      FROM k WHERE rn = 1 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CASE WHEN d.text IS NULL THEN CAST(0 AS BIGINT)
+      |            ELSE CAST(ceil(len(string_split(d.text, ' ')) / 16.0) AS BIGINT)
+      |       END AS n_segs,
+      |       CAST(coalesce(r.kept_segs, 0) AS BIGINT) AS kept_segs,
+      |       CASE WHEN d.text IS NULL THEN NULL
+      |            ELSE coalesce(r.dedup_text, '') END AS dedup_text
+      |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin) { (spark, sf) =>
+    segmentDedup(Tables.documents(spark, sf))
+  }
+
+  // ------------------------------------------------------------------
+  // d14: portable-hash MinHash+LSH (the fully-oracled audit variant)
+  // ------------------------------------------------------------------
+
+  /** MinHash signature per doc over a PORTABLE hash family:
+    * element i = min over shingles of md5(i || ":" || shingle), as a
+    * lowercase fixed-width hex string — lexicographic min on
+    * fixed-width hex equals numeric min on the 128-bit value, and
+    * md5-of-UTF8 is bit-identical across engines, so the whole
+    * signature (and everything downstream of it) is reproducible in
+    * ANSI SQL. d03's xxhash64 family is the production default
+    * (codegen'd, ~10× cheaper per gram); this family exists so the
+    * near-dup pipeline has an end-to-end hash-matched oracle row
+    * rather than only spec-pinned contracts. */
+  def portableSignatures(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy(col("doc_id"))
+      .agg(array((0 until NumHashes).map(i =>
+        min(md5(concat_ws(":", lit(i), col("shingle"))))): _*).as("sig"))
+
+  /** d03's 8×4 banding geometry over portable signatures; the band key
+    * is the '|'-joined run of hex minima (ORDER BY the permutation
+    * index, mirrored exactly by the oracle's string_agg). */
+  def portableBandKeys(sigs: DataFrame): DataFrame = {
+    val bands = array((0 until Bands).map { b =>
+      concat_ws("|", (0 until RowsPerBand).map(r =>
+        col("sig")(b * RowsPerBand + r)): _*)
+    }: _*)
+    sigs.select(col("doc_id"), posexplode(bands).as(Seq("band", "band_key")))
+  }
+
+  /** Candidate pairs from the portable banding — same bounded
+    * within-bucket expansion and hot-bucket cap as d03 (the cap is in
+    * the oracle too, so parity holds by construction even on
+    * boilerplate corpora). */
+  def portableCandidatePairs(docs: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame =
+    bucketPairs(portableBandKeys(portableSignatures(docs)),
+      keyCols = Seq("band", "band_key"), memberCols = Seq("doc_id"),
+      maxBucket, metric = "portable_band_guard")
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+  /** Portable MinHash→LSH→exact-Jaccard near-dup: identical contract
+    * to d03+d05 (0.6 threshold, 8×4 banding, bucket cap) but every
+    * stage — hash family, band keys, bucket cap, candidate set, exact
+    * verify — is replayed verbatim by the DuckDB oracle, so this row
+    * is hash-CHECKED, not spec-pinned. The md5 family costs ~10× d03's
+    * xxhash64 per gram; run d14 as the periodic audit / acceptance
+    * query and d03 in the hot path. */
+  val portableMinhashQ: GraftQuery = GraftQuery(
+    "d14_dedup_minhash_portable",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+      |       FROM toks WHERE len(t) >= 3),
+      |mh AS (SELECT doc_id, p.i AS i,
+      |         min(md5(CAST(p.i AS VARCHAR) || ':' || shingle)) AS h
+      |       FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS i) p
+      |       GROUP BY doc_id, p.i),
+      |bd AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+      |         string_agg(h, '|' ORDER BY i) AS band_key
+      |       FROM mh GROUP BY doc_id, i // 4),
+      |ok AS (SELECT band, band_key FROM bd GROUP BY band, band_key
+      |       HAVING count(*) <= 256),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bd a JOIN ok USING (band, band_key)
+      |         JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+      |          AND a.doc_id < b.doc_id),
+      |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |p AS (SELECT doc_a, doc_b, len(list_intersect(a.s, b.s)) AS inter,
+      |        len(a.s) AS la, len(b.s) AS lb
+      |      FROM cand JOIN ss a ON a.doc_id = cand.doc_a
+      |                JOIN ss b ON b.doc_id = cand.doc_b)
+      |SELECT doc_a, doc_b,
+      |       round(CAST(inter AS DOUBLE) / (la + lb - inter), 3) AS jaccard
+      |FROM p
+      |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6""".stripMargin) {
+    (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+      jaccardVerify(docs, portableCandidatePairs(docs), 0.6)
+  }
+
+  /** Exact shingle-set Jaccard over an externally-proposed candidate
+    * pair set — the shared verify tail of d05 and d14 (≥ threshold on
+    * the unrounded value so the SQL oracles' filters match exactly).
+    * `emitRaw` also emits the unrounded `jac_raw` (d11's coverage
+    * report thresholds on it so its verified count can never diverge
+    * from this filter's semantics). */
+  private[operators] def jaccardVerify(docs: DataFrame, pairs: DataFrame,
+      threshold: Double, emitRaw: Boolean = false): DataFrame = {
+    val sets = shingles(docs).groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    val out = pairs.select(col("doc_a"), col("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jac_raw", jac)
+      .filter(col("jac_raw") >= threshold)
+    val base = Seq(col("doc_a"), col("doc_b"), round(col("jac_raw"), 3).as("jaccard"))
+    val cols = if (emitRaw) base :+ col("jac_raw") else base
+    out.select(cols: _*)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
-    coverageQ, incrementalQ)
+    coverageQ, incrementalQ, segmentDedupQ, portableMinhashQ)
 }

@@ -394,4 +394,70 @@ class DedupSpec extends SparkSpec {
     assert(rep("minhash_pairs_proposed")
       === DedupOps.rawCandidatePairs(docs).count())
   }
+
+  test("d13 segment dedup: cross-doc and intra-doc repeats drop, first occurrence wins") {
+    import spark.implicits._
+    val w = DedupOps.SegmentTokens
+    val chunkA = (1 to w).map(i => s"a$i").mkString(" ")
+    val chunkB = (1 to w).map(i => s"b$i").mkString(" ")
+    val chunkC = (1 to w).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$chunkA $chunkB"),   // both chunks novel → all kept
+      (1L, s"$chunkA $chunkC"),   // first chunk seen in doc 0 → drops
+      (2L, s"$chunkC $chunkC"),   // intra-doc repeat → second drops;
+                                  // first already owned by doc 1
+      (3L, null.asInstanceOf[String]),
+      (4L, s"$chunkA $chunkB")    // exact copy of doc 0 → nothing left
+    ).toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(out(0L) === ((2L, 2L, s"$chunkA $chunkB")))
+    assert(out(1L) === ((2L, 1L, chunkC)))
+    assert(out(2L) === ((2L, 0L, "")))
+    assert(out(3L) === ((0L, 0L, null)))
+    assert(out(4L) === ((2L, 0L, "")))
+  }
+
+  test("d13 segment dedup: a partial tail chunk is its own unit, not merged") {
+    import spark.implicits._
+    val w = DedupOps.SegmentTokens
+    val chunk = (1 to w).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$chunk tail words"),  // 1 full chunk + 2-token tail
+      (1L, "tail words")           // equals doc 0's TAIL chunk → drops
+    ).toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) === ((2L, 2L, s"$chunk tail words")))
+    assert(out(1L) === ((1L, 0L, "")))
+  }
+
+  test("d14 portable minhash: identical sigs for identical docs, fixed-width hex") {
+    val sigs = DedupOps.portableSignatures(corpus)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs.values.flatten.forall(h => h.length == 32 && h.matches("[0-9a-f]+")),
+      "portable minima must be fixed-width lowercase hex (lexicographic = numeric order)")
+    val matching = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(matching >= DedupOps.NumHashes / 2,
+      s"near-dup should share most portable minhashes, got $matching")
+  }
+
+  test("d14 end-to-end: planted pairs found; agrees with d05 on the harness corpus") {
+    val planted = DedupOps.portableMinhashQ.run(spark, sf001) // signature check only
+    assert(planted.columns.toSeq === Seq("doc_a", "doc_b", "jaccard"))
+    val fixture = DedupOps.jaccardVerify(corpus,
+      DedupOps.portableCandidatePairs(corpus), 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixture.contains((0L, 1L)), "exact pair must survive the 0.6 gate")
+    // On the harness corpus every qualifying pair has J ≥ 0.9, where
+    // both hash families' banding recall is ≥ 0.9998 — the portable
+    // pipeline and d03+d05 must surface the SAME verified pair set.
+    val d14 = planted.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d05 = DedupOps.ngramJaccardPairs(
+      graft.Tables.documents(spark, sf001), 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(d14 === d05, s"portable and xxhash64 pipelines diverged: ${d14.diff(d05)} / ${d05.diff(d14)}")
+  }
 }
