@@ -163,5 +163,87 @@ object VectorOps {
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v")))
   }
 
-  val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ)
+  // ------------------------------------------------------------------
+  // v04: product quantization (PQ) code assignment
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: 64-dim vectors → 8 sub-blocks of 8 dims, 16 codes
+    * per block — each vector compresses to 8 half-byte codes (4 B vs
+    * 256 B raw), the standard embedding-store compression at 100 TB
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI'11). */
+  val PqBlocks = 8
+  val PqCodes = 16
+  /** Sub-vector width (dims per block). */
+  val PqSub: Int = SimilarityOps.Dim / PqBlocks
+
+  /** PQ code assignment with the deterministic first-k sub-codebooks
+    * (the same oracle-parity device as s03: the k-means-trained
+    * codebook is the production upgrade, exactly as s04 is to s03, and
+    * equally lives driver-side). Emits long form (vec_id, b, code,
+    * bdist): one row per sub-block with its chosen code and RAW
+    * squared reconstruction distance — every double is the shared
+    * fold-left dot sequence, so the oracle matches bit-for-bit.
+    *
+    * Scale shape: the codebook is blocks·codes rows (128) — a
+    * broadcast joined against the posexploded block stream, then one
+    * (vec_id, b)-keyed min-struct aggregation (map-side combinable;
+    * ties break to the smaller code in both engines). Candidate volume
+    * is n·blocks·codes — linear in the corpus with a 128× constant;
+    * the CellProbes-style codegen'd argmin expression is the named
+    * upgrade if the constant ever dominates a profile. */
+  def pqAssign(emb: DataFrame, blocks: Int = PqBlocks, codes: Int = PqCodes,
+      dim: Int = SimilarityOps.Dim): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sub = dim / blocks
+    val cbRows = emb.orderBy(col("vec_id")).limit(codes)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex.flatMap { case (r, code) =>
+        val v = r.getSeq[Double](1).toArray
+        (0 until blocks).map(b => (b, code, v.slice(b * sub, (b + 1) * sub).toSeq))
+      }.toSeq
+    val cb = cbRows.toDF("b", "code", "cv")
+    val blockStream = emb.select(col("vec_id"), posexplode(
+      array((0 until blocks).map(b => slice(col("v"), b * sub + 1, sub)): _*))
+      .as(Seq("b", "bv")))
+    blockStream.join(broadcast(cb), "b")
+      .withColumn("bdist",
+        dot(col("bv"), col("bv")) - lit(2) * dot(col("bv"), col("cv"))
+          + dot(col("cv"), col("cv")))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(min(struct(col("bdist"), col("code"))).as("m"))
+      .select(col("vec_id"), col("b"), col("m.code").as("code"),
+        col("m.bdist").as("bdist"))
+  }
+
+  val pqQ: GraftQuery = GraftQuery(
+    "v04_pq_codes",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       |        FROM e ORDER BY vec_id LIMIT ${PqCodes}),
+       |bs AS (SELECT unnest(range(0, ${PqBlocks})) AS b),
+       |cb AS (SELECT bs.b AS b, cb0.code AS code,
+       |         list_slice(cb0.v, bs.b * ${PqSub} + 1, bs.b * ${PqSub} + ${PqSub}) AS cv
+       |       FROM cb0 CROSS JOIN bs),
+       |bl AS (SELECT e.vec_id, bs.b AS b,
+       |         list_slice(e.v, bs.b * ${PqSub} + 1, bs.b * ${PqSub} + ${PqSub}) AS bv
+       |       FROM e CROSS JOIN bs),
+       |d AS (SELECT bl.vec_id, bl.b, cb.code,
+       |        list_dot_product(bl.bv, bl.bv)
+       |          - 2 * list_dot_product(bl.bv, cb.cv)
+       |          + list_dot_product(cb.cv, cb.cv) AS bdist
+       |      FROM bl JOIN cb USING (b)),
+       |r AS (SELECT vec_id, b, code, bdist,
+       |        row_number() OVER (PARTITION BY vec_id, b
+       |                           ORDER BY bdist, code) AS rn
+       |      FROM d)
+       |SELECT vec_id, CAST(b AS INT) AS b, CAST(code AS INT) AS code, bdist
+       |FROM r WHERE rn = 1""".stripMargin) { (spark, sf) =>
+    pqAssign(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
+  val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ)
 }

@@ -203,4 +203,38 @@ class TemporalVectorSpec extends SparkSpec {
       (0, 0) -> ((2.0, 2L)), (0, 1) -> ((4.0, 2L)),
       (1, 0) -> ((10.0, 1L)), (1, 1) -> ((0.0, 1L))))
   }
+
+  test("v04 PQ: codebook members self-assign at zero distance; shape is n×blocks") {
+    import spark.implicits._
+    // 4-dim vectors, 2 blocks of 2, 2 codes: codebook = vecs 0 and 1
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 5.0, 5.0)),
+      (1L, Seq(0.0, 1.0, -5.0, -5.0)),
+      (2L, Seq(0.9, 0.1, -4.0, -6.0))  // block0 → code 0, block1 → code 1
+    ).toDF("vec_id", "v")
+    val out = VectorOps.pqAssign(emb, blocks = 2, codes = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(out.size === 6, "one row per (vector, block)")
+    // codebook vectors reconstruct themselves exactly
+    assert(out((0L, 0)) === ((0, 0.0)))
+    assert(out((0L, 1)) === ((0, 0.0)))
+    assert(out((1L, 0)) === ((1, 0.0)))
+    assert(out((1L, 1)) === ((1, 0.0)))
+    // mixed vector picks the nearer sub-codebook entry per block
+    assert(out((2L, 0))._1 === 0)
+    assert(out((2L, 1))._1 === 1)
+    assert(out((2L, 0))._2 > 0.0 && out((2L, 1))._2 > 0.0)
+  }
+
+  test("v04 PQ: equidistant blocks tie-break to the smaller code") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0, 1.0)),   // code 0
+      (1L, Seq(-1.0, -1.0)), // code 1
+      (2L, Seq(0.0, 0.0))    // exactly between both → code 0
+    ).toDF("vec_id", "v")
+    val out = VectorOps.pqAssign(emb, blocks = 1, codes = 2, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(2L) === 0)
+  }
 }
