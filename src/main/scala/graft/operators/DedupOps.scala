@@ -995,20 +995,34 @@ object DedupOps {
   // d14: portable-hash MinHash+LSH (the fully-oracled audit variant)
   // ------------------------------------------------------------------
 
+  /** Hex lanes carved from each md5: the 32-hex-char digest splits
+    * into 4 disjoint 8-char (32-bit) lanes, each an independent
+    * permutation — the standard split-one-strong-hash-into-k-hashes
+    * device, so the audit family costs NumHashes/4 md5 calls per
+    * shingle, not NumHashes. */
+  val PortableLanes = 4
+
   /** MinHash signature per doc over a PORTABLE hash family:
-    * element i = min over shingles of md5(i || ":" || shingle), as a
-    * lowercase fixed-width hex string — lexicographic min on
-    * fixed-width hex equals numeric min on the 128-bit value, and
+    * element p = min over shingles of an 8-hex-char lane of
+    * md5((p/4) || ":" || shingle) — lexicographic min on fixed-width
+    * lowercase hex equals numeric min on the lane value, and
     * md5-of-UTF8 is bit-identical across engines, so the whole
     * signature (and everything downstream of it) is reproducible in
     * ANSI SQL. d03's xxhash64 family is the production default
-    * (codegen'd, ~10× cheaper per gram); this family exists so the
+    * (codegen'd, far cheaper per gram); this family exists so the
     * near-dup pipeline has an end-to-end hash-matched oracle row
     * rather than only spec-pinned contracts. */
-  def portableSignatures(docs: DataFrame): DataFrame =
-    shingles(docs).groupBy(col("doc_id"))
-      .agg(array((0 until NumHashes).map(i =>
-        min(md5(concat_ws(":", lit(i), col("shingle"))))): _*).as("sig"))
+  def portableSignatures(docs: DataFrame): DataFrame = {
+    val nDigests = NumHashes / PortableLanes
+    val withH = shingles(docs).select(
+      col("doc_id") +: (0 until nDigests).map(i =>
+        md5(concat_ws(":", lit(i), col("shingle"))).as(s"h$i")): _*)
+    withH.groupBy(col("doc_id"))
+      .agg(array((0 until NumHashes).map { p =>
+        min(substring(col(s"h${p / PortableLanes}"),
+          (p % PortableLanes) * 8 + 1, 8))
+      }: _*).as("sig"))
+  }
 
   /** d03's 8×4 banding geometry over portable signatures; the band key
     * is the '|'-joined run of hex minima (ORDER BY the permutation
@@ -1046,13 +1060,15 @@ object DedupOps {
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
       |       FROM toks WHERE len(t) >= 3),
-      |mh AS (SELECT doc_id, p.i AS i,
-      |         min(md5(CAST(p.i AS VARCHAR) || ':' || shingle)) AS h
-      |       FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS i) p
-      |       GROUP BY doc_id, p.i),
-      |bd AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
-      |         string_agg(h, '|' ORDER BY i) AS band_key
-      |       FROM mh GROUP BY doc_id, i // 4),
+      |mh AS (SELECT doc_id, p.i AS i, l.l AS l,
+      |         min(substr(md5(CAST(p.i AS VARCHAR) || ':' || shingle),
+      |                    l.l * 8 + 1, 8)) AS h
+      |       FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS i) p
+      |            CROSS JOIN (SELECT unnest(range(0, 4)) AS l) l
+      |       GROUP BY doc_id, p.i, l.l),
+      |bd AS (SELECT doc_id, CAST(i AS INT) AS band,
+      |         string_agg(h, '|' ORDER BY l) AS band_key
+      |       FROM mh GROUP BY doc_id, i),
       |ok AS (SELECT band, band_key FROM bd GROUP BY band, band_key
       |       HAVING count(*) <= 256),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

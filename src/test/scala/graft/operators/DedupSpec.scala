@@ -437,8 +437,8 @@ class DedupSpec extends SparkSpec {
     val sigs = DedupOps.portableSignatures(corpus)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(sigs(0L) === sigs(1L))
-    assert(sigs.values.flatten.forall(h => h.length == 32 && h.matches("[0-9a-f]+")),
-      "portable minima must be fixed-width lowercase hex (lexicographic = numeric order)")
+    assert(sigs.values.flatten.forall(h => h.length == 8 && h.matches("[0-9a-f]+")),
+      "portable minima must be fixed-width lowercase hex lanes (lexicographic = numeric order)")
     val matching = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
     assert(matching >= DedupOps.NumHashes / 2,
       s"near-dup should share most portable minhashes, got $matching")
