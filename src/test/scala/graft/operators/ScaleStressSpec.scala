@@ -210,6 +210,32 @@ class ScaleStressSpec extends SparkSpec {
     assert(rep.count() === n, "repetition signals must stay per-document")
   }
 
+  test("d13 segment dedup at 10x: segment conservation, boilerplate collapses linearly") {
+    val docs = stressDocs(N2)
+    val out = DedupOps.segmentDedup(docs)
+    out.persist()
+    try {
+      val segs = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), ceil(size(split(col("text"), " ")) / lit(16.0)).cast("int") - 1),
+          i => concat_ws(" ", slice(split(col("text"), " "), i * 16 + 1, lit(16))))))
+      // exactly one survivor per distinct segment value — keep-first
+      // dedup conserves the distinct-segment count, nothing else
+      val kept = out.agg(sum(col("kept_segs"))).head.getLong(0)
+      assert(kept === segs.select(col("col")).distinct().count(),
+        "sum(kept_segs) must equal the corpus's distinct segment count")
+      val total = out.agg(sum(col("n_segs"))).head.getLong(0)
+      assert(total === segs.count(), "n_segs must account for every segment")
+      // the 5% template family shares 2 of its 3 chunks with family
+      // peers at 10x → its kept volume is far below its raw volume
+      val family = out.filter(col("doc_id") % 20 === 0 && col("doc_id") % 100 =!= 99)
+      val famTotal = family.agg(sum(col("n_segs")), sum(col("kept_segs"))).head
+      assert(famTotal.getLong(1).toDouble / famTotal.getLong(0) < 0.5,
+        s"boilerplate family must collapse: kept ${famTotal.getLong(1)} of ${famTotal.getLong(0)}")
+      assert(out.count() === docs.count(), "every document keeps a row, null text included")
+    } finally out.unpersist()
+  }
+
   test("pk01 packing at 10x: every bin within budget, oversized docs isolated") {
     val docs = stressDocs(N2).filter(col("text").isNotNull)
     val budget = 512L
