@@ -323,6 +323,98 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  // -------------------------------------------------------------- PQ/ADC
+
+  /** ADC (asymmetric distance computation) k-NN over v04's PQ codes —
+    * how a 100 TB embedding store is actually searched: the corpus
+    * lives as blocks·log2(codes)-bit codes (32× smaller than raw
+    * float32 here), each query precomputes a (blocks × codes) distance
+    * table against the sub-codebooks, and a vector's approximate
+    * squared L2 distance is 8 table lookups + adds — the full-precision
+    * vectors are never touched after indexing (Jégou et al., TPAMI'11).
+    *
+    * Relational shape: the distance table (queries·blocks·codes rows —
+    * 1024 here) broadcasts; the scan side is the CODES relation, not
+    * the embeddings, joined on (b, code) and summed per (query,
+    * vector). The ADC sum is written as 8 explicit per-block terms
+    * added in block order — identical IEEE addition order in both
+    * engines (a plain sum() would let partial-aggregation order pick
+    * the float result). First-k sub-codebooks keep every stage
+    * oracle-able, exactly as v04/s03. */
+  def knnPq(emb: DataFrame, k: Int, blocks: Int = VectorOps.PqBlocks,
+      codes: Int = VectorOps.PqCodes, dim: Int = Dim): DataFrame = {
+    val codeRel = VectorOps.pqAssign(emb, blocks, codes, dim)
+      .select(col("vec_id"), col("b"), col("code"))
+    val qBlocks = VectorOps.pqBlockStream(emb.filter(col("vec_id") < 8), blocks, dim)
+      .select(col("vec_id").as("query_id"), col("b"), col("bv").as("qv"))
+    val dtable = qBlocks
+      .join(VectorOps.pqCodebook(emb, blocks, codes, dim), "b")
+      .select(col("query_id"), col("b"), col("code"),
+        (dot(col("qv"), col("qv")) - lit(2) * dot(col("qv"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("dd"))
+    val perBlock = (0 until blocks).map(b =>
+      sum(when(col("b") === b, col("dd"))).as(s"d$b"))
+    val adc = (0 until blocks).map(b => col(s"d$b")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    codeRel.join(broadcast(dtable), Seq("b", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(perBlock.head, perBlock.tail: _*)
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc"))
+  }
+
+  val knnPqQ: GraftQuery = {
+    val sub = Dim / VectorOps.PqBlocks
+    val adcTerms = (0 until VectorOps.PqBlocks)
+      .map(b => s"sum(CASE WHEN dt.b = $b THEN dd END)").mkString(" + ")
+    GraftQuery(
+      "s06_knn_pq",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+         |        FROM e ORDER BY vec_id LIMIT ${VectorOps.PqCodes}),
+         |bs AS (SELECT unnest(range(0, ${VectorOps.PqBlocks})) AS b),
+         |cb AS (SELECT bs.b AS b, cb0.code AS code,
+         |         list_slice(cb0.v, bs.b * $sub + 1, bs.b * $sub + $sub) AS cv
+         |       FROM cb0 CROSS JOIN bs),
+         |bl AS (SELECT e.vec_id, bs.b AS b,
+         |         list_slice(e.v, bs.b * $sub + 1, bs.b * $sub + $sub) AS bv
+         |       FROM e CROSS JOIN bs),
+         |d AS (SELECT bl.vec_id, bl.b, cb.code,
+         |        list_dot_product(bl.bv, bl.bv)
+         |          - 2 * list_dot_product(bl.bv, cb.cv)
+         |          + list_dot_product(cb.cv, cb.cv) AS bdist
+         |      FROM bl JOIN cb USING (b)),
+         |codes AS (SELECT vec_id, b, code FROM (
+         |    SELECT vec_id, b, code,
+         |           row_number() OVER (PARTITION BY vec_id, b
+         |                              ORDER BY bdist, code) AS rn
+         |    FROM d) t WHERE rn = 1),
+         |qb AS (SELECT vec_id AS query_id, b, bv AS qv FROM bl WHERE vec_id < 8),
+         |dt AS (SELECT qb.query_id, qb.b, cb.code,
+         |         list_dot_product(qb.qv, qb.qv)
+         |           - 2 * list_dot_product(qb.qv, cb.cv)
+         |           + list_dot_product(cb.cv, cb.cv) AS dd
+         |       FROM qb JOIN cb USING (b)),
+         |a AS (SELECT dt.query_id, c.vec_id, ($adcTerms) AS adc
+         |      FROM codes c JOIN dt ON dt.b = c.b AND dt.code = c.code
+         |      WHERE c.vec_id <> dt.query_id
+         |      GROUP BY dt.query_id, c.vec_id),
+         |rk AS (SELECT query_id, vec_id AS neighbor_id, adc,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc, vec_id) AS rank
+         |       FROM a)
+         |SELECT query_id, neighbor_id, rank, adc
+         |FROM rk WHERE rank <= $K""".stripMargin) { (spark, sf) =>
+      knnPq(Tables.embeddings(spark, sf)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")), K)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
-    knnFilteredQ)
+    knnFilteredQ, knnPqQ)
 }

@@ -192,22 +192,37 @@ object VectorOps {
     * is n·blocks·codes — linear in the corpus with a 128× constant;
     * the CellProbes-style codegen'd argmin expression is the named
     * upgrade if the constant ever dominates a profile. */
-  def pqAssign(emb: DataFrame, blocks: Int = PqBlocks, codes: Int = PqCodes,
+  /** The first-k sub-codebooks as a (b, code, cv) relation —
+    * blocks·codes rows, built from one bounded TakeOrdered action
+    * (shared by v04 assignment and s06 ADC search so the two can
+    * never disagree on the codebook). */
+  def pqCodebook(emb: DataFrame, blocks: Int = PqBlocks, codes: Int = PqCodes,
       dim: Int = SimilarityOps.Dim): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val sub = dim / blocks
-    val cbRows = emb.orderBy(col("vec_id")).limit(codes)
+    emb.orderBy(col("vec_id")).limit(codes)
       .select(col("vec_id"), col("v")).collect()
       .sortBy(_.getLong(0))
       .zipWithIndex.flatMap { case (r, code) =>
         val v = r.getSeq[Double](1).toArray
         (0 until blocks).map(b => (b, code, v.slice(b * sub, (b + 1) * sub).toSeq))
-      }.toSeq
-    val cb = cbRows.toDF("b", "code", "cv")
-    val blockStream = emb.select(col("vec_id"), posexplode(
+      }.toSeq.toDF("b", "code", "cv")
+  }
+
+  /** Each vector posexploded into its (b, sub-vector) blocks. */
+  def pqBlockStream(emb: DataFrame, blocks: Int = PqBlocks,
+      dim: Int = SimilarityOps.Dim): DataFrame = {
+    val sub = dim / blocks
+    emb.select(col("vec_id"), posexplode(
       array((0 until blocks).map(b => slice(col("v"), b * sub + 1, sub)): _*))
       .as(Seq("b", "bv")))
+  }
+
+  def pqAssign(emb: DataFrame, blocks: Int = PqBlocks, codes: Int = PqCodes,
+      dim: Int = SimilarityOps.Dim): DataFrame = {
+    val cb = pqCodebook(emb, blocks, codes, dim)
+    val blockStream = pqBlockStream(emb, blocks, dim)
     blockStream.join(broadcast(cb), "b")
       .withColumn("bdist",
         dot(col("bv"), col("bv")) - lit(2) * dot(col("bv"), col("cv"))

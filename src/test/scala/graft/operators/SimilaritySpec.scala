@@ -106,4 +106,49 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("f1") =!= col("u1")).count()
     info(s"filtered rank-1 differs from unfiltered for $diverging of 8 queries")
   }
+
+  test("s06 ADC: exact when the corpus IS the codebook; self excluded; shape 8xK") {
+    import spark.implicits._
+    // 16 vectors = exactly the first-16 codebook → every vector
+    // quantizes to itself with zero error, so ADC distance equals the
+    // EXACT squared L2 distance between query and neighbor
+    val pts = (0 until 16).map(i =>
+      (i.toLong, Seq(math.sin(i * 2.3) * 5, math.cos(i * 1.7) * 5)))
+    val emb16 = pts.toDF("vec_id", "v")
+    val out = SimilarityOps.knnPq(emb16, k = 3, blocks = 1, codes = 16, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size === 8 * 3, "8 queries x top-3")
+    assert(!out.keys.exists { case (q, n) => q == n }, "self never ranks")
+    val exact = for {
+      (q, qv) <- pts.take(8); (n, nv) <- pts if n != q
+    } yield (q, n) -> qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum
+    val exactMap = exact.toMap
+    out.foreach { case ((q, n), (_, adc)) =>
+      assert(math.abs(adc - exactMap((q, n))) < 1e-9,
+        s"ADC must be exact for codebook members: ($q,$n) $adc vs ${exactMap((q, n))}")
+    }
+    // ranks follow ascending exact distance
+    (0L until 8L).foreach { q =>
+      val mine = out.collect { case ((`q`, n), (rank, _)) => (rank, n) }.toSeq.sortBy(_._1)
+      val best = exactMap.collect { case ((`q`, n), d) => (d, n) }.toSeq
+        .sortBy(identity).take(3).map(_._2)
+      assert(mine.map(_._2) === best, s"query $q ranked ${mine.map(_._2)}, exact $best")
+    }
+  }
+
+  test("s06 on the harness corpus: full shape, non-negative ADC, recall logged") {
+    val out = SimilarityOps.knnPqQ.run(spark, sf001)
+    out.persist()
+    try {
+      assert(out.count() === 8L * 5)
+      assert(out.filter(col("adc") < -1e-9).count() === 0L, "squared distances stay >= 0")
+      // PQ with 16 first-k codes is a coarse quantizer — log recall@3
+      // against the exact cosine truth rather than pinning a floor the
+      // codebook quality doesn't promise
+      val pq3 = out.filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      info(f"s06 ADC recall@3 vs exact cosine: ${pq3.intersect(truth).size / truth.size.toDouble}%.2f")
+    } finally out.unpersist()
+  }
 }
