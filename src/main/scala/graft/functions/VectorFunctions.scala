@@ -19,6 +19,11 @@ object VectorFunctions {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
+  /** Embedding dimensionality of the harness corpus (TESTDATA.md) —
+    * lives here (not in an operator object) so the operator objects
+    * that share it never form an object-initializer cycle. */
+  val Dim = 64
+
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
   /** Native codegen'd dot product (see [[DotProduct]]); accepts

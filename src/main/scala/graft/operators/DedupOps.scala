@@ -966,12 +966,14 @@ object DedupOps {
 
   val segmentDedupQ: GraftQuery = GraftQuery(
     "d13_segment_dedup",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |              WHERE text IS NOT NULL),
       |s0 AS (SELECT doc_id, unnest(list_transform(
-      |         range(0, CAST(ceil(len(t) / 16.0) AS INT)),
+      |         range(0, CAST(ceil(len(t) / $SegmentTokens.0) AS INT)),
       |         i -> struct_pack(si := i,
-      |                sg := array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ')))) AS s
+      |                sg := array_to_string(
+      |                  list_slice(t, i*$SegmentTokens + 1, i*$SegmentTokens + $SegmentTokens),
+      |                  ' ')))) AS s
       |       FROM toks),
       |seg AS (SELECT doc_id, s.si AS seg_idx, s.sg AS seg FROM s0),
       |k AS (SELECT doc_id, seg_idx, seg,
@@ -982,7 +984,7 @@ object DedupOps {
       |      FROM k WHERE rn = 1 GROUP BY doc_id)
       |SELECT d.doc_id,
       |       CASE WHEN d.text IS NULL THEN CAST(0 AS BIGINT)
-      |            ELSE CAST(ceil(len(string_split(d.text, ' ')) / 16.0) AS BIGINT)
+      |            ELSE CAST(ceil(len(string_split(d.text, ' ')) / $SegmentTokens.0) AS BIGINT)
       |       END AS n_segs,
       |       CAST(coalesce(r.kept_segs, 0) AS BIGINT) AS kept_segs,
       |       CASE WHEN d.text IS NULL THEN NULL

@@ -24,8 +24,11 @@ object SimilarityOps {
 
   private val K = 5
 
-  /** Embedding dimensionality of the harness corpus (TESTDATA.md). */
-  val Dim = 64
+  /** Embedding dimensionality of the harness corpus — alias of
+    * [[graft.functions.VectorFunctions.Dim]] (kept here for existing
+    * call sites; the constant lives in functions so VectorOps and
+    * SimilarityOps never init-depend on each other). */
+  val Dim: Int = graft.functions.VectorFunctions.Dim
 
   /** Number of independent LSH tables (OR-amplified recall). */
   val LshTables = 4
@@ -343,12 +346,13 @@ object SimilarityOps {
     * oracle-able, exactly as v04/s03. */
   def knnPq(emb: DataFrame, k: Int, blocks: Int = VectorOps.PqBlocks,
       codes: Int = VectorOps.PqCodes, dim: Int = Dim): DataFrame = {
-    val codeRel = VectorOps.pqAssign(emb, blocks, codes, dim)
+    val cb = VectorOps.pqCodebook(emb, blocks, codes, dim)
+    val codeRel = VectorOps.pqAssign(emb, blocks, codes, dim, codebook = Some(cb))
       .select(col("vec_id"), col("b"), col("code"))
     val qBlocks = VectorOps.pqBlockStream(emb.filter(col("vec_id") < 8), blocks, dim)
       .select(col("vec_id").as("query_id"), col("b"), col("bv").as("qv"))
     val dtable = qBlocks
-      .join(VectorOps.pqCodebook(emb, blocks, codes, dim), "b")
+      .join(cb, "b")
       .select(col("query_id"), col("b"), col("code"),
         (dot(col("qv"), col("qv")) - lit(2) * dot(col("qv"), col("cv"))
           + dot(col("cv"), col("cv"))).as("dd"))

@@ -26,7 +26,7 @@ object VectorOps {
     * order is the shared fold-left kernel, not an engine-specific sum.
     * Row-local, no shuffle; the checksum qsum pins the full quantized
     * array without dumping 64 ints per row. */
-  def quantized(emb: DataFrame, dim: Int = SimilarityOps.Dim): DataFrame =
+  def quantized(emb: DataFrame, dim: Int = graft.functions.VectorFunctions.Dim): DataFrame =
     emb
       .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127)
       .withColumn("q",
@@ -60,7 +60,7 @@ object VectorOps {
        |       CAST(list_sum(q) AS BIGINT) AS qsum,
        |       (list_dot_product(v, v)
        |         - 2 * scale * list_dot_product(v, qd)
-       |         + scale * scale * list_dot_product(qd, qd)) / ${SimilarityOps.Dim} AS mse
+       |         + scale * scale * list_dot_product(qd, qd)) / ${graft.functions.VectorFunctions.Dim} AS mse
        |FROM d""".stripMargin) { (spark, sf) =>
     quantized(Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v")))
@@ -80,7 +80,7 @@ object VectorOps {
        |       round(avg(v[i + 1]), 4) AS mean_val,
        |       count(*) AS n
        |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-       |CROSS JOIN range(0, ${SimilarityOps.Dim}) r(i)
+       |CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
        |GROUP BY label, pos""".stripMargin) { (spark, sf) =>
     labelCentroids(Tables.embeddings(spark, sf)
       .select(col("label"), toDouble(col("embedding")).as("v")))
@@ -142,7 +142,7 @@ object VectorOps {
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |comp AS (SELECT label, i AS pos, round(avg(v[i + 1]), 4) AS m
-       |         FROM e CROSS JOIN range(0, ${SimilarityOps.Dim}) r(i)
+       |         FROM e CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
        |         GROUP BY label, pos),
        |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM comp GROUP BY label),
        |d AS (SELECT vec_id, e.label,
@@ -175,7 +175,7 @@ object VectorOps {
   val PqBlocks = 8
   val PqCodes = 16
   /** Sub-vector width (dims per block). */
-  val PqSub: Int = SimilarityOps.Dim / PqBlocks
+  val PqSub: Int = graft.functions.VectorFunctions.Dim / PqBlocks
 
   /** PQ code assignment with the deterministic first-k sub-codebooks
     * (the same oracle-parity device as s03: the k-means-trained
@@ -197,7 +197,7 @@ object VectorOps {
     * (shared by v04 assignment and s06 ADC search so the two can
     * never disagree on the codebook). */
   def pqCodebook(emb: DataFrame, blocks: Int = PqBlocks, codes: Int = PqCodes,
-      dim: Int = SimilarityOps.Dim): DataFrame = {
+      dim: Int = graft.functions.VectorFunctions.Dim): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val sub = dim / blocks
@@ -212,16 +212,20 @@ object VectorOps {
 
   /** Each vector posexploded into its (b, sub-vector) blocks. */
   def pqBlockStream(emb: DataFrame, blocks: Int = PqBlocks,
-      dim: Int = SimilarityOps.Dim): DataFrame = {
+      dim: Int = graft.functions.VectorFunctions.Dim): DataFrame = {
     val sub = dim / blocks
     emb.select(col("vec_id"), posexplode(
       array((0 until blocks).map(b => slice(col("v"), b * sub + 1, sub)): _*))
       .as(Seq("b", "bv")))
   }
 
+  /** @param codebook a prebuilt [[pqCodebook]] relation, so a caller
+    *        that also needs the codebook (s06's distance table) pays
+    *        the bounded TakeOrdered collect once, not twice */
   def pqAssign(emb: DataFrame, blocks: Int = PqBlocks, codes: Int = PqCodes,
-      dim: Int = SimilarityOps.Dim): DataFrame = {
-    val cb = pqCodebook(emb, blocks, codes, dim)
+      dim: Int = graft.functions.VectorFunctions.Dim,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(pqCodebook(emb, blocks, codes, dim))
     val blockStream = pqBlockStream(emb, blocks, dim)
     blockStream.join(broadcast(cb), "b")
       .withColumn("bdist",

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState`
@@ -30,76 +31,79 @@ object StatefulOps {
   // --------------------------------------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)
-  /** Open-session state: O(1) per user regardless of session length. */
+  /** One unfinalized session: O(1) regardless of session length. */
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  /** Per-user state: the user's unfinalized sessions, kept sorted by
+    * start. Bounded by the watermark horizon (a session leaves state
+    * the moment the watermark passes its gap deadline), never by
+    * stream length. */
+  final case class SessionList(sessions: List[OpenSession])
   final case class ClosedSession(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long)
 
   /** Streaming gap sessionization — the streaming twin of the batch
     * gaps-and-islands kernel (q23/q34, 10-minute inactivity gap): a
-    * user's session closes when event time goes quiet past the gap,
-    * and the CLOSED session is emitted exactly once (append mode).
+    * user's session is emitted exactly once (append mode), and ONLY
+    * when the watermark has passed `session_end + gap` — before that
+    * a late-but-in-watermark event may still extend it, start a
+    * predecessor that chains into it, or bridge it with a neighbor
+    * session, so earlier emission would be wrong (this matches
+    * `session_window`'s emission discipline).
     *
-    * This is the `flatMapGroupsWithState` shape the built-in operators
-    * can't express: `session_window` aggregation emits fixed
-    * aggregates, while this keeps arbitrary per-session state and
-    * decides eviction itself. Scale contract: state is one
-    * [[OpenSession]] per ACTIVE user (three longs — idle users are
-    * evicted by `EventTimeTimeout` when the watermark passes their
-    * gap deadline, so state is bounded by concurrent activity, never
-    * by the user domain or stream length); in-batch gap splits fold
-    * over each user's sorted batch slice, so a firehose user costs
-    * one local sort of their own events, not state growth.
+    * This is the `flatMapGroupsWithState` shape the built-in
+    * operators can't express: `session_window` aggregation emits
+    * fixed aggregates, while this keeps arbitrary per-session state
+    * and decides eviction itself. Events and existing sessions merge
+    * by one sorted fold per batch (a point is a degenerate session,
+    * chaining under the gap rule — which also handles out-of-order
+    * points and session bridging), so a firehose user costs one local
+    * sort of their own events, not state growth. Null event times are
+    * dropped (a point without a time cannot join any gap chain).
     *
     * @param lateness watermark for late events — also the floor for
-    *        timeout firing (a session cannot close before the
-    *        watermark allows no more of its events) */
+    *        finalization (a session cannot close before the watermark
+    *        allows no more of its events) */
   def sessionize(
       events: Dataset[SessionEvent], gapMs: Long = 600000L,
       lateness: String = "10 minutes"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
+
+    def mergeChain(pieces: Seq[OpenSession]): List[OpenSession] =
+      pieces.sortBy(s => (s.startMs, s.lastMs)).foldLeft(List.empty[OpenSession]) {
+        case (cur :: done, next) if next.startMs - cur.lastMs < gapMs =>
+          OpenSession(cur.startMs, math.max(cur.lastMs, next.lastMs),
+            cur.n + next.n) :: done
+        case (acc, next) => next :: acc
+      }.reverse
+
     events
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[SessionList, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(
-              user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
-          } else {
-            val sorted = rows.map(_.ts.getTime).toSeq.sorted
-            val closed = Seq.newBuilder[ClosedSession]
-            var open = state.getOption
-            sorted.foreach { t =>
-              open match {
-                case Some(s) if t - s.lastMs < gapMs =>
-                  // a late-but-in-watermark event may precede the
-                  // session it joins — start/end absorb it either way
-                  open = Some(OpenSession(math.min(s.startMs, t),
-                    math.max(s.lastMs, t), s.n + 1))
-                case Some(s) =>
-                  closed += ClosedSession(
-                    user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
-                  open = Some(OpenSession(t, t, 1L))
-                case None =>
-                  open = Some(OpenSession(t, t, 1L))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              // a timeout at-or-below the watermark is illegal; clamp
-              // so a session fed only by late events still closes (on
-              // the next watermark advance)
-              state.setTimeoutTimestamp(
-                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.result().iterator
+          val prev = state.getOption.map(_.sessions).getOrElse(Nil)
+          val points = rows.map(r => { val t = r.ts.getTime; OpenSession(t, t, 1L) }).toSeq
+          val merged = mergeChain(prev ++ points)
+          // finalize: the watermark has passed end + gap, so no
+          // admissible future event can extend, precede-and-chain, or
+          // bridge these sessions
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(_.lastMs + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionList(open))
+            // fire when the EARLIEST unfinalized session becomes
+            // final; clamp above the watermark (at-or-below is
+            // illegal)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.lastMs).min + gapMs, wm + 1))
           }
+          closed.iterator.map(s => ClosedSession(
+            user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
       }
   }
 

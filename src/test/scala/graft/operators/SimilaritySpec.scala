@@ -148,7 +148,9 @@ class SimilaritySpec extends SparkSpec {
       val pq3 = out.filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      info(f"s06 ADC recall@3 vs exact cosine: ${pq3.intersect(truth).size / truth.size.toDouble}%.2f")
+      // denominator restricted to the 8 query vectors s06 ranks
+      val queryTruth = truth.filter(_._1 < 8L)
+      info(f"s06 ADC recall@3 vs exact cosine: ${pq3.intersect(queryTruth).size / queryTruth.size.toDouble}%.2f")
     } finally out.unpersist()
   }
 }

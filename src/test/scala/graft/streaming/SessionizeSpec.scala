@@ -9,8 +9,9 @@ import graft.SparkSpec
 import StatefulOps.{ClosedSession, SessionEvent}
 
 /** Streaming gap sessionization (`flatMapGroupsWithState` +
-  * event-time timeout): closed sessions emit exactly once, idle users
-  * evict from state. */
+  * event-time timeout): sessions emit exactly once and ONLY when the
+  * watermark has passed their gap deadline; idle users evict from
+  * state. */
 class SessionizeSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
@@ -20,7 +21,7 @@ class SessionizeSpec extends SparkSpec {
     spark.table(name).as[ClosedSession].collect().toSeq
   }
 
-  test("an in-batch gap splits and emits the earlier session immediately") {
+  test("an in-batch gap splits, but the earlier session waits for the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[SessionEvent]
@@ -33,10 +34,21 @@ class SessionizeSpec extends SparkSpec {
         SessionEvent(3L, ts("2022-03-01T10:05:00Z")),
         SessionEvent(3L, ts("2022-03-01T10:30:00Z"))) // > 10 min after 10:05
       q.processAllAvailable()
-      val out = closed("sess_split")
-      assert(out === Seq(ClosedSession(3L,
+      // the 10:30 event pushes the watermark to 10:20, past the early
+      // session's 10:15 deadline — it emits on the follow-up trigger;
+      // the 10:30 session (deadline 10:40) must still be open
+      assert(closed("sess_split") === Seq(ClosedSession(3L,
         ts("2022-03-01T10:00:00Z"), ts("2022-03-01T10:05:00Z"), 2L)),
-        s"the pre-gap session must close in-batch, got $out")
+        "exactly the watermark-passed session emits, the open one waits")
+      source.addData(SessionEvent(9L, ts("2022-03-01T13:00:00Z")))
+      q.processAllAvailable()
+      source.addData(SessionEvent(9L, ts("2022-03-01T13:01:00Z")))
+      q.processAllAvailable()
+      val out = closed("sess_split").filter(_.user_id == 3L).sortBy(_.session_start.getTime)
+      assert(out === Seq(
+        ClosedSession(3L, ts("2022-03-01T10:00:00Z"), ts("2022-03-01T10:05:00Z"), 2L),
+        ClosedSession(3L, ts("2022-03-01T10:30:00Z"), ts("2022-03-01T10:30:00Z"), 1L)),
+        s"the in-batch gap must produce exactly two sessions, got $out")
     } finally q.stop()
   }
 
@@ -75,6 +87,33 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a late event bridges two provisional sessions into one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[SessionEvent]
+    val q = StatefulOps.sessionize(source.toDS())
+      .writeStream.format("memory").queryName("sess_bridge")
+      .outputMode("append").start()
+    try {
+      // 16 minutes apart: two provisional sessions
+      source.addData(
+        SessionEvent(5L, ts("2022-03-01T10:00:00Z")),
+        SessionEvent(5L, ts("2022-03-01T10:16:00Z")))
+      q.processAllAvailable()
+      // 10:08 is within the gap of BOTH — they must merge into one
+      source.addData(SessionEvent(5L, ts("2022-03-01T10:08:00Z")))
+      q.processAllAvailable()
+      source.addData(SessionEvent(9L, ts("2022-03-01T13:00:00Z")))
+      q.processAllAvailable()
+      source.addData(SessionEvent(9L, ts("2022-03-01T13:01:00Z")))
+      q.processAllAvailable()
+      val out = closed("sess_bridge").filter(_.user_id == 5L)
+      assert(out === Seq(ClosedSession(5L,
+        ts("2022-03-01T10:00:00Z"), ts("2022-03-01T10:16:00Z"), 3L)),
+        s"the bridge event must fuse both sessions, got $out")
+    } finally q.stop()
+  }
+
   test("a late-but-in-watermark event merges into its session, absorbing start") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -96,6 +135,55 @@ class SessionizeSpec extends SparkSpec {
       assert(out === Seq(ClosedSession(5L,
         ts("2022-03-01T10:03:00Z"), ts("2022-03-01T10:05:00Z"), 2L)),
         s"late event must extend the session backward, got $out")
+    } finally q.stop()
+  }
+
+  test("a far-older late event forms its OWN session, not a merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[SessionEvent]
+    // wide lateness so a 15-minutes-early event is still admitted
+    val q = StatefulOps.sessionize(source.toDS(), lateness = "30 minutes")
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      source.addData(SessionEvent(6L, ts("2022-03-01T10:20:00Z")))
+      q.processAllAvailable()
+      // 15 min before the open session: > gap, so a separate session
+      source.addData(SessionEvent(6L, ts("2022-03-01T10:05:00Z")))
+      q.processAllAvailable()
+      source.addData(SessionEvent(9L, ts("2022-03-01T13:00:00Z")))
+      q.processAllAvailable()
+      source.addData(SessionEvent(9L, ts("2022-03-01T13:01:00Z")))
+      q.processAllAvailable()
+      val out = closed("sess_ooo").filter(_.user_id == 6L).sortBy(_.session_start.getTime)
+      assert(out === Seq(
+        ClosedSession(6L, ts("2022-03-01T10:05:00Z"), ts("2022-03-01T10:05:00Z"), 1L),
+        ClosedSession(6L, ts("2022-03-01T10:20:00Z"), ts("2022-03-01T10:20:00Z"), 1L)),
+        s"a > gap predecessor must stay its own session, got $out")
+    } finally q.stop()
+  }
+
+  test("null event times drop instead of killing the query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[SessionEvent]
+    val q = StatefulOps.sessionize(source.toDS())
+      .writeStream.format("memory").queryName("sess_null")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        SessionEvent(7L, null),
+        SessionEvent(7L, ts("2022-03-01T10:00:00Z")))
+      q.processAllAvailable()
+      source.addData(SessionEvent(9L, ts("2022-03-01T13:00:00Z")))
+      q.processAllAvailable()
+      source.addData(SessionEvent(9L, ts("2022-03-01T13:01:00Z")))
+      q.processAllAvailable()
+      val out = closed("sess_null").filter(_.user_id == 7L)
+      assert(out === Seq(ClosedSession(7L,
+        ts("2022-03-01T10:00:00Z"), ts("2022-03-01T10:00:00Z"), 1L)),
+        s"the timed event sessionizes alone, got $out")
     } finally q.stop()
   }
 }
