@@ -495,7 +495,67 @@ object TemporalOps {
         col("n_events"), col("n_users"))
   }
 
+  /** Finite-window EWMA terms (current hour + 5 lags, β = 1/2). */
+  val EwmaTerms = 6
+
+  /** EWMA over an aggregated (event_type, date_hour, n) series:
+    * num = Σ_k β^k·lag_k, den = Σ_k β^k, both over the lags that
+    * EXIST (series starts renormalize instead of biasing toward 0),
+    * each built as an explicit fixed-order addition chain — so both
+    * engines execute the identical IEEE sequence and `ewma` is
+    * emitted raw. β = 1/2 makes every weight an exact binary double.
+    * Row-based lags: a missing hour shortens the window to the
+    * previous OBSERVED hours (both engines agree by construction). */
+  def ewmaOverCounts(h: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("date_hour"))
+    val tail = (1 until EwmaTerms).map { k =>
+      val lk = lag(col("n"), k).over(w)
+      (when(lk.isNotNull, lk.cast("double") * lit(math.pow(0.5, k))).otherwise(lit(0.0)),
+        when(lk.isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)))
+    }
+    val num = tail.map(_._1).foldLeft(col("n").cast("double"))(_ + _)
+    val den = tail.map(_._2).foldLeft(lit(1.0).cast("double"))(_ + _)
+    h.select(col("event_type"), col("date_hour"), col("n"),
+      (num / den).as("ewma"))
+  }
+
+  /** Exponentially weighted hourly event-volume trend per event type —
+    * the dashboard smoothing op next to q26's raw deltas. Scale shape
+    * is q26's exactly: one agg shuffle, then a window over n_hours
+    * rows per type (bounded AFTER aggregation, never a corpus sort). */
+  def ewmaTrend(events: DataFrame): DataFrame =
+    ewmaOverCounts(events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("date_hour"))
+      .agg(count(lit(1)).as("n")))
+
+  val ewmaTrendQ: GraftQuery = {
+    val numTail = (1 until EwmaTerms).map(k =>
+      s" + CASE WHEN l$k IS NOT NULL THEN CAST(l$k AS DOUBLE) * ${math.pow(0.5, k)} ELSE 0.0 END")
+      .mkString
+    val denTail = (1 until EwmaTerms).map(k =>
+      s" + CASE WHEN l$k IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0.0 END")
+      .mkString
+    val lagDefs = (1 until EwmaTerms).map(k => s"lag(n, $k) OVER w AS l$k").mkString(", ")
+    GraftQuery(
+      "q36_ewma_trend",
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS date_hour,
+         |         count(*) AS n
+         |  FROM events GROUP BY event_type, date_hour),
+         |l AS (SELECT event_type, date_hour, n, $lagDefs
+         |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY date_hour))
+         |SELECT event_type, date_hour, n,
+         |       (CAST(n AS DOUBLE)$numTail)
+         |       / (CAST(1.0 AS DOUBLE)$denTail) AS ewma
+         |FROM l""".stripMargin) { (spark, sf) =>
+      ewmaTrend(Tables.events(spark, sf))
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
-      sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ)
+      sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
+      ewmaTrendQ)
 }

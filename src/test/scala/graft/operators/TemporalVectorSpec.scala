@@ -204,6 +204,21 @@ class TemporalVectorSpec extends SparkSpec {
       (1, 0) -> ((10.0, 1L)), (1, 1) -> ((0.0, 1L))))
   }
 
+  test("q36 EWMA: exact weighted means, series starts renormalize") {
+    import spark.implicits._
+    val h = Seq(
+      ("click", "h1", 4L), ("click", "h2", 2L), ("click", "h3", 1L),
+      ("view", "h1", 10L))
+      .toDF("event_type", "date_hour", "n")
+    val out = TemporalOps.ewmaOverCounts(h)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // β = 1/2, powers exact: hand-computed values are exact doubles
+    assert(out(("click", "h1")) === 4.0)
+    assert(out(("click", "h2")) === (2.0 + 0.5 * 4) / 1.5)
+    assert(out(("click", "h3")) === (1.0 + 0.5 * 2 + 0.25 * 4) / 1.75)
+    assert(out(("view", "h1")) === 10.0)
+  }
+
   test("v04 PQ: codebook members self-assign at zero distance; shape is n×blocks") {
     import spark.implicits._
     // 4-dim vectors, 2 blocks of 2, 2 codes: codebook = vecs 0 and 1
