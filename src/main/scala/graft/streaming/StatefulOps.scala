@@ -64,19 +64,25 @@ object StatefulOps {
     * @param lateness watermark for late events — also the floor for
     *        finalization (a session cannot close before the watermark
     *        allows no more of its events) */
+  /** Gap-chain fold: merge provisional sessions / points (a point is
+    * a degenerate session) into maximal sessions under the gap rule —
+    * two pieces chain when the later one starts within `gapMs` of the
+    * earlier one's end. Output ascending by start. Pure — property-
+    * tested against a reference grouping in PropertySpec. */
+  private[graft] def mergeChain(
+      pieces: Seq[OpenSession], gapMs: Long): List[OpenSession] =
+    pieces.sortBy(s => (s.startMs, s.lastMs)).foldLeft(List.empty[OpenSession]) {
+      case (cur :: done, next) if next.startMs - cur.lastMs < gapMs =>
+        OpenSession(cur.startMs, math.max(cur.lastMs, next.lastMs),
+          cur.n + next.n) :: done
+      case (acc, next) => next :: acc
+    }.reverse
+
   def sessionize(
       events: Dataset[SessionEvent], gapMs: Long = 600000L,
       lateness: String = "10 minutes"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-
-    def mergeChain(pieces: Seq[OpenSession]): List[OpenSession] =
-      pieces.sortBy(s => (s.startMs, s.lastMs)).foldLeft(List.empty[OpenSession]) {
-        case (cur :: done, next) if next.startMs - cur.lastMs < gapMs =>
-          OpenSession(cur.startMs, math.max(cur.lastMs, next.lastMs),
-            cur.n + next.n) :: done
-        case (acc, next) => next :: acc
-      }.reverse
 
     events
       .filter(col("ts").isNotNull)
@@ -87,7 +93,7 @@ object StatefulOps {
         case (user, rows, state) =>
           val prev = state.getOption.map(_.sessions).getOrElse(Nil)
           val points = rows.map(r => { val t = r.ts.getTime; OpenSession(t, t, 1L) }).toSeq
-          val merged = mergeChain(prev ++ points)
+          val merged = mergeChain(prev ++ points, gapMs)
           // finalize: the watermark has passed end + gap, so no
           // admissible future event can extend, precede-and-chain, or
           // bridge these sessions

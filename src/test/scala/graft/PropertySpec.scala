@@ -195,4 +195,35 @@ class PropertySpec extends SparkSpec {
       assert(cont.getAs[Double]("__max") === sorted.last)
     }
   }
+
+  test("sessionize mergeChain equals reference gap grouping for any point set") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.OpenSession
+    val gapMs = 10L
+    // reference: sort the raw points, cut where the inter-point gap
+    // reaches gapMs, summarize each run
+    def reference(points: Seq[Long]): List[(Long, Long, Long)] = {
+      val sorted = points.sorted
+      if (sorted.isEmpty) Nil
+      else sorted.tail.foldLeft(List((sorted.head, sorted.head, 1L))) {
+        case ((s, e, n) :: done, t) =>
+          if (t - e < gapMs) (s, math.max(e, t), n + 1) :: done
+          else (t, t, 1L) :: (s, e, n) :: done
+        case (Nil, t) => List((t, t, 1L))
+      }.reverse
+    }
+    val pointsGen = Gen.listOf(Gen.chooseNum(0L, 200L))
+    samples(pointsGen, 300).foreach { pts =>
+      val got = StatefulOps
+        .mergeChain(pts.map(t => OpenSession(t, t, 1L)), gapMs)
+        .map(s => (s.startMs, s.lastMs, s.n))
+      assert(got === reference(pts), s"diverged on $pts")
+      // re-merging a merged list is a fixpoint (what each micro-batch
+      // relies on when it folds state sessions with new points)
+      val again = StatefulOps
+        .mergeChain(got.map { case (s, e, n) => OpenSession(s, e, n) }, gapMs)
+        .map(s => (s.startMs, s.lastMs, s.n))
+      assert(again === got, s"not idempotent on $pts")
+    }
+  }
 }
