@@ -120,15 +120,21 @@ object TemporalOps {
     * the low-cardinality dimension, but each partition is only
     * n_hours rows AFTER aggregation, so the plan is one agg shuffle
     * plus a bounded window (never a corpus-wide sort). */
-  def hourlyDeltas(events: DataFrame): DataFrame = {
-    val h = events
-      .groupBy(col("event_type"),
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("date_hour"))
+  /** The hourly bucket label q26 and q36 share — one definition so
+    * their oracles (strftime '%Y-%m-%d %H:00:00') can never
+    * desynchronize from only one of the twins. */
+  private def hourBucket(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_format(date_trunc("hour", ts), "yyyy-MM-dd HH:00:00")
+
+  /** Per-type hourly counts — the shared base of q26/q36. */
+  private def hourlyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), hourBucket(col("ts")).as("date_hour"))
       .agg(count(lit(1)).as("n"))
-    h.withColumn("delta",
+
+  def hourlyDeltas(events: DataFrame): DataFrame =
+    hourlyCounts(events).withColumn("delta",
       col("n") - lag(col("n"), 1).over(
         Window.partitionBy(col("event_type")).orderBy(col("date_hour"))))
-  }
 
   val hourlyDeltasQ: GraftQuery = GraftQuery(
     "q26_hourly_deltas",
@@ -524,10 +530,7 @@ object TemporalOps {
     * is q26's exactly: one agg shuffle, then a window over n_hours
     * rows per type (bounded AFTER aggregation, never a corpus sort). */
   def ewmaTrend(events: DataFrame): DataFrame =
-    ewmaOverCounts(events
-      .groupBy(col("event_type"),
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("date_hour"))
-      .agg(count(lit(1)).as("n")))
+    ewmaOverCounts(hourlyCounts(events))
 
   val ewmaTrendQ: GraftQuery = {
     val numTail = (1 until EwmaTerms).map(k =>

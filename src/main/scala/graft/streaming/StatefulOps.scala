@@ -42,28 +42,6 @@ object StatefulOps {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long)
 
-  /** Streaming gap sessionization — the streaming twin of the batch
-    * gaps-and-islands kernel (q23/q34, 10-minute inactivity gap): a
-    * user's session is emitted exactly once (append mode), and ONLY
-    * when the watermark has passed `session_end + gap` — before that
-    * a late-but-in-watermark event may still extend it, start a
-    * predecessor that chains into it, or bridge it with a neighbor
-    * session, so earlier emission would be wrong (this matches
-    * `session_window`'s emission discipline).
-    *
-    * This is the `flatMapGroupsWithState` shape the built-in
-    * operators can't express: `session_window` aggregation emits
-    * fixed aggregates, while this keeps arbitrary per-session state
-    * and decides eviction itself. Events and existing sessions merge
-    * by one sorted fold per batch (a point is a degenerate session,
-    * chaining under the gap rule — which also handles out-of-order
-    * points and session bridging), so a firehose user costs one local
-    * sort of their own events, not state growth. Null event times are
-    * dropped (a point without a time cannot join any gap chain).
-    *
-    * @param lateness watermark for late events — also the floor for
-    *        finalization (a session cannot close before the watermark
-    *        allows no more of its events) */
   /** Gap-chain fold: merge provisional sessions / points (a point is
     * a degenerate session) into maximal sessions under the gap rule —
     * two pieces chain when the later one starts within `gapMs` of the
@@ -78,6 +56,28 @@ object StatefulOps {
       case (acc, next) => next :: acc
     }.reverse
 
+  /** Streaming gap sessionization — the streaming twin of the batch
+    * gaps-and-islands kernel (q23/q34, 10-minute inactivity gap): a
+    * user's session is emitted exactly once (append mode), and ONLY
+    * when the watermark has passed `session_end + gap` — before that
+    * a late-but-in-watermark event may still extend it, start a
+    * predecessor that chains into it, or bridge it with a neighbor
+    * session, so earlier emission would be wrong (this matches
+    * `session_window`'s emission discipline).
+    *
+    * This is the `flatMapGroupsWithState` shape the built-in
+    * operators can't express: `session_window` aggregation emits
+    * fixed aggregates, while this keeps arbitrary per-session state
+    * and decides eviction itself. Events and existing sessions merge
+    * by one [[mergeChain]] fold per batch — which also handles
+    * out-of-order points and session bridging — so a firehose user
+    * costs one local sort of their own events, not state growth. Null
+    * event times are dropped (a point without a time cannot join any
+    * gap chain).
+    *
+    * @param lateness watermark for late events — also the floor for
+    *        finalization (a session cannot close before the watermark
+    *        allows no more of its events) */
   def sessionize(
       events: Dataset[SessionEvent], gapMs: Long = 600000L,
       lateness: String = "10 minutes"): Dataset[ClosedSession] = {

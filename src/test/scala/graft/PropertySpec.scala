@@ -226,4 +226,40 @@ class PropertySpec extends SparkSpec {
       assert(again === got, s"not idempotent on $pts")
     }
   }
+
+  test("mergeChain on mixed intervals+points equals the transitive-closure grouping") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.OpenSession
+    val gapMs = 10L
+    // independent reference: connect pieces whose distance is < gap
+    // (overlap/containment = distance 0), take connected components —
+    // for start-sorted intervals this closure is what the linear fold
+    // claims to compute
+    def closure(pieces: Seq[OpenSession]): List[(Long, Long, Long)] = {
+      val ps = pieces.toIndexedSeq
+      val parent = Array.tabulate(ps.size)(identity)
+      def find(i: Int): Int = if (parent(i) == i) i else { parent(i) = find(parent(i)); parent(i) }
+      for (i <- ps.indices; j <- ps.indices if i < j) {
+        val d = math.max(0L, math.max(ps(i).startMs, ps(j).startMs)
+          - math.min(ps(i).lastMs, ps(j).lastMs))
+        if (d < gapMs) parent(find(i)) = find(j)
+      }
+      ps.indices.groupBy(find).values.map { idx =>
+        (idx.map(ps(_).startMs).min, idx.map(ps(_).lastMs).max,
+          idx.map(ps(_).n).sum)
+      }.toList.sortBy(t => (t._1, t._2))
+    }
+    val intervalGen = for {
+      s <- Gen.chooseNum(0L, 200L)
+      len <- Gen.chooseNum(0L, 40L)
+      n <- Gen.chooseNum(1L, 5L)
+    } yield OpenSession(s, s + len, n)
+    val mixedGen = Gen.listOf(Gen.oneOf(intervalGen,
+      Gen.chooseNum(0L, 200L).map(t => OpenSession(t, t, 1L))))
+    samples(mixedGen, 300).foreach { pieces =>
+      val got = StatefulOps.mergeChain(pieces, gapMs)
+        .map(s => (s.startMs, s.lastMs, s.n))
+      assert(got === closure(pieces), s"diverged on $pieces")
+    }
+  }
 }
