@@ -557,8 +557,53 @@ object TemporalOps {
     }
   }
 
+  /** SCD2-style validity intervals from the event log: per user,
+    * collapse consecutive repeats of event_type and emit one row per
+    * RUN with its [valid_from_us, valid_to_us) span — valid_to is the
+    * next change's timestamp, null for the current state. This is the
+    * slowly-changing-dimension (type 2) reconstruction a warehouse
+    * runs over a CDC/change stream to answer "what was the state at
+    * time T" with a range join.
+    *
+    * Scale shape: two windows, both keyed on user_id — a
+    * corpus-cardinality key, so partitions are one user's events and
+    * the plan reuses a single exchange+sort for the lag and the lead
+    * (same partitioning AND ordering). Ordering is (ts_us, event_id):
+    * deterministic under timestamp ties in both engines. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_us"), col("event_id"))).as("valid_to_us"))
+  }
+
+  val scd2Q: GraftQuery = GraftQuery(
+    "q37_scd2_intervals",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |             event_id, event_type
+      |           FROM events),
+      |m AS (SELECT user_id, ts_us, event_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |                              ORDER BY ts_us, event_id) AS prev
+      |      FROM e),
+      |c AS (SELECT user_id, ts_us, event_id, event_type FROM m
+      |      WHERE prev IS NULL OR event_type <> prev)
+      |SELECT user_id, event_type, ts_us AS valid_from_us,
+      |       lead(ts_us) OVER (PARTITION BY user_id
+      |                         ORDER BY ts_us, event_id) AS valid_to_us
+      |FROM c""".stripMargin) { (spark, sf) =>
+    scd2Intervals(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
-      ewmaTrendQ)
+      ewmaTrendQ, scd2Q)
 }

@@ -204,6 +204,27 @@ class TemporalVectorSpec extends SparkSpec {
       (1, 0) -> ((10.0, 1L)), (1, 1) -> ((0.0, 1L))))
   }
 
+  test("q37 SCD2: consecutive repeats collapse, spans chain, current state open") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val ev = Seq(
+      (1L, 10L, t(100), "a"),
+      (2L, 10L, t(200), "a"),  // repeat → collapses into the first run
+      (3L, 10L, t(300), "b"),
+      (4L, 10L, t(400), "a"),  // back to a: a NEW run, not merged
+      (5L, 20L, t(150), "x"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = TemporalOps.scd2Intervals(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(out === Set(
+      (10L, "a", 100000000L, 300000000L),
+      (10L, "b", 300000000L, 400000000L),
+      (10L, "a", 400000000L, -1L),
+      (20L, "x", 150000000L, -1L)))
+  }
+
   test("q36 EWMA: exact weighted means, series starts renormalize") {
     import spark.implicits._
     val h = Seq(
