@@ -602,8 +602,60 @@ object TemporalOps {
     scd2Intervals(Tables.events(spark, sf))
   }
 
+  /** Point-in-time (SCD2 lookup) join — q37's consumption side: each
+    * purchase looks up the state interval (built from the user's
+    * NON-purchase events) containing its timestamp, i.e. "what state
+    * was the user in when they bought". Purchases before any recorded
+    * state keep their row with null state (left join).
+    *
+    * Scale shape: the validity intervals partition time per user, so
+    * this is an EQUI-join on user_id (corpus-cardinality key — sort-
+    * merge/hash, never a nested loop; the range condition rides the
+    * join as a residual filter) and each fact matches at most one
+    * interval — output rows == fact rows, no fan-out. Per-user dim
+    * size is that user's change count, bounded. */
+  def pointInTimeState(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val dims = scd2Intervals(events.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("d_user"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    e.filter(col("event_type") === "purchase")
+      .join(dims,
+        col("user_id") === col("d_user")
+          && col("valid_from_us") <= col("ts_us")
+          && (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("state"), col("valid_from_us").as("state_since_us"))
+  }
+
+  val pointInTimeQ: GraftQuery = GraftQuery(
+    "j04_point_in_time",
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |             event_type
+      |           FROM events),
+      |d0 AS (SELECT user_id, ts_us, event_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts_us, event_id) AS prev
+      |       FROM e WHERE event_type <> 'purchase'),
+      |c AS (SELECT user_id, ts_us, event_id, event_type FROM d0
+      |      WHERE prev IS NULL OR event_type <> prev),
+      |iv AS (SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+      |         lead(ts_us) OVER (PARTITION BY user_id
+      |                           ORDER BY ts_us, event_id) AS valid_to_us
+      |       FROM c),
+      |f AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts_us, iv.state,
+      |       iv.valid_from_us AS state_since_us
+      |FROM f LEFT JOIN iv ON iv.user_id = f.user_id
+      |  AND iv.valid_from_us <= f.ts_us
+      |  AND (iv.valid_to_us IS NULL OR f.ts_us < iv.valid_to_us)""".stripMargin) {
+    (spark, sf) => pointInTimeState(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
-      ewmaTrendQ, scd2Q)
+      ewmaTrendQ, scd2Q, pointInTimeQ)
 }

@@ -98,6 +98,13 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan(df).contains("BroadcastHashJoin"), plan(df))
   }
 
+  test("j04: the point-in-time lookup is an equi-join on user_id, never a nested loop") {
+    val p = plan(TemporalOps.pointInTimeQ.run(spark, sf001))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"range condition must ride the user_id equi-join as a residual:\n$p")
+  }
+
   test("j03: the interval join is a bucket equi-join, never a nested loop") {
     val p = plan(TemporalOps.intervalJoinQ.run(spark, sf001))
     assert(p.contains("BroadcastHashJoin"), p)

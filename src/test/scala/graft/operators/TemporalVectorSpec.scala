@@ -225,6 +225,29 @@ class TemporalVectorSpec extends SparkSpec {
       (20L, "x", 150000000L, -1L)))
   }
 
+  test("j04 point-in-time: purchases resolve to the containing state interval") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val ev = Seq(
+      (1L, 10L, t(100), "click"),     // state click from 100
+      (2L, 10L, t(300), "view"),      // state view from 300
+      (3L, 10L, t(50),  "purchase"),  // before any state → null
+      (4L, 10L, t(200), "purchase"),  // inside click run
+      (5L, 10L, t(300), "purchase"),  // boundary: belongs to the NEW state
+      (6L, 10L, t(400), "purchase"))  // open view interval
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = TemporalOps.pointInTimeState(ev).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out === Map(
+      3L -> ((null, -1L)),
+      4L -> (("click", 100000000L)),
+      5L -> (("view", 300000000L)),
+      6L -> (("view", 300000000L))))
+  }
+
   test("q36 EWMA: exact weighted means, series starts renormalize") {
     import spark.implicits._
     val h = Seq(
