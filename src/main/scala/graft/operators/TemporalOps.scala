@@ -571,6 +571,10 @@ object TemporalOps {
     * (same partitioning AND ordering). Ordering is (ts_us, event_id):
     * deterministic under timestamp ties in both engines. */
   def scd2Intervals(events: DataFrame): DataFrame = {
+    // ONE window spec for both the lag and the lead: identical
+    // partitioning and ordering is what lets the plan reuse a single
+    // exchange+sort (pinned in PlanInvariantsSpec), so it must be
+    // structural, not a textual coincidence
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     events
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
@@ -579,26 +583,38 @@ object TemporalOps {
       .filter(col("prev").isNull || col("event_type") =!= col("prev"))
       .select(col("user_id"), col("event_type"),
         col("ts_us").as("valid_from_us"),
-        lead(col("ts_us"), 1).over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("ts_us"), col("event_id"))).as("valid_to_us"))
+        lead(col("ts_us"), 1).over(w).as("valid_to_us"))
   }
+
+  /** The shared oracle CTE chain for q37/j04 — events `e` → collapsed
+    * validity intervals `iv` — parameterized by the source predicate
+    * and the state column alias, so the two oracles can never
+    * desynchronize (the Spark side shares [[scd2Intervals]] the same
+    * way). Expects `e(event_id, user_id, ts_us, event_type)` in
+    * scope. */
+  private def scd2OracleCtes(sourceFilter: String, stateCol: String): String =
+    s"""d0 AS (SELECT user_id, ts_us, event_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id
+       |                               ORDER BY ts_us, event_id) AS prev
+       |       FROM e $sourceFilter),
+       |c AS (SELECT user_id, ts_us, event_id, event_type FROM d0
+       |      WHERE prev IS NULL OR event_type <> prev),
+       |iv AS (SELECT user_id, event_type AS $stateCol, ts_us AS valid_from_us,
+       |         lead(ts_us) OVER (PARTITION BY user_id
+       |                           ORDER BY ts_us, event_id) AS valid_to_us
+       |       FROM c)""".stripMargin
+
+  private val eventsMicrosCte =
+    """e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |        event_type
+      |      FROM events)""".stripMargin
 
   val scd2Q: GraftQuery = GraftQuery(
     "q37_scd2_intervals",
-    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
-      |             event_id, event_type
-      |           FROM events),
-      |m AS (SELECT user_id, ts_us, event_id, event_type,
-      |        lag(event_type) OVER (PARTITION BY user_id
-      |                              ORDER BY ts_us, event_id) AS prev
-      |      FROM e),
-      |c AS (SELECT user_id, ts_us, event_id, event_type FROM m
-      |      WHERE prev IS NULL OR event_type <> prev)
-      |SELECT user_id, event_type, ts_us AS valid_from_us,
-      |       lead(ts_us) OVER (PARTITION BY user_id
-      |                         ORDER BY ts_us, event_id) AS valid_to_us
-      |FROM c""".stripMargin) { (spark, sf) =>
+    s"""WITH $eventsMicrosCte,
+       |${scd2OracleCtes("", "event_type")}
+       |SELECT user_id, event_type, valid_from_us, valid_to_us
+       |FROM iv""".stripMargin) { (spark, sf) =>
     scd2Intervals(Tables.events(spark, sf))
   }
 
@@ -632,25 +648,14 @@ object TemporalOps {
 
   val pointInTimeQ: GraftQuery = GraftQuery(
     "j04_point_in_time",
-    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
-      |             event_type
-      |           FROM events),
-      |d0 AS (SELECT user_id, ts_us, event_id, event_type,
-      |         lag(event_type) OVER (PARTITION BY user_id
-      |                               ORDER BY ts_us, event_id) AS prev
-      |       FROM e WHERE event_type <> 'purchase'),
-      |c AS (SELECT user_id, ts_us, event_id, event_type FROM d0
-      |      WHERE prev IS NULL OR event_type <> prev),
-      |iv AS (SELECT user_id, event_type AS state, ts_us AS valid_from_us,
-      |         lead(ts_us) OVER (PARTITION BY user_id
-      |                           ORDER BY ts_us, event_id) AS valid_to_us
-      |       FROM c),
-      |f AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase')
-      |SELECT f.event_id, f.user_id, f.ts_us, iv.state,
-      |       iv.valid_from_us AS state_since_us
-      |FROM f LEFT JOIN iv ON iv.user_id = f.user_id
-      |  AND iv.valid_from_us <= f.ts_us
-      |  AND (iv.valid_to_us IS NULL OR f.ts_us < iv.valid_to_us)""".stripMargin) {
+    s"""WITH $eventsMicrosCte,
+       |${scd2OracleCtes("WHERE event_type <> 'purchase'", "state")},
+       |f AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase')
+       |SELECT f.event_id, f.user_id, f.ts_us, iv.state,
+       |       iv.valid_from_us AS state_since_us
+       |FROM f LEFT JOIN iv ON iv.user_id = f.user_id
+       |  AND iv.valid_from_us <= f.ts_us
+       |  AND (iv.valid_to_us IS NULL OR f.ts_us < iv.valid_to_us)""".stripMargin) {
     (spark, sf) => pointInTimeState(Tables.events(spark, sf))
   }
 

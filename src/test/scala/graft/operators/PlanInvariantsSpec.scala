@@ -98,6 +98,18 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan(df).contains("BroadcastHashJoin"), plan(df))
   }
 
+  test("q37: both SCD2 windows share ONE exchange and one sort") {
+    // string-count over the physical tree (collect() does not
+    // traverse into the un-executed adaptive wrapper)
+    val p = TemporalOps.scd2Q.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    val sorts = raw"\bSort \[".r.findAllIn(p).size
+    assert(shuffles === 1,
+      s"the lag and lead windows must reuse one user_id exchange:\n$p")
+    assert(sorts === 1, s"identical window ordering must reuse one sort:\n$p")
+  }
+
   test("j04: the point-in-time lookup is an equi-join on user_id, never a nested loop") {
     val p = plan(TemporalOps.pointInTimeQ.run(spark, sf001))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
