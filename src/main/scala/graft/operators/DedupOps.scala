@@ -563,6 +563,46 @@ object DedupOps {
       clusterLabels(spark, sf, recompute = false))
   }
 
+  /** Leakage-safe train/val/test split — t08's salted-hash split
+    * assigned per near-dup CLUSTER instead of per document, so two
+    * near-duplicates can never straddle a split boundary (the
+    * contamination a per-document split silently allows: the model
+    * trains on a near-copy of its own eval set). Bucket =
+    * Md5Bucket('t17|' + cluster_id): salting decorrelates it from
+    * t08's per-doc buckets, and hashing the CLUSTER id makes the
+    * assignment a pure function of d07's labels — every member
+    * inherits it, spec-pinned. Lives here (not TextOps) because it
+    * composes d07's label checkpoint the same way d10 does.
+    *
+    * Scale shape: labels come from the d07 lake checkpoint (reused,
+    * not recomputed); the bucket is a row-local expression over the
+    * label — no new shuffle beyond d07's own. */
+  val leakageSafeSplitQ: GraftQuery = {
+    def bucketExpr(engine: String): String = {
+      val in =
+        if (engine == "spark") "concat('t17|', CAST(cluster_id AS STRING))"
+        else "'t17|' || CAST(cluster_id AS VARCHAR)"
+      Md5Bucket.bucketSql(engine, in, 100)
+    }
+    GraftQuery(
+      "t17_leakage_safe_split",
+      s"""WITH RECURSIVE
+         |$clusterLabelsCteSql
+         |SELECT doc_id, cluster_id, bucket,
+         |       CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |        CAST(${bucketExpr("duckdb")} AS BIGINT) AS bucket
+         |      FROM lab) t""".stripMargin) { (spark, sf) =>
+      val b = expr(bucketExpr("spark")).cast("long")
+      clusterLabels(spark, sf, recompute = false).select(
+        col("doc_id"), col("cluster_id"),
+        b.as("bucket"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+    }
+  }
+
   /** The d10 selection rule over any (doc_id, cluster_id) assignment:
     * highest t02 quality survives, ties to the smallest doc_id. */
   def clusterRepresentatives(docs: DataFrame, clusters: DataFrame): DataFrame = {
@@ -1118,5 +1158,6 @@ object DedupOps {
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
-    coverageQ, incrementalQ, segmentDedupQ, portableMinhashQ)
+    coverageQ, incrementalQ, segmentDedupQ, portableMinhashQ,
+    leakageSafeSplitQ)
 }

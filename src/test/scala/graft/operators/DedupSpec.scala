@@ -444,6 +444,26 @@ class DedupSpec extends SparkSpec {
       s"near-dup should share most portable minhashes, got $matching")
   }
 
+  test("t17 leakage-safe split: constant within every cluster, covers every doc") {
+    val out = DedupOps.leakageSafeSplitQ.run(spark, sf001)
+    out.persist()
+    try {
+      val mixed = out.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("k"))
+        .filter(col("k") > 1).count()
+      assert(mixed === 0L, "a near-dup cluster must never straddle a split boundary")
+      assert(out.count() === graft.Tables.documents(spark, sf001).count(),
+        "every document gets a split")
+      val splits = out.select(col("split")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(splits.subsetOf(Set("train", "val", "test")))
+      // the planted near-dup clusters exist (cluster with >1 member),
+      // so the invariant is exercised, not vacuous
+      assert(out.groupBy(col("cluster_id")).count().filter(col("count") > 1).count() > 0,
+        "fixture corpus must contain multi-member clusters")
+    } finally out.unpersist()
+  }
+
   test("d14 end-to-end: planted pairs found; agrees with d05 on the harness corpus") {
     val planted = DedupOps.portableMinhashQ.run(spark, sf001) // signature check only
     assert(planted.columns.toSeq === Seq("doc_a", "doc_b", "jaccard"))
