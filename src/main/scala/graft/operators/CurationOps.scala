@@ -33,6 +33,20 @@ final case class PackOut(
   * Top-level (not nested in [[CurationOps]]) because [[TextOps]]'s
   * t08 split also uses it while CurationOps' t10 SQL reads TextOps
   * vals — nesting would make module initialization order-sensitive. */
+/** The train/val/test boundary policy t08 (per-document) and t17
+  * (per-cluster) share — one definition so a rebalance can never move
+  * one split and silently leave the other on the old scheme. */
+private[operators] object SplitPolicy {
+  val TrainUpper = 80
+  val ValUpper = 90
+  def caseSql(bucket: String): String =
+    s"CASE WHEN $bucket < $TrainUpper THEN 'train' " +
+      s"WHEN $bucket < $ValUpper THEN 'val' ELSE 'test' END"
+  def caseCol(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.when(bucket < TrainUpper, "train")
+      .when(bucket < ValUpper, "val").otherwise("test")
+}
+
 private[operators] object Md5Bucket {
   private val alphabet = "0123456789abcdef"
   private def hexVal(engine: String, input: String, i: Int): String = engine match {

@@ -589,9 +589,7 @@ object DedupOps {
       s"""WITH RECURSIVE
          |$clusterLabelsCteSql
          |SELECT doc_id, cluster_id, bucket,
-         |       CASE WHEN bucket < 80 THEN 'train'
-         |            WHEN bucket < 90 THEN 'val'
-         |            ELSE 'test' END AS split
+         |       ${SplitPolicy.caseSql("bucket")} AS split
          |FROM (SELECT doc_id, cluster_id,
          |        CAST(${bucketExpr("duckdb")} AS BIGINT) AS bucket
          |      FROM lab) t""".stripMargin) { (spark, sf) =>
@@ -599,7 +597,7 @@ object DedupOps {
       clusterLabels(spark, sf, recompute = false).select(
         col("doc_id"), col("cluster_id"),
         b.as("bucket"),
-        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+        SplitPolicy.caseCol(b).as("split"))
     }
   }
 

@@ -260,9 +260,7 @@ object TextOps {
     GraftQuery(
       "t08_hash_split",
       s"""SELECT doc_id, bucket,
-         |       CASE WHEN bucket < 80 THEN 'train'
-         |            WHEN bucket < 90 THEN 'val'
-         |            ELSE 'test' END AS split
+         |       ${SplitPolicy.caseSql("bucket")} AS split
          |FROM (SELECT doc_id,
          |        CAST(${bucketExpr("duckdb")} AS BIGINT) AS bucket
          |      FROM documents) t""".stripMargin) { (spark, sf) =>
@@ -270,7 +268,7 @@ object TextOps {
       Tables.documents(spark, sf).select(
         col("doc_id"),
         b.as("bucket"),
-        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+        SplitPolicy.caseCol(b).as("split"))
     }
   }
 

@@ -35,45 +35,56 @@ object Compaction {
       .sortBy(_.path)
   }
 
-  /** First-fit-decreasing packing of files into rewrite groups of at
-    * most `targetBytes` (an already-oversized file gets its own group
-    * — splitting it is the scan's job via maxPartitionBytes, not the
-    * compactor's). Deterministic: sorted by (bytes desc, path). A
-    * group with a single file at or above `minKeepBytes` is already
-    * compact and is dropped from the plan (rewriting it would be pure
-    * write amplification). */
+  /** First-fit-decreasing packing into rewrite groups of at most
+    * `targetBytes`. Files at or above `minKeepBytes` (default: the
+    * target itself — which also covers oversized files, whose
+    * splitting is the scan's job via maxPartitionBytes) are already
+    * compact and excluded BEFORE packing, and any group that still
+    * ends up with a single file is dropped — a 1:1 rewrite is pure
+    * write amplification either way. Deterministic: sorted by
+    * (bytes desc, path). */
   def plan(files: Seq[FileEntry], targetBytes: Long,
-      minKeepBytes: Long = 0L): Seq[Assignment] = {
+      minKeepBytes: Long = -1L): Seq[Assignment] = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val groups = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val keepAt = if (minKeepBytes >= 0) minKeepBytes else targetBytes
+    val used = scala.collection.mutable.ArrayBuffer.empty[Long] // index = group id
     val out = Seq.newBuilder[Assignment]
-    files.sortBy(f => (-f.bytes, f.path)).foreach { f =>
-      val fit = groups.indexWhere { case (used, _) => used + f.bytes <= targetBytes }
-      val g =
-        if (f.bytes >= targetBytes || fit < 0) {
-          groups += ((f.bytes, groups.size)); groups.size - 1
-        } else {
-          groups(fit) = (groups(fit)._1 + f.bytes, groups(fit)._2); fit
-        }
-      out += Assignment(f.path, f.bytes, g)
-    }
+    files.filter(_.bytes < keepAt)
+      .sortBy(f => (-f.bytes, f.path)).foreach { f =>
+        val fit = used.indexWhere(_ + f.bytes <= targetBytes)
+        val g =
+          if (fit < 0) { used += f.bytes; used.size - 1 }
+          else { used(fit) += f.bytes; fit }
+        out += Assignment(f.path, f.bytes, g)
+      }
     val planned = out.result()
     val singles = planned.groupBy(_.group).collect {
-      case (g, members) if members.size == 1 && members.head.bytes >= minKeepBytes => g
+      case (g, members) if members.size == 1 => g
     }.toSet
     planned.filterNot(a => singles.contains(a.group))
   }
 
-  /** Execute a plan: each group's files are read as one distributed
-    * scan and written as one file under `outDir/part_g<group>`. The
-    * read-side schema is the lake's own; row content is untouched.
-    * Returns (group, files_in, bytes_in) for audit. */
+  /** Execute a plan: each group's files are read as one scan (with
+    * schema merging, so a group spanning a mid-stream schema change
+    * cannot silently drop a column) and written as one file under
+    * `outDir/part_g<group>`; row content is untouched. Group jobs are
+    * submitted CONCURRENTLY — `coalesce(1)` collapses a group's read
+    * to one task, so cross-group parallelism is where the cluster's
+    * cores go. Returns (group, files_in, bytes_in) for audit. */
   def compact(spark: SparkSession, assignments: Seq[Assignment],
-      outDir: String): Seq[(Int, Int, Long)] =
-    assignments.groupBy(_.group).toSeq.sortBy(_._1).map { case (g, members) =>
-      spark.read.parquet(members.map(_.path): _*)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/part_g$g")
-      (g, members.size, members.map(_.bytes).sum)
+      outDir: String): Seq[(Int, Int, Long)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = assignments.groupBy(_.group).toSeq.sortBy(_._1).map {
+      case (g, members) => Future {
+        spark.read.option("mergeSchema", "true")
+          .parquet(members.map(_.path): _*)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/part_g$g")
+        (g, members.size, members.map(_.bytes).sum)
+      }
     }
+    Await.result(Future.sequence(jobs), Duration.Inf)
+  }
 }

@@ -30,6 +30,16 @@ class CompactionSpec extends SparkSpec {
     assert(p === plan(files, 1000, 800))
   }
 
+  test("plan never proposes a 1:1 rewrite") {
+    import Compaction.{plan, FileEntry}
+    // a lone small file gains nothing from being rewritten alone
+    assert(plan(Seq(FileEntry("x", 100)), 1000) === Seq.empty)
+    // an already-compact file must not be dragged into a group by a
+    // smaller neighbor (the neighbor then has no partner → dropped)
+    assert(plan(Seq(FileEntry("big", 900), FileEntry("tiny", 90)),
+      targetBytes = 1000, minKeepBytes = 800) === Seq.empty)
+  }
+
   test("compact rewrites many small files into few, content-preserving") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_compact_in").toString
