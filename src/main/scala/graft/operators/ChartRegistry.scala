@@ -244,7 +244,9 @@ object ChartRegistry {
   val positivityPeriodQ: GraftQuery = GraftQuery(
     "c09_positivity_period",
     withProcessed(
-      """SELECT "date", topic, round(avg(positivity_rate), 4) AS positivity_rate
+      """SELECT "date", topic,
+        |       CAST(sum(CAST(round(positivity_rate * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |         / (count(*) * 10000.0) AS positivity_rate
         |FROM processed GROUP BY "date", topic""".stripMargin)) { (spark, sf) =>
     ChartQueries.positivityPeriod(processed(spark, sf), "date")
   }
@@ -254,9 +256,9 @@ object ChartRegistry {
     "c10_positivity_boxplot",
     withProcessed(
       """, b AS (SELECT topic,
-        |          round(quantile_cont(positivity_rate, 0.25), 4) AS q1,
-        |          round(quantile_cont(positivity_rate, 0.50), 4) AS median,
-        |          round(quantile_cont(positivity_rate, 0.75), 4) AS q3,
+        |          quantile_disc(positivity_rate, 0.25) AS q1,
+        |          quantile_disc(positivity_rate, 0.50) AS median,
+        |          quantile_disc(positivity_rate, 0.75) AS q3,
         |          min(positivity_rate) AS lo,
         |          max(positivity_rate) AS hi
         |        FROM processed GROUP BY topic)
@@ -311,7 +313,9 @@ object ChartRegistry {
   val positivityHourQ: GraftQuery = GraftQuery(
     "c14_positivity_hour",
     withProcessed(
-      """SELECT date_hour, topic, round(avg(positivity_rate), 4) AS positivity_rate
+      """SELECT date_hour, topic,
+        |       CAST(sum(CAST(round(positivity_rate * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |         / (count(*) * 10000.0) AS positivity_rate
         |FROM processed GROUP BY date_hour, topic""".stripMargin)) { (spark, sf) =>
     ChartQueries.positivityPeriod(processed(spark, sf), "date_hour")
   }
@@ -322,9 +326,9 @@ object ChartRegistry {
     "c15_boxplot_day",
     withProcessed(
       """, b AS (SELECT topic, "date",
-        |          round(quantile_cont(positivity_rate, 0.25), 4) AS q1,
-        |          round(quantile_cont(positivity_rate, 0.50), 4) AS median,
-        |          round(quantile_cont(positivity_rate, 0.75), 4) AS q3,
+        |          quantile_disc(positivity_rate, 0.25) AS q1,
+        |          quantile_disc(positivity_rate, 0.50) AS median,
+        |          quantile_disc(positivity_rate, 0.75) AS q3,
         |          min(positivity_rate) AS lo,
         |          max(positivity_rate) AS hi
         |        FROM processed GROUP BY topic, "date")

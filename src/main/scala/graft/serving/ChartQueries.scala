@@ -124,25 +124,53 @@ object ChartQueries {
       round(avg(col("positivity_rate")), 4).as("global_rate"))
   }
 
-  /** Mean positivity per (period, topic) — line chart (charts.py:160-168). */
-  def positivityPeriod(processed: DataFrame, aggLevel: String): DataFrame =
+  /** Mean positivity per (period, topic) — line chart (charts.py:160-168).
+    *
+    * Float discipline: the fixture's rates are exact 4dp decimals, so
+    * each recovers its integer numerator via round(rate·10⁴) exactly
+    * (the product sits within ulps of the integer — never near a
+    * tie); the group mean is then an exact integer sum divided once,
+    * which is the identical IEEE operation in both engines at ANY
+    * group size — unlike round(avg(..), 4), whose pre-round double
+    * drifts with partial-aggregation order and flips the last digit
+    * when a group lands on a .xxxx5 knife-edge (observed at sf0.1,
+    * where groups reach ~250 rows). */
+  def positivityPeriod(processed: DataFrame, aggLevel: String): DataFrame = {
+    val scaled = round(col("positivity_rate") * 10000, 0).cast("long")
     processed
       .groupBy(col(aggLevel), col("topic"))
-      .agg(round(avg(col("positivity_rate")), 4).as("positivity_rate"))
+      .agg((sum(scaled).cast("double") / (count(lit(1)) * lit(10000.0)))
+        .as("positivity_rate"))
       .orderBy(col(aggLevel), col("topic"))
+  }
 
   /** Boxplot statistics per topic (charts.py:173-199): quartiles +
-    * 1.5·IQR whiskers clamped to the observed extremes. Quartiles are
-    * rounded to 4dp before the derived iqr/whisker arithmetic so every
-    * emitted value is a deterministic function of rounded inputs. */
+    * 1.5·IQR whiskers clamped to the observed extremes.
+    *
+    * Quartiles are DISCRETE order statistics (the value at 1-based
+    * rank ⌈p·n⌉ — the quantile_disc convention q33 pinned), not
+    * interpolated: an order statistic is an actual data value, so
+    * there is no interpolation arithmetic to drift by ulps between
+    * engines and every emitted column is raw (interpolated quartiles
+    * rounded at 4dp flipped their last digit at sf0.1 when the
+    * interpolant landed on a knife-edge). The derived iqr/whisker
+    * expressions are the same IEEE op sequence in both engine texts
+    * over those identical inputs. Window partitions are the chart
+    * groups (≤ topics × days) with ≤ HourBuckets rows each — bounded
+    * AFTER the serving aggregation, never corpus-sized. */
   def positivityBoxplot(processed: DataFrame, byLevel: Option[String] = None): DataFrame = {
     val keys = Seq(col("topic")) ++ byLevel.map(col)
-    val base = processed
+    val w = Window.partitionBy(keys: _*).orderBy(col("positivity_rate"))
+    val ranked = processed
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+    def disc(p: Double) = min(when(
+      col("__rn") === greatest(ceil(lit(p) * col("__n")), lit(1L)),
+      col("positivity_rate")))
+    val base = ranked
       .groupBy(keys: _*)
       .agg(
-        round(expr("percentile(positivity_rate, 0.25)"), 4).as("q1"),
-        round(expr("percentile(positivity_rate, 0.5)"), 4).as("median"),
-        round(expr("percentile(positivity_rate, 0.75)"), 4).as("q3"),
+        disc(0.25).as("q1"), disc(0.5).as("median"), disc(0.75).as("q3"),
         min(col("positivity_rate")).as("lo"),
         max(col("positivity_rate")).as("hi"))
     base
