@@ -232,10 +232,13 @@ object ChartRegistry {
   val positivityTopicQ: GraftQuery = GraftQuery(
     "c08_positivity_topic",
     withProcessed(
-      """, g AS (SELECT topic, round(avg(positivity_rate), 4) AS positivity_rate
+      """, g AS (SELECT topic,
+        |          round(CAST(sum(CAST(round(positivity_rate * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |                / (count(*) * 10000.0), 4) AS positivity_rate
         |        FROM processed GROUP BY topic)
         |SELECT topic, positivity_rate,
-        |       round(avg(positivity_rate) OVER (), 4) AS global_rate
+        |       round(CAST(sum(CAST(round(positivity_rate * 10000, 0) AS BIGINT)) OVER () AS DOUBLE)
+        |             / (count(*) OVER () * 10000.0), 4) AS global_rate
         |FROM g""".stripMargin)) { (spark, sf) =>
     ChartQueries.positivityByTopic(processed(spark, sf))
   }

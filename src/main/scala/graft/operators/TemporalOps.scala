@@ -389,9 +389,17 @@ object TemporalOps {
     * boundary-broadcast shape as q33, so no corpus-wide window and no
     * per-group value buffering anywhere in the plan. Groups whose
     * values are all NULL have no histogram row and drop from both
-    * engines (oracle: `WHERE lo IS NOT NULL`). The winsorized mean is
-    * rounded to 4dp like every mean in the registry (summation
-    * order). */
+    * engines (oracle: `WHERE lo IS NOT NULL`).
+    *
+    * Float discipline (the c09/positivityPeriod treatment): the
+    * events value domain is exact 2dp (the QuantileKernel premise),
+    * so each clamped value recovers its integer numerator via
+    * round(x·100) exactly; the mean is an exact long sum divided once
+    * by n·100.0 — the identical IEEE op sequence in both engines at
+    * ANY partial-aggregation order. round(avg(..), 4) over raw
+    * doubles was the registry's only intermittent gate row (r5): its
+    * pre-round double drifts with summation order on .xxxx5
+    * knife-edges. */
   val winsorizeQ: GraftQuery = GraftQuery(
     "q35_winsorize",
     """WITH b AS (
@@ -401,9 +409,12 @@ object TemporalOps {
       |SELECT e.event_type, lo, hi,
       |       sum(CASE WHEN e.value < lo THEN 1 ELSE 0 END) AS n_low,
       |       sum(CASE WHEN e.value > hi THEN 1 ELSE 0 END) AS n_high,
-      |       round(avg(CASE WHEN e.value < lo THEN lo
-      |                      WHEN e.value > hi THEN hi
-      |                      ELSE e.value END), 4) AS avg_winsorized,
+      |       round(CAST(sum(CASE WHEN e.value IS NULL THEN NULL
+      |                           WHEN e.value < lo THEN CAST(round(lo * 100) AS BIGINT)
+      |                           WHEN e.value > hi THEN CAST(round(hi * 100) AS BIGINT)
+      |                           ELSE CAST(round(e.value * 100) AS BIGINT)
+      |                      END) AS DOUBLE)
+      |             / (count(e.value) * 100.0), 4) AS avg_winsorized,
       |       count(e.value) AS n
       |FROM events e JOIN b USING (event_type)
       |WHERE lo IS NOT NULL
@@ -416,15 +427,20 @@ object TemporalOps {
     val hist = QuantileKernel.cumulativeHistogram(events, "event_type", "value")
     val bounds = QuantileKernel.discQuantiles(hist, "event_type", "value",
       Seq("lo" -> 0.10, "hi" -> 0.90))
+    // clamp in scaled-long space: exact at any group size (2dp domain;
+    // |sum| ≤ rows·max|value|·100 — far inside Long at any SF shard)
+    val clampedScaled =
+      when(col("value").isNull, lit(null).cast("long"))
+        .when(col("value") < col("lo"), round(col("lo") * 100, 0).cast("long"))
+        .when(col("value") > col("hi"), round(col("hi") * 100, 0).cast("long"))
+        .otherwise(round(col("value") * 100, 0).cast("long"))
     events.join(broadcast(bounds), Seq("event_type"))
       .groupBy(col("event_type"), col("lo"), col("hi"))
       .agg(
         sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_low"),
         sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_high"),
-        round(avg(
-          when(col("value") < col("lo"), col("lo"))
-            .when(col("value") > col("hi"), col("hi"))
-            .otherwise(col("value"))), 4).as("avg_winsorized"),
+        round(sum(clampedScaled).cast("double")
+          / (count(col("value")) * lit(100.0)), 4).as("avg_winsorized"),
         count(col("value")).as("n"))
   }
 

