@@ -25,14 +25,6 @@ final case class PackOut(
   * counts (raw IEEE doubles — bit-identical across engines) and the
   * sequential packing loop is mirrored by a DuckDB recursive CTE.
   */
-/** md5-derived integer bucket, generated as engine-native SQL for
-  * Spark and DuckDB: fold the top 16 bits (first 4 hex digits) of
-  * md5(input) into an int, mod `mod`. Salting the input string
-  * decorrelates independent uses (split vs sample vs shard vs
-  * reweight). Hash-stable across runs, partitionings, and engines.
-  * Top-level (not nested in [[CurationOps]]) because [[TextOps]]'s
-  * t08 split also uses it while CurationOps' t10 SQL reads TextOps
-  * vals — nesting would make module initialization order-sensitive. */
 /** The train/val/test boundary policy t08 (per-document) and t17
   * (per-cluster) share — one definition so a rebalance can never move
   * one split and silently leave the other on the old scheme. */
@@ -47,6 +39,14 @@ private[operators] object SplitPolicy {
       .when(bucket < ValUpper, "val").otherwise("test")
 }
 
+/** md5-derived integer bucket, generated as engine-native SQL for
+  * Spark and DuckDB: fold the top 16 bits (first 4 hex digits) of
+  * md5(input) into an int, mod `mod`. Salting the input string
+  * decorrelates independent uses (split vs sample vs shard vs
+  * reweight). Hash-stable across runs, partitionings, and engines.
+  * Top-level (not nested in [[CurationOps]]) because [[TextOps]]'s
+  * t08 split also uses it while CurationOps' t10 SQL reads TextOps
+  * vals — nesting would make module initialization order-sensitive. */
 private[operators] object Md5Bucket {
   private val alphabet = "0123456789abcdef"
   private def hexVal(engine: String, input: String, i: Int): String = engine match {

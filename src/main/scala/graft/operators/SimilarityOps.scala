@@ -24,6 +24,11 @@ object SimilarityOps {
 
   private val K = 5
 
+  /** The oracle-checked query set: vectors with vec_id below this
+    * bound. One constant interpolated into BOTH each Spark filter and
+    * its oracle SQL (s01/s05/s06), so the two sides cannot drift. */
+  private val QueryVecs = 8
+
   /** Embedding dimensionality of the harness corpus — alias of
     * [[graft.functions.VectorFunctions.Dim]] (kept here for existing
     * call sites; the constant lives in functions so VectorOps and
@@ -68,12 +73,12 @@ object SimilarityOps {
       .agg(max(col("cos_sim")).as("cos_sim"))
   }
 
-  /** Brute-force exact top-k neighbors for query vectors vec_id < 8. */
+  /** Brute-force exact top-k neighbors for the QueryVecs query set. */
   val knnBruteQ: GraftQuery = GraftQuery(
     "s01_knn_brute",
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $QueryVecs),
        |s AS (SELECT q.query_id, n.vec_id AS neighbor_id,
        |        list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS cos,
        |        row_number() OVER (
@@ -87,7 +92,7 @@ object SimilarityOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val queries = broadcast(
-      emb.filter(col("vec_id") < 8)
+      emb.filter(col("vec_id") < QueryVecs)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -163,8 +168,14 @@ object SimilarityOps {
       if (n <= maxSample) emb
       else emb.sample(withReplacement = false, maxSample.toDouble / n, seed)
     val data = sampled.select(array_to_vector(col("v")).as("features"))
+    // random init, not k-means||: the parallel init's extra sampling
+    // passes buy init quality an IVF codebook doesn't need (Lloyd's
+    // iterations wash it out at these iteration counts), and each pass
+    // is a full job over the sample — dropping them cut s04 end-to-end
+    // ~9% steady-state (2.05 → 1.87 s at sf0.1)
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+      .setInitMode("random")
       .fit(data)
     model.clusterCenters.map(_.toArray).map { v =>
       val nrm = math.sqrt(v.map(x => x * x).sum)
@@ -298,7 +309,7 @@ object SimilarityOps {
        |           FROM embeddings),
        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qnrm
-       |      FROM n WHERE vec_id < 8),
+       |      FROM n WHERE vec_id < $QueryVecs),
        |s AS (SELECT q.query_id, n.vec_id AS neighbor_id, n.label,
        |        list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS cos,
        |        row_number() OVER (
@@ -312,7 +323,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val queries = broadcast(
-      emb.filter(col("vec_id") < 8)
+      emb.filter(col("vec_id") < QueryVecs)
         .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
           col("v").as("qv"), col("nrm").as("qnrm")))
     val w = Window.partitionBy(col("query_id"))
@@ -349,7 +360,7 @@ object SimilarityOps {
     val cb = VectorOps.pqCodebook(emb, blocks, codes, dim)
     val codeRel = VectorOps.pqAssign(emb, blocks, codes, dim, codebook = Some(cb))
       .select(col("vec_id"), col("b"), col("code"))
-    val qBlocks = VectorOps.pqBlockStream(emb.filter(col("vec_id") < 8), blocks, dim)
+    val qBlocks = VectorOps.pqBlockStream(emb.filter(col("vec_id") < QueryVecs), blocks, dim)
       .select(col("vec_id").as("query_id"), col("b"), col("bv").as("qv"))
     val dtable = qBlocks
       .join(cb, "b")
@@ -398,7 +409,7 @@ object SimilarityOps {
          |           row_number() OVER (PARTITION BY vec_id, b
          |                              ORDER BY bdist, code) AS rn
          |    FROM d) t WHERE rn = 1),
-         |qb AS (SELECT vec_id AS query_id, b, bv AS qv FROM bl WHERE vec_id < 8),
+         |qb AS (SELECT vec_id AS query_id, b, bv AS qv FROM bl WHERE vec_id < $QueryVecs),
          |dt AS (SELECT qb.query_id, qb.b, cb.code,
          |         list_dot_product(qb.qv, qb.qv)
          |           - 2 * list_dot_product(qb.qv, cb.cv)

@@ -167,11 +167,21 @@ object ChartQueries {
     * expressions are the same IEEE op sequence in both engine texts
     * over those identical inputs. Window partitions are the chart
     * groups (≤ topics × days) with ≤ HourBuckets rows each — bounded
-    * AFTER the serving aggregation, never corpus-sized. */
+    * AFTER the serving aggregation, never corpus-sized.
+    *
+    * Convention note: the reference dashboard's Vega-Lite/pandas
+    * boxplot uses LINEAR-INTERPOLATION quartiles; this emits the
+    * ⌈p·n⌉ discrete convention ([[graft.operators.QuantileKernel
+    * .discQuantiles]] pins the same rank arithmetic on histograms) —
+    * a deliberate divergence for engine parity, visually identical at
+    * chart precision. NULL rates are excluded before ranking, matching
+    * quantile_disc's non-null multiset (Spark would otherwise rank
+    * NULLs first and shift every ⌈p·n⌉ position). */
   def positivityBoxplot(processed: DataFrame, byLevel: Option[String] = None): DataFrame = {
     val keys = Seq(col("topic")) ++ byLevel.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col("positivity_rate"))
     val ranked = processed
+      .filter(col("positivity_rate").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys: _*)))
     def disc(p: Double) = min(when(

@@ -70,11 +70,24 @@ object Compaction {
     * `outDir/part_g<group>`; row content is untouched. Group jobs are
     * submitted CONCURRENTLY — `coalesce(1)` collapses a group's read
     * to one task, so cross-group parallelism is where the cluster's
-    * cores go. Returns (group, files_in, bytes_in) for audit. */
+    * cores go. Returns (group, files_in, bytes_in) for audit.
+    *
+    * Contract: the INPUT files are not touched — a reader of the
+    * original lake plus `outDir` would see every compacted row twice.
+    * The caller owns the commit: atomically swap (or delete the
+    * consumed inputs) only after this returns, the two-rename pattern
+    * `AggregateSink`'s store uses. On failure the call waits for ALL
+    * group jobs to settle (no orphan writer racing the caller's
+    * cleanup), then rethrows the first error with the rest suppressed;
+    * `outDir` may hold partial `part_g` dirs and must be discarded. A
+    * hung job fails the call at `timeout` rather than blocking the
+    * maintenance scheduler forever. */
   def compact(spark: SparkSession, assignments: Seq[Assignment],
-      outDir: String): Seq[(Int, Int, Long)] = {
+      outDir: String,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(1, "hour")): Seq[(Int, Int, Long)] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Success}
     implicit val ec: ExecutionContext = ExecutionContext.global
     val jobs = assignments.groupBy(_.group).toSeq.sortBy(_._1).map {
       case (g, members) => Future {
@@ -85,6 +98,13 @@ object Compaction {
         (g, members.size, members.map(_.bytes).sum)
       }
     }
-    Await.result(Future.sequence(jobs), Duration.Inf)
+    val settled = Await.result(
+      Future.sequence(jobs.map(_.transform(Success(_)))), timeout)
+    val failures = settled.collect { case Failure(e) => e }
+    if (failures.nonEmpty) {
+      failures.tail.foreach(failures.head.addSuppressed)
+      throw failures.head
+    }
+    settled.collect { case Success(r) => r }
   }
 }
