@@ -1141,6 +1141,91 @@ object DedupOps {
       jaccardVerify(docs, portableCandidatePairs(docs), 0.6)
   }
 
+  // ------------------------------------------------------------------
+  // d15: portable-hash SimHash (the fully-oracled audit variant)
+  // ------------------------------------------------------------------
+
+  /** 128-bit SimHash fingerprint over a PORTABLE hash family: each
+    * token's bit pool is its md5 digest — 32 hex nibbles = 128 bits,
+    * exactly the two lanes, one digest per token (d14's
+    * split-one-strong-hash device applied to the bit pool instead of
+    * min-lanes). Bit i of lane l is bit (i % 4) of nibble
+    * l·16 + i/4 — a fixed permutation of the digest, which Hamming
+    * distance is invariant under, and one both engines state
+    * identically. Same majority aggregation as [[simhashFingerprints]]
+    * (one shuffle, 128 map-side-combinable sums); the md5 family costs
+    * ~an md5 + 32 nibble parses per TOKEN vs one codegen'd xxhash64 —
+    * d04 stays the hot path, this row is the audit/acceptance variant
+    * that gives the simhash family an end-to-end hash-CHECKED oracle
+    * row (d04 itself is no_oracle: xxhash64 has no ANSI twin). */
+  def portableSimhashFingerprints(docs: DataFrame): DataFrame = {
+    val hx = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), md5(col("token")).as("h"))
+    val nib = hx.select(col("doc_id") +: (1 to 32).map(j =>
+      conv(substring(col("h"), j, 1), 16, 10).cast("int").as(s"n$j")): _*)
+    val bitSums = for { l <- 0 until SimhashLanes; w <- 0 until 64 } yield {
+      val j = l * 16 + w / 4 + 1
+      val b = w % 4
+      sum(when(shiftright(col(s"n$j"), b).bitwiseAND(lit(1)) === 1, lit(1))
+        .otherwise(lit(-1))).as(s"s${l}_$w")
+    }
+    val laneVals = (0 until SimhashLanes).map { l =>
+      (0 until 64).map(w =>
+        when(col(s"s${l}_$w") > 0, shiftleft(lit(1L), w)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as(s"sh$l")
+    }
+    nib.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: laneVals: _*)
+  }
+
+  /** d15 oracle: same md5 bit pool, but verified by ALL-PAIRS Hamming
+    * over BIT-typed fingerprints — an independent formulation, not a
+    * banding transcription. The pigeonhole blocking the engine runs is
+    * recall-EXACT at the radius (any pair within maxHamming agrees on
+    * ≥1 block), so engine pairs ≡ all-pairs-filter pairs whenever no
+    * bucket exceeds the cap; DedupSpec asserts the guard metric is
+    * zero on the harness corpus at both gate scales, which is what
+    * licenses the simpler oracle. */
+  private def portableSimhashSql: String = {
+    val nibs = (1 to 32)
+      .map(j => s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) AS n$j")
+      .mkString(",\n      |         ")
+    val sums = (for { l <- 0 until SimhashLanes; w <- 0 until 64 } yield {
+      val j = l * 16 + w / 4 + 1
+      val b = w % 4
+      s"sum(CASE WHEN ((n$j >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s${l}_$w"
+    }).mkString(",\n      |         ")
+    val bitChars = (for { l <- 0 until SimhashLanes; w <- 0 until 64 } yield
+      s"CASE WHEN s${l}_$w > 0 THEN '1' ELSE '0' END").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |             FROM documents),
+      |hx AS (SELECT doc_id, md5(token) AS h FROM tok),
+      |nib AS (SELECT doc_id,
+      |         $nibs
+      |        FROM hx),
+      |s AS (SELECT doc_id,
+      |         $sums
+      |      FROM nib GROUP BY doc_id),
+      |f AS (SELECT doc_id, CAST(concat($bitChars) AS BIT) AS fp FROM s),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      |      FROM f a JOIN f b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $SimhashMaxHamming"""
+      .stripMargin
+  }
+
+  /** Portable SimHash near-dup pairs: d04's contract (Hamming ≤ 12
+    * over 128 bits, same [[simhashPairsMulti]] pigeonhole blocking,
+    * same hot-bucket cap) over the md5 bit pool. */
+  val portableSimhashQ: GraftQuery = GraftQuery(
+    "d15_dedup_simhash_portable", portableSimhashSql) { (spark, sf) =>
+    simhashPairsMulti(
+      portableSimhashFingerprints(Tables.documents(spark, sf)),
+      simhashLaneCols(SimhashLanes), SimhashMaxHamming)
+  }
+
   /** Exact shingle-set Jaccard over an externally-proposed candidate
     * pair set — the shared verify tail of d05 and d14 (≥ threshold on
     * the unrounded value so the SQL oracles' filters match exactly).
@@ -1167,5 +1252,5 @@ object DedupOps {
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
     coverageQ, incrementalQ, segmentDedupQ, portableMinhashQ,
-    leakageSafeSplitQ)
+    portableSimhashQ, leakageSafeSplitQ)
 }

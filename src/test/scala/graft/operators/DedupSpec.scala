@@ -106,6 +106,51 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not match")
   }
 
+  test("d15 portable simhash surfaces the planted dups; pair set matches d04's family on the fixture") {
+    def pairSet(fp: DataFrame) = DedupOps.simhashPairsMulti(
+        fp, DedupOps.simhashLaneCols(DedupOps.SimhashLanes), DedupOps.SimhashMaxHamming)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portable = pairSet(DedupOps.portableSimhashFingerprints(corpus))
+    assert(portable.contains((0L, 1L)), "identical pair must be found")
+    assert(portable.contains((0L, 2L)) && portable.contains((1L, 2L)),
+      "near-dup pair must be found (0 and 1 share a fingerprint)")
+    assert(!portable.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not match")
+    // clear-margin corpus: the two hash families must agree exactly
+    // (borderline REAL corpora may disagree on Hamming-12/13 knife
+    // edges — that is the family trade, not a defect)
+    assert(portable === pairSet(DedupOps.simhashFingerprints(corpus)))
+  }
+
+  test("d15 blocking = all-pairs Hamming on the harness corpus, with cap headroom (oracle license)") {
+    val fp = DedupOps.portableSimhashFingerprints(
+      graft.Tables.documents(spark, sf001))
+    val blocked = DedupOps.simhashPairsMulti(
+        fp, DedupOps.simhashLaneCols(DedupOps.SimhashLanes), DedupOps.SimhashMaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lanes = fp.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val brute = (for {
+      i <- lanes.indices; j <- (i + 1) until lanes.length
+      h = java.lang.Long.bitCount(lanes(i)._2 ^ lanes(j)._2) +
+        java.lang.Long.bitCount(lanes(i)._3 ^ lanes(j)._3)
+      if h <= DedupOps.SimhashMaxHamming
+    } yield (lanes(i)._1, lanes(j)._1, h.toLong)).toSet
+    assert(blocked === brute,
+      "pigeonhole blocking must be recall-exact at the radius when no bucket caps")
+    // no band bucket anywhere near the cap → the guard never drops on
+    // the gate corpus, so the all-pairs SQL oracle sees the same pairs
+    val maxBucket = fp
+      .select(col("doc_id"), posexplode(array(DedupOps.pigeonholeBandVals(
+        DedupOps.simhashLaneCols(DedupOps.SimhashLanes),
+        DedupOps.SimhashMaxHamming): _*)).as(Seq("band", "band_val")))
+      .groupBy("band", "band_val").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxBucket <= DedupOps.MaxSimhashBucket / 4,
+      s"hot band bucket $maxBucket too close to cap ${DedupOps.MaxSimhashBucket}")
+  }
+
   test("d04 band keys are >= 9 bits wide at the radius-12 contract") {
     val widths = DedupOps.pigeonholeWidths(
       64 * DedupOps.SimhashLanes, DedupOps.SimhashMaxHamming + 1)
