@@ -65,16 +65,29 @@ final class CompactingAggregateSink(
   override def readBack(spark: SparkSession): DataFrame = { recover(); inner.readBack(spark) }
 
   /** One row per (topic, hour), serving-dedup rule applied. */
-  def compact(spark: SparkSession): Unit = {
+  def compact(spark: SparkSession): Unit = compact(spark, _ => ())
+
+  /** [[compact]] with a labeled fault-injection point after each
+    * state-changing step; production goes through the no-op overload,
+    * and SinkCrashSpec throws at every label to prove each crash
+    * window self-heals. Labels, in order: "written" (new generation
+    * complete at the tmp path, store untouched), "staged" (store
+    * renamed away — the window where `path` does not exist),
+    * "published" (new generation live, old generation still staged). */
+  private[pipeline] def compact(
+      spark: SparkSession, crashPoint: String => Unit): Unit = {
     recover()
     val compacted = graft.serving.ChartQueries
       .processData(inner.readBack(spark), latestWins = latestWins)
       .drop("date_hour", "date", "hour") // derived on read, not stored
     val tmp = path + ".compacting"
     compacted.write.mode("overwrite").parquet(tmp)
+    crashPoint("written")
     deleteRecursively(staged)
     require(dir.renameTo(staged), s"could not stage old generation of $path")
+    crashPoint("staged")
     require(new java.io.File(tmp).renameTo(dir), s"could not publish compaction of $path")
+    crashPoint("published")
     deleteRecursively(staged)
   }
 
