@@ -415,7 +415,65 @@ object CurationOps {
         (col("bucket") < col("rate_bp")).as("kept"))
   }
 
+  /** Bottom per-source quantile dropped by t18. */
+  val SourceQualityFloor = 0.25
+
+  /** Per-source quality calibration: a raw quality bar is not
+    * comparable across sources (a web crawl and a curated archive have
+    * different score distributions), so the filtering literature
+    * normalizes per source — each document's quality maps to its exact
+    * WITHIN-SOURCE quantile rank (fraction of the source strictly
+    * below it) and the keep bar is a rank, not a score. Emits the full
+    * decision report like t14.
+    *
+    * Scale shape: [[QuantileKernel.cumulativeHistogram]] keyed on
+    * source — per-task state is the distinct (source, quality) domain
+    * (t02's composite takes 6 values, so the rank table is
+    * O(|sources|·6) and broadcasts); the per-document pass is one
+    * broadcast join, no corpus-wide window anywhere (contrast q27).
+    * q_rank = (cum − cnt)/n is a ratio of exact integers — raw-double
+    * bit parity, no rounding. */
+  val sourceQualityNormQ: GraftQuery = GraftQuery(
+    "t18_source_quality_norm",
+    s"""WITH t AS (SELECT doc_id, source,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |          / len(string_split(text, ' ')) AS avg_len,
+       |        CAST(len(list_filter(string_split(text, ' '),
+       |                 x -> x IN (${TextOps.stopListSql}))) AS DOUBLE)
+       |          / len(string_split(text, ' ')) AS stop_ratio
+       |      FROM documents),
+       |q AS (SELECT doc_id, source, ${TextOps.qualityExprSql} AS quality FROM t),
+       |h AS (SELECT source, quality, count(*) AS cnt FROM q
+       |      WHERE quality IS NOT NULL GROUP BY source, quality),
+       |c AS (SELECT source, quality, cnt,
+       |        sum(cnt) OVER (PARTITION BY source ORDER BY quality
+       |                       ROWS UNBOUNDED PRECEDING) AS cum,
+       |        sum(cnt) OVER (PARTITION BY source) AS n
+       |      FROM h)
+       |SELECT q.doc_id, q.source, q.quality,
+       |       CAST(c.cum - c.cnt AS DOUBLE) / CAST(c.n AS DOUBLE) AS q_rank,
+       |       CAST(c.cum - c.cnt AS DOUBLE) / CAST(c.n AS DOUBLE)
+       |         >= $SourceQualityFloor AS keep
+       |FROM q LEFT JOIN c ON q.source = c.source AND q.quality = c.quality"""
+      .stripMargin) { (spark, sf) =>
+    sourceQualityNorm(Tables.documents(spark, sf))
+  }
+
+  /** The t18 computation over any (doc_id, source, text) frame. */
+  def sourceQualityNorm(docs: DataFrame, floor: Double = SourceQualityFloor): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      round(graft.functions.TextFunctions.qualityScore(col("text")), 2).as("quality"))
+    val ranks = QuantileKernel.cumulativeHistogram(scored, "source", "quality")
+      .select(col("source"), col("quality"),
+        ((col("cum") - col("cnt")).cast("double") / col("n").cast("double"))
+          .as("q_rank"))
+    scored.join(broadcast(ranks), Seq("source", "quality"), "left")
+      .select(col("doc_id"), col("source"), col("quality"), col("q_rank"),
+        (col("q_rank") >= floor).as("keep"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     repetitionQ, qualityFilterQ, piiRedactQ, stratifiedSampleQ, packQ,
-    sourceReweightQ)
+    sourceReweightQ, sourceQualityNormQ)
 }

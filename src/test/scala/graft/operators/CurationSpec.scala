@@ -170,4 +170,23 @@ class CurationSpec extends SparkSpec {
       }.toSet
     assert(a == expected)
   }
+
+  test("t18 quantile ranks: valid range, floor semantics, and rank = strictly-below fraction") {
+    val out = CurationOps.sourceQualityNorm(graft.Tables.documents(spark, sf001))
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, _, rk, _) => rk >= 0.0 && rk < 1.0 })
+    assert(out.forall { case (_, _, rk, keep) =>
+      keep == (rk >= CurationOps.SourceQualityFloor) })
+    // each source's lowest quality tier sits at rank 0 (nothing below it)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val minQ = rows.map(_._2).min
+      assert(rows.filter(_._2 == minQ).forall(_._3 == 0.0), s"source $src")
+      // rank equals the exact strictly-below fraction, independently recomputed
+      val n = rows.length.toDouble
+      rows.foreach { case (_, q, rk, _) =>
+        assert(rk === rows.count(_._2 < q) / n, s"source $src quality $q")
+      }
+    }
+  }
 }
