@@ -657,17 +657,24 @@ object DedupOps {
     contaminationReport(train, tokenShingles(train, gram), benchGrams)
   }
 
+  /** Shared oracle prefix of d08/d09/d16: per-document distinct
+    * [[DecontamGram]]-gram rows — one definition so the membership
+    * report and the overlap report can never disagree on what a gram
+    * is. */
+  private def decontamGramsCteSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (SELECT doc_id,
+       |            unnest(list_distinct(list_transform(range(1, len(t) - ${DecontamGram - 2}),
+       |              i -> concat_ws(' ', ${(0 until DecontamGram).map(k => s"t[i+$k]").mkString(", ")})))) AS g
+       |          FROM toks WHERE len(t) >= $DecontamGram)""".stripMargin
+
   /** The fixture benchmark is every 50th document — a stand-in for an
     * eval set drawn from the same distribution (template corpora
     * guarantee non-trivial overlap). Benchmark members are excluded
     * from the training side, as a real pipeline would. */
   val decontaminateQ: GraftQuery = GraftQuery(
     "d08_decontaminate",
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |grams AS (SELECT doc_id,
-       |            unnest(list_distinct(list_transform(range(1, len(t) - ${DecontamGram - 2}),
-       |              i -> concat_ws(' ', ${(0 until DecontamGram).map(k => s"t[i+$k]").mkString(", ")})))) AS g
-       |          FROM toks WHERE len(t) >= $DecontamGram),
+    s"""$decontamGramsCteSql,
        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
        |hits AS (SELECT g.doc_id, count(*) AS n_hits
        |         FROM grams g JOIN bench b USING (g)
@@ -734,6 +741,98 @@ object DedupOps {
     decontaminateQ.oracle.get) { (spark, sf) =>
     val docs = Tables.documents(spark, sf)
     decontaminateBloom(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** d16 flags a document when at least this fraction of its distinct
+    * grams appear in the benchmark — the thresholded overlap rule
+    * (the GPT-3 appendix-C shape: n-gram collision rate, not mere
+    * membership), vs d08's any-hit boolean. */
+  val DecontamOverlapBar = 0.2
+
+  /** Contamination OVERLAP report: per training document, the exact
+    * fraction of its distinct [[DecontamGram]]-grams found in the
+    * benchmark (`overlap` = n_hits/n_grams — a ratio of exact integers,
+    * raw-double parity), the thresholded flag, and the ATTRIBUTION:
+    * which benchmark document shares the most grams (ties → lower
+    * bench doc_id). d08 answers "is it contaminated at all"; this is
+    * the report an audit acts on — how badly, against what.
+    *
+    * Scale shape: same gram equi-join as d08 plus one join against the
+    * benchmark's (gram → bench_doc) relation; candidate volume per
+    * training doc is bounded by the BENCHMARK's size (the small side —
+    * eval suites, not the corpus), and the argmax window partitions on
+    * the training doc with ≤ |bench docs| rows each, never
+    * corpus-wide. */
+  def contaminationOverlap(
+      train: DataFrame, benchmark: DataFrame, gram: Int = DecontamGram,
+      bar: Double = DecontamOverlapBar): DataFrame = {
+    val trainGrams = tokenShingles(train, gram)
+    val benchGrams = tokenShingles(benchmark, gram)
+      .select(col("doc_id").as("bench_doc"), col("shingle"))
+    val perDoc = trainGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = trainGrams
+      .join(benchGrams.select(col("shingle")).distinct(), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("shared").desc, col("bench_doc"))
+    val top = trainGrams.join(benchGrams, "shingle")
+      .groupBy(col("doc_id"), col("bench_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        col("bench_doc").as("top_bench_doc"), col("shared").as("top_shared"))
+    val nGrams = coalesce(col("n_grams"), lit(0L))
+    val nHits = coalesce(col("n_hits"), lit(0L))
+    train.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        nGrams.as("n_grams"), nHits.as("n_hits"),
+        when(nGrams > 0, nHits.cast("double") / nGrams).as("overlap"),
+        when(nGrams > 0, nHits.cast("double") / nGrams >= bar)
+          .otherwise(lit(false)).as("contaminated"),
+        col("top_bench_doc"), col("top_shared"))
+  }
+
+  val contaminationOverlapQ: GraftQuery = GraftQuery(
+    "d16_decontaminate_overlap",
+    s"""$decontamGramsCteSql,
+       |bench AS (SELECT doc_id AS bench_doc, g FROM grams WHERE doc_id % 50 = 0),
+       |bset AS (SELECT DISTINCT g FROM bench),
+       |tg AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+       |pd AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+       |hits AS (SELECT doc_id, count(*) AS n_hits FROM tg JOIN bset USING (g)
+       |         GROUP BY doc_id),
+       |top AS (SELECT doc_id, bench_doc AS top_bench_doc, shared AS top_shared
+       |        FROM (SELECT tg.doc_id, b.bench_doc, count(*) AS shared,
+       |                row_number() OVER (PARTITION BY tg.doc_id
+       |                  ORDER BY count(*) DESC, b.bench_doc) AS rn
+       |              FROM tg JOIN bench b USING (g)
+       |              GROUP BY tg.doc_id, b.bench_doc) t
+       |        WHERE rn = 1),
+       |train AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+       |SELECT t.doc_id,
+       |       CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CASE WHEN coalesce(pd.n_grams, 0) > 0
+       |            THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / pd.n_grams
+       |       END AS overlap,
+       |       CASE WHEN coalesce(pd.n_grams, 0) > 0
+       |            THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / pd.n_grams
+       |                   >= $DecontamOverlapBar
+       |            ELSE false END AS contaminated,
+       |       top.top_bench_doc,
+       |       CAST(top.top_shared AS BIGINT) AS top_shared
+       |FROM train t
+       |LEFT JOIN pd USING (doc_id)
+       |LEFT JOIN hits h USING (doc_id)
+       |LEFT JOIN top USING (doc_id)""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    contaminationOverlap(
       docs.filter(col("doc_id") % 50 =!= 0),
       docs.filter(col("doc_id") % 50 === 0))
   }
@@ -1252,5 +1351,5 @@ object DedupOps {
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
     coverageQ, incrementalQ, segmentDedupQ, portableMinhashQ,
-    portableSimhashQ, leakageSafeSplitQ)
+    portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ)
 }
