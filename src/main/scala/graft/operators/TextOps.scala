@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -416,7 +417,59 @@ object TextOps {
               / size(split(col("text"), " ")), 4)).as("boilerplate_frac"))
   }
 
+  /** n-gram novelty: the fraction of a document's distinct 3-grams
+    * that appear in NO other document — the originality signal dual to
+    * t16's boilerplate coverage (t16 asks how much of me is common
+    * text; t19 asks how much of me exists nowhere else — the
+    * memorization-risk / dedup-pressure metric an audit reads next to
+    * d11's funnel). `novelty` is a ratio of exact integers (raw-double
+    * parity, no rounding); gramless docs (<3 tokens, or null text)
+    * report 0 grams and a NULL novelty.
+    *
+    * Scale shape: one map-side-combinable aggregation per distinct
+    * gram for the document frequency (hot boilerplate grams arrive
+    * pre-reduced), one shuffle join back on the gram key, one
+    * per-document count — all keys are grams or doc ids, nothing
+    * fixed-cardinality, no window. */
+  val ngramNoveltyQ: GraftQuery = GraftQuery(
+    "t19_ngram_novelty",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS g
+      |       FROM toks WHERE len(t) >= 3),
+      |df AS (SELECT g, count(*) AS df FROM tg GROUP BY g),
+      |per AS (SELECT tg.doc_id, count(*) AS n_grams,
+      |          sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+      |        FROM tg JOIN df USING (g) GROUP BY tg.doc_id)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+      |       CAST(coalesce(p.n_unique, 0) AS BIGINT) AS n_unique,
+      |       CASE WHEN p.n_grams > 0
+      |            THEN CAST(p.n_unique AS DOUBLE) / p.n_grams
+      |       END AS novelty
+      |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin) { (spark, sf) =>
+    ngramNovelty(Tables.documents(spark, sf))
+  }
+
+  /** The t19 computation; grams are per-document DISTINCT 3-grams, so
+    * df counts documents, and rows (not countDistinct) suffice. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val grams = DedupOps.tokenShingles(docs, 3)
+    val df = grams.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val per = grams.join(df, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_grams") > 0,
+          col("n_unique").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
-    hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ)
+    hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ, ngramNoveltyQ)
 }
