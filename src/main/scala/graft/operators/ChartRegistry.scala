@@ -234,11 +234,11 @@ object ChartRegistry {
     withProcessed(
       """, g AS (SELECT topic,
         |          round(CAST(sum(CAST(round(positivity_rate * 10000, 0) AS BIGINT)) AS DOUBLE)
-        |                / (count(*) * 10000.0), 4) AS positivity_rate
+        |                / (count(positivity_rate) * 10000.0), 4) AS positivity_rate
         |        FROM processed GROUP BY topic)
         |SELECT topic, positivity_rate,
         |       round(CAST(sum(CAST(round(positivity_rate * 10000, 0) AS BIGINT)) OVER () AS DOUBLE)
-        |             / (count(*) OVER () * 10000.0), 4) AS global_rate
+        |             / (count(positivity_rate) OVER () * 10000.0), 4) AS global_rate
         |FROM g""".stripMargin)) { (spark, sf) =>
     ChartQueries.positivityByTopic(processed(spark, sf))
   }
@@ -249,7 +249,7 @@ object ChartRegistry {
     withProcessed(
       """SELECT "date", topic,
         |       CAST(sum(CAST(round(positivity_rate * 10000, 0) AS BIGINT)) AS DOUBLE)
-        |         / (count(*) * 10000.0) AS positivity_rate
+        |         / (count(positivity_rate) * 10000.0) AS positivity_rate
         |FROM processed GROUP BY "date", topic""".stripMargin)) { (spark, sf) =>
     ChartQueries.positivityPeriod(processed(spark, sf), "date")
   }
@@ -318,7 +318,7 @@ object ChartRegistry {
     withProcessed(
       """SELECT date_hour, topic,
         |       CAST(sum(CAST(round(positivity_rate * 10000, 0) AS BIGINT)) AS DOUBLE)
-        |         / (count(*) * 10000.0) AS positivity_rate
+        |         / (count(positivity_rate) * 10000.0) AS positivity_rate
         |FROM processed GROUP BY date_hour, topic""".stripMargin)) { (spark, sf) =>
     ChartQueries.positivityPeriod(processed(spark, sf), "date_hour")
   }

@@ -435,14 +435,8 @@ object CurationOps {
     * bit parity, no rounding. */
   val sourceQualityNormQ: GraftQuery = GraftQuery(
     "t18_source_quality_norm",
-    s"""WITH t AS (SELECT doc_id, source,
-       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |        CAST(length(replace(text, ' ', '')) AS DOUBLE)
-       |          / len(string_split(text, ' ')) AS avg_len,
-       |        CAST(len(list_filter(string_split(text, ' '),
-       |                 x -> x IN (${TextOps.stopListSql}))) AS DOUBLE)
-       |          / len(string_split(text, ' ')) AS stop_ratio
-       |      FROM documents),
+    s"""WITH t AS (
+       |${TextOps.qualityStatsSqlWith("source,")}),
        |q AS (SELECT doc_id, source, ${TextOps.qualityExprSql} AS quality FROM t),
        |h AS (SELECT source, quality, count(*) AS cnt FROM q
        |      WHERE quality IS NOT NULL GROUP BY source, quality),

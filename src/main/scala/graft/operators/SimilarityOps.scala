@@ -149,10 +149,11 @@ object SimilarityOps {
         v.map(_ / (if (n == 0.0) 1.0 else n))
       }
 
-  /** Trained coarse quantizer: Lloyd's k-means (Spark ML, k-means||
-    * init) on an optional sample, centers L2-normalized to keep the
-    * dot-argmax = cosine-argmax property. Deterministic for a fixed
-    * seed + input. The sample bound caps training cost at large n —
+  /** Trained coarse quantizer: Lloyd's k-means (Spark ML, seeded
+    * RANDOM init — see the init-mode comment below) on an optional
+    * sample, centers L2-normalized to keep the dot-argmax =
+    * cosine-argmax property. Deterministic for a fixed seed + input.
+    * The sample bound caps training cost at large n —
     * codebook quality needs a representative sample, not the corpus
     * (classic IVF practice: train on ~max(10k, 50·k) vectors).
     * First-k ([[centroids]]) remains the oracle-parity mode; this is

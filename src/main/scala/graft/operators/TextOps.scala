@@ -49,9 +49,15 @@ object TextOps {
 
   private[operators] val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** [[qualityStatsSql]] carrying extra projected columns (t18 needs
+    * `source` alongside the stats) — one definition of the stat
+    * expressions for every consumer. */
+  private[operators] def qualityStatsSqlWith(extraCols: String): String =
+    qualityStatsSql.replace("SELECT doc_id,", s"SELECT doc_id, $extraCols")
+
   /** DuckDB CTE body computing the t02 quality statistics per document
-    * — shared with every oracle that scores quality (t02, d10) so the
-    * fragments cannot drift. */
+    * — shared with every oracle that scores quality (t02, d10, t18) so
+    * the fragments cannot drift. */
   private[operators] val qualityStatsSql: String =
     s"""SELECT doc_id,
        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -125,12 +125,16 @@ object ChartQueries {
     * last disclosed knife-edge). */
   def positivityByTopic(processed: DataFrame): DataFrame = {
     val scaled = round(col("positivity_rate") * 10000, 0).cast("long")
+    // count the NON-NULL rates, matching avg()'s null exclusion (and
+    // q35's count(e.value)): a null rate must not deflate the mean
     val rates = processed
       .groupBy(col("topic"))
-      .agg(round(sum(scaled).cast("double") / (count(lit(1)) * lit(10000.0)), 4)
+      .agg(round(sum(scaled).cast("double")
+        / (count(col("positivity_rate")) * lit(10000.0)), 4)
         .as("positivity_rate"))
     graft.functions.Relational.withGlobal(rates,
-      round(sum(scaled).cast("double") / (count(lit(1)) * lit(10000.0)), 4)
+      round(sum(scaled).cast("double")
+        / (count(col("positivity_rate")) * lit(10000.0)), 4)
         .as("global_rate"))
   }
 
@@ -149,7 +153,8 @@ object ChartQueries {
     val scaled = round(col("positivity_rate") * 10000, 0).cast("long")
     processed
       .groupBy(col(aggLevel), col("topic"))
-      .agg((sum(scaled).cast("double") / (count(lit(1)) * lit(10000.0)))
+      .agg((sum(scaled).cast("double")
+        / (count(col("positivity_rate")) * lit(10000.0)))
         .as("positivity_rate"))
       .orderBy(col(aggLevel), col("topic"))
   }

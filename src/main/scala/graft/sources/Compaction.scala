@@ -80,26 +80,40 @@ object Compaction {
     * group jobs to settle (no orphan writer racing the caller's
     * cleanup), then rethrows the first error with the rest suppressed;
     * `outDir` may hold partial `part_g` dirs and must be discarded. A
-    * hung job fails the call at `timeout` rather than blocking the
-    * maintenance scheduler forever. */
+    * hung job fails the call at `timeout`: every group job runs under
+    * a shared Spark job group that is CANCELLED before the timeout
+    * rethrow, so no orphan writer keeps racing the caller's cleanup
+    * (cancellation is Spark-side; the already-written partial files
+    * are the caller's discard, same as the failure path). */
   def compact(spark: SparkSession, assignments: Seq[Assignment],
       outDir: String,
       timeout: scala.concurrent.duration.Duration =
         scala.concurrent.duration.Duration(1, "hour")): Seq[(Int, Int, Long)] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
     import scala.util.{Failure, Success}
     implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobGroup = s"graft-compact-$outDir"
     val jobs = assignments.groupBy(_.group).toSeq.sortBy(_._1).map {
       case (g, members) => Future {
-        spark.read.option("mergeSchema", "true")
-          .parquet(members.map(_.path): _*)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$outDir/part_g$g")
-        (g, members.size, members.map(_.bytes).sum)
+        // job-group membership is thread-local: set it on the future's
+        // thread so a timeout can cancel all in-flight group rewrites
+        spark.sparkContext.setJobGroup(jobGroup,
+          s"compaction of ${members.size} files into part_g$g", true)
+        try {
+          spark.read.option("mergeSchema", "true")
+            .parquet(members.map(_.path): _*)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/part_g$g")
+          (g, members.size, members.map(_.bytes).sum)
+        } finally spark.sparkContext.clearJobGroup()
       }
     }
-    val settled = Await.result(
-      Future.sequence(jobs.map(_.transform(Success(_)))), timeout)
+    val settled =
+      try Await.result(Future.sequence(jobs.map(_.transform(Success(_)))), timeout)
+      catch { case e: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(jobGroup)
+        throw e
+      }
     val failures = settled.collect { case Failure(e) => e }
     if (failures.nonEmpty) {
       failures.tail.foreach(failures.head.addSuppressed)

@@ -123,9 +123,15 @@ class DedupSpec extends SparkSpec {
     assert(portable === pairSet(DedupOps.simhashFingerprints(corpus)))
   }
 
-  test("d15 blocking = all-pairs Hamming on the harness corpus, with cap headroom (oracle license)") {
+  // every scale the driver's gate (sf0.01) or the builder's extra gate
+  // (sf0.1) hash-compares d15 at needs the license asserted AT THAT
+  // scale — bucket occupancy grows with the corpus
+  for (sf <- Seq("sf0.001" -> "/root/testdata/sf0.001",
+                 "sf0.01" -> "/root/testdata/sf0.01",
+                 "sf0.1" -> "/root/testdata/sf0.1"))
+  test(s"d15 blocking = all-pairs Hamming with cap headroom at ${sf._1} (oracle license)") {
     val fp = DedupOps.portableSimhashFingerprints(
-      graft.Tables.documents(spark, sf001))
+      graft.Tables.documents(spark, sf._2))
     val blocked = DedupOps.simhashPairsMulti(
         fp, DedupOps.simhashLaneCols(DedupOps.SimhashLanes), DedupOps.SimhashMaxHamming)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -139,15 +145,19 @@ class DedupSpec extends SparkSpec {
     } yield (lanes(i)._1, lanes(j)._1, h.toLong)).toSet
     assert(blocked === brute,
       "pigeonhole blocking must be recall-exact at the radius when no bucket caps")
-    // no band bucket anywhere near the cap → the guard never drops on
-    // the gate corpus, so the all-pairs SQL oracle sees the same pairs
+    // no band bucket reaches the cap → the guard never drops at THIS
+    // scale, so the all-pairs SQL oracle sees the same pairs. The
+    // margin is cap/2, not cap: the corpus's template family puts
+    // ~27% of sf0.1 docs on one block value (1363 of 5000), so the
+    // license is genuinely per-scale — at sf1 that family would cap
+    // and d15's oracle row would need the d04 no_oracle treatment.
     val maxBucket = fp
       .select(col("doc_id"), posexplode(array(DedupOps.pigeonholeBandVals(
         DedupOps.simhashLaneCols(DedupOps.SimhashLanes),
         DedupOps.SimhashMaxHamming): _*)).as(Seq("band", "band_val")))
       .groupBy("band", "band_val").count()
       .agg(max("count")).collect().head.getLong(0)
-    assert(maxBucket <= DedupOps.MaxSimhashBucket / 4,
+    assert(maxBucket <= DedupOps.MaxSimhashBucket / 2,
       s"hot band bucket $maxBucket too close to cap ${DedupOps.MaxSimhashBucket}")
   }
 

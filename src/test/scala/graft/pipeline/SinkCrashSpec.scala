@@ -85,8 +85,8 @@ class SinkCrashSpec extends SparkSpec {
     assert(served(sink, latestWins) === servedBefore)
     assert(raw(sink).size === 2)
     assert(!new java.io.File(path + ".old").exists(), "staging area cleared")
-    assert(!new java.io.File(path + ".compacting").exists()
-      || point != "published", "tmp consumed by the follow-up compaction")
+    assert(!new java.io.File(path + ".compacting").exists(),
+      "tmp consumed by the follow-up compaction")
 
     // and appends keep working on the healed store
     sink.append(batch("2022-03-01 13:00:00", 9L))
