@@ -1258,16 +1258,22 @@ object DedupOps {
     * that gives the simhash family an end-to-end hash-CHECKED oracle
     * row (d04 itself is no_oracle: xxhash64 has no ANSI twin). */
   def portableSimhashFingerprints(docs: DataFrame): DataFrame = {
+    // hash DISTINCT (doc, token) pairs and weight each ±1 by the
+    // occurrence count — identical sums (Σ over occurrences = Σ over
+    // distinct × count) with one md5 + 32 nibble parses per distinct
+    // token instead of per occurrence; the pre-aggregation shuffle is
+    // map-side combined on exactly the rows it then shrinks
     val hx = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .select(col("doc_id"), md5(col("token")).as("h"))
-    val nib = hx.select(col("doc_id") +: (1 to 32).map(j =>
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"), md5(col("token")).as("h"))
+    val nib = hx.select(col("doc_id") +: col("cnt") +: (1 to 32).map(j =>
       conv(substring(col("h"), j, 1), 16, 10).cast("int").as(s"n$j")): _*)
     val bitSums = for { l <- 0 until SimhashLanes; w <- 0 until 64 } yield {
       val j = l * 16 + w / 4 + 1
       val b = w % 4
-      sum(when(shiftright(col(s"n$j"), b).bitwiseAND(lit(1)) === 1, lit(1))
-        .otherwise(lit(-1))).as(s"s${l}_$w")
+      sum(when(shiftright(col(s"n$j"), b).bitwiseAND(lit(1)) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s${l}_$w")
     }
     val laneVals = (0 until SimhashLanes).map { l =>
       (0 until 64).map(w =>
