@@ -1337,6 +1337,85 @@ object DedupOps {
     * `emitRaw` also emits the unrounded `jac_raw` (d11's coverage
     * report thresholds on it so its verified count can never diverge
     * from this filter's semantics). */
+  /** MinHash estimator calibration (d17): for every PORTABLE-family
+    * candidate pair, the signature-estimated Jaccard (lane-agreement
+    * fraction) next to the exact shingle-set Jaccard and the absolute
+    * estimation error — the acceptance report that tells you whether
+    * 32 permutations are enough before trusting d03's estimate as a
+    * dedup threshold at 100 TB (expected |err| ≈ √(J(1−J)/32) ≈ 0.09
+    * at J=0.6; a corpus that blows that band needs more permutations,
+    * not a lower threshold). Shape: the candidate set is the banding's
+    * (bounded buckets, cap in both engines), signatures and shingle
+    * sets ride two hash joins keyed on doc id — no all-pairs stage
+    * anywhere. Every emitted double is a single IEEE op on exact
+    * integers (matches/32 is a power-of-two division, inter/union one
+    * division, err one subtraction), so the row hashes identically at
+    * any parallelism and in both engines with NO rounding needed. */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val sigs = portableSignatures(docs).select(col("doc_id"),
+      transform(col("sig"), h => conv(h, 16, 10).cast("long")).as("sigl"))
+    val sets = shingles(docs).groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh"))
+    val matches = call_function("graft_eq_count", col("sig_a"), col("sig_b"))
+    portableCandidatePairs(docs)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sigl").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sigl").as("sig_b")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        matches.cast("long").as("matches"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
+      .withColumn("est_jaccard", col("matches").cast("double") / NumHashes)
+      .withColumn("exact_jaccard", col("inter").cast("double") / col("uni"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+  }
+
+  val minhashCalibrationQ: GraftQuery = GraftQuery(
+    "d17_minhash_calibration",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+      |       FROM toks WHERE len(t) >= 3),
+      |mh AS (SELECT doc_id, p.i AS i, l.l AS l,
+      |         min(substr(md5(CAST(p.i AS VARCHAR) || ':' || shingle),
+      |                    l.l * 8 + 1, 8)) AS h
+      |       FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS i) p
+      |            CROSS JOIN (SELECT unnest(range(0, 4)) AS l) l
+      |       GROUP BY doc_id, p.i, l.l),
+      |bd AS (SELECT doc_id, CAST(i AS INT) AS band,
+      |         string_agg(h, '|' ORDER BY l) AS band_key
+      |       FROM mh GROUP BY doc_id, i),
+      |ok AS (SELECT band, band_key FROM bd GROUP BY band, band_key
+      |       HAVING count(*) <= $MaxBandBucket),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bd a JOIN ok USING (band, band_key)
+      |         JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+      |          AND a.doc_id < b.doc_id),
+      |m AS (SELECT cand.doc_a, cand.doc_b,
+      |        sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS matches
+      |      FROM cand JOIN mh a ON a.doc_id = cand.doc_a
+      |                JOIN mh b ON b.doc_id = cand.doc_b
+      |                 AND a.i = b.i AND a.l = b.l
+      |      GROUP BY cand.doc_a, cand.doc_b),
+      |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |p AS (SELECT m.doc_a, m.doc_b, m.matches,
+      |        len(list_intersect(a.s, b.s)) AS inter,
+      |        len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+      |      FROM m JOIN ss a ON a.doc_id = m.doc_a
+      |             JOIN ss b ON b.doc_id = m.doc_b)
+      |SELECT doc_a, doc_b, CAST(matches AS BIGINT) AS matches,
+      |       CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+      |       CAST(matches AS DOUBLE) / $NumHashes AS est_jaccard,
+      |       CAST(inter AS DOUBLE) / uni AS exact_jaccard,
+      |       abs(CAST(matches AS DOUBLE) / $NumHashes
+      |           - CAST(inter AS DOUBLE) / uni) AS abs_err
+      |FROM p""".stripMargin) { (spark, sf) =>
+    minhashCalibration(Tables.documents(spark, sf))
+  }
+
   private[operators] def jaccardVerify(docs: DataFrame, pairs: DataFrame,
       threshold: Double, emitRaw: Boolean = false): DataFrame = {
     val sets = shingles(docs).groupBy(col("doc_id"))
@@ -1357,5 +1436,6 @@ object DedupOps {
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
     coverageQ, incrementalQ, segmentDedupQ, portableMinhashQ,
-    portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ)
+    portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
+    minhashCalibrationQ)
 }

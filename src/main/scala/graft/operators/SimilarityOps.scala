@@ -26,8 +26,9 @@ object SimilarityOps {
 
   /** The oracle-checked query set: vectors with vec_id below this
     * bound. One constant interpolated into BOTH each Spark filter and
-    * its oracle SQL (s01/s05/s06), so the two sides cannot drift. */
-  private val QueryVecs = 8
+    * its oracle SQL (s01/s05/s06/s07, v05), so the two sides cannot
+    * drift. */
+  private[operators] val QueryVecs = 8
 
   /** Embedding dimensionality of the harness corpus — alias of
     * [[graft.functions.VectorFunctions.Dim]] (kept here for existing
@@ -431,6 +432,45 @@ object SimilarityOps {
     }
   }
 
+  /** Cosine threshold for the range-search query (s07). Sits just
+    * above the corpus's 99th-percentile pair similarity, so each query
+    * returns a handful of genuine near neighbors rather than the top-k
+    * regardless of quality — the "give me everything actually similar"
+    * contract radius search has and top-k lacks. */
+  private[operators] val RangeTau = 0.30
+
+  /** Radius (range) search: ALL corpus vectors within cosine >= tau of
+    * each query vector — the retrieval mode dedup-by-similarity and
+    * recall-oriented RAG audits need, where top-k silently truncates
+    * dense neighborhoods and pads sparse ones. Query side is the same
+    * broadcast QueryVecs set as s01, so the corpus scan is map-only
+    * (one pass, no shuffle at all: the filter replaces s01's per-query
+    * rank window) — at 100 TB this is the cheapest retrieval shape in
+    * the family, and the one whose cost is provably |corpus| × |queries|
+    * dot products with zero data movement. */
+  val rangeSearchQ: GraftQuery = GraftQuery(
+    "s07_range_search",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $QueryVecs)
+       |SELECT q.query_id, n.vec_id AS neighbor_id,
+       |       round(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm), 4) AS cos_sim
+       |FROM q JOIN n ON n.vec_id <> q.query_id
+       |WHERE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) >= $RangeTau""".stripMargin) {
+    (spark, sf) =>
+      val emb = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val queries = broadcast(
+        emb.filter(col("vec_id") < QueryVecs)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")))
+      emb.join(queries, col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        .filter(col("cos_sim") >= RangeTau)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
-    knnFilteredQ, knnPqQ)
+    knnFilteredQ, knnPqQ, rangeSearchQ)
 }

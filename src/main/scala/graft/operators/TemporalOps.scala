@@ -675,8 +675,49 @@ object TemporalOps {
     (spark, sf) => pointInTimeState(Tables.events(spark, sf))
   }
 
+  /** First-order event-type transition matrix over per-user event
+    * sequences: P(next = to | current = from), the Markov summary
+    * behind behavioral anomaly screens and simulated-session
+    * generators. One window shuffle keyed on user_id (a user's events,
+    * never corpus-scale), then a map-side-combinable count per
+    * (from, to) and a per-from share. Window order is
+    * (ts, event_id) — the event_id tiebreak makes the successor of a
+    * tied pair the same row in both engines, so the count table is
+    * deterministic, and each probability is one integer division. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(ord))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(wFrom))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+  }
+
+  val transitionsQ: GraftQuery = GraftQuery(
+    "q38_transitions",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             epoch_ns(ts) // 1000 AS ts_us FROM events),
+      |nx AS (SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts_us, event_id) AS to_type
+      |       FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM nx
+      |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+      |FROM c""".stripMargin) { (spark, sf) =>
+    transitionMatrix(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
-      ewmaTrendQ, scd2Q, pointInTimeQ)
+      ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ)
 }

@@ -475,7 +475,48 @@ object TextOps {
           col("n_unique").cast("double") / col("n_grams")).as("novelty"))
   }
 
+  /** Per-source vocabulary profile: token volume, type (distinct
+    * token) count, type-token ratio, and hapax legomena share — the
+    * lexical-diversity fingerprint used to spot template/boilerplate
+    * sources (low TTR, low hapax share) and OCR-noise sources
+    * (pathologically high hapax share) before mixing. Two shuffles,
+    * both map-side combinable: (source, token) counts, then per-source
+    * sums — the per-token intermediate is bounded by each source's
+    * vocabulary, never the corpus token volume. Both ratios are one
+    * exact-integer division each, so the row hashes identically at any
+    * parallelism. */
+  def sourceVocab(docs: DataFrame): DataFrame = {
+    val tok = docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"))
+  }
+
+  val sourceVocabQ: GraftQuery = GraftQuery(
+    "t20_source_vocab",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |             FROM documents WHERE text IS NOT NULL),
+      |tc AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY source, token)
+      |SELECT source,
+      |       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_types,
+      |       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |       CAST(count(*) AS DOUBLE) / sum(cnt) AS ttr,
+      |       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |         AS hapax_ratio
+      |FROM tc GROUP BY source""".stripMargin) { (spark, sf) =>
+    sourceVocab(Tables.documents(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
-    hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ, ngramNoveltyQ)
+    hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ, ngramNoveltyQ, sourceVocabQ)
 }

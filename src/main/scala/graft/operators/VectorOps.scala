@@ -264,5 +264,79 @@ object VectorOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
-  val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ)
+  /** Dimensions kept by the truncation-fidelity eval (v05): the first
+    * half of the embedding — the matryoshka/truncation convention. */
+  val TruncDims: Int = graft.functions.VectorFunctions.Dim / 2
+
+  /** Top-k depth for the truncation recall eval. Deeper than the
+    * serving K so the recall signal has resolution (k=10 over a 500+
+    * vector corpus distinguishes 0.9 from 1.0; k=5 mostly saturates). */
+  val RecallK = 10
+
+  /** Dimension-truncation retrieval fidelity: for each query vector,
+    * recall@k of top-k-by-truncated-cosine (first [[TruncDims]] dims)
+    * against top-k-by-full-cosine — the acceptance metric for storing
+    * half-width embeddings (matryoshka-style). One broadcast-join scan
+    * computes BOTH similarities per (query, corpus) pair, then two
+    * rank windows share the per-query exchange; hits is a count of
+    * pairs ranked <= k by both. At 100 TB the shape is s01's: map-only
+    * scan against a broadcast query set plus a window bounded per
+    * query — no corpus-wide shuffle, no second pass over the scan for
+    * the truncated ranking. recall = hits/k is one exact-integer
+    * division in both engines. */
+  def truncRecall(emb: DataFrame, k: Int = RecallK, dims: Int = TruncDims): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb
+      .withColumn("vt", slice(col("v"), 1, dims))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrmt", norm(col("vt")))
+    val queries = broadcast(
+      base.filter(col("vec_id") < SimilarityOps.QueryVecs)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vt").as("qvt"),
+          col("nrm").as("qnrm"), col("nrmt").as("qnrmt")))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    val wTrunc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_trunc").desc, col("vec_id"))
+    base.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_full", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("cos_trunc", dot(col("qvt"), col("vt")) / (col("qnrmt") * col("nrmt")))
+      .withColumn("rank_full", row_number().over(wFull))
+      .withColumn("rank_trunc", row_number().over(wTrunc))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rank_full") <= k && col("rank_trunc") <= k, 1L)
+        .otherwise(0L)).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
+  }
+
+  val truncRecallQ: GraftQuery = GraftQuery(
+    "v05_trunc_recall",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, v[1:$TruncDims] AS vt,
+       |        sqrt(list_dot_product(v, v)) AS nrm,
+       |        sqrt(list_dot_product(v[1:$TruncDims], v[1:$TruncDims])) AS nrmt
+       |      FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, vt AS qvt, nrm AS qnrm, nrmt AS qnrmt
+       |      FROM b WHERE vec_id < ${SimilarityOps.QueryVecs}),
+       |s AS (SELECT q.query_id, b.vec_id,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY list_dot_product(q.qv, b.v) / (q.qnrm * b.nrm) DESC,
+       |                   b.vec_id) AS rank_full,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY list_dot_product(q.qvt, b.vt) / (q.qnrmt * b.nrmt) DESC,
+       |                   b.vec_id) AS rank_trunc
+       |      FROM q JOIN b ON b.vec_id <> q.query_id)
+       |SELECT query_id,
+       |       CAST(sum(CASE WHEN rank_full <= $RecallK AND rank_trunc <= $RecallK
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |       CAST(sum(CASE WHEN rank_full <= $RecallK AND rank_trunc <= $RecallK
+       |                     THEN 1 ELSE 0 END) AS DOUBLE) / $RecallK AS recall
+       |FROM s GROUP BY query_id""".stripMargin) { (spark, sf) =>
+    truncRecall(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
+  val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
+    truncRecallQ)
 }

@@ -189,4 +189,20 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("t20 source vocab: hand-computed TTR and hapax share; null text ignored") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a b", "s1"),
+      (2L, null.asInstanceOf[String], "s1"), // must not contribute tokens
+      (3L, "c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceVocab(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out == Map(
+      "s1" -> ((3L, 2L, 1L, 2.0 / 3, 0.5)), // tokens a,a,b; types a,b; hapax b
+      "s2" -> ((1L, 1L, 1L, 1.0, 1.0))))
+  }
 }

@@ -535,4 +535,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(d14 === d05, s"portable and xxhash64 pipelines diverged: ${d14.diff(d05)} / ${d05.diff(d14)}")
   }
+
+  test("d17 calibration: exact dup scores 32/32 with zero error; err column is consistent") {
+    val out = DedupOps.minhashCalibration(corpus).collect()
+    val byPair = out.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val dup = byPair((0L, 1L))
+    assert(dup.getLong(2) == 32L, "identical docs agree on every lane")
+    assert(dup.getDouble(6) == 1.0 && dup.getDouble(7) == 0.0)
+    // the planted near pair reaches the candidate stage (banding
+    // recall at J≈0.92 over 8 bands is effectively 1)
+    assert(byPair.contains((0L, 2L)) && byPair.contains((1L, 2L)))
+    val near = byPair((0L, 2L))
+    assert(near.getDouble(6) < 1.0 && near.getDouble(6) > 0.6)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 32)
+      assert(r.getDouble(5) == r.getLong(2).toDouble / 32)
+      assert(r.getDouble(6) == r.getLong(3).toDouble / r.getLong(4))
+      assert(r.getDouble(7) == math.abs(r.getDouble(5) - r.getDouble(6)))
+    }
+  }
 }

@@ -153,4 +153,24 @@ class SimilaritySpec extends SparkSpec {
       info(f"s06 ADC recall@3 vs exact cosine: ${pq3.intersect(queryTruth).size / queryTruth.size.toDouble}%.2f")
     } finally out.unpersist()
   }
+
+  test("s07 range search equals an independent HOF-cosine threshold scan") {
+    // independent formulation: interpreted zip_with+aggregate fold
+    // (same left-to-right sum, different evaluation path than the
+    // codegen'd graft_dot the operator uses)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val n = emb.withColumn("nrm", sqrt(hofDot(col("v"), col("v"))))
+    val q = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val expected = n.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", hofDot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .filter(col("cos") >= SimilarityOps.RangeTau)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = SimilarityOps.rangeSearchQ.run(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "threshold must not empty the fixture corpus")
+  }
 }

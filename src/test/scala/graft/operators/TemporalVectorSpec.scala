@@ -296,4 +296,46 @@ class TemporalVectorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(out(2L) === 0)
   }
+
+  test("q38 transitions: tie-broken successors, per-from probabilities sum to 1") {
+    val out = TemporalOps.transitionMatrix(events(
+      (1L, 1L, "A", 1000L), (2L, 1L, "B", 2000L),
+      (3L, 1L, "A", 3000L), (4L, 1L, "C", 4000L),
+      (5L, 2L, "A", 1000L), (6L, 2L, "B", 2000L),
+      // same-instant pair: event_id must order X before Y in both
+      // engines, so (X,Y) is counted and (Y,X) is not
+      (10L, 3L, "X", 1000L), (11L, 3L, "Y", 1000L)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == Map(
+      ("A", "B") -> (2L, 2.0 / 3), ("A", "C") -> (1L, 1.0 / 3),
+      ("B", "A") -> (1L, 1.0), ("X", "Y") -> (1L, 1.0)))
+  }
+
+  test("v05 trunc recall: zero-tail embeddings rank identically -> recall 1") {
+    // planted fixture: tails zeroed, so the truncated cosine is
+    // bitwise the full cosine (appending 0.0 product terms leaves the
+    // fold-left sum unchanged) and both rankings agree exactly
+    val embZ = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v0"))
+      .withColumn("v", concat(slice(col("v0"), 1, VectorOps.TruncDims),
+        array_repeat(lit(0.0d), VectorOps.TruncDims)))
+      .select("vec_id", "v")
+    val out = VectorOps.truncRecall(embZ).collect()
+    assert(out.length == 8)
+    assert(out.forall(r =>
+      r.getLong(1) == VectorOps.RecallK && r.getDouble(2) == 1.0))
+    // real corpus: hits bounded by k, recall = hits/k
+    val real = VectorOps.truncRecall(graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")))
+      .collect()
+    assert(real.forall { r =>
+      val h = r.getLong(1)
+      h >= 0 && h <= VectorOps.RecallK &&
+        r.getDouble(2) == h.toDouble / VectorOps.RecallK
+    })
+  }
 }
