@@ -1352,18 +1352,37 @@ object DedupOps {
     * division, err one subtraction), so the row hashes identically at
     * any parallelism and in both engines with NO rounding needed. */
   def minhashCalibration(docs: DataFrame): DataFrame = {
-    val sigs = portableSignatures(docs).select(col("doc_id"),
-      transform(col("sig"), h => conv(h, 16, 10).cast("long")).as("sigl"))
+    // ONE signature computation feeds both the banding and the lane
+    // agreement: the long-array signature rides bucketPairs as a
+    // member column (cosineCandidates' pattern — 32 longs per row
+    // through one bounded pair expansion beats re-running the md5
+    // family per consumer: a naive sigs-join-sigs formulation plans
+    // the 8-digests-per-shingle pass three times, no exchange reuse),
+    // and matches is counted BEFORE the pair-dedup so that shuffle
+    // carries one long (d03's argument).
+    val bands = array((0 until Bands).map { b =>
+      concat_ws("|", (0 until RowsPerBand).map(r =>
+        col("sig")(b * RowsPerBand + r)): _*)
+    }: _*)
+    val banded = portableSignatures(docs).select(col("doc_id"),
+      transform(col("sig"), h => conv(h, 16, 10).cast("long")).as("sigl"),
+      posexplode(bands).as(Seq("band", "band_key")))
+    val matches = call_function("graft_eq_count", col("a.sigl"), col("b.sigl"))
+    val cand = bucketPairs(banded,
+      keyCols = Seq("band", "band_key"), memberCols = Seq("doc_id", "sigl"),
+      MaxBandBucket, metric = "portable_band_guard")
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        matches.cast("long").as("matches"))
+      // lane agreement is symmetric, so every colliding band of a pair
+      // carries the same count — max() is just the dedup
+      .groupBy(col("doc_a"), col("doc_b")).agg(max(col("matches")).as("matches"))
     val sets = shingles(docs).groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh"))
-    val matches = call_function("graft_eq_count", col("sig_a"), col("sig_b"))
-    portableCandidatePairs(docs)
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sigl").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sigl").as("sig_b")), "doc_b")
+    cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        matches.cast("long").as("matches"),
+      .select(col("doc_a"), col("doc_b"), col("matches"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
         size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("uni"))
       .withColumn("est_jaccard", col("matches").cast("double") / NumHashes)
