@@ -129,4 +129,36 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("s07: range search is a broadcast scan with NO shuffle anywhere") {
+    val p = SimilarityOps.rangeSearchQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the threshold scan must stay map-only:\n$p")
+  }
+
+  test("v05: both rank windows share ONE per-query exchange") {
+    val p = VectorOps.truncRecallQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1,
+      s"full and truncated rankings must reuse one query_id exchange:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d17: calibration plans ONE signature aggregation, not one per consumer") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val aggs = DedupOps.minhashCalibration(
+      graft.Tables.documents(spark, sf001))
+      .queryExecution.optimizedPlan.collect {
+        case a: Aggregate if a.aggregateExpressions.exists(
+          _.collectFirst { case u
+            if u.prettyName == "min" => u }.isDefined) => a
+      }
+    // the min-lane signature aggregate appears exactly once: banding
+    // and lane agreement both read the same subtree
+    assert(aggs.size === 1,
+      s"expected one signature aggregate, found ${aggs.size}")
+  }
 }
