@@ -1435,6 +1435,47 @@ object DedupOps {
     minhashCalibration(Tables.documents(spark, sf))
   }
 
+  /** Cross-source near-dup overlap matrix (d18): verified near-dup
+    * pair volume per (source, source) cell — the provenance report
+    * that tells you WHICH feeds are re-crawling each other (off-
+    * diagonal mass) vs templating internally (diagonal mass), i.e.
+    * where to point source-level dedup or drop a mirror feed
+    * entirely. Composition: d05's verified pairs (banded candidates +
+    * exact Jaccard, never all-pairs) joined twice against the
+    * doc→source projection — two hash joins on doc id whose probe side
+    * is the verified pair set (tiny next to the corpus), then a
+    * map-side-combinable count per unordered source pair. */
+  def sourceOverlap(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    ngramJaccardPairs(docs, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val sourceOverlapQ: GraftQuery = GraftQuery(
+    "d18_source_overlap",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |v AS (SELECT doc_a, doc_b FROM p
+      |      WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6)
+      |SELECT least(da.source, db.source) AS source_a,
+      |       greatest(da.source, db.source) AS source_b,
+      |       count(*) AS n_pairs
+      |FROM v JOIN documents da ON da.doc_id = v.doc_a
+      |       JOIN documents db ON db.doc_id = v.doc_b
+      |GROUP BY source_a, source_b""".stripMargin) { (spark, sf) =>
+    sourceOverlap(Tables.documents(spark, sf))
+  }
+
   private[operators] def jaccardVerify(docs: DataFrame, pairs: DataFrame,
       threshold: Double, emitRaw: Boolean = false): DataFrame = {
     val sets = shingles(docs).groupBy(col("doc_id"))
@@ -1456,5 +1497,5 @@ object DedupOps {
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
     coverageQ, incrementalQ, segmentDedupQ, portableMinhashQ,
     portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
-    minhashCalibrationQ)
+    minhashCalibrationQ, sourceOverlapQ)
 }

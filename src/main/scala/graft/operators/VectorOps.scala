@@ -264,6 +264,73 @@ object VectorOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
+  /** Per-label embedding drift between two corpus batches: L2 shift
+    * and cosine between the batches' label centroids plus both batch
+    * counts — the distribution-shift monitor run when an embedding
+    * model is re-versioned or a new crawl lands (a label whose
+    * centroid moved is re-annotated before training). The harness
+    * corpus has no snapshot column, so the batch is vec_id parity —
+    * production substitutes its snapshot/date column; nothing else
+    * changes.
+    *
+    * Float parity: the v02/v03 contract — centroid components are
+    * 4dp-rounded means (double-sum order is engine-specific), then
+    * drift² = a·a − 2·a·b + b·b and the cosine run through the SHARED
+    * fold-left dot kernel over pos-sorted arrays, so every emitted
+    * double after the rounding is the same IEEE sequence in both
+    * engines and ships RAW.
+    *
+    * Scale shape: one labels×dim×2 aggregation (map-side combined),
+    * then O(labels) rows assemble arrays and join — no per-vector
+    * shuffle, nothing corpus-scale past the first aggregate. */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val cent = emb
+      .withColumn("batch", (col("vec_id") % 2).cast("int"))
+      .select(col("label"), col("batch"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("batch"), col("pos"))
+      .agg(round(avg(col("x")), 4).as("m"), count(lit(1)).as("n"))
+      .groupBy(col("label"), col("batch"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"),
+        max(col("n")).as("n"))
+    val a = cent.filter(col("batch") === 0)
+      .select(col("label"), col("c").as("ca"), col("n").as("n_even"))
+    val b = cent.filter(col("batch") === 1)
+      .select(col("label"), col("c").as("cb"), col("n").as("n_odd"))
+    a.join(b, "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        sqrt(greatest(lit(0.0),
+          dot(col("ca"), col("ca")) - lit(2) * dot(col("ca"), col("cb"))
+            + dot(col("cb"), col("cb")))).as("drift"),
+        (dot(col("ca"), col("cb"))
+          / (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))))
+          .as("cos_sim"))
+  }
+
+  val centroidDriftQ: GraftQuery = GraftQuery(
+    "v06_centroid_drift",
+    s"""WITH e AS (SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS batch,
+       |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |m AS (SELECT label, batch, i AS pos, round(avg(v[i + 1]), 4) AS m,
+       |        count(*) AS n
+       |      FROM e CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
+       |      GROUP BY label, batch, pos),
+       |c AS (SELECT label, batch, list(m ORDER BY pos) AS c, max(n) AS n
+       |      FROM m GROUP BY label, batch),
+       |a AS (SELECT label, c AS ca, n AS n_even FROM c WHERE batch = 0),
+       |b AS (SELECT label, c AS cb, n AS n_odd FROM c WHERE batch = 1)
+       |SELECT label, CAST(n_even AS BIGINT) AS n_even, CAST(n_odd AS BIGINT) AS n_odd,
+       |       sqrt(greatest(0.0, list_dot_product(ca, ca)
+       |              - 2 * list_dot_product(ca, cb)
+       |              + list_dot_product(cb, cb))) AS drift,
+       |       list_dot_product(ca, cb)
+       |         / (sqrt(list_dot_product(ca, ca)) * sqrt(list_dot_product(cb, cb)))
+       |         AS cos_sim
+       |FROM a JOIN b USING (label)""".stripMargin) { (spark, sf) =>
+    centroidDrift(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v")))
+  }
+
   /** Dimensions kept by the truncation-fidelity eval (v05): the first
     * half of the embedding — the matryoshka/truncation convention. */
   val TruncDims: Int = graft.functions.VectorFunctions.Dim / 2
@@ -338,5 +405,5 @@ object VectorOps {
   }
 
   val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
-    truncRecallQ)
+    truncRecallQ, centroidDriftQ)
 }

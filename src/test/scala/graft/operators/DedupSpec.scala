@@ -554,4 +554,20 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(7) == math.abs(r.getDouble(5) - r.getDouble(6)))
     }
   }
+
+  test("d18 source overlap: pairs land in unordered source cells") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok${i % 13}w").mkString(" ")
+    val near = base.split(" ").updated(5, "MUTATED").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz${i * 7 % 17}q").mkString(" ")
+    val d = Seq(
+      (0L, base, "s1"), (1L, base, "s2"), // exact pair across sources
+      (2L, near, "s1"),                   // near dup of both, same source as 0
+      (3L, other, "s3"))                  // unrelated
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs: (0,1) s1-s2, (0,2) s1-s1, (1,2) s1-s2
+    assert(out == Map(("s1", "s1") -> 1L, ("s1", "s2") -> 2L))
+  }
 }

@@ -313,6 +313,21 @@ class TemporalVectorSpec extends SparkSpec {
       ("B", "A") -> (1L, 1.0), ("X", "Y") -> (1L, 1.0)))
   }
 
+  test("v06 centroid drift: hand-computed shift and cosine; single-batch labels drop") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, 0, Seq(1.0, 0.0)), (2L, 0, Seq(1.0, 0.0)), // even batch, centroid (1,0)
+      (1L, 0, Seq(0.0, 1.0)), (3L, 0, Seq(0.0, 1.0)), // odd batch, centroid (0,1)
+      (4L, 1, Seq(5.0, 5.0)))                         // label 1 has no odd batch
+      .toDF("vec_id", "label", "v")
+    val out = VectorOps.centroidDrift(emb).collect()
+    assert(out.length == 1, "label without both batches must drop")
+    val r = out.head
+    assert(r.getInt(0) == 0 && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - math.sqrt(2)) < 1e-12) // orthogonal unit centroids
+    assert(r.getDouble(4) == 0.0)
+  }
+
   test("v05 trunc recall: zero-tail embeddings rank identically -> recall 1") {
     // planted fixture: tails zeroed, so the truncated cosine is
     // bitwise the full cosine (appending 0.0 product terms leaves the
