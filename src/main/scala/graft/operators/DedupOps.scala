@@ -1173,16 +1173,20 @@ object DedupOps {
       }: _*).as("sig"))
   }
 
-  /** d03's 8×4 banding geometry over portable signatures; the band key
-    * is the '|'-joined run of hex minima (ORDER BY the permutation
-    * index, mirrored exactly by the oracle's string_agg). */
-  def portableBandKeys(sigs: DataFrame): DataFrame = {
-    val bands = array((0 until Bands).map { b =>
+  /** d03's 8×4 banding geometry over a portable signature column: one
+    * array element per band, the '|'-joined run of hex minima (ORDER
+    * BY the permutation index, mirrored exactly by the d14/d17
+    * oracles' string_agg). The SINGLE definition of the portable band
+    * key — both consumers posexplode this column, so the cross-engine
+    * contract cannot drift between them. */
+  private def portableBandCols: Column =
+    array((0 until Bands).map { b =>
       concat_ws("|", (0 until RowsPerBand).map(r =>
         col("sig")(b * RowsPerBand + r)): _*)
     }: _*)
-    sigs.select(col("doc_id"), posexplode(bands).as(Seq("band", "band_key")))
-  }
+
+  def portableBandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(portableBandCols).as(Seq("band", "band_key")))
 
   /** Candidate pairs from the portable banding — same bounded
     * within-bucket expansion and hot-bucket cap as d03 (the cap is in
@@ -1360,17 +1364,13 @@ object DedupOps {
     // the 8-digests-per-shingle pass three times, no exchange reuse),
     // and matches is counted BEFORE the pair-dedup so that shuffle
     // carries one long (d03's argument).
-    val bands = array((0 until Bands).map { b =>
-      concat_ws("|", (0 until RowsPerBand).map(r =>
-        col("sig")(b * RowsPerBand + r)): _*)
-    }: _*)
     val banded = portableSignatures(docs).select(col("doc_id"),
       transform(col("sig"), h => conv(h, 16, 10).cast("long")).as("sigl"),
-      posexplode(bands).as(Seq("band", "band_key")))
+      posexplode(portableBandCols).as(Seq("band", "band_key")))
     val matches = call_function("graft_eq_count", col("a.sigl"), col("b.sigl"))
     val cand = bucketPairs(banded,
       keyCols = Seq("band", "band_key"), memberCols = Seq("doc_id", "sigl"),
-      MaxBandBucket, metric = "portable_band_guard")
+      MaxBandBucket, metric = "calibration_band_guard")
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
         matches.cast("long").as("matches"))
