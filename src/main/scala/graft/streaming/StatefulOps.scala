@@ -113,6 +113,72 @@ object StatefulOps {
       }
   }
 
+  // --------------------------------------------------------------
+  // Streaming event-type transitions (the stream twin of q38)
+  // --------------------------------------------------------------
+
+  final case class TypedEvent(
+      event_id: Long, user_id: Long, event_type: String, ts: Timestamp)
+  final case class Transition(
+      user_id: Long, from_type: String, to_type: String, ts: Timestamp)
+  /** Per-user chain state: the last FINALIZED event (the anchor the
+    * next transition chains from) plus the not-yet-finalized buffer.
+    * The buffer is bounded by the watermark horizon — an event leaves
+    * it the moment the watermark passes its timestamp — and the anchor
+    * is O(1), so state is O(users·horizon-density), never stream
+    * length. */
+  final case class ChainState(anchor: Option[TypedEvent], pending: List[TypedEvent])
+
+  /** Per-user event-type transitions over a stream, with exact
+    * [[graft.operators.TemporalOps.transitionMatrix]] parity for any
+    * stream whose disorder stays inside the watermark: transitions are
+    * emitted only between watermark-FINALIZED events, ordered by
+    * (ts, event_id) — a late-but-admissible event lands in its true
+    * chain position instead of the arrival position, because nothing
+    * after it is chained until the watermark passes. Downstream, the
+    * (from, to) counts are one windowed groupBy — this operator emits
+    * the transition ROWS so the aggregation stays a built-in.
+    *
+    * Anchor-only state (user went idle) persists without a timeout —
+    * dropping it would silently lose the cross-gap transition the
+    * batch twin counts. */
+  def transitionStream(
+      events: Dataset[TypedEvent], lateness: String = "10 minutes"): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // (millis, nanos, id): nanos carries sub-millisecond order, id is
+    // the same tiebreak the batch twin uses
+    def key(e: TypedEvent): (Long, Int, Long) = (e.ts.getTime, e.ts.getNanos, e.event_id)
+
+    events
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChainState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(ChainState(None, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val all = (prev.pending ++ rows).sortBy(key)
+          // strict <: an admissible future row can still carry ts == wm
+          val (ready, rest) = all.partition(_.ts.getTime < wm)
+          val chain = prev.anchor.toList ++ ready
+          val out = chain.iterator.sliding(2).withPartial(false).map { w =>
+            Transition(user, w(0).event_type, w(1).event_type, w(1).ts)
+          }.toList
+          val anchor = chain.lastOption
+          if (rest.isEmpty && anchor.isEmpty) state.remove()
+          else {
+            state.update(ChainState(anchor, rest))
+            if (rest.nonEmpty) // fire when the earliest buffered event finalizes
+              state.setTimeoutTimestamp(
+                math.max(rest.map(_.ts.getTime).min + 1, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Running stats over parsed lake rows (topic, created_at). Use with
     * outputMode("update"): each micro-batch emits one row per topic
     * that received data. Null event times count toward `count` but not
