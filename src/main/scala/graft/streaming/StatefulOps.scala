@@ -149,8 +149,6 @@ object StatefulOps {
 
     // (millis, nanos, id): nanos carries sub-millisecond order, id is
     // the same tiebreak the batch twin uses
-    def key(e: TypedEvent): (Long, Int, Long) = (e.ts.getTime, e.ts.getNanos, e.event_id)
-
     events
       .filter(col("ts").isNotNull)
       .withWatermark("ts", lateness)
@@ -160,14 +158,7 @@ object StatefulOps {
         case (user, rows, state) =>
           val prev = state.getOption.getOrElse(ChainState(None, Nil))
           val wm = state.getCurrentWatermarkMs()
-          val all = (prev.pending ++ rows).sortBy(key)
-          // strict <: an admissible future row can still carry ts == wm
-          val (ready, rest) = all.partition(_.ts.getTime < wm)
-          val chain = prev.anchor.toList ++ ready
-          val out = chain.iterator.sliding(2).withPartial(false).map { w =>
-            Transition(user, w(0).event_type, w(1).event_type, w(1).ts)
-          }.toList
-          val anchor = chain.lastOption
+          val (pairs, anchor, rest) = chainStep(prev.anchor, prev.pending, rows.toSeq, wm)
           if (rest.isEmpty && anchor.isEmpty) state.remove()
           else {
             state.update(ChainState(anchor, rest))
@@ -175,8 +166,32 @@ object StatefulOps {
               state.setTimeoutTimestamp(
                 math.max(rest.map(_.ts.getTime).min + 1, wm + 1))
           }
-          out.iterator
+          pairs.iterator.map { case (from, to) =>
+            Transition(user, from.event_type, to.event_type, to.ts)
+          }
       }
+  }
+
+  /** Pure per-invocation chain step (property-tested in PropertySpec
+    * against the batch ordering over random batch splits and watermark
+    * schedules): merge the buffered and newly-arrived events in
+    * (ts, nanos, event_id) order, finalize everything strictly below
+    * the watermark (an admissible future row can still carry ts == wm),
+    * and emit the consecutive pairs of anchor ++ finalized. Returns
+    * (pairs, new anchor, still-buffered rest). */
+  private[graft] def chainStep(
+      anchor: Option[TypedEvent], pending: List[TypedEvent],
+      batch: Seq[TypedEvent], wmMs: Long)
+      : (List[(TypedEvent, TypedEvent)], Option[TypedEvent], List[TypedEvent]) = {
+    // (millis, nanos, id): nanos carries sub-millisecond order, id is
+    // the same tiebreak the batch twin uses
+    def key(e: TypedEvent): (Long, Int, Long) = (e.ts.getTime, e.ts.getNanos, e.event_id)
+    val all = (pending ++ batch).sortBy(key)
+    val (ready, rest) = all.partition(_.ts.getTime < wmMs)
+    val chain = anchor.toList ++ ready
+    val pairs = chain.iterator.sliding(2).withPartial(false)
+      .map(w => (w(0), w(1))).toList
+    (pairs, chain.lastOption, rest)
   }
 
   /** Running stats over parsed lake rows (topic, created_at). Use with

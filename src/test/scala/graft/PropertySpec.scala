@@ -262,4 +262,54 @@ class PropertySpec extends SparkSpec {
       assert(got === closure(pieces), s"diverged on $pieces")
     }
   }
+
+  test("transition chainStep equals the batch chain for any split + watermark schedule") {
+    import java.sql.Timestamp
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.TypedEvent
+    // events with possibly-tied timestamps; arrival order is a random
+    // permutation; watermark after each batch is random but admissible
+    // (never passes an event that has not arrived yet) and nondecreasing
+    val eventsGen: Gen[List[TypedEvent]] = Gen.listOf(
+      Gen.zip(Gen.chooseNum(0L, 50L), Gen.oneOf("A", "B", "C")))
+      .map(_.zipWithIndex.map { case ((t, tp), i) =>
+        TypedEvent(i.toLong, 1L, tp, new Timestamp(t))
+      })
+    val gen = for {
+      evs <- eventsGen
+      arrival <- Gen.const(evs).flatMap(e =>
+        Gen.choose(0L, Long.MaxValue).map(s => new scala.util.Random(s).shuffle(e)))
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, math.max(arrival.size, 1)))
+    } yield (evs, arrival, cuts.sorted)
+    samples(gen, 300).foreach { case (evs, arrival, cuts) =>
+      val batches = // split the arrival order at the cut points
+        (0 +: cuts :+ arrival.size).sliding(2)
+          .map { case Seq(a, b) => arrival.slice(a, b) }.toList
+      var wm = Long.MinValue
+      var anchor: Option[TypedEvent] = None
+      var pending: List[TypedEvent] = Nil
+      var seen = 0
+      val out = List.newBuilder[(Long, Long)]
+      for (batch <- batches) {
+        seen += batch.size
+        // admissible watermark: at most min ts of the not-yet-arrived
+        val future = arrival.drop(seen)
+        val bound = if (future.isEmpty) 100L else future.map(_.ts.getTime).min
+        wm = math.max(wm, bound - (bound % 7)) // an arbitrary lagging schedule
+        val (pairs, a2, rest) = StatefulOps.chainStep(anchor, pending, batch, wm)
+        out ++= pairs.map(p => (p._1.event_id, p._2.event_id))
+        anchor = a2; pending = rest
+      }
+      // final flush: watermark passes everything (stream drains)
+      val (lastPairs, _, rest) = StatefulOps.chainStep(anchor, pending, Nil, 1000L)
+      assert(rest.isEmpty, "a drained stream must buffer nothing")
+      out ++= lastPairs.map(p => (p._1.event_id, p._2.event_id))
+      // reference: the batch twin's ordering over the full event list
+      val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val expected = ordered.zip(ordered.drop(1))
+        .map { case (f, t) => (f.event_id, t.event_id) }
+      assert(out.result() === expected,
+        s"diverged on arrival=${arrival.map(_.event_id)} cuts=$cuts")
+    }
+  }
 }
