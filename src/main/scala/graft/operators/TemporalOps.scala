@@ -716,8 +716,137 @@ object TemporalOps {
     transitionMatrix(Tables.events(spark, sf))
   }
 
+  /** Trailing-window anomaly screen over the daily event counts: each
+    * (event_type, day)'s count is z-scored against the previous up to
+    * seven OBSERVED days of the same type (sparse days simply don't
+    * appear in the frame — both engines see the same frame rows).
+    *
+    * Float parity is the q35 exact-arithmetic contract: with m = frame
+    * size, S1 = Σn, S2 = Σn² (all exact longs),
+    * z = (m·n − S1) / sqrt(m·S2 − S1²) — algebraically
+    * (n − mean)/sd_pop but expressed as ONE division and ONE sqrt over
+    * exactly-representable integers, so the double is bit-identical at
+    * any parallelism and in both engines. Variance 0 or fewer than two
+    * baseline days ⇒ z NULL (decide-before-divide, the q28 contract).
+    *
+    * Scale shape: the heavy stage is the map-side-combinable daily
+    * count; the window runs on the post-aggregate table
+    * (|event_types| × |days| rows — kilobytes at 100 TB). */
+  def dailyAnomaly(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val fr = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("m", count(col("n")).over(fr))
+      .withColumn("s1", sum(col("n")).over(fr))
+      .withColumn("s2", sum(col("n") * col("n")).over(fr))
+      .withColumn("z",
+        when(col("m") >= 2 && col("m") * col("s2") > col("s1") * col("s1"),
+          (col("m") * col("n") - col("s1")).cast("double")
+            / sqrt((col("m") * col("s2") - col("s1") * col("s1")).cast("double"))))
+      .select(col("event_type"), col("day"), col("n"),
+        col("m").as("base_days"), col("z"),
+        coalesce(abs(col("z")) >= 3.0, lit(false)).as("is_anomaly"))
+  }
+
+  val dailyAnomalyQ: GraftQuery = GraftQuery(
+    "q39_daily_anomaly",
+    """WITH d AS (SELECT event_type,
+      |             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |             count(*) AS n
+      |           FROM events GROUP BY event_type, day),
+      |w AS (SELECT event_type, day, n,
+      |        count(n) OVER fr AS m,
+      |        sum(n) OVER fr AS s1,
+      |        sum(n * n) OVER fr AS s2
+      |      FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY day
+      |                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT event_type, day, n, m,
+      |        CASE WHEN m >= 2 AND m * s2 > s1 * s1
+      |             THEN CAST(m * n - s1 AS DOUBLE)
+      |                  / sqrt(CAST(m * s2 - s1 * s1 AS DOUBLE)) END AS z
+      |      FROM w)
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+      |       CAST(m AS BIGINT) AS base_days, z,
+      |       coalesce(abs(z) >= 3.0, false) AS is_anomaly
+      |FROM z""".stripMargin) { (spark, sf) =>
+    dailyAnomaly(Tables.events(spark, sf))
+  }
+
+  /** Event-type co-occurrence lift over (user, day) baskets:
+    * lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) — the
+    * association strength behind market-basket screens and feature
+    * co-activation reports. PMI is ln(lift); the ln is deliberately
+    * NOT emitted — ln is a libm call with no cross-engine
+    * bit-parity guarantee, while the lift is one IEEE division over
+    * exact long products (deterministic at any parallelism).
+    *
+    * Scale shape: baskets = one distinct shuffle on
+    * (user_id, day, event_type); the pair self-join is equi-keyed on
+    * (user_id, day) — sort-merge/hash, co-partitioned, with per-basket
+    * fan-out bounded by |event_types|² (a constant ~25 here, never
+    * corpus-scale). The singles table and the one-row basket count
+    * broadcast onto the tiny pair table. */
+  def cooccurrenceLift(events: DataFrame): DataFrame = {
+    val baskets = events
+      .select(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .distinct()
+    val nBaskets = baskets.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val singles = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"),
+        col("cnt").as("n_a"))), "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"),
+        col("cnt").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        ((col("n_ab") * col("n_baskets")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
+  val cooccurrenceQ: GraftQuery = GraftQuery(
+    "q40_cooccurrence",
+    """WITH b AS (SELECT DISTINCT user_id,
+      |             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |             event_type
+      |           FROM events),
+      |t AS (SELECT count(*) AS n_baskets
+      |      FROM (SELECT DISTINCT user_id, day FROM b)),
+      |s AS (SELECT event_type, count(*) AS cnt FROM b GROUP BY event_type),
+      |p AS (SELECT a.event_type AS type_a, bb.event_type AS type_b,
+      |        count(*) AS n_ab
+      |      FROM b a JOIN b bb ON a.user_id = bb.user_id AND a.day = bb.day
+      |        AND a.event_type < bb.event_type
+      |      GROUP BY type_a, type_b)
+      |SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+      |       CAST(sa.cnt AS BIGINT) AS n_a, CAST(sb.cnt AS BIGINT) AS n_b,
+      |       CAST(t.n_baskets AS BIGINT) AS n_baskets,
+      |       CAST(n_ab * t.n_baskets AS DOUBLE)
+      |         / CAST(sa.cnt * sb.cnt AS DOUBLE) AS lift
+      |FROM p
+      |JOIN s sa ON sa.event_type = p.type_a
+      |JOIN s sb ON sb.event_type = p.type_b
+      |CROSS JOIN t""".stripMargin) { (spark, sf) =>
+    cooccurrenceLift(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
-      ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ)
+      ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
+      cooccurrenceQ)
 }
