@@ -26,6 +26,34 @@ object VectorFunctions {
 
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Dyadic snap-to-grid — the float-discipline kernel that makes a
+    * per-row double SUMMABLE order-independently (r7, replacing the
+    * v02/v03/v06 `round(avg, 4)` contract whose pre-round double was
+    * partial-aggregation-order dependent): multiply by a POWER OF TWO
+    * (an exact exponent shift for every finite double — no rounding,
+    * unlike the 10^k scaling inside `round()`), pin the half-up tie
+    * convention textually as `floor(x·S + 0.5)` (the v01 device), and
+    * sum the resulting exact longs. The one lossy step is a
+    * deterministic per-row function, so the sum is bit-identical at
+    * ANY partial-aggregation order in ANY engine; the terminal
+    * division is then a single IEEE op over order-independent inputs.
+    * For float32 inputs with |x| ≥ 2^-12 the snap at 2^35 is exactly
+    * lossless (x·2^35 = m·2^(e+12) is already an integer); elsewhere
+    * the grid error is < 2^-36 — ~12 orders below the float32 ulp of
+    * the values it measures. */
+  val SnapScale: Double = 34359738368.0 // 2^35: |x| ≤ ~1 components; Σ fits Long to ~10^8 rows/group
+  val DistScale: Double = 1073741824.0 // 2^30: distances / squared distances (|d²| ≤ ~100)
+
+  /** floor(x·scale + 0.5) as an exact Long (Spark's floor is already
+    * LongType). Sum these, then divide once via [[snapMean]]. */
+  def snapLong(x: Column, scale: Double = SnapScale): Column =
+    floor(x * lit(scale) + lit(0.5))
+
+  /** The terminal mean over a snapped sum: one IEEE division.
+    * Mirror in SQL as `CAST(s AS DOUBLE) / (n * <scale>)`. */
+  def snapMean(sumScaled: Column, n: Column, scale: Double = SnapScale): Column =
+    sumScaled.cast("double") / (n * lit(scale))
+
   /** Native codegen'd dot product (see [[DotProduct]]); accepts
     * array<float> or array<double> on either side and sums in double,
     * bit-identical to folding the cast-to-double arrays in order. */

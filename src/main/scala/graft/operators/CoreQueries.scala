@@ -390,16 +390,25 @@ object CoreQueries {
 
   /** Rollup (beyond-reference extension): subtotal lattice over
     * (event_type, day) in one pass — Spark expands grouping sets
-    * map-side, single shuffle. */
+    * map-side, single shuffle.
+    *
+    * Float discipline: the 2dp value domain is summed as exact scaled
+    * longs and divided ONCE — the r7 raw-emit audit (a round(sum(raw
+    * double), 2) is order-dependent BEFORE the round; grand-total rows
+    * here sum the whole table, the widest such exposure in the
+    * registry). */
   val rollupCounts: GraftQuery = GraftQuery(
     "q20_rollup",
-    """SELECT event_type, day, count(*) AS counts, round(sum(value), 2) AS total_value
+    """SELECT event_type, day, count(*) AS counts,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events) t
       |GROUP BY ROLLUP (event_type, day)""".stripMargin) { (spark, sf) =>
     Tables.events(spark, sf)
       .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
       .rollup(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("counts"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("counts"),
+        (sum(round(col("value") * 100, 0).cast("long")).cast("double") / lit(100.0))
+          .as("total_value"))
   }
 
   /** Cube: the full subtotal lattice over (event_type, day) — all four
@@ -412,7 +421,8 @@ object CoreQueries {
     """SELECT event_type, day,
       |       CAST(grouping(event_type) AS BIGINT) AS g_type,
       |       CAST(grouping(day) AS BIGINT) AS g_day,
-      |       count(*) AS counts, round(sum(value), 2) AS total_value
+      |       count(*) AS counts,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events) t
       |GROUP BY CUBE (event_type, day)""".stripMargin) { (spark, sf) =>
     Tables.events(spark, sf)
@@ -421,7 +431,9 @@ object CoreQueries {
       .agg(
         grouping(col("event_type")).cast("long").as("g_type"),
         grouping(col("day")).cast("long").as("g_day"),
-        count(lit(1)).as("counts"), round(sum(col("value")), 2).as("total_value"))
+        count(lit(1)).as("counts"),
+        (sum(round(col("value") * 100, 0).cast("long")).cast("double") / lit(100.0))
+          .as("total_value"))
       .select(col("event_type"), col("day"), col("g_type"), col("g_day"),
         col("counts"), col("total_value"))
   }

@@ -394,27 +394,43 @@ object TemporalOps {
     * Float discipline (the c09/positivityPeriod treatment): the
     * events value domain is exact 2dp (the QuantileKernel premise),
     * so each clamped value recovers its integer numerator via
-    * round(x·100) exactly; the mean is an exact long sum divided once
-    * by n·100.0 — the identical IEEE op sequence in both engines at
-    * ANY partial-aggregation order. round(avg(..), 4) over raw
-    * doubles was the registry's only intermittent gate row (r5): its
-    * pre-round double drifts with summation order on .xxxx5
-    * knife-edges. */
+    * round(x·100) exactly; the mean is an exact long sum divided ONCE
+    * by n·100.0 and emitted RAW — one IEEE division over exact
+    * integers is bit-identical in any engine at any partial-
+    * aggregation order, leaving no rounding convention to disagree
+    * on. (A terminal round(…, 4) over that quotient was the r6 gate's
+    * only residual cross-engine surface: engines legally differ on
+    * shortest-string decimal ties of the SAME double.)
+    *
+    * The oracle text pins the quantile convention itself — rank
+    * ⌈p·n⌉ over the cumulative histogram, the exact arithmetic of
+    * [[QuantileKernel.discQuantiles]] — instead of calling
+    * `quantile_disc`, whose element-selection convention has varied
+    * across DuckDB releases. Both texts now share every op. */
   val winsorizeQ: GraftQuery = GraftQuery(
     "q35_winsorize",
-    """WITH b AS (
-      |  SELECT event_type, quantile_disc(value, 0.10) AS lo,
-      |         quantile_disc(value, 0.90) AS hi
-      |  FROM events GROUP BY event_type)
+    """WITH h AS (
+      |  SELECT event_type, value, count(*) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |ch AS (
+      |  SELECT event_type, value,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |b AS (
+      |  SELECT event_type,
+      |         min(CASE WHEN cum >= greatest(ceil(0.10 * n), 1) THEN value END) AS lo,
+      |         min(CASE WHEN cum >= greatest(ceil(0.90 * n), 1) THEN value END) AS hi
+      |  FROM ch GROUP BY 1)
       |SELECT e.event_type, lo, hi,
       |       sum(CASE WHEN e.value < lo THEN 1 ELSE 0 END) AS n_low,
       |       sum(CASE WHEN e.value > hi THEN 1 ELSE 0 END) AS n_high,
-      |       round(CAST(sum(CASE WHEN e.value IS NULL THEN NULL
-      |                           WHEN e.value < lo THEN CAST(round(lo * 100) AS BIGINT)
-      |                           WHEN e.value > hi THEN CAST(round(hi * 100) AS BIGINT)
-      |                           ELSE CAST(round(e.value * 100) AS BIGINT)
-      |                      END) AS DOUBLE)
-      |             / (count(e.value) * 100.0), 4) AS avg_winsorized,
+      |       CAST(sum(CASE WHEN e.value IS NULL THEN NULL
+      |                     WHEN e.value < lo THEN CAST(round(lo * 100) AS BIGINT)
+      |                     WHEN e.value > hi THEN CAST(round(hi * 100) AS BIGINT)
+      |                     ELSE CAST(round(e.value * 100) AS BIGINT)
+      |                END) AS DOUBLE)
+      |           / (count(e.value) * 100.0) AS avg_winsorized,
       |       count(e.value) AS n
       |FROM events e JOIN b USING (event_type)
       |WHERE lo IS NOT NULL
@@ -439,8 +455,8 @@ object TemporalOps {
       .agg(
         sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_low"),
         sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_high"),
-        round(sum(clampedScaled).cast("double")
-          / (count(col("value")) * lit(100.0)), 4).as("avg_winsorized"),
+        (sum(clampedScaled).cast("double")
+          / (count(col("value")) * lit(100.0))).as("avg_winsorized"),
         count(col("value")).as("n"))
   }
 

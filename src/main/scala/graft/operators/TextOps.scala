@@ -382,8 +382,8 @@ object TextOps {
       |            ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT) END AS n_tokens,
       |       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
       |       CASE WHEN d.text IS NULL THEN NULL
-      |            ELSE round(CAST(coalesce(c.covered, 0) AS DOUBLE)
-      |                       / len(string_split(d.text, ' ')), 4)
+      |            ELSE CAST(coalesce(c.covered, 0) AS DOUBLE)
+      |                 / len(string_split(d.text, ' '))
       |       END AS boilerplate_frac
       |FROM docs d LEFT JOIN c USING (doc_id)""".stripMargin) { (spark, sf) =>
     boilerplateCoverage(Tables.documents(spark, sf), minDocFreq = 5)
@@ -418,9 +418,12 @@ object TextOps {
           .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
         coalesce(col("covered"), lit(0L)).as("covered_tokens"),
         when(col("text").isNull, lit(null).cast("double"))
-          .otherwise(round(
+          .otherwise(
+            // raw quotient: one IEEE division over exact integers is
+            // bit-identical cross-engine; a terminal round() is the
+            // only op whose tie convention could differ (r7 audit)
             coalesce(col("covered"), lit(0L)).cast("double")
-              / size(split(col("text"), " ")), 4)).as("boilerplate_frac"))
+              / size(split(col("text"), " "))).as("boilerplate_frac"))
   }
 
   /** n-gram novelty: the fraction of a document's distinct 3-grams

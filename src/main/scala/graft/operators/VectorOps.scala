@@ -70,14 +70,18 @@ object VectorOps {
     * the label population: posexplode + one hash aggregation keyed on
     * (label, dim-position) — cardinality labels×dim, so partial
     * aggregation combines map-side and the shuffle carries one partial
-    * sum per key per partition regardless of corpus size. Means are
-    * rounded to 4dp on both engines (double-sum order differs across
-    * engines/partitionings; 4dp is far above the ulp drift and far
-    * below the signal). */
+    * sum per key per partition regardless of corpus size. Means use
+    * the [[graft.functions.VectorFunctions.snapLong dyadic-snap]]
+    * kernel (r7): components sum as exact 2^-35-grid longs — lossless
+    * for these float32 inputs — and divide ONCE, so the emitted double
+    * is bit-identical at any partial-aggregation order in any engine
+    * (the former round(avg, 4) left an order-dependent pre-round
+    * double — the q35 knife-edge class). */
   val labelCentroidsQ: GraftQuery = GraftQuery(
     "v02_label_centroids",
     s"""SELECT label, CAST(i AS INT) AS pos,
-       |       round(avg(v[i + 1]), 4) AS mean_val,
+       |       CAST(sum(CAST(floor(v[i + 1] * 34359738368.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |         / (count(*) * 34359738368.0) AS mean_val,
        |       count(*) AS n
        |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
        |CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
@@ -91,20 +95,25 @@ object VectorOps {
     emb
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("x")), 4).as("mean_val"), count(lit(1)).as("n"))
+      .agg(sum(snapLong(col("x"))).as("__s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        snapMean(col("__s"), col("n")).as("mean_val"), col("n"))
 
   /** Per-vector outlier score: L2 distance to the vector's label
     * centroid, z-scored within the label — the embedding-space
     * mislabel/contamination probe a curation pipeline runs before
     * training on labeled data.
     *
-    * Float parity: centroid components are rounded to 4dp (double-sum
-    * order differs across engines — same contract as v02); every
-    * later op is then bit-identical in both engines: distance² comes
-    * from the dot identity v·v − 2·v·c + c·c over the SHARED fold-left
-    * kernel, sqrt is correctly-rounded IEEE, and z is plain arithmetic
-    * on the (4dp-rounded) per-label mean/stddev. So dist and z are
-    * emitted RAW.
+    * Float parity (r7, fully order-independent): centroid components
+    * are dyadic-snap means ([[graft.functions.VectorFunctions.snapLong]]
+    * — exact long sums, one terminal division; lossless for float32
+    * inputs); distance² comes from the dot identity v·v − 2·v·c + c·c
+    * over the SHARED fold-left kernel; and the per-label mu/sd are
+    * computed from snapped-long first and second moments of dist (grid
+    * 2^-30 — deterministic per row, so the sums are order-independent
+    * exact integers and every later op is a single IEEE sequence both
+    * engines share). dist, z, mu, sd all ship RAW — no rounding
+    * convention anywhere in the query.
     *
     * Scale shape: centroid and stats relations are O(labels) — both
     * broadcast; the corpus is touched in two narrow map passes plus
@@ -113,7 +122,8 @@ object VectorOps {
     val cent = emb
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("x")), 4).as("m"))
+      .agg(sum(snapLong(col("x"))).as("__s"), count(lit(1)).as("__n"))
+      .select(col("label"), col("pos"), snapMean(col("__s"), col("__n")).as("m"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("c"))
@@ -122,14 +132,25 @@ object VectorOps {
         dot(col("v"), col("v"))
           - lit(2) * dot(col("v"), col("c"))
           + dot(col("c"), col("c")))))
+    // sample stddev from snapped integer moments: Σq, Σq2 are exact
+    // longs; var = (Σd² − n·mu²)/(n−1) with each factor one IEEE op
     val stats = d.groupBy(col("label"))
-      .agg(round(avg(col("dist")), 4).as("mu"),
-        round(stddev_samp(col("dist")), 4).as("sd"))
-    // sd can round to 0 at 4dp (all distances in a label equal with n≥2):
-    // Spark's non-ANSI x/0 is NULL; DuckDB 1.0 matches but newer versions
-    // default to IEEE ±Inf, which would flip the flag — deciding the
-    // degenerate case before the division in both engine texts makes
-    // parity oracle-version-independent (z → NULL, outlier → false).
+      .agg(sum(snapLong(col("dist"), DistScale)).as("__q"),
+        sum(snapLong(col("dist") * col("dist"), DistScale)).as("__q2"),
+        count(lit(1)).as("__n"))
+      .withColumn("mu", snapMean(col("__q"), col("__n"), DistScale))
+      .withColumn("sd", when(col("__n") > 1,
+        sqrt(greatest(lit(0.0),
+          (col("__q2").cast("double") / lit(DistScale)
+            - col("__n") * (col("mu") * col("mu")))
+            / (col("__n") - 1)))))
+      .select(col("label"), col("mu"), col("sd"))
+    // sd can be exactly 0 (all distances in a label on the same snap
+    // cell with n≥2, or the greatest() clamp firing): Spark's non-ANSI
+    // x/0 is NULL; DuckDB 1.0 matches but newer versions default to
+    // IEEE ±Inf, which would flip the flag — deciding the degenerate
+    // case before the division in both engine texts makes parity
+    // oracle-version-independent (z → NULL, outlier → false).
     val sdOk = col("sd").isNotNull && col("sd") =!= 0.0
     d.join(broadcast(stats), "label")
       .withColumn("z", when(sdOk, (col("dist") - col("mu")) / col("sd")))
@@ -141,7 +162,9 @@ object VectorOps {
     "v03_centroid_outliers",
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
-       |comp AS (SELECT label, i AS pos, round(avg(v[i + 1]), 4) AS m
+       |comp AS (SELECT label, i AS pos,
+       |           CAST(sum(CAST(floor(v[i + 1] * 34359738368.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / (count(*) * 34359738368.0) AS m
        |         FROM e CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
        |         GROUP BY label, pos),
        |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM comp GROUP BY label),
@@ -150,9 +173,20 @@ object VectorOps {
        |          - 2 * list_dot_product(v, c)
        |          + list_dot_product(c, c))) AS dist
        |      FROM e JOIN cent ON e.label = cent.label),
-       |st AS (SELECT label, round(avg(dist), 4) AS mu,
-       |         round(stddev_samp(dist), 4) AS sd
-       |       FROM d GROUP BY label)
+       |st0 AS (SELECT label,
+       |          CAST(sum(CAST(floor(dist * 1073741824.0 + 0.5) AS BIGINT)) AS BIGINT) AS q,
+       |          CAST(sum(CAST(floor(dist * dist * 1073741824.0 + 0.5) AS BIGINT)) AS BIGINT) AS q2,
+       |          count(*) AS n
+       |        FROM d GROUP BY label),
+       |st1 AS (SELECT label, q, q2, n,
+       |          CAST(q AS DOUBLE) / (n * 1073741824.0) AS mu
+       |        FROM st0),
+       |st AS (SELECT label, mu,
+       |         CASE WHEN n > 1 THEN
+       |           sqrt(greatest(0.0,
+       |             (CAST(q2 AS DOUBLE) / 1073741824.0 - n * (mu * mu)) / (n - 1)))
+       |         ELSE NULL END AS sd
+       |       FROM st1)
        |SELECT d.vec_id, d.label, d.dist,
        |       CASE WHEN st.sd IS NULL OR st.sd = 0 THEN NULL
        |            ELSE (d.dist - st.mu) / st.sd END AS z,
@@ -273,12 +307,14 @@ object VectorOps {
     * production substitutes its snapshot/date column; nothing else
     * changes.
     *
-    * Float parity: the v02/v03 contract — centroid components are
-    * 4dp-rounded means (double-sum order is engine-specific), then
-    * drift² = a·a − 2·a·b + b·b and the cosine run through the SHARED
-    * fold-left dot kernel over pos-sorted arrays, so every emitted
-    * double after the rounding is the same IEEE sequence in both
-    * engines and ships RAW.
+    * Float parity (r7): the v02/v03 contract — centroid components
+    * are dyadic-snap means (exact long sums at the 2^-35 grid,
+    * lossless for float32 inputs, one terminal division — bit-stable
+    * at any aggregation order in any engine), then drift² = a·a −
+    * 2·a·b + b·b and the cosine run through the SHARED fold-left dot
+    * kernel over pos-sorted arrays, so every emitted double is the
+    * same IEEE sequence in both engines and ships RAW — the former
+    * round(avg, 4) knife-edge (r6 ADVICE) is gone.
     *
     * Scale shape: one labels×dim×2 aggregation (map-side combined),
     * then O(labels) rows assemble arrays and join — no per-vector
@@ -288,7 +324,9 @@ object VectorOps {
       .withColumn("batch", (col("vec_id") % 2).cast("int"))
       .select(col("label"), col("batch"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("batch"), col("pos"))
-      .agg(round(avg(col("x")), 4).as("m"), count(lit(1)).as("n"))
+      .agg(sum(snapLong(col("x"))).as("__s"), count(lit(1)).as("n"))
+      .select(col("label"), col("batch"), col("pos"),
+        snapMean(col("__s"), col("n")).as("m"), col("n"))
       .groupBy(col("label"), col("batch"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("c"),
@@ -311,7 +349,9 @@ object VectorOps {
     "v06_centroid_drift",
     s"""WITH e AS (SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS batch,
        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |m AS (SELECT label, batch, i AS pos, round(avg(v[i + 1]), 4) AS m,
+       |m AS (SELECT label, batch, i AS pos,
+       |        CAST(sum(CAST(floor(v[i + 1] * 34359738368.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |          / (count(*) * 34359738368.0) AS m,
        |        count(*) AS n
        |      FROM e CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
        |      GROUP BY label, batch, pos),
