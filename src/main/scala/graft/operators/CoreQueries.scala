@@ -26,17 +26,21 @@ object CoreQueries {
 
   /** Per-topic positivity rate + counts — reference A1/A2/P8/P9
     * (spark_app/functions/functions.py:100-107): avg of a CASE
-    * indicator, rounded to 2dp, plus group row count. */
+    * indicator plus group row count. The rate ships RAW (r7 audit):
+    * an indicator avg is an exact-integer ratio — partial sums of
+    * 0.0/1.0 doubles are exact at any order, and the terminal
+    * division is one IEEE op both engines share; a round(…, 2) was
+    * the only remaining op with an engine-specific tie convention. */
   val positivity: GraftQuery = GraftQuery(
     "q01_positivity",
     """SELECT event_type,
-      |       round(avg(CASE WHEN value > 100 THEN 1 ELSE 0 END), 2) AS positivity_rate,
+      |       avg(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS positivity_rate,
       |       count(*) AS counts
       |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
     Tables.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(
-        round(avg(when(col("value") > 100, 1).otherwise(0)), 2).as("positivity_rate"),
+        avg(when(col("value") > 100, 1).otherwise(0)).as("positivity_rate"),
         count(lit(1)).as("counts"))
   }
 
@@ -63,7 +67,7 @@ object CoreQueries {
     "q03_join_agg",
     s"""SELECT * FROM
        |  (SELECT event_type AS topic_agg,
-       |          round(avg(CASE WHEN value > 100 THEN 1 ELSE 0 END), 2) AS positivity_rate,
+       |          avg(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS positivity_rate,
        |          count(*) AS counts
        |   FROM events GROUP BY event_type) a
        |JOIN
@@ -75,7 +79,7 @@ object CoreQueries {
     val bySentiment = ev
       .groupBy(col("event_type").as("topic_agg"))
       .agg(
-        round(avg(when(col("value") > 100, 1).otherwise(0)), 2).as("positivity_rate"),
+        avg(when(col("value") > 100, 1).otherwise(0)).as("positivity_rate"),
         count(lit(1)).as("counts"))
     val byDow = ev
       .withColumn("dow", date_format(col("ts"), "EEE"))
@@ -88,28 +92,38 @@ object CoreQueries {
 
   /** TPC-H Q1-shaped pricing summary: the headline wide aggregate.
     * Filter reaches the parquet scan (PushedFilters), aggregate is a
-    * two-phase hash aggregate over 6 groups. */
+    * two-phase hash aggregate over 6 groups.
+    *
+    * Float discipline (r7 audit): quantity is integer-valued and the
+    * money/discount columns are exact 2dp, so every sum runs over
+    * exact longs (prices scaled ×100; the discounted price is the
+    * exact ×10000 integer e100·(100−d100)) with ONE terminal division
+    * each — order-independent and convention-free, replacing the
+    * former order-dependent round(sum(double)) surfaces. */
   val pricingSummary: GraftQuery = GraftQuery(
     "q04_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 2) AS sum_qty,
-      |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |       round(avg(l_quantity), 2) AS avg_qty,
-      |       round(avg(l_discount), 4) AS avg_disc,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (spark, sf) =>
+    val e100 = round(col("l_extendedprice") * 100, 0).cast("long")
+    val d100 = round(col("l_discount") * 100, 0).cast("long")
     Tables.lineitem(spark, sf)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(col("l_quantity").cast("long")).cast("double").as("sum_qty"),
+        (sum(e100).cast("double") / lit(100.0)).as("sum_base_price"),
+        (sum(e100 * (lit(100L) - d100)).cast("double") / lit(10000.0)).as("sum_disc_price"),
+        (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(d100).cast("double") / (count(lit(1)) * lit(100.0))).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -120,7 +134,7 @@ object CoreQueries {
   val revenueByNation: GraftQuery = GraftQuery(
     "q05_revenue_by_nation",
     """SELECT r_name, n_name,
-      |       round(sum(o_totalprice), 2) AS revenue,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
       |       count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -136,7 +150,8 @@ object CoreQueries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("o_totalprice")), 2).as("revenue"),
+        (sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("double") / lit(100.0))
+          .as("revenue"),
         count(lit(1)).as("n_orders"))
   }
 
@@ -147,14 +162,14 @@ object CoreQueries {
   val windowShare: GraftQuery = GraftQuery(
     "q06_window_share",
     """SELECT day, event_type, counts,
-      |       round(CAST(counts AS DOUBLE) / sum(counts) OVER (PARTITION BY day), 4) AS share
+      |       CAST(counts AS DOUBLE) / sum(counts) OVER (PARTITION BY day) AS share
       |FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS counts
       |      FROM events GROUP BY 1, 2) t""".stripMargin) { (spark, sf) =>
     Tables.events(spark, sf)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
       .agg(count(lit(1)).as("counts"))
       .withColumn("share",
-        round(col("counts") / sum(col("counts")).over(Window.partitionBy(col("day"))), 4))
+        col("counts") / sum(col("counts")).over(Window.partitionBy(col("day"))))
   }
 
   /** Grand-total percent — reference A6 (charts.py:91): share of the
@@ -162,30 +177,37 @@ object CoreQueries {
   val shareOfTotal: GraftQuery = GraftQuery(
     "q07_share_of_total",
     """SELECT event_type, counts,
-      |       round(CAST(counts AS DOUBLE) * 100.0 / sum(counts) OVER (), 4) AS pct
+      |       CAST(counts AS DOUBLE) * 100.0 / sum(counts) OVER () AS pct
       |FROM (SELECT event_type, count(*) AS counts FROM events GROUP BY 1) t""".stripMargin) { (spark, sf) =>
     val counts = Tables.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("counts"))
     graft.functions.Relational.withGlobal(counts, sum(col("counts")).as("__total"))
-      .withColumn("pct", round(col("counts") * lit(100.0) / col("__total"), 4))
+      .withColumn("pct", col("counts") * lit(100.0) / col("__total"))
       .drop("__total")
   }
 
   /** Global mean reference line — reference A5/A8 (charts.py:141,149):
-    * per-topic mean plus the all-topic mean appended to every row. */
+    * per-topic mean plus the all-topic mean appended to every row.
+    * The per-topic rate is a raw exact-integer ratio (q01 contract);
+    * the mean-of-rates across topics sums arbitrary doubles, so it
+    * goes through the dyadic snap ([[graft.functions.VectorFunctions
+    * .snapLong]]) — order-independent exact longs, one division. */
   val globalMean: GraftQuery = GraftQuery(
     "q08_global_mean",
     """SELECT event_type, positivity_rate,
-      |       round(avg(positivity_rate) OVER (), 2) AS global_rate
+      |       CAST(sum(CAST(floor(positivity_rate * 34359738368.0 + 0.5) AS BIGINT)) OVER () AS DOUBLE)
+      |         / (count(*) OVER () * 34359738368.0) AS global_rate
       |FROM (SELECT event_type,
-      |             round(avg(CASE WHEN value > 100 THEN 1 ELSE 0 END), 2) AS positivity_rate
+      |             avg(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS positivity_rate
       |      FROM events GROUP BY event_type) t""".stripMargin) { (spark, sf) =>
+    import graft.functions.VectorFunctions.{snapLong, SnapScale}
     val rates = Tables.events(spark, sf)
       .groupBy(col("event_type"))
-      .agg(round(avg(when(col("value") > 100, 1).otherwise(0)), 2).as("positivity_rate"))
+      .agg(avg(when(col("value") > 100, 1).otherwise(0)).as("positivity_rate"))
     graft.functions.Relational.withGlobal(rates,
-      round(avg(col("positivity_rate")), 2).as("global_rate"))
+      (sum(snapLong(col("positivity_rate"))).cast("double")
+        / (count(lit(1)) * lit(SnapScale))).as("global_rate"))
   }
 
   /** Boxplot statistics — reference A9 (charts.py:173-199): exact
@@ -195,23 +217,57 @@ object CoreQueries {
     * of a group in ONE task — the r4-flagged scale defect). Memory
     * bound: aggregation state and shuffle are the distinct (type,
     * value) domain (2dp values in a bounded range ⇒ bounded, corpus-
-    * independent); the only sort is over that histogram. The same
-    * position arithmetic as `percentile`/`quantile_cont` keeps the
-    * 2dp-rounded output hash-identical to the unchanged oracle.
-    * `q24_approx_quantiles` remains the sketch for continuous
-    * domains. */
+    * independent); the only sort is over that histogram.
+    *
+    * Float discipline (r7 audit): the kernel runs over the ×100
+    * INTEGER image of the 2dp domain, so order statistics and the
+    * quartile interpolation (positions p·(n−1) with p ∈ {¼,½,¾} are
+    * exact dyadic products; weights ∈ {0,¼,½,¾} exact) are exact
+    * integer-arithmetic throughout, divided by 100 ONCE at emission.
+    * The oracle spells the identical rank selection + interpolation
+    * instead of `quantile_cont`, whose convention is DuckDB-version-
+    * sensitive (the q35 lesson). `q24_approx_quantiles` remains the
+    * sketch for continuous domains. */
   val quantiles: GraftQuery = GraftQuery(
     "q09_quantiles",
-    """SELECT event_type,
-      |       round(quantile_cont(value, 0.25), 2) AS q1,
-      |       round(quantile_cont(value, 0.50), 2) AS median,
-      |       round(quantile_cont(value, 0.75), 2) AS q3,
-      |       round(min(value), 2) AS lo,
-      |       round(max(value), 2) AS hi
-      |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    """WITH h AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS q100, count(*) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |ch AS (
+      |  SELECT event_type, q100,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY q100) AS cum,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |b AS (
+      |  SELECT event_type, max(n) AS n,
+      |         min(CASE WHEN cum > floor(0.25 * (n - 1)) THEN q100 END) AS lo1,
+      |         min(CASE WHEN cum > ceil(0.25 * (n - 1)) THEN q100 END) AS hi1,
+      |         min(CASE WHEN cum > floor(0.5 * (n - 1)) THEN q100 END) AS lo2,
+      |         min(CASE WHEN cum > ceil(0.5 * (n - 1)) THEN q100 END) AS hi2,
+      |         min(CASE WHEN cum > floor(0.75 * (n - 1)) THEN q100 END) AS lo3,
+      |         min(CASE WHEN cum > ceil(0.75 * (n - 1)) THEN q100 END) AS hi3,
+      |         min(q100) AS qmin, max(q100) AS qmax
+      |  FROM ch GROUP BY 1),
+      |s AS (
+      |  SELECT event_type, lo1, hi1, lo2, hi2, lo3, hi3, qmin, qmax,
+      |         0.25 * (n - 1) AS p1, 0.5 * (n - 1) AS p2, 0.75 * (n - 1) AS p3
+      |  FROM b)
+      |SELECT d.event_type,
+      |       (CASE WHEN floor(p1) = ceil(p1) THEN CAST(lo1 AS DOUBLE)
+      |             ELSE lo1 * (ceil(p1) - p1) + hi1 * (p1 - floor(p1)) END) / 100.0 AS q1,
+      |       (CASE WHEN floor(p2) = ceil(p2) THEN CAST(lo2 AS DOUBLE)
+      |             ELSE lo2 * (ceil(p2) - p2) + hi2 * (p2 - floor(p2)) END) / 100.0 AS median,
+      |       (CASE WHEN floor(p3) = ceil(p3) THEN CAST(lo3 AS DOUBLE)
+      |             ELSE lo3 * (ceil(p3) - p3) + hi3 * (p3 - floor(p3)) END) / 100.0 AS q3,
+      |       CAST(qmin AS DOUBLE) / 100.0 AS lo,
+      |       CAST(qmax AS DOUBLE) / 100.0 AS hi
+      |FROM (SELECT DISTINCT event_type FROM events) d LEFT JOIN s USING (event_type)""".stripMargin) {
+    (spark, sf) =>
     val ev = Tables.events(spark, sf)
-    val hist = QuantileKernel.cumulativeHistogram(ev, "event_type", "value")
-    val q = QuantileKernel.contQuantiles(hist, "event_type", "value",
+    val scaled = ev.select(col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("q100"))
+    val hist = QuantileKernel.cumulativeHistogram(scaled, "event_type", "q100")
+    val q = QuantileKernel.contQuantiles(hist, "event_type", "q100",
       Seq("__q1" -> 0.25, "__median" -> 0.50, "__q3" -> 0.75))
     // left-join from the distinct keys: a group whose values are ALL
     // null has no histogram rows but must still emit its row (with
@@ -219,11 +275,11 @@ object CoreQueries {
     ev.select(col("event_type")).distinct()
       .join(q, Seq("event_type"), "left")
       .select(col("event_type"),
-        round(col("__q1"), 2).as("q1"),
-        round(col("__median"), 2).as("median"),
-        round(col("__q3"), 2).as("q3"),
-        round(col("__min"), 2).as("lo"),
-        round(col("__max"), 2).as("hi"))
+        (col("__q1") / lit(100.0)).as("q1"),
+        (col("__median") / lit(100.0)).as("median"),
+        (col("__q3") / lit(100.0)).as("q3"),
+        (col("__min").cast("double") / lit(100.0)).as("lo"),
+        (col("__max").cast("double") / lit(100.0)).as("hi"))
   }
 
   /** Unpivot wide→long — reference R2 (charts.py:24-27, pandas melt).
@@ -541,7 +597,8 @@ object CoreQueries {
       |       CAST(grouping(event_type) AS BIGINT) AS g_type,
       |       CAST(grouping(day) AS BIGINT) AS g_day,
       |       CAST(grouping(hour) AS BIGINT) AS g_hour,
-      |       count(*) AS counts, round(sum(value), 4) AS total_value
+      |       count(*) AS counts,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
       |        strftime(ts, '%H') AS hour, value FROM events) t
       |GROUP BY GROUPING SETS ((event_type, day), (event_type, hour), ())""".stripMargin) {
@@ -557,7 +614,9 @@ object CoreQueries {
           grouping(col("event_type")).cast("long").as("g_type"),
           grouping(col("day")).cast("long").as("g_day"),
           grouping(col("hour")).cast("long").as("g_hour"),
-          count(lit(1)).as("counts"), round(sum(col("value")), 4).as("total_value"))
+          count(lit(1)).as("counts"),
+          (sum(round(col("value") * 100, 0).cast("long")).cast("double") / lit(100.0))
+            .as("total_value"))
         .select(col("event_type"), col("day"), col("hour"),
           col("g_type"), col("g_day"), col("g_hour"),
           col("counts"), col("total_value"))
@@ -605,26 +664,55 @@ object CoreQueries {
     * value plus its Pearson correlation with event time — the
     * distribution-profiling aggregates (drift detection, threshold
     * sizing) beyond plain avg/min/max. Sample (n−1) definitions in
-    * both engines; all three are sums of doubles whose order differs
-    * across engines/partitionings, so 4dp rounding applies (same
-    * contract as every mean in the registry). One map-combined
-    * aggregation — O(1) state per group, any scale. */
+    * both engines.
+    *
+    * Float discipline (r7 audit): sd/variance come from exact ×100
+    * integer first/second moments of the 2dp domain (the v03 device)
+    * — order-independent longs, every later factor one shared IEEE op
+    * — and ship RAW. `corr` keeps round(…, 4): its co-moment
+    * accumulation (Welford-style in both engines, but over the raw
+    * micros scale) is the one remaining order-dependent sum here, and
+    * the exact-moment route overflows Long on the µs epoch scale —
+    * the accepted, documented residual. One map-combined aggregation
+    * — O(1) state per group, any scale; Σq² bounds Long to ~10^9
+    * rows/group at this value range (|q| ≤ 5·10^4). */
   val moments: GraftQuery = GraftQuery(
     "q32_moments",
-    """SELECT event_type,
-      |       round(stddev_samp(value), 4) AS sd,
-      |       round(var_samp(value), 4) AS variance,
-      |       round(corr(value, CAST(epoch_ns(ts) // 1000 AS DOUBLE)), 4) AS time_corr,
-      |       count(*) AS n
-      |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    """WITH s0 AS (
+      |  SELECT event_type,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)
+      |                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq2,
+      |         count(value) AS nv,
+      |         round(corr(value, CAST(epoch_ns(ts) // 1000 AS DOUBLE)), 4) AS time_corr,
+      |         count(*) AS n
+      |  FROM events GROUP BY event_type),
+      |s1 AS (SELECT event_type, sq, sq2, nv, time_corr, n,
+      |         CAST(sq AS DOUBLE) / (nv * 100.0) AS mu FROM s0)
+      |SELECT event_type,
+      |       CASE WHEN nv > 1 THEN sqrt(greatest(0.0,
+      |         (CAST(sq2 AS DOUBLE) / 10000.0 - nv * (mu * mu)) / (nv - 1))) END AS sd,
+      |       CASE WHEN nv > 1 THEN
+      |         (CAST(sq2 AS DOUBLE) / 10000.0 - nv * (mu * mu)) / (nv - 1) END AS variance,
+      |       time_corr, n
+      |FROM s1""".stripMargin) { (spark, sf) =>
+    val q100 = round(col("value") * 100, 0).cast("long")
     Tables.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(
-        round(stddev_samp(col("value")), 4).as("sd"),
-        round(var_samp(col("value")), 4).as("variance"),
+        sum(q100).as("__sq"),
+        sum(q100 * q100).as("__sq2"),
+        count(col("value")).as("__nv"),
         round(corr(col("value"), unix_micros(col("ts")).cast("double")), 4)
           .as("time_corr"),
         count(lit(1)).as("n"))
+      .withColumn("mu", col("__sq").cast("double") / (col("__nv") * lit(100.0)))
+      .withColumn("variance", when(col("__nv") > 1,
+        (col("__sq2").cast("double") / lit(10000.0)
+          - col("__nv") * (col("mu") * col("mu"))) / (col("__nv") - 1)))
+      .withColumn("sd", when(col("__nv") > 1,
+        sqrt(greatest(lit(0.0), col("variance")))))
+      .select(col("event_type"), col("sd"), col("variance"), col("time_corr"), col("n"))
   }
 
   val all: Seq[GraftQuery] = Seq(

@@ -457,7 +457,9 @@ object CurationOps {
   /** The t18 computation over any (doc_id, source, text) frame. */
   def sourceQualityNorm(docs: DataFrame, floor: Double = SourceQualityFloor): DataFrame = {
     val scored = docs.select(col("doc_id"), col("source"),
-      round(graft.functions.TextFunctions.qualityScore(col("text")), 2).as("quality"))
+      // raw score: a left-assoc sum of literals — identical IEEE
+      // sequence in both engines, so it is also a safe group/join key
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
     val ranks = QuantileKernel.cumulativeHistogram(scored, "source", "quality")
       .select(col("source"), col("quality"),
         ((col("cum") - col("cnt")).cast("double") / col("n").cast("double"))

@@ -87,7 +87,7 @@ object SimilarityOps {
        |          ORDER BY list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) DESC,
        |                   n.vec_id) AS rank
        |      FROM q JOIN n ON n.vec_id <> q.query_id)
-       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+       |SELECT query_id, neighbor_id, rank, cos AS cos_sim
        |FROM s WHERE rank <= $K""".stripMargin) { (spark, sf) =>
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -102,7 +102,7 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank").cast("long").as("rank"), round(col("cos_sim"), 4).as("cos_sim"))
+        col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
   /** LSH-bucketed approximate top-k for every vector. The plane count
@@ -121,7 +121,7 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("vec_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank"), round(col("cos_sim"), 4).as("cos_sim"))
+        col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
   // ------------------------------------------------------------------- IVF
@@ -229,7 +229,7 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id").as("vec_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank"), round(col("cos_sim"), 4).as("cos_sim"))
+        col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
   /** The deterministic codebook makes IVF fully oracle-able: DuckDB
@@ -277,7 +277,7 @@ object SimilarityOps {
       |         row_number() OVER (PARTITION BY query_id
       |                            ORDER BY cos DESC, neighbor_id) AS rank
       |  FROM cand)
-      |SELECT vec_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+      |SELECT vec_id, neighbor_id, rank, cos AS cos_sim
       |FROM ranked WHERE rank <= 3""".stripMargin) { (spark, sf) =>
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -319,7 +319,7 @@ object SimilarityOps {
        |          ORDER BY list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) DESC,
        |                   n.vec_id) AS rank
        |      FROM q JOIN n ON n.vec_id <> q.query_id AND n.label = q.qlabel)
-       |SELECT query_id, neighbor_id, label, rank, round(cos, 4) AS cos_sim
+       |SELECT query_id, neighbor_id, label, rank, cos AS cos_sim
        |FROM s WHERE rank <= $K""".stripMargin) { (spark, sf) =>
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
@@ -336,7 +336,7 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
-        col("rank").cast("long").as("rank"), round(col("cos_sim"), 4).as("cos_sim"))
+        col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
   // -------------------------------------------------------------- PQ/ADC
@@ -454,7 +454,7 @@ object SimilarityOps {
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $QueryVecs)
        |SELECT q.query_id, n.vec_id AS neighbor_id,
-       |       round(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm), 4) AS cos_sim
+       |       list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS cos_sim
        |FROM q JOIN n ON n.vec_id <> q.query_id
        |WHERE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) >= $RangeTau""".stripMargin) {
     (spark, sf) =>
@@ -468,7 +468,7 @@ object SimilarityOps {
         .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
         .filter(col("cos_sim") >= RangeTau)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(col("cos_sim"), 4).as("cos_sim"))
+          col("cos_sim"))
   }
 
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,

@@ -68,11 +68,13 @@ object TextOps {
        |         / len(string_split(text, ' ')) AS stop_ratio
        |FROM documents""".stripMargin
 
-  /** The t02 composite score over [[qualityStatsSql]]'s columns. */
+  /** The t02 composite score over [[qualityStatsSql]]'s columns —
+    * a left-assoc sum of literal constants, the identical IEEE
+    * sequence in both engines, so it ships RAW (r7 audit). */
   private[operators] val qualityExprSql: String =
-    """round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+    """(CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
       |    + (CASE WHEN avg_len >= 3.0 AND avg_len <= 10.0 THEN 0.3 ELSE 0.0 END)
-      |    + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.5 THEN 0.3 ELSE 0.0 END), 2)""".stripMargin
+      |    + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.5 THEN 0.3 ELSE 0.0 END)""".stripMargin
 
   /** Quality scoring: length / token-shape / stopword-ratio rules. */
   val qualityQ: GraftQuery = GraftQuery(
@@ -90,7 +92,7 @@ object TextOps {
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
       floor(avgTokenLength(col("text")) * 10000).cast("long").as("avg_len_e4"),
-      round(qualityScore(col("text")), 2).as("quality"))
+      qualityScore(col("text")).as("quality"))
   }
 
   /** Token counting: whitespace tokens, distinct tokens, regex words,

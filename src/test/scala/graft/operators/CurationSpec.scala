@@ -61,7 +61,7 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
     assert(out(1L) == ((5L, 4L, Some(0.8))))
-    assert(out(2L) == ((6L, 4L, Some(0.6667))))
+    assert(out(2L) == ((6L, 4L, Some(4.0 / 6.0))))
     assert(out(3L) == ((4L, 3L, Some(0.75))))
     assert(out(4L) == ((6L, 0L, Some(0.0))))
     assert(out(5L) == ((2L, 0L, Some(0.0))))

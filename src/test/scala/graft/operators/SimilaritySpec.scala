@@ -166,7 +166,7 @@ class SimilaritySpec extends SparkSpec {
     val expected = n.crossJoin(q).filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", hofDot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .filter(col("cos") >= SimilarityOps.RangeTau)
-      .select(col("qid"), col("vec_id"), round(col("cos"), 4))
+      .select(col("qid"), col("vec_id"), col("cos"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val got = SimilarityOps.rangeSearchQ.run(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
