@@ -47,6 +47,14 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // engine-environment record (kept OUT of oracle_sql.json so a
+    // comparator iterating its keys never sees a non-query entry);
+    // check_oracle.py appends the DuckDB side. Makes any future
+    // driver-vs-local gate split diagnosable in one read.
+    Files.writeString(Paths.get(s"$outDir/oracle_env.json"),
+      s"""{"spark_version": ${q(spark.version)}, """ +
+        s""""scala_version": ${q(scala.util.Properties.versionNumberString)}, """ +
+        s""""java_version": ${q(System.getProperty("java.version", "?"))}}""")
     spark.stop()
   }
 }

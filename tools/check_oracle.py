@@ -7,6 +7,7 @@ tables and compares (columns sorted by name, rows sorted, values
 hashed). Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
+import os
 import sys
 import glob
 
@@ -23,11 +24,60 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _cell(v):
+    """JSON-safe cell with bit-exact doubles (hex beside repr)."""
+    if isinstance(v, float):
+        return [repr(v), float.hex(v)]
+    try:
+        if v is None or pd.isna(v):
+            return None
+    except (TypeError, ValueError):  # array-valued cell
+        pass
+    return str(v)
+
+
+def forensic(out_dir, name, kind, got_c, exp_c, mism_cells, limit=200):
+    """On any divergence, dump both engines' canonical frames with
+    bit-exact doubles so the differing CELL is readable from the gate
+    artifacts alone (two rounds of driver-red/judge-green on q35 had
+    no way to see WHICH cell differed — this closes that gap)."""
+    art = {
+        "query": name,
+        "kind": kind,  # columns | rows | cells
+        "duckdb_version": duckdb.__version__,
+        "pandas_version": pd.__version__,
+        "spark_columns": list(got_c.columns),
+        "oracle_columns": list(exp_c.columns),
+        "spark_rows": len(got_c),
+        "oracle_rows": len(exp_c),
+        "mismatched_cells": mism_cells[:50],
+        "spark_canonical": [[_cell(v) for v in row]
+                            for row in got_c.head(limit).itertuples(index=False)],
+        "oracle_canonical": [[_cell(v) for v in row]
+                             for row in exp_c.head(limit).itertuples(index=False)],
+        "truncated_to": limit,
+    }
+    path = os.path.join(out_dir, f"{name}.forensic.json")
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1, default=str)
+    print(f"     forensic dump -> {path}")
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # append the oracle side to the engine-environment record Verify wrote
+    env_path = f"{out_dir}/oracle_env.json"
+    try:
+        env = json.load(open(env_path)) if os.path.exists(env_path) else {}
+        env["duckdb_version"] = duckdb.__version__
+        env["pandas_version"] = pd.__version__
+        json.dump(env, open(env_path, "w"), indent=1)
+        print("env: " + ", ".join(f"{k}={v}" for k, v in sorted(env.items())))
+    except Exception as e:
+        print(f"env record skipped: {e}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
     for name in sorted(oracle):
@@ -46,14 +96,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         got_c, exp_c = canon(got), canon(exp)
         if list(got_c.columns) != list(exp_c.columns):
             print(f"FAIL {name}: columns {list(got_c.columns)} vs {list(exp_c.columns)}")
+            forensic(out_dir, name, "columns", got_c, exp_c, [])
             n_bad += 1
             continue
         if len(got_c) != len(exp_c):
             print(f"FAIL {name}: rows {len(got_c)} vs {len(exp_c)}")
+            forensic(out_dir, name, "rows", got_c, exp_c, [])
             n_bad += 1
             continue
         # value compare, exact (mimics hash equality)
         mism = []
+        mism_cells = []
         for c in got_c.columns:
             a, b = got_c[c], exp_c[c]
             try:
@@ -64,8 +117,13 @@ def main(sf_dir: str, out_dir: str) -> int:
                 i = int((~eq).idxmax())
                 mism.append(f"{c}[row {i}]: {a[i]!r} != {b[i]!r} "
                             f"({int((~eq).sum())} cells)")
+                for j in (~eq)[~eq].index[:20]:
+                    mism_cells.append({
+                        "col": c, "row": int(j),
+                        "spark": _cell(a[j]), "oracle": _cell(b[j])})
         if mism:
             print(f"FAIL {name}: " + "; ".join(mism[:3]))
+            forensic(out_dir, name, "cells", got_c, exp_c, mism_cells)
             n_bad += 1
         else:
             print(f"OK   {name} ({len(got_c)} rows)")
