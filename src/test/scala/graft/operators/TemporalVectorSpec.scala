@@ -353,4 +353,76 @@ class TemporalVectorSpec extends SparkSpec {
         r.getDouble(2) == h.toDouble / VectorOps.RecallK
     })
   }
+
+  /** Daily-count fixture for q39: `counts(d)` events of one type on
+    * day d (epoch day d, one event per microsecond from midnight). */
+  private def dailyEvents(eventType: String, counts: Seq[(Int, Int)]): DataFrame =
+    events(counts.flatMap { case (day, k) =>
+      (0 until k).map { i =>
+        (day * 1000L + i, 1L, eventType, day * 86400000000L + i * 1000L)
+      }
+    }: _*)
+
+  test("q39 anomaly: z exact from integer moments; m<2 and zero variance gate to NULL") {
+    // type a: baseline 1,3,2 then a spike of 10
+    //   day4: m=3, S1=6, S2=14 -> z = (3*10-6)/sqrt(3*14-36) = 24/sqrt(6)
+    //   day3: m=2, S1=4, S2=10 -> z = (2*2-4)/sqrt(20-16) = 0
+    val a = TemporalOps.dailyAnomaly(
+      dailyEvents("a", Seq(1 -> 1, 2 -> 3, 3 -> 2, 4 -> 10)))
+      .collect().map(r => r.getString(1) -> ((r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5)))).toMap
+    assert(a("1970-01-02") == ((0L, None, false)))        // m=0: no baseline
+    assert(a("1970-01-03") == ((1L, None, false)))        // m=1: gated
+    assert(a("1970-01-04") == ((2L, Some(0.0), false)))
+    assert(a("1970-01-05") == ((3L, Some(24.0 / math.sqrt(6.0)), true)))
+
+    // type b: constant baseline -> m*S2 == S1^2 (zero variance) -> NULL
+    // even for a 10x spike; decide-before-divide, never Inf/NaN
+    val b = TemporalOps.dailyAnomaly(
+      dailyEvents("b", Seq(1 -> 5, 2 -> 5, 3 -> 5, 4 -> 50)))
+      .collect().map(r => r.getString(1) -> ((
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5)))).toMap
+    assert(b("1970-01-04") == ((None, false)))
+    assert(b("1970-01-05") == ((None, false)))
+  }
+
+  test("q39 anomaly: the +-3 sigma boundary is inclusive on both sides") {
+    // baseline {4,6}: m=2, S1=10, sqrt(m*S2-S1^2) = sqrt(4) = 2 exactly,
+    // so z = (2n-10)/2 = n-5 with NO float error at the boundary
+    def zOf(spike: Int): (Option[Double], Boolean) = {
+      val r = TemporalOps.dailyAnomaly(
+        dailyEvents("c", Seq(1 -> 4, 2 -> 6, 3 -> spike)))
+        .collect().find(_.getString(1) == "1970-01-04").get
+      (if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5))
+    }
+    assert(zOf(8) == ((Some(3.0), true)))   // exactly +3 sigma -> anomaly
+    assert(zOf(7) == ((Some(2.0), false)))  // just under
+    assert(zOf(2) == ((Some(-3.0), true)))  // exactly -3 sigma -> anomaly
+  }
+
+  test("q40 lift: hand-computed baskets, absent pair emits no row, duplicates collapse") {
+    val day = 86400000000L
+    val rows = Seq(
+      // basket (u1, d1): {a, b} — with a duplicate 'a' event that must
+      // collapse into the basket, not inflate n_ab
+      (1L, 1L, "a", day + 1000L), (2L, 1L, "a", day + 2000L),
+      (3L, 1L, "b", day + 3000L),
+      // basket (u2, d1): {a, b, c}
+      (4L, 2L, "a", day + 1000L), (5L, 2L, "b", day + 2000L),
+      (6L, 2L, "c", day + 3000L),
+      // basket (u3, d1): {a}
+      (7L, 3L, "a", day + 1000L),
+      // basket (u3, d2): {d} — 'd' co-occurs with nothing
+      (8L, 3L, "d", 2 * day + 1000L))
+    val out = TemporalOps.cooccurrenceLift(events(rows: _*))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    // n_baskets=4; singles a=3, b=2, c=1, d=1
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b")) == ((2L, 3L, 2L, 4L, 8.0 / 6.0)))
+    assert(out(("a", "c")) == ((1L, 3L, 1L, 4L, 4.0 / 3.0)))
+    assert(out(("b", "c")) == ((1L, 2L, 1L, 4L, 2.0)))
+  }
 }
