@@ -254,22 +254,32 @@ object ChartRegistry {
     ChartQueries.positivityPeriod(processed(spark, sf), "date")
   }
 
-  /** A9: boxplot statistics per topic (charts.py:173-199). */
+  /** A9: boxplot statistics per topic (charts.py:173-199). The oracle
+    * pins the ⌈p·n⌉ rank selection in SQL text (cumulative histogram,
+    * the q35 device) instead of `quantile_disc`, whose element
+    * convention is DuckDB-version-sensitive; all-NULL-rate groups
+    * emit NULL-stat rows via the LEFT JOIN, matching GROUP BY. */
   val positivityBoxplotQ: GraftQuery = GraftQuery(
     "c10_positivity_boxplot",
     withProcessed(
-      """, b AS (SELECT topic,
-        |          quantile_disc(positivity_rate, 0.25) AS q1,
-        |          quantile_disc(positivity_rate, 0.50) AS median,
-        |          quantile_disc(positivity_rate, 0.75) AS q3,
-        |          min(positivity_rate) AS lo,
-        |          max(positivity_rate) AS hi
-        |        FROM processed GROUP BY topic)
-        |SELECT topic, q1, median, q3, lo, hi,
+      """, h AS (SELECT topic, positivity_rate AS v, count(*) AS cnt
+        |        FROM processed WHERE positivity_rate IS NOT NULL GROUP BY 1, 2),
+        |ch AS (SELECT topic, v,
+        |         sum(cnt) OVER (PARTITION BY topic ORDER BY v) AS cum,
+        |         sum(cnt) OVER (PARTITION BY topic) AS n
+        |       FROM h),
+        |b AS (SELECT topic,
+        |        min(CASE WHEN cum >= greatest(ceil(0.25 * n), 1) THEN v END) AS q1,
+        |        min(CASE WHEN cum >= greatest(ceil(0.5 * n), 1) THEN v END) AS median,
+        |        min(CASE WHEN cum >= greatest(ceil(0.75 * n), 1) THEN v END) AS q3,
+        |        min(v) AS lo, max(v) AS hi
+        |      FROM ch GROUP BY 1)
+        |SELECT k.topic, q1, median, q3, lo, hi,
         |       q3 - q1 AS iqr,
         |       greatest(lo, q1 - 1.5 * (q3 - q1)) AS whisker_lo,
         |       least(hi, q3 + 1.5 * (q3 - q1)) AS whisker_hi
-        |FROM b""".stripMargin)) { (spark, sf) =>
+        |FROM (SELECT DISTINCT topic FROM processed) k LEFT JOIN b USING (topic)""".stripMargin)) {
+    (spark, sf) =>
     ChartQueries.positivityBoxplot(processed(spark, sf))
   }
 
@@ -324,22 +334,29 @@ object ChartRegistry {
   }
 
   /** A9 boxplot per (topic, day) — the Day level of c10 via the
-    * existing byLevel parameter (charts.py:173-199). */
+    * existing byLevel parameter (charts.py:173-199); same rank-pinned
+    * oracle + NULL-group LEFT JOIN as c10. */
   val positivityBoxplotDayQ: GraftQuery = GraftQuery(
     "c15_boxplot_day",
     withProcessed(
-      """, b AS (SELECT topic, "date",
-        |          quantile_disc(positivity_rate, 0.25) AS q1,
-        |          quantile_disc(positivity_rate, 0.50) AS median,
-        |          quantile_disc(positivity_rate, 0.75) AS q3,
-        |          min(positivity_rate) AS lo,
-        |          max(positivity_rate) AS hi
-        |        FROM processed GROUP BY topic, "date")
-        |SELECT topic, "date", q1, median, q3, lo, hi,
+      """, h AS (SELECT topic, "date", positivity_rate AS v, count(*) AS cnt
+        |        FROM processed WHERE positivity_rate IS NOT NULL GROUP BY 1, 2, 3),
+        |ch AS (SELECT topic, "date", v,
+        |         sum(cnt) OVER (PARTITION BY topic, "date" ORDER BY v) AS cum,
+        |         sum(cnt) OVER (PARTITION BY topic, "date") AS n
+        |       FROM h),
+        |b AS (SELECT topic, "date",
+        |        min(CASE WHEN cum >= greatest(ceil(0.25 * n), 1) THEN v END) AS q1,
+        |        min(CASE WHEN cum >= greatest(ceil(0.5 * n), 1) THEN v END) AS median,
+        |        min(CASE WHEN cum >= greatest(ceil(0.75 * n), 1) THEN v END) AS q3,
+        |        min(v) AS lo, max(v) AS hi
+        |      FROM ch GROUP BY 1, 2)
+        |SELECT k.topic, k."date", q1, median, q3, lo, hi,
         |       q3 - q1 AS iqr,
         |       greatest(lo, q1 - 1.5 * (q3 - q1)) AS whisker_lo,
         |       least(hi, q3 + 1.5 * (q3 - q1)) AS whisker_hi
-        |FROM b""".stripMargin)) { (spark, sf) =>
+        |FROM (SELECT DISTINCT topic, "date" FROM processed) k
+        |LEFT JOIN b USING (topic, "date")""".stripMargin)) { (spark, sf) =>
     ChartQueries.positivityBoxplot(processed(spark, sf), byLevel = Some("date"))
   }
 

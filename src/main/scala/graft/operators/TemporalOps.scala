@@ -356,10 +356,26 @@ object TemporalOps {
     * shared strict-> comparison. */
   val decileBucketsQ: GraftQuery = GraftQuery(
     "q33_decile_buckets",
-    """WITH b AS (
+    """WITH h AS (
+      |  SELECT event_type, value, count(*) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |ch AS (
+      |  SELECT event_type, value,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |b AS (
       |  SELECT event_type,
-      |         quantile_disc(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
-      |  FROM events GROUP BY event_type)
+      |         [min(CASE WHEN cum >= greatest(ceil(0.1 * n), 1) THEN value END),
+      |          min(CASE WHEN cum >= greatest(ceil(0.2 * n), 1) THEN value END),
+      |          min(CASE WHEN cum >= greatest(ceil(0.3 * n), 1) THEN value END),
+      |          min(CASE WHEN cum >= greatest(ceil(0.4 * n), 1) THEN value END),
+      |          min(CASE WHEN cum >= greatest(ceil(0.5 * n), 1) THEN value END),
+      |          min(CASE WHEN cum >= greatest(ceil(0.6 * n), 1) THEN value END),
+      |          min(CASE WHEN cum >= greatest(ceil(0.7 * n), 1) THEN value END),
+      |          min(CASE WHEN cum >= greatest(ceil(0.8 * n), 1) THEN value END),
+      |          min(CASE WHEN cum >= greatest(ceil(0.9 * n), 1) THEN value END)] AS bs
+      |  FROM ch GROUP BY event_type)
       |SELECT e.event_id, e.event_type, e.value,
       |       CASE WHEN e.value IS NULL OR bs IS NULL THEN NULL
       |            ELSE CAST(1 + len(list_filter(bs, x -> e.value > x)) AS BIGINT)

@@ -327,8 +327,12 @@ object TextOps {
       |s AS (SELECT tok.doc_id, ln(CAST(f.c AS DOUBLE) / t.t) AS lp
       |      FROM tok JOIN f USING (token) CROSS JOIN tot t),
       |n AS (SELECT doc_id, round(-avg(lp), 4) AS nll FROM s GROUP BY doc_id),
-      |b AS (SELECT quantile_disc(nll, 0.1) AS lo, quantile_disc(nll, 0.9) AS hi
-      |      FROM n)
+      |qh AS (SELECT nll, count(*) AS cnt FROM n GROUP BY nll),
+      |qch AS (SELECT nll, sum(cnt) OVER (ORDER BY nll) AS cum,
+      |          sum(cnt) OVER () AS nr FROM qh),
+      |b AS (SELECT min(CASE WHEN cum >= greatest(ceil(0.1 * nr), 1) THEN nll END) AS lo,
+      |        min(CASE WHEN cum >= greatest(ceil(0.9 * nr), 1) THEN nll END) AS hi
+      |      FROM qch)
       |SELECT doc_id, nll,
       |       CASE WHEN nll < lo THEN 'boilerplate'
       |            WHEN nll > hi THEN 'noise'

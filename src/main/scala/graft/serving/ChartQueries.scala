@@ -181,9 +181,15 @@ object ChartQueries {
     * a deliberate divergence for engine parity, visually identical at
     * chart precision. NULL rates are excluded before ranking, matching
     * quantile_disc's non-null multiset (Spark would otherwise rank
-    * NULLs first and shift every ⌈p·n⌉ position). */
+    * NULLs first and shift every ⌈p·n⌉ position); the quartile table
+    * is then LEFT-JOINED back onto the distinct group keys, so a
+    * group whose rates are ALL NULL still emits its row with NULL
+    * stats — exactly what a SQL GROUP BY produces (r6 ADVICE: the
+    * filter alone would silently drop such a group while the oracle
+    * kept it). */
   def positivityBoxplot(processed: DataFrame, byLevel: Option[String] = None): DataFrame = {
-    val keys = Seq(col("topic")) ++ byLevel.map(col)
+    val keyNames = Seq("topic") ++ byLevel
+    val keys = keyNames.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col("positivity_rate"))
     val ranked = processed
       .filter(col("positivity_rate").isNotNull)
@@ -198,7 +204,8 @@ object ChartQueries {
         disc(0.25).as("q1"), disc(0.5).as("median"), disc(0.75).as("q3"),
         min(col("positivity_rate")).as("lo"),
         max(col("positivity_rate")).as("hi"))
-    base
+    processed.select(keys: _*).distinct()
+      .join(base, keyNames, "left")
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("whisker_lo", greatest(col("lo"), col("q1") - lit(1.5) * col("iqr")))
       .withColumn("whisker_hi", least(col("hi"), col("q3") + lit(1.5) * col("iqr")))

@@ -80,11 +80,15 @@ object Compaction {
     * group jobs to settle (no orphan writer racing the caller's
     * cleanup), then rethrows the first error with the rest suppressed;
     * `outDir` may hold partial `part_g` dirs and must be discarded. A
-    * hung job fails the call at `timeout`: every group job runs under
-    * a shared Spark job group that is CANCELLED before the timeout
-    * rethrow, so no orphan writer keeps racing the caller's cleanup
-    * (cancellation is Spark-side; the already-written partial files
-    * are the caller's discard, same as the failure path). */
+    * hung job fails the call at `timeout`, and the no-orphan-writer
+    * guarantee is upheld on BOTH queues: a cancelled flag is set
+    * before the Spark-side job-group cancel, so group jobs still
+    * queued on the ExecutionContext bail at entry instead of starting
+    * a write after the rethrow, and the call then awaits the settled
+    * sequence (bounded grace) so no already-running job is still
+    * tearing down while the caller discards outDir. The
+    * already-written partial files are the caller's discard, same as
+    * the failure path. */
   def compact(spark: SparkSession, assignments: Seq[Assignment],
       outDir: String,
       timeout: scala.concurrent.duration.Duration =
@@ -93,8 +97,15 @@ object Compaction {
     import scala.util.{Failure, Success}
     implicit val ec: ExecutionContext = ExecutionContext.global
     val jobGroup = s"graft-compact-$outDir"
+    // set BEFORE cancelJobGroup on timeout: a group job still queued on
+    // the ExecutionContext at cancel time has no Spark job to cancel
+    // yet — without this check it would start (and write into outDir)
+    // after the TimeoutException was already rethrown
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     val jobs = assignments.groupBy(_.group).toSeq.sortBy(_._1).map {
       case (g, members) => Future {
+        if (cancelled.get)
+          throw new TimeoutException(s"compaction cancelled before group $g started")
         // job-group membership is thread-local: set it on the future's
         // thread so a timeout can cancel all in-flight group rewrites
         spark.sparkContext.setJobGroup(jobGroup,
@@ -108,10 +119,17 @@ object Compaction {
         } finally spark.sparkContext.clearJobGroup()
       }
     }
+    val settledF = Future.sequence(jobs.map(_.transform(Success(_))))
     val settled =
-      try Await.result(Future.sequence(jobs.map(_.transform(Success(_)))), timeout)
+      try Await.result(settledF, timeout)
       catch { case e: TimeoutException =>
+        cancelled.set(true)
         spark.sparkContext.cancelJobGroup(jobGroup)
+        // wait (bounded) for every job to SETTLE — cancelled jobs may
+        // still be tearing down, and rethrowing while a writer is live
+        // would race the caller's outDir cleanup
+        try Await.ready(settledF, scala.concurrent.duration.Duration(30, "seconds"))
+        catch { case _: TimeoutException => () }
         throw e
       }
     val failures = settled.collect { case Failure(e) => e }

@@ -45,4 +45,19 @@ class ChartRegistrySpec extends SparkSpec {
     }
     assert(graft.serving.ChartQueries.latestInputs(processed).count() <= 25)
   }
+
+  test("boxplot emits a NULL-stat row for a group whose rates are all NULL") {
+    import spark.implicits._
+    val fixture = Seq(
+      ("t1", Some(0.2)), ("t1", Some(0.4)), ("t1", Some(0.6)),
+      ("t2", None), ("t2", None)) // all-NULL group must keep its row
+      .toDF("topic", "positivity_rate")
+    val out = graft.serving.ChartQueries.positivityBoxplot(fixture)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("t1", "t2"))
+    val t1 = out("t1") // ranks ceil(p*3): q1=1st, median=2nd, q3=3rd
+    assert(t1.getDouble(1) == 0.2 && t1.getDouble(2) == 0.4 && t1.getDouble(3) == 0.6)
+    val t2 = out("t2")
+    assert((1 to 8).forall(t2.isNullAt), "all stats NULL, row retained")
+  }
 }
