@@ -512,13 +512,31 @@ object CoreQueries {
 
   /** HLL approximate distinct (north-star): sketch-based, single pass,
     * O(1) state per group — the 100 TB path where exact distinct would
-    * shuffle every key. Sketch internals differ per engine, so the
-    * correctness check is the ScalaTest relative-error bound, not an
-    * oracle. */
-  val approxDistinct: GraftQuery = GraftQuery.noOracle("q22_approx_distinct") { (spark, sf) =>
+    * shuffle every key. Sketch INTERNALS differ per engine, so the
+    * approx value itself can never hash-match; instead (r7, verdict
+    * item 6) the row emits the sketch's CONTRACT as data: the engine
+    * checks |approx − exact| ≤ 3·rsd·exact against its own exact
+    * count and emits the verdict boolean, while the oracle emits the
+    * exact count and a literal `true` — the driver's hash then goes
+    * green iff the sketch actually met its error bound. (The exact
+    * count rides the same single aggregation pass here; at 100 TB the
+    * sketch runs alone and this row is the audit.) */
+  val approxDistinct: GraftQuery = GraftQuery(
+    "q22_approx_distinct",
+    """SELECT event_type,
+      |       count(DISTINCT user_id) AS n_users_exact,
+      |       CAST(0.02 AS DOUBLE) AS rsd,
+      |       true AS within_bound
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
     Tables.events(spark, sf)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("__approx"),
+        countDistinct(col("user_id")).as("n_users_exact"))
+      .select(col("event_type"), col("n_users_exact"),
+        lit(0.02).as("rsd"),
+        (abs(col("__approx") - col("n_users_exact")).cast("double")
+          <= lit(3 * 0.02) * col("n_users_exact")).as("within_bound"))
   }
 
   /** Event-time session windows per user (10-minute inactivity gap) via
@@ -571,17 +589,48 @@ object CoreQueries {
     * group and mergeable partials, vs exact percentile's
     * collect-all-values-per-group — at 100 TB the exact operator
     * (q09) is the oracle-parity baseline and THIS is the tool.
-    * Sketch internals are engine-specific (no oracle); ScalaTest
-    * bounds it against exact q09 like q22 vs q21. */
-  val approxQuantiles: GraftQuery = GraftQuery.noOracle("q24_approx_quantiles") { (spark, sf) =>
-    Tables.events(spark, sf)
-      .groupBy(col("event_type"))
+    *
+    * Sketch internals are engine-specific, so (r7, verdict item 6)
+    * the row emits the GK CONTRACT as data: with rank error
+    * ε = 1/accuracy, each approx quartile must lie between the exact
+    * order statistics at ranks ⌊(p−ε)n⌋−1 and ⌈(p+ε)n⌉+1 (one rank
+    * of slack each side, clamped to [1, n]; windows from the same
+    * exact histogram kernel q09 uses). The engine emits the three
+    * verdict booleans + exact min/max; the oracle emits exact min/max
+    * and literal `true`s — hash-green iff the sketch held its bound.
+    * An all-NULL group vacuously passes (decide-before-compare). */
+  val approxQuantiles: GraftQuery = GraftQuery(
+    "q24_approx_quantiles",
+    """SELECT event_type,
+      |       min(value) AS lo, max(value) AS hi,
+      |       true AS q1_within, true AS median_within, true AS q3_within
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    val eps = 1.0 / 10000
+    val ev = Tables.events(spark, sf)
+    val ap = ev.groupBy(col("event_type"))
       .agg(
-        round(expr("percentile_approx(value, 0.25, 10000)"), 2).as("q1"),
-        round(expr("percentile_approx(value, 0.50, 10000)"), 2).as("median"),
-        round(expr("percentile_approx(value, 0.75, 10000)"), 2).as("q3"),
-        round(min(col("value")), 2).as("lo"),
-        round(max(col("value")), 2).as("hi"))
+        expr("percentile_approx(value, array(0.25, 0.5, 0.75), 10000)").as("__ap"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(col("value")).as("__nv"))
+    val hist = QuantileKernel.cumulativeHistogram(ev, "event_type", "value")
+    def rankLo(p: Double) =
+      min(when(col("cum") >= greatest(
+        floor((lit(p) - eps) * col("n")) - 1, lit(1L)), col("value")))
+    def rankHi(p: Double) =
+      min(when(col("cum") >= least(
+        ceil((lit(p) + eps) * col("n")) + 1, col("n")), col("value")))
+    val windows = hist.groupBy(col("event_type")).agg(
+      rankLo(0.25).as("__b1l"), rankHi(0.25).as("__b1h"),
+      rankLo(0.50).as("__b2l"), rankHi(0.50).as("__b2h"),
+      rankLo(0.75).as("__b3l"), rankHi(0.75).as("__b3h"))
+    def within(i: Int, loC: String, hiC: String) =
+      when(col("__nv") === 0, lit(true))
+        .otherwise(element_at(col("__ap"), i).between(col(loC), col(hiC)))
+    ap.join(broadcast(windows), Seq("event_type"), "left")
+      .select(col("event_type"), col("lo"), col("hi"),
+        within(1, "__b1l", "__b1h").as("q1_within"),
+        within(2, "__b2l", "__b2h").as("median_within"),
+        within(3, "__b3l", "__b3h").as("q3_within"))
   }
 
   /** Arbitrary aggregation-lattice subset via GROUPING SETS — the

