@@ -887,26 +887,29 @@ object DedupOps {
         .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
-  def coverageReport(docs: DataFrame, emb: DataFrame): DataFrame = {
-    def guardAgg(buckets: DataFrame, cap: Int, prefix: String,
-        extra: Seq[Column] = Nil): DataFrame = {
-      val hot = col("bn") > cap
-      // coalesce: sum over an EMPTY bucket relation (degenerate corpus
-      // with no banded rows) is NULL; the report's contract is exact
-      // integers, and conservation must read 0 = 0, not NULL
-      val aggs = Seq(
-        coalesce(sum(when(hot, 1L).otherwise(0L)), lit(0L))
-          .as(s"${prefix}_hot_buckets"),
-        coalesce(sum(when(hot, col("bn")).otherwise(0L)), lit(0L))
-          .as(s"${prefix}_rows_dropped"),
-        coalesce(sum(when(!hot, col("bn")).otherwise(0L)), lit(0L))
-          .as(s"${prefix}_rows_kept")
-      ) ++ extra
-      buckets.agg(aggs.head, aggs.tail: _*)
-    }
-    def sizes(banded: DataFrame, keys: Seq[String]): DataFrame =
-      banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
+  /** The funnel aggregation shared by d11 and d11p: hot buckets, rows
+    * dropped by the cap, rows kept (+ caller extras). */
+  private def guardAgg(buckets: DataFrame, cap: Int, prefix: String,
+      extra: Seq[Column] = Nil): DataFrame = {
+    val hot = col("bn") > cap
+    // coalesce: sum over an EMPTY bucket relation (degenerate corpus
+    // with no banded rows) is NULL; the report's contract is exact
+    // integers, and conservation must read 0 = 0, not NULL
+    val aggs = Seq(
+      coalesce(sum(when(hot, 1L).otherwise(0L)), lit(0L))
+        .as(s"${prefix}_hot_buckets"),
+      coalesce(sum(when(hot, col("bn")).otherwise(0L)), lit(0L))
+        .as(s"${prefix}_rows_dropped"),
+      coalesce(sum(when(!hot, col("bn")).otherwise(0L)), lit(0L))
+        .as(s"${prefix}_rows_kept")
+    ) ++ extra
+    buckets.agg(aggs.head, aggs.tail: _*)
+  }
 
+  private def sizes(banded: DataFrame, keys: Seq[String]): DataFrame =
+    banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
+
+  def coverageReport(docs: DataFrame, emb: DataFrame): DataFrame = {
     val mh = guardAgg(
       sizes(bandKeys(minhashSignatures(docs)), Seq("band", "band_key")),
       MaxBandBucket, "minhash",
@@ -940,6 +943,161 @@ object DedupOps {
     Seq(mh, mhPairs, sh, ann)
       .map(df => df.unpivot(Array.empty, "stage", "n"))
       .reduce(_.unionByName(_))
+  }
+
+  /** Audit-tier sign-LSH geometry for the PORTABLE coverage report:
+    * fixed table/plane counts (corpus-INdependent, unlike d11's
+    * adaptive [[graft.functions.VectorFunctions.planesForCorpus]]) so
+    * the plane constants can be embedded as literals in ONE oracle
+    * text that is valid at every scale factor. */
+  val PortableAnnTables = 2
+  val PortableAnnPlanes = 6
+
+  /** d11p — the coverage report with every candidate generator drawn
+    * from the PORTABLE families (d14's md5 min-lanes, d15's md5 bit
+    * pool, literal-plane sign-LSH), which makes the ENTIRE funnel —
+    * bucket histograms, cap drops, proposed/distinct/verified pair
+    * counts — reproducible in ANSI SQL and therefore hash-CHECKED by
+    * the driver's gate, not just spec-pinned (r7, verdict item 5).
+    * d11 (xxhash64 generators) remains the production hot path;
+    * d03/d06 are now the only hash-family-internal dedup rows. */
+  def portableCoverageReport(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val mh = guardAgg(
+      sizes(portableBandKeys(portableSignatures(docs)), Seq("band", "band_key")),
+      MaxBandBucket, "minhash",
+      extra = Seq(coalesce(sum(when(col("bn") <= MaxBandBucket,
+        expr("bn * (bn - 1) div 2")).otherwise(0L)), lit(0L))
+        .as("minhash_pairs_proposed")))
+    val mhPairs = jaccardVerify(docs, portableCandidatePairs(docs), 0.0, emitRaw = true)
+      .agg(
+        count(lit(1)).as("minhash_pairs_distinct"),
+        coalesce(sum(when(col("jac_raw") >= 0.6, 1L).otherwise(0L)), lit(0L))
+          .as("minhash_pairs_verified"))
+    val sh = guardAgg(
+      sizes(portableSimhashFingerprints(docs).select(
+        posexplode(array(pigeonholeBandVals(
+          simhashLaneCols(SimhashLanes), SimhashMaxHamming): _*))
+          .as(Seq("band", "band_val"))), Seq("band", "band_val")),
+      MaxSimhashBucket, "simhash")
+    val ann = guardAgg(
+      sizes(emb.select(
+        posexplode(lshBandBuckets(
+          col("v"), PortableAnnTables, PortableAnnPlanes, SimilarityOps.Dim))
+          .as(Seq("table", "bucket"))), Seq("table", "bucket")),
+      SimilarityOps.MaxBucket, "ann")
+    Seq(mh, mhPairs, sh, ann)
+      .map(df => df.unpivot(Array.empty, "stage", "n"))
+      .reduce(_.unionByName(_))
+  }
+
+  /** d11p oracle: the full funnel in DuckDB. MinHash lines replay
+    * d14's md5 band keys; the SimHash bucket histogram groups on BIT-
+    * SUBSTRING block keys (a bijection of the engine's integer block
+    * values — bucket sizes are partition-equal); the ann lines embed
+    * the [[graft.functions.VectorFunctions.hyperplanes]] constants as
+    * double literals (shortest-repr decimals round-trip to the exact
+    * same double), with the sign test over `list_dot_product` ≡ the
+    * engine's fold-left dot. */
+  private def portableCoverageSql: String = {
+    val nibs = (1 to 32)
+      .map(j => s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) AS n$j")
+      .mkString(", ")
+    val sums = (for { l <- 0 until SimhashLanes; w <- 0 until 64 } yield {
+      val j = l * 16 + w / 4 + 1
+      val b = w % 4
+      s"sum(CASE WHEN ((n$j >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s${l}_$w"
+    }).mkString(", ")
+    val bitChars = (for { l <- 0 until SimhashLanes; w <- 0 until 64 } yield
+      s"CASE WHEN s${l}_$w > 0 THEN '1' ELSE '0' END").mkString(", ")
+    val widths = pigeonholeWidths(64 * SimhashLanes, SimhashMaxHamming + 1)
+    val starts = widths.scanLeft(0)(_ + _)
+    val blockVals = widths.indices
+      .map(i => s"(${i}, ${starts(i) + 1}, ${widths(i)})").mkString(", ")
+    val annBuckets = (0 until PortableAnnTables).map { t =>
+      val planes = graft.functions.VectorFunctions
+        .hyperplanes(PortableAnnPlanes, SimilarityOps.Dim, 42L + 1000L * t)
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        val lits = p.map(_.toString).mkString(", ")
+        s"(CASE WHEN list_dot_product(v, [$lits]) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM ev"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+      |       FROM toks WHERE len(t) >= 3),
+      |mh AS (SELECT doc_id, p.i AS i, l.l AS l,
+      |         min(substr(md5(CAST(p.i AS VARCHAR) || ':' || shingle),
+      |                    l.l * 8 + 1, 8)) AS h
+      |       FROM sh CROSS JOIN (SELECT unnest(range(0, $Bands)) AS i) p
+      |            CROSS JOIN (SELECT unnest(range(0, $RowsPerBand)) AS l) l
+      |       GROUP BY doc_id, p.i, l.l),
+      |bd AS (SELECT doc_id, CAST(i AS INT) AS band,
+      |         string_agg(h, '|' ORDER BY l) AS band_key
+      |       FROM mh GROUP BY doc_id, i),
+      |bs AS (SELECT band, band_key, count(*) AS bn FROM bd GROUP BY band, band_key),
+      |mhf AS (SELECT
+      |    coalesce(sum(CASE WHEN bn > $MaxBandBucket THEN 1 ELSE 0 END), 0) AS hot,
+      |    coalesce(sum(CASE WHEN bn > $MaxBandBucket THEN bn ELSE 0 END), 0) AS dropped,
+      |    coalesce(sum(CASE WHEN bn <= $MaxBandBucket THEN bn ELSE 0 END), 0) AS kept,
+      |    coalesce(sum(CASE WHEN bn <= $MaxBandBucket THEN bn * (bn - 1) // 2 ELSE 0 END), 0) AS proposed
+      |  FROM bs),
+      |ok AS (SELECT band, band_key FROM bs WHERE bn <= $MaxBandBucket),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bd a JOIN ok USING (band, band_key)
+      |         JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+      |          AND a.doc_id < b.doc_id),
+      |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |pj AS (SELECT doc_a, doc_b, len(list_intersect(a.s, b.s)) AS inter,
+      |         len(a.s) AS la, len(b.s) AS lb
+      |       FROM cand JOIN ss a ON a.doc_id = cand.doc_a
+      |                 JOIN ss b ON b.doc_id = cand.doc_b),
+      |mhp AS (SELECT count(*) AS distinct_pairs,
+      |          coalesce(sum(CASE WHEN CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6
+      |                            THEN 1 ELSE 0 END), 0) AS verified
+      |        FROM pj),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |hx AS (SELECT doc_id, md5(token) AS h FROM tok),
+      |nib AS (SELECT doc_id, $nibs FROM hx),
+      |s2 AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
+      |f AS (SELECT doc_id, concat($bitChars) AS fp FROM s2),
+      |sbd AS (SELECT doc_id, u.b AS band, substr(fp, u.st, u.w) AS band_val
+      |        FROM f CROSS JOIN (VALUES $blockVals) u(b, st, w)),
+      |sbs AS (SELECT band, band_val, count(*) AS bn FROM sbd GROUP BY band, band_val),
+      |shf AS (SELECT
+      |    coalesce(sum(CASE WHEN bn > $MaxSimhashBucket THEN 1 ELSE 0 END), 0) AS hot,
+      |    coalesce(sum(CASE WHEN bn > $MaxSimhashBucket THEN bn ELSE 0 END), 0) AS dropped,
+      |    coalesce(sum(CASE WHEN bn <= $MaxSimhashBucket THEN bn ELSE 0 END), 0) AS kept
+      |  FROM sbs),
+      |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ab AS ($annBuckets),
+      |abz AS (SELECT tbl, bucket, count(*) AS bn FROM ab GROUP BY tbl, bucket),
+      |anf AS (SELECT
+      |    coalesce(sum(CASE WHEN bn > ${SimilarityOps.MaxBucket} THEN 1 ELSE 0 END), 0) AS hot,
+      |    coalesce(sum(CASE WHEN bn > ${SimilarityOps.MaxBucket} THEN bn ELSE 0 END), 0) AS dropped,
+      |    coalesce(sum(CASE WHEN bn <= ${SimilarityOps.MaxBucket} THEN bn ELSE 0 END), 0) AS kept
+      |  FROM abz)
+      |SELECT 'minhash_hot_buckets' AS stage, CAST(hot AS BIGINT) AS n FROM mhf
+      |UNION ALL SELECT 'minhash_rows_dropped', CAST(dropped AS BIGINT) FROM mhf
+      |UNION ALL SELECT 'minhash_rows_kept', CAST(kept AS BIGINT) FROM mhf
+      |UNION ALL SELECT 'minhash_pairs_proposed', CAST(proposed AS BIGINT) FROM mhf
+      |UNION ALL SELECT 'minhash_pairs_distinct', CAST(distinct_pairs AS BIGINT) FROM mhp
+      |UNION ALL SELECT 'minhash_pairs_verified', CAST(verified AS BIGINT) FROM mhp
+      |UNION ALL SELECT 'simhash_hot_buckets', CAST(hot AS BIGINT) FROM shf
+      |UNION ALL SELECT 'simhash_rows_dropped', CAST(dropped AS BIGINT) FROM shf
+      |UNION ALL SELECT 'simhash_rows_kept', CAST(kept AS BIGINT) FROM shf
+      |UNION ALL SELECT 'ann_hot_buckets', CAST(hot AS BIGINT) FROM anf
+      |UNION ALL SELECT 'ann_rows_dropped', CAST(dropped AS BIGINT) FROM anf
+      |UNION ALL SELECT 'ann_rows_kept', CAST(kept AS BIGINT) FROM anf""".stripMargin
+  }
+
+  val portableCoverageQ: GraftQuery = GraftQuery(
+    "d11p_coverage_portable", portableCoverageSql) { (spark, sf) =>
+    portableCoverageReport(Tables.documents(spark, sf),
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
   /** d12 — incremental dedup: the job a production pipeline actually
@@ -1495,7 +1653,7 @@ object DedupOps {
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
-    coverageQ, incrementalQ, segmentDedupQ, portableMinhashQ,
+    coverageQ, portableCoverageQ, incrementalQ, segmentDedupQ, portableMinhashQ,
     portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
     minhashCalibrationQ, sourceOverlapQ)
 }
