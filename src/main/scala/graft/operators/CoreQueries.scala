@@ -764,11 +764,65 @@ object CoreQueries {
       .select(col("event_type"), col("sd"), col("variance"), col("time_corr"), col("n"))
   }
 
+  /** q41 — shuffle-key skew audit: per event type, how concentrated
+    * the (user_id) key distribution is — row count, distinct keys,
+    * and the share of rows owned by the hottest key / hottest 10 keys.
+    * This is the report an operator reads BEFORE a 100 TB groupBy or
+    * join on the key, to decide whether it needs salting
+    * ([[graft.functions.Relational.saltedJoin]]) or can rely on AQE's
+    * skew split; every share is one IEEE division over exact longs.
+    *
+    * Scale shape: the key-count aggregation is map-side combined (a
+    * hot key arrives pre-reduced); the rank window then runs over the
+    * POST-AGGREGATE (type, key, count) table — distinct keys, not
+    * rows. At extreme key cardinality that window sort is the audit's
+    * real cost; the documented cheap path is TakeOrdered per type for
+    * the top-N lines (exact n_keys/top-shares in one pass is what the
+    * full window buys here). */
+  val keySkew: GraftQuery = GraftQuery(
+    "q41_key_skew",
+    """WITH kc AS (SELECT event_type, user_id, count(*) AS c
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, user_id, c,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY c DESC, user_id) AS rk
+      |      FROM kc)
+      |SELECT event_type,
+      |       CAST(sum(c) AS BIGINT) AS n_rows,
+      |       count(*) AS n_keys,
+      |       CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS max_key_rows,
+      |       CAST(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10_rows,
+      |       CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE) / sum(c) AS max_share,
+      |       CAST(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS top10_share
+      |FROM r GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    keySkewReport(Tables.events(spark, sf))
+  }
+
+  /** q41 over (event_type, user_id) rows. */
+  def keySkewReport(events: DataFrame): DataFrame = {
+    val kc = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("c").desc, col("user_id"))
+    kc.withColumn("rk", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(when(col("rk") === 1, col("c"))).as("max_key_rows"),
+        sum(when(col("rk") <= 10, col("c")).otherwise(0L)).as("top10_rows"))
+      .select(col("event_type"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"), col("top10_rows"),
+        (col("max_key_rows").cast("double") / col("n_rows")).as("max_share"),
+        (col("top10_rows").cast("double") / col("n_rows")).as("top10_share"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
     latestInputs, dedupFirst, jsonExtract, timeBuckets, stringKey,
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
     distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
-    valueHistogram, groupingSets, moments)
+    valueHistogram, groupingSets, moments, keySkew)
 }

@@ -469,7 +469,64 @@ object CurationOps {
         (col("q_rank") >= floor).as("keep"))
   }
 
+  /** Fraction of the corpus' TOKEN mass the sampled mixture may keep. */
+  val TokenBudgetFrac = 0.95
+
+  /** t21 — token-budget mixture sampling: the allocation policy that
+    * sizes a training mixture by TOKEN MASS, not document count
+    * (t14's axis): every source gets an equal share of a corpus-wide
+    * token budget (frac·total/ns tokens), sources under their share
+    * keep everything, sources over it are downsampled to fit. The
+    * keep rate is pure integer basis-point math — rate_bp =
+    * min(10000, (9500·total) // (ns·t_s)) — so both engines floor the
+    * same quotient bit-for-bit (the t14 device), and the keep
+    * decision is the salted-md5 bucket ('tb:' decorrelates from
+    * t08/t12/t14). The full decision report (kept and dropped alike)
+    * ships so the realized mixture is auditable downstream.
+    *
+    * Scale shape: per-source token totals are one map-combined
+    * aggregation broadcast back; the per-document pass is row-local.
+    * No corpus-wide shuffle. */
+  val tokenBudgetQ: GraftQuery = GraftQuery(
+    "t21_token_budget_sample",
+    s"""WITH base AS (SELECT doc_id, source,
+       |        CASE WHEN text IS NULL THEN CAST(0 AS BIGINT)
+       |             ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS n_tokens
+       |      FROM documents),
+       |ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s FROM base GROUP BY source),
+       |gt AS (SELECT CAST(sum(t_s) AS BIGINT) AS total, count(*) AS ns FROM ps),
+       |r AS (SELECT source, t_s,
+       |        least(10000, (${(TokenBudgetFrac * 10000).toLong} * total) // (ns * t_s)) AS rate_bp
+       |      FROM ps CROSS JOIN gt)
+       |SELECT b.doc_id, b.source, b.n_tokens, r.rate_bp,
+       |       CAST(${Md5Bucket.bucketSql("duckdb", "'tb:' || CAST(doc_id AS VARCHAR)", 10000)} AS BIGINT)
+       |         < r.rate_bp AS kept
+       |FROM base b JOIN r USING (source)""".stripMargin) { (spark, sf) =>
+    tokenBudgetSample(Tables.documents(spark, sf))
+  }
+
+  /** The t21 computation over any (doc_id, source, text) frame. */
+  def tokenBudgetSample(docs: DataFrame,
+      budgetFrac: Double = TokenBudgetFrac): DataFrame = {
+    val bp = (budgetFrac * 10000).toLong
+    val base = docs.select(col("doc_id"), col("source"),
+      when(col("text").isNull, lit(0L))
+        .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val perSource = base.groupBy(col("source")).agg(sum(col("n_tokens")).as("t_s"))
+    val rates = perSource.crossJoin(broadcast(
+        perSource.agg(sum(col("t_s")).as("total"), count(lit(1)).as("ns"))))
+      .select(col("source"),
+        least(lit(10000L), expr(s"($bp * total) div (ns * t_s)")).as("rate_bp"))
+    base
+      .withColumn("bucket",
+        expr(Md5Bucket.bucketSql("spark", "concat('tb:', CAST(doc_id AS STRING))", 10000))
+          .cast("long"))
+      .join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate_bp"),
+        (col("bucket") < col("rate_bp")).as("kept"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     repetitionQ, qualityFilterQ, piiRedactQ, stratifiedSampleQ, packQ,
-    sourceReweightQ, sourceQualityNormQ)
+    sourceReweightQ, sourceQualityNormQ, tokenBudgetQ)
 }

@@ -471,6 +471,54 @@ object SimilarityOps {
           col("cos_sim"))
   }
 
+  /** s08 — contrastive hard-negative mining: for each query vector,
+    * the top-k most-similar neighbors whose label DIFFERS from the
+    * query's — the "hard negative" set contrastive/embedding training
+    * pairs against each anchor (highest-cosine wrong-label examples
+    * are exactly the gradient-richest negatives). The dual of s05's
+    * filtered search (same-label there, different-label here); ranks
+    * count only eligible negatives, so the set never under-fills.
+    *
+    * Scale shape: s01's — map-only corpus scan against the broadcast
+    * query set, rank window bounded per query. At 100 TB the corpus
+    * side becomes the label-partitioned IVF index probed with the
+    * query's label EXCLUDED from the probe list (same knnIvf kernel);
+    * this brute form is the oracle-parity baseline, as s01 is for
+    * s02-s04. cos_sim raw (shared fold-left dot). */
+  val hardNegativesQ: GraftQuery = GraftQuery(
+    "s08_hard_negatives",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qnrm
+       |      FROM n WHERE vec_id < $QueryVecs),
+       |s AS (SELECT q.query_id, n.vec_id AS neighbor_id, n.label,
+       |        list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS cos,
+       |        row_number() OVER (
+       |          PARTITION BY q.query_id
+       |          ORDER BY list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) DESC,
+       |                   n.vec_id) AS rank
+       |      FROM q JOIN n ON n.vec_id <> q.query_id AND n.label <> q.qlabel)
+       |SELECT query_id, neighbor_id, label, rank, cos AS cos_sim
+       |FROM s WHERE rank <= $K""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < QueryVecs)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(queries,
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
-    knnFilteredQ, knnPqQ, rangeSearchQ)
+    knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ)
 }

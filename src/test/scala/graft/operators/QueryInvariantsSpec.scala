@@ -91,6 +91,53 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q41 skew report: hand-computed shares, top10 caps at 10 keys") {
+    import spark.implicits._
+    val ev = (Seq.fill(5)(("a", 1L)) ++ Seq.fill(3)(("a", 2L)) ++ Seq(("a", 3L)) ++
+      Seq.fill(3)(("b", 1L)) ++ (2L to 12L).map(("b", _)))
+      .toDF("event_type", "user_id")
+    val out = CoreQueries.keySkewReport(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a") // counts 5,3,1
+    assert(a.getLong(1) == 9L && a.getLong(2) == 3L && a.getLong(3) == 5L)
+    assert(a.getLong(4) == 9L && a.getDouble(5) == 5.0 / 9 && a.getDouble(6) == 1.0)
+    val b = out("b") // counts 3,1x11 -> 12 keys, top10 = 3 + 9
+    assert(b.getLong(1) == 14L && b.getLong(2) == 12L && b.getLong(3) == 3L)
+    assert(b.getLong(4) == 12L && b.getDouble(5) == 3.0 / 14 && b.getDouble(6) == 12.0 / 14)
+  }
+
+  test("t21 token budget: under-budget source keeps all, over-budget capped in bps") {
+    import spark.implicits._
+    // srcA 30 tokens, srcB 2 tokens; total 32, ns 2, frac 0.95 ->
+    // rate_bp(A) = (9500*32) div (2*30) = 5066; rate_bp(B) = 10000
+    val docs = Seq(
+      (1L, "srcA", Seq.fill(10)("w").mkString(" ")),
+      (2L, "srcA", Seq.fill(10)("w").mkString(" ")),
+      (3L, "srcA", Seq.fill(10)("w").mkString(" ")),
+      (4L, "srcB", "w w")).toDF("doc_id", "source", "text")
+    val out = CurationOps.tokenBudgetSample(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L)._1 == 5066L && out(2L)._1 == 5066L && out(3L)._1 == 5066L)
+    assert(out(4L)._1 == 10000L && out(4L)._2, "rate 10000 keeps every bucket")
+  }
+
+  test("s08 hard negatives: no neighbor shares the query label, ranks dense") {
+    val out = SimilarityOps.hardNegativesQ.run(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    val qLabels = graft.Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") < SimilarityOps.QueryVecs)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    out.foreach { case (q, lbl, _, cos) =>
+      assert(lbl != qLabels(q), s"query $q got a same-label negative")
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.size).toSeq,
+        s"query $q ranks not dense")
+    }
+  }
+
   test("multimodal features: 16-dim, L1-normalized (m02)") {
     val f = MultimodalOps.featuresQ.run(spark, sf001)
     assert(f.filter(col("dim") =!= 16).count() === 0)
