@@ -44,6 +44,15 @@ object VectorFunctions {
   val SnapScale: Double = 34359738368.0 // 2^35: |x| ≤ ~1 components; Σ fits Long to ~10^8 rows/group
   val DistScale: Double = 1073741824.0 // 2^30: distances / squared distances (|d²| ≤ ~100)
 
+  /** The SQL literal spellings of the snap scales — interpolate THESE
+    * into oracle texts (never hand-write the number twice); the
+    * require pins them to the exact Scala constants so engine and
+    * oracle can never land on different grids. */
+  val SnapScaleSql: String = "34359738368.0"
+  val DistScaleSql: String = "1073741824.0"
+  require(SnapScaleSql.toDouble == SnapScale && DistScaleSql.toDouble == DistScale,
+    "snap-scale SQL literals drifted from the Scala constants")
+
   /** floor(x·scale + 0.5) as an exact Long (Spark's floor is already
     * LongType). Sum these, then divide once via [[snapMean]]. */
   def snapLong(x: Column, scale: Double = SnapScale): Column =

@@ -262,23 +262,24 @@ object ChartRegistry {
   val positivityBoxplotQ: GraftQuery = GraftQuery(
     "c10_positivity_boxplot",
     withProcessed(
-      """, h AS (SELECT topic, positivity_rate AS v, count(*) AS cnt
+      s""", h AS (SELECT topic, positivity_rate AS v, count(*) AS cnt
         |        FROM processed WHERE positivity_rate IS NOT NULL GROUP BY 1, 2),
         |ch AS (SELECT topic, v,
         |         sum(cnt) OVER (PARTITION BY topic ORDER BY v) AS cum,
         |         sum(cnt) OVER (PARTITION BY topic) AS n
         |       FROM h),
         |b AS (SELECT topic,
-        |        min(CASE WHEN cum >= greatest(ceil(0.25 * n), 1) THEN v END) AS q1,
-        |        min(CASE WHEN cum >= greatest(ceil(0.5 * n), 1) THEN v END) AS median,
-        |        min(CASE WHEN cum >= greatest(ceil(0.75 * n), 1) THEN v END) AS q3,
+        |        ${QuantileKernel.discSelectSql("0.25", "v")} AS q1,
+        |        ${QuantileKernel.discSelectSql("0.5", "v")} AS median,
+        |        ${QuantileKernel.discSelectSql("0.75", "v")} AS q3,
         |        min(v) AS lo, max(v) AS hi
         |      FROM ch GROUP BY 1)
         |SELECT k.topic, q1, median, q3, lo, hi,
         |       q3 - q1 AS iqr,
         |       greatest(lo, q1 - 1.5 * (q3 - q1)) AS whisker_lo,
         |       least(hi, q3 + 1.5 * (q3 - q1)) AS whisker_hi
-        |FROM (SELECT DISTINCT topic FROM processed) k LEFT JOIN b USING (topic)""".stripMargin)) {
+        |FROM (SELECT DISTINCT topic FROM processed) k
+        |LEFT JOIN b ON k.topic IS NOT DISTINCT FROM b.topic""".stripMargin)) {
     (spark, sf) =>
     ChartQueries.positivityBoxplot(processed(spark, sf))
   }
@@ -339,16 +340,16 @@ object ChartRegistry {
   val positivityBoxplotDayQ: GraftQuery = GraftQuery(
     "c15_boxplot_day",
     withProcessed(
-      """, h AS (SELECT topic, "date", positivity_rate AS v, count(*) AS cnt
+      s""", h AS (SELECT topic, "date", positivity_rate AS v, count(*) AS cnt
         |        FROM processed WHERE positivity_rate IS NOT NULL GROUP BY 1, 2, 3),
         |ch AS (SELECT topic, "date", v,
         |         sum(cnt) OVER (PARTITION BY topic, "date" ORDER BY v) AS cum,
         |         sum(cnt) OVER (PARTITION BY topic, "date") AS n
         |       FROM h),
         |b AS (SELECT topic, "date",
-        |        min(CASE WHEN cum >= greatest(ceil(0.25 * n), 1) THEN v END) AS q1,
-        |        min(CASE WHEN cum >= greatest(ceil(0.5 * n), 1) THEN v END) AS median,
-        |        min(CASE WHEN cum >= greatest(ceil(0.75 * n), 1) THEN v END) AS q3,
+        |        ${QuantileKernel.discSelectSql("0.25", "v")} AS q1,
+        |        ${QuantileKernel.discSelectSql("0.5", "v")} AS median,
+        |        ${QuantileKernel.discSelectSql("0.75", "v")} AS q3,
         |        min(v) AS lo, max(v) AS hi
         |      FROM ch GROUP BY 1, 2)
         |SELECT k.topic, k."date", q1, median, q3, lo, hi,
@@ -356,7 +357,8 @@ object ChartRegistry {
         |       greatest(lo, q1 - 1.5 * (q3 - q1)) AS whisker_lo,
         |       least(hi, q3 + 1.5 * (q3 - q1)) AS whisker_hi
         |FROM (SELECT DISTINCT topic, "date" FROM processed) k
-        |LEFT JOIN b USING (topic, "date")""".stripMargin)) { (spark, sf) =>
+        |LEFT JOIN b ON k.topic IS NOT DISTINCT FROM b.topic
+        |           AND k."date" IS NOT DISTINCT FROM b."date"""".stripMargin)) { (spark, sf) =>
     ChartQueries.positivityBoxplot(processed(spark, sf), byLevel = Some("date"))
   }
 

@@ -195,9 +195,9 @@ object CoreQueries {
     * .snapLong]]) — order-independent exact longs, one division. */
   val globalMean: GraftQuery = GraftQuery(
     "q08_global_mean",
-    """SELECT event_type, positivity_rate,
-      |       CAST(sum(CAST(floor(positivity_rate * 34359738368.0 + 0.5) AS BIGINT)) OVER () AS DOUBLE)
-      |         / (count(*) OVER () * 34359738368.0) AS global_rate
+    s"""SELECT event_type, positivity_rate,
+      |       CAST(sum(CAST(floor(positivity_rate * ${graft.functions.VectorFunctions.SnapScaleSql} + 0.5) AS BIGINT)) OVER () AS DOUBLE)
+      |         / (count(*) OVER () * ${graft.functions.VectorFunctions.SnapScaleSql}) AS global_rate
       |FROM (SELECT event_type,
       |             avg(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS positivity_rate
       |      FROM events GROUP BY event_type) t""".stripMargin) { (spark, sf) =>
@@ -230,7 +230,7 @@ object CoreQueries {
     * sketch for continuous domains. */
   val quantiles: GraftQuery = GraftQuery(
     "q09_quantiles",
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS q100, count(*) AS cnt
       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |ch AS (
@@ -240,12 +240,12 @@ object CoreQueries {
       |  FROM h),
       |b AS (
       |  SELECT event_type, max(n) AS n,
-      |         min(CASE WHEN cum > floor(0.25 * (n - 1)) THEN q100 END) AS lo1,
-      |         min(CASE WHEN cum > ceil(0.25 * (n - 1)) THEN q100 END) AS hi1,
-      |         min(CASE WHEN cum > floor(0.5 * (n - 1)) THEN q100 END) AS lo2,
-      |         min(CASE WHEN cum > ceil(0.5 * (n - 1)) THEN q100 END) AS hi2,
-      |         min(CASE WHEN cum > floor(0.75 * (n - 1)) THEN q100 END) AS lo3,
-      |         min(CASE WHEN cum > ceil(0.75 * (n - 1)) THEN q100 END) AS hi3,
+      |         ${QuantileKernel.contSelectSql("0.25", "q100")._1} AS lo1,
+      |         ${QuantileKernel.contSelectSql("0.25", "q100")._2} AS hi1,
+      |         ${QuantileKernel.contSelectSql("0.5", "q100")._1} AS lo2,
+      |         ${QuantileKernel.contSelectSql("0.5", "q100")._2} AS hi2,
+      |         ${QuantileKernel.contSelectSql("0.75", "q100")._1} AS lo3,
+      |         ${QuantileKernel.contSelectSql("0.75", "q100")._2} AS hi3,
       |         min(q100) AS qmin, max(q100) AS qmax
       |  FROM ch GROUP BY 1),
       |s AS (
@@ -402,16 +402,23 @@ object CoreQueries {
     """SELECT l_orderkey, orderdate, revenue FROM (
       |  SELECT l_orderkey,
       |         strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+      |           / 10000.0 AS revenue
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE o_orderstatus = 'O'
       |  GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')) t
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (spark, sf) =>
     val li = Tables.lineitem(spark, sf)
     val o  = Tables.orders(spark, sf).filter(col("o_orderstatus") === "O")
+    // exact x10000 integer sum (the q04 disc-price device): the former
+    // round(sum(raw double), 2) was order-dependent pre-round AND the
+    // ORDER BY key of the LIMIT, so a knife-edge could change the rows
+    val e100 = round(col("l_extendedprice") * 100, 0).cast("long")
+    val d100 = round(col("l_discount") * 100, 0).cast("long")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg((sum(e100 * (lit(100L) - d100)).cast("double") / lit(10000.0)).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }

@@ -606,7 +606,10 @@ object DedupOps {
   def clusterRepresentatives(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val labeled = clusters
       .join(docs.select(col("doc_id"),
-        round(TextFunctions.qualityScore(col("text")), 2).as("quality")), "doc_id")
+        // RAW score — tracks the shared qualityExprSql fragment the
+        // oracle embeds (r7 review: the 2dp round only matched the raw
+        // value by coincidence of the current weight set)
+        TextFunctions.qualityScore(col("text")).as("quality")), "doc_id")
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))
     labeled

@@ -96,4 +96,21 @@ object QuantileKernel {
     }
     hist.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The SQL spelling of [[discQuantiles]]' rank-⌈p·n⌉ selection —
+    * interpolate THIS into oracle texts (never hand-copy the CASE) so
+    * the convention every quantile oracle pins is written exactly
+    * once; `cum`/`n` name the cumulative-histogram columns in scope
+    * (r7 review: seven hand-copies of this line were one typo away
+    * from reintroducing the quantile_disc version-drift class). */
+  def discSelectSql(p: String, value: String,
+      cum: String = "cum", n: String = "n"): String =
+    s"min(CASE WHEN $cum >= greatest(ceil($p * $n), 1) THEN $value END)"
+
+  /** The SQL spelling of [[contQuantiles]]' 0-based boundary picks:
+    * (lo, hi) selections at floor/ceil of position `p·(n−1)`. */
+  def contSelectSql(p: String, value: String,
+      cum: String = "cum", n: String = "n"): (String, String) = (
+    s"min(CASE WHEN $cum > floor($p * ($n - 1)) THEN $value END)",
+    s"min(CASE WHEN $cum > ceil($p * ($n - 1)) THEN $value END)")
 }

@@ -356,7 +356,7 @@ object TemporalOps {
     * shared strict-> comparison. */
   val decileBucketsQ: GraftQuery = GraftQuery(
     "q33_decile_buckets",
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT event_type, value, count(*) AS cnt
       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |ch AS (
@@ -366,15 +366,15 @@ object TemporalOps {
       |  FROM h),
       |b AS (
       |  SELECT event_type,
-      |         [min(CASE WHEN cum >= greatest(ceil(0.1 * n), 1) THEN value END),
-      |          min(CASE WHEN cum >= greatest(ceil(0.2 * n), 1) THEN value END),
-      |          min(CASE WHEN cum >= greatest(ceil(0.3 * n), 1) THEN value END),
-      |          min(CASE WHEN cum >= greatest(ceil(0.4 * n), 1) THEN value END),
-      |          min(CASE WHEN cum >= greatest(ceil(0.5 * n), 1) THEN value END),
-      |          min(CASE WHEN cum >= greatest(ceil(0.6 * n), 1) THEN value END),
-      |          min(CASE WHEN cum >= greatest(ceil(0.7 * n), 1) THEN value END),
-      |          min(CASE WHEN cum >= greatest(ceil(0.8 * n), 1) THEN value END),
-      |          min(CASE WHEN cum >= greatest(ceil(0.9 * n), 1) THEN value END)] AS bs
+      |         [${QuantileKernel.discSelectSql("0.1", "value")},
+      |          ${QuantileKernel.discSelectSql("0.2", "value")},
+      |          ${QuantileKernel.discSelectSql("0.3", "value")},
+      |          ${QuantileKernel.discSelectSql("0.4", "value")},
+      |          ${QuantileKernel.discSelectSql("0.5", "value")},
+      |          ${QuantileKernel.discSelectSql("0.6", "value")},
+      |          ${QuantileKernel.discSelectSql("0.7", "value")},
+      |          ${QuantileKernel.discSelectSql("0.8", "value")},
+      |          ${QuantileKernel.discSelectSql("0.9", "value")}] AS bs
       |  FROM ch GROUP BY event_type)
       |SELECT e.event_id, e.event_type, e.value,
       |       CASE WHEN e.value IS NULL OR bs IS NULL THEN NULL
@@ -425,7 +425,7 @@ object TemporalOps {
     * across DuckDB releases. Both texts now share every op. */
   val winsorizeQ: GraftQuery = GraftQuery(
     "q35_winsorize",
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT event_type, value, count(*) AS cnt
       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |ch AS (
@@ -435,8 +435,8 @@ object TemporalOps {
       |  FROM h),
       |b AS (
       |  SELECT event_type,
-      |         min(CASE WHEN cum >= greatest(ceil(0.10 * n), 1) THEN value END) AS lo,
-      |         min(CASE WHEN cum >= greatest(ceil(0.90 * n), 1) THEN value END) AS hi
+      |         ${QuantileKernel.discSelectSql("0.10", "value")} AS lo,
+      |         ${QuantileKernel.discSelectSql("0.90", "value")} AS hi
       |  FROM ch GROUP BY 1)
       |SELECT e.event_type, lo, hi,
       |       sum(CASE WHEN e.value < lo THEN 1 ELSE 0 END) AS n_low,

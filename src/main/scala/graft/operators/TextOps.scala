@@ -285,29 +285,43 @@ object TextOps {
     * for LM-perplexity quality filtering (CCNet-style): score =
     * −mean ln(corpusFreq(token)/corpusTokens). Same two-aggregation +
     * token-keyed join shape as t07 (vocab counts are corpus-sized and
-    * shuffle-joined on token; the one-row total broadcasts). Rounded
-    * to 4dp: ln() may differ in the last ulp across engines and the
-    * per-doc mean's summation order differs across partitionings. */
+    * shuffle-joined on token; the one-row total broadcasts).
+    *
+    * Float discipline (r7 review): the per-doc mean runs through the
+    * dyadic snap (per-row ln values summed as exact 2^-30-grid longs,
+    * one division), so the pre-round double is order-INdependent —
+    * the former round(avg(double)) was run-order fragile within one
+    * engine, the r5 q35 intermittent mode. The terminal round(…, 4)
+    * stays, but its job is now only the cross-engine surface the snap
+    * cannot pin: ln() is a libm call with no bit-parity guarantee, so
+    * a last-ulp ln difference may shift a row's snapped long by one
+    * grid cell and the 4dp round absorbs that ≤2^-30/n drift. */
   val unigramNllQ: GraftQuery = GraftQuery(
     "t13_unigram_nll",
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       |f AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
       |tot AS (SELECT count(*) AS t FROM tok),
       |s AS (SELECT tok.doc_id, ln(CAST(f.c AS DOUBLE) / t.t) AS lp
       |      FROM tok JOIN f USING (token) CROSS JOIN tot t)
-      |SELECT doc_id, round(-avg(lp), 4) AS nll FROM s GROUP BY doc_id""".stripMargin) {
+      |SELECT doc_id,
+      |       round(-(CAST(sum(CAST(floor(lp * ${graft.functions.VectorFunctions.DistScaleSql} + 0.5) AS BIGINT)) AS DOUBLE)
+      |               / (count(*) * ${graft.functions.VectorFunctions.DistScaleSql})), 4) AS nll
+      |FROM s GROUP BY doc_id""".stripMargin) {
     (spark, sf) => unigramNll(Tables.documents(spark, sf))
   }
 
   /** t13 over (doc_id, text) rows. */
   def unigramNll(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.VectorFunctions.{snapLong, DistScale}
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
     val total = broadcast(tok.agg(count(lit(1)).as("t")))
     tok.join(freq, "token")
       .crossJoin(total)
+      .withColumn("lp", log(col("c").cast("double") / col("t")))
       .groupBy(col("doc_id"))
-      .agg(round(-avg(log(col("c").cast("double") / col("t"))), 4).as("nll"))
+      .agg(round(-(sum(snapLong(col("lp"), DistScale)).cast("double")
+        / (count(lit(1)) * lit(DistScale))), 4).as("nll"))
   }
 
   /** Perplexity-band corpus pruning (the CCNet practice t13 feeds):
@@ -321,17 +335,20 @@ object TextOps {
     * corpus rows), broadcast to a row-local band assignment. */
   val nllBandQ: GraftQuery = GraftQuery(
     "t15_nll_band",
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       |f AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
       |tot AS (SELECT count(*) AS t FROM tok),
       |s AS (SELECT tok.doc_id, ln(CAST(f.c AS DOUBLE) / t.t) AS lp
       |      FROM tok JOIN f USING (token) CROSS JOIN tot t),
-      |n AS (SELECT doc_id, round(-avg(lp), 4) AS nll FROM s GROUP BY doc_id),
+      |n AS (SELECT doc_id,
+      |        round(-(CAST(sum(CAST(floor(lp * ${graft.functions.VectorFunctions.DistScaleSql} + 0.5) AS BIGINT)) AS DOUBLE)
+      |                / (count(*) * ${graft.functions.VectorFunctions.DistScaleSql})), 4) AS nll
+      |      FROM s GROUP BY doc_id),
       |qh AS (SELECT nll, count(*) AS cnt FROM n GROUP BY nll),
       |qch AS (SELECT nll, sum(cnt) OVER (ORDER BY nll) AS cum,
       |          sum(cnt) OVER () AS nr FROM qh),
-      |b AS (SELECT min(CASE WHEN cum >= greatest(ceil(0.1 * nr), 1) THEN nll END) AS lo,
-      |        min(CASE WHEN cum >= greatest(ceil(0.9 * nr), 1) THEN nll END) AS hi
+      |b AS (SELECT ${QuantileKernel.discSelectSql("0.1", "nll", n = "nr")} AS lo,
+      |        ${QuantileKernel.discSelectSql("0.9", "nll", n = "nr")} AS hi
       |      FROM qch)
       |SELECT doc_id, nll,
       |       CASE WHEN nll < lo THEN 'boilerplate'

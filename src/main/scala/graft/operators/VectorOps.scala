@@ -80,8 +80,8 @@ object VectorOps {
   val labelCentroidsQ: GraftQuery = GraftQuery(
     "v02_label_centroids",
     s"""SELECT label, CAST(i AS INT) AS pos,
-       |       CAST(sum(CAST(floor(v[i + 1] * 34359738368.0 + 0.5) AS BIGINT)) AS DOUBLE)
-       |         / (count(*) * 34359738368.0) AS mean_val,
+       |       CAST(sum(CAST(floor(v[i + 1] * ${graft.functions.VectorFunctions.SnapScaleSql} + 0.5) AS BIGINT)) AS DOUBLE)
+       |         / (count(*) * ${graft.functions.VectorFunctions.SnapScaleSql}) AS mean_val,
        |       count(*) AS n
        |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
        |CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
@@ -163,8 +163,8 @@ object VectorOps {
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |comp AS (SELECT label, i AS pos,
-       |           CAST(sum(CAST(floor(v[i + 1] * 34359738368.0 + 0.5) AS BIGINT)) AS DOUBLE)
-       |             / (count(*) * 34359738368.0) AS m
+       |           CAST(sum(CAST(floor(v[i + 1] * ${graft.functions.VectorFunctions.SnapScaleSql} + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / (count(*) * ${graft.functions.VectorFunctions.SnapScaleSql}) AS m
        |         FROM e CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
        |         GROUP BY label, pos),
        |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM comp GROUP BY label),
@@ -174,17 +174,17 @@ object VectorOps {
        |          + list_dot_product(c, c))) AS dist
        |      FROM e JOIN cent ON e.label = cent.label),
        |st0 AS (SELECT label,
-       |          CAST(sum(CAST(floor(dist * 1073741824.0 + 0.5) AS BIGINT)) AS BIGINT) AS q,
-       |          CAST(sum(CAST(floor(dist * dist * 1073741824.0 + 0.5) AS BIGINT)) AS BIGINT) AS q2,
+       |          CAST(sum(CAST(floor(dist * ${graft.functions.VectorFunctions.DistScaleSql} + 0.5) AS BIGINT)) AS BIGINT) AS q,
+       |          CAST(sum(CAST(floor(dist * dist * ${graft.functions.VectorFunctions.DistScaleSql} + 0.5) AS BIGINT)) AS BIGINT) AS q2,
        |          count(*) AS n
        |        FROM d GROUP BY label),
        |st1 AS (SELECT label, q, q2, n,
-       |          CAST(q AS DOUBLE) / (n * 1073741824.0) AS mu
+       |          CAST(q AS DOUBLE) / (n * ${graft.functions.VectorFunctions.DistScaleSql}) AS mu
        |        FROM st0),
        |st AS (SELECT label, mu,
        |         CASE WHEN n > 1 THEN
        |           sqrt(greatest(0.0,
-       |             (CAST(q2 AS DOUBLE) / 1073741824.0 - n * (mu * mu)) / (n - 1)))
+       |             (CAST(q2 AS DOUBLE) / ${graft.functions.VectorFunctions.DistScaleSql} - n * (mu * mu)) / (n - 1)))
        |         ELSE NULL END AS sd
        |       FROM st1)
        |SELECT d.vec_id, d.label, d.dist,
@@ -350,8 +350,8 @@ object VectorOps {
     s"""WITH e AS (SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS batch,
        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |m AS (SELECT label, batch, i AS pos,
-       |        CAST(sum(CAST(floor(v[i + 1] * 34359738368.0 + 0.5) AS BIGINT)) AS DOUBLE)
-       |          / (count(*) * 34359738368.0) AS m,
+       |        CAST(sum(CAST(floor(v[i + 1] * ${graft.functions.VectorFunctions.SnapScaleSql} + 0.5) AS BIGINT)) AS DOUBLE)
+       |          / (count(*) * ${graft.functions.VectorFunctions.SnapScaleSql}) AS m,
        |        count(*) AS n
        |      FROM e CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
        |      GROUP BY label, batch, pos),

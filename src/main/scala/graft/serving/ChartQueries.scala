@@ -204,8 +204,15 @@ object ChartQueries {
         disc(0.25).as("q1"), disc(0.5).as("median"), disc(0.75).as("q3"),
         min(col("positivity_rate")).as("lo"),
         max(col("positivity_rate")).as("hi"))
-    processed.select(keys: _*).distinct()
-      .join(base, keyNames, "left")
+    // null-SAFE key equality (<=>): a NULL group key is a real GROUP BY
+    // group and must pick up its quartiles, not a dangling NULL row
+    // (r7 review; the oracle joins IS NOT DISTINCT FROM to match)
+    val allKeys = processed.select(keys: _*).distinct().as("k")
+    val statCols = Seq("q1", "median", "q3", "lo", "hi")
+    allKeys
+      .join(base.as("b"),
+        keyNames.map(k => col(s"k.$k") <=> col(s"b.$k")).reduce(_ && _), "left")
+      .select(keyNames.map(k => col(s"k.$k").as(k)) ++ statCols.map(col): _*)
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("whisker_lo", greatest(col("lo"), col("q1") - lit(1.5) * col("iqr")))
       .withColumn("whisker_hi", least(col("hi"), col("q3") + lit(1.5) * col("iqr")))

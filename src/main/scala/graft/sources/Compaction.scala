@@ -80,15 +80,17 @@ object Compaction {
     * group jobs to settle (no orphan writer racing the caller's
     * cleanup), then rethrows the first error with the rest suppressed;
     * `outDir` may hold partial `part_g` dirs and must be discarded. A
-    * hung job fails the call at `timeout`, and the no-orphan-writer
-    * guarantee is upheld on BOTH queues: a cancelled flag is set
-    * before the Spark-side job-group cancel, so group jobs still
-    * queued on the ExecutionContext bail at entry instead of starting
-    * a write after the rethrow, and the call then awaits the settled
-    * sequence (bounded grace) so no already-running job is still
-    * tearing down while the caller discards outDir. The
-    * already-written partial files are the caller's discard, same as
-    * the failure path. */
+    * hung job fails the call at `timeout` with a BOUNDED no-orphan-
+    * writer guarantee: a cancelled flag (set before cancellation) is
+    * checked both at future entry and again after job-group
+    * registration, and the timeout path re-issues the job-group
+    * cancel in a loop until every group job settles, so jobs on
+    * either queue — still unstarted, or started but not yet
+    * registered at the first cancel — are caught. The residual is
+    * explicit: if a cancelled rewrite's teardown outlives the 30 s
+    * grace, compact() rethrows anyway and the caller's outDir discard
+    * may race that teardown's final writes — partial part_g dirs are
+    * discard-only either way. */
   def compact(spark: SparkSession, assignments: Seq[Assignment],
       outDir: String,
       timeout: scala.concurrent.duration.Duration =
@@ -111,6 +113,12 @@ object Compaction {
         spark.sparkContext.setJobGroup(jobGroup,
           s"compaction of ${members.size} files into part_g$g", true)
         try {
+          // re-check AFTER joining the job group: a future that passed
+          // the first check concurrently with cancellation either sees
+          // the flag here (AtomicBoolean happens-before) or is now
+          // cancellable by the timeout path's cancel LOOP below
+          if (cancelled.get)
+            throw new TimeoutException(s"compaction cancelled before group $g wrote")
           spark.read.option("mergeSchema", "true")
             .parquet(members.map(_.path): _*)
             .coalesce(1)
@@ -124,12 +132,20 @@ object Compaction {
       try Await.result(settledF, timeout)
       catch { case e: TimeoutException =>
         cancelled.set(true)
-        spark.sparkContext.cancelJobGroup(jobGroup)
-        // wait (bounded) for every job to SETTLE — cancelled jobs may
-        // still be tearing down, and rethrowing while a writer is live
-        // would race the caller's outDir cleanup
-        try Await.ready(settledF, scala.concurrent.duration.Duration(30, "seconds"))
-        catch { case _: TimeoutException => () }
+        // cancel in a LOOP until every job settles (bounded grace): a
+        // job that passed both flag checks but had not yet registered
+        // its job group at an earlier cancel is caught by a later
+        // iteration; rethrowing while a writer is live would race the
+        // caller's outDir cleanup
+        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+        var settledOk = false
+        while (!settledOk && System.nanoTime < deadline) {
+          spark.sparkContext.cancelJobGroup(jobGroup)
+          try {
+            Await.ready(settledF, scala.concurrent.duration.Duration(2, "seconds"))
+            settledOk = true
+          } catch { case _: TimeoutException => () }
+        }
         throw e
       }
     val failures = settled.collect { case Failure(e) => e }
