@@ -320,5 +320,51 @@ object MultimodalOps {
       Seq("sh0"), PhashMaxHamming)
   }
 
-  val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ)
+  /** Shards for the training-manifest assignment. */
+  val ManifestShards = 8
+
+  /** m06 — training-shard manifest: deterministic shard assignment
+    * (salted-md5 bucket over doc_id — stable across runs, engines, and
+    * cluster sizes, unlike hash-partitioning) plus the per-shard
+    * accounting a dataset writer publishes next to its shards: row
+    * count, payload bytes, per-language spread, and a doc_id checksum
+    * that pins shard MEMBERSHIP in the manifest without listing every
+    * row. This is the last step of the pipeline — everything upstream
+    * (dedup, curation, packing) feeds a sharded write, and the
+    * manifest is what a trainer's data loader reads.
+    *
+    * Scale shape: assignment is row-local; the manifest is one
+    * map-side-combined aggregation to |shards| rows. The balance
+    * columns make shard skew (the thing that stalls a data loader)
+    * visible in the artifact itself. */
+  val shardManifestQ: GraftQuery = GraftQuery(
+    "m06_shard_manifest",
+    s"""WITH s AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS nb, lang,
+       |        CAST(${Md5Bucket.bucketSql("duckdb", "'sh:' || CAST(doc_id AS VARCHAR)", ManifestShards)} AS BIGINT) AS shard
+       |      FROM documents)
+       |SELECT shard, count(*) AS n_docs,
+       |       CAST(sum(nb) AS BIGINT) AS total_bytes,
+       |       CAST(sum(doc_id) AS BIGINT) AS docid_sum,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       |       count(DISTINCT lang) AS n_langs
+       |FROM s GROUP BY shard""".stripMargin) { (spark, sf) =>
+    shardManifest(asMultimodal(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id"))
+  }
+
+  /** The m06 manifest over any (doc_id, payload, lang) frame. */
+  def shardManifest(payloads: DataFrame, shards: Int = ManifestShards): DataFrame =
+    payloads
+      .select(col("doc_id"), length(col("payload")).cast("long").as("nb"), col("lang"),
+        expr(Md5Bucket.bucketSql("spark", "concat('sh:', CAST(doc_id AS STRING))", shards))
+          .cast("long").as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("total_bytes"),
+        sum(col("doc_id")).as("docid_sum"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        countDistinct(col("lang")).as("n_langs"))
+
+  val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ,
+    shardManifestQ)
 }

@@ -444,6 +444,85 @@ object VectorOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
+  /** Dimension-truncation's sibling for STORAGE quantization (v07):
+    * recall@k of top-k-by-cosine over the int8-RECONSTRUCTED vectors
+    * (v01's q·scale) against full-precision top-k — the acceptance
+    * metric for serving ANN from the quantized store. Same
+    * shared-exchange two-rank-window shape as v05; the
+    * reconstruction is row-local (no second scan), and recall is one
+    * exact-integer division. Degenerate all-zero vectors (scale = 0)
+    * reconstruct to zero and their cosine is DEFINED as 0 before any
+    * division in both texts (the q29/v03 decide-before-divide device,
+    * oracle-version-independent). */
+  def quantRecall(emb: DataFrame, k: Int = RecallK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127)
+      .withColumn("rq",
+        when(col("scale") === 0, transform(col("v"), _ => lit(0.0)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("scale") + 0.5) * col("scale"))))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrmq", norm(col("rq")))
+    val queries = broadcast(
+      base.filter(col("vec_id") < SimilarityOps.QueryVecs)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("rq").as("qrq"),
+          col("nrm").as("qnrm"), col("nrmq").as("qnrmq")))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    val wQuant = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_quant").desc, col("vec_id"))
+    base.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_full", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("cos_quant",
+        when(col("qnrmq") === 0 || col("nrmq") === 0, lit(0.0))
+          .otherwise(dot(col("qrq"), col("rq")) / (col("qnrmq") * col("nrmq"))))
+      .withColumn("rank_full", row_number().over(wFull))
+      .withColumn("rank_quant", row_number().over(wQuant))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rank_full") <= k && col("rank_quant") <= k, 1L)
+        .otherwise(0L)).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
+  }
+
+  val quantRecallQ: GraftQuery = GraftQuery(
+    "v07_quant_recall",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s0 AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+       |       FROM e),
+       |b AS (SELECT vec_id, v, scale,
+       |        CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+       |             ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale)
+       |        END AS rq
+       |      FROM s0),
+       |n AS (SELECT vec_id, v, rq,
+       |        sqrt(list_dot_product(v, v)) AS nrm,
+       |        sqrt(list_dot_product(rq, rq)) AS nrmq
+       |      FROM b),
+       |q AS (SELECT vec_id AS query_id, v AS qv, rq AS qrq, nrm AS qnrm, nrmq AS qnrmq
+       |      FROM n WHERE vec_id < ${SimilarityOps.QueryVecs}),
+       |s AS (SELECT q.query_id, n.vec_id,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) DESC,
+       |                   n.vec_id) AS rank_full,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY CASE WHEN q.qnrmq = 0 OR n.nrmq = 0 THEN 0.0
+       |                        ELSE list_dot_product(q.qrq, n.rq) / (q.qnrmq * n.nrmq)
+       |                   END DESC,
+       |                   n.vec_id) AS rank_quant
+       |      FROM q JOIN n ON n.vec_id <> q.query_id)
+       |SELECT query_id,
+       |       CAST(sum(CASE WHEN rank_full <= $RecallK AND rank_quant <= $RecallK
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |       CAST(sum(CASE WHEN rank_full <= $RecallK AND rank_quant <= $RecallK
+       |                     THEN 1 ELSE 0 END) AS DOUBLE) / $RecallK AS recall
+       |FROM s GROUP BY query_id""".stripMargin) { (spark, sf) =>
+    quantRecall(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
   val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
-    truncRecallQ, centroidDriftQ)
+    truncRecallQ, centroidDriftQ, quantRecallQ)
 }

@@ -138,6 +138,24 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("v07 quant recall bounded; m06 manifest conserves rows, bytes, and id-sum") {
+    VectorOps.quantRecall(graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")))
+      .collect().foreach { r =>
+        val h = r.getLong(1)
+        assert(h >= 0 && h <= VectorOps.RecallK)
+        assert(r.getDouble(2) == h.toDouble / VectorOps.RecallK)
+      }
+    val docs = graft.Tables.documents(spark, sf001)
+    val m = MultimodalOps.shardManifest(
+      MultimodalOps.asMultimodal(spark, sf001)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")).collect()
+    assert(m.map(_.getLong(0)).distinct.length == m.length)
+    assert(m.map(_.getLong(1)).sum == docs.count())
+    val expectIdSum = docs.agg(sum(col("doc_id"))).head.getLong(0)
+    assert(m.map(_.getLong(3)).sum == expectIdSum, "doc_id checksum must conserve")
+  }
+
   test("multimodal features: 16-dim, L1-normalized (m02)") {
     val f = MultimodalOps.featuresQ.run(spark, sf001)
     assert(f.filter(col("dim") =!= 16).count() === 0)
