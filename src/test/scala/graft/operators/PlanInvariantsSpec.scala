@@ -161,4 +161,31 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(aggs.size === 1,
       s"expected one signature aggregate, found ${aggs.size}")
   }
+
+  test("t21: the O(sources) rate table joins as a broadcast, not a shuffle") {
+    val p = plan(CurationOps.tokenBudgetQ.run(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q41: the rank window sits above the key-count aggregate, never the corpus") {
+    windowsOnlyAboveAggregates(CoreQueries.keySkew.run(spark, sf001))
+  }
+
+  test("m06: manifest is one aggregation over a row-local projection - no join at all") {
+    val p = plan(MultimodalOps.shardManifestQ.run(spark, sf001))
+    // the lang side joins broadcast; the shard assignment itself is
+    // row-local so there is no shuffle besides the 8-row aggregate
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("v07: both rank windows share ONE per-query exchange") {
+    val p = VectorOps.quantRecallQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1,
+      s"full and quantized rankings must reuse one query_id exchange:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
