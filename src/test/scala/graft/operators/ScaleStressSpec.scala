@@ -252,4 +252,48 @@ class ScaleStressSpec extends SparkSpec {
       assert(packed.count() === docs.count(), "every doc must be packed")
     } finally packed.unpersist()
   }
+
+  test("t21 token budget at 10x: the 60% source is capped, small sources keep all") {
+    val docs = stressDocs(N2)
+    val out = CurationOps.tokenBudgetSample(docs).persist()
+    try {
+      assert(out.count() === docs.count(), "decision report covers every doc")
+      val rates = out.groupBy(col("source")).agg(
+        max(col("rate_bp")).as("bp"), sum(col("n_tokens")).as("t_s")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // mega_source holds ~60% of token mass against an equal share of
+      // 1/8 of 95% of the budget -> hard-capped; the small sources sit
+      // under their share -> rate 10000
+      assert(rates("mega_source")._1 < 2500L,
+        s"hot source must be capped, got ${rates("mega_source")._1}")
+      rates.filterNot(_._1 == "mega_source").foreach { case (s, (bp, _)) =>
+        assert(bp === 10000L, s"$s under its share must keep all (got $bp)")
+      }
+    } finally out.unpersist()
+  }
+
+  test("q41 key skew at 10x: a 99%-hot key dominates max_share, counts conserve") {
+    import spark.implicits._
+    val n = 20000
+    val ev = (0 until n).map { i =>
+      ("hot_type", if (i % 100 < 99) 7L else i.toLong)
+    }.toDF("event_type", "user_id")
+    val r = CoreQueries.keySkewReport(ev).collect().head
+    assert(r.getLong(1) === n.toLong)
+    assert(r.getLong(3) === (n * 99L / 100), "hot key row count")
+    assert(r.getDouble(5) === (n * 99L / 100).toDouble / n, "max_share exact ratio")
+    assert(r.getDouble(6) >= r.getDouble(5), "top10 covers the hot key")
+  }
+
+  test("m06 manifest at 10x: shard totals conserve rows, bytes, and id-sum") {
+    val docs = stressDocs(N2)
+    val payloads = docs.select(col("doc_id"),
+      col("text").cast("binary").as("payload"), lit("en").as("lang"))
+    val m = MultimodalOps.shardManifest(payloads).collect()
+    assert(m.map(_.getLong(1)).sum === docs.count())
+    val expectBytes = docs.agg(
+      sum(length(col("text").cast("binary")).cast("long"))).head.getLong(0)
+    assert(m.map(_.getLong(2)).sum === expectBytes, "byte totals conserve")
+    assert(m.map(_.getLong(3)).sum === (0L until 20000L).sum, "id checksum conserves")
+  }
 }
