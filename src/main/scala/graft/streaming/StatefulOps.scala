@@ -194,6 +194,103 @@ object StatefulOps {
     (pairs, chain.lastOption, rest)
   }
 
+  // --------------------------------------------------------------
+  // Streaming daily anomaly (the stream twin of q39)
+  // --------------------------------------------------------------
+
+  /** One finalized-or-pending day's event count (day = UTC epoch day —
+    * the session is pinned to UTC, so this is exactly the batch twin's
+    * `date_trunc('day')` bucket). */
+  final case class DayCount(day: Long, n: Long)
+  /** Per-type state: counts still inside the watermark horizon plus
+    * the trailing ≤7 FINALIZED observed days the next z-score reads.
+    * Pending is bounded by horizon/1-day + 1 and history by 7 — O(1)
+    * per event type, never stream length. */
+  final case class AnomalyState(pending: List[DayCount], history: List[DayCount])
+  final case class DailyAnomaly(
+      event_type: String, day: String, n: Long, base_days: Long,
+      z: Option[Double], is_anomaly: Boolean)
+
+  private val DayMs = 86400000L
+
+  private def dayStr(epochDay: Long): String =
+    java.time.LocalDate.ofEpochDay(epochDay).toString
+
+  /** Pure per-invocation step (property-tested over random batch
+    * splits and watermark schedules): merge buffered day counts with
+    * the batch's, finalize every day strictly below the watermark's
+    * day (day D is safe exactly when wm ≥ (D+1)·86400000 — a future
+    * admissible row can still carry ts == wm, hence the floor), and
+    * emit each finalized day's q39 row from the trailing ≤7
+    * previously-finalized observed days, with the batch twin's exact
+    * integer arithmetic: z = (m·n − S1)/√(m·S2 − S1²) over longs,
+    * NULL-gated on m<2 / zero variance. Days finalize in ascending
+    * order (the watermark is monotone and a finalized day can never
+    * receive a late row again — such a row would be below the
+    * watermark and is filtered upstream), so the history is exactly
+    * the batch window's "previous ≤7 observed days". */
+  private[graft] def anomalyStep(
+      eventType: String, pending: List[DayCount], history: List[DayCount],
+      batchDays: Seq[Long], wmMs: Long)
+      : (List[DailyAnomaly], List[DayCount], List[DayCount]) = {
+    val merged = batchDays.foldLeft(pending.map(d => d.day -> d.n).toMap) {
+      (m, d) => m.updated(d, m.getOrElse(d, 0L) + 1L)
+    }
+    val cutoffDay = Math.floorDiv(wmMs, DayMs)
+    val (readyM, restM) = merged.partition(_._1 < cutoffDay)
+    val ready = readyM.toList.map { case (d, n) => DayCount(d, n) }.sortBy(_.day)
+    var hist = history
+    val out = ready.map { dc =>
+      val base = hist.takeRight(7)
+      val m = base.size.toLong
+      val s1 = base.map(_.n).sum
+      val s2 = base.map(c => c.n * c.n).sum
+      val z =
+        if (m >= 2 && m * s2 > s1 * s1)
+          Some((m * dc.n - s1).toDouble / math.sqrt((m * s2 - s1 * s1).toDouble))
+        else None
+      hist = (hist :+ dc).takeRight(7)
+      DailyAnomaly(eventType, dayStr(dc.day), dc.n, m, z,
+        z.exists(v => math.abs(v) >= 3.0))
+    }
+    (out, hist, restM.toList.map { case (d, n) => DayCount(d, n) }.sortBy(_.day))
+  }
+
+  /** Trailing-window daily anomaly scores over a stream — exact
+    * [[graft.operators.TemporalOps.dailyAnomaly]] parity for any
+    * stream whose disorder stays inside the watermark: a day's count
+    * is emitted (with its z against the previous ≤7 observed days)
+    * exactly once, when the watermark passes the day's end. Counts
+    * accumulate in state until then, so out-of-order arrivals within
+    * a day are invisible in the output. History-only state (an idle
+    * type) persists without a timeout — dropping it would shift the
+    * baseline window the batch twin uses when the type resumes. */
+  def anomalyStream(
+      events: Dataset[TypedEvent], lateness: String = "10 minutes"): Dataset[DailyAnomaly] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, DailyAnomaly](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (etype, rows, state) =>
+          val prev = state.getOption.getOrElse(AnomalyState(Nil, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val days = rows.map(e => Math.floorDiv(e.ts.getTime, DayMs)).toSeq
+          val (out, hist, rest) = anomalyStep(etype, prev.pending, prev.history, days, wm)
+          if (rest.isEmpty && hist.isEmpty) state.remove()
+          else {
+            state.update(AnomalyState(rest, hist))
+            if (rest.nonEmpty) // fire when the earliest buffered day's end passes
+              state.setTimeoutTimestamp(
+                math.max((rest.map(_.day).min + 1) * DayMs, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Running stats over parsed lake rows (topic, created_at). Use with
     * outputMode("update"): each micro-batch emits one row per topic
     * that received data. Null event times count toward `count` but not

@@ -312,4 +312,61 @@ class PropertySpec extends SparkSpec {
         s"diverged on arrival=${arrival.map(_.event_id)} cuts=$cuts")
     }
   }
+
+  test("anomaly step equals the batch daily fold for any split + watermark schedule") {
+    import java.sql.Timestamp
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{DayCount, TypedEvent}
+    val DayMs = 86400000L
+    val eventsGen: Gen[List[TypedEvent]] = Gen.listOf(
+      Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 86399999L)))
+      .map(_.zipWithIndex.map { case ((d, off), i) =>
+        TypedEvent(i.toLong, 1L, "a", new Timestamp(d * DayMs + off))
+      })
+    val gen = for {
+      evs <- eventsGen
+      arrival <- Gen.choose(0L, Long.MaxValue)
+        .map(s => new scala.util.Random(s).shuffle(evs))
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, math.max(arrival.size, 1)))
+    } yield (evs, arrival, cuts.sorted)
+    samples(gen, 300).foreach { case (evs, arrival, cuts) =>
+      val batches = (0 +: cuts :+ arrival.size).sliding(2)
+        .map { case Seq(a, b) => arrival.slice(a, b) }.toList
+      var wm = Long.MinValue
+      var pending: List[DayCount] = Nil
+      var hist: List[DayCount] = Nil
+      var seen = 0
+      val out = List.newBuilder[(String, Long, Long, Option[Double])]
+      for (batch <- batches) {
+        seen += batch.size
+        // admissible watermark: at most the min ts of the not-yet-arrived
+        val future = arrival.drop(seen)
+        val bound = if (future.isEmpty) 20L * DayMs else future.map(_.ts.getTime).min
+        wm = math.max(wm, bound - (bound % 777)) // arbitrary lagging schedule
+        val days = batch.map(e => Math.floorDiv(e.ts.getTime, DayMs))
+        val (rows, h2, rest) = StatefulOps.anomalyStep("a", pending, hist, days, wm)
+        out ++= rows.map(r => (r.day, r.n, r.base_days, r.z))
+        hist = h2; pending = rest
+      }
+      val (lastRows, _, rest) = StatefulOps.anomalyStep("a", pending, hist, Nil, 30L * DayMs)
+      assert(rest.isEmpty, "a drained stream must buffer nothing")
+      out ++= lastRows.map(r => (r.day, r.n, r.base_days, r.z))
+      // independent reference: the batch fold over full per-day counts
+      val ordered = evs.groupBy(e => Math.floorDiv(e.ts.getTime, DayMs))
+        .map { case (d, es) => (d, es.size.toLong) }.toList.sortBy(_._1)
+      var ref = List.empty[(Long, Long)]
+      val expected = ordered.map { case (d, n) =>
+        val base = ref.takeRight(7)
+        val m = base.size.toLong
+        val s1 = base.map(_._2).sum
+        val s2 = base.map(c => c._2 * c._2).sum
+        val z = if (m >= 2 && m * s2 > s1 * s1)
+          Some((m * n - s1).toDouble / math.sqrt((m * s2 - s1 * s1).toDouble))
+        else None
+        ref = (ref :+ ((d, n))).takeRight(7)
+        (java.time.LocalDate.ofEpochDay(d).toString, n, m, z)
+      }
+      assert(out.result() === expected, s"diverged on cuts=$cuts")
+    }
+  }
 }
