@@ -348,8 +348,9 @@ object MultimodalOps {
        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
        |       count(DISTINCT lang) AS n_langs
        |FROM s GROUP BY shard""".stripMargin) { (spark, sf) =>
+    // meta.lang rides asMultimodal already - no second documents scan
     shardManifest(asMultimodal(spark, sf)
-      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id"))
+      .select(col("doc_id"), col("payload"), col("meta.lang").as("lang")))
   }
 
   /** The m06 manifest over any (doc_id, payload, lang) frame. */

@@ -406,8 +406,16 @@ object VectorOps {
     val wTrunc = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_trunc").desc, col("vec_id"))
     base.join(queries, col("vec_id") =!= col("query_id"))
-      .withColumn("cos_full", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-      .withColumn("cos_trunc", dot(col("qvt"), col("vt")) / (col("qnrmt") * col("nrmt")))
+      // decide-before-divide on zero norms (r7 review): 0/0 is NaN in
+      // Spark but NULL in DuckDB 1.0 - and the two sort to OPPOSITE
+      // ends of a DESC ordering, so an all-zero vector (or zero-tail
+      // truncation) would silently flip ranks cross-engine
+      .withColumn("cos_full",
+        when(col("qnrm") === 0 || col("nrm") === 0, lit(0.0))
+          .otherwise(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+      .withColumn("cos_trunc",
+        when(col("qnrmt") === 0 || col("nrmt") === 0, lit(0.0))
+          .otherwise(dot(col("qvt"), col("vt")) / (col("qnrmt") * col("nrmt"))))
       .withColumn("rank_full", row_number().over(wFull))
       .withColumn("rank_trunc", row_number().over(wTrunc))
       .groupBy(col("query_id"))
@@ -428,10 +436,14 @@ object VectorOps {
        |      FROM b WHERE vec_id < ${SimilarityOps.QueryVecs}),
        |s AS (SELECT q.query_id, b.vec_id,
        |        row_number() OVER (PARTITION BY q.query_id
-       |          ORDER BY list_dot_product(q.qv, b.v) / (q.qnrm * b.nrm) DESC,
+       |          ORDER BY CASE WHEN q.qnrm = 0 OR b.nrm = 0 THEN 0.0
+       |                        ELSE list_dot_product(q.qv, b.v) / (q.qnrm * b.nrm)
+       |                   END DESC,
        |                   b.vec_id) AS rank_full,
        |        row_number() OVER (PARTITION BY q.query_id
-       |          ORDER BY list_dot_product(q.qvt, b.vt) / (q.qnrmt * b.nrmt) DESC,
+       |          ORDER BY CASE WHEN q.qnrmt = 0 OR b.nrmt = 0 THEN 0.0
+       |                        ELSE list_dot_product(q.qvt, b.vt) / (q.qnrmt * b.nrmt)
+       |                   END DESC,
        |                   b.vec_id) AS rank_trunc
        |      FROM q JOIN b ON b.vec_id <> q.query_id)
        |SELECT query_id,
@@ -473,7 +485,9 @@ object VectorOps {
     val wQuant = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_quant").desc, col("vec_id"))
     base.join(queries, col("vec_id") =!= col("query_id"))
-      .withColumn("cos_full", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("cos_full",
+        when(col("qnrm") === 0 || col("nrm") === 0, lit(0.0))
+          .otherwise(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
       .withColumn("cos_quant",
         when(col("qnrmq") === 0 || col("nrmq") === 0, lit(0.0))
           .otherwise(dot(col("qrq"), col("rq")) / (col("qnrmq") * col("nrmq"))))
@@ -505,7 +519,9 @@ object VectorOps {
        |      FROM n WHERE vec_id < ${SimilarityOps.QueryVecs}),
        |s AS (SELECT q.query_id, n.vec_id,
        |        row_number() OVER (PARTITION BY q.query_id
-       |          ORDER BY list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) DESC,
+       |          ORDER BY CASE WHEN q.qnrm = 0 OR n.nrm = 0 THEN 0.0
+       |                        ELSE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm)
+       |                   END DESC,
        |                   n.vec_id) AS rank_full,
        |        row_number() OVER (PARTITION BY q.query_id
        |          ORDER BY CASE WHEN q.qnrmq = 0 OR n.nrmq = 0 THEN 0.0

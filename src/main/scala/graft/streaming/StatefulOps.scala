@@ -103,10 +103,12 @@ object StatefulOps {
           else {
             state.update(SessionList(open))
             // fire when the EARLIEST unfinalized session becomes
-            // final; clamp above the watermark (at-or-below is
-            // illegal)
+            // final: eligibility is wm >= lastMs+gapMs and the engine
+            // fires when timeout < wm, so set gapDeadline-1 (r7 review
+            // closed a 1 ms late-fire on every deadline); clamp above
+            // the watermark (at-or-below is illegal)
             state.setTimeoutTimestamp(
-              math.max(open.map(_.lastMs).min + gapMs, wm + 1))
+              math.max(open.map(_.lastMs).min + gapMs - 1, wm + 1))
           }
           closed.iterator.map(s => ClosedSession(
             user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
@@ -162,9 +164,13 @@ object StatefulOps {
           if (rest.isEmpty && anchor.isEmpty) state.remove()
           else {
             state.update(ChainState(anchor, rest))
-            if (rest.nonEmpty) // fire when the earliest buffered event finalizes
+            if (rest.nonEmpty)
+              // fire when the earliest buffered event finalizes:
+              // eligibility is wm >= ts+1, the engine fires when
+              // timeout < wm, so the exact trigger is timeout = ts
+              // (r7 review); clamp above the watermark
               state.setTimeoutTimestamp(
-                math.max(rest.map(_.ts.getTime).min + 1, wm + 1))
+                math.max(rest.map(_.ts.getTime).min, wm + 1))
           }
           pairs.iterator.map { case (from, to) =>
             Transition(user, from.event_type, to.event_type, to.ts)
@@ -283,9 +289,13 @@ object StatefulOps {
           if (rest.isEmpty && hist.isEmpty) state.remove()
           else {
             state.update(AnomalyState(rest, hist))
-            if (rest.nonEmpty) // fire when the earliest buffered day's end passes
+            if (rest.nonEmpty)
+              // fire when the earliest buffered day becomes final:
+              // eligibility is wm >= (D+1)*DayMs and the engine fires
+              // when timeout < wm, so set dayEnd-1 (r7 review); clamp
+              // above the watermark
               state.setTimeoutTimestamp(
-                math.max((rest.map(_.day).min + 1) * DayMs, wm + 1))
+                math.max((rest.map(_.day).min + 1) * DayMs - 1, wm + 1))
           }
           out.iterator
       }

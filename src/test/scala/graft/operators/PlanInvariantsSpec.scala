@@ -174,10 +174,11 @@ class PlanInvariantsSpec extends SparkSpec {
 
   test("m06: manifest is one aggregation over a row-local projection - no join at all") {
     val p = plan(MultimodalOps.shardManifestQ.run(spark, sf001))
-    // the lang side joins broadcast; the shard assignment itself is
-    // row-local so there is no shuffle besides the 8-row aggregate
+    // meta.lang rides the single documents scan (r7 review removed a
+    // redundant self-join), so there is NO join of any kind and no
+    // shuffle besides the |shards|-row aggregate
+    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("v07: both rank windows share ONE per-query exchange") {

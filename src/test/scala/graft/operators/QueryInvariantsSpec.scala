@@ -149,7 +149,7 @@ class QueryInvariantsSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sf001)
     val m = MultimodalOps.shardManifest(
       MultimodalOps.asMultimodal(spark, sf001)
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")).collect()
+        .select(col("doc_id"), col("payload"), col("meta.lang").as("lang"))).collect()
     assert(m.map(_.getLong(0)).distinct.length == m.length)
     assert(m.map(_.getLong(1)).sum == docs.count())
     val expectIdSum = docs.agg(sum(col("doc_id"))).head.getLong(0)

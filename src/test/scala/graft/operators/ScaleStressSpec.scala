@@ -294,6 +294,7 @@ class ScaleStressSpec extends SparkSpec {
     val expectBytes = docs.agg(
       sum(length(col("text").cast("binary")).cast("long"))).head.getLong(0)
     assert(m.map(_.getLong(2)).sum === expectBytes, "byte totals conserve")
-    assert(m.map(_.getLong(3)).sum === (0L until 20000L).sum, "id checksum conserves")
+    val expectIds = docs.agg(sum(col("doc_id"))).head.getLong(0)
+    assert(m.map(_.getLong(3)).sum === expectIds, "id checksum conserves")
   }
 }
