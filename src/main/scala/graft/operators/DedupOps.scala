@@ -963,7 +963,14 @@ object DedupOps {
     * counts — reproducible in ANSI SQL and therefore hash-CHECKED by
     * the driver's gate, not just spec-pinned (r7, verdict item 5).
     * d11 (xxhash64 generators) remains the production hot path;
-    * d03/d06 are now the only hash-family-internal dedup rows. */
+    * d03/d06 are now the only hash-family-internal dedup rows.
+    *
+    * Plan note: each funnel line re-derives its generator from the
+    * source tables (~12 scans in the plan) — acceptable for the audit
+    * tier at harness scale, but at 100 TB this report reads the
+    * MATERIALIZED signature/fingerprint tables the dedup jobs already
+    * persist (same funnel, minus the md5 passes), exactly as d12
+    * reads the lake's precomputed index. */
   def portableCoverageReport(docs: DataFrame, emb: DataFrame): DataFrame = {
     val mh = guardAgg(
       sizes(portableBandKeys(portableSignatures(docs)), Seq("band", "band_key")),
