@@ -74,7 +74,7 @@ class FloatParitySpec extends SparkSpec {
     ("p2", 2, "128m", true), ("p8", 8, "128m", true),
     ("p32", 32, "128m", true), ("p8-4k-noaqe", 8, "4k", false))
 
-  test("every oracled float-emitting query is bit-identical at shuffle partitions {2, 8, 32} + split/AQE shake") {
+  private def sweep(sfDir: String, configs: Seq[(String, Int, String, Boolean)]): Unit = {
     val oracled = SparkEntry.oracleSql.keySet
     val runs = SparkEntry.queries.filter { case (n, _) => oracled(n) }.toSeq.sortBy(_._1)
 
@@ -87,12 +87,12 @@ class FloatParitySpec extends SparkSpec {
         // the schema check rides the FIRST config's construction —
         // building some queries is eager (codebook fits, bounded
         // collects), so don't construct once more just to peek
-        val hashes = Configs.foldLeft(List.empty[(String, String)]) {
-          case (acc, (label, parts, bytes, aqe)) if acc.nonEmpty || label == Configs.head._1 =>
+        val hashes = configs.foldLeft(List.empty[(String, String)]) {
+          case (acc, (label, parts, bytes, aqe)) if acc.nonEmpty || label == configs.head._1 =>
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             spark.conf.set("spark.sql.files.maxPartitionBytes", bytes)
             spark.conf.set("spark.sql.adaptive.enabled", aqe)
-            val df = run(spark, sf001)
+            val df = run(spark, sfDir)
             if (acc.isEmpty && !hasFloaty(df.schema)) acc // skip non-floaty
             else (label -> canonical(df)) :: acc
           case (acc, _) => acc
@@ -114,5 +114,19 @@ class FloatParitySpec extends SparkSpec {
     assert(failures.isEmpty,
       s"$floaty float queries swept; ${failures.size} order-dependent (need the q35/c09 exact-arithmetic fix):\n"
         + failures.mkString("\n"))
+  }
+
+  test("every oracled float-emitting query is bit-identical at shuffle partitions {2, 8, 32} + split/AQE shake") {
+    sweep(sf001, Configs)
+  }
+
+  test("the sweep also holds at the driver's gate scale (sf0.01, reduced config set)") {
+    // r6 ADVICE: the sf0.001-only sweep left the gate scale
+    // unprotected — group sizes (and so partial-sum counts) differ by
+    // 10x there, which is exactly what shifts a knife-edge. Two
+    // extreme parallelism points + the AQE/scan-split shake bound the
+    // runtime while still shaking reducer count AND map-side order.
+    sweep(sf01, Seq(("p2", 2, "128m", true), ("p32", 32, "128m", true),
+      ("p8-4k-noaqe", 8, "4k", false)))
   }
 }
