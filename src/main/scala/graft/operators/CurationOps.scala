@@ -526,7 +526,60 @@ object CurationOps {
         (col("bucket") < col("rate_bp")).as("kept"))
   }
 
+  /** t22 — temperature-scaled mixture weights (the multilingual-LLM
+    * sampling scheme: w_s ∝ (T_s/ΣT)^α dampens dominant sources
+    * without flattening to uniform). α is pinned to ½ so the exponent
+    * is `sqrt` — correctly-rounded IEEE in BOTH engines, unlike
+    * `pow`/`ln`, whose libm ulp conventions differ — and the
+    * normalizing sum over per-source sqrt shares goes through the
+    * dyadic snap ([[graft.functions.VectorFunctions.snapLong]]), so
+    * every emitted double (share, weight, expected epochs under the
+    * t21 budget) is a deterministic IEEE sequence at any aggregation
+    * order in any engine.
+    *
+    * Scale shape: two O(sources) aggregates, both broadcast — the
+    * corpus is touched once for token totals. */
+  val mixtureWeightsQ: GraftQuery = GraftQuery(
+    "t22_mixture_weights",
+    s"""WITH base AS (SELECT doc_id, source,
+       |        CASE WHEN text IS NULL THEN CAST(0 AS BIGINT)
+       |             ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS n_tokens
+       |      FROM documents),
+       |ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s FROM base GROUP BY source),
+       |gt AS (SELECT CAST(sum(t_s) AS BIGINT) AS total FROM ps),
+       |r AS (SELECT source, t_s, total,
+       |        CAST(t_s AS DOUBLE) / total AS share,
+       |        sqrt(CAST(t_s AS DOUBLE) / total) AS sq
+       |      FROM ps CROSS JOIN gt),
+       |nm AS (SELECT CAST(sum(CAST(floor(sq * ${graft.functions.VectorFunctions.SnapScaleSql} + 0.5) AS BIGINT)) AS DOUBLE)
+       |         / ${graft.functions.VectorFunctions.SnapScaleSql} AS s FROM r)
+       |SELECT source, t_s, share,
+       |       sq / s AS weight,
+       |       sq / s * (CAST(0.95 AS DOUBLE) * total) / t_s AS expected_epochs
+       |FROM r CROSS JOIN nm""".stripMargin) { (spark, sf) =>
+    mixtureWeights(Tables.documents(spark, sf))
+  }
+
+  /** The t22 computation over any (doc_id, source, text) frame. */
+  def mixtureWeights(docs: DataFrame,
+      budgetFrac: Double = TokenBudgetFrac): DataFrame = {
+    import graft.functions.VectorFunctions.{snapLong, SnapScale}
+    val base = docs.select(col("doc_id"), col("source"),
+      when(col("text").isNull, lit(0L))
+        .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val ps = base.groupBy(col("source")).agg(sum(col("n_tokens")).as("t_s"))
+    val r = ps.crossJoin(broadcast(ps.agg(sum(col("t_s")).as("total"))))
+      .withColumn("share", col("t_s").cast("double") / col("total"))
+      .withColumn("sq", sqrt(col("share")))
+    r.crossJoin(broadcast(
+        r.agg((sum(snapLong(col("sq"))).cast("double") / lit(SnapScale)).as("s"))))
+      .select(col("source"), col("t_s"), col("share"),
+        (col("sq") / col("s")).as("weight"),
+        ((col("sq") / col("s") * (lit(budgetFrac) * col("total"))) / col("t_s"))
+          .as("expected_epochs"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     repetitionQ, qualityFilterQ, piiRedactQ, stratifiedSampleQ, packQ,
-    sourceReweightQ, sourceQualityNormQ, tokenBudgetQ)
+    sourceReweightQ, sourceQualityNormQ, tokenBudgetQ, mixtureWeightsQ)
 }

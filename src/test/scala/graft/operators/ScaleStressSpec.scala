@@ -285,6 +285,23 @@ class ScaleStressSpec extends SparkSpec {
     assert(r.getDouble(6) >= r.getDouble(5), "top10 covers the hot key")
   }
 
+  test("t22 mixture at 10x: weights normalize and the 60% source is dampened toward sqrt") {
+    val out = CurationOps.mixtureWeights(stressDocs(N2)).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val wSum = out.values.map(_._2).sum
+    assert(math.abs(wSum - 1.0) < 1e-9, s"weights must normalize, got $wSum")
+    val (hotShare, hotW, hotEpochs) = out("mega_source")
+    // temperature 1/2: the hot source's weight sits strictly between
+    // its raw share and uniform - dampened but not flattened
+    assert(hotW < hotShare, "hot source must be dampened below its share")
+    assert(hotW > 1.0 / out.size, "but stays above uniform")
+    // under-share sources are UPsampled past one epoch of the budget
+    out.filterNot(_._1 == "mega_source").foreach { case (s, (share, w, ep)) =>
+      assert(w > share, s"$s below-average share must be upweighted")
+      assert(ep > hotEpochs, s"$s must see more epochs than the hot source")
+    }
+  }
+
   test("m06 manifest at 10x: shard totals conserve rows, bytes, and id-sum") {
     val docs = stressDocs(N2)
     val payloads = docs.select(col("doc_id"),
