@@ -1000,6 +1000,23 @@ object DedupOps {
       .reduce(_.unionByName(_))
   }
 
+  /** The literal-plane sign-LSH bucket relation in SQL — one SELECT
+    * per table over an `ev(vec_id, v DOUBLE[])` CTE, with the
+    * [[graft.functions.VectorFunctions.hyperplanes]] constants
+    * embedded as round-tripping double literals. Shared by the d11p
+    * funnel and d06p pair generation so the two can never disagree
+    * about what a bucket is. */
+  private def portableAnnBucketsSql: String =
+    (0 until PortableAnnTables).map { t =>
+      val planes = graft.functions.VectorFunctions
+        .hyperplanes(PortableAnnPlanes, SimilarityOps.Dim, 42L + 1000L * t)
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        val lits = p.map(_.toString).mkString(", ")
+        s"(CASE WHEN list_dot_product(v, [$lits]) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM ev"
+    }.mkString(" UNION ALL ")
+
   /** d11p oracle: the full funnel in DuckDB. MinHash lines replay
     * d14's md5 band keys; the SimHash bucket histogram groups on BIT-
     * SUBSTRING block keys (a bijection of the engine's integer block
@@ -1023,15 +1040,7 @@ object DedupOps {
     val starts = widths.scanLeft(0)(_ + _)
     val blockVals = widths.indices
       .map(i => s"(${i}, ${starts(i) + 1}, ${widths(i)})").mkString(", ")
-    val annBuckets = (0 until PortableAnnTables).map { t =>
-      val planes = graft.functions.VectorFunctions
-        .hyperplanes(PortableAnnPlanes, SimilarityOps.Dim, 42L + 1000L * t)
-      val bits = planes.zipWithIndex.map { case (p, i) =>
-        val lits = p.map(_.toString).mkString(", ")
-        s"(CASE WHEN list_dot_product(v, [$lits]) > 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-      s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM ev"
-    }.mkString(" UNION ALL ")
+    val annBuckets = portableAnnBucketsSql
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
@@ -1108,6 +1117,66 @@ object DedupOps {
     portableCoverageReport(Tables.documents(spark, sf),
       Tables.embeddings(spark, sf)
         .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
+  /** Audit floor for d06p's emitted pairs: low enough that the fixed
+    * corpus produces a non-vacuous verified set (the 0.95 dup bar
+    * itself may match nothing on a random corpus — an empty gate row
+    * proves nothing), high enough to stay bounded. */
+  val PortableEmbAuditFloor = 0.3
+
+  /** d06p — portable embedding near-dup pairs: the embedding family's
+    * end-to-end hash-checked twin, completing the pattern d14/d15 set
+    * for minhash/simhash. Candidates come from the FIXED literal-plane
+    * sign-LSH geometry ([[portableAnnBucketsSql]] — the same buckets
+    * d11p's funnel accounts), capped per bucket, deduped across
+    * tables, then verified by exact cosine over the shared fold-left
+    * dot kernel. Emits every verified pair at the audit floor with the
+    * d06 dup verdict at 0.95; cos_sim ships RAW (identical IEEE
+    * sequence both engines). d06 (corpus-adaptive planes) remains the
+    * production path — its plane count follows n, which is exactly
+    * what a fixed oracle text cannot replay. */
+  def portableEmbeddingPairs(emb: DataFrame): DataFrame = {
+    val banded = emb.select(col("vec_id"), col("v"),
+        posexplode(lshBandBuckets(
+          col("v"), PortableAnnTables, PortableAnnPlanes, SimilarityOps.Dim))
+          .as(Seq("tbl", "bucket")))
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("bn") <= SimilarityOps.MaxBucket)
+    val a = banded.select(col("tbl"), col("bucket"),
+      col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = banded.select(col("tbl"), col("bucket"),
+      col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos_sim",
+        dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cos_sim") >= PortableEmbAuditFloor)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"),
+        (col("cos_sim") >= 0.95).as("is_dup"))
+  }
+
+  val portableEmbeddingDupQ: GraftQuery = GraftQuery(
+    "d06p_dedup_embedding_portable",
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ab AS ($portableAnnBucketsSql),
+      |sz AS (SELECT tbl, bucket, count(*) AS bn FROM ab GROUP BY tbl, bucket),
+      |ok AS (SELECT tbl, bucket FROM sz WHERE bn <= ${SimilarityOps.MaxBucket}),
+      |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |         FROM ab a JOIN ok USING (tbl, bucket)
+      |         JOIN ab b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |          AND a.vec_id < b.vec_id),
+      |p AS (SELECT vec_a, vec_b,
+      |        list_dot_product(ea.v, eb.v)
+      |          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos_sim
+      |      FROM cand JOIN ev ea ON ea.vec_id = cand.vec_a
+      |                JOIN ev eb ON eb.vec_id = cand.vec_b)
+      |SELECT vec_a, vec_b, cos_sim, cos_sim >= 0.95 AS is_dup
+      |FROM p WHERE cos_sim >= $PortableEmbAuditFloor""".stripMargin) { (spark, sf) =>
+    portableEmbeddingPairs(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
   /** d12 — incremental dedup: the job a production pipeline actually
@@ -1663,7 +1732,8 @@ object DedupOps {
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
-    coverageQ, portableCoverageQ, incrementalQ, segmentDedupQ, portableMinhashQ,
+    coverageQ, portableCoverageQ, portableEmbeddingDupQ, incrementalQ,
+    segmentDedupQ, portableMinhashQ,
     portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
     minhashCalibrationQ, sourceOverlapQ)
 }
