@@ -624,4 +624,37 @@ class DedupSpec extends SparkSpec {
     // pairs: (0,1) s1-s2, (0,2) s1-s1, (1,2) s1-s2
     assert(out == Map(("s1", "s1") -> 1L, ("s1", "s2") -> 2L))
   }
+
+  test("d06p: planted duplicate found; pairs are a subset of brute-force truth") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{dot, norm, toDouble}
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // plant an exact copy of vec 0: same direction -> same bucket in
+    // EVERY table -> must surface as a candidate and verify at cos 1
+    val v0 = emb.filter(col("vec_id") === 0L).select(col("v"))
+      .collect().head.getSeq[Double](0)
+    val planted = emb.unionByName(
+      Seq((999999L, v0)).toDF("vec_id", "v"))
+    val pairs = DedupOps.portableEmbeddingPairs(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val dup = pairs.find(p => p._1 == 0L && p._2 == 999999L)
+    assert(dup.isDefined, "planted exact duplicate must surface")
+    assert(dup.get._4, "exact duplicate must carry is_dup")
+    assert(math.abs(dup.get._3 - 1.0) < 1e-12)
+    // verdict consistency + subset-of-truth: banding may MISS pairs,
+    // never invent them
+    pairs.foreach { case (a, b, cos, isDup) =>
+      assert(cos >= DedupOps.PortableEmbAuditFloor - 1e-12)
+      assert(isDup === (cos >= 0.95))
+    }
+    val byId = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    pairs.foreach { case (a, b, cos, _) =>
+      val (va, vb) = (byId(a), byId(b))
+      val d = va.zip(vb).map { case (x, y) => x * y }.sum
+      val truth = d / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      assert(math.abs(truth - cos) < 1e-9, s"pair ($a,$b) cosine disagrees with truth")
+    }
+  }
 }
