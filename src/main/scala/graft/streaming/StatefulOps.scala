@@ -222,31 +222,48 @@ object StatefulOps {
   private def dayStr(epochDay: Long): String =
     java.time.LocalDate.ofEpochDay(epochDay).toString
 
-  /** Pure per-invocation step (property-tested over random batch
-    * splits and watermark schedules): merge buffered day counts with
-    * the batch's, finalize every day strictly below the watermark's
-    * day (day D is safe exactly when wm ≥ (D+1)·86400000 — a future
-    * admissible row can still carry ts == wm, hence the floor), and
-    * emit each finalized day's q39 row from the trailing ≤7
-    * previously-finalized observed days, with the batch twin's exact
-    * integer arithmetic: z = (m·n − S1)/√(m·S2 − S1²) over longs,
-    * NULL-gated on m<2 / zero variance. Days finalize in ascending
-    * order (the watermark is monotone and a finalized day can never
-    * receive a late row again — such a row would be below the
-    * watermark and is filtered upstream), so the history is exactly
-    * the batch window's "previous ≤7 observed days". */
-  private[graft] def anomalyStep(
-      eventType: String, pending: List[DayCount], history: List[DayCount],
-      batchDays: Seq[Long], wmMs: Long)
-      : (List[DailyAnomaly], List[DayCount], List[DayCount]) = {
-    val merged = batchDays.foldLeft(pending.map(d => d.day -> d.n).toMap) {
+  /** The generic watermark-finalized bucket fold both bucketed twins
+    * (q39 anomaly / q36 EWMA) instantiate: merge buffered per-bucket
+    * counts with the batch's, finalize every bucket strictly below
+    * the watermark's bucket (bucket B is safe exactly when
+    * wm ≥ (B+1)·bucketMs — a future admissible row can still carry
+    * ts == wm, hence the floor), emit each finalized bucket through
+    * `emit` against the trailing ≤histKeep previously-finalized
+    * observed buckets, and keep the rest buffered. Buckets finalize
+    * in ascending order (the watermark is monotone and a finalized
+    * bucket can never receive a late row again — such a row would be
+    * below the watermark and is filtered upstream), so the history
+    * is exactly the batch window's "previous ≤k observed buckets". */
+  private[graft] def bucketStep[T](
+      pending: List[DayCount], history: List[DayCount],
+      batchBuckets: Seq[Long], wmMs: Long, bucketMs: Long, histKeep: Int)(
+      emit: (List[DayCount], DayCount) => T)
+      : (List[T], List[DayCount], List[DayCount]) = {
+    val merged = batchBuckets.foldLeft(pending.map(d => d.day -> d.n).toMap) {
       (m, d) => m.updated(d, m.getOrElse(d, 0L) + 1L)
     }
-    val cutoffDay = Math.floorDiv(wmMs, DayMs)
-    val (readyM, restM) = merged.partition(_._1 < cutoffDay)
+    val cutoff = Math.floorDiv(wmMs, bucketMs)
+    val (readyM, restM) = merged.partition(_._1 < cutoff)
     val ready = readyM.toList.map { case (d, n) => DayCount(d, n) }.sortBy(_.day)
     var hist = history
     val out = ready.map { dc =>
+      val r = emit(hist, dc)
+      hist = (hist :+ dc).takeRight(histKeep)
+      r
+    }
+    (out, hist, restM.toList.map { case (d, n) => DayCount(d, n) }.sortBy(_.day))
+  }
+
+  /** Pure q39-twin step (property-tested over random batch splits and
+    * watermark schedules): the batch twin's exact integer arithmetic,
+    * z = (m·n − S1)/√(m·S2 − S1²) over longs, NULL-gated on m<2 /
+    * zero variance, against the trailing ≤7 finalized observed
+    * days. */
+  private[graft] def anomalyStep(
+      eventType: String, pending: List[DayCount], history: List[DayCount],
+      batchDays: Seq[Long], wmMs: Long)
+      : (List[DailyAnomaly], List[DayCount], List[DayCount]) =
+    bucketStep(pending, history, batchDays, wmMs, DayMs, 7) { (hist, dc) =>
       val base = hist.takeRight(7)
       val m = base.size.toLong
       val s1 = base.map(_.n).sum
@@ -255,12 +272,9 @@ object StatefulOps {
         if (m >= 2 && m * s2 > s1 * s1)
           Some((m * dc.n - s1).toDouble / math.sqrt((m * s2 - s1 * s1).toDouble))
         else None
-      hist = (hist :+ dc).takeRight(7)
       DailyAnomaly(eventType, dayStr(dc.day), dc.n, m, z,
         z.exists(v => math.abs(v) >= 3.0))
     }
-    (out, hist, restM.toList.map { case (d, n) => DayCount(d, n) }.sortBy(_.day))
-  }
 
   /** Trailing-window daily anomaly scores over a stream — exact
     * [[graft.operators.TemporalOps.dailyAnomaly]] parity for any
@@ -296,6 +310,77 @@ object StatefulOps {
               // above the watermark
               state.setTimeoutTimestamp(
                 math.max((rest.map(_.day).min + 1) * DayMs - 1, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
+  // --------------------------------------------------------------
+  // Streaming hourly EWMA trend (the stream twin of q36)
+  // --------------------------------------------------------------
+
+  final case class HourEwma(event_type: String, date_hour: String, n: Long, ewma: Double)
+
+  private val HourMs = 3600000L
+  private val HourFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:00:00")
+
+  private def hourStr(epochHour: Long): String =
+    java.time.LocalDateTime
+      .ofEpochSecond(epochHour * 3600L, 0, java.time.ZoneOffset.UTC).format(HourFmt)
+
+  /** Pure q36-twin step: the batch operator's EXACT fixed-order
+    * addition chain — num = ((n + l₁·β) + l₂·β²)…, den = ((1 + β) +
+    * β²)… over the lags that EXIST (series starts renormalize), β=½
+    * so every weight is an exact binary double, one terminal
+    * division — so stream and batch emit bit-identical ewma. */
+  private[graft] def ewmaStep(
+      eventType: String, pending: List[DayCount], history: List[DayCount],
+      batchHours: Seq[Long], wmMs: Long)
+      : (List[HourEwma], List[DayCount], List[DayCount]) = {
+    val terms = graft.operators.TemporalOps.EwmaTerms
+    bucketStep(pending, history, batchHours, wmMs, HourMs, terms - 1) { (hist, dc) =>
+      val lags = hist.reverse // nearest finalized hour first = lag 1
+      var num = dc.n.toDouble
+      var den = 1.0
+      lags.zipWithIndex.foreach { case (c, i) =>
+        val w = math.pow(0.5, i + 1)
+        num += c.n.toDouble * w
+        den += w
+      }
+      HourEwma(eventType, hourStr(dc.day), dc.n, num / den)
+    }
+  }
+
+  /** Hourly EWMA trend over a stream — exact
+    * [[graft.operators.TemporalOps.ewmaTrend]] parity for any stream
+    * whose disorder stays inside the watermark: an hour's count is
+    * emitted with its smoothed trend exactly once, when the watermark
+    * passes the hour's end, weighted over the trailing ≤5 OBSERVED
+    * finalized hours (missing hours shorten the window, exactly the
+    * batch row-lag semantics). State is O(types · (horizon + 5)). */
+  def ewmaStream(
+      events: Dataset[TypedEvent], lateness: String = "10 minutes"): Dataset[HourEwma] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, HourEwma](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (etype, rows, state) =>
+          val prev = state.getOption.getOrElse(AnomalyState(Nil, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val hours = rows.map(e => Math.floorDiv(e.ts.getTime, HourMs)).toSeq
+          val (out, hist, rest) = ewmaStep(etype, prev.pending, prev.history, hours, wm)
+          if (rest.isEmpty && hist.isEmpty) state.remove()
+          else {
+            state.update(AnomalyState(rest, hist))
+            if (rest.nonEmpty)
+              // exact fire at eligibility: engine fires when
+              // timeout < wm, eligibility is wm >= (H+1)*HourMs
+              state.setTimeoutTimestamp(
+                math.max((rest.map(_.day).min + 1) * HourMs - 1, wm + 1))
           }
           out.iterator
       }
