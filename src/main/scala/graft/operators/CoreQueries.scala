@@ -825,11 +825,40 @@ object CoreQueries {
         (col("top10_rows").cast("double") / col("n_rows")).as("top10_share"))
   }
 
+  /** q42 — hour-of-week seasonality profile: per event type, the
+    * (day-of-week × hour) volume grid with each cell's share of the
+    * type's total and a peak flag — the load-shape report that sizes
+    * batch windows and autoscaling schedules. Shares are exact-integer
+    * ratios (raw IEEE divisions); the peak flag is integer equality
+    * against the windowed max. The dow label rides the q03-proven
+    * strftime('%a')/date_format("EEE") pairing.
+    *
+    * Scale shape: one map-combined aggregation to the bounded
+    * |types|×7×24 grid; both windows run on that post-aggregate
+    * table, never the corpus. */
+  val seasonality: GraftQuery = GraftQuery(
+    "q42_seasonality",
+    """WITH h AS (SELECT event_type, strftime(ts, '%a') AS dow,
+      |             CAST(strftime(ts, '%H') AS INT) AS hour, count(*) AS n
+      |           FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, dow, hour, CAST(n AS BIGINT) AS n,
+      |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type) AS share,
+      |       n = max(n) OVER (PARTITION BY event_type) AS is_peak
+      |FROM h""".stripMargin) { (spark, sf) =>
+    val w = Window.partitionBy(col("event_type"))
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_format(col("ts"), "EEE").as("dow"),
+        hour(col("ts")).cast("int").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n") / sum(col("n")).over(w))
+      .withColumn("is_peak", col("n") === max(col("n")).over(w))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
     latestInputs, dedupFirst, jsonExtract, timeBuckets, stringKey,
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
     distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
-    valueHistogram, groupingSets, moments, keySkew)
+    valueHistogram, groupingSets, moments, keySkew, seasonality)
 }
