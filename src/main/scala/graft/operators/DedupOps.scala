@@ -359,7 +359,7 @@ object DedupOps {
       |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b,
-      |       round(CAST(inter AS DOUBLE) / (la + lb - inter), 3) AS jaccard
+      |       CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
       |FROM p
       |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6""".stripMargin) { (spark, sf) =>
     ngramJaccardPairs(Tables.documents(spark, sf), 0.6)
@@ -1473,7 +1473,7 @@ object DedupOps {
       |      FROM cand JOIN ss a ON a.doc_id = cand.doc_a
       |                JOIN ss b ON b.doc_id = cand.doc_b)
       |SELECT doc_a, doc_b,
-      |       round(CAST(inter AS DOUBLE) / (la + lb - inter), 3) AS jaccard
+      |       CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
       |FROM p
       |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6""".stripMargin) {
     (spark, sf) =>
@@ -1724,7 +1724,10 @@ object DedupOps {
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jac_raw", jac)
       .filter(col("jac_raw") >= threshold)
-    val base = Seq(col("doc_a"), col("doc_b"), round(col("jac_raw"), 3).as("jaccard"))
+    // raw quotient (r7 audit): a ratio of exact integers is the same
+    // IEEE division in both engines; a terminal round(,3) was the one
+    // op whose shortest-string tie convention could diverge
+    val base = Seq(col("doc_a"), col("doc_b"), col("jac_raw").as("jaccard"))
     val cols = if (emitRaw) base :+ col("jac_raw") else base
     out.select(cols: _*)
   }

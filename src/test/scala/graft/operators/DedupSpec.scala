@@ -263,13 +263,14 @@ class DedupSpec extends SparkSpec {
     val sets = DedupOps.shingles(corpus)
       .groupBy("doc_id").agg(collect_set("shingle").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
-    val expected = BigDecimal(sets(0L).intersect(sets(2L)).size.toDouble /
-      sets(0L).union(sets(2L)).size).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val expected = sets(0L).intersect(sets(2L)).size.toDouble /
+      sets(0L).union(sets(2L)).size
     val got = DedupOps.ngramJaccardPairs(corpus, 0.0)
       .filter(col("doc_a") === 0L && col("doc_b") === 2L)
       .select("jaccard").collect()
     assert(got.nonEmpty, "pair (0,2) must be an LSH candidate")
-    assert(BigDecimal(got.head.getDouble(0)) === expected)
+    // raw quotient since r7 — bit-equal to the direct set math
+    assert(got.head.getDouble(0) === expected)
   }
 
   test("planted near-dups in the harness corpus are found end-to-end") {
