@@ -91,6 +91,22 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("the 2dp fixed-point premise holds on every money/value column, all scales") {
+    // the scaled-100 exact-arithmetic discipline (q04/q05/q09/q17/q20/
+    // q25/q31/q32/q35/c08...) rests on round(x*100) recovering an exact
+    // integer; if the driver ever regenerates data off-grid this must
+    // fail loudly, not corrupt hash parity downstream
+    for (sf <- Seq(sf001, sf01, sf1)) {
+      def maxDev(df: org.apache.spark.sql.DataFrame, c: String): Double =
+        df.agg(max(abs(col(c) * 100 - round(col(c) * 100, 0)))).head.getDouble(0)
+      assert(maxDev(graft.Tables.events(spark, sf), "value") < 1e-6, s"events.value @ $sf")
+      val li = graft.Tables.lineitem(spark, sf)
+      assert(maxDev(li, "l_extendedprice") < 1e-6, s"l_extendedprice @ $sf")
+      assert(maxDev(li, "l_discount") < 1e-6, s"l_discount @ $sf")
+      assert(maxDev(graft.Tables.orders(spark, sf), "o_totalprice") < 1e-6, s"o_totalprice @ $sf")
+    }
+  }
+
   test("q41 skew report: hand-computed shares, top10 caps at 10 keys") {
     import spark.implicits._
     val ev = (Seq.fill(5)(("a", 1L)) ++ Seq.fill(3)(("a", 2L)) ++ Seq(("a", 3L)) ++
