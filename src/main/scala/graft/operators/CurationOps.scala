@@ -555,7 +555,9 @@ object CurationOps {
        |         / ${graft.functions.VectorFunctions.SnapScaleSql} AS s FROM r)
        |SELECT source, t_s, share,
        |       sq / s AS weight,
-       |       sq / s * (CAST(0.95 AS DOUBLE) * total) / t_s AS expected_epochs
+       |       CASE WHEN t_s = 0 THEN 0.0
+       |            ELSE sq / s * (CAST($TokenBudgetFrac AS DOUBLE) * total) / t_s
+       |       END AS expected_epochs
        |FROM r CROSS JOIN nm""".stripMargin) { (spark, sf) =>
     mixtureWeights(Tables.documents(spark, sf))
   }
@@ -575,7 +577,11 @@ object CurationOps {
         r.agg((sum(snapLong(col("sq"))).cast("double") / lit(SnapScale)).as("s"))))
       .select(col("source"), col("t_s"), col("share"),
         (col("sq") / col("s")).as("weight"),
-        ((col("sq") / col("s") * (lit(budgetFrac) * col("total"))) / col("t_s"))
+        // decide-before-divide (the v05/v07 contract): a zero-token
+        // source is 0/0 = NaN in Spark but NULL in DuckDB
+        when(col("t_s") === 0, lit(0.0))
+          .otherwise((col("sq") / col("s") * (lit(budgetFrac) * col("total")))
+            / col("t_s"))
           .as("expected_epochs"))
   }
 

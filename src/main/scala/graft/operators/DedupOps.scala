@@ -328,15 +328,12 @@ object DedupOps {
   }
 
   /** Exact n-gram Jaccard on LSH candidates: MinHash proposes, the true
-    * shingle-set Jaccard disposes (≥ threshold, tested on the unrounded
-    * value so the SQL oracle's filter matches exactly). The expensive
-    * set compare only runs on candidate pairs — never all pairs. */
-  /** @param emitRaw also emit the unrounded `jac_raw` (d11's coverage
-    *        report thresholds on it so its verified count can never
-    *        diverge from this function's own filter semantics) */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      emitRaw: Boolean = false): DataFrame =
-    jaccardVerify(docs, candidatePairs(docs), threshold, emitRaw)
+    * shingle-set Jaccard disposes (≥ threshold on the same raw value
+    * that is emitted, so the SQL oracle's filter matches exactly). The
+    * expensive set compare only runs on candidate pairs — never all
+    * pairs. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardVerify(docs, candidatePairs(docs), threshold)
 
   /** The oracle computes the same exact Jaccard over ALL pairs (a cross
     * join DuckDB may afford at sf0.01; the engine must not at 100 TB).
@@ -923,9 +920,9 @@ object DedupOps {
     // every pair): a second bucketPairs subtree in the same plan would
     // duplicate the observe metric name, which Spark rejects; the
     // verified line thresholds the UNROUNDED jaccard — d05's filter
-    val mhPairs = ngramJaccardPairs(docs, 0.0, emitRaw = true).agg(
+    val mhPairs = ngramJaccardPairs(docs, 0.0).agg(
       count(lit(1)).as("minhash_pairs_distinct"),
-      coalesce(sum(when(col("jac_raw") >= 0.6, 1L).otherwise(0L)), lit(0L))
+      coalesce(sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)), lit(0L))
         .as("minhash_pairs_verified"))
 
     val sh = guardAgg(
@@ -978,10 +975,10 @@ object DedupOps {
       extra = Seq(coalesce(sum(when(col("bn") <= MaxBandBucket,
         expr("bn * (bn - 1) div 2")).otherwise(0L)), lit(0L))
         .as("minhash_pairs_proposed")))
-    val mhPairs = jaccardVerify(docs, portableCandidatePairs(docs), 0.0, emitRaw = true)
+    val mhPairs = jaccardVerify(docs, portableCandidatePairs(docs), 0.0)
       .agg(
         count(lit(1)).as("minhash_pairs_distinct"),
-        coalesce(sum(when(col("jac_raw") >= 0.6, 1L).otherwise(0L)), lit(0L))
+        coalesce(sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)), lit(0L))
           .as("minhash_pairs_verified"))
     val sh = guardAgg(
       sizes(portableSimhashFingerprints(docs).select(
@@ -1137,22 +1134,23 @@ object DedupOps {
     * production path — its plane count follows n, which is exactly
     * what a fixed oracle text cannot replay. */
   def portableEmbeddingPairs(emb: DataFrame): DataFrame = {
-    val banded = emb.select(col("vec_id"), col("v"),
+    // bucketPairs, not a bucket self-join (r7 review): one evaluation
+    // + one shuffle of the banded scan, cosine computed BEFORE the
+    // pair-dedup so that shuffle carries one double, not two vectors
+    val banded = emb
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"),
         posexplode(lshBandBuckets(
           col("v"), PortableAnnTables, PortableAnnPlanes, SimilarityOps.Dim))
           .as(Seq("tbl", "bucket")))
-      .withColumn("bn",
-        count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
-      .filter(col("bn") <= SimilarityOps.MaxBucket)
-    val a = banded.select(col("tbl"), col("bucket"),
-      col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = banded.select(col("tbl"), col("bucket"),
-      col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
+    bucketPairs(banded, keyCols = Seq("tbl", "bucket"),
+        memberCols = Seq("vec_id", "v", "nrm"),
+        SimilarityOps.MaxBucket, metric = "portable_emb_guard")
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cos_sim",
-        dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
       .filter(col("cos_sim") >= PortableEmbAuditFloor)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"),
         (col("cos_sim") >= 0.95).as("is_dup"))
@@ -1572,12 +1570,6 @@ object DedupOps {
       simhashLaneCols(SimhashLanes), SimhashMaxHamming)
   }
 
-  /** Exact shingle-set Jaccard over an externally-proposed candidate
-    * pair set — the shared verify tail of d05 and d14 (≥ threshold on
-    * the unrounded value so the SQL oracles' filters match exactly).
-    * `emitRaw` also emits the unrounded `jac_raw` (d11's coverage
-    * report thresholds on it so its verified count can never diverge
-    * from this filter's semantics). */
   /** MinHash estimator calibration (d17): for every PORTABLE-family
     * candidate pair, the signature-estimated Jaccard (lane-agreement
     * fraction) next to the exact shingle-set Jaccard and the absolute
@@ -1714,22 +1706,21 @@ object DedupOps {
   }
 
   private[operators] def jaccardVerify(docs: DataFrame, pairs: DataFrame,
-      threshold: Double, emitRaw: Boolean = false): DataFrame = {
+      threshold: Double): DataFrame = {
     val sets = shingles(docs).groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh"))
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b")))
-    val out = pairs.select(col("doc_a"), col("doc_b"))
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jac_raw", jac)
-      .filter(col("jac_raw") >= threshold)
     // raw quotient (r7 audit): a ratio of exact integers is the same
     // IEEE division in both engines; a terminal round(,3) was the one
-    // op whose shortest-string tie convention could diverge
-    val base = Seq(col("doc_a"), col("doc_b"), col("jac_raw").as("jaccard"))
-    val cols = if (emitRaw) base :+ col("jac_raw") else base
-    out.select(cols: _*)
+    // op whose shortest-string tie convention could diverge — and
+    // with it gone, the filter and the emitted value are ONE column
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   val all: Seq[GraftQuery] = Seq(

@@ -218,6 +218,8 @@ object StatefulOps {
       z: Option[Double], is_anomaly: Boolean)
 
   private val DayMs = 86400000L
+  /** Trailing observed days in the q39 baseline window. */
+  private val AnomalyBaseDays = 7
 
   private def dayStr(epochDay: Long): String =
     java.time.LocalDate.ofEpochDay(epochDay).toString
@@ -263,8 +265,8 @@ object StatefulOps {
       eventType: String, pending: List[DayCount], history: List[DayCount],
       batchDays: Seq[Long], wmMs: Long)
       : (List[DailyAnomaly], List[DayCount], List[DayCount]) =
-    bucketStep(pending, history, batchDays, wmMs, DayMs, 7) { (hist, dc) =>
-      val base = hist.takeRight(7)
+    bucketStep(pending, history, batchDays, wmMs, DayMs, AnomalyBaseDays) { (hist, dc) =>
+      val base = hist // bucketStep caps history at AnomalyBaseDays
       val m = base.size.toLong
       val s1 = base.map(_.n).sum
       val s2 = base.map(c => c.n * c.n).sum
