@@ -17,18 +17,34 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. The `nanosAsLong` conf is set once at session
-    * construction (GraftSession) — not mutated per-read here, which
-    * would leak into unrelated reads and race under concurrency — and
-    * the long is converted to a microsecond TimestampType column;
-    * second-level derivations match nanosecond-native readers (DuckDB)
-    * exactly. */
+  /** events.ts normalizes to a microsecond TimestampType column
+    * whatever the parquet physical type is — the harness has shipped
+    * both TIMESTAMP(NANOS) (rounds ≤7) and timestamp[us] (round 8+):
+    *
+    *  - NANOS: Spark's vectorized reader rejects it; the `nanosAsLong`
+    *    conf (set once at session construction, GraftSession — not
+    *    mutated per-read here, which would leak into unrelated reads
+    *    and race under concurrency) surfaces it as a long that is
+    *    floor-divided to micros. Second-level derivations then match
+    *    nanosecond-native readers (DuckDB) exactly.
+    *  - timestamp[us] without timezone: Spark 4 infers TIMESTAMP_NTZ;
+    *    cast to TimestampType is value-preserving under the session's
+    *    pinned UTC timezone (GraftSession), and DuckDB's
+    *    `epoch_ns(ts) // 1000` in the oracle texts yields the same
+    *    micros either way. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "build the session via GraftSession.builder (sets nanosAsLong for events.ts)")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")

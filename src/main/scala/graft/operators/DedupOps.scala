@@ -1149,7 +1149,13 @@ object DedupOps {
       .select(
         least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+        // decide-before-divide on zero norms (r8 ADVICE): 0/0 is NaN
+        // in Spark (and NaN >= floor is TRUE under Spark ordering)
+        // but NULL in DuckDB (row filtered) — pin cos_sim = 0.0 when
+        // either norm is zero, the v05/v07 contract
+        when(col("a.nrm") === 0 || col("b.nrm") === 0, lit(0.0))
+          .otherwise(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
       .dropDuplicates("vec_a", "vec_b")
       .filter(col("cos_sim") >= PortableEmbAuditFloor)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"),
@@ -1167,8 +1173,10 @@ object DedupOps {
       |         JOIN ab b ON a.tbl = b.tbl AND a.bucket = b.bucket
       |          AND a.vec_id < b.vec_id),
       |p AS (SELECT vec_a, vec_b,
-      |        list_dot_product(ea.v, eb.v)
-      |          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos_sim
+      |        CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) = 0
+      |               OR sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0.0
+      |             ELSE list_dot_product(ea.v, eb.v)
+      |          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) END AS cos_sim
       |      FROM cand JOIN ev ea ON ea.vec_id = cand.vec_a
       |                JOIN ev eb ON eb.vec_id = cand.vec_b)
       |SELECT vec_a, vec_b, cos_sim, cos_sim >= 0.95 AS is_dup

@@ -422,7 +422,18 @@ object TemporalOps {
     * ⌈p·n⌉ over the cumulative histogram, the exact arithmetic of
     * [[QuantileKernel.discQuantiles]] — instead of calling
     * `quantile_disc`, whose element-selection convention has varied
-    * across DuckDB releases. Both texts now share every op. */
+    * across DuckDB releases. Both texts now share every op.
+    *
+    * Emitted-dtype discipline (the ACTUAL r5–r7 driver-gate root
+    * cause, found round 8): DuckDB's `sum()` over integers returns
+    * HUGEINT, which pandas renders as float64 — a value-hashing
+    * comparator then sees `178.0` vs Spark's int64 `178` even though
+    * every NUMERIC comparison agrees (which is why three rounds of
+    * local/judge re-runs were green while the driver stayed red).
+    * q35 was the registry's only oracle whose FINAL select emitted a
+    * bare integer `sum(...)`; every emitted integer aggregate must be
+    * `CAST(... AS BIGINT)` (the d11p/t19 convention, now enforced by
+    * the dtype-strict local gate in tools/check_oracle.py). */
   val winsorizeQ: GraftQuery = GraftQuery(
     "q35_winsorize",
     s"""WITH h AS (
@@ -439,8 +450,8 @@ object TemporalOps {
       |         ${QuantileKernel.discSelectSql("0.90", "value")} AS hi
       |  FROM ch GROUP BY 1)
       |SELECT e.event_type, lo, hi,
-      |       sum(CASE WHEN e.value < lo THEN 1 ELSE 0 END) AS n_low,
-      |       sum(CASE WHEN e.value > hi THEN 1 ELSE 0 END) AS n_high,
+      |       CAST(sum(CASE WHEN e.value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |       CAST(sum(CASE WHEN e.value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
       |       CAST(sum(CASE WHEN e.value IS NULL THEN NULL
       |                     WHEN e.value < lo THEN CAST(round(lo * 100) AS BIGINT)
       |                     WHEN e.value > hi THEN CAST(round(hi * 100) AS BIGINT)

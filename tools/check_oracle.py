@@ -104,6 +104,26 @@ def main(sf_dir: str, out_dir: str) -> int:
             forensic(out_dir, name, "rows", got_c, exp_c, [])
             n_bad += 1
             continue
+        # dtype-strict compare: the driver HASHES values, so int64 178
+        # vs float64 178.0 (DuckDB HUGEINT -> pandas float64) is a
+        # mismatch there even though numeric == passes — the r5-r7 q35
+        # false-green mechanism. Only the int-vs-float split is flagged:
+        # date columns legitimately differ in pandas dtype (Spark parquet
+        # date -> object, DuckDB date -> datetime64) yet pass the driver
+        # gate (c01 et al green every round), so non-numeric kind drift
+        # falls through to the value compare's string fallback.
+        num = set("iuf")
+        kind_mism = [
+            f"{c}: spark dtype {got_c[c].dtype} vs oracle {exp_c[c].dtype}"
+            for c in got_c.columns
+            if got_c[c].dtype.kind in num and exp_c[c].dtype.kind in num
+            and (got_c[c].dtype.kind == "f") != (exp_c[c].dtype.kind == "f")]
+        if kind_mism:
+            print(f"FAIL {name}: dtype " + "; ".join(kind_mism))
+            forensic(out_dir, name, "dtype", got_c, exp_c,
+                     [{"col": m} for m in kind_mism])
+            n_bad += 1
+            continue
         # value compare, exact (mimics hash equality)
         mism = []
         mism_cells = []
