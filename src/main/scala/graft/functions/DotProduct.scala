@@ -114,6 +114,17 @@ object GraftExtensions {
           "usage: graft_bloom_contains(str, <bloom registry id literal>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_mmr_select"),
+      new ExpressionInfo(classOf[MmrSelect].getName, "graft_mmr_select"),
+      (children: Seq[Expression]) => children match {
+        case Seq(pool, Literal(k: Int, IntegerType),
+            Literal(lam: Double, DoubleType), Literal(pw: Double, DoubleType)) =>
+          MmrSelect(pool, k, lam, pw)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_mmr_select(pool, <k literal>, <lambda literal>, " +
+            "<penalty weight literal>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cell_probes"),
       new ExpressionInfo(classOf[CellProbes].getName, "graft_cell_probes"),
       (children: Seq[Expression]) => children match {

@@ -519,6 +519,107 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
+  /** MMR trade-off weights, pinned as SEPARATE decimal literals in
+    * both texts (never 1−λ, whose IEEE value differs from the decimal
+    * literal 0.3) — interpolated into the oracle SQL and passed to
+    * [[graft.functions.MmrSelect]], so the two sides cannot drift. */
+  val MmrLambda = 0.7
+  val MmrPenalty = 0.3
+
+  /** Candidate pool depth per query before the MMR re-rank. */
+  val MmrPoolC = 20
+
+  /** s09 — MMR diversity re-rank: greedy maximal marginal relevance
+    * over each query's top-[[MmrPoolC]] cosine pool — the serving-side
+    * answer to near-duplicate result lists (s01's top-k happily
+    * returns 5 copies of the same document; a contrastive-batch or
+    * search surface wants relevance MINUS redundancy). Rank 1 is the
+    * pure-relevance pick; each next rank maximizes
+    * λ·rel − w·max(cos to selected), ties to the smaller vec_id.
+    *
+    * Shape: candidate generation is the s01 map-only broadcast scan +
+    * per-query window; the pool then rides ONE groupBy shuffle as a
+    * collect_list bounded at C·dim doubles per query, and the greedy
+    * runs row-local inside [[graft.functions.MmrSelect]] — O(C·k·dim)
+    * per query, no k-step join/shuffle chain, no driver loop. At
+    * serving-batch scale (millions of queries) every pool selects in
+    * parallel; swapping the brute-force candidate stage for the IVF/
+    * LSH path changes nothing downstream.
+    *
+    * Oracle: the same greedy UNROLLED as k−1 chained CTE steps (the
+    * recursion is bounded by the constant k, so it is expressible in
+    * plain SQL): each step computes every survivor's penalty max
+    * against the selected set, scores with the same two pinned
+    * literals, and picks row_number()=1 on (score DESC, vec_id). */
+  def mmrRerank(emb: DataFrame, k: Int = K, c: Int = MmrPoolC): DataFrame = {
+    val base = emb.withColumn("nrm", norm(col("v")))
+    val queries = broadcast(
+      base.filter(col("vec_id") < QueryVecs)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    base.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("rel", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= c)
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"), col("rel")))
+        .as("pool"))
+      .select(col("query_id"),
+        explode(call_function("graft_mmr_select",
+          col("pool"), lit(k), lit(MmrLambda), lit(MmrPenalty))).as("pick"))
+      .select(col("query_id"),
+        col("pick.rank").cast("long").as("rank"),
+        col("pick.neighbor_id"), col("pick.rel"), col("pick.mmr_score"))
+  }
+
+  private def mmrStepSql(i: Int): String = {
+    val lam = s"CAST($MmrLambda AS DOUBLE)"
+    val pw = s"CAST($MmrPenalty AS DOUBLE)"
+    s"""p$i AS (
+       |  SELECT c.query_id, c.vec_id, c.rel,
+       |         max(list_dot_product(c.v, s.v) / (c.nrm * s.nrm)) AS pen
+       |  FROM cand c JOIN sel${i - 1} s USING (query_id)
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+       |                    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+       |  GROUP BY 1, 2, 3),
+       |k$i AS (
+       |  SELECT query_id, vec_id, rel, $lam * rel - $pw * pen AS mmr,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY $lam * rel - $pw * pen DESC, vec_id) AS rk
+       |  FROM p$i),
+       |sel$i AS (
+       |  SELECT * FROM sel${i - 1}
+       |  UNION ALL
+       |  SELECT c.query_id, c.vec_id, c.v, c.nrm, k.rel, $i AS rank, k.mmr
+       |  FROM k$i k JOIN cand c USING (query_id, vec_id) WHERE k.rk = 1)""".stripMargin
+  }
+
+  val mmrRerankQ: GraftQuery = GraftQuery(
+    "s09_mmr_rerank",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $QueryVecs),
+       |c0 AS (SELECT q.query_id, n.vec_id, n.v, n.nrm,
+       |         list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS rel,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) DESC,
+       |                    n.vec_id) AS crank
+       |       FROM q JOIN n ON n.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, vec_id, v, nrm, rel FROM c0 WHERE crank <= $MmrPoolC),
+       |sel1 AS (
+       |  SELECT query_id, vec_id, v, nrm, rel, 1 AS rank, rel AS mmr
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rel DESC, vec_id) AS rk FROM cand)
+       |  WHERE rk = 1),
+       |${(2 to K).map(mmrStepSql).mkString(",\n")}
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |       rel, mmr AS mmr_score
+       |FROM sel$K""".stripMargin) { (spark, sf) =>
+    mmrRerank(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
-    knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ)
+    knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ)
 }

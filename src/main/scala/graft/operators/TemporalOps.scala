@@ -887,9 +887,84 @@ object TemporalOps {
     cooccurrenceLift(Tables.events(spark, sf))
   }
 
+  /** q43 — change-point detection: per event type, the day whose
+    * before/after split maximizes the absolute shift in mean daily
+    * volume — the first question an operator asks of a drifting
+    * metric ("WHEN did this change?"), complementing q39's "is today
+    * anomalous" z-score with a retrospective level-shift scan.
+    *
+    * Float discipline: every candidate split's two means are single
+    * IEEE divisions over exact integer prefix sums (count longs), so
+    * shift doubles are bit-identical in both engines and the argmax
+    * (row_number ordered by shift DESC, day ASC as the deterministic
+    * tie-break) picks the same row. No rounding anywhere.
+    *
+    * Scale shape: the daily aggregation is map-side combined; every
+    * window (prefix sum, per-type total, argmax rank) runs on the
+    * POST-AGGREGATE (type × day) table — thousands of rows at any
+    * corpus size — and all three share the one per-type exchange. An
+    * O(D) scan per type, not O(D²): the prefix-sum identity gives
+    * every candidate split from one pass. */
+  def changePoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    daily
+      .select(col("event_type"), col("day"),
+        row_number().over(wOrd).as("k"),
+        sum(col("c")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"),
+        sum(col("c")).over(wAll).as("t"),
+        count(lit(1)).over(wAll).as("d"))
+      .filter(col("k") < col("d"))
+      .select(col("event_type"), col("day"), col("d"),
+        (col("s").cast("double") / col("k")).as("mean_before"),
+        ((col("t") - col("s")).cast("double") / (col("d") - col("k")))
+          .as("mean_after"))
+      .withColumn("shift", abs(col("mean_after") - col("mean_before")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("shift").desc, col("day"))))
+      .filter(col("__rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("d").as("n_days"), col("mean_before"), col("mean_after"),
+        col("shift"))
+  }
+
+  val changePointQ: GraftQuery = GraftQuery(
+    "q43_change_point",
+    """WITH daily AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, day,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+      |         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+      |         count(*) OVER (PARTITION BY event_type) AS d
+      |  FROM daily),
+      |sc AS (
+      |  SELECT event_type, day, d,
+      |         CAST(s AS DOUBLE) / k AS mean_before,
+      |         CAST(t - s AS DOUBLE) / (d - k) AS mean_after,
+      |         abs(CAST(t - s AS DOUBLE) / (d - k)
+      |             - CAST(s AS DOUBLE) / k) AS shift
+      |  FROM p WHERE k < d),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |                ORDER BY shift DESC, day) AS rk FROM sc)
+      |SELECT event_type, day AS cp_day, CAST(d AS BIGINT) AS n_days,
+      |       mean_before, mean_after, shift
+      |FROM r WHERE rk = 1""".stripMargin) { (spark, sf) =>
+    changePoint(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
       ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
-      cooccurrenceQ)
+      cooccurrenceQ, changePointQ)
 }

@@ -173,4 +173,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty, "threshold must not empty the fixture corpus")
   }
+
+  test("s09 MMR: exact dup demoted below the orthogonal candidate; ties to smaller id") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, Seq(1.0, 0.0)),   // the query (vec_id < QueryVecs)
+      (10L, Seq(4.0, 3.0)),  // rel = 4/5 = 0.8 exactly
+      (11L, Seq(4.0, 3.0)),  // exact duplicate of 10
+      (12L, Seq(3.0, -4.0))) // rel = 0.6, orthogonal to 10/11
+      .toDF("vec_id", "v")
+    val out = SimilarityOps.mmrRerank(fixture).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out.size == 3, "pool smaller than k emits the whole pool")
+    // rank 1: rel tie 10 vs 11 -> smaller id; mmr_score is the raw rel
+    assert(out(1L) == ((10L, 0.8, 0.8)))
+    // rank 2: the dup scores 0.7*0.8 - 0.3*1.0, the orthogonal 0.42 -> diversity wins
+    assert(out(2L) == ((12L, 0.6, 0.7 * 0.6 - 0.3 * 0.0)))
+    // rank 3: the dup finally lands, its penalty pinned at cosine 1
+    assert(out(3L) == ((11L, 0.8, 0.7 * 0.8 - 0.3 * 1.0)))
+  }
+
+  test("s09 on the harness corpus: 8 queries x 5 unique ranks, selected set is diverse-consistent") {
+    val rows = SimilarityOps.mmrRerankQ.run(spark, sf001).collect()
+    assert(rows.length == 8 * 5)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(rs.map(_.getLong(2)).distinct.length == 5, "no neighbor repeats")
+      // rank 1 must be the pure-relevance argmax of the emitted set
+      val r1 = rs.find(_.getLong(1) == 1L).get
+      assert(rs.forall(r => r.getDouble(3) <= r1.getDouble(3)))
+    }
+  }
 }

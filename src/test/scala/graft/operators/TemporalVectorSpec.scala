@@ -400,6 +400,24 @@ class TemporalVectorSpec extends SparkSpec {
     assert(zOf(2) == ((Some(-3.0), true)))  // exactly -3 sigma -> anomaly
   }
 
+  test("q43 change point: argmax split by exact means; equal shifts tie-break earlier") {
+    // counts 2,2,10,10 over four days: split after day 2 maximizes
+    //   k=1: |20/3 - 2| = 14/3;  k=2: |10 - 2| = 8;  k=3: |10 - 14/3| = 16/3
+    val out = TemporalOps.changePoint(
+      dailyEvents("a", Seq(1 -> 2, 2 -> 2, 3 -> 10, 4 -> 10)))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(1) == "1970-01-03" && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 10.0 && r.getDouble(5) == 8.0)
+
+    // counts 1,3,1: both splits shift by exactly 1 -> earlier day wins
+    val tie = TemporalOps.changePoint(
+      dailyEvents("b", Seq(1 -> 1, 2 -> 3, 3 -> 1)))
+      .collect().head
+    assert(tie.getString(1) == "1970-01-02" && tie.getDouble(5) == 1.0)
+  }
+
   test("q40 lift: hand-computed baskets, absent pair emits no row, duplicates collapse") {
     val day = 86400000000L
     val rows = Seq(
