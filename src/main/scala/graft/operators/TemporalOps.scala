@@ -962,9 +962,53 @@ object TemporalOps {
     changePoint(Tables.events(spark, sf))
   }
 
+  /** Top-k rows emitted per (event_type, day) by q44. Shared with the
+    * streaming twin ([[graft.streaming.StatefulOps.heavyHitterStream]])
+    * so batch and stream emit the same surface. */
+  val DailyTopK = 10
+
+  /** q44 — daily top users: per (event type, day), the k most active
+    * user ids with exact counts — the per-window heavy-hitter report
+    * (abuse triage, cache-key selection, salting candidates for the
+    * q41 skew decision). Deterministic tie-break (count DESC, user
+    * ASC); counts are exact longs, nothing floats.
+    *
+    * Scale shape: the (type, day, user) aggregation is map-side
+    * combined — a hot user arrives pre-reduced — and the rank window
+    * runs per (type, day) over the post-aggregate table. At extreme
+    * per-day user cardinality the window sort is the cost, and the
+    * documented bounded-state path is the streaming twin's
+    * SpaceSaving sketch (O(cap) per type·day, guarantees instead of
+    * exactness) — the classic exact/approx pair, like q09 vs q24. */
+  def dailyTopUsers(events: DataFrame, k: Int = DailyTopK): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("event_type", "day")
+          .orderBy(col("n").desc, col("user_id"))))
+      .filter(col("rank") <= k)
+      .select(col("event_type"), col("day"),
+        col("rank").cast("long").as("rank"), col("user_id"), col("n"))
+
+  val dailyTopUsersQ: GraftQuery = GraftQuery(
+    "q44_daily_top_users",
+    s"""WITH c AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, day
+      |                 ORDER BY n DESC, user_id) AS rank FROM c)
+      |SELECT event_type, day, CAST(rank AS BIGINT) AS rank, user_id,
+      |       CAST(n AS BIGINT) AS n
+      |FROM r WHERE rank <= $DailyTopK""".stripMargin) { (spark, sf) =>
+    dailyTopUsers(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
       ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
-      cooccurrenceQ, changePointQ)
+      cooccurrenceQ, changePointQ, dailyTopUsersQ)
 }

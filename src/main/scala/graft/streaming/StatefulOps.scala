@@ -388,6 +388,126 @@ object StatefulOps {
       }
   }
 
+  // --------------------------------------------------------------
+  // Streaming daily heavy hitters (bounded-state twin of q44)
+  // --------------------------------------------------------------
+
+  /** One SpaceSaving counter: `est` overestimates the user's true
+    * count by at most `err` (the evicted minimum the counter
+    * inherited), so `est − err ≤ true ≤ est`. */
+  final case class SsCounter(user: Long, est: Long, err: Long)
+  final case class HhState(days: Map[Long, List[SsCounter]])
+  final case class HeavyHitter(
+      event_type: String, day: String, rank: Long, user_id: Long,
+      est: Long, err: Long, guaranteed: Boolean)
+
+  /** SpaceSaving capacity per (type, day). Any user with true count
+    * > n_day / HhCap is guaranteed a counter (Metwally et al. 2005),
+    * and days with ≤ HhCap distinct users are tracked EXACTLY. */
+  val HhCap = 32
+  /** Emitted rows per (type, day) — q44's DailyTopK. */
+  val HhK: Int = graft.operators.TemporalOps.DailyTopK
+
+  /** Merge a batch's exact per-user counts into a SpaceSaving sketch.
+    * Deterministic given (sketch, adds): adds fold in (count DESC,
+    * user ASC) order and the eviction victim is pinned to (est ASC,
+    * user ASC). Batch-SPLIT invariance is inherently approximate for
+    * an over-capacity sketch — the spec pins the estimator's
+    * GUARANTEES under random splits (q22's sketch-contract
+    * philosophy), and exactness whenever the day stays under
+    * capacity. */
+  private[graft] def spaceSavingMerge(
+      sketch: List[SsCounter], adds: Seq[(Long, Long)], cap: Int): List[SsCounter] = {
+    val sorted = adds.sortBy { case (u, n) => (-n, u) }
+    sorted.foldLeft(sketch) { case (sk, (u, n)) =>
+      if (sk.exists(_.user == u))
+        sk.map(c => if (c.user == u) c.copy(est = c.est + n) else c)
+      else if (sk.size < cap) sk :+ SsCounter(u, n, 0L)
+      else {
+        val victim = sk.minBy(c => (c.est, c.user))
+        sk.filterNot(_.user == victim.user) :+
+          SsCounter(u, victim.est + n, victim.est)
+      }
+    }
+  }
+
+  /** Top-k emission for one finalized day: rank by (est DESC, user
+    * ASC); a row is `guaranteed` in the true top-k when even its
+    * worst-case true count (est − err) still clears the best possible
+    * count outside the emitted set (the (k+1)-th estimate — an upper
+    * bound on every untracked user too, by the SpaceSaving
+    * invariant). */
+  private[graft] def heavyHitters(
+      etype: String, day: Long, sketch: List[SsCounter], k: Int): List[HeavyHitter] = {
+    val ordered = sketch.sortBy(c => (-c.est, c.user))
+    val thresh = ordered.drop(k).headOption.map(_.est).getOrElse(0L)
+    ordered.take(k).zipWithIndex.map { case (c, i) =>
+      HeavyHitter(etype, dayStr(day), (i + 1).toLong, c.user, c.est, c.err,
+        c.est - c.err >= thresh)
+    }
+  }
+
+  /** Pure heavy-hitter step (property-tested): exact per-(day, user)
+    * batch counts merge into each day's sketch; days strictly below
+    * the watermark's day finalize in ascending order and emit their
+    * top-k. */
+  private[graft] def hhStep(
+      etype: String, pending: Map[Long, List[SsCounter]],
+      batch: Seq[(Long, Long)], wmMs: Long, cap: Int, k: Int)
+      : (List[HeavyHitter], Map[Long, List[SsCounter]]) = {
+    val adds = batch.groupBy(identity).toSeq
+      .map { case ((d, u), xs) => (d, u, xs.size.toLong) }
+    val merged = adds.groupBy(_._1).foldLeft(pending) { case (m, (d, rows)) =>
+      m.updated(d, spaceSavingMerge(
+        m.getOrElse(d, Nil), rows.map(r => (r._2, r._3)), cap))
+    }
+    val cutoff = Math.floorDiv(wmMs, DayMs)
+    val (ready, rest) = merged.partition(_._1 < cutoff)
+    val out = ready.toList.sortBy(_._1)
+      .flatMap { case (d, sk) => heavyHitters(etype, d, sk, k) }
+    (out, rest)
+  }
+
+  /** Daily heavy hitters over a stream — the bounded-state twin of
+    * [[graft.operators.TemporalOps.dailyTopUsers]]: where the batch
+    * operator ranks EXACT per-user counts (state O(users·day)), the
+    * stream keeps a [[HhCap]]-counter SpaceSaving sketch per
+    * (type, day) — O(types · days-in-horizon · cap) state at any
+    * stream length — and emits each day's top-k exactly once when the
+    * watermark passes the day's end, with per-row (est, err,
+    * guaranteed) so a consumer can tell exact rows (err = 0; always
+    * the case when the day stayed under capacity, where stream ≡
+    * batch) from bounded estimates. */
+  def heavyHitterStream(
+      events: Dataset[TypedEvent], lateness: String = "10 minutes",
+      cap: Int = HhCap, k: Int = HhK): Dataset[HeavyHitter] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HhState, HeavyHitter](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (etype, rows, state) =>
+          val prev = state.getOption.getOrElse(HhState(Map.empty))
+          val wm = state.getCurrentWatermarkMs()
+          val batch = rows
+            .map(e => (Math.floorDiv(e.ts.getTime, DayMs), e.user_id)).toSeq
+          val (out, rest) = hhStep(etype, prev.days, batch, wm, cap, k)
+          if (rest.isEmpty) state.remove()
+          else {
+            state.update(HhState(rest))
+            // exact fire at eligibility (r7 review convention): the
+            // engine fires when timeout < wm, eligibility for day D
+            // is wm >= (D+1)*DayMs
+            state.setTimeoutTimestamp(
+              math.max((rest.keys.min + 1) * DayMs - 1, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Running stats over parsed lake rows (topic, created_at). Use with
     * outputMode("update"): each micro-batch emits one row per topic
     * that received data. Null event times count toward `count` but not

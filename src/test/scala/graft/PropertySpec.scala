@@ -369,4 +369,96 @@ class PropertySpec extends SparkSpec {
       assert(out.result() === expected, s"diverged on cuts=$cuts")
     }
   }
+
+  test("space-saving merge: capacity, bounds, and >n/cap membership (any adds)") {
+    import graft.streaming.StatefulOps
+    val addsGen: Gen[List[Long]] =
+      Gen.listOf(Gen.chooseNum(0L, 19L)) // user ids; heavy repeats likely
+    samples(addsGen, 300).foreach { users =>
+      val truth = users.groupBy(identity).map { case (u, xs) => u -> xs.size.toLong }
+      val adds = truth.toSeq
+      val cap = 6
+      val sk = StatefulOps.spaceSavingMerge(Nil, adds, cap)
+      assert(sk.size <= cap)
+      assert(sk.map(_.user).distinct.size == sk.size, "one counter per user")
+      sk.foreach { c =>
+        val t = truth(c.user)
+        assert(c.est - c.err <= t && t <= c.est,
+          s"user ${c.user}: true $t outside [${c.est - c.err}, ${c.est}]")
+      }
+      // the Metwally guarantee: any user above n/cap holds a counter
+      val n = users.size.toLong
+      truth.filter(_._2 > n / cap).keys.foreach { u =>
+        assert(sk.exists(_.user == u), s"heavy user $u evicted (n=$n)")
+      }
+    }
+  }
+
+  test("heavy-hitter step: exactly-once, bounds, guarantees for any split + schedule") {
+    import java.sql.Timestamp
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{SsCounter, TypedEvent}
+    val DayMs = 86400000L
+    val cap = 6
+    val k = 3
+    val eventsGen: Gen[List[TypedEvent]] = Gen.listOf(
+      Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 86399999L),
+        Gen.chooseNum(0L, 19L)))
+      .map(_.zipWithIndex.map { case ((d, off, u), i) =>
+        TypedEvent(i.toLong, u, "a", new Timestamp(d * DayMs + off))
+      })
+    val gen = for {
+      evs <- eventsGen
+      arrival <- Gen.choose(0L, Long.MaxValue)
+        .map(s => new scala.util.Random(s).shuffle(evs))
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, math.max(arrival.size, 1)))
+    } yield (evs, arrival, cuts.sorted)
+    samples(gen, 300).foreach { case (evs, arrival, cuts) =>
+      val batches = (0 +: cuts :+ arrival.size).sliding(2)
+        .map { case Seq(a, b) => arrival.slice(a, b) }.toList
+      var wm = Long.MinValue
+      var pending = Map.empty[Long, List[SsCounter]]
+      var seen = 0
+      val out = List.newBuilder[StatefulOps.HeavyHitter]
+      for (batch <- batches) {
+        seen += batch.size
+        val future = arrival.drop(seen)
+        val bound = if (future.isEmpty) 10L * DayMs else future.map(_.ts.getTime).min
+        wm = math.max(wm, bound - (bound % 777))
+        val days = batch.map(e => (Math.floorDiv(e.ts.getTime, DayMs), e.user_id))
+        val (rows, rest) = StatefulOps.hhStep("a", pending, days, wm, cap, k)
+        out ++= rows
+        pending = rest
+      }
+      val (lastRows, rest) = StatefulOps.hhStep("a", pending, Nil, 30L * DayMs, cap, k)
+      assert(rest.isEmpty, "a drained stream must buffer nothing")
+      out ++= lastRows
+      val got = out.result()
+      // exactly one emission per observed day, ranks 1..|rows|
+      val truthByDay = evs.groupBy(e => Math.floorDiv(e.ts.getTime, DayMs))
+        .map { case (d, es) =>
+          java.time.LocalDate.ofEpochDay(d).toString ->
+            es.groupBy(_.user_id).map { case (u, xs) => u -> xs.size.toLong } }
+      assert(got.map(_.day).distinct.sorted === truthByDay.keys.toSeq.sorted)
+      got.groupBy(_.day).foreach { case (day, rows) =>
+        val truth = truthByDay(day)
+        assert(rows.map(_.rank).sorted === (1 to rows.size).map(_.toLong))
+        assert(rows.size == math.min(k, truth.size))
+        rows.foreach { h =>
+          val t = truth(h.user_id)
+          assert(h.est - h.err <= t && t <= h.est,
+            s"$day user ${h.user_id}: true $t outside [${h.est - h.err}, ${h.est}]")
+          if (h.guaranteed)
+            assert(truth.values.count(_ > t) < k,
+              s"$day guaranteed user ${h.user_id} not in the true top-$k")
+        }
+        // a day under capacity is exact: the reference top-k verbatim
+        if (truth.size <= cap) {
+          val exact = truth.toSeq.sortBy { case (u, n) => (-n, u) }.take(k)
+          assert(rows.sortBy(_.rank).map(h => (h.user_id, h.est)) === exact)
+          assert(rows.forall(_.err == 0L))
+        }
+      }
+    }
+  }
 }
