@@ -542,7 +542,75 @@ object TextOps {
     sourceVocab(Tables.documents(spark, sf))
   }
 
+  /** Noise floor for t23: tokens seen in fewer total docs than this
+    * never rank (a 1-vs-0 hapax would otherwise dominate any ratio
+    * report). Part of the report's contract, not a silent cap. */
+  val DriftMinDf = 5
+  /** Rows t23 emits — the drift report is a top-N diagnostic. */
+  val DriftTopN = 50
+
+  /** t23 — token document-frequency drift between two corpus halves:
+    * which vocabulary is appearing or disappearing across the split —
+    * the curation diagnostic for distribution shift between crawls /
+    * time slices (here the deterministic doc_id parity split stands in
+    * for the time cutoff a dated corpus would use; same shape either
+    * way). Per token, the distinct-doc count in each half and the
+    * add-one ratio both ways; ranked by the larger ratio (symmetric
+    * divergence) with the token as tie-break.
+    *
+    * Float discipline: df counts are exact longs from ONE token-keyed
+    * aggregation (the (doc, token) dedup is row-local
+    * `array_distinct` — no per-pair shuffle); each ratio is a single
+    * IEEE division of exact integers and `greatest` of two such
+    * doubles is exact — nothing rounds, nothing accumulates.
+    *
+    * Scale shape: explode → map-side-combinable count per token; the
+    * top-N is TakeOrdered (no global window over the vocabulary) and
+    * the rank window runs on the N retained rows. */
+  def dfDrift(docs: DataFrame, minDf: Int = DriftMinDf, topN: Int = DriftTopN): DataFrame = {
+    val halves = docs
+      .select((col("doc_id") % 2 === 0).as("ha"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("ha"), 1L).otherwise(0L)).as("df_a"),
+        sum(when(col("ha"), 0L).otherwise(1L)).as("df_b"))
+      .filter(col("df_a") + col("df_b") >= minDf)
+      .withColumn("drift", (col("df_b") + 1).cast("double") / (col("df_a") + 1))
+      .withColumn("divergence", greatest(
+        (col("df_b") + 1).cast("double") / (col("df_a") + 1),
+        (col("df_a") + 1).cast("double") / (col("df_b") + 1)))
+      .orderBy(col("divergence").desc, col("token"))
+      .limit(topN)
+    halves
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("divergence").desc, col("token"))).cast("long"))
+      .select(col("token"), col("df_a"), col("df_b"), col("drift"),
+        col("divergence"), col("rank"))
+  }
+
+  val dfDriftQ: GraftQuery = GraftQuery(
+    "t23_df_drift",
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents),
+      |d AS (SELECT token,
+      |        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+      |        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS df_b
+      |      FROM tok GROUP BY token),
+      |f AS (SELECT token, df_a, df_b,
+      |        CAST(df_b + 1 AS DOUBLE) / (df_a + 1) AS drift,
+      |        greatest(CAST(df_b + 1 AS DOUBLE) / (df_a + 1),
+      |                 CAST(df_a + 1 AS DOUBLE) / (df_b + 1)) AS divergence
+      |      FROM d WHERE df_a + df_b >= $DriftMinDf),
+      |r AS (SELECT *, row_number() OVER (ORDER BY divergence DESC, token) AS rank
+      |      FROM f)
+      |SELECT token, df_a, df_b, drift, divergence, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= $DriftTopN""".stripMargin) { (spark, sf) =>
+    dfDrift(Tables.documents(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
-    hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ, ngramNoveltyQ, sourceVocabQ)
+    hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ, ngramNoveltyQ, sourceVocabQ,
+    dfDriftQ)
 }

@@ -17,6 +17,23 @@ class CurationSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("t23 df drift: within-doc repeats collapse, add-one ratios, noise floor holds") {
+    // even doc_ids are half A, odd are half B
+    val fixture = docs(
+      (0L, "up up up common"), (2L, "common"), (4L, "common"),
+      (1L, "down common"), (3L, "down common"), (5L, "down common"),
+      (7L, "rare"))
+    val out = TextOps.dfDrift(fixture, minDf = 3, topN = 10).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    // 'rare' (df 1) and 'up' (df 1 after within-doc collapse) miss the floor
+    assert(out.keySet == Set("common", "down"))
+    // down: df_a 0, df_b 3 -> drift 4/1, divergence 4; common: 3 vs 3 -> 1
+    assert(out("down") == ((0L, 3L, 4.0, 4.0, 1L)))
+    assert(out("common") == ((3L, 3L, 1.0, 1.0, 2L)))
+  }
+
   test("t09 repetition signals match hand-computed gram fractions") {
     // "a b a b a b": 2-grams (a b)x3 (b a)x2 -> top2 3/5;
     //                3-grams (a b a)x2 (b a b)x2 -> dup3 4/4
