@@ -121,11 +121,18 @@ case class MmrSelect(
       c = 0
       while (c < nC) {
         if (!used(c)) {
-          val a = vecs(c); val b = vecs(last)
-          var s = 0.0
-          var i = 0
-          while (i < a.length) { s += a(i) * b(i); i += 1 }
-          val cos = s / (nrms(c) * nrms(last))
+          // decide-before-divide: zero-norm cosine pins to 0.0 (the
+          // operator-level contract) — a NaN here would poison both
+          // argmax loops into pool-order-dependent selection
+          val cos =
+            if (nrms(c) == 0.0 || nrms(last) == 0.0) 0.0
+            else {
+              val a = vecs(c); val b = vecs(last)
+              var s = 0.0
+              var i = 0
+              while (i < a.length) { s += a(i) * b(i); i += 1 }
+              s / (nrms(c) * nrms(last))
+            }
           if (cos > pen(c)) pen(c) = cos
         }
         c += 1

@@ -737,8 +737,10 @@ object CoreQueries {
     * Pearson co-moment from exact integer sums of PER-GROUP-MIN-
     * RELATIVE µs deltas — corr is shift-invariant, so subtracting
     * min(t) per group changes nothing semantically while bounding
-    * dt ≤ the group's time span, and the sums fit comfortably in
-    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): at a 30-day span,
+    * dt ≤ the group's time span, and every product sum (q², q·dt,
+    * dt, dt²) accumulates in DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB) — never a bare Long, which q² would silently wrap at
+    * ~3.7e9 rows/group: at a 30-day span,
     * n·Σdt² ≈ n²·(2.6e12)² ⇒ 38 digits supports ~3e6 rows/group; the
     * 100 TB path truncates dt to seconds (same shape, 6 fewer digits
     * per factor ⇒ ~6e12 rows/group). The final value is
@@ -799,7 +801,10 @@ object CoreQueries {
       .groupBy(col("event_type"))
       .agg(
         sum(col("__q")).as("__sq"),
-        sum(col("__q") * col("__q")).as("__sq2"),
+        // decimal, like __sqt/__st2: a raw Long sum of q² (≤2.5e9 per
+        // row) would silently wrap at ~3.7e9 rows/group in non-ANSI
+        // Spark while the oracle's HUGEINT stays exact
+        sum(col("__q").cast(dec) * col("__q").cast(dec)).as("__sq2"),
         count(col("__q")).as("__nv"),
         sum(col("__q").cast(dec) * col("__dt").cast(dec)).as("__sqt"),
         sum(col("__dt").cast(dec)).as("__st"),

@@ -559,7 +559,13 @@ object SimilarityOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("vec_id"))
     base.join(queries, col("vec_id") =!= col("query_id"))
-      .withColumn("rel", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      // decide-before-divide (the d06p/v05/v07 contract): 0/0 is NaN
+      // in Spark and NaN sorts FIRST under DESC, so an all-zero
+      // embedding would otherwise enter every pool at crank 1 while
+      // the oracle's NULL sorts last
+      .withColumn("rel",
+        when(col("qnrm") === 0 || col("nrm") === 0, lit(0.0))
+          .otherwise(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= c)
       .groupBy(col("query_id"))
@@ -578,7 +584,8 @@ object SimilarityOps {
     val pw = s"CAST($MmrPenalty AS DOUBLE)"
     s"""p$i AS (
        |  SELECT c.query_id, c.vec_id, c.rel,
-       |         max(list_dot_product(c.v, s.v) / (c.nrm * s.nrm)) AS pen
+       |         max(CASE WHEN c.nrm = 0 OR s.nrm = 0 THEN 0.0
+       |             ELSE list_dot_product(c.v, s.v) / (c.nrm * s.nrm) END) AS pen
        |  FROM cand c JOIN sel${i - 1} s USING (query_id)
        |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
        |                    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
@@ -601,9 +608,11 @@ object SimilarityOps {
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $QueryVecs),
        |c0 AS (SELECT q.query_id, n.vec_id, n.v, n.nrm,
-       |         list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS rel,
+       |         CASE WHEN q.qnrm = 0 OR n.nrm = 0 THEN 0.0
+       |              ELSE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) END AS rel,
        |         row_number() OVER (PARTITION BY q.query_id
-       |           ORDER BY list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) DESC,
+       |           ORDER BY CASE WHEN q.qnrm = 0 OR n.nrm = 0 THEN 0.0
+       |                    ELSE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) END DESC,
        |                    n.vec_id) AS crank
        |       FROM q JOIN n ON n.vec_id <> q.query_id),
        |cand AS (SELECT query_id, vec_id, v, nrm, rel FROM c0 WHERE crank <= $MmrPoolC),
