@@ -189,4 +189,44 @@ class PlanInvariantsSpec extends SparkSpec {
       s"full and quantized rankings must reuse one query_id exchange:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("s09: pool rides ONE exchange; candidate top-C prunes map-side; queries broadcast") {
+    val p = SimilarityOps.mmrRerankQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1,
+      s"candidate window + pool collect_list must share one query_id exchange:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"the top-C cutoff must prune map-side before the exchange:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q43: prefix/total/argmax windows share the per-type exchange (2 shuffles total)") {
+    val p = TemporalOps.changePointQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2,
+      s"expected one aggregation exchange + one shared window exchange:\n$p")
+  }
+
+  test("q44: rank window above the map-combined count aggregate, group-limit pushed down") {
+    val p = TemporalOps.dailyTopUsersQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2,
+      s"expected the (type,day,user) aggregate + (type,day) window exchanges:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"the top-k cutoff must prune map-side below the window exchange:\n$p")
+  }
+
+  test("t23: one token aggregation + TakeOrdered — no global window over the vocabulary") {
+    val df = TextOps.dfDriftQ.run(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-N must be TakeOrdered, not a sort of the vocabulary:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1,
+      s"expected exactly the token-count aggregation exchange:\n$p")
+  }
 }
