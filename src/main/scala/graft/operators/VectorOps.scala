@@ -539,6 +539,105 @@ object VectorOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
+  /** Prefix lengths for the v08 curve — the candidate serving
+    * dimensions a matryoshka-style store would choose between. One
+    * constant interpolated into both texts. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 48)
+
+  /** v08 — matryoshka truncation-recall CURVE: v05's single-dim
+    * acceptance check generalized to the whole decision — recall@k of
+    * prefix-cosine ranking vs full-precision ranking at EVERY
+    * candidate serving dimension, in one query. The operator a team
+    * runs once to pick the cheapest prefix that clears their recall
+    * bar (8× storage cut at dims=8 vs 1.33× at dims=48).
+    *
+    * Shape: one corpus scan, queries broadcast, and all
+    * |dims|+1 rank windows share the ONE per-query exchange (same
+    * partitioning, different orderings — the v05/v07 shared-exchange
+    * device, plan-pinned). Hits are exact longs; recall is one IEEE
+    * division; zero-norm cosines pin to 0.0 in both texts
+    * (decide-before-divide). Output is long-format
+    * (query_id, dims, hits, recall) via an inline explode — no second
+    * scan, no unpivot shuffle. */
+  def matryoshkaRecall(
+      emb: DataFrame, k: Int = RecallK,
+      dims: Seq[Int] = MatryoshkaDims): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = dims.foldLeft(emb.withColumn("nrm", norm(col("v")))) { (df, d) =>
+      df.withColumn(s"vt_$d", slice(col("v"), 1, d))
+        .withColumn(s"nrmt_$d", norm(col(s"vt_$d")))
+    }
+    val qcols = Seq(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qnrm")) ++
+      dims.flatMap(d => Seq(col(s"vt_$d").as(s"qvt_$d"),
+        col(s"nrmt_$d").as(s"qnrmt_$d")))
+    val queries = broadcast(
+      base.filter(col("vec_id") < SimilarityOps.QueryVecs).select(qcols: _*))
+    def w(c: String) = Window.partitionBy(col("query_id"))
+      .orderBy(col(c).desc, col("vec_id"))
+    val ranked = dims.foldLeft(
+      base.join(queries, col("vec_id") =!= col("query_id"))
+        .withColumn("cos_full",
+          when(col("qnrm") === 0 || col("nrm") === 0, lit(0.0))
+            .otherwise(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+        .withColumn("rank_full", row_number().over(w("cos_full")))) { (df, d) =>
+      df.withColumn(s"cos_$d",
+          when(col(s"qnrmt_$d") === 0 || col(s"nrmt_$d") === 0, lit(0.0))
+            .otherwise(dot(col(s"qvt_$d"), col(s"vt_$d"))
+              / (col(s"qnrmt_$d") * col(s"nrmt_$d"))))
+        .withColumn(s"rank_$d", row_number().over(w(s"cos_$d")))
+    }
+    val hitCols = dims.map(d =>
+      sum(when(col("rank_full") <= k && col(s"rank_$d") <= k, 1L)
+        .otherwise(0L)).as(s"hits_$d"))
+    ranked.groupBy(col("query_id"))
+      .agg(hitCols.head, hitCols.tail: _*)
+      .select(col("query_id"),
+        explode(array(dims.map(d => struct(
+          lit(d.toLong).as("dims"), col(s"hits_$d").as("hits"))): _*)).as("r"))
+      .select(col("query_id"), col("r.dims"), col("r.hits"),
+        (col("r.hits").cast("double") / k).as("recall"))
+  }
+
+  private def matryoshkaSelectSql(d: Int): String =
+    s"""SELECT query_id, CAST($d AS BIGINT) AS dims,
+       |       CAST(sum(CASE WHEN rank_full <= $RecallK AND rank_$d <= $RecallK
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |       CAST(sum(CASE WHEN rank_full <= $RecallK AND rank_$d <= $RecallK
+       |                     THEN 1 ELSE 0 END) AS DOUBLE) / $RecallK AS recall
+       |FROM s GROUP BY query_id""".stripMargin
+
+  val matryoshkaRecallQ: GraftQuery = GraftQuery(
+    "v08_matryoshka_recall",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |${MatryoshkaDims.map(d =>
+      s"        v[1:$d] AS vt_$d, sqrt(list_dot_product(v[1:$d], v[1:$d])) AS nrmt_$d")
+        .mkString(",\n")}
+       |      FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
+       |${MatryoshkaDims.map(d => s"        vt_$d AS qvt_$d, nrmt_$d AS qnrmt_$d")
+        .mkString(",\n")}
+       |      FROM b WHERE vec_id < ${SimilarityOps.QueryVecs}),
+       |s AS (SELECT q.query_id, b.vec_id,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY CASE WHEN q.qnrm = 0 OR b.nrm = 0 THEN 0.0
+       |                        ELSE list_dot_product(q.qv, b.v) / (q.qnrm * b.nrm)
+       |                   END DESC, b.vec_id) AS rank_full,
+       |${MatryoshkaDims.map(d =>
+      s"""        row_number() OVER (PARTITION BY q.query_id
+         |          ORDER BY CASE WHEN q.qnrmt_$d = 0 OR b.nrmt_$d = 0 THEN 0.0
+         |                        ELSE list_dot_product(q.qvt_$d, b.vt_$d)
+         |                             / (q.qnrmt_$d * b.nrmt_$d)
+         |                   END DESC, b.vec_id) AS rank_$d""".stripMargin)
+        .mkString(",\n")}
+       |      FROM q JOIN b ON b.vec_id <> q.query_id)
+       |${MatryoshkaDims.map(matryoshkaSelectSql).mkString("\nUNION ALL\n")}""".stripMargin) {
+    (spark, sf) =>
+      matryoshkaRecall(Tables.embeddings(spark, sf)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
   val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
-    truncRecallQ, centroidDriftQ, quantRecallQ)
+    truncRecallQ, centroidDriftQ, quantRecallQ, matryoshkaRecallQ)
 }

@@ -220,6 +220,14 @@ class PlanInvariantsSpec extends SparkSpec {
       s"the top-k cutoff must prune map-side below the window exchange:\n$p")
   }
 
+  test("v08: all five rank windows (full + 4 prefixes) share ONE per-query exchange") {
+    val p = VectorOps.matryoshkaRecallQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1,
+      s"the whole recall curve must reuse one query_id exchange:\n$p")
+  }
+
   test("t23: one token aggregation + TakeOrdered — no global window over the vocabulary") {
     val df = TextOps.dfDriftQ.run(spark, sf001)
     val p = df.queryExecution.executedPlan.toString

@@ -354,6 +354,29 @@ class TemporalVectorSpec extends SparkSpec {
     })
   }
 
+  test("v08 matryoshka curve: zero-tail corpus is exact at every dim; bounds hold") {
+    // only the first 8 dims are nonzero, so EVERY prefix >= 8 ranks
+    // identically to full precision -> recall 1.0 across the curve
+    val embZ = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v0"))
+      .withColumn("v", concat(slice(col("v0"), 1, 8),
+        array_repeat(lit(0.0d), graft.functions.VectorFunctions.Dim - 8)))
+      .select("vec_id", "v")
+    val out = VectorOps.matryoshkaRecall(embZ).collect()
+    assert(out.length == 8 * VectorOps.MatryoshkaDims.size)
+    assert(out.forall(r => r.getDouble(3) == 1.0 && r.getLong(2) == VectorOps.RecallK))
+
+    // real corpus: one row per (query, dim), hits within [0, k]
+    val real = VectorOps.matryoshkaRecallQ.run(spark, sf001).collect()
+    assert(real.length == 8 * VectorOps.MatryoshkaDims.size)
+    assert(real.forall { r =>
+      val h = r.getLong(2)
+      h >= 0 && h <= VectorOps.RecallK &&
+        r.getDouble(3) == h.toDouble / VectorOps.RecallK
+    })
+  }
+
   /** Daily-count fixture for q39: `counts(d)` events of one type on
     * day d (epoch day d, one event per microsecond from midnight). */
   private def dailyEvents(eventType: String, counts: Seq[(Int, Int)]): DataFrame =
