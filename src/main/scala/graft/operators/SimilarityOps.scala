@@ -629,6 +629,80 @@ object SimilarityOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
+  /** Probe-node sampling modulus for the s10 graph (every 5th vec_id —
+    * a deterministic, sf-proportional node set). */
+  val GraphSampleMod = 5
+
+  /** Out-degree of the s10 graph. */
+  val GraphK = 5
+
+  /** s10 — reciprocal kNN graph over a deterministic probe sample:
+    * every [[GraphSampleMod]]-th vector gets its exact top-[[GraphK]]
+    * cosine neighbors from the FULL corpus, and an edge (a→b) is
+    * flagged `mutual` when b is also a probe and lists a back — the
+    * kNN-graph construction under graph-based dedup clustering,
+    * kNN-classifier audits, and HNSW-style index seeding, where the
+    * mutual-edge fraction measures how symmetric (and therefore how
+    * trustworthy) the neighborhood structure is.
+    *
+    * Cosine carries the round-8 zero-norm pin (0.0 when either norm is
+    * 0, in both texts) and ranks tie to the smaller neighbor id, so
+    * the edge set is fully deterministic. The probe modulus makes the
+    * audit sf-proportional (20% of vectors probe at every scale)
+    * rather than fixed like s01's 8-query set.
+    *
+    * Scale shape: probes broadcast against a map-only corpus scan with
+    * a per-probe rank window (the s01 kernel, probe side 1/mod of the
+    * corpus); the mutual flag is one self-join of the (|probes|·k)-row
+    * edge table on its own reversed key — edge-table-sized, never
+    * corpus-sized. At 100 TB the probe side switches to the s02
+    * LSH-candidate kernel (documented exact/approx pair, as s01↔s02). */
+  def knnGraph(emb: DataFrame, mod: Int = GraphSampleMod, k: Int = GraphK): DataFrame = {
+    val e = emb.withColumn("nrm", norm(col("v")))
+    val probes = broadcast(e.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("qv"), col("nrm").as("qnrm")))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val edges = e.join(probes, col("vec_id") =!= col("src_id"))
+      .withColumn("cos_sim",
+        when(col("qnrm") === 0.0 || col("nrm") === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("vec_id").as("dst_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+    val rev = edges.select(col("src_id").as("__d"), col("dst_id").as("__s"))
+    edges.join(rev,
+        col("src_id") === col("__s") && col("dst_id") === col("__d"), "left")
+      .select(col("src_id"), col("dst_id"), col("rank"), col("cos_sim"),
+        col("__s").isNotNull.as("mutual"))
+  }
+
+  val knnGraphQ: GraftQuery = GraftQuery(
+    "s10_knn_graph",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT vec_id AS src_id, v AS qv, nrm AS qnrm FROM n
+       |      WHERE vec_id % $GraphSampleMod = 0),
+       |s AS (SELECT q.src_id, n.vec_id AS dst_id,
+       |        CASE WHEN q.qnrm = 0 OR n.nrm = 0 THEN 0.0
+       |             ELSE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) END AS cos_sim,
+       |        row_number() OVER (
+       |          PARTITION BY q.src_id
+       |          ORDER BY CASE WHEN q.qnrm = 0 OR n.nrm = 0 THEN 0.0
+       |                   ELSE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) END DESC,
+       |                   n.vec_id) AS rank
+       |      FROM q JOIN n ON n.vec_id <> q.src_id),
+       |ed AS (SELECT src_id, dst_id, CAST(rank AS BIGINT) AS rank, cos_sim
+       |       FROM s WHERE rank <= $GraphK)
+       |SELECT a.src_id, a.dst_id, a.rank, a.cos_sim,
+       |       (b.src_id IS NOT NULL) AS mutual
+       |FROM ed a LEFT JOIN ed b
+       |  ON b.src_id = a.dst_id AND b.dst_id = a.src_id""".stripMargin) { (spark, sf) =>
+    knnGraph(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
-    knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ)
+    knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ)
 }

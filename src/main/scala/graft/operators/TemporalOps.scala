@@ -1006,9 +1006,263 @@ object TemporalOps {
     dailyTopUsers(Tables.events(spark, sf))
   }
 
+  /** q45 — sessionized conversion attribution: for every session that
+    * contains a purchase, credit the conversion to (a) the session's
+    * FIRST event type (first-touch) and (b) the event type immediately
+    * PRECEDING the first purchase (last-touch; `(direct)` when the
+    * purchase opens the session) — the two classic attribution models
+    * a growth pipeline reports side by side.
+    *
+    * Sessions are the q23 contract (10-minute inactivity gap) expressed
+    * as gaps-and-islands so the session id, the in-session sequence
+    * number, and the first-purchase position all come from ONE ordered
+    * pass; ordering is (ts_us, event_id) — fully deterministic even if
+    * micros truncation collides two events onto one instant. Counts are
+    * exact longs; nothing floats.
+    *
+    * Scale shape: one exchange on user_id derives session ids, one on
+    * (user_id, session) ranks within sessions — state per window is one
+    * user's (resp. one session's) events, never corpus-scale. The
+    * per-session reduction is a map-side-combinable conditional agg on
+    * the same (user_id, session) keys the rank exchange already
+    * established, and the two final model aggregations run on the
+    * |event_types|-sized conversion table. */
+  def attribution(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    val gapUs = 10L * 60L * 1000000L
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("__us"))
+      .withColumn("__new",
+        when(lag(col("__us"), 1).over(wU).isNull
+          || col("__us") - lag(col("__us"), 1).over(wU) >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wS = Window.partitionBy(col("user_id"), col("__sid"))
+      .orderBy(col("__us"), col("event_id"))
+    val perSession = sess
+      .withColumn("__rn", row_number().over(wS))
+      .withColumn("__prn",
+        min(when(col("event_type") === "purchase", col("__rn")))
+          .over(Window.partitionBy(col("user_id"), col("__sid"))))
+      .filter(col("__prn").isNotNull)
+      .groupBy(col("user_id"), col("__sid"), col("__prn"))
+      .agg(
+        max(when(col("__rn") === 1, col("event_type"))).as("__first"),
+        max(when(col("__rn") === col("__prn") - 1, col("event_type")))
+          .as("__lastPre"))
+      .select(col("__first"),
+        coalesce(col("__lastPre"), lit("(direct)")).as("__last"))
+    val first = perSession.groupBy(col("__first").as("event_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit("first_touch").as("model"), col("event_type"),
+        col("n_conversions"))
+    val last = perSession.groupBy(col("__last").as("event_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit("last_touch").as("model"), col("event_type"),
+        col("n_conversions"))
+    first.unionAll(last)
+  }
+
+  val attributionQ: GraftQuery = GraftQuery(
+    "q45_attribution",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_ns(ts) // 1000 AS us
+      |  FROM events),
+      |d AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w >= 600000000
+      |                 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+      |                               ORDER BY us, event_id) AS rn
+      |  FROM s),
+      |p AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+      |              OVER (PARTITION BY user_id, sid) AS prn
+      |  FROM r),
+      |conv AS (
+      |  SELECT user_id, sid, prn,
+      |         max(CASE WHEN rn = 1 THEN event_type END) AS first_t,
+      |         coalesce(max(CASE WHEN rn = prn - 1 THEN event_type END),
+      |                  '(direct)') AS last_t
+      |  FROM p WHERE prn IS NOT NULL GROUP BY user_id, sid, prn)
+      |SELECT 'first_touch' AS model, first_t AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n_conversions
+      |FROM conv GROUP BY first_t
+      |UNION ALL
+      |SELECT 'last_touch', last_t, CAST(count(*) AS BIGINT)
+      |FROM conv GROUP BY last_t""".stripMargin) { (spark, sf) =>
+    attribution(Tables.events(spark, sf))
+  }
+
+  /** The autocorrelation lags q46 reports (days). */
+  val AutocorrLags: Seq[Int] = Seq(1, 7)
+
+  /** q46 — lag-k autocorrelation of the daily volume series per event
+    * type (k = 1 day and 7 days): the "is this metric periodic?"
+    * screen behind q42's hour-of-week profile and q39's anomaly
+    * baseline. The series is ZERO-FILLED over each type's observed
+    * [first_day, last_day] calendar span — a day with no events is a
+    * real 0 observation, and both engines materialize the identical
+    * grid — then r_k is the Pearson correlation of (count_{t-k},
+    * count_t) pairs.
+    *
+    * Float parity is the q32 contract: counts are exact integers, the
+    * five co-moment sums accumulate in DECIMAL(38,0)/HUGEINT
+    * (order-independent, overflow-safe), and r is one
+    * cast-sqrt-mul-div IEEE sequence over those exact values, with
+    * decide-before-divide NULL on degenerate series (under two pairs
+    * or zero variance on either margin).
+    *
+    * Scale shape: one map-side-combinable daily aggregation; the
+    * calendar grid, the single window pass (both lags come from one
+    * sort — the unpivot happens row-locally after), and the co-moment
+    * aggregation all run on the (|types| × |days|) post-aggregate
+    * table — kilobytes at any corpus size. */
+  def autocorrelation(events: DataFrame, lags: Seq[Int] = AutocorrLags): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+      .select(col("event_type"), explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+      .join(daily, Seq("event_type", "__d"), "left")
+      .select(col("event_type"), col("__d"), coalesce(col("__c"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__d"))
+    // one window sort yields every lag column; the unpivot to
+    // (lag_days, x, y) rows is row-local (generator over plain columns)
+    val lagged = grid.select(
+      col("event_type") +: col("n").as("y") +:
+        lags.map(k => lag(col("n"), k).over(w).as(s"__x$k")): _*)
+    val pairs = lagged
+      .select(col("event_type"), col("y"),
+        explode(array(lags.map(k =>
+          struct(lit(k).as("k"), col(s"__x$k").as("x"))): _*)).as("lx"))
+      .select(col("event_type"), col("lx.k").as("lag_days"), col("lx.x").as("x"), col("y"))
+      .filter(col("x").isNotNull)
+    pairs.groupBy(col("event_type"), col("lag_days").cast("long").as("lag_days"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(dec)).as("__sx"), sum(col("y").cast(dec)).as("__sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("__sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("__syy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("__sxy"))
+      .withColumn("__cn", col("n_pairs").cast(dec) * col("__sxy")
+        - col("__sx") * col("__sy"))
+      .withColumn("__dx", col("n_pairs").cast(dec) * col("__sxx")
+        - col("__sx") * col("__sx"))
+      .withColumn("__dy", col("n_pairs").cast(dec) * col("__syy")
+        - col("__sy") * col("__sy"))
+      .select(col("event_type"), col("lag_days"), col("n_pairs"),
+        when(col("n_pairs") > 1 && col("__dx") > 0 && col("__dy") > 0,
+          col("__cn").cast("double")
+            / (sqrt(col("__dx").cast("double")) * sqrt(col("__dy").cast("double"))))
+          .as("autocorr"))
+  }
+
+  val autocorrQ: GraftQuery = GraftQuery(
+    "q46_autocorr",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT event_type, min(d) AS lo, max(d) AS hi
+      |         FROM daily GROUP BY 1),
+      |days AS (SELECT event_type,
+      |           CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      |         FROM span),
+      |grid AS (SELECT g.event_type, g.d, coalesce(c, 0) AS n
+      |         FROM days g LEFT JOIN daily dd
+      |           ON dd.event_type = g.event_type AND dd.d = g.d),
+      |g2 AS (SELECT event_type, n AS y,
+      |         lag(n, 1) OVER w AS x1, lag(n, 7) OVER w AS x7
+      |       FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      |l AS (SELECT event_type, 1 AS lag_days, x1 AS x, y FROM g2 WHERE x1 IS NOT NULL
+      |      UNION ALL
+      |      SELECT event_type, 7, x7, y FROM g2 WHERE x7 IS NOT NULL),
+      |s AS (SELECT event_type, lag_days, count(*) AS n_pairs,
+      |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |        sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+      |        sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      |      FROM l GROUP BY 1, 2),
+      |m AS (SELECT event_type, lag_days, n_pairs,
+      |        CAST(n_pairs AS HUGEINT) * sxy - sx * sy AS cn,
+      |        CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS dx,
+      |        CAST(n_pairs AS HUGEINT) * syy - sy * sy AS dy
+      |      FROM s)
+      |SELECT event_type, CAST(lag_days AS BIGINT) AS lag_days,
+      |       CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CASE WHEN n_pairs > 1 AND dx > 0 AND dy > 0
+      |            THEN CAST(cn AS DOUBLE)
+      |                 / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))) END
+      |         AS autocorr
+      |FROM m""".stripMargin) { (spark, sf) =>
+    autocorrelation(Tables.events(spark, sf))
+  }
+
+  /** q47 — weekly cohort retention triangle: users are cohorted by the
+    * Monday-truncated week of their FIRST event; each (cohort_week,
+    * week_offset) cell counts the cohort's users active in that later
+    * week, with retention = active/cohort as one exact-integer IEEE
+    * division. Week truncation is Monday-anchored in both engines
+    * (`date_trunc('week', …)`), and offsets divide an exact multiple
+    * of 7 days, so every cell is integer-deterministic. The full
+    * triangle generalizes q30's day-offset retention vector.
+    *
+    * Scale shape: the (user, week) activity set is one distinct
+    * shuffle; the per-user cohort min is map-side combinable on the
+    * user key; the activity⋈cohort join is user-keyed (co-partitioned
+    * with the cohort aggregation); cells and cohort sizes live on
+    * (|weeks|²/2)- and |weeks|-sized tables, and the sizes join is a
+    * broadcast. No corpus-sized window anywhere. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("__w"))
+      .distinct()
+    val cohort = weeks.groupBy(col("user_id")).agg(min(col("__w")).as("__cw"))
+    val sizes = cohort.groupBy(col("__cw")).agg(count(lit(1)).as("cohort_users"))
+    weeks.join(cohort, "user_id")
+      .groupBy(col("__cw"),
+        (datediff(col("__w"), col("__cw")) / lit(7)).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), Seq("__cw"))
+      .select(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users"), col("cohort_users"),
+        (col("active_users").cast("double") / col("cohort_users")).as("retention"))
+  }
+
+  val cohortRetentionQ: GraftQuery = GraftQuery(
+    "q47_cohort_matrix",
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(w) AS cw FROM weeks GROUP BY 1),
+      |sizes AS (SELECT cw, count(*) AS cohort_users FROM cohort GROUP BY 1),
+      |act AS (SELECT c.cw, date_diff('day', c.cw, k.w) // 7 AS week_offset,
+      |          count(*) AS active_users
+      |        FROM weeks k JOIN cohort c USING (user_id) GROUP BY 1, 2)
+      |SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week,
+      |       CAST(week_offset AS BIGINT) AS week_offset,
+      |       CAST(active_users AS BIGINT) AS active_users,
+      |       CAST(cohort_users AS BIGINT) AS cohort_users,
+      |       CAST(active_users AS DOUBLE) / cohort_users AS retention
+      |FROM act a JOIN sizes s ON s.cw = a.cw""".stripMargin) { (spark, sf) =>
+    cohortRetention(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
       ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
-      cooccurrenceQ, changePointQ, dailyTopUsersQ)
+      cooccurrenceQ, changePointQ, dailyTopUsersQ, attributionQ, autocorrQ,
+      cohortRetentionQ)
 }

@@ -609,8 +609,151 @@ object TextOps {
     dfDrift(Tables.documents(spark, sf))
   }
 
+  /** t24 — bigram NLL with add-one smoothing: per document, the mean
+    * negative log conditional probability −E[ln p(w₂|w₁)] under the
+    * corpus bigram model p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) — the next
+    * rung above t13's unigram NLL on the LM-based quality ladder
+    * (repetitive boilerplate scores low, token soup scores high,
+    * against a model that knows local word order).
+    *
+    * c(w₁) is the bigram-PREFIX count (Σ_w c(w₁w)) so probabilities
+    * condition on exactly the events the model scores; V is the
+    * corpus unigram vocabulary. Bigrams are formed ROW-LOCALLY
+    * (zip_with over two slices — no positional shuffle), then
+    * pre-reduced to per-doc (w₁,w₂) multiplicities so the count joins
+    * touch distinct bigrams, not instances (the d15 occurrence-weight
+    * device). Each ln lands on the 2^-30 dyadic grid before the
+    * multiplicity-weighted sum (t13's snap discipline — exact longs,
+    * order-independent), and the doc NLL is one terminal IEEE
+    * division. Docs with <2 tokens keep a row (n_bigrams 0, nll NULL)
+    * via the doc-side left join.
+    *
+    * Scale shape: two map-side-combinable count aggregations (bigram
+    * and prefix) + two hash joins keyed on those same counts — no
+    * broadcast of the (possibly vocab²-sized) bigram table, corpus
+    * never collected; the vocab scalar is a one-row broadcast. */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{snapLong, DistScale}
+    val toks = split(col("text"), " ")
+    val inst = docs
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val c12 = inst.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
+    val c1 = inst.groupBy(col("w1")).agg(sum(col("m")).as("c1"))
+    val vocab = broadcast(docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).as("v")))
+    val perDoc = inst
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(vocab)
+      .withColumn("lp",
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        (-(sum(snapLong(col("lp"), DistScale) * col("m")).cast("double"))
+          / (sum(col("m")) * lit(DistScale))).as("nll"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
+  }
+
+  val bigramNllQ: GraftQuery = GraftQuery(
+    "t24_bigram_nll",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |b0 AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+      |big AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM b0),
+      |inst AS (SELECT doc_id, w1, w2, count(*) AS m FROM big GROUP BY 1, 2, 3),
+      |c12 AS (SELECT w1, w2, sum(m) AS c12 FROM inst GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(m) AS c1 FROM inst GROUP BY 1),
+      |v AS (SELECT count(DISTINCT t) AS v
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+      |s AS (SELECT i.doc_id, i.m,
+      |        ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS lp
+      |      FROM inst i JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+      |n AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+      |        -(CAST(sum(CAST(floor(lp * ${graft.functions.VectorFunctions.DistScaleSql} + 0.5) AS BIGINT) * m) AS DOUBLE)
+      |          / (sum(m) * ${graft.functions.VectorFunctions.DistScaleSql})) AS nll
+      |      FROM s GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(n.n_bigrams, 0) AS BIGINT) AS n_bigrams, n.nll
+      |FROM documents d LEFT JOIN n USING (doc_id)""".stripMargin) { (spark, sf) =>
+    bigramNll(Tables.documents(spark, sf))
+  }
+
+  /** Bucket count for the t25 growth curve. */
+  val GrowthBuckets = 10
+
+  /** t25 — vocabulary-growth (Heaps-law) curve: the corpus is split
+    * into [[GrowthBuckets]] doc-id-range prefixes and each bucket
+    * reports its doc/token volume, the number of NEVER-SEEN-BEFORE
+    * tokens it introduces, and the cumulative token/vocab totals — the
+    * sub-linear vocab-vs-tokens curve that tells a corpus curator
+    * whether new data still adds lexical coverage or is re-treading
+    * the same vocabulary.
+    *
+    * Buckets are VALUE-range deciles of doc_id (exact integer `div` on
+    * broadcast min/max bounds — identical in both engines), NOT a
+    * row_number prefix: no corpus-sized window anywhere. "First seen
+    * in bucket b" is a token-keyed min — map-side combinable — and
+    * every later step (per-bucket rollups, the two running sums) runs
+    * on the [[GrowthBuckets]]-row table. All counts exact longs;
+    * nothing floats. */
+  def vocabGrowth(docs: DataFrame, nBuckets: Int = GrowthBuckets): DataFrame = {
+    val bounds = broadcast(docs.agg(
+      min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx")))
+    val base = docs.crossJoin(bounds)
+      .select(col("doc_id"), col("text"),
+        least(lit(nBuckets - 1L),
+          expr(s"(doc_id - __mn) * $nBuckets div (__mx - __mn + 1)")).as("b"))
+    val tok = base.select(col("b"), explode(split(col("text"), " ")).as("t"))
+    val newVocab = tok.groupBy(col("t")).agg(min(col("b")).as("fb"))
+      .groupBy(col("fb").as("b")).agg(count(lit(1)).as("new_tokens"))
+    val perBucket = tok.groupBy(col("b")).agg(count(lit(1)).as("tokens"))
+      .join(base.groupBy(col("b")).agg(count(lit(1)).as("docs")), Seq("b"))
+      .join(newVocab, Seq("b"), "left")
+      .select(col("b"), col("docs"), col("tokens"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .select(col("b").as("bucket"), col("docs"), col("tokens"),
+        col("new_tokens"),
+        sum(col("tokens")).over(w).as("cum_tokens"),
+        sum(col("new_tokens")).over(w).as("cum_vocab"))
+  }
+
+  val vocabGrowthQ: GraftQuery = GraftQuery(
+    "t25_vocab_growth",
+    s"""WITH bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+      |base AS (SELECT doc_id, text,
+      |           least($GrowthBuckets - 1,
+      |                 (doc_id - mn) * $GrowthBuckets // (mx - mn + 1)) AS b
+      |         FROM documents CROSS JOIN bounds),
+      |tok AS (SELECT b, unnest(string_split(text, ' ')) AS t FROM base),
+      |nv AS (SELECT fb AS b, count(*) AS new_tokens
+      |       FROM (SELECT t, min(b) AS fb FROM tok GROUP BY t) GROUP BY fb),
+      |tp AS (SELECT b, count(*) AS tokens FROM tok GROUP BY b),
+      |dc AS (SELECT b, count(*) AS docs FROM base GROUP BY b),
+      |pb AS (SELECT dc.b AS bucket, dc.docs, tp.tokens,
+      |         coalesce(nv.new_tokens, 0) AS new_tokens
+      |       FROM dc JOIN tp ON tp.b = dc.b LEFT JOIN nv ON nv.b = dc.b)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(docs AS BIGINT) AS docs,
+      |       CAST(tokens AS BIGINT) AS tokens,
+      |       CAST(new_tokens AS BIGINT) AS new_tokens,
+      |       CAST(sum(tokens) OVER cum AS BIGINT) AS cum_tokens,
+      |       CAST(sum(new_tokens) OVER cum AS BIGINT) AS cum_vocab
+      |FROM pb WINDOW cum AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)""".stripMargin) {
+    (spark, sf) => vocabGrowth(Tables.documents(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
     hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ, ngramNoveltyQ, sourceVocabQ,
-    dfDriftQ)
+    dfDriftQ, bigramNllQ, vocabGrowthQ)
 }

@@ -638,6 +638,73 @@ object VectorOps {
         .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
+  /** Sample-variance floor below which v09 flags a dimension dead. */
+  val DeadVarThreshold = 1e-6
+
+  /** v09 — per-dimension health report: for every embedding position,
+    * the corpus mean, sample variance, exact min/max, and a `is_dead`
+    * flag for near-zero-variance dimensions — the embedding-store
+    * audit run before quantization (v01) or truncation (v05/v08): a
+    * dead dimension wastes a codebook slot, and a collapsed range
+    * signals an upstream encoder bug.
+    *
+    * Float parity: the mean is a dyadic-snap mean (2^-35 grid, exact
+    * long sums — the v02 kernel); the second moment snaps x² on the
+    * 2^-30 grid (the v03 distance kernel; Σ fits Long to ~10^9
+    * rows·dim at |x|≲3), and the variance is the same
+    * cast-divide-multiply-subtract IEEE sequence in both texts with
+    * n>1 decided before the division. min/max are exact comparisons
+    * of the raw doubles — no arithmetic at all. The dead flag
+    * compares the deterministic variance double to one literal.
+    *
+    * Scale shape: posexplode → ONE hash aggregation keyed on the
+    * 64-value dimension index — partial aggregation combines map-side,
+    * so the shuffle carries dim × partitions tiny partials; everything
+    * after runs on the 64-row table. */
+  def dimStats(emb: DataFrame): DataFrame =
+    emb
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(snapLong(col("x"))).as("__s1"),
+        sum(snapLong(col("x") * col("x"), DistScale)).as("__s2"),
+        min(col("x")).as("min_val"),
+        max(col("x")).as("max_val"))
+      .withColumn("mean_val", snapMean(col("__s1"), col("n")))
+      .withColumn("var_samp", when(col("n") > 1,
+        greatest(lit(0.0),
+          (col("__s2").cast("double") / lit(DistScale)
+            - col("n") * (col("mean_val") * col("mean_val")))
+            / (col("n") - 1))))
+      .select(col("pos"), col("n"), col("mean_val"), col("var_samp"),
+        col("min_val"), col("max_val"),
+        coalesce(col("var_samp") < DeadVarThreshold, lit(false)).as("is_dead"))
+
+  val dimStatsQ: GraftQuery = GraftQuery(
+    "v09_dim_stats",
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT CAST(i AS INT) AS pos, count(*) AS n,
+       |        sum(CAST(floor(v[i + 1] * ${graft.functions.VectorFunctions.SnapScaleSql} + 0.5) AS BIGINT)) AS s1,
+       |        sum(CAST(floor(v[i + 1] * v[i + 1] * ${graft.functions.VectorFunctions.DistScaleSql} + 0.5) AS BIGINT)) AS s2,
+       |        min(v[i + 1]) AS min_val, max(v[i + 1]) AS max_val
+       |      FROM e CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
+       |      GROUP BY pos),
+       |m AS (SELECT pos, n,
+       |        CAST(s1 AS DOUBLE) / (n * ${graft.functions.VectorFunctions.SnapScaleSql}) AS mean_val,
+       |        s2, min_val, max_val
+       |      FROM s),
+       |v AS (SELECT pos, n, mean_val, min_val, max_val,
+       |        CASE WHEN n > 1 THEN greatest(0.0,
+       |          (CAST(s2 AS DOUBLE) / ${graft.functions.VectorFunctions.DistScaleSql}
+       |            - n * (mean_val * mean_val)) / (n - 1)) END AS var_samp
+       |      FROM m)
+       |SELECT pos, n, mean_val, var_samp, min_val, max_val,
+       |       coalesce(var_samp < $DeadVarThreshold, false) AS is_dead
+       |FROM v""".stripMargin) { (spark, sf) =>
+    dimStats(Tables.embeddings(spark, sf)
+      .select(toDouble(col("embedding")).as("v")))
+  }
+
   val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
-    truncRecallQ, centroidDriftQ, quantRecallQ, matryoshkaRecallQ)
+    truncRecallQ, centroidDriftQ, quantRecallQ, matryoshkaRecallQ, dimStatsQ)
 }

@@ -222,4 +222,53 @@ class CurationSpec extends SparkSpec {
       "s1" -> ((3L, 2L, 1L, 2.0 / 3, 0.5)), // tokens a,a,b; types a,b; hapax b
       "s2" -> ((1L, 1L, 1L, 1.0, 1.0))))
   }
+
+  test("t24 bigram NLL: hand-computed add-one probabilities, prefix counts, short docs keep a NULL row") {
+    val out = TextOps.bigramNll(docs(
+      (1L, "a b a b"), // bigrams (a,b)x2 (b,a)x1
+      (2L, "a b"),     // bigram  (a,b)x1
+      (3L, "x")))      // no bigram at all
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    // vocab {a,b,x} V=3; prefix counts c(a)=3 c(b)=1;
+    // p(b|a) = (3+1)/(3+3) = 2/3, p(a|b) = (1+1)/(1+3) = 1/2
+    val pBA = math.log(4.0 / 6.0)
+    val pAB = math.log(2.0 / 4.0)
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2.get - (-(2 * pBA + pAB) / 3)) < 1e-8)
+    assert(out(2L)._1 == 1L)
+    assert(math.abs(out(2L)._2.get - (-pBA)) < 1e-8)
+    assert(out(3L) == ((0L, None)), "tokenless-of-bigrams doc keeps a row")
+  }
+
+  test("t25 vocab growth: first-seen buckets, cumulative totals, value-range bucketing") {
+    // 10 docs with ids 0..9 -> one per bucket
+    val fixture = docs(
+      (0L, "a b"), (1L, "a c"), (2L, "b c"), (3L, "a"), (4L, "d"),
+      (5L, "a b c d"), (6L, "e e"), (7L, "a"), (8L, "b"), (9L, "f"))
+    val out = TextOps.vocabGrowth(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.size == 10)
+    // bucket 0 introduces {a,b}; 1 {c}; 4 {d}; 6 {e}; 9 {f}
+    assert(out(0L) == ((1L, 2L, 2L, 2L, 2L)))
+    assert(out(1L) == ((1L, 2L, 1L, 4L, 3L)))
+    assert(out(2L) == ((1L, 2L, 0L, 6L, 3L)))
+    assert(out(4L) == ((1L, 1L, 1L, 8L, 4L)))
+    assert(out(6L) == ((1L, 2L, 1L, 14L, 5L)))
+    // grand totals: 17 tokens, 6 distinct
+    assert(out(9L) == ((1L, 1L, 1L, 17L, 6L)))
+  }
+
+  test("t25 sparse ids: value-range buckets stay exact when ids are not contiguous") {
+    // ids 0 and 99 with 10 buckets: ranges [0..9]->0, [90..99]->9
+    val out = TextOps.vocabGrowth(docs((0L, "a"), (99L, "a b"))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet == Set(0L, 9L))
+    assert(out(0L) == ((1L, 1L, 1L)))
+    assert(out(9L) == ((1L, 3L, 2L)))
+  }
 }

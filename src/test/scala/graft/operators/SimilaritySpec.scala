@@ -206,4 +206,33 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.forall(r => r.getDouble(3) <= r1.getDouble(3)))
     }
   }
+
+  test("s10 knn graph: probe sampling, rank order, mutual flag, zero-norm pin") {
+    import spark.implicits._
+    // probes (ids % 5 == 0): 0, 5, 10; non-probes: 1, 2
+    val fixture = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (5L, Seq(1.0, 0.1)),   // closest to 0 (and vice versa) -> mutual
+      (10L, Seq(0.0, 1.0)),  // orthogonal to 0
+      (1L, Seq(1.0, 0.4)),   // non-probe: can never be mutual
+      (2L, Seq(0.0, 0.0)))   // zero vector: cosine pinned to 0.0
+      .toDF("vec_id", "v")
+    val out = SimilarityOps.knnGraph(fixture, mod = 5, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out.size == 3 * 4, "each probe ranks the full remaining corpus")
+    // probe 0's ranking: 5 (cos ~.995) > 1 (cos ~.928) > 2 (0.0 pin) > 10 (0.0)
+    // cosine ties at 0.0 break to the smaller vec_id
+    assert(out((0L, 5L))._1 == 1L && out((0L, 1L))._1 == 2L)
+    assert(out((0L, 2L)) == ((3L, 0.0, false)))
+    assert(out((0L, 10L))._1 == 4L)
+    // mutuality: 0 and 5 list each other; 0->1 can't be (1 not a probe);
+    // 10 lists 0 but 0 lists 10 back (k covers the whole corpus) -> mutual
+    assert(out((0L, 5L))._3 && out((5L, 0L))._3)
+    assert(!out((0L, 1L))._3)
+    assert(out((10L, 0L))._3 && out((0L, 10L))._3)
+    // the zero vector never NaNs a rank anywhere
+    assert(out.values.forall(v => !v._2.isNaN))
+  }
 }

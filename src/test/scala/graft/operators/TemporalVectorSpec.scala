@@ -466,4 +466,98 @@ class TemporalVectorSpec extends SparkSpec {
     assert(out(("a", "c")) == ((1L, 3L, 1L, 4L, 4.0 / 3.0)))
     assert(out(("b", "c")) == ((1L, 2L, 1L, 4L, 2.0)))
   }
+
+  test("q45 attribution: first/last touch per converting session, direct and multi-session cases") {
+    val gap = 600000000L // the 10-minute session gap
+    val out = TemporalOps.attribution(events(
+      // user 1, one session: view -> click -> purchase -> purchase
+      // (second purchase must not double-count the session)
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 1000000L),
+      (3L, 1L, "purchase", 2000000L), (4L, 1L, "purchase", 3000000L),
+      // user 2: purchase OPENS the session -> last touch '(direct)'
+      (5L, 2L, "purchase", 0L), (6L, 2L, "view", 1000L),
+      // user 3: session 1 has no purchase; session 2 click -> purchase
+      (7L, 3L, "view", 0L),
+      (8L, 3L, "click", gap + 1000000L), (9L, 3L, "purchase", gap + 2000000L)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("first_touch", "view") -> 1L, ("first_touch", "purchase") -> 1L,
+      ("first_touch", "click") -> 1L,
+      ("last_touch", "click") -> 2L, ("last_touch", "(direct)") -> 1L))
+  }
+
+  test("q46 autocorrelation: exact alternating series, zero-fill, degenerate gates") {
+    // type a: counts 1,2,1,2,1,2,1,2 over 8 consecutive days
+    //   lag 1: x/y perfectly anti-aligned -> r = -1 over 7 pairs
+    //   lag 7: only one pair -> NULL (n_pairs < 2)
+    val a = dailyEvents("a", (1 to 8).map(d => d -> (if (d % 2 == 1) 1 else 2)))
+    // type b: days 1 and 3 with 2 events each, day 2 MISSING -> the
+    // zero-fill makes the series 2,0,2 and lag-1 r = -1 over 2 pairs
+    // (without the fill both pairs would be (2,2) -> zero variance)
+    val b = dailyEvents("b", Seq(1 -> 2, 3 -> 2))
+    // type c: constant series -> zero variance -> NULL
+    val c = dailyEvents("c", Seq(1 -> 1, 2 -> 1, 3 -> 1))
+    val out = TemporalOps.autocorrelation(a.unionByName(b).unionByName(c))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    // dx = dy = 12: sqrt(12)·sqrt(12) is 12+1ulp in IEEE, so compare
+    // with tolerance; the type-b case below is exact (sqrt(4) = 2)
+    assert(out(("a", 1L))._1 == 7L)
+    assert(math.abs(out(("a", 1L))._2.get + 1.0) < 1e-12)
+    assert(out(("a", 7L)) == ((1L, None)))
+    assert(out(("b", 1L)) == ((2L, Some(-1.0))))
+    assert(!out.contains(("b", 7L)), "3-day series has no lag-7 pairs at all")
+    assert(out(("c", 1L)) == ((2L, None)))
+  }
+
+  test("q47 cohort matrix: weekly cohorts, mid-week activity truncates to Monday") {
+    def us(date: String): Long =
+      java.time.LocalDate.parse(date).toEpochDay * 86400000000L
+    val out = TemporalOps.cohortRetention(events(
+      // u1: first week 2024-01-01, active weeks 0, 1 (via Tuesday the 9th), 2
+      (1L, 1L, "view", us("2024-01-01")),
+      (2L, 1L, "view", us("2024-01-09")),
+      (3L, 1L, "view", us("2024-01-15")),
+      // u2: only week 0
+      (4L, 2L, "view", us("2024-01-01") + 1000L),
+      // u3: first seen week 1, active weeks 1 and 2
+      (5L, 3L, "view", us("2024-01-08")),
+      (6L, 3L, "view", us("2024-01-16"))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1L) -> ((1L, 2L, 0.5)),
+      ("2024-01-01", 2L) -> ((1L, 2L, 0.5)),
+      ("2024-01-08", 0L) -> ((1L, 1L, 1.0)),
+      ("2024-01-08", 1L) -> ((1L, 1L, 1.0))))
+  }
+
+  test("v09 dim stats: exact means/variance/min-max, dead-dimension flag") {
+    import spark.implicits._
+    val out = VectorOps.dimStats(Seq(
+      Seq(1.0, 2.0, 0.0), Seq(3.0, 2.0, 0.0), Seq(5.0, 2.0, 0.0))
+      .toDF("v"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    assert(out(0) == ((3L, 3.0, 4.0, 1.0, 5.0, false)))
+    assert(out(1) == ((3L, 2.0, 0.0, 2.0, 2.0, true)))
+    assert(out(2) == ((3L, 0.0, 0.0, 0.0, 0.0, true)))
+  }
+
+  test("v09 single-row corpus: variance NULL, dead flag pinned false") {
+    import spark.implicits._
+    val r = VectorOps.dimStats(Seq(Seq(0.5)).toDF("v")).collect().head
+    assert(r.getLong(1) == 1L && r.getDouble(2) == 0.5)
+    assert(r.isNullAt(3), "n=1 gates variance to NULL before the division")
+    assert(!r.getBoolean(6))
+  }
 }
