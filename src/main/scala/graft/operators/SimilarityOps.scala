@@ -653,10 +653,11 @@ object SimilarityOps {
     *
     * Scale shape: probes broadcast against a map-only corpus scan with
     * a per-probe rank window (the s01 kernel, probe side 1/mod of the
-    * corpus); the mutual flag is one self-join of the (|probes|·k)-row
-    * edge table on its own reversed key — edge-table-sized, never
-    * corpus-sized. At 100 TB the probe side switches to the s02
-    * LSH-candidate kernel (documented exact/approx pair, as s01↔s02). */
+    * corpus); the mutual flag is one count window over the unordered
+    * pair key of the (|probes|·k)-row edge table — edge-table-sized,
+    * never corpus-sized, and never a recompute of the scan. At 100 TB
+    * the probe side switches to the s02 LSH-candidate kernel
+    * (documented exact/approx pair, as s01↔s02). */
   def knnGraph(emb: DataFrame, mod: Int = GraphSampleMod, k: Int = GraphK): DataFrame = {
     val e = emb.withColumn("nrm", norm(col("v")))
     val probes = broadcast(e.filter(col("vec_id") % mod === 0)
@@ -671,11 +672,16 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("src_id"), col("vec_id").as("dst_id"),
         col("rank").cast("long").as("rank"), col("cos_sim"))
-    val rev = edges.select(col("src_id").as("__d"), col("dst_id").as("__s"))
-    edges.join(rev,
-        col("src_id") === col("__s") && col("dst_id") === col("__d"), "left")
+    // mutual = the unordered pair appears from both directions. A
+    // reversed self-join would re-run the whole probe×corpus scan for
+    // its right side (plan-audited); counting over the unordered pair
+    // key shuffles the tiny edge table ONCE and recomputes nothing —
+    // (src,dst) is unique per direction, so pair count 2 ⟺ mutual.
+    val wPair = Window.partitionBy(
+      least(col("src_id"), col("dst_id")), greatest(col("src_id"), col("dst_id")))
+    edges
       .select(col("src_id"), col("dst_id"), col("rank"), col("cos_sim"),
-        col("__s").isNotNull.as("mutual"))
+        (count(lit(1)).over(wPair) === 2).as("mutual"))
   }
 
   val knnGraphQ: GraftQuery = GraftQuery(

@@ -1055,15 +1055,16 @@ object TemporalOps {
           .as("__lastPre"))
       .select(col("__first"),
         coalesce(col("__lastPre"), lit("(direct)")).as("__last"))
-    val first = perSession.groupBy(col("__first").as("event_type"))
+    // both models from ONE pass: a union of two aggregations would
+    // re-run the whole session pipeline per branch (plan-audited);
+    // instead each conversion explodes row-locally into its two
+    // (model, touched type) credits and one tiny aggregation counts
+    perSession
+      .select(explode(array(
+        struct(lit("first_touch").as("model"), col("__first").as("event_type")),
+        struct(lit("last_touch").as("model"), col("__last").as("event_type")))).as("mt"))
+      .groupBy(col("mt.model").as("model"), col("mt.event_type").as("event_type"))
       .agg(count(lit(1)).as("n_conversions"))
-      .select(lit("first_touch").as("model"), col("event_type"),
-        col("n_conversions"))
-    val last = perSession.groupBy(col("__last").as("event_type"))
-      .agg(count(lit(1)).as("n_conversions"))
-      .select(lit("last_touch").as("model"), col("event_type"),
-        col("n_conversions"))
-    first.unionAll(last)
   }
 
   val attributionQ: GraftQuery = GraftQuery(

@@ -628,10 +628,11 @@ object TextOps {
     * division. Docs with <2 tokens keep a row (n_bigrams 0, nll NULL)
     * via the doc-side left join.
     *
-    * Scale shape: two map-side-combinable count aggregations (bigram
-    * and prefix) + two hash joins keyed on those same counts — no
-    * broadcast of the (possibly vocab²-sized) bigram table, corpus
-    * never collected; the vocab scalar is a one-row broadcast. */
+    * Scale shape: one map-side-combinable bigram-count aggregation,
+    * the prefix count via a vocab-sized window over it, and ONE hash
+    * join back to the per-doc instances — no broadcast of the
+    * (possibly vocab²-sized) bigram model, corpus never collected; the
+    * vocab scalar is a one-row broadcast. */
   def bigramNll(docs: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.{snapLong, DistScale}
     val toks = split(col("text"), " ")
@@ -644,14 +645,18 @@ object TextOps {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
+    // c1 (prefix count) derives from the c12 table by a vocab-sized
+    // window rather than a third corpus pass: the plan then computes
+    // the bigram explode exactly twice (the aggregate path and the
+    // probe side) — re-reading the column-pruned scan is the right
+    // 100 TB trade vs shuffling the full instance table for a window
     val c12 = inst.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
-    val c1 = inst.groupBy(col("w1")).agg(sum(col("m")).as("c1"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
     val vocab = broadcast(docs
       .select(explode(split(col("text"), " ")).as("t"))
       .agg(countDistinct(col("t")).as("v")))
     val perDoc = inst
       .join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
       .crossJoin(vocab)
       .withColumn("lp",
         log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
