@@ -237,4 +237,63 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(shuffles === 1,
       s"expected exactly the token-count aggregation exchange:\n$p")
   }
+
+  test("q45: all four session windows + the session aggregate ride ONE user exchange; single pipeline") {
+    val p = TemporalOps.attributionQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2,
+      s"expected the user window exchange + the tiny model aggregation only " +
+        s"(user_id partitioning satisfies every (user, sid) clustering):\n$p")
+    assert(!p.contains("Union"),
+      s"both attribution models must come from one pipeline, not a per-model re-run:\n$p")
+  }
+
+  test("q46: window and co-moment aggregation reuse the span/daily exchanges (2 shuffles total)") {
+    val p = TemporalOps.autocorrQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2,
+      s"the lag window and the (type, lag) aggregation must ride the " +
+        s"per-type span partitioning, not add exchanges:\n$p")
+  }
+
+  test("t24: the bigram explode is planned twice (probe + model), never a third time") {
+    val p = TextOps.bigramNllQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val generates = "Generate explode".r.findAllIn(p).size
+    assert(generates === 3,
+      s"expected bigram explode x2 + the vocab token explode x1 — the prefix " +
+        s"count must come from the c12 window, not another corpus pass:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s10: probes broadcast, map-side group limit, mutual flag adds one pair exchange — no scan recompute") {
+    val p = SimilarityOps.knnGraphQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"the top-k cutoff must prune map-side below the rank exchange:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2,
+      s"expected the per-probe rank exchange + the pair-key mutual window " +
+        s"only (a reversed self-join would re-run the corpus scan):\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"edge pipeline must not be recomputed:\n$p")
+  }
+
+  test("v09: one dimension-keyed aggregation is the only exchange") {
+    val p = VectorOps.dimStatsQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1,
+      s"per-dimension stats are one map-side-combinable aggregation:\n$p")
+  }
+
+  test("t25: windows only on the bucket table; value-range bucketing adds no corpus window") {
+    val df = TextOps.vocabGrowthQ.run(spark, sf001)
+    windowsOnlyAboveAggregates(df)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
