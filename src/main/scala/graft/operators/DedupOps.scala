@@ -1001,9 +1001,9 @@ object DedupOps {
     * per table over an `ev(vec_id, v DOUBLE[])` CTE, with the
     * [[graft.functions.VectorFunctions.hyperplanes]] constants
     * embedded as round-tripping double literals. Shared by the d11p
-    * funnel and d06p pair generation so the two can never disagree
-    * about what a bucket is. */
-  private def portableAnnBucketsSql: String =
+    * funnel, d06p pair generation, and s11's portable kNN so the three
+    * can never disagree about what a bucket is. */
+  private[operators] def portableAnnBucketsSql: String =
     (0 until PortableAnnTables).map { t =>
       val planes = graft.functions.VectorFunctions
         .hyperplanes(PortableAnnPlanes, SimilarityOps.Dim, 42L + 1000L * t)

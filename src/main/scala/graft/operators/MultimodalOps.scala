@@ -366,6 +366,83 @@ object MultimodalOps {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
         countDistinct(col("lang")).as("n_langs"))
 
+  /** Output schema of the payload validator. */
+  val validationSchema: StructType = StructType(Seq(
+    StructField("source", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_bad_bytes", LongType, nullable = false),
+    StructField("meta_len_ok", BooleanType, nullable = false)))
+
+  /** Per-payload structural validation, batched per partition like the
+    * decode stages: byte-level scan for values outside the declared
+    * format's alphabet (for the `txt` stand-in: printable ASCII +
+    * tab/newline/CR — a real deployment checks magic bytes / container
+    * structure here) plus a payload-vs-metadata length consistency
+    * check. Row-local, nothing collects. */
+  def validatePayloads(payloads: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(validationSchema))
+    payloads
+      .select(col("meta.source").as("source"), col("payload"),
+        col("meta.n_chars").as("n_chars"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          var bad = 0L
+          var i = 0
+          while (i < p.length) {
+            val b = p(i) & 0xFF
+            if (!((b >= 32 && b <= 126) || b == 9 || b == 10 || b == 13)) bad += 1
+            i += 1
+          }
+          Row(r.getAs[String]("source"), p.length.toLong, bad,
+            p.length.toLong == r.getAs[Long]("n_chars"))
+        }
+      }(enc)
+  }
+
+  /** m07 — corrupt-payload quarantine report: per source, how many
+    * payloads validate against their declared format (alphabet check)
+    * and metadata (length consistency) — the ingest gate a multimodal
+    * pipeline runs BEFORE spending decode cycles: a source with a bad
+    * rate is quarantined wholesale, and the clean rate is the number a
+    * data contract pins. On the well-formed harness corpus every count
+    * lands in n_clean — the planted-corruption spec proves the
+    * detection paths.
+    *
+    * Oracle: DuckDB re-derives the byte validation from the text in
+    * SQL (ASCII corpus: char code = byte, the m02 device). Counts are
+    * exact longs; clean_rate is one IEEE division.
+    *
+    * Scale shape: the validator is a row-local batched map fused with
+    * the scan; the report is one map-side-combined aggregation to
+    * |sources| rows. */
+  val quarantineQ: GraftQuery = GraftQuery(
+    "m07_quarantine",
+    """WITH t AS (
+      |  SELECT source, n_chars,
+      |         octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |         len(list_filter(range(1, length(text) + 1),
+      |           i -> NOT (ascii(substring(text, CAST(i AS INT), 1)) BETWEEN 32 AND 126
+      |                     OR ascii(substring(text, CAST(i AS INT), 1)) IN (9, 10, 13))))
+      |           AS n_bad
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN n_bad = 0 AND n_bytes = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+      |       CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |       CAST(sum(CASE WHEN n_bytes <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+      |       CAST(sum(CASE WHEN n_bad = 0 AND n_bytes = n_chars THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) AS clean_rate
+      |FROM t GROUP BY source""".stripMargin) { (spark, sf) =>
+    validatePayloads(asMultimodal(spark, sf))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_bad_bytes") === 0 && col("meta_len_ok"), 1L)
+          .otherwise(0L)).as("n_clean"),
+        sum(when(col("n_bad_bytes") > 0, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(!col("meta_len_ok"), 1L).otherwise(0L)).as("n_len_mismatch"))
+      .withColumn("clean_rate", col("n_clean").cast("double") / col("n_docs"))
+  }
+
   val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ,
-    shardManifestQ)
+    shardManifestQ, quarantineQ)
 }

@@ -709,6 +709,76 @@ object SimilarityOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
+  /** Neighbors kept per vector by the portable LSH kNN (s02's k). */
+  val PortableKnnK = 3
+
+  /** s11 — portable-geometry LSH kNN: s02's end-to-end hash-checked
+    * twin, completing for the ANN family the pattern d14/d15/d06p set
+    * for minhash/simhash/embedding dedup. Same kernel as s02 — banded
+    * sign-LSH buckets, capped within-bucket expansion, exact cosine,
+    * per-vector top-k — but over the FIXED literal-plane geometry
+    * ([[DedupOps.portableAnnBucketsSql]], the d06p/d11p planes), which
+    * a DuckDB oracle can replay verbatim: bucket assignment is a sign
+    * test on `list_dot_product` against the same double literals, so
+    * candidates, cosines (zero-norm pinned to 0.0), ranks, and the
+    * bucket cap all hash-match. s02 (corpus-adaptive planes) remains
+    * the production path — its plane count follows n, which is exactly
+    * what a fixed oracle text cannot replay.
+    *
+    * Scale shape: identical to s02 — one shuffle of the banded scan
+    * (bucketPairs, never a bucket self-join), candidate volume
+    * O(n·bucket·tables), rank windows per vector over its bounded
+    * candidate set. */
+  def portableKnn(emb: DataFrame, k: Int = PortableKnnK): DataFrame = {
+    val banded = emb
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(lshBandBuckets(col("v"),
+          DedupOps.PortableAnnTables, DedupOps.PortableAnnPlanes, Dim))
+          .as(Seq("tbl", "bucket")))
+    DedupOps.bucketPairs(banded, keyCols = Seq("tbl", "bucket"),
+        memberCols = Seq("vec_id", "v", "nrm"),
+        MaxBucket, metric = "portable_knn_guard", directed = true)
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        when(col("a.nrm") === 0 || col("b.nrm") === 0, lit(0.0))
+          .otherwise(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .groupBy(col("vec_id"), col("neighbor_id"))
+      .agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
+  val knnLshPortableQ: GraftQuery = GraftQuery(
+    "s11_knn_lsh_portable",
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ab AS (${DedupOps.portableAnnBucketsSql}),
+       |sz AS (SELECT tbl, bucket, count(*) AS bn FROM ab GROUP BY tbl, bucket),
+       |ok AS (SELECT tbl, bucket FROM sz WHERE bn <= $MaxBucket),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+       |         FROM ab a JOIN ok USING (tbl, bucket)
+       |         JOIN ab b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |          AND a.vec_id <> b.vec_id),
+       |p AS (SELECT c.vec_id, c.neighbor_id,
+       |        CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |             ELSE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) END AS cos_sim
+       |      FROM cand c JOIN n na ON na.vec_id = c.vec_id
+       |                  JOIN n nb ON nb.vec_id = c.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |               ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p)
+       |SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+       |FROM r WHERE rank <= $PortableKnnK""".stripMargin) { (spark, sf) =>
+    portableKnn(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
-    knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ)
+    knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
+    knnLshPortableQ)
 }

@@ -172,6 +172,31 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(m.map(_.getLong(3)).sum == expectIdSum, "doc_id checksum must conserve")
   }
 
+  test("m07 quarantine: planted corrupt byte and lying metadata are detected; clean passes") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, "clean text", "s1", 10L),      // clean
+      (2L, "bad\u0001byte", "s1", 8L),    // control byte -> corrupt
+      (3L, "short", "s2", 99L))           // metadata length lies
+      .toDF("doc_id", "text", "source", "n_chars")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        struct(lit("txt").as("format"), lit("en").as("lang"),
+          col("n_chars").as("n_chars"), col("source").as("source")).as("meta"))
+    val v = MultimodalOps.validatePayloads(payloads).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(v(("s1", 10L)) == ((0L, true)))
+    assert(v(("s1", 8L)) == ((1L, true)))
+    assert(v(("s2", 5L)) == ((0L, false)))
+    // the harness corpus is fully clean: every doc lands in n_clean
+    val report = MultimodalOps.quarantineQ.run(spark, sf001).collect()
+    report.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"corpus doc flagged: $r")
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+      assert(r.getDouble(5) == 1.0)
+    }
+  }
+
   test("multimodal features: 16-dim, L1-normalized (m02)") {
     val f = MultimodalOps.featuresQ.run(spark, sf001)
     assert(f.filter(col("dim") =!= 16).count() === 0)

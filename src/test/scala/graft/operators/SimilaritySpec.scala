@@ -235,4 +235,35 @@ class SimilaritySpec extends SparkSpec {
     // the zero vector never NaNs a rank anywhere
     assert(out.values.forall(v => !v._2.isNaN))
   }
+
+  test("s11 portable knn: identical directions collide, sign-flipped never do, ranks dense") {
+    import spark.implicits._
+    // 64-dim fixture: b is a positive scaling of a (same sign pattern
+    // in EVERY table -> guaranteed candidate, cos exactly 1); c is the
+    // sign flip of a (every bucket bit flips -> no shared bucket)
+    val a = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    val fixture = Seq(
+      (1L, a), (2L, a.map(_ * 0.5)), (3L, a.map(-_)))
+      .toDF("vec_id", "v")
+    val out = SimilarityOps.portableKnn(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L), "the sign-flipped vector shares no bucket")
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((1L, 1L, 1.0)))
+  }
+
+  test("s11 on the harness corpus: dense per-vector ranks, cosine bounded and monotone") {
+    val rows = SimilarityOps.knnLshPortableQ.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (vid, rs) =>
+      val byRank = rs.sortBy(_.getLong(2))
+      assert(byRank.map(_.getLong(2)).toSeq == (1L to rs.length).toSeq,
+        s"vec $vid ranks not dense")
+      val coss = byRank.map(_.getDouble(3))
+      assert(coss.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+      assert(coss.zip(coss.tail).forall { case (x, y) => x >= y },
+        s"vec $vid cosine not monotone in rank")
+    }
+  }
 }
