@@ -1027,6 +1027,10 @@ object TemporalOps {
     * the same (user_id, session) keys the rank exchange already
     * established, and the two final model aggregations run on the
     * |event_types|-sized conversion table. */
+  /** Last-touch label when the conversion opens its session — shared
+    * with the streaming twin so the two surfaces cannot drift. */
+  val DirectTouch = "(direct)"
+
   def attribution(events: DataFrame): DataFrame = {
     val wU = Window.partitionBy(col("user_id"))
       .orderBy(col("__us"), col("event_id"))
@@ -1054,7 +1058,7 @@ object TemporalOps {
         max(when(col("__rn") === col("__prn") - 1, col("event_type")))
           .as("__lastPre"))
       .select(col("__first"),
-        coalesce(col("__lastPre"), lit("(direct)")).as("__last"))
+        coalesce(col("__lastPre"), lit(DirectTouch)).as("__last"))
     // both models from ONE pass: a union of two aggregations would
     // re-run the whole session pipeline per branch (plan-audited);
     // instead each conversion explodes row-locally into its two
@@ -1069,7 +1073,7 @@ object TemporalOps {
 
   val attributionQ: GraftQuery = GraftQuery(
     "q45_attribution",
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id, event_id, event_type,
       |         epoch_ns(ts) // 1000 AS us
       |  FROM events),
@@ -1094,7 +1098,7 @@ object TemporalOps {
       |  SELECT user_id, sid, prn,
       |         max(CASE WHEN rn = 1 THEN event_type END) AS first_t,
       |         coalesce(max(CASE WHEN rn = prn - 1 THEN event_type END),
-      |                  '(direct)') AS last_t
+      |                  '$DirectTouch') AS last_t
       |  FROM p WHERE prn IS NOT NULL GROUP BY user_id, sid, prn)
       |SELECT 'first_touch' AS model, first_t AS event_type,
       |       CAST(count(*) AS BIGINT) AS n_conversions

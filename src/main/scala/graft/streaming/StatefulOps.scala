@@ -201,6 +201,131 @@ object StatefulOps {
   }
 
   // --------------------------------------------------------------
+  // Streaming session attribution (the stream twin of q45)
+  // --------------------------------------------------------------
+
+  final case class AttrEvent(
+      event_id: Long, user_id: Long, event_type: String, ts: Timestamp)
+
+  /** One open session, COMPACTED: ranges in exact microseconds plus the
+    * O(1) summary of its watermark-finalized prefix — first event type,
+    * the last pre-conversion type seen so far (the candidate
+    * last-touch), whether the first conversion already landed, and its
+    * recorded predecessor. Events strictly below the watermark are
+    * final in order, so the summary never needs revisiting; the
+    * not-yet-final tail lives in the per-user pending buffer, bounded
+    * by the watermark horizon. State is therefore O(open sessions +
+    * horizon density), never session length. */
+  final case class SessAcc(
+      startUs: Long, lastUs: Long, first: Option[String],
+      prevType: Option[String], convDone: Boolean, lastBefore: Option[String])
+
+  final case class AttrState(open: List[SessAcc], pending: List[AttrEvent])
+
+  /** One conversion credit, emitted exactly once per converting session
+    * at finalization — two rows per conversion (both models), exactly
+    * the rows the batch q45 aggregates; downstream counting stays a
+    * built-in groupBy. */
+  final case class AttributionCredit(
+      user_id: Long, model: String, event_type: String, session_start: Timestamp)
+
+  private def eventUs(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Absorb one finalized event (arriving in true event order) into a
+    * session summary. */
+  private def absorb(s: SessAcc, e: AttrEvent, eu: Long, convType: String): SessAcc = {
+    val base = s.copy(lastUs = math.max(s.lastUs, eu),
+      first = s.first.orElse(Some(e.event_type)))
+    if (base.convDone) base
+    else if (e.event_type == convType)
+      base.copy(convDone = true, lastBefore = s.prevType)
+    else base.copy(prevType = Some(e.event_type))
+  }
+
+  /** Pure q45-twin step (property-tested over random batch splits and
+    * watermark schedules): merge buffer + batch in (ts, nanos, id)
+    * order, absorb everything strictly below the watermark into the
+    * gap-chained sessions (a finalized event either extends the LATEST
+    * session — its predecessor in event order is that session's last
+    * event — or opens a new one), then close every session whose gap
+    * deadline the watermark has passed. Returns (closed, open, rest). */
+  private[graft] def attrStep(
+      open: List[SessAcc], pending: List[AttrEvent], batch: Seq[AttrEvent],
+      wmMs: Long, gapUs: Long, convType: String)
+      : (List[SessAcc], List[SessAcc], List[AttrEvent]) = {
+    def key(e: AttrEvent): (Long, Int, Long) = (e.ts.getTime, e.ts.getNanos, e.event_id)
+    val all = (pending ++ batch).sortBy(key)
+    val (ready, rest) = all.partition(_.ts.getTime < wmMs)
+    var sessions = open.sortBy(s => (s.startUs, s.lastUs))
+    ready.foreach { e =>
+      val eu = eventUs(e.ts)
+      sessions = sessions match {
+        case init :+ last if eu - last.lastUs < gapUs =>
+          init :+ absorb(last, e, eu, convType)
+        case _ =>
+          sessions :+ absorb(
+            SessAcc(eu, eu, None, None, convDone = false, None), e, eu, convType)
+      }
+    }
+    val (closed, stillOpen) = sessions.partition(_.lastUs + gapUs <= wmMs * 1000L)
+    (closed, stillOpen, rest)
+  }
+
+  /** Sessionized conversion attribution over a stream — the stream twin
+    * of the batch q45 ([[graft.operators.TemporalOps.attribution]]):
+    * per converting session, exactly one first-touch and one last-touch
+    * credit, emitted only when the watermark passes the session's gap
+    * deadline (before that a late-but-admissible event may still extend
+    * the session, open it earlier, or insert before the first
+    * conversion — the q23/sessionize emission discipline). Parity with
+    * the batch operator holds for any stream whose disorder stays
+    * inside the watermark, because credits derive from events absorbed
+    * in true (ts, event_id) order, not arrival order. */
+  def attributionStream(
+      events: Dataset[AttrEvent], gapUs: Long = 600000000L,
+      lateness: String = "10 minutes",
+      convType: String = "purchase"): Dataset[AttributionCredit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    events
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttributionCredit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(AttrState(Nil, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open, rest) =
+            attrStep(prev.open, prev.pending, rows.toSeq, wm, gapUs, convType)
+          if (open.isEmpty && rest.isEmpty) state.remove()
+          else {
+            state.update(AttrState(open, rest))
+            // fire at the earlier of: the earliest open session's gap
+            // deadline (eligibility wm·1000 ≥ lastUs+gap, engine fires
+            // when timeout < wm ⇒ ceil-div minus 1) or the earliest
+            // pending event's finalization (timeout = its ts, the
+            // transitionStream convention); clamp above the watermark
+            val deadlines =
+              open.map(s => (s.lastUs + gapUs + 999L) / 1000L - 1L) ++
+                rest.map(_.ts.getTime)
+            if (deadlines.nonEmpty)
+              state.setTimeoutTimestamp(math.max(deadlines.min, wm + 1))
+          }
+          closed.iterator.filter(_.convDone).flatMap { s =>
+            val start = new Timestamp(s.startUs / 1000L)
+            start.setNanos((s.startUs % 1000000L).toInt * 1000)
+            Iterator(
+              AttributionCredit(user, "first_touch", s.first.get, start),
+              AttributionCredit(user, "last_touch",
+                s.lastBefore.getOrElse(graft.operators.TemporalOps.DirectTouch), start))
+          }
+      }
+  }
+
+  // --------------------------------------------------------------
   // Streaming daily anomaly (the stream twin of q39)
   // --------------------------------------------------------------
 

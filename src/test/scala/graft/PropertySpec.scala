@@ -461,4 +461,71 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("attribution step equals the batch session credits for any split + watermark schedule") {
+    import java.sql.Timestamp
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{AttrEvent, SessAcc}
+    val gapUs = 10000L // 10 ms sessions in the generator's ms domain
+    val conv = "P"
+    val eventsGen: Gen[List[AttrEvent]] = Gen.listOf(
+      Gen.zip(Gen.chooseNum(0L, 60L), Gen.oneOf("A", "B", conv)))
+      .map(_.zipWithIndex.map { case ((t, tp), i) =>
+        AttrEvent(i.toLong, 1L, tp, new Timestamp(t))
+      })
+    val gen = for {
+      evs <- eventsGen
+      arrival <- Gen.const(evs).flatMap(e =>
+        Gen.choose(0L, Long.MaxValue).map(s => new scala.util.Random(s).shuffle(e)))
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, math.max(arrival.size, 1)))
+    } yield (evs, arrival, cuts.sorted)
+    def credits(closed: Seq[SessAcc]): Seq[(Long, String, String)] =
+      closed.filter(_.convDone).flatMap(s => Seq(
+        (s.startUs, "first_touch", s.first.get),
+        (s.startUs, "last_touch", s.lastBefore.getOrElse("(direct)"))))
+    samples(gen, 300).foreach { case (evs, arrival, cuts) =>
+      val batches = (0 +: cuts :+ arrival.size).sliding(2)
+        .map { case Seq(a, b) => arrival.slice(a, b) }.toList
+      var wm = Long.MinValue
+      var open: List[SessAcc] = Nil
+      var pending: List[AttrEvent] = Nil
+      var seen = 0
+      val out = List.newBuilder[(Long, String, String)]
+      for (batch <- batches) {
+        seen += batch.size
+        val future = arrival.drop(seen)
+        val bound = if (future.isEmpty) 200L else future.map(_.ts.getTime).min
+        wm = math.max(wm, bound - (bound % 7))
+        val (closed, o2, rest) =
+          StatefulOps.attrStep(open, pending, batch, wm, gapUs, conv)
+        out ++= credits(closed)
+        open = o2; pending = rest
+      }
+      val (lastClosed, o9, rest) =
+        StatefulOps.attrStep(open, pending, Nil, 10000L, gapUs, conv)
+      assert(rest.isEmpty && o9.isEmpty, "a drained stream must hold no state")
+      out ++= credits(lastClosed)
+      // reference: batch gaps-and-islands credits over the true order
+      val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = ordered.foldLeft(List.empty[List[AttrEvent]]) {
+        case (cur :: done, e)
+          if e.ts.getTime * 1000L - cur.head.ts.getTime * 1000L < gapUs =>
+          (e :: cur) :: done
+        case (acc, e) => List(e) :: acc
+      }.map(_.reverse).reverse
+      val expected = sessions.flatMap { s =>
+        val prn = s.indexWhere(_.event_type == conv)
+        if (prn < 0) Nil
+        else {
+          val startUs = s.head.ts.getTime * 1000L
+          val last = if (prn == 0) "(direct)" else s(prn - 1).event_type
+          Seq((startUs, "first_touch", s.head.event_type),
+            (startUs, "last_touch", last))
+        }
+      }
+      assert(out.result().sortBy(c => (c._1, c._2)) ===
+        expected.sortBy(c => (c._1, c._2)),
+        s"diverged on arrival=${arrival.map(_.event_id)} cuts=$cuts")
+    }
+  }
 }
