@@ -585,7 +585,63 @@ object CurationOps {
           .as("expected_epochs"))
   }
 
+  /** pk02 — packing utilization report: per (shard, bin) of pk01's
+    * greedy packing, the document count, token fill, fill rate against
+    * the budget, and an overflow flag (a bin can exceed the budget
+    * only when a single oversized document owns it) — the artifact a
+    * pretraining-data owner reads to decide whether the budget/shard
+    * sizing wastes context-window tokens. Padding waste = 1−fill_rate
+    * is the number that directly prices the packing policy.
+    *
+    * Fill rates are one IEEE division of exact longs; the oracle
+    * re-runs pk01's recursive-CTE pack and aggregates, so the whole
+    * bin assignment is re-verified end-to-end, not read from a cached
+    * engine artifact.
+    *
+    * Scale shape: pk01's per-shard sequential pass, then one
+    * map-side-combined aggregation to (shards × bins) rows. */
+  def packStats(docs: DataFrame, shards: Int = PackShards,
+      budget: Long = PackBudget): DataFrame =
+    packed(docs, shards, budget)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"))
+      .select(col("shard").cast("long").as("shard"), col("bin"),
+        col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / budget).as("fill_rate"),
+        (col("tokens") > budget).as("is_overflow"))
+
+  val packStatsQ: GraftQuery = GraftQuery(
+    "pk02_pack_stats",
+    s"""WITH RECURSIVE o AS (
+       |  SELECT doc_id,
+       |         CAST(${Md5Bucket.bucketSql("duckdb", "'p:' || CAST(doc_id AS VARCHAR)", PackShards)} AS INT) AS shard,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         row_number() OVER (
+       |           PARTITION BY CAST(${Md5Bucket.bucketSql("duckdb", "'p:' || CAST(doc_id AS VARCHAR)", PackShards)} AS INT)
+       |           ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, shard, n_tokens, rn, n_tokens AS fill, CAST(0 AS BIGINT) AS bin
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+       |         CASE WHEN r.fill + o.n_tokens <= $PackBudget
+       |              THEN r.fill + o.n_tokens ELSE o.n_tokens END,
+       |         CASE WHEN r.fill + o.n_tokens <= $PackBudget
+       |              THEN r.bin ELSE r.bin + 1 END
+       |  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+       |SELECT CAST(shard AS BIGINT) AS shard, bin,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |       CAST(sum(n_tokens) AS DOUBLE) / $PackBudget AS fill_rate,
+       |       sum(n_tokens) > $PackBudget AS is_overflow
+       |FROM r GROUP BY shard, bin""".stripMargin) { (spark, sf) =>
+    packStats(Tables.documents(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     repetitionQ, qualityFilterQ, piiRedactQ, stratifiedSampleQ, packQ,
-    sourceReweightQ, sourceQualityNormQ, tokenBudgetQ, mixtureWeightsQ)
+    sourceReweightQ, sourceQualityNormQ, tokenBudgetQ, mixtureWeightsQ,
+    packStatsQ)
 }

@@ -778,7 +778,79 @@ object SimilarityOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
+  /** s12 — ANN recall evaluation, fully hash-checked: for every s10
+    * probe, the portable LSH kNN's (s11) top-k is scored against the
+    * EXACT brute-force top-k — hits and recall per probe. This is the
+    * acceptance artifact for an approximate index ("what recall does
+    * this geometry buy on THIS corpus"), and unlike the s02/s04
+    * ScalaTest recall floors it is a driver-gate row: both sides are
+    * deterministic and DuckDB-replayable, so the recall matrix itself
+    * hash-matches.
+    *
+    * Scale shape: the exact side is s10's broadcast-probe scan (1/mod
+    * of the corpus — the audit tier; the full-corpus truth at 100 TB
+    * is exactly what one doesn't compute, which is why the sampled
+    * probe estimate is the standard practice); the approximate side is
+    * s11's bucketed kernel; the join is (probe, neighbor)-keyed over
+    * two k-bounded edge tables. */
+  def annRecall(emb: DataFrame, mod: Int = GraphSampleMod,
+      k: Int = PortableKnnK): DataFrame = {
+    val exact = knnGraph(emb, mod, k)
+      .select(col("src_id").as("vec_id"), col("dst_id").as("nid"))
+    val approx = portableKnn(emb, k)
+      .filter(col("vec_id") % mod === 0)
+      .select(col("vec_id"), col("neighbor_id").as("nid"),
+        lit(1L).as("__hit"))
+    exact.join(approx, Seq("vec_id", "nid"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("vec_id"), col("k_exact"), col("hits"),
+        (col("hits").cast("double") / col("k_exact")).as("recall"))
+  }
+
+  val annRecallQ: GraftQuery = GraftQuery(
+    "s12_ann_recall",
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+       |q AS (SELECT vec_id AS src_id, v AS qv, nrm AS qnrm FROM n
+       |      WHERE vec_id % $GraphSampleMod = 0),
+       |bs AS (SELECT q.src_id, n.vec_id AS dst_id,
+       |        row_number() OVER (
+       |          PARTITION BY q.src_id
+       |          ORDER BY CASE WHEN q.qnrm = 0 OR n.nrm = 0 THEN 0.0
+       |                   ELSE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) END DESC,
+       |                   n.vec_id) AS rank
+       |      FROM q JOIN n ON n.vec_id <> q.src_id),
+       |exact AS (SELECT src_id AS vec_id, dst_id AS nid FROM bs
+       |          WHERE rank <= $PortableKnnK),
+       |ab AS (${DedupOps.portableAnnBucketsSql}),
+       |sz AS (SELECT tbl, bucket, count(*) AS bn FROM ab GROUP BY tbl, bucket),
+       |ok AS (SELECT tbl, bucket FROM sz WHERE bn <= $MaxBucket),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+       |         FROM ab a JOIN ok USING (tbl, bucket)
+       |         JOIN ab b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |          AND a.vec_id <> b.vec_id),
+       |p AS (SELECT c.vec_id, c.neighbor_id,
+       |        CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |             ELSE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) END AS cos_sim
+       |      FROM cand c JOIN n na ON na.vec_id = c.vec_id
+       |                  JOIN n nb ON nb.vec_id = c.neighbor_id),
+       |ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |               ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p),
+       |approx AS (SELECT vec_id, neighbor_id AS nid FROM ar
+       |           WHERE rank <= $PortableKnnK AND vec_id % $GraphSampleMod = 0)
+       |SELECT e.vec_id, CAST(count(*) AS BIGINT) AS k_exact,
+       |       CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |       CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / count(*) AS recall
+       |FROM exact e LEFT JOIN approx a ON a.vec_id = e.vec_id AND a.nid = e.nid
+       |GROUP BY e.vec_id""".stripMargin) { (spark, sf) =>
+    annRecall(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
-    knnLshPortableQ)
+    knnLshPortableQ, annRecallQ)
 }

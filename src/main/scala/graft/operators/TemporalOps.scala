@@ -1031,11 +1031,16 @@ object TemporalOps {
     * with the streaming twin so the two surfaces cannot drift. */
   val DirectTouch = "(direct)"
 
-  def attribution(events: DataFrame): DataFrame = {
+  /** Gaps-and-islands sessionization shared by q45/q48: each event row
+    * with its exact-micros time and per-user session id (10-minute
+    * inactivity gap, (ts, event_id) ordering). One user-keyed exchange;
+    * downstream per-session windows ride it (user_id partitioning
+    * satisfies any (user, sid) clustering). */
+  private def sessionized(events: DataFrame): DataFrame = {
     val wU = Window.partitionBy(col("user_id"))
       .orderBy(col("__us"), col("event_id"))
     val gapUs = 10L * 60L * 1000000L
-    val sess = events
+    events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("__us"))
       .withColumn("__new",
@@ -1044,6 +1049,10 @@ object TemporalOps {
           .otherwise(0L))
       .withColumn("__sid", sum(col("__new")).over(
         wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def attribution(events: DataFrame): DataFrame = {
+    val sess = sessionized(events)
     val wS = Window.partitionBy(col("user_id"), col("__sid"))
       .orderBy(col("__us"), col("event_id"))
     val perSession = sess
@@ -1264,10 +1273,91 @@ object TemporalOps {
     cohortRetention(Tables.events(spark, sf))
   }
 
+  /** q48 — conversion-latency histogram: for every converting session
+    * (the q45 population), the time from session start to the FIRST
+    * purchase, bucketed into operational latency bands with per-band
+    * count / exact-mean / min / max — the "how long does a conversion
+    * take" distribution a funnel owner reads next to q45's credit
+    * split. A fixed band histogram instead of latency quantiles
+    * because band counts are exact integers at any scale, while exact
+    * order statistics over an unbounded microsecond domain would need
+    * a corpus-sized sort (q24's sketch is the approximate tool there).
+    *
+    * Latencies are exact integer micros; the per-band mean sums them
+    * in DECIMAL(38,0)/HUGEINT (overflow-safe at any session count —
+    * the q32 device) and divides once. Bucket edges are closed-open,
+    * pinned identically in both texts.
+    *
+    * Scale shape: the session derivation is q45's one user exchange;
+    * per-session start/first-purchase are conditional aggregates on
+    * the same keys; the histogram is a map-side-combined aggregation
+    * to ≤5 rows. */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lat = sessionized(events)
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("__us")).as("__s0"),
+        min(when(col("event_type") === "purchase", col("__us"))).as("__p0"))
+      .filter(col("__p0").isNotNull)
+      .select((col("__p0") - col("__s0")).as("lat_us"))
+    val m = 60000000L
+    lat
+      .select(col("lat_us"),
+        when(col("lat_us") < m, "00_lt_1m")
+          .when(col("lat_us") < 5 * m, "01_1m_5m")
+          .when(col("lat_us") < 15 * m, "02_5m_15m")
+          .when(col("lat_us") < 60 * m, "03_15m_1h")
+          .otherwise("04_ge_1h").as("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("lat_us").cast(dec)).as("__sum"),
+        min(col("lat_us")).as("min_us"),
+        max(col("lat_us")).as("max_us"))
+      .select(col("band"), col("n"),
+        (col("__sum").cast("double") / col("n")).as("mean_us"),
+        col("min_us"), col("max_us"))
+  }
+
+  val conversionLatencyQ: GraftQuery = GraftQuery(
+    "q48_conversion_latency",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_ns(ts) // 1000 AS us
+      |  FROM events),
+      |d AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w >= 600000000
+      |                 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d),
+      |l AS (
+      |  SELECT min(us) AS s0,
+      |         min(CASE WHEN event_type = 'purchase' THEN us END) AS p0
+      |  FROM s GROUP BY user_id, sid),
+      |lat AS (SELECT p0 - s0 AS lat_us FROM l WHERE p0 IS NOT NULL),
+      |b AS (
+      |  SELECT lat_us,
+      |         CASE WHEN lat_us < 60000000 THEN '00_lt_1m'
+      |              WHEN lat_us < 300000000 THEN '01_1m_5m'
+      |              WHEN lat_us < 900000000 THEN '02_5m_15m'
+      |              WHEN lat_us < 3600000000 THEN '03_15m_1h'
+      |              ELSE '04_ge_1h' END AS band
+      |  FROM lat)
+      |SELECT band, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(lat_us AS HUGEINT)) AS DOUBLE) / count(*) AS mean_us,
+      |       CAST(min(lat_us) AS BIGINT) AS min_us,
+      |       CAST(max(lat_us) AS BIGINT) AS max_us
+      |FROM b GROUP BY band""".stripMargin) { (spark, sf) =>
+    conversionLatency(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
       ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
       cooccurrenceQ, changePointQ, dailyTopUsersQ, attributionQ, autocorrQ,
-      cohortRetentionQ)
+      cohortRetentionQ, conversionLatencyQ)
 }

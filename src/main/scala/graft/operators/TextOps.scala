@@ -757,8 +757,53 @@ object TextOps {
     (spark, sf) => vocabGrowth(Tables.documents(spark, sf))
   }
 
+  /** t26 — language confusion matrix: declared metadata language vs
+    * t01's detected language, with per-declared-language shares — the
+    * metadata-trust audit a curation pipeline runs before keying any
+    * decision (sampling rates, tokenizer choice, mixture weights) off
+    * the `lang` column: a source whose declared labels disagree with
+    * detection gets its metadata quarantined, not consumed.
+    *
+    * Counts are exact longs; each share is one IEEE division of exact
+    * integers (the q38 row-probability device). The detector is the
+    * SAME marker tables both engines already share through t01, so the
+    * cell assignment cannot drift.
+    *
+    * Scale shape: detection is row-local (fused with the scan); the
+    * matrix is one map-side-combined aggregation to ≤|langs|²+|langs|
+    * rows and the share window runs on that tiny table. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang").as("lang_declared"), langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang_declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("declared_total",
+        sum(col("n")).over(Window.partitionBy(col("lang_declared"))))
+      .select(col("lang_declared"), col("lang_pred"), col("n"),
+        col("declared_total"),
+        (col("n").cast("double") / col("declared_total")).as("share"),
+        (col("lang_declared") === col("lang_pred")).as("agree"))
+
+  val langConfusionQ: GraftQuery = GraftQuery(
+    "t26_lang_confusion",
+    s"""WITH t AS (SELECT doc_id, lang AS lang_declared, ' ' || text || ' ' AS p
+      |           FROM documents),
+      |s AS (SELECT doc_id, lang_declared,
+      |${langScoreSql.map { case (l, e) => s"  $e AS s_$l" }.mkString(",\n")}
+      |      FROM t),
+      |d AS (SELECT lang_declared, $langCaseSql AS lang_pred FROM s),
+      |c AS (SELECT lang_declared, lang_pred, count(*) AS n
+      |      FROM d GROUP BY 1, 2)
+      |SELECT lang_declared, lang_pred, CAST(n AS BIGINT) AS n,
+      |       CAST(sum(n) OVER (PARTITION BY lang_declared) AS BIGINT) AS declared_total,
+      |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang_declared) AS share,
+      |       lang_declared = lang_pred AS agree
+      |FROM c""".stripMargin) { (spark, sf) =>
+    langConfusion(Tables.documents(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
     hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ, ngramNoveltyQ, sourceVocabQ,
-    dfDriftQ, bigramNllQ, vocabGrowthQ)
+    dfDriftQ, bigramNllQ, vocabGrowthQ, langConfusionQ)
 }

@@ -263,6 +263,41 @@ class CurationSpec extends SparkSpec {
     assert(out(9L) == ((1L, 1L, 1L, 17L, 6L)))
   }
 
+  test("t26 lang confusion: planted disagreements land in the right cells with exact shares") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog of it", "en"),   // en detected, en declared
+      (2L, "le chat et la mer", "en"),           // fr detected, en declared
+      (3L, "der hund und die katze", "de"),      // de/de
+      (4L, "zzz qqq", "zh"))                     // no marker -> 'und'
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.langConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out == Map(
+      ("en", "en") -> ((1L, 2L, 0.5, true)),
+      ("en", "fr") -> ((1L, 2L, 0.5, false)),
+      ("de", "de") -> ((1L, 1L, 1.0, true)),
+      ("zh", "und") -> ((1L, 1L, 1.0, false))))
+  }
+
+  test("pk02 pack stats: fill rates, bin closure, oversized-doc overflow flag") {
+    val out = CurationOps.packStats(docs(
+      (1L, "a a a"),                        // bin 0, fill 3
+      (2L, "b b b"),                        // 3+3 > 5 -> bin 1
+      (3L, "c"),                            // bin 1, fill 4
+      (4L, "x x x x x x x")),               // 7 > 5: bin 2 alone, overflow
+      shards = 1, budget = 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out == Map(
+      (0L, 0L) -> ((1L, 3L, 0.6, false)),
+      (0L, 1L) -> ((2L, 4L, 0.8, false)),
+      (0L, 2L) -> ((1L, 7L, 1.4, true))))
+  }
+
   test("t25 sparse ids: value-range buckets stay exact when ids are not contiguous") {
     // ids 0 and 99 with 10 buckets: ranges [0..9]->0, [90..99]->9
     val out = TextOps.vocabGrowth(docs((0L, "a"), (99L, "a b"))).collect()

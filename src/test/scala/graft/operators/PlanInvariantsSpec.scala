@@ -296,4 +296,28 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q48: session windows + both aggregates ride the q45 exchange budget (2 shuffles)") {
+    val p = TemporalOps.conversionLatencyQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2,
+      s"expected the user session exchange + the tiny band histogram only:\n$p")
+  }
+
+  test("t26: detection fused row-local; matrix window on the post-aggregate table") {
+    val df = TextOps.langConfusionQ.run(spark, sf001)
+    windowsOnlyAboveAggregates(df)
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2,
+      s"expected the cell aggregation + the per-declared share window only:\n$p")
+  }
+
+  test("s12: probe sides broadcast; never a cartesian product") {
+    val p = SimilarityOps.annRecallQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -253,6 +253,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L, 1.0)))
   }
 
+  test("s12 ann recall: missed-bucket neighbor costs exactly its recall share") {
+    import spark.implicits._
+    val a = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    // probes 0 and 5; vector 3 is the sign flip -> never an LSH
+    // candidate, but IS every probe's exact 2nd neighbor
+    val fixture = Seq(
+      (0L, a), (5L, a.map(_ * 0.5)), (3L, a.map(-_)))
+      .toDF("vec_id", "v")
+    val out = SimilarityOps.annRecall(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      0L -> ((2L, 1L, 0.5)),
+      5L -> ((2L, 1L, 0.5))))
+  }
+
+  test("s12 on the harness corpus: recall in [0,1], k_exact full, one row per probe") {
+    val rows = SimilarityOps.annRecallQ.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) == SimilarityOps.PortableKnnK)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("s11 on the harness corpus: dense per-vector ranks, cosine bounded and monotone") {
     val rows = SimilarityOps.knnLshPortableQ.run(spark, sf001).collect()
     assert(rows.nonEmpty)

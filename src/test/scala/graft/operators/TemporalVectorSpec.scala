@@ -538,6 +538,31 @@ class TemporalVectorSpec extends SparkSpec {
       ("2024-01-08", 1L) -> ((1L, 1L, 1.0))))
   }
 
+  test("q48 conversion latency: band edges, exact means, non-converting sessions drop") {
+    val gap = 600000000L
+    val m = 60000000L
+    val out = TemporalOps.conversionLatency(events(
+      // u1: purchase 30s after session start -> 00_lt_1m, lat 30s
+      (1L, 1L, "view", 0L), (2L, 1L, "purchase", 30000000L),
+      // u2: chained session, first purchase at 4m -> 01_1m_5m
+      (3L, 2L, "view", 0L), (4L, 2L, "click", 2 * m),
+      (5L, 2L, "purchase", 4 * m), (6L, 2L, "purchase", 5 * m),
+      // u3: direct purchase -> lat 0 -> 00_lt_1m
+      (7L, 3L, "purchase", 0L),
+      // u4: never converts -> no row
+      (8L, 4L, "view", 0L),
+      // u1 second session, converts at exactly 1m -> band boundary
+      // is closed-open: 60s lands in 01_1m_5m
+      (9L, 1L, "view", gap + m), (10L, 1L, "purchase", gap + 2 * m)))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out == Map(
+      "00_lt_1m" -> ((2L, 15000000.0, 0L, 30000000L)),
+      "01_1m_5m" -> ((2L, (4 * m + m) / 2.0, m, 4 * m))))
+  }
+
   test("v09 dim stats: exact means/variance/min-max, dead-dimension flag") {
     import spark.implicits._
     val out = VectorOps.dimStats(Seq(
