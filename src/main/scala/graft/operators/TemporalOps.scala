@@ -1006,27 +1006,6 @@ object TemporalOps {
     dailyTopUsers(Tables.events(spark, sf))
   }
 
-  /** q45 — sessionized conversion attribution: for every session that
-    * contains a purchase, credit the conversion to (a) the session's
-    * FIRST event type (first-touch) and (b) the event type immediately
-    * PRECEDING the first purchase (last-touch; `(direct)` when the
-    * purchase opens the session) — the two classic attribution models
-    * a growth pipeline reports side by side.
-    *
-    * Sessions are the q23 contract (10-minute inactivity gap) expressed
-    * as gaps-and-islands so the session id, the in-session sequence
-    * number, and the first-purchase position all come from ONE ordered
-    * pass; ordering is (ts_us, event_id) — fully deterministic even if
-    * micros truncation collides two events onto one instant. Counts are
-    * exact longs; nothing floats.
-    *
-    * Scale shape: one exchange on user_id derives session ids, one on
-    * (user_id, session) ranks within sessions — state per window is one
-    * user's (resp. one session's) events, never corpus-scale. The
-    * per-session reduction is a map-side-combinable conditional agg on
-    * the same (user_id, session) keys the rank exchange already
-    * established, and the two final model aggregations run on the
-    * |event_types|-sized conversion table. */
   /** Last-touch label when the conversion opens its session — shared
     * with the streaming twin so the two surfaces cannot drift. */
   val DirectTouch = "(direct)"
@@ -1051,6 +1030,27 @@ object TemporalOps {
         wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** q45 — sessionized conversion attribution: for every session that
+    * contains a purchase, credit the conversion to (a) the session's
+    * FIRST event type (first-touch) and (b) the event type immediately
+    * PRECEDING the first purchase (last-touch; [[DirectTouch]] when the
+    * purchase opens the session) — the two classic attribution models
+    * a growth pipeline reports side by side.
+    *
+    * Sessions are the q23 contract (10-minute inactivity gap) expressed
+    * as gaps-and-islands so the session id, the in-session sequence
+    * number, and the first-purchase position all come from ONE ordered
+    * pass; ordering is (ts_us, event_id) — fully deterministic even if
+    * micros truncation collides two events onto one instant. Counts are
+    * exact longs; nothing floats.
+    *
+    * Scale shape: one exchange on user_id derives session ids, one on
+    * (user_id, session) ranks within sessions — state per window is one
+    * user's (resp. one session's) events, never corpus-scale. The
+    * per-session reduction is a map-side-combinable conditional agg on
+    * the same (user_id, session) keys the rank exchange already
+    * established, and the two final model aggregations run on the
+    * |event_types|-sized conversion table. */
   def attribution(events: DataFrame): DataFrame = {
     val sess = sessionized(events)
     val wS = Window.partitionBy(col("user_id"), col("__sid"))
