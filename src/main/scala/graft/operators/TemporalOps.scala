@@ -115,6 +115,136 @@ object TemporalOps {
     asOfWithin(Tables.events(spark, sf), 600000000L)
   }
 
+  /** j05 — FORWARD as-of join: each click paired with the user's
+    * earliest strictly LATER purchase (null when none) — the follow-up
+    * question to j01's lookback ("what did this click lead to", the
+    * label-joining shape behind conversion modeling). Same
+    * single-shuffle union kernel as j01 run in reverse: both sides
+    * shuffle ONCE on user_id, the window scans time DESCENDING, and a
+    * running `last(ignoreNulls)` carries the nearest later purchase
+    * backward onto each click. Clicks sort before purchases at the
+    * same instant under the descending order (sortKind 0 < 1), which
+    * is exactly the strict `>` semantics; among same-instant purchases
+    * the MIN purchase_id wins (the forward mirror of j01's max-click
+    * tie-break), pinned by pre-reducing purchases per (user, instant).
+    *
+    * The oracle is an independent LATERAL top-1 formulation, not a
+    * transcription of the window trick. */
+  def asOfPurchaseAfterClick(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(min(col("event_id")).as("purchase_id"))
+      .select(col("user_id"), col("ts_us"), lit(1).as("sortKind"),
+        col("purchase_id"), lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts_us"), lit(0).as("sortKind"),
+      lit(null).cast("long").as("purchase_id"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("sortKind"),
+        coalesce(col("purchase_id"), lit(-1L)).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .select(col("*"),
+        last(col("purchase_id"), ignoreNulls = true).over(w).as("next_purchase_id"),
+        last(when(col("sortKind") === 1, col("ts_us")), ignoreNulls = true).over(w)
+          .as("next_purchase_ts"))
+      .filter(col("sortKind") === 0)
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        col("next_purchase_id").as("purchase_id"),
+        col("next_purchase_ts").as("purchase_ts_us"),
+        (col("next_purchase_ts") - col("ts_us")).as("gap_us"))
+  }
+
+  val asOfForwardQ: GraftQuery = GraftQuery(
+    "j05_asof_forward",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             epoch_ns(ts) // 1000 AS ts_us
+      |           FROM events),
+      |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT min(event_id) AS purchase_id, user_id, ts_us
+      |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us)
+      |SELECT c.event_id, c.user_id, c.ts_us,
+      |       n.purchase_id, n.ts_us AS purchase_ts_us,
+      |       n.ts_us - c.ts_us AS gap_us
+      |FROM c LEFT JOIN LATERAL (
+      |  SELECT p.purchase_id, p.ts_us
+      |  FROM p
+      |  WHERE p.user_id = c.user_id AND p.ts_us > c.ts_us
+      |  ORDER BY p.ts_us, p.purchase_id LIMIT 1) n ON true""".stripMargin) {
+    (spark, sf) => asOfPurchaseAfterClick(Tables.events(spark, sf))
+  }
+
+  /** Inter-arrival bands for q49 (closed-open, micros). */
+  private val GapBands: Seq[(Long, String)] = Seq(
+    1000000L -> "00_lt_1s", 60000000L -> "01_1s_1m", 600000000L -> "02_1m_10m")
+  private val GapBandLast = "03_ge_10m"
+
+  /** q49 — inter-event arrival gaps: the distribution of the time
+    * between a user's consecutive events, attributed to the LATER
+    * event's type and bucketed into operational bands — the
+    * inter-arrival profile behind the q23 session-gap choice (the
+    * 10-minute gap is defensible exactly when the 02/03 band boundary
+    * shows a trough) and behind bot screening (sub-second bands
+    * dominated by one type).
+    *
+    * Gaps are exact integer micros from one per-user lag window
+    * ((ts, event_id) ordering, the q38 chain); per (type, band):
+    * exact count, DECIMAL-sum mean (one terminal IEEE division), and
+    * exact min/max. Closed-open edges pinned identically in both
+    * texts.
+    *
+    * Scale shape: one user-keyed window (state = one user's events),
+    * then a map-side-combined aggregation to ≤|types|·|bands| rows. */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("__us"))
+      .withColumn("gap_us", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    val band = GapBands.foldRight(lit(GapBandLast): org.apache.spark.sql.Column) {
+      case ((edge, name), rest) => when(col("gap_us") < edge, name).otherwise(rest)
+    }
+    gaps
+      .groupBy(col("event_type"), band.as("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap_us").cast(dec)).as("__sum"),
+        min(col("gap_us")).as("min_us"),
+        max(col("gap_us")).as("max_us"))
+      .select(col("event_type"), col("band"), col("n"),
+        (col("__sum").cast("double") / col("n")).as("mean_us"),
+        col("min_us"), col("max_us"))
+  }
+
+  val interEventGapsQ: GraftQuery = GraftQuery(
+    "q49_event_gaps",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_ns(ts) // 1000 AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |         us - lag(us) OVER (PARTITION BY user_id
+      |                            ORDER BY us, event_id) AS gap_us
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type, gap_us,
+      |         CASE WHEN gap_us < 1000000 THEN '00_lt_1s'
+      |              WHEN gap_us < 60000000 THEN '01_1s_1m'
+      |              WHEN gap_us < 600000000 THEN '02_1m_10m'
+      |              ELSE '03_ge_10m' END AS band
+      |  FROM g WHERE gap_us IS NOT NULL)
+      |SELECT event_type, band, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(gap_us AS HUGEINT)) AS DOUBLE) / count(*) AS mean_us,
+      |       CAST(min(gap_us) AS BIGINT) AS min_us,
+      |       CAST(max(gap_us) AS BIGINT) AS max_us
+      |FROM b GROUP BY event_type, band""".stripMargin) { (spark, sf) =>
+    interEventGaps(Tables.events(spark, sf))
+  }
+
   /** Hour-over-hour event-volume deltas per event type: grouped counts
     * plus a lag window partitioned on event_type — the window key is
     * the low-cardinality dimension, but each partition is only
@@ -1359,5 +1489,5 @@ object TemporalOps {
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
       ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
       cooccurrenceQ, changePointQ, dailyTopUsersQ, attributionQ, autocorrQ,
-      cohortRetentionQ, conversionLatencyQ)
+      cohortRetentionQ, conversionLatencyQ, asOfForwardQ, interEventGapsQ)
 }

@@ -705,6 +705,80 @@ object VectorOps {
       .select(toDouble(col("embedding")).as("v")))
   }
 
+  /** v10 — inter-class centroid separation matrix: pairwise L2 and
+    * cosine between every two label centroids — the BETWEEN-class
+    * companion of v03's within-class spread: labels whose centroids
+    * sit close (high cosine, small L2) are the confusable classes a
+    * labeling audit inspects first, and the matrix is the standard
+    * embedding-space class-separability report.
+    *
+    * Float parity is the v06 contract verbatim: dyadic-snap centroid
+    * components, the shared fold-left dot over pos-sorted arrays,
+    * drift-style L2 via the a·a − 2·a·b + b·b identity, cos raw.
+    *
+    * Scale shape: one labels×dim aggregation (map-side combined), then
+    * the |labels|-row centroid table self-joins under a broadcast —
+    * |labels|²/2 output rows, nothing corpus-scale past the first
+    * aggregate. */
+  def centroidSeparation(emb: DataFrame): DataFrame = {
+    val cent = emb
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(snapLong(col("x"))).as("__s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        snapMean(col("__s"), col("n")).as("m"), col("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"),
+        max(col("n")).as("n"))
+    // pair expansion from ONE evaluation of the centroid pipeline (a
+    // self-join would re-run the corpus aggregation per side — the
+    // s10/bucketPairs lesson): collect the O(labels·dim) centroid
+    // table into one row (bounded by the same ≤32 MiB contract as the
+    // v03 broadcast) and explode the ordered pairs row-locally
+    val pairs = cent
+      .agg(collect_list(struct(col("label"), col("c"), col("n"))).as("all"))
+      .select(explode(col("all")).as("a"), col("all"))
+      .select(col("a"), explode(col("all")).as("b"))
+      .filter(col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        col("a.c").as("ca"), col("b.c").as("cb"))
+    pairs
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        sqrt(greatest(lit(0.0),
+          dot(col("ca"), col("ca")) - lit(2) * dot(col("ca"), col("cb"))
+            + dot(col("cb"), col("cb")))).as("l2_dist"),
+        (dot(col("ca"), col("cb"))
+          / (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))))
+          .as("cos_sim"))
+  }
+
+  val centroidSeparationQ: GraftQuery = GraftQuery(
+    "v10_centroid_separation",
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |m AS (SELECT label, i AS pos,
+       |        CAST(sum(CAST(floor(v[i + 1] * ${graft.functions.VectorFunctions.SnapScaleSql} + 0.5) AS BIGINT)) AS DOUBLE)
+       |          / (count(*) * ${graft.functions.VectorFunctions.SnapScaleSql}) AS m,
+       |        count(*) AS n
+       |      FROM e CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
+       |      GROUP BY label, pos),
+       |c AS (SELECT label, list(m ORDER BY pos) AS c, max(n) AS n
+       |      FROM m GROUP BY label)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       |       sqrt(greatest(0.0, list_dot_product(a.c, a.c)
+       |              - 2 * list_dot_product(a.c, b.c)
+       |              + list_dot_product(b.c, b.c))) AS l2_dist,
+       |       list_dot_product(a.c, b.c)
+       |         / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c)))
+       |         AS cos_sim
+       |FROM c a JOIN c b ON a.label < b.label""".stripMargin) { (spark, sf) =>
+    centroidSeparation(Tables.embeddings(spark, sf)
+      .select(col("label"), toDouble(col("embedding")).as("v")))
+  }
+
   val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
-    truncRecallQ, centroidDriftQ, quantRecallQ, matryoshkaRecallQ, dimStatsQ)
+    truncRecallQ, centroidDriftQ, quantRecallQ, matryoshkaRecallQ, dimStatsQ,
+    centroidSeparationQ)
 }

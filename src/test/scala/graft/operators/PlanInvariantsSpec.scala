@@ -320,4 +320,30 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("j05: forward as-of is the j01 single-shuffle union kernel, no join operator at all") {
+    val p = TemporalOps.asOfForwardQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2,
+      s"expected the purchase pre-reduce + the shared user window exchange:\n$p")
+    assert(!p.contains("Join"), s"the as-of must be a window scan, not a join:\n$p")
+  }
+
+  test("q49: one user window exchange + the tiny band aggregation") {
+    val p = TemporalOps.interEventGapsQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2, p)
+  }
+
+  test("v10: the centroid pipeline is evaluated once — pair explosion adds no second corpus pass") {
+    val p = VectorOps.centroidSeparationQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1,
+      s"a centroid self-join would re-run the corpus aggregation per side:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2, p)
+  }
 }

@@ -538,6 +538,68 @@ class TemporalVectorSpec extends SparkSpec {
       ("2024-01-08", 1L) -> ((1L, 1L, 1.0))))
   }
 
+  test("j05 forward as-of: strict, earliest later purchase, min-id tie, null when none") {
+    val out = TemporalOps.asOfPurchaseAfterClick(events(
+      (1L, 7L, "click", 1000L),
+      (2L, 7L, "purchase", 1000L),  // same instant -> NOT strictly later
+      (3L, 7L, "purchase", 2000L),  // earliest strictly later -> match
+      (4L, 7L, "purchase", 3000L),  // later still -> ignored
+      (5L, 7L, "click", 2500L),     // matches purchase 4
+      (6L, 8L, "click", 9000L),     // no later purchase -> null
+      (7L, 9L, "purchase", 500L),
+      (8L, 9L, "click", 100L),
+      (9L, 9L, "purchase", 500L)))  // same-instant purchases: min id 7 wins
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      1L -> Some(3L), 5L -> Some(4L), 6L -> None, 8L -> Some(7L)))
+  }
+
+  test("j05 gap is the exact forward microsecond difference") {
+    val row = TemporalOps.asOfPurchaseAfterClick(events(
+      (1L, 1L, "click", 1000L), (2L, 1L, "purchase", 3500L)))
+      .collect().head
+    assert(row.getLong(4) == 3500L && row.getLong(5) == 2500L)
+  }
+
+  test("q49 inter-event gaps: band edges closed-open, later-event attribution, exact stats") {
+    val s = 1000000L
+    val out = TemporalOps.interEventGaps(events(
+      // u1: A at 0, B at 0.5s (gap 0.5s -> 00), A at 2s (gap 1.5s -> 01),
+      //     C at 20min (gap ~20min -> 03)
+      (1L, 1L, "A", 0L), (2L, 1L, "B", 500000L), (3L, 1L, "A", 2 * s),
+      (4L, 1L, "C", 1200 * s),
+      // u2: single event -> no gap row at all
+      (5L, 2L, "A", 0L),
+      // u3: gap of exactly 1s lands in 01 (closed-open edge)
+      (6L, 3L, "B", 0L), (7L, 3L, "B", s)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out == Map(
+      ("B", "00_lt_1s") -> ((1L, 500000.0, 500000L, 500000L)),
+      ("A", "01_1s_1m") -> ((1L, 1500000.0, 1500000L, 1500000L)),
+      ("B", "01_1s_1m") -> ((1L, 1000000.0, 1000000L, 1000000L)),
+      ("C", "03_ge_10m") -> ((1L, 1198 * s.toDouble, 1198 * s, 1198 * s))))
+  }
+
+  test("v10 centroid separation: hand-computed L2 and cosine between label centroids") {
+    import spark.implicits._
+    val out = VectorOps.centroidSeparation(Seq(
+      (0, Seq(1.0, 0.0)), (0, Seq(3.0, 0.0)), // centroid (2, 0)
+      (1, Seq(0.0, 2.0)))                     // centroid (0, 2)
+      .toDF("label", "v"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getInt(0) == 0 && r.getInt(1) == 1)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == math.sqrt(8.0))
+    assert(r.getDouble(5) == 0.0)
+  }
+
   test("q48 conversion latency: band edges, exact means, non-converting sessions drop") {
     val gap = 600000000L
     val m = 60000000L
