@@ -314,4 +314,66 @@ class ScaleStressSpec extends SparkSpec {
     val expectIds = docs.agg(sum(col("doc_id"))).head.getLong(0)
     assert(m.map(_.getLong(3)).sum === expectIds, "id checksum conserves")
   }
+
+  test("s10 graph at 10x: edges scale linearly with the probe sample, mutual flag symmetric") {
+    // smaller pair (probes x corpus is the cost): edge volume is
+    // (n/mod)·k BY CONSTRUCTION — exactly linear in n, no exponent
+    // fit needed, assert the identity at both sizes
+    val (m1, m2) = (500, 5000)
+    val g1 = SimilarityOps.knnGraph(stressEmb(m1, withHotCluster = false))
+    val g2 = SimilarityOps.knnGraph(stressEmb(m2, withHotCluster = true))
+    assert(g1.count() ===
+      (m1 / SimilarityOps.GraphSampleMod).toLong * SimilarityOps.GraphK)
+    val edges2 = g2.persist()
+    try {
+      assert(edges2.count() ===
+        (m2 / SimilarityOps.GraphSampleMod).toLong * SimilarityOps.GraphK)
+      // mutual is symmetric: every mutual (a,b) has a mutual (b,a)
+      val mut = edges2.filter(col("mutual"))
+        .select(col("src_id"), col("dst_id"))
+      val asym = mut.join(
+        mut.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
+        Seq("src_id", "dst_id"), "left_anti").count()
+      assert(asym === 0L, "mutual flag must be symmetric")
+    } finally edges2.unpersist()
+  }
+
+  test("t24 bigram model at 10x: instance conservation, sub-quadratic model table") {
+    val (d1, d2) = (stressDocs(N1), stressDocs(N2))
+    def modelRows(d: DataFrame): Long = {
+      val toks = split(col("text"), " ")
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1"), col("bg.w2")).distinct().count()
+    }
+    val (c1, c2) = (modelRows(d1), modelRows(d2))
+    val e = expo(c1, c2)
+    assert(e < 1.2, s"bigram model table exponent $e looks super-linear")
+    logScale("bigram_model_rows", c1, c2)
+    // conservation: every doc keeps a row and n_bigrams sums to the
+    // independently computed max(len-1, 0) total
+    val out = TextOps.bigramNll(d2).persist()
+    try {
+      assert(out.count() === d2.count(), "every doc keeps a row, null text included")
+      val expect = d2.filter(col("text").isNotNull)
+        .agg(sum(greatest(size(split(col("text"), " ")) - 1, lit(0)).cast("long")))
+        .head.getLong(0)
+      assert(out.agg(sum(col("n_bigrams"))).head.getLong(0) === expect,
+        "bigram instances must conserve")
+    } finally out.unpersist()
+  }
+
+  test("t25 growth curve at 10x: ten buckets, token and vocab totals conserve") {
+    val docs = stressDocs(N2).filter(col("text").isNotNull)
+    val out = TextOps.vocabGrowth(docs).collect().sortBy(_.getLong(0))
+    assert(out.length === TextOps.GrowthBuckets)
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+    assert(out.map(_.getLong(2)).sum === toks.count(), "token totals conserve")
+    assert(out.last.getLong(5) === toks.distinct().count(),
+      "final cumulative vocab equals the corpus vocabulary")
+    assert(out.map(_.getLong(3)).sum === out.last.getLong(5),
+      "new-token counts partition the vocabulary")
+  }
 }
