@@ -1731,11 +1731,85 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The Jaccard thresholds d19 sweeps — floored at d05's 0.6 contract
+    * (below the floor the banding's recall leaves oracle-equality
+    * territory; the floor itself carries d05's per-scale license). */
+  val ThresholdCurve: Seq[Double] = Seq(0.6, 0.7, 0.8, 0.9, 0.95)
+
+  /** d19 — dedup threshold sensitivity: how many verified near-dup
+    * pairs (and how many affected documents) survive each candidate
+    * Jaccard threshold — the one-page answer to "what does moving the
+    * dup bar cost", read before re-running a corpus-wide dedup under a
+    * new threshold. A curve that is flat across the sweep (as on the
+    * harness corpus, whose near-dups are all J ≥ 0.85) says the
+    * threshold choice is free; a steep segment locates the boilerplate
+    * cliff.
+    *
+    * Counts are exact longs; thresholds are the SAME literal sequence
+    * in both texts (cast to DOUBLE in SQL so the emitted column kinds
+    * match), and the compare runs against d05's raw exact-integer
+    * Jaccard quotient — nothing rounds.
+    *
+    * Scale shape: one d05 kernel pass (bucketed, capped — never all
+    * pairs), then a |thresholds|× broadcast expansion of the verified
+    * PAIR table (pairs ≪ corpus) and two map-side-combinable
+    * aggregations on it. The oracle recomputes all-pairs truth, which
+    * agrees under d05's per-scale license. */
+  def thresholdCurve(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val thDf = broadcast(spark.range(1)
+      .select(explode(typedLit(ThresholdCurve)).as("threshold")))
+    val tagged = ngramJaccardPairs(docs, ThresholdCurve.min)
+      .crossJoin(thDf)
+      .filter(col("jaccard") >= col("threshold"))
+      .select(col("threshold"), col("doc_a"), col("doc_b"))
+    val nPairs = tagged.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = tagged
+      .select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    thDf
+      .join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
+  val thresholdCurveQ: GraftQuery = GraftQuery(
+    "d19_threshold_curve",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |pf AS (SELECT * FROM p WHERE jaccard >= ${ThresholdCurve.min}),
+      |th AS (SELECT unnest(CAST([${ThresholdCurve.mkString(", ")}] AS DOUBLE[])) AS threshold),
+      |tag AS (SELECT th.threshold, pf.doc_a, pf.doc_b
+      |        FROM th JOIN pf ON pf.jaccard >= th.threshold),
+      |agg AS (SELECT threshold, count(*) AS n_pairs FROM tag GROUP BY 1),
+      |da AS (SELECT threshold, count(DISTINCT d) AS n_docs
+      |       FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM tag)
+      |       GROUP BY 1)
+      |SELECT th.threshold,
+      |       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+      |       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+      |FROM th LEFT JOIN agg USING (threshold)
+      |        LEFT JOIN da USING (threshold)""".stripMargin) { (spark, sf) =>
+    thresholdCurve(Tables.documents(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
     coverageQ, portableCoverageQ, portableEmbeddingDupQ, incrementalQ,
     segmentDedupQ, portableMinhashQ,
     portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
-    minhashCalibrationQ, sourceOverlapQ)
+    minhashCalibrationQ, sourceOverlapQ, thresholdCurveQ)
 }

@@ -658,4 +658,29 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(truth - cos) < 1e-9, s"pair ($a,$b) cosine disagrees with truth")
     }
   }
+
+  test("d19 threshold curve matches a driver-side all-pairs reference on the fixture") {
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val ref = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = sh(texts(a)); sb = sh(texts(b))
+      j = (sa & sb).size.toDouble / (sa | sb).size
+    } yield (a, b, j)).toSeq
+    val out = DedupOps.thresholdCurve(corpus).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == DedupOps.ThresholdCurve.toSet)
+    DedupOps.ThresholdCurve.foreach { t =>
+      val expect = ref.filter(_._3 >= t)
+      assert(out(t)._1 == expect.size.toLong,
+        s"threshold $t: pairs ${out(t)._1} vs reference ${expect.size}")
+      assert(out(t)._2 ==
+        expect.flatMap(p => Seq(p._1, p._2)).toSet.size.toLong,
+        s"threshold $t: affected docs disagree")
+    }
+    // the curve is monotone non-increasing by construction
+    val curve = DedupOps.ThresholdCurve.map(out(_)._1)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
+  }
 }
