@@ -178,6 +178,46 @@ object StatefulOps {
       }
   }
 
+  final case class EventGap(
+      user_id: Long, event_type: String, gap_us: Long, ts: Timestamp)
+
+  /** Inter-event arrival gaps over a stream — the stream twin of the
+    * batch q49 ([[graft.operators.TemporalOps.interEventGaps]]): for
+    * every consecutive pair of a user's watermark-FINALIZED events,
+    * the exact microsecond gap attributed to the LATER event's type.
+    * This is [[chainStep]] verbatim (same state, same ordering, same
+    * emission discipline as the q38 twin) with the gap instead of the
+    * type pair as the payload — one chain machinery, two surfaces.
+    * Downstream banding/aggregation is the stateless q49 tail. */
+  def gapStream(
+      events: Dataset[TypedEvent], lateness: String = "10 minutes"): Dataset[EventGap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    events
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChainState, EventGap](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(ChainState(None, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val (pairs, anchor, rest) = chainStep(prev.anchor, prev.pending, rows.toSeq, wm)
+          if (rest.isEmpty && anchor.isEmpty) state.remove()
+          else {
+            state.update(ChainState(anchor, rest))
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(rest.map(_.ts.getTime).min, wm + 1))
+          }
+          def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          pairs.iterator.map { case (from, to) =>
+            EventGap(user, to.event_type, us(to.ts) - us(from.ts), to.ts)
+          }
+      }
+  }
+
   /** Pure per-invocation chain step (property-tested in PropertySpec
     * against the batch ordering over random batch splits and watermark
     * schedules): merge the buffered and newly-arrived events in

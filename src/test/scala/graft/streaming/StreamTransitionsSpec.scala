@@ -24,6 +24,34 @@ class StreamTransitionsSpec extends SparkSpec {
       .sortBy(t => (t.user_id, t.ts.getTime))
   }
 
+  test("gap stream: exact micro gaps in true event order, late insert included (q49 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[TypedEvent]
+    val q = StatefulOps.gapStream(source.toDS())
+      .writeStream.format("memory").queryName("gaps_basic")
+      .outputMode("append").start()
+    try {
+      // A at 10:00 and C at 10:02 arrive first; B at 10:00:30 arrives
+      // later but inside the watermark — true gaps are B: 30 s after A,
+      // C: 90 s after B (arrival order would give C: 120 s, B: -90 s)
+      source.addData(
+        TypedEvent(1L, 7L, "A", ts("2022-03-01T10:00:00Z")),
+        TypedEvent(3L, 7L, "C", ts("2022-03-01T10:02:00Z")))
+      q.processAllAvailable()
+      source.addData(TypedEvent(2L, 7L, "B", ts("2022-03-01T10:00:30Z")))
+      q.processAllAvailable()
+      source.addData(TypedEvent(9L, 99L, "Z", ts("2022-03-01T11:00:00Z")))
+      q.processAllAvailable()
+      source.addData(TypedEvent(10L, 99L, "Z", ts("2022-03-01T12:00:00Z")))
+      q.processAllAvailable()
+      val out = spark.table("gaps_basic").as[StatefulOps.EventGap]
+        .collect().toSeq.filter(_.user_id == 7L).sortBy(_.ts.getTime)
+      assert(out.map(g => (g.event_type, g.gap_us)) ===
+        Seq(("B", 30000000L), ("C", 90000000L)))
+    } finally q.stop()
+  }
+
   test("late-but-admissible event chains in its true position") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
