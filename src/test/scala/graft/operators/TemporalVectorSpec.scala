@@ -625,6 +625,36 @@ class TemporalVectorSpec extends SparkSpec {
       "01_1m_5m" -> ((2L, (4 * m + m) / 2.0, m, 4 * m))))
   }
 
+  test("round-8 operators are total on empty inputs") {
+    import spark.implicits._
+    val noEvents = Seq.empty[(Long, Long, String, Long)]
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    assert(TemporalOps.attribution(noEvents).count() == 0)
+    assert(TemporalOps.autocorrelation(noEvents).count() == 0)
+    assert(TemporalOps.cohortRetention(noEvents).count() == 0)
+    assert(TemporalOps.conversionLatency(noEvents).count() == 0)
+    assert(TemporalOps.asOfPurchaseAfterClick(noEvents).count() == 0)
+    assert(TemporalOps.interEventGaps(noEvents).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.bigramNll(noDocs).count() == 0)
+    assert(TextOps.vocabGrowth(noDocs).count() == 0)
+    assert(TextOps.langConfusion(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")).count() == 0)
+    val noEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    assert(SimilarityOps.knnGraph(noEmb).count() == 0)
+    assert(SimilarityOps.portableKnn(noEmb).count() == 0)
+    assert(SimilarityOps.annRecall(noEmb).count() == 0)
+    assert(VectorOps.dimStats(noEmb.select(col("v"))).count() == 0)
+    assert(VectorOps.centroidSeparation(
+      Seq.empty[(Int, Seq[Double])].toDF("label", "v")).count() == 0)
+    // the threshold axis always emits: a zero-pair corpus reads as an
+    // all-zero curve, not an empty relation
+    val curve = DedupOps.thresholdCurve(noDocs).collect()
+    assert(curve.length == DedupOps.ThresholdCurve.size)
+    assert(curve.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
   test("v09 dim stats: exact means/variance/min-max, dead-dimension flag") {
     import spark.implicits._
     val out = VectorOps.dimStats(Seq(
