@@ -1759,20 +1759,21 @@ object DedupOps {
     val spark = docs.sparkSession
     val thDf = broadcast(spark.range(1)
       .select(explode(typedLit(ThresholdCurve)).as("threshold")))
-    val tagged = ngramJaccardPairs(docs, ThresholdCurve.min)
+    // ONE consumer of the d05 kernel (separate pair/doc aggregations
+    // would re-run the whole candidate+verify pipeline per branch —
+    // plan-audited): explode both endpoints first, then each pair
+    // contributes exactly two rows, so n_pairs = count/2 and n_docs =
+    // countDistinct come from the same aggregation
+    val agg = ngramJaccardPairs(docs, ThresholdCurve.min)
       .crossJoin(thDf)
       .filter(col("jaccard") >= col("threshold"))
-      .select(col("threshold"), col("doc_a"), col("doc_b"))
-    val nPairs = tagged.groupBy(col("threshold"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val nDocs = tagged
       .select(col("threshold"),
         explode(array(col("doc_a"), col("doc_b"))).as("d"))
       .groupBy(col("threshold"))
-      .agg(countDistinct(col("d")).as("n_docs"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
     thDf
-      .join(nPairs, Seq("threshold"), "left")
-      .join(nDocs, Seq("threshold"), "left")
+      .join(agg, Seq("threshold"), "left")
       .select(col("threshold"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
