@@ -140,9 +140,11 @@ object TemporalOps {
     val clicks = ev.filter(col("event_type") === "click").select(
       col("user_id"), col("ts_us"), lit(0).as("sortKind"),
       lit(null).cast("long").as("purchase_id"), col("event_id"))
+    // no purchase_id ordering key: the pre-reduce leaves at most one
+    // purchase row per (user, instant), so (ts_us, sortKind) is
+    // already total within each tie group
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us").desc, col("sortKind"),
-        coalesce(col("purchase_id"), lit(-1L)).desc)
+      .orderBy(col("ts_us").desc, col("sortKind"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .select(col("*"),

@@ -340,8 +340,12 @@ object VectorOps {
         sqrt(greatest(lit(0.0),
           dot(col("ca"), col("ca")) - lit(2) * dot(col("ca"), col("cb"))
             + dot(col("cb"), col("cb")))).as("drift"),
-        (dot(col("ca"), col("cb"))
-          / (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))))
+        // zero-norm pin (retrofit of the round-8 convention): an
+        // all-zero snapped centroid reads cos 0.0 in both engines
+        when(dot(col("ca"), col("ca")) === 0.0 || dot(col("cb"), col("cb")) === 0.0,
+          lit(0.0))
+          .otherwise(dot(col("ca"), col("cb"))
+            / (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))))
           .as("cos_sim"))
   }
 
@@ -363,9 +367,11 @@ object VectorOps {
        |       sqrt(greatest(0.0, list_dot_product(ca, ca)
        |              - 2 * list_dot_product(ca, cb)
        |              + list_dot_product(cb, cb))) AS drift,
-       |       list_dot_product(ca, cb)
-       |         / (sqrt(list_dot_product(ca, ca)) * sqrt(list_dot_product(cb, cb)))
-       |         AS cos_sim
+       |       CASE WHEN list_dot_product(ca, ca) = 0
+       |              OR list_dot_product(cb, cb) = 0 THEN 0.0
+       |            ELSE list_dot_product(ca, cb)
+       |              / (sqrt(list_dot_product(ca, ca)) * sqrt(list_dot_product(cb, cb)))
+       |       END AS cos_sim
        |FROM a JOIN b USING (label)""".stripMargin) { (spark, sf) =>
     centroidDrift(Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v")))
@@ -749,8 +755,13 @@ object VectorOps {
         sqrt(greatest(lit(0.0),
           dot(col("ca"), col("ca")) - lit(2) * dot(col("ca"), col("cb"))
             + dot(col("cb"), col("cb")))).as("l2_dist"),
-        (dot(col("ca"), col("cb"))
-          / (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))))
+        // zero-norm pin (the s10/s11/d06p convention): an all-zero
+        // snapped centroid must read cos 0.0 in both engines, never
+        // an engine-dependent 0/0
+        when(dot(col("ca"), col("ca")) === 0.0 || dot(col("cb"), col("cb")) === 0.0,
+          lit(0.0))
+          .otherwise(dot(col("ca"), col("cb"))
+            / (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))))
           .as("cos_sim"))
   }
 
@@ -770,9 +781,11 @@ object VectorOps {
        |       sqrt(greatest(0.0, list_dot_product(a.c, a.c)
        |              - 2 * list_dot_product(a.c, b.c)
        |              + list_dot_product(b.c, b.c))) AS l2_dist,
-       |       list_dot_product(a.c, b.c)
-       |         / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c)))
-       |         AS cos_sim
+       |       CASE WHEN list_dot_product(a.c, a.c) = 0
+       |              OR list_dot_product(b.c, b.c) = 0 THEN 0.0
+       |            ELSE list_dot_product(a.c, b.c)
+       |              / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c)))
+       |       END AS cos_sim
        |FROM c a JOIN c b ON a.label < b.label""".stripMargin) { (spark, sf) =>
     centroidSeparation(Tables.embeddings(spark, sf)
       .select(col("label"), toDouble(col("embedding")).as("v")))

@@ -144,18 +144,26 @@ object StatefulOps {
     * Anchor-only state (user went idle) persists without a timeout —
     * dropping it would silently lose the cross-gap transition the
     * batch twin counts. */
-  def transitionStream(
-      events: Dataset[TypedEvent], lateness: String = "10 minutes"): Dataset[Transition] = {
+  /** The one chain-state driver both chain consumers (transitions,
+    * gaps) run on: [[chainStep]] per batch, anchor-only state persists
+    * without a timeout (dropping it would lose the cross-gap pair the
+    * batch twins count), and the timeout fires when the earliest
+    * buffered event finalizes — eligibility is wm ≥ ts+1 and the
+    * engine fires when timeout < wm, so the exact trigger is
+    * timeout = ts (r7 review), clamped above the watermark. Keeping
+    * the discipline in ONE place means a future eviction/timeout fix
+    * cannot silently diverge the twins. */
+  private def chainDriver[Out: org.apache.spark.sql.Encoder](
+      events: Dataset[TypedEvent], lateness: String)(
+      emit: (Long, TypedEvent, TypedEvent) => Out): Dataset[Out] = {
     val spark = events.sparkSession
     import spark.implicits._
 
-    // (millis, nanos, id): nanos carries sub-millisecond order, id is
-    // the same tiebreak the batch twin uses
     events
       .filter(col("ts").isNotNull)
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[ChainState, Transition](
+      .flatMapGroupsWithState[ChainState, Out](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state) =>
           val prev = state.getOption.getOrElse(ChainState(None, Nil))
@@ -165,17 +173,20 @@ object StatefulOps {
           else {
             state.update(ChainState(anchor, rest))
             if (rest.nonEmpty)
-              // fire when the earliest buffered event finalizes:
-              // eligibility is wm >= ts+1, the engine fires when
-              // timeout < wm, so the exact trigger is timeout = ts
-              // (r7 review); clamp above the watermark
               state.setTimeoutTimestamp(
                 math.max(rest.map(_.ts.getTime).min, wm + 1))
           }
-          pairs.iterator.map { case (from, to) =>
-            Transition(user, from.event_type, to.event_type, to.ts)
-          }
+          pairs.iterator.map { case (from, to) => emit(user, from, to) }
       }
+  }
+
+  def transitionStream(
+      events: Dataset[TypedEvent], lateness: String = "10 minutes"): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    chainDriver(events, lateness) { (user, from, to) =>
+      Transition(user, from.event_type, to.event_type, to.ts)
+    }
   }
 
   final case class EventGap(
@@ -193,29 +204,10 @@ object StatefulOps {
       events: Dataset[TypedEvent], lateness: String = "10 minutes"): Dataset[EventGap] = {
     val spark = events.sparkSession
     import spark.implicits._
-
-    events
-      .filter(col("ts").isNotNull)
-      .withWatermark("ts", lateness)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[ChainState, EventGap](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (user, rows, state) =>
-          val prev = state.getOption.getOrElse(ChainState(None, Nil))
-          val wm = state.getCurrentWatermarkMs()
-          val (pairs, anchor, rest) = chainStep(prev.anchor, prev.pending, rows.toSeq, wm)
-          if (rest.isEmpty && anchor.isEmpty) state.remove()
-          else {
-            state.update(ChainState(anchor, rest))
-            if (rest.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(rest.map(_.ts.getTime).min, wm + 1))
-          }
-          def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-          pairs.iterator.map { case (from, to) =>
-            EventGap(user, to.event_type, us(to.ts) - us(from.ts), to.ts)
-          }
-      }
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    chainDriver(events, lateness) { (user, from, to) =>
+      EventGap(user, to.event_type, us(to.ts) - us(from.ts), to.ts)
+    }
   }
 
   /** Pure per-invocation chain step (property-tested in PropertySpec
