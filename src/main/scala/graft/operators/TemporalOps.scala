@@ -1486,10 +1486,59 @@ object TemporalOps {
     conversionLatency(Tables.events(spark, sf))
   }
 
+  /** q50 — daily new-vs-returning split: per day, how many distinct
+    * users were active, how many were seen for the FIRST time ever,
+    * the returning remainder, and the cumulative user count — the
+    * growth-accounting table every daily dashboard leads with, and the
+    * per-day margin of q47's cohort matrix (new_users(d) is the size
+    * of the cohort that day opens; cum_users is the running cohort
+    * total).
+    *
+    * Counts are exact longs; returning = active − new is exact
+    * integer arithmetic and cum_users is an integer running sum on
+    * the |days| table. Nothing floats at all.
+    *
+    * Scale shape: one (user, day) distinct shuffle, one
+    * map-side-combinable user-keyed first-day min, then joins and the
+    * running-sum window on the |days|-row table only. */
+  def dailyNewReturning(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val active = ud.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    val newU = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    active.join(newU, Seq("day"), "left")
+      .select(col("day"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("returning_users", col("active_users") - col("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val dailyNewReturningQ: GraftQuery = GraftQuery(
+    "q50_new_returning",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+      |act AS (SELECT day, count(*) AS active_users FROM ud GROUP BY day),
+      |fd AS (SELECT user_id, min(day) AS day FROM ud GROUP BY user_id),
+      |nu AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day)
+      |SELECT act.day,
+      |       CAST(active_users AS BIGINT) AS active_users,
+      |       CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+      |       CAST(active_users - coalesce(new_users, 0) AS BIGINT) AS returning_users,
+      |       CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY act.day
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM act LEFT JOIN nu USING (day)""".stripMargin) { (spark, sf) =>
+    dailyNewReturning(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
       ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
       cooccurrenceQ, changePointQ, dailyTopUsersQ, attributionQ, autocorrQ,
-      cohortRetentionQ, conversionLatencyQ, asOfForwardQ, interEventGapsQ)
+      cohortRetentionQ, conversionLatencyQ, asOfForwardQ, interEventGapsQ,
+      dailyNewReturningQ)
 }

@@ -337,6 +337,11 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(shuffles === 2, p)
   }
 
+  test("q50: running total on the day table only, never a corpus window") {
+    val df = TemporalOps.dailyNewReturningQ.run(spark, sf001)
+    windowsOnlyAboveAggregates(df)
+  }
+
   test("v10: the centroid pipeline is evaluated once — pair explosion adds no second corpus pass") {
     val p = VectorOps.centroidSeparationQ.run(spark, sf001)
       .queryExecution.executedPlan.toString

@@ -625,6 +625,28 @@ class TemporalVectorSpec extends SparkSpec {
       "01_1m_5m" -> ((2L, (4 * m + m) / 2.0, m, 4 * m))))
   }
 
+  test("q50 new/returning: first-ever day counts as new, conservation, cumulative total") {
+    val day = 86400000000L
+    val out = TemporalOps.dailyNewReturning(events(
+      // day 1: users 1, 2 both new
+      (1L, 1L, "view", day), (2L, 2L, "view", day + 1000L),
+      // duplicate same-day activity must not double-count user 1
+      (3L, 1L, "click", day + 2000L),
+      // day 2: user 1 returns, user 3 is new
+      (4L, 1L, "view", 2 * day), (5L, 3L, "view", 2 * day + 1000L),
+      // day 4 (day 3 empty): all three return, nobody new
+      (6L, 1L, "view", 4 * day), (7L, 2L, "view", 4 * day + 1000L),
+      (8L, 3L, "view", 4 * day + 2000L)))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out == Map(
+      "1970-01-02" -> ((2L, 2L, 0L, 2L)),
+      "1970-01-03" -> ((2L, 1L, 1L, 3L)),
+      "1970-01-05" -> ((3L, 0L, 3L, 3L))))
+  }
+
   test("round-8 operators are total on empty inputs") {
     import spark.implicits._
     val noEvents = Seq.empty[(Long, Long, String, Long)]
@@ -636,6 +658,7 @@ class TemporalVectorSpec extends SparkSpec {
     assert(TemporalOps.conversionLatency(noEvents).count() == 0)
     assert(TemporalOps.asOfPurchaseAfterClick(noEvents).count() == 0)
     assert(TemporalOps.interEventGaps(noEvents).count() == 0)
+    assert(TemporalOps.dailyNewReturning(noEvents).count() == 0)
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.bigramNll(noDocs).count() == 0)
     assert(TextOps.vocabGrowth(noDocs).count() == 0)
