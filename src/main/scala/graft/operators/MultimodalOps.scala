@@ -443,6 +443,80 @@ object MultimodalOps {
       .withColumn("clean_rate", col("n_clean").cast("double") / col("n_docs"))
   }
 
+  /** Per-bin absolute drift above which m08 flags a source. */
+  val DriftFlagThreshold = 0.02
+
+  /** m08 — per-source feature-histogram drift: for every (source,
+    * feature bin), the source's mean decoded-feature value against the
+    * corpus mean and their absolute gap — the modality-distribution
+    * audit run per ingest source before its payloads join the corpus
+    * (a source whose byte/feature histogram sits far from the corpus
+    * is a different encoding, a corrupted pipeline, or a new modality
+    * wearing an old label). Emitted PER BIN — never a cross-bin sum,
+    * whose accumulation order no engine guarantees.
+    *
+    * Float discipline: each doc's bin value is one exact-integer IEEE
+    * division (count/bytes, the m02 decode stub); means snap on the
+    * 2^-35 grid (v02 kernel — order-independent exact sums); the gap
+    * is a single subtraction of two such doubles, and the flag one
+    * literal compare. The oracle re-derives the whole decode from the
+    * text in SQL (ASCII corpus: char code = byte).
+    *
+    * Scale shape: the decode is the m02 batched map; one
+    * (source × 16)-key aggregation with map-side combine, the corpus
+    * row re-aggregates FROM those partials (sources × 16 rows — no
+    * second corpus pass), and the corpus relation broadcasts back. */
+  def sourceHistogramDrift(payloads: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{snapLong, snapMean}
+    val feats = extractFeatures(payloads)
+      .join(payloads.select(col("doc_id"), col("meta.source").as("source")), "doc_id")
+      .select(col("source"), posexplode(col("features")).as(Seq("bin", "x")))
+    val bySource = feats.groupBy(col("source"), col("bin"))
+      .agg(sum(snapLong(col("x"))).as("__s"), count(lit(1)).as("__n"))
+    val corpus = broadcast(bySource.groupBy(col("bin"))
+      .agg(sum(col("__s")).as("__gs"), sum(col("__n")).as("__gn"))
+      .select(col("bin"), snapMean(col("__gs"), col("__gn")).as("corpus_mean")))
+    bySource
+      .select(col("source"), col("bin"),
+        snapMean(col("__s"), col("__n")).as("src_mean"))
+      .join(corpus, Seq("bin"))
+      .select(col("source"), col("bin"), col("src_mean"), col("corpus_mean"),
+        abs(col("src_mean") - col("corpus_mean")).as("abs_diff"))
+      .withColumn("is_shifted", col("abs_diff") > DriftFlagThreshold)
+  }
+
+  val sourceHistogramDriftQ: GraftQuery = GraftQuery(
+    "m08_source_histogram_drift",
+    s"""WITH t AS (SELECT doc_id, source, text,
+      |             octet_length(CAST(text AS BLOB)) AS nb,
+      |             length(text) AS nc
+      |           FROM documents),
+      |bins AS (SELECT doc_id, source, text, nb, nc,
+      |           unnest(range(0, 16)) AS bin FROM t),
+      |v AS (SELECT source, CAST(bin AS INT) AS bin,
+      |        CASE WHEN nb = 0 THEN 0.0
+      |             ELSE CAST(len(list_filter(range(1, nc + 1),
+      |                    i -> ascii(substring(text, CAST(i AS INT), 1)) % 16 = bin)) AS DOUBLE)
+      |                  / greatest(nb, 1) END AS x
+      |      FROM bins),
+      |sm AS (SELECT source, bin,
+      |         sum(CAST(floor(x * ${graft.functions.VectorFunctions.SnapScaleSql} + 0.5) AS BIGINT)) AS s,
+      |         count(*) AS n
+      |       FROM v GROUP BY source, bin),
+      |gm AS (SELECT bin, CAST(sum(s) AS DOUBLE)
+      |           / (sum(n) * ${graft.functions.VectorFunctions.SnapScaleSql}) AS corpus_mean
+      |       FROM sm GROUP BY bin),
+      |m AS (SELECT sm.source, sm.bin,
+      |        CAST(sm.s AS DOUBLE) / (sm.n * ${graft.functions.VectorFunctions.SnapScaleSql}) AS src_mean,
+      |        gm.corpus_mean
+      |      FROM sm JOIN gm USING (bin))
+      |SELECT source, bin, src_mean, corpus_mean,
+      |       abs(src_mean - corpus_mean) AS abs_diff,
+      |       abs(src_mean - corpus_mean) > $DriftFlagThreshold AS is_shifted
+      |FROM m""".stripMargin) { (spark, sf) =>
+    sourceHistogramDrift(asMultimodal(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ,
-    shardManifestQ, quarantineQ)
+    shardManifestQ, quarantineQ, sourceHistogramDriftQ)
 }

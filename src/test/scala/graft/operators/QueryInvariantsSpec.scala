@@ -197,6 +197,31 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("m08 histogram drift: planted skew source flags, symmetric gap, clean bins quiet") {
+    import spark.implicits._
+    val payloads = Seq(
+      // '0' = 48 -> bin 0 gets the whole mass
+      (1L, "0000", "skew"),
+      // 'a' = 97 -> bin 1, 'b' = 98 -> bin 2, half each
+      (2L, "ab", "flat"))
+      .toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        struct(lit("txt").as("format"), lit("en").as("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("source").as("source")).as("meta"))
+    val out = MultimodalOps.sourceHistogramDrift(payloads).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out(("skew", 0)) == ((1.0, 0.5, 0.5, true)))
+    assert(out(("flat", 0)) == ((0.0, 0.5, 0.5, true)))
+    assert(out(("skew", 1)) == ((0.0, 0.25, 0.25, true)))
+    assert(out(("flat", 1)) == ((0.5, 0.25, 0.25, true)))
+    // a bin neither source touches is exactly zero everywhere
+    assert(out(("skew", 5)) == ((0.0, 0.0, 0.0, false)))
+    assert(out(("flat", 5)) == ((0.0, 0.0, 0.0, false)))
+  }
+
   test("multimodal features: 16-dim, L1-normalized (m02)") {
     val f = MultimodalOps.featuresQ.run(spark, sf001)
     assert(f.filter(col("dim") =!= 16).count() === 0)
