@@ -268,18 +268,20 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("s10: probes broadcast, map-side group limit, mutual flag adds one pair exchange — no scan recompute") {
+  test("s10: bucketed candidates — one scan, NO corpus-fraction broadcast, no cartesian") {
     val p = SimilarityOps.knnGraphQ.run(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
-      s"the top-k cutoff must prune map-side below the rank exchange:\n$p")
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(shuffles === 2,
-      s"expected the per-probe rank exchange + the pair-key mutual window " +
-        s"only (a reversed self-join would re-run the corpus scan):\n$p")
+    // the r8 weak finding, closed: nothing corpus-sized is broadcast
+    // and the probe side never brute-joins the corpus
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the probe side must ride the bucketed candidate kernel, not a broadcast brute join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans <= 2, s"edge pipeline must not be recomputed:\n$p")
+    assert(scans === 1, s"the banded scan must be planned once:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 4,
+      s"expected bucket groupBy + pair dedup + rank window + mutual " +
+        s"pair window only:\n$p")
   }
 
   test("v09: one dimension-keyed aggregation is the only exchange") {

@@ -315,27 +315,39 @@ class ScaleStressSpec extends SparkSpec {
     assert(m.map(_.getLong(3)).sum === expectIds, "id checksum conserves")
   }
 
-  test("s10 graph at 10x: edges scale linearly with the probe sample, mutual flag symmetric") {
-    // smaller pair (probes x corpus is the cost): edge volume is
-    // (n/mod)·k BY CONSTRUCTION — exactly linear in n, no exponent
-    // fit needed, assert the identity at both sizes
-    val (m1, m2) = (500, 5000)
-    val g1 = SimilarityOps.knnGraph(stressEmb(m1, withHotCluster = false))
-    val g2 = SimilarityOps.knnGraph(stressEmb(m2, withHotCluster = true))
-    assert(g1.count() ===
-      (m1 / SimilarityOps.GraphSampleMod).toLong * SimilarityOps.GraphK)
-    val edges2 = g2.persist()
+  test("s10 LSH graph at 10x: adaptive geometry keeps probe candidates ~linear; graph bounded, mutual symmetric") {
+    import graft.functions.VectorFunctions.planesForCorpus
+    val e1 = stressEmb(N1, withHotCluster = false)
+    val e2 = stressEmb(N2, withHotCluster = true)
+    // the production geometry (planes follow the corpus, the s02
+    // sizing): the probe-filtered candidate volume feeding the graph
+    // must stay ~linear in n — this is the claim that replaced the
+    // r8 corpus-fraction broadcast
+    val probeFilter = col("a.vec_id") % SimilarityOps.GraphSampleMod === 0
+    val c1 = SimilarityOps.cosPairs(e1, SimilarityOps.LshTables,
+      planesForCorpus(N1), "s10_stress_1", probeFilter).count()
+    val c2 = SimilarityOps.cosPairs(e2, SimilarityOps.LshTables,
+      planesForCorpus(N2), "s10_stress_2", probeFilter).count()
+    val ex = expo(c1, c2)
+    assert(ex < 1.4, s"graph candidate exponent $ex looks quadratic")
+    logScale("graph_candidates", c1, c2)
+
+    // the portable/gate geometry at 10x (hot cluster engaged): LSH
+    // out-degree is AT MOST k (a bucket miss shrinks a neighborhood,
+    // never inflates it) and the mutual flag stays symmetric
+    val g2 = SimilarityOps.knnGraphLsh(e2).persist()
     try {
-      assert(edges2.count() ===
-        (m2 / SimilarityOps.GraphSampleMod).toLong * SimilarityOps.GraphK)
-      // mutual is symmetric: every mutual (a,b) has a mutual (b,a)
-      val mut = edges2.filter(col("mutual"))
+      assert(g2.count() <=
+        (N2 / SimilarityOps.GraphSampleMod).toLong * SimilarityOps.GraphK)
+      assert(g2.groupBy(col("src_id")).count()
+        .agg(max(col("count"))).head.getLong(0) <= SimilarityOps.GraphK)
+      val mut = g2.filter(col("mutual"))
         .select(col("src_id"), col("dst_id"))
       val asym = mut.join(
         mut.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
         Seq("src_id", "dst_id"), "left_anti").count()
       assert(asym === 0L, "mutual flag must be symmetric")
-    } finally edges2.unpersist()
+    } finally g2.unpersist()
   }
 
   test("t24 bigram model at 10x: instance conservation, sub-quadratic model table") {

@@ -207,7 +207,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("s10 knn graph: probe sampling, rank order, mutual flag, zero-norm pin") {
+  test("s10 exact kernel: probe sampling, rank order, mutual flag, zero-norm pin") {
     import spark.implicits._
     // probes (ids % 5 == 0): 0, 5, 10; non-probes: 1, 2
     val fixture = Seq(
@@ -217,7 +217,7 @@ class SimilaritySpec extends SparkSpec {
       (1L, Seq(1.0, 0.4)),   // non-probe: can never be mutual
       (2L, Seq(0.0, 0.0)))   // zero vector: cosine pinned to 0.0
       .toDF("vec_id", "v")
-    val out = SimilarityOps.knnGraph(fixture, mod = 5, k = 4).collect()
+    val out = SimilarityOps.knnGraphExact(fixture, mod = 5, k = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getDouble(3), r.getBoolean(4))))
       .toMap
@@ -234,6 +234,51 @@ class SimilaritySpec extends SparkSpec {
     assert(out((10L, 0L))._3 && out((0L, 10L))._3)
     // the zero vector never NaNs a rank anywhere
     assert(out.values.forall(v => !v._2.isNaN))
+  }
+
+  test("s10 LSH graph: probe-only sources, bucket-blind pairs absent, mutual needs both probes") {
+    import spark.implicits._
+    val a = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    // probes: 0, 5, 10; non-probe: 3. 0/5 share a's direction (same
+    // sign pattern in every table -> guaranteed candidates); 10/3 are
+    // the sign flip — they collide with each other, never with a
+    val fixture = Seq(
+      (0L, a), (5L, a.map(_ * 0.5)), (10L, a.map(-_)), (3L, a.map(x => -x * 2.0)))
+      .toDF("vec_id", "v")
+    val out = SimilarityOps.knnGraphLsh(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // only probe sources emit edges; the sign flip shares no bucket
+    // with a's direction, so 0/5 never reach 10/3
+    assert(out.keySet == Set((0L, 5L), (5L, 0L), (10L, 3L)))
+    assert(out((0L, 5L)) == ((1L, 1.0, true)))
+    assert(out((5L, 0L)) == ((1L, 1.0, true)))
+    // 3 lists nothing back (not a probe) -> the surviving direction is
+    // not mutual
+    assert(out((10L, 3L))._1 == 1L && !out((10L, 3L))._3)
+  }
+
+  test("s13 graph recall: a bucket-missed exact edge costs recall and demotes mutuality") {
+    import spark.implicits._
+    val a = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    // probes 0 and 5; 10 is ALSO a probe but sign-flipped: exact graph
+    // has 0<->5 mutual plus edges to/from 10; the LSH graph only finds
+    // 0<->5, so each probe's recall is hits/k_exact and 10 recovers
+    // nothing
+    val fixture = Seq((0L, a), (5L, a.map(_ * 0.5)), (10L, a.map(-_)))
+      .toDF("vec_id", "v")
+    val out = SimilarityOps.graphRecall(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+    // exact: each probe ranks both others (k_exact = 2); every exact
+    // edge is mutual (3 probes, full graph at k=5)
+    // approx: 0 and 5 recover each other (1 hit, still mutual); 10
+    // recovers nothing
+    assert(out(0L) == ((2L, 1L, 0.5, 2L, 1L)))
+    assert(out(5L) == ((2L, 1L, 0.5, 2L, 1L)))
+    assert(out(10L) == ((2L, 0L, 0.0, 2L, 0L)))
   }
 
   test("s11 portable knn: identical directions collide, sign-flipped never do, ranks dense") {

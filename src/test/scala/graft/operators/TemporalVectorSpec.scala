@@ -665,9 +665,11 @@ class TemporalVectorSpec extends SparkSpec {
     assert(TextOps.langConfusion(
       Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")).count() == 0)
     val noEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
-    assert(SimilarityOps.knnGraph(noEmb).count() == 0)
+    assert(SimilarityOps.knnGraphExact(noEmb).count() == 0)
+    assert(SimilarityOps.knnGraphLsh(noEmb).count() == 0)
     assert(SimilarityOps.portableKnn(noEmb).count() == 0)
     assert(SimilarityOps.annRecall(noEmb).count() == 0)
+    assert(SimilarityOps.graphRecall(noEmb).count() == 0)
     assert(VectorOps.dimStats(noEmb.select(col("v"))).count() == 0)
     assert(VectorOps.centroidSeparation(
       Seq.empty[(Int, Seq[Double])].toDF("label", "v")).count() == 0)
