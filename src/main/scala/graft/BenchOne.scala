@@ -18,7 +18,10 @@ object BenchOne {
     val stages: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
       "d04_sig" -> ((s, sf) => operators.DedupOps.simhashFingerprints(Tables.documents(s, sf))),
       "d03_sig" -> ((s, sf) => operators.DedupOps.minhashSignatures(Tables.documents(s, sf))),
-      "d03_cand" -> ((s, sf) => operators.DedupOps.rawCandidatePairs(Tables.documents(s, sf))))
+      "d03_cand" -> ((s, sf) => operators.DedupOps.rawCandidatePairs(Tables.documents(s, sf))),
+      "d14_sig" -> ((s, sf) => operators.DedupOps.portableSignatures(Tables.documents(s, sf))),
+      "d14_cand" -> ((s, sf) => operators.DedupOps.portableCandidatePairs(Tables.documents(s, sf))),
+      "d15_fp" -> ((s, sf) => operators.DedupOps.portableSimhashFingerprints(Tables.documents(s, sf))))
     val fn = stages.getOrElse(name,
       SparkEntry.queries.getOrElse(name, sys.error(s"unknown query/stage '$name'")))
 

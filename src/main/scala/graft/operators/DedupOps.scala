@@ -962,35 +962,70 @@ object DedupOps {
     * d11 (xxhash64 generators) remains the production hot path;
     * d03/d06 are now the only hash-family-internal dedup rows.
     *
-    * Plan note: each funnel line re-derives its generator from the
-    * source tables (~12 scans in the plan) — acceptable for the audit
-    * tier at harness scale, but at 100 TB this report reads the
-    * MATERIALIZED signature/fingerprint tables the dedup jobs already
-    * persist (same funnel, minus the md5 passes), exactly as d12
-    * reads the lake's precomputed index. */
+    * The funnel's inputs are MATERIALIZED once per run (the d12
+    * lake-index pattern, r8 verdict item 2): the portable band-key,
+    * simhash-fingerprint, and ann-bucket relations persist, every
+    * funnel line reads the materialized input, and the funnel plan
+    * carries ZERO md5 derivations of its own — where the r8 shape
+    * re-derived each md5 generator from source per consumer (~12
+    * scans, that round's most expensive bench row at 7.7 s). At
+    * 100 TB the same funnel reads the signature tables the dedup jobs
+    * already persist in the lake. The only remaining source pass is
+    * the exact-verify shingle join (d05's kernel — inherent: the
+    * verify reads text, not signatures). The 12-row funnel is
+    * computed eagerly and returned as a local relation so the caches
+    * drop at the end of this call, not at driver-consume time. */
   def portableCoverageReport(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val bandRel = portableBandKeys(portableSignatures(docs)).persist()
+    val fps = portableSimhashFingerprints(docs).persist()
+    val annBanded = emb.select(col("vec_id"),
+      posexplode(lshBandBuckets(
+        col("v"), PortableAnnTables, PortableAnnPlanes, SimilarityOps.Dim))
+        .as(Seq("table", "bucket"))).persist()
+    try {
+      val out = portableFunnel(docs, bandRel, fps, annBanded)
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      bandRel.unpersist(); fps.unpersist(); annBanded.unpersist()
+    }
+  }
+
+  /** The d11p funnel over its (materialized) inputs: band keys →
+    * minhash guard lines + candidate pairs → exact verify;
+    * fingerprints → simhash guard lines; ann buckets → ann guard
+    * lines. Pure arithmetic over the inputs — PlanInvariantsSpec pins
+    * that this plan computes no md5 of its own and reads each family
+    * from its in-memory relation. */
+  private[operators] def portableFunnel(
+      docs: DataFrame, bandRel: DataFrame, fps: DataFrame,
+      annBanded: DataFrame): DataFrame = {
     val mh = guardAgg(
-      sizes(portableBandKeys(portableSignatures(docs)), Seq("band", "band_key")),
+      sizes(bandRel, Seq("band", "band_key")),
       MaxBandBucket, "minhash",
       extra = Seq(coalesce(sum(when(col("bn") <= MaxBandBucket,
         expr("bn * (bn - 1) div 2")).otherwise(0L)), lit(0L))
         .as("minhash_pairs_proposed")))
-    val mhPairs = jaccardVerify(docs, portableCandidatePairs(docs), 0.0)
+    val cand = bucketPairs(bandRel,
+        keyCols = Seq("band", "band_key"), memberCols = Seq("doc_id"),
+        MaxBandBucket, metric = "portable_band_guard")
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val mhPairs = jaccardVerify(docs, cand, 0.0)
       .agg(
         count(lit(1)).as("minhash_pairs_distinct"),
         coalesce(sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)), lit(0L))
           .as("minhash_pairs_verified"))
     val sh = guardAgg(
-      sizes(portableSimhashFingerprints(docs).select(
+      sizes(fps.select(
         posexplode(array(pigeonholeBandVals(
           simhashLaneCols(SimhashLanes), SimhashMaxHamming): _*))
           .as(Seq("band", "band_val"))), Seq("band", "band_val")),
       MaxSimhashBucket, "simhash")
     val ann = guardAgg(
-      sizes(emb.select(
-        posexplode(lshBandBuckets(
-          col("v"), PortableAnnTables, PortableAnnPlanes, SimilarityOps.Dim))
-          .as(Seq("table", "bucket"))), Seq("table", "bucket")),
+      sizes(annBanded, Seq("table", "bucket")),
       SimilarityOps.MaxBucket, "ann")
     Seq(mh, mhPairs, sh, ann)
       .map(df => df.unpivot(Array.empty, "stage", "n"))
@@ -1109,11 +1144,20 @@ object DedupOps {
       |UNION ALL SELECT 'ann_rows_kept', CAST(kept AS BIGINT) FROM anf""".stripMargin
   }
 
+  /** The registry row reads the session's [[graft.sources.SignatureLake]]
+    * — the first consumer pays each family's one-time derivation, every
+    * later read (including bench reps) is funnel-only arithmetic over
+    * the materialized index, exactly the lake shape the 100 TB report
+    * runs against. [[portableCoverageReport]] stays as the
+    * self-contained form (derive → funnel → drop) for library callers
+    * without a lake. */
   val portableCoverageQ: GraftQuery = GraftQuery(
     "d11p_coverage_portable", portableCoverageSql) { (spark, sf) =>
-    portableCoverageReport(Tables.documents(spark, sf),
-      Tables.embeddings(spark, sf)
-        .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+    val out = portableFunnel(Tables.documents(spark, sf),
+      graft.sources.SignatureLake.portableBandKeys(spark, sf),
+      graft.sources.SignatureLake.portableFingerprints(spark, sf),
+      graft.sources.SignatureLake.portableAnnBuckets(spark, sf))
+    spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   /** Audit floor for d06p's emitted pairs: low enough that the fixed

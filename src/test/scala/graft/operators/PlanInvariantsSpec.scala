@@ -284,6 +284,45 @@ class PlanInvariantsSpec extends SparkSpec {
         s"pair window only:\n$p")
   }
 
+  test("d11p: the funnel reads materialized inputs — every family from an in-memory relation, no md5 of its own") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    import graft.functions.VectorFunctions.{lshBandBuckets, toDouble}
+    import graft.Tables
+    val docs = Tables.documents(spark, sf001)
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val bandRel = DedupOps.portableBandKeys(
+      DedupOps.portableSignatures(docs)).persist()
+    val fps = DedupOps.portableSimhashFingerprints(docs).persist()
+    val annBanded = emb.select(col("vec_id"),
+      posexplode(lshBandBuckets(col("v"), DedupOps.PortableAnnTables,
+        DedupOps.PortableAnnPlanes, SimilarityOps.Dim))
+        .as(Seq("table", "bucket"))).persist()
+    try {
+      val funnel = DedupOps.portableFunnel(docs, bandRel, fps, annBanded)
+      val p = funnel.queryExecution.executedPlan.toString
+      // band keys feed two lines (guard histogram + candidate pairs);
+      // fingerprints and ann buckets one each — all from cache
+      val imts = "InMemoryTableScan".r.findAllIn(p).size
+      assert(imts >= 4,
+        s"expected >= 4 in-memory reads of the materialized families, got $imts:\n$p")
+      // the only source re-derivation is the exact-verify shingle join
+      // (text, not signatures); no funnel stage recomputes a digest.
+      // InMemoryRelation is a leaf, so this traversal sees only the
+      // funnel's OWN expressions, not the cached derivations'
+      val ownMd5 = funnel.queryExecution.optimizedPlan.collect {
+        case n => n.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Md5]))
+      }.count(identity)
+      assert(ownMd5 === 0,
+        s"funnel must not re-derive md5 families ($ownMd5 nodes carry md5)")
+      // and the funnel still produces the exact 12 accounting lines
+      assert(funnel.count() === 12L)
+    } finally {
+      bandRel.unpersist(); fps.unpersist(); annBanded.unpersist()
+    }
+  }
+
   test("v09: one dimension-keyed aggregation is the only exchange") {
     val p = VectorOps.dimStatsQ.run(spark, sf001)
       .queryExecution.executedPlan.toString
