@@ -167,7 +167,10 @@ class VectorSpec extends SparkSpec {
   }
 
   test("s02 LSH knn on harness data: ranks bounded, cosine sane") {
-    val knn = graft.operators.SimilarityOps.knnLshQ.run(spark, sf001)
+    val knn = graft.operators.SimilarityOps.knnLsh(
+      graft.Tables.embeddings(spark, sf001)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")))
     assert(knn.count() > 0)
     assert(knn.filter(col("rank") > 3).count() === 0)
     assert(knn.filter(col("cos_sim") > 1.0 || col("cos_sim") < -1.0).count() === 0)

@@ -107,15 +107,31 @@ class ContractMatrixSpec extends SparkSpec {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         got.intersect(truth).size.toDouble / truth.size
       }
-      val r02 = recall(SimilarityOps.knnLshQ.run(spark, dir))
+      val r02 = recall(SimilarityOps.knnLsh(emb))
       val r03 = recall(SimilarityOps.knnIvfQ.run(spark, dir))
-      val r04 = recall(SimilarityOps.knnIvfKmeansQ.run(spark, dir))
+      val r04 = recall(SimilarityOps.knnIvfKmeans(emb))
       info(f"$tag recall@3: s02=$r02%.4f s03=$r03%.4f s04=$r04%.4f")
       assert(r02 >= lshFloor(tag), f"$tag s02 recall $r02%.4f below floor")
       assert(r03 >= ivfFloor(tag), f"$tag s03 recall $r03%.4f below floor")
       assert(r04 >= r03 - 1e-9,
         f"$tag s04 trained recall $r04%.4f must not lose to first-k $r03%.4f")
       assert(r04 >= ivfTrainedFloor(tag), f"$tag s04 recall $r04%.4f below floor")
+    }
+
+    test(s"s02/s04 gate contract rows clear their floors at $tag") {
+      // the registry rows now EMIT the recall contract (r8 verdict
+      // item 4) — the matrix keeps the boolean green at every sf the
+      // row can run at, so the single floor literal can never be
+      // data-licensed at one scale and red at another
+      Seq(SimilarityOps.knnLshQ, SimilarityOps.knnIvfKmeansQ).foreach { q =>
+        val rows = q.run(spark, dir).collect()
+        assert(rows.length === 1, s"$tag ${q.name}: one contract row")
+        val r = rows.head
+        assert(r.getAs[Boolean]("within_floor"),
+          s"$tag ${q.name} recall contract below its floor: $r")
+        assert(r.getAs[Long]("k_exact") ===
+          r.getAs[Long]("n_probes") * r.getAs[Long]("k"))
+      }
     }
   }
 }

@@ -75,12 +75,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("s04 registry query: ranks bounded, cosine sane, per-rank unique") {
-    val knn = SimilarityOps.knnIvfKmeansQ.run(spark, sf001)
+  test("s04 kernel: ranks bounded, cosine sane, per-rank unique; gate contract row green") {
+    val knn = SimilarityOps.knnIvfKmeans(emb)
     assert(knn.count() > 0)
     assert(knn.filter(col("rank") > 3).count() === 0)
     assert(knn.filter(col("cos_sim") > 1.0 || col("cos_sim") < -1.0).count() === 0)
     assert(knn.groupBy("vec_id", "rank").count().filter(col("count") > 1).count() === 0)
+    // the registry row is the recall contract over the probe sample
+    val c = SimilarityOps.knnIvfKmeansQ.run(spark, sf001).collect()
+    assert(c.length === 1)
+    assert(c.head.getAs[Boolean]("within_floor"),
+      s"s04 contract must clear its floor: ${c.head}")
+    assert(c.head.getAs[Long]("k_exact") ===
+      c.head.getAs[Long]("n_probes") * SimilarityOps.PortableKnnK)
   }
 
   test("s05 filtered ANN: every neighbor shares the query's label, ranks fill within the slice") {
