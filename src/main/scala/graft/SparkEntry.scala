@@ -19,7 +19,8 @@ object SparkEntry {
       operators.VectorOps.all ++
       operators.MultimodalOps.all ++
       operators.ServingQueries.all ++
-      operators.ChartRegistry.all
+      operators.ChartRegistry.all ++
+      streaming.StreamReplay.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The full reference pipeline — classify → positivity ⋈

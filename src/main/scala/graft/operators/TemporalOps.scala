@@ -200,13 +200,21 @@ object TemporalOps {
     * Scale shape: one user-keyed window (state = one user's events),
     * then a map-side-combined aggregation to ≤|types|·|bands| rows. */
   def interEventGaps(events: DataFrame): DataFrame = {
-    val dec = "decimal(38,0)"
     val w = Window.partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
-    val gaps = events
+    gapBandTail(events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("__us"))
       .withColumn("gap_us", col("__us") - lag(col("__us"), 1).over(w))
-      .filter(col("gap_us").isNotNull)
+      .filter(col("gap_us").isNotNull))
+  }
+
+  /** The q49 band-and-aggregate tail over (event_type, gap_us) rows —
+    * shared with the streaming replay gate (st03), whose gap rows come
+    * from the watermark-finalized gap stream instead of the lag
+    * window. Closed-open band edges and the DECIMAL-sum mean are the
+    * q49 contract. */
+  private[graft] def gapBandTail(gaps: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val band = GapBands.foldRight(lit(GapBandLast): org.apache.spark.sql.Column) {
       case ((edge, name), rest) => when(col("gap_us") < edge, name).otherwise(rest)
     }
@@ -862,15 +870,24 @@ object TemporalOps {
   def transitionMatrix(events: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val pairs = events
+    transitionTail(events
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
       .withColumn("to_type", lead(col("event_type"), 1).over(ord))
       .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .withColumnRenamed("event_type", "from_type"))
+  }
+
+  /** The q38 count-and-share tail over (from_type, to_type) pair rows
+    * — shared with the streaming replay gate (st01), whose pair rows
+    * come from the watermark-finalized transition stream instead of
+    * the lag window. */
+  private[graft] def transitionTail(pairs: DataFrame): DataFrame = {
+    val counts = pairs
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
     val wFrom = Window.partitionBy(col("from_type"))
-    pairs
+    counts
       .withColumn("p", col("n").cast("double") / sum(col("n")).over(wFrom))
       .select(col("from_type"), col("to_type"), col("n"), col("p"))
   }

@@ -1,0 +1,220 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.operators.TemporalOps
+import StatefulOps.{AttrEvent, TypedEvent}
+
+/** Deterministic batch-replay of the streaming state machines — the
+  * driver-gate rows that prove STREAM-BATCH PARITY to the oracle, not
+  * just to ScalaTest (r8 verdict item 5): each st* row feeds a
+  * deterministic slice of the events table through the real
+  * Structured Streaming operator (MemoryStream → micro-batches → a
+  * real watermark schedule → memory sink), collects the
+  * watermark-FINALIZED output, runs the batch twin's relational tail
+  * over it, and hash-matches the batch twin's DuckDB oracle.
+  *
+  * The replay schedule is fully deterministic: events sort by
+  * (ts, event_id), split into [[ReplayChunks]] chronological
+  * micro-batches, and each batch is REVERSED internally (intra-batch
+  * disorder is free under a watermark — order within a micro-batch
+  * must not matter, and this proves it). Two sentinel batches (a
+  * dedicated user, +2d/+4d past the corpus) then push the watermark
+  * beyond every gap deadline so all state finalizes; sentinel rows
+  * are excluded before the tail. Cross-batch disorder and checkpoint
+  * restarts stay property-tested in the Stream*Specs (×300 random
+  * schedules) — the gate row's job is the end-to-end hash claim.
+  *
+  * The replay restricts to a deterministic user slice
+  * (user_id % [[UserMod]] = 0, mirrored in the oracle texts): parity
+  * is per-user, so the slice proves the same theorem at a bounded
+  * event volume, and the whole relation — chains, sessions, credits,
+  * bands — still exercises every state machine path. This harness is
+  * audit machinery: the production path is readStream from the bus
+  * ([[TweetIngest]]); nothing here collects unbounded state (the
+  * slice is a fixture, the streams hold O(users·horizon) state as
+  * always).
+  */
+object StreamReplay {
+
+  /** Micro-batches in the replay schedule — enough to exercise many
+    * watermark advances and timeout firings while keeping the
+    * per-micro-batch fixed cost (planning + state-store commit +
+    * offset/commit log IO) a bounded share of the bench row. */
+  val ReplayChunks = 6
+
+  /** Deterministic user-slice modulus (mirrored in the oracles). */
+  val UserMod = 7L
+
+  private val SentinelUser = -1L
+  private val nameCounter = new AtomicInteger()
+
+  /** The sorted, sliced, intra-batch-reversed replay schedule plus the
+    * two watermark-flushing sentinel batches. */
+  private def schedule(spark: SparkSession, sf: String): Seq[Seq[TypedEvent]] = {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id") % UserMod === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[TypedEvent].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    require(evs.nonEmpty, s"replay slice is empty at $sf")
+    val sz = math.max(1, math.ceil(evs.size / ReplayChunks.toDouble).toInt)
+    val chunks = evs.grouped(sz).map(_.reverse).toSeq
+    val maxMs = evs.map(_.ts.getTime).max
+    val day = 86400000L
+    chunks ++ Seq(
+      Seq(TypedEvent(-1L, SentinelUser, "__flush", new Timestamp(maxMs + 2 * day))),
+      Seq(TypedEvent(-2L, SentinelUser, "__flush", new Timestamp(maxMs + 4 * day))))
+  }
+
+  /** Run `build`'s stream over the replay schedule and return the
+    * finalized output rows (sentinel rows included — callers filter on
+    * their own user column). Shuffle partitions drop to 2 for the
+    * micro-batches (state-store overhead per partition dominates a
+    * fixture-sized batch) and restore after. */
+  private def runReplay[O](spark: SparkSession, sf: String)(
+      build: Dataset[TypedEvent] => Dataset[O]): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val source = MemoryStream[TypedEvent]
+      val name = s"graft_replay_${nameCounter.incrementAndGet()}"
+      val q = build(source.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        schedule(spark, sf).foreach { batch =>
+          source.addData(batch: _*)
+          q.processAllAvailable()
+        }
+        val out = spark.table(name)
+        // localize: the memory sink's view is dropped before returning
+        spark.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** st01 — the q38 transition matrix computed BY THE STREAM: pair
+    * rows from [[StatefulOps.transitionStream]] (watermark-finalized,
+    * true event order), counted by the shared q38 tail, checked
+    * against q38's oracle on the same user slice. */
+  val streamTransitionsQ: GraftQuery = GraftQuery(
+    "st01_stream_transitions",
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+      |             epoch_ns(ts) // 1000 AS ts_us FROM events
+      |           WHERE user_id % $UserMod = 0),
+      |nx AS (SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts_us, event_id) AS to_type
+      |       FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM nx
+      |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+      |FROM c""".stripMargin) { (spark, sf) =>
+    val pairs = runReplay(spark, sf)(StatefulOps.transitionStream(_))
+      .filter(col("user_id") =!= SentinelUser)
+      .select(col("from_type"), col("to_type"))
+    TemporalOps.transitionTail(pairs)
+  }
+
+  /** st02 — q45's attribution credits computed BY THE STREAM:
+    * [[StatefulOps.attributionStream]] emits each converting session's
+    * two credits exactly once at finalization; counting them is the
+    * batch tail, and the oracle is q45's session replay on the same
+    * user slice. */
+  val streamAttributionQ: GraftQuery = GraftQuery(
+    "st02_stream_attribution",
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_ns(ts) // 1000 AS us
+      |  FROM events WHERE user_id % $UserMod = 0),
+      |d AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w >= 600000000
+      |                 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+      |                               ORDER BY us, event_id) AS rn
+      |  FROM s),
+      |p AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+      |              OVER (PARTITION BY user_id, sid) AS prn
+      |  FROM r),
+      |conv AS (
+      |  SELECT user_id, sid, prn,
+      |         max(CASE WHEN rn = 1 THEN event_type END) AS first_t,
+      |         coalesce(max(CASE WHEN rn = prn - 1 THEN event_type END),
+      |                  '${TemporalOps.DirectTouch}') AS last_t
+      |  FROM p WHERE prn IS NOT NULL GROUP BY user_id, sid, prn)
+      |SELECT 'first_touch' AS model, first_t AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n_conversions
+      |FROM conv GROUP BY first_t
+      |UNION ALL
+      |SELECT 'last_touch', last_t, CAST(count(*) AS BIGINT)
+      |FROM conv GROUP BY last_t""".stripMargin) { (spark, sf) =>
+    runReplay(spark, sf) { ds =>
+      val spark2 = ds.sparkSession
+      import spark2.implicits._
+      StatefulOps.attributionStream(ds.map(e =>
+        AttrEvent(e.event_id, e.user_id, e.event_type, e.ts)))
+    }
+      .filter(col("user_id") =!= SentinelUser)
+      .groupBy(col("model"), col("event_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  /** st03 — q49's inter-event gap bands computed BY THE STREAM: exact
+    * microsecond gaps from [[StatefulOps.gapStream]] (the q38 chain
+    * machinery with the gap payload), banded by the shared q49 tail,
+    * against q49's oracle on the same user slice. */
+  val streamGapsQ: GraftQuery = GraftQuery(
+    "st03_stream_gaps",
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_ns(ts) // 1000 AS us
+      |  FROM events WHERE user_id % $UserMod = 0),
+      |g AS (
+      |  SELECT event_type,
+      |         us - lag(us) OVER (PARTITION BY user_id
+      |                            ORDER BY us, event_id) AS gap_us
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type, gap_us,
+      |         CASE WHEN gap_us < 1000000 THEN '00_lt_1s'
+      |              WHEN gap_us < 60000000 THEN '01_1s_1m'
+      |              WHEN gap_us < 600000000 THEN '02_1m_10m'
+      |              ELSE '03_ge_10m' END AS band
+      |  FROM g WHERE gap_us IS NOT NULL)
+      |SELECT event_type, band, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(gap_us AS HUGEINT)) AS DOUBLE) / count(*) AS mean_us,
+      |       CAST(min(gap_us) AS BIGINT) AS min_us,
+      |       CAST(max(gap_us) AS BIGINT) AS max_us
+      |FROM b GROUP BY event_type, band""".stripMargin) { (spark, sf) =>
+    val gaps = runReplay(spark, sf)(StatefulOps.gapStream(_))
+      .filter(col("user_id") =!= SentinelUser)
+      .select(col("event_type"), col("gap_us"))
+    TemporalOps.gapBandTail(gaps)
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    streamTransitionsQ, streamAttributionQ, streamGapsQ)
+}
