@@ -426,22 +426,40 @@ object TemporalOps {
           .otherwise(1))
       .withColumn("sid", sum(col("new_s")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val key = Seq("user_id", "sid")
-    def firstAfter(step: String, prev: DataFrame, prevTs: String, out: String) =
-      tagged.filter(col("event_type") === step)
-        .join(prev.select(col("user_id"), col("sid"), col(prevTs)), key)
-        .filter(col("ts_us") > col(prevTs))
-        .groupBy(key.map(col): _*).agg(min(col("ts_us")).as(out))
-    val v = tagged.filter(col("event_type") === "view")
-      .groupBy(key.map(col): _*).agg(min(col("ts_us")).as("v_ts"))
-    val c = firstAfter("click", v, "v_ts", "c_ts")
-    val p = firstAfter("purchase", c, "c_ts", "p_ts")
-    def stepCount(df: DataFrame, step: Int, name: String) =
-      df.agg(count(lit(1)).as("sessions"))
-        .select(lit(step).as("step"), lit(name).as("name"), col("sessions"))
-    stepCount(v, 1, "view")
-      .unionByName(stepCount(c, 2, "click"))
-      .unionByName(stepCount(p, 3, "purchase"))
+    // the three funnel stages as CASCADED full-frame session windows —
+    // c_ts reads v_ts, p_ts reads c_ts, all constant within a session
+    // and all riding the ONE user exchange ((user_id, sid) clustering
+    // is satisfied by the user_id hash partitioning), so the corpus is
+    // scanned once. The r8 shape instead joined each stage back to the
+    // previous stage's aggregate — three derivations of the sessionized
+    // scan in the plan (plan-pinned away). A session without the
+    // previous step yields NULL (ts > NULL is NULL), exactly the rows
+    // the old inner joins dropped.
+    val wS = Window.partitionBy(col("user_id"), col("sid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = tagged
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts_us"))).over(wS))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts_us") > col("v_ts"),
+          col("ts_us"))).over(wS))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("c_ts"),
+          col("ts_us"))).over(wS))
+    val counts = staged
+      .groupBy(col("user_id"), col("sid"))
+      .agg(max(col("v_ts")).as("v_ts"), max(col("c_ts")).as("c_ts"),
+        max(col("p_ts")).as("p_ts"))
+      .agg(count(col("v_ts")).as("n_v"), count(col("c_ts")).as("n_c"),
+        count(col("p_ts")).as("n_p"))
+    counts
+      .select(explode(array(
+        struct(lit(1).as("step"), lit("view").as("name"), col("n_v").as("sessions")),
+        struct(lit(2).as("step"), lit("click").as("name"), col("n_c").as("sessions")),
+        struct(lit(3).as("step"), lit("purchase").as("name"), col("n_p").as("sessions"))))
+        .as("s"))
+      .select(col("s.step").as("step"), col("s.name").as("name"),
+        col("s.sessions").as("sessions"))
       .withColumn("conversion",
         when(lag(col("sessions"), 1).over(Window.orderBy(col("step"))) > 0,
           col("sessions").cast("double") /

@@ -338,6 +338,17 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q34: funnel stages are cascaded session windows — one scan, one user exchange") {
+    val p = TemporalOps.sessionFunnelQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1,
+      s"each funnel stage must ride the one sessionized scan (r8 planned it 3x):\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1,
+      s"session + stage windows and the per-session reduce must share the user exchange:\n$p")
+  }
+
   test("q48: session windows + both aggregates ride the q45 exchange budget (2 shuffles)") {
     val p = TemporalOps.conversionLatencyQ.run(spark, sf001)
       .queryExecution.executedPlan.toString
