@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.expressions.Window
 
 import graft.{GraftQuery, Tables}
 
@@ -42,15 +43,28 @@ object MultimodalOps {
   /** Batched per-partition feature extraction over a binary column —
     * the Scala analogue of a Pandas-UDF `mapInPandas` stage: rows
     * stream through an iterator per partition, partitioning preserved,
-    * nothing collects to the driver. */
-  def extractFeatures(payloads: DataFrame): DataFrame = {
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(featureSchema))
-    payloads.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
+    * nothing collects to the driver.
+    *
+    * `passthrough` names string metadata fields (`meta.<name>`)
+    * carried through the decode batch and appended to the output
+    * schema — a consumer that needs (metadata, features) reads them
+    * off the decode output directly instead of joining back to the
+    * payloads table, which would re-scan and re-shuffle the corpus
+    * (the r8 m08 shape, fixed per ADVICE). */
+  def extractFeatures(
+      payloads: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    val schema = passthrough.foldLeft(featureSchema)(
+      (s, c) => s.add(StructField(c, StringType, nullable = true)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    val cols = Seq(col("doc_id"), col("payload"), col("meta.format").as("format")) ++
+      passthrough.map(c => col(s"meta.$c").as(c))
+    payloads.select(cols: _*)
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("doc_id"), payload.length.toLong,
-            r.getAs[String]("format"), fakeDecode(payload))
+          Row.fromSeq(Seq(r.getAs[Long]("doc_id"), payload.length.toLong,
+            r.getAs[String]("format"), fakeDecode(payload).toSeq) ++
+            passthrough.map(c => r.getAs[String](c)))
         }
       }(enc)
   }
@@ -378,7 +392,15 @@ object MultimodalOps {
     * format's alphabet (for the `txt` stand-in: printable ASCII +
     * tab/newline/CR — a real deployment checks magic bytes / container
     * structure here) plus a payload-vs-metadata length consistency
-    * check. Row-local, nothing collects. */
+    * check. Row-local, nothing collects.
+    *
+    * `meta_len_ok` compares payload BYTE length to `meta.n_chars` (a
+    * CHARACTER count) — valid for the ASCII `txt` stand-in corpus
+    * only, where char count = byte count (the same device the oracle
+    * texts use). A real decoder replaces this with a byte-length
+    * metadata field (or decodes and counts code points): honest
+    * non-ASCII payloads would otherwise be flagged as mismatches
+    * (r8 ADVICE). */
   def validatePayloads(payloads: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(validationSchema))
     payloads
@@ -462,24 +484,24 @@ object MultimodalOps {
     * literal compare. The oracle re-derives the whole decode from the
     * text in SQL (ASCII corpus: char code = byte).
     *
-    * Scale shape: the decode is the m02 batched map; one
-    * (source × 16)-key aggregation with map-side combine, the corpus
-    * row re-aggregates FROM those partials (sources × 16 rows — no
-    * second corpus pass), and the corpus relation broadcasts back. */
+    * Scale shape: the decode is the m02 batched map with `source`
+    * carried through the batch (no join back to the payloads table —
+    * the r8 shape's second corpus scan + doc_id shuffle, removed per
+    * ADVICE); one (source × 16)-key aggregation with map-side
+    * combine, and the corpus mean is a per-bin WINDOW over those
+    * partials (sources × 16 rows) — no second corpus pass, no join,
+    * the whole report is one subtree over one scan (plan-pinned). */
   def sourceHistogramDrift(payloads: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.{snapLong, snapMean}
-    val feats = extractFeatures(payloads)
-      .join(payloads.select(col("doc_id"), col("meta.source").as("source")), "doc_id")
+    val feats = extractFeatures(payloads, passthrough = Seq("source"))
       .select(col("source"), posexplode(col("features")).as(Seq("bin", "x")))
-    val bySource = feats.groupBy(col("source"), col("bin"))
+    val wBin = Window.partitionBy(col("bin"))
+    feats.groupBy(col("source"), col("bin"))
       .agg(sum(snapLong(col("x"))).as("__s"), count(lit(1)).as("__n"))
-    val corpus = broadcast(bySource.groupBy(col("bin"))
-      .agg(sum(col("__s")).as("__gs"), sum(col("__n")).as("__gn"))
-      .select(col("bin"), snapMean(col("__gs"), col("__gn")).as("corpus_mean")))
-    bySource
       .select(col("source"), col("bin"),
-        snapMean(col("__s"), col("__n")).as("src_mean"))
-      .join(corpus, Seq("bin"))
+        snapMean(col("__s"), col("__n")).as("src_mean"),
+        snapMean(sum(col("__s")).over(wBin), sum(col("__n")).over(wBin))
+          .as("corpus_mean"))
       .select(col("source"), col("bin"), col("src_mean"), col("corpus_mean"),
         abs(col("src_mean") - col("corpus_mean")).as("abs_diff"))
       .withColumn("is_shifted", col("abs_diff") > DriftFlagThreshold)

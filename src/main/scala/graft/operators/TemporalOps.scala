@@ -1304,6 +1304,16 @@ object TemporalOps {
     * decide-before-divide NULL on degenerate series (under two pairs
     * or zero variance on either margin).
     *
+    * Overflow bound (r8 ADVICE): the widest accumulator is
+    * n·Σ(x·y) ≤ days·(max daily count)², so DECIMAL(38,0) holds
+    * through ~10¹⁴ events/day over a 10⁴-day span — far beyond any
+    * real stream, but NOT failure-equivalent beyond it: Spark's
+    * default precision-loss mode yields NULL where DuckDB's HUGEINT
+    * raises, so past the bound the engines would diverge quietly
+    * rather than both failing loudly (the v09 Long-sum bound note is
+    * the same contract; enable ANSI mode if a deployment needs the
+    * loud failure).
+    *
     * Scale shape: one map-side-combinable daily aggregation; the
     * calendar grid, the single window pass (both lags come from one
     * sort — the unpivot happens row-locally after), and the co-moment

@@ -323,6 +323,15 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("m08: source rides the decode batch — one corpus scan, no doc_id join back") {
+    val p = MultimodalOps.sourceHistogramDriftQ.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1,
+      s"the r8 shape joined decode output back to a second payloads scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-sized join anywhere:\n$p")
+  }
+
   test("v09: one dimension-keyed aggregation is the only exchange") {
     val p = VectorOps.dimStatsQ.run(spark, sf001)
       .queryExecution.executedPlan.toString
