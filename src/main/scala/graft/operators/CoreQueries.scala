@@ -35,7 +35,7 @@ object CoreQueries {
     "q01_positivity",
     """SELECT event_type,
       |       avg(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS positivity_rate,
-      |       count(*) AS counts
+      |       CAST(count(*) AS BIGINT) AS counts
       |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
     Tables.events(spark, sf)
       .groupBy(col("event_type"))
@@ -50,7 +50,7 @@ object CoreQueries {
   val pivotCounts: GraftQuery = GraftQuery(
     "q02_pivot_counts",
     s"""SELECT user_id % 10 AS bucket,
-       |${eventLabels.map(l => s"       count(CASE WHEN event_type = '$l' THEN 1 END) AS $l").mkString(",\n")}
+       |${eventLabels.map(l => s"       CAST(count(CASE WHEN event_type = '$l' THEN 1 END) AS BIGINT) AS $l").mkString(",\n")}
        |FROM events GROUP BY user_id % 10""".stripMargin) { (spark, sf) =>
     Tables.events(spark, sf)
       .withColumn("bucket", col("user_id") % 10)
@@ -109,7 +109,7 @@ object CoreQueries {
       |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
       |       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_disc,
-      |       count(*) AS count_order
+      |       CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (spark, sf) =>
@@ -135,7 +135,7 @@ object CoreQueries {
     "q05_revenue_by_nation",
     """SELECT r_name, n_name,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
-      |       count(*) AS n_orders
+      |       CAST(count(*) AS BIGINT) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation   ON c_nationkey = n_nationkey
@@ -462,7 +462,7 @@ object CoreQueries {
     * registry). */
   val rollupCounts: GraftQuery = GraftQuery(
     "q20_rollup",
-    """SELECT event_type, day, count(*) AS counts,
+    """SELECT event_type, day, CAST(count(*) AS BIGINT) AS counts,
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events) t
       |GROUP BY ROLLUP (event_type, day)""".stripMargin) { (spark, sf) =>
@@ -484,7 +484,7 @@ object CoreQueries {
     """SELECT event_type, day,
       |       CAST(grouping(event_type) AS BIGINT) AS g_type,
       |       CAST(grouping(day) AS BIGINT) AS g_day,
-      |       count(*) AS counts,
+      |       CAST(count(*) AS BIGINT) AS counts,
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events) t
       |GROUP BY CUBE (event_type, day)""".stripMargin) { (spark, sf) =>
@@ -507,8 +507,8 @@ object CoreQueries {
   val distinctCounts: GraftQuery = GraftQuery(
     "q21_distinct_counts",
     """SELECT event_type,
-      |       count(DISTINCT user_id) AS n_users,
-      |       count(*) AS n_events
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
     Tables.events(spark, sf)
       .groupBy(col("event_type"))
@@ -536,7 +536,7 @@ object CoreQueries {
   val approxDistinct: GraftQuery = GraftQuery(
     "q22_approx_distinct",
     """SELECT event_type,
-      |       count(DISTINCT user_id) AS n_users_exact,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
       |       CAST(0.02 AS DOUBLE) AS rsd,
       |       true AS within_bound
       |FROM events GROUP BY event_type""".stripMargin) { (spark, sf) =>
@@ -585,7 +585,7 @@ object CoreQueries {
       |SELECT user_id,
       |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
       |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-      |       count(*) AS n_events
+      |       CAST(count(*) AS BIGINT) AS n_events
       |FROM s GROUP BY user_id, sid""".stripMargin) { (spark, sf) =>
     Tables.events(spark, sf)
       .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
@@ -658,7 +658,7 @@ object CoreQueries {
       |       CAST(grouping(event_type) AS BIGINT) AS g_type,
       |       CAST(grouping(day) AS BIGINT) AS g_day,
       |       CAST(grouping(hour) AS BIGINT) AS g_hour,
-      |       count(*) AS counts,
+      |       CAST(count(*) AS BIGINT) AS counts,
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
       |        strftime(ts, '%H') AS hour, value FROM events) t
@@ -700,7 +700,7 @@ object CoreQueries {
       |        END AS bin,
       |        lo, hi
       |      FROM events CROSS JOIN mm)
-      |SELECT event_type, bin, count(*) AS n,
+      |SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
       |       min(lo + bin * ((hi - lo) / 20)) AS bin_lo
       |FROM b GROUP BY event_type, bin""".stripMargin) { (spark, sf) =>
     val ev = Tables.events(spark, sf)
@@ -854,7 +854,7 @@ object CoreQueries {
       |      FROM kc)
       |SELECT event_type,
       |       CAST(sum(c) AS BIGINT) AS n_rows,
-      |       count(*) AS n_keys,
+      |       CAST(count(*) AS BIGINT) AS n_keys,
       |       CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS max_key_rows,
       |       CAST(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10_rows,
       |       CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE) / sum(c) AS max_share,

@@ -137,7 +137,7 @@ object DedupOps {
   /** Exact dedup: one representative (min doc_id) per identical text. */
   val exactQ: GraftQuery = GraftQuery(
     "d01_dedup_exact",
-    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY text""".stripMargin) { (spark, sf) =>
     Tables.documents(spark, sf)
       .groupBy(col("text"))
@@ -149,7 +149,7 @@ object DedupOps {
     * distinct-token signature — catches reorderings/repetitions. */
   val tokenSetQ: GraftQuery = GraftQuery(
     "d02_dedup_tokenset",
-    """SELECT min(doc_id) AS doc_id, count(*) AS n_members
+    """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_members
       |FROM (SELECT doc_id,
       |             array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig
       |      FROM documents) t
@@ -1750,7 +1750,7 @@ object DedupOps {
       |      WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6)
       |SELECT least(da.source, db.source) AS source_a,
       |       greatest(da.source, db.source) AS source_b,
-      |       count(*) AS n_pairs
+      |       CAST(count(*) AS BIGINT) AS n_pairs
       |FROM v JOIN documents da ON da.doc_id = v.doc_a
       |       JOIN documents db ON db.doc_id = v.doc_b
       |GROUP BY source_a, source_b""".stripMargin) { (spark, sf) =>

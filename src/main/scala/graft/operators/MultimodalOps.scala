@@ -356,11 +356,11 @@ object MultimodalOps {
     s"""WITH s AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS nb, lang,
        |        CAST(${Md5Bucket.bucketSql("duckdb", "'sh:' || CAST(doc_id AS VARCHAR)", ManifestShards)} AS BIGINT) AS shard
        |      FROM documents)
-       |SELECT shard, count(*) AS n_docs,
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(nb) AS BIGINT) AS total_bytes,
        |       CAST(sum(doc_id) AS BIGINT) AS docid_sum,
        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-       |       count(DISTINCT lang) AS n_langs
+       |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
        |FROM s GROUP BY shard""".stripMargin) { (spark, sf) =>
     // meta.lang rides asMultimodal already - no second documents scan
     shardManifest(asMultimodal(spark, sf)

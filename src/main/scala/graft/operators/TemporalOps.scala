@@ -399,7 +399,7 @@ object TemporalOps {
       |f AS (SELECT user_id, min(wk_us) AS cohort_us FROM e GROUP BY user_id)
       |SELECT strftime(make_timestamp(cohort_us), '%Y-%m-%d') AS cohort_week,
       |       (wk_us - cohort_us) // 604800000000 AS week_offset,
-      |       count(DISTINCT e.user_id) AS users
+      |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
       |FROM e JOIN f USING (user_id)
       |GROUP BY cohort_week, week_offset""".stripMargin) { (spark, sf) =>
     retention(Tables.events(spark, sf))
@@ -616,7 +616,7 @@ object TemporalOps {
       |                     ELSE CAST(round(e.value * 100) AS BIGINT)
       |                END) AS DOUBLE)
       |           / (count(e.value) * 100.0) AS avg_winsorized,
-      |       count(e.value) AS n
+      |       CAST(count(e.value) AS BIGINT) AS n
       |FROM events e JOIN b USING (event_type)
       |WHERE lo IS NOT NULL
       |GROUP BY 1, 2, 3""".stripMargin) { (spark, sf) =>
@@ -680,7 +680,7 @@ object TemporalOps {
       |SELECT iv.owner,
       |       strftime(iv.s_start, '%Y-%m-%d %H:%M:%S') AS span_start,
       |       strftime(iv.s_end, '%Y-%m-%d %H:%M:%S') AS span_end,
-      |       count(*) AS n_events,
+      |       CAST(count(*) AS BIGINT) AS n_events,
       |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
       |FROM iv JOIN e ON e.ts BETWEEN iv.s_start AND iv.s_end
       |GROUP BY 1, 2, 3""".stripMargin) { (spark, sf) =>

@@ -82,7 +82,7 @@ object VectorOps {
     s"""SELECT label, CAST(i AS INT) AS pos,
        |       CAST(sum(CAST(floor(v[i + 1] * ${graft.functions.VectorFunctions.SnapScaleSql} + 0.5) AS BIGINT)) AS DOUBLE)
        |         / (count(*) * ${graft.functions.VectorFunctions.SnapScaleSql}) AS mean_val,
-       |       count(*) AS n
+       |       CAST(count(*) AS BIGINT) AS n
        |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
        |CROSS JOIN range(0, ${graft.functions.VectorFunctions.Dim}) r(i)
        |GROUP BY label, pos""".stripMargin) { (spark, sf) =>

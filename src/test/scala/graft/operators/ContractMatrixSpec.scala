@@ -35,6 +35,97 @@ class ContractMatrixSpec extends SparkSpec {
   private val ivfFloor = Map("sf0.001" -> 0.38, "sf0.01" -> 0.40, "sf0.1" -> 0.28)
   private val ivfTrainedFloor = Map("sf0.001" -> 0.50, "sf0.01" -> 0.52, "sf0.1" -> 0.35)
 
+  test("oracle texts: no bare integer aggregate in a terminal projection (the q35 dtype class)") {
+    // The r8 root cause, pinned shut: the driver's comparator hashes
+    // VALUES, DuckDB renders an integer-sum HUGEINT as float64, and a
+    // terminal projection emitting a bare integer aggregate is exactly
+    // where the int-vs-float hash divergence enters. Every sum(/count(
+    // that IS a terminal select item must therefore carry an explicit
+    // CAST. This scans every registry oracle text: depth-0 SELECTs are
+    // the terminal projections (CTE bodies and subqueries sit inside
+    // parens), items split at top-level commas, and an item whose
+    // whole value is one aggregate call is flagged. Conservative by
+    // design: integer arithmetic over aggregates should be wrapped
+    // too.
+    def depth0Selects(sql: String): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      var depth = 0
+      var i = 0
+      while (i < sql.length) {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '\'' =>
+            i += 1
+            while (i < sql.length && sql.charAt(i) != '\'') i += 1
+          case _ =>
+            if (depth == 0 && sql.regionMatches(true, i, "SELECT", 0, 6)
+              && (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))))
+              out += i
+        }
+        i += 1
+      }
+      out.result()
+    }
+    def selectList(sql: String, pos: Int): String = {
+      var depth = 0
+      var i = pos + 6
+      val start = i
+      while (i < sql.length) {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' =>
+            if (depth == 0) return sql.substring(start, i)
+            depth -= 1
+          case '\'' =>
+            i += 1
+            while (i < sql.length && sql.charAt(i) != '\'') i += 1
+          case _ =>
+            if (depth == 0 && sql.regionMatches(true, i, "FROM", 0, 4)
+              && !Character.isLetterOrDigit(sql.charAt(i - 1)))
+              return sql.substring(start, i)
+        }
+        i += 1
+      }
+      sql.substring(start)
+    }
+    def splitItems(list: String): Seq[String] = {
+      val items = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0
+      var i = 0
+      while (i < list.length) {
+        val c = list.charAt(i)
+        c match {
+          case '(' => depth += 1; cur += c
+          case ')' => depth -= 1; cur += c
+          case '\'' =>
+            cur += c; i += 1
+            while (i < list.length && list.charAt(i) != '\'') { cur += list.charAt(i); i += 1 }
+            if (i < list.length) cur += '\''
+          case ',' if depth == 0 => items += cur.result(); cur.clear()
+          case _ => cur += c
+        }
+        i += 1
+      }
+      items += cur.result()
+      items.result()
+    }
+    val bare = "(?is)^(sum|count)\\s*\\(.*\\)$".r
+    val offenders = for {
+      (name, sql) <- graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      pos <- depth0Selects(sql)
+      item <- splitItems(selectList(sql, pos))
+      stripped = item.trim
+        .replaceAll("(?is)\\s+AS\\s+[A-Za-z_][A-Za-z0-9_]*\\s*$", "")
+        .replaceAll("(?i)DISTINCT\\s+", "")
+      if bare.matches(stripped)
+    } yield s"$name: ${stripped.linesIterator.mkString(" ").take(70)}"
+    assert(offenders.isEmpty,
+      s"terminal integer aggregates must be CAST-wrapped (DuckDB HUGEINT " +
+        s"renders as float64 and breaks the value hash):\n${offenders.mkString("\n")}")
+  }
+
   for ((tag, dir) <- sfs) {
 
     test(s"q22 HLL distinct within 5% of exact q21 at $tag") {
