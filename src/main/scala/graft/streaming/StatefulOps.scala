@@ -31,8 +31,11 @@ object StatefulOps {
   // --------------------------------------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)
-  /** One unfinalized session: O(1) regardless of session length. */
-  final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  /** One unfinalized session, ranges in exact event MICROS (the batch
+    * q23 contract is microsecond gaps — millisecond truncation would
+    * let a pair within 1 ms of the gap boundary chain differently in
+    * stream and batch): O(1) regardless of session length. */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
   /** Per-user state: the user's unfinalized sessions, kept sorted by
     * start. Bounded by the watermark horizon (a session leaves state
     * the moment the watermark passes its gap deadline), never by
@@ -48,10 +51,10 @@ object StatefulOps {
     * earlier one's end. Output ascending by start. Pure — property-
     * tested against a reference grouping in PropertySpec. */
   private[graft] def mergeChain(
-      pieces: Seq[OpenSession], gapMs: Long): List[OpenSession] =
-    pieces.sortBy(s => (s.startMs, s.lastMs)).foldLeft(List.empty[OpenSession]) {
-      case (cur :: done, next) if next.startMs - cur.lastMs < gapMs =>
-        OpenSession(cur.startMs, math.max(cur.lastMs, next.lastMs),
+      pieces: Seq[OpenSession], gap: Long): List[OpenSession] =
+    pieces.sortBy(s => (s.startUs, s.lastUs)).foldLeft(List.empty[OpenSession]) {
+      case (cur :: done, next) if next.startUs - cur.lastUs < gap =>
+        OpenSession(cur.startUs, math.max(cur.lastUs, next.lastUs),
           cur.n + next.n) :: done
       case (acc, next) => next :: acc
     }.reverse
@@ -79,11 +82,16 @@ object StatefulOps {
     *        finalization (a session cannot close before the watermark
     *        allows no more of its events) */
   def sessionize(
-      events: Dataset[SessionEvent], gapMs: Long = 600000L,
+      events: Dataset[SessionEvent], gapUs: Long = 600000000L,
       lateness: String = "10 minutes"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
 
+    def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L)).toInt * 1000)
+      t
+    }
     events
       .filter(col("ts").isNotNull)
       .withWatermark("ts", lateness)
@@ -92,26 +100,27 @@ object StatefulOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state) =>
           val prev = state.getOption.map(_.sessions).getOrElse(Nil)
-          val points = rows.map(r => { val t = r.ts.getTime; OpenSession(t, t, 1L) }).toSeq
-          val merged = mergeChain(prev ++ points, gapMs)
+          val points = rows.map(r => { val t = eventUs(r.ts); OpenSession(t, t, 1L) }).toSeq
+          val merged = mergeChain(prev ++ points, gapUs)
           // finalize: the watermark has passed end + gap, so no
           // admissible future event can extend, precede-and-chain, or
-          // bridge these sessions
+          // bridge these sessions (wm is millis; ranges are micros —
+          // the attrStep convention)
           val wm = state.getCurrentWatermarkMs()
-          val (closed, open) = merged.partition(_.lastMs + gapMs <= wm)
+          val (closed, open) = merged.partition(_.lastUs + gapUs <= wm * 1000L)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionList(open))
             // fire when the EARLIEST unfinalized session becomes
-            // final: eligibility is wm >= lastMs+gapMs and the engine
-            // fires when timeout < wm, so set gapDeadline-1 (r7 review
-            // closed a 1 ms late-fire on every deadline); clamp above
-            // the watermark (at-or-below is illegal)
-            state.setTimeoutTimestamp(
-              math.max(open.map(_.lastMs).min + gapMs - 1, wm + 1))
+            // final: eligibility is wm·1000 ≥ lastUs+gapUs and the
+            // engine fires when timeout < wm, so ceil-div minus 1 (the
+            // r7 review convention); clamp above the watermark
+            // (at-or-below is illegal)
+            state.setTimeoutTimestamp(math.max(
+              (open.map(_.lastUs).min + gapUs + 999L) / 1000L - 1L, wm + 1))
           }
           closed.iterator.map(s => ClosedSession(
-            user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
+            user, usToTs(s.startUs), usToTs(s.lastUs), s.n))
       }
   }
 

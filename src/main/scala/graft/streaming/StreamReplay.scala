@@ -215,6 +215,45 @@ object StreamReplay {
     TemporalOps.gapBandTail(gaps)
   }
 
+  /** st04 — q23-contract sessions computed BY THE STREAM:
+    * [[StatefulOps.sessionize]] (exact-micros gap chains, emit at
+    * watermark-passes-gap-deadline) against the gaps-and-islands
+    * session relation in SQL on the same user slice — per session,
+    * its exact start/end micros and event count. The boundary-exact
+    * claim: an event pair within 1 µs of the 10-minute gap splits or
+    * chains identically in both engines. */
+  val streamSessionsQ: GraftQuery = GraftQuery(
+    "st04_stream_sessions",
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+      |  FROM events WHERE user_id % $UserMod = 0),
+      |d AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w >= 600000000
+      |                 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT user_id,
+      |       CAST(min(us) AS BIGINT) AS start_us,
+      |       CAST(max(us) AS BIGINT) AS end_us,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (spark, sf) =>
+    runReplay(spark, sf) { ds =>
+      val spark2 = ds.sparkSession
+      import spark2.implicits._
+      StatefulOps.sessionize(ds.map(e =>
+        StatefulOps.SessionEvent(e.user_id, e.ts)))
+    }
+      .filter(col("user_id") =!= SentinelUser)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    streamTransitionsQ, streamAttributionQ, streamGapsQ)
+    streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ)
 }

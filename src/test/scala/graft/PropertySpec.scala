@@ -216,13 +216,13 @@ class PropertySpec extends SparkSpec {
     samples(pointsGen, 300).foreach { pts =>
       val got = StatefulOps
         .mergeChain(pts.map(t => OpenSession(t, t, 1L)), gapMs)
-        .map(s => (s.startMs, s.lastMs, s.n))
+        .map(s => (s.startUs, s.lastUs, s.n))
       assert(got === reference(pts), s"diverged on $pts")
       // re-merging a merged list is a fixpoint (what each micro-batch
       // relies on when it folds state sessions with new points)
       val again = StatefulOps
         .mergeChain(got.map { case (s, e, n) => OpenSession(s, e, n) }, gapMs)
-        .map(s => (s.startMs, s.lastMs, s.n))
+        .map(s => (s.startUs, s.lastUs, s.n))
       assert(again === got, s"not idempotent on $pts")
     }
   }
@@ -240,12 +240,12 @@ class PropertySpec extends SparkSpec {
       val parent = Array.tabulate(ps.size)(identity)
       def find(i: Int): Int = if (parent(i) == i) i else { parent(i) = find(parent(i)); parent(i) }
       for (i <- ps.indices; j <- ps.indices if i < j) {
-        val d = math.max(0L, math.max(ps(i).startMs, ps(j).startMs)
-          - math.min(ps(i).lastMs, ps(j).lastMs))
+        val d = math.max(0L, math.max(ps(i).startUs, ps(j).startUs)
+          - math.min(ps(i).lastUs, ps(j).lastUs))
         if (d < gapMs) parent(find(i)) = find(j)
       }
       ps.indices.groupBy(find).values.map { idx =>
-        (idx.map(ps(_).startMs).min, idx.map(ps(_).lastMs).max,
+        (idx.map(ps(_).startUs).min, idx.map(ps(_).lastUs).max,
           idx.map(ps(_).n).sum)
       }.toList.sortBy(t => (t._1, t._2))
     }
@@ -258,7 +258,7 @@ class PropertySpec extends SparkSpec {
       Gen.chooseNum(0L, 200L).map(t => OpenSession(t, t, 1L))))
     samples(mixedGen, 300).foreach { pieces =>
       val got = StatefulOps.mergeChain(pieces, gapMs)
-        .map(s => (s.startMs, s.lastMs, s.n))
+        .map(s => (s.startUs, s.lastUs, s.n))
       assert(got === closure(pieces), s"diverged on $pieces")
     }
   }
