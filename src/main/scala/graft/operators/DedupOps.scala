@@ -1850,11 +1850,87 @@ object DedupOps {
     thresholdCurve(Tables.documents(spark, sf))
   }
 
+  /** Delta-slice modulus for d20 (every 10th vec_id is "new", the rest
+    * are the lake — d12's slice convention on the embedding table). */
+  val IncEmbMod = 10
+
+  /** d06's dup bar, shared by d20's verdict tier. */
+  val EmbDupTau = 0.95
+
+  /** d20 — incremental EMBEDDING dedup: the semantic twin of d12's
+    * text job, and the one a production ingest actually runs per
+    * batch — each NEW vector (the delta slice) against the EXISTING
+    * lake only, one verdict per delta vector:
+    *
+    *   dup (best lake cosine ≥ [[EmbDupTau]]) > candidate (a bucket
+    *   collision below the bar — the "review" tier) > new (no lake
+    *   candidate shares a bucket).
+    *
+    * Candidates come from the portable literal-plane kernel
+    * ([[SimilarityOps.cosPairs]]) with BOTH endpoints filtered inside
+    * the pair expansion — delta on the left, lake on the right — so
+    * the job costs 1/mod of the full pair volume and never compares
+    * delta×delta or lake×lake (d12's production note applies
+    * verbatim: at scale the lake side's bucket rows are the
+    * PERSISTED index — [[graft.sources.SignatureLake]] — not a
+    * re-derivation). Fully hash-checked: fixed geometry, pinned
+    * cosine, rank-1 tie to the smaller lake id. */
+  val incrementalEmbeddingQ: GraftQuery = GraftQuery(
+    "d20_incremental_embedding",
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ab AS ($portableAnnBucketsSql),
+      |sz AS (SELECT tbl, bucket, count(*) AS bn FROM ab GROUP BY tbl, bucket),
+      |ok AS (SELECT tbl, bucket FROM sz WHERE bn <= ${SimilarityOps.MaxBucket}),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+      |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+      |         FROM ab a JOIN ok USING (tbl, bucket)
+      |         JOIN ab b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |         WHERE a.vec_id % $IncEmbMod = 0 AND b.vec_id % $IncEmbMod <> 0),
+      |p AS (SELECT c.vec_id, c.neighbor_id,
+      |        CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+      |             ELSE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) END AS cos_sim
+      |      FROM cand c JOIN n na ON na.vec_id = c.vec_id
+      |                  JOIN n nb ON nb.vec_id = c.neighbor_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |               ORDER BY cos_sim DESC, neighbor_id) AS rn FROM p),
+      |b1 AS (SELECT vec_id, neighbor_id AS best_match, cos_sim
+      |       FROM r WHERE rn = 1)
+      |SELECT d.vec_id, b1.best_match, b1.cos_sim,
+      |       CASE WHEN b1.cos_sim >= $EmbDupTau THEN 'dup'
+      |            WHEN b1.cos_sim IS NOT NULL THEN 'candidate'
+      |            ELSE 'new' END AS verdict
+      |FROM (SELECT vec_id FROM ev WHERE vec_id % $IncEmbMod = 0) d
+      |LEFT JOIN b1 USING (vec_id)""".stripMargin) { (spark, sf) =>
+    incrementalEmbedding(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
+  /** The d20 verdict relation over any embedding frame. */
+  def incrementalEmbedding(emb: DataFrame, mod: Int = IncEmbMod,
+      tau: Double = EmbDupTau): DataFrame = {
+    val best = SimilarityOps.cosPairs(emb,
+        PortableAnnTables, PortableAnnPlanes, metric = "inc_emb_guard",
+        srcFilter = col("a.vec_id") % mod === 0
+          && col("b.vec_id") % mod =!= 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("best_match"), col("cos_sim"))
+    emb.select(col("vec_id")).filter(col("vec_id") % mod === 0)
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("best_match"), col("cos_sim"),
+        when(col("cos_sim") >= tau, "dup")
+          .when(col("cos_sim").isNotNull, "candidate")
+          .otherwise("new").as("verdict"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
     coverageQ, portableCoverageQ, portableEmbeddingDupQ, incrementalQ,
     segmentDedupQ, portableMinhashQ,
     portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
-    minhashCalibrationQ, sourceOverlapQ, thresholdCurveQ)
+    minhashCalibrationQ, sourceOverlapQ, thresholdCurveQ,
+    incrementalEmbeddingQ)
 }

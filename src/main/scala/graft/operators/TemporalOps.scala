@@ -1579,11 +1579,73 @@ object TemporalOps {
     dailyNewReturning(Tables.events(spark, sf))
   }
 
+  /** q51 — burstiness profile of the daily event series: per type,
+    * the Fano factor (variance/mean of daily counts) and coefficient
+    * of variation over the type's [first_day, last_day] calendar span
+    * — the dispersion statistics behind rate-limiter sizing and
+    * bot/campaign screening (a Poisson-ish organic stream sits at
+    * Fano ≈ 1; campaign bursts push it far above, metronome bots
+    * below). Days with no events are real 0 observations: they
+    * contribute 0 to both sums, so only the span length m needs the
+    * calendar — no grid materializes.
+    *
+    * Float parity is the q32/q46 exact-co-moment contract: S1/S2
+    * accumulate in DECIMAL(38,0)/HUGEINT (same overflow bound and
+    * NULL-vs-raise caveat as q46), and each statistic is ONE terminal
+    * IEEE op over exact values — fano = (m·S2−S1²)/(m·S1), cv =
+    * √(m·S2−S1²)/S1 (√ is correctly rounded in both engines) — with
+    * decide-before-divide NULL on an empty-sum series.
+    *
+    * Scale shape: one map-side-combinable daily aggregation, then a
+    * |types|-row reduction. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        (datediff(max(col("__d")), min(col("__d"))) + 1).cast(dec).as("__m"),
+        sum(col("c").cast(dec)).as("__s1"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("__s2"))
+      .withColumn("__num", col("__m") * col("__s2") - col("__s1") * col("__s1"))
+      .select(col("event_type"),
+        col("__m").cast("long").as("n_days"),
+        col("__s1").cast("long").as("total"),
+        when(col("__s1") > 0,
+          col("__num").cast("double") / (col("__m") * col("__s1")).cast("double"))
+          .as("fano"),
+        when(col("__s1") > 0,
+          sqrt(col("__num").cast("double")) / col("__s1").cast("double"))
+          .as("cv"))
+  }
+
+  val burstinessQ: GraftQuery = GraftQuery(
+    "q51_burstiness",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type,
+      |         date_diff('day', min(d), max(d)) + 1 AS m,
+      |         sum(c) AS s1, sum(c * c) AS s2
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, CAST(m AS BIGINT) AS n_days, CAST(s1 AS BIGINT) AS total,
+      |       CASE WHEN s1 > 0
+      |            THEN CAST(m * s2 - s1 * s1 AS DOUBLE) / CAST(m * s1 AS DOUBLE)
+      |       END AS fano,
+      |       CASE WHEN s1 > 0
+      |            THEN sqrt(CAST(m * s2 - s1 * s1 AS DOUBLE)) / CAST(s1 AS DOUBLE)
+      |       END AS cv
+      |FROM a""".stripMargin) { (spark, sf) =>
+    burstiness(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
       ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
       cooccurrenceQ, changePointQ, dailyTopUsersQ, attributionQ, autocorrQ,
       cohortRetentionQ, conversionLatencyQ, asOfForwardQ, interEventGapsQ,
-      dailyNewReturningQ)
+      dailyNewReturningQ, burstinessQ)
 }

@@ -791,7 +791,65 @@ object VectorOps {
       .select(col("label"), toDouble(col("embedding")).as("v")))
   }
 
+  /** v11 — PQ distortion audit: per sub-block, the assigned-code
+    * squared-L2 distortion profile (vector count, snapped-mean and
+    * exact-max distortion) — the codebook-quality artifact published
+    * next to a PQ index (v04's codes, s06's search, v07's recall):
+    * a block whose mean distortion dwarfs the others is a sub-space
+    * the codebook under-covers, and the max flags the worst-quantized
+    * vectors a re-train should target.
+    *
+    * Float discipline: per-(vector, block) distortion is v04's exact
+    * IEEE sequence; the mean snaps on the 2^-30 distance grid (v03's
+    * kernel — order-independent sums); the max is a plain double max
+    * (no accumulation). One aggregation over the v04 relation —
+    * |blocks| rows out, map-side combined. */
+  val pqDistortionQ: GraftQuery = GraftQuery(
+    "v11_pq_distortion",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       |        FROM e ORDER BY vec_id LIMIT ${PqCodes}),
+       |bs AS (SELECT unnest(range(0, ${PqBlocks})) AS b),
+       |cb AS (SELECT bs.b AS b, cb0.code AS code,
+       |         list_slice(cb0.v, bs.b * ${PqSub} + 1, bs.b * ${PqSub} + ${PqSub}) AS cv
+       |       FROM cb0 CROSS JOIN bs),
+       |bl AS (SELECT e.vec_id, bs.b AS b,
+       |         list_slice(e.v, bs.b * ${PqSub} + 1, bs.b * ${PqSub} + ${PqSub}) AS bv
+       |       FROM e CROSS JOIN bs),
+       |d AS (SELECT bl.vec_id, bl.b, cb.code,
+       |        list_dot_product(bl.bv, bl.bv)
+       |          - 2 * list_dot_product(bl.bv, cb.cv)
+       |          + list_dot_product(cb.cv, cb.cv) AS bdist
+       |      FROM bl JOIN cb USING (b)),
+       |r AS (SELECT vec_id, b, bdist,
+       |        row_number() OVER (PARTITION BY vec_id, b
+       |                           ORDER BY bdist, code) AS rn
+       |      FROM d),
+       |a AS (SELECT b, bdist FROM r WHERE rn = 1)
+       |SELECT CAST(b AS INT) AS b, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(sum(CAST(floor(bdist * ${graft.functions.VectorFunctions.DistScaleSql} + 0.5) AS BIGINT)) AS DOUBLE)
+       |         / (count(*) * ${graft.functions.VectorFunctions.DistScaleSql}) AS mean_dist,
+       |       max(bdist) AS max_dist
+       |FROM a GROUP BY b""".stripMargin) { (spark, sf) =>
+    pqDistortion(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
+  /** The v11 aggregation over any corpus/PQ geometry. */
+  def pqDistortion(emb: DataFrame, blocks: Int = PqBlocks, codes: Int = PqCodes,
+      dim: Int = graft.functions.VectorFunctions.Dim): DataFrame = {
+    import graft.functions.VectorFunctions.{snapLong, snapMean, DistScale}
+    pqAssign(emb, blocks, codes, dim)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(snapLong(col("bdist"), DistScale)).as("__s"),
+        max(col("bdist")).as("max_dist"))
+      .select(col("b"), col("n_vecs"),
+        snapMean(col("__s"), col("n_vecs"), DistScale).as("mean_dist"),
+        col("max_dist"))
+  }
+
   val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
     truncRecallQ, centroidDriftQ, quantRecallQ, matryoshkaRecallQ, dimStatsQ,
-    centroidSeparationQ)
+    centroidSeparationQ, pqDistortionQ)
 }

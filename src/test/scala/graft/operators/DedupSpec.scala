@@ -683,4 +683,40 @@ class DedupSpec extends SparkSpec {
     val curve = DedupOps.ThresholdCurve.map(out(_)._1)
     assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
   }
+
+  test("d20: same-direction lake match -> dup; sign-flipped delta with no lake partner -> new") {
+    import spark.implicits._
+    val a = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    // delta slice = vec_id % 10 == 0: ids 0, 10, 20; lake: id 1 (= a)
+    val fixture = Seq(
+      (0L, a.map(_ * 0.5)), // dup of lake 1 (cos exactly 1)
+      (20L, a),             // dup of lake 1 too
+      (10L, a.map(-_)),     // sign flip: its buckets hold no lake vector
+      (1L, a))
+      .toDF("vec_id", "v")
+    val out = DedupOps.incrementalEmbedding(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getString(3))))
+      .toMap
+    assert(out.keySet === Set(0L, 10L, 20L), "one verdict per delta vec, lake never emits")
+    assert(out(0L) === ((Some(1L), "dup")))
+    assert(out(20L) === ((Some(1L), "dup")))
+    assert(out(10L) === ((None, "new")))
+  }
+
+  test("d20 on the harness corpus: one row per delta vec, verdict tiers consistent") {
+    val out = DedupOps.incrementalEmbeddingQ.run(spark, sf001).persist()
+    try {
+      val nDelta = graft.Tables.embeddings(spark, sf001)
+        .filter(col("vec_id") % DedupOps.IncEmbMod === 0).count()
+      assert(out.count() === nDelta, "exactly one verdict per delta vector")
+      assert(out.filter(col("verdict") === "dup"
+        && col("cos_sim") < DedupOps.EmbDupTau).count() === 0)
+      assert(out.filter(col("verdict") === "new"
+        && col("best_match").isNotNull).count() === 0)
+      assert(out.filter(col("verdict") === "candidate"
+        && (col("cos_sim").isNull || col("cos_sim") >= DedupOps.EmbDupTau))
+        .count() === 0)
+    } finally out.unpersist()
+  }
 }

@@ -702,4 +702,43 @@ class TemporalVectorSpec extends SparkSpec {
     assert(r.isNullAt(3), "n=1 gates variance to NULL before the division")
     assert(!r.getBoolean(6))
   }
+
+  test("v11 pq distortion: a corpus that IS the codebook quantizes with zero distortion") {
+    import spark.implicits._
+    // 16 vectors = exactly the first-16 codebook (the s06 device):
+    // every block assigns to itself, bdist numerically ~0
+    val pts = (0 until 16).map(i =>
+      (i.toLong, Seq(math.sin(i * 2.3) * 5, math.cos(i * 1.7) * 5)))
+    val out = VectorOps.pqDistortion(pts.toDF("vec_id", "v"),
+        blocks = 1, codes = 16, dim = 2)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 16L, "every vector quantizes")
+    assert(math.abs(r.getDouble(2)) < 1e-9, s"mean distortion ~0, got ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3)) < 1e-9, s"max distortion ~0, got ${r.getDouble(3)}")
+  }
+
+  test("q51 burstiness: uniform series -> fano 0; bursty series with a zero day -> exact co-moments") {
+    import spark.implicits._
+    def t(day: Int, i: Int) = new java.sql.Timestamp(
+      java.time.Instant.parse(f"2024-02-0${day}%dT0$i%d:00:00Z").toEpochMilli)
+    val ev = (
+      // uniform: 2 events on each of 3 days
+      (for { d <- 1 to 3; i <- 0 until 2 } yield (100L + d * 10 + i, 1L, "uniform", t(d, i))) ++
+      // bursty: 4 on day 1, 0 on day 2, 2 on day 3 -> m=3, S1=6, S2=20
+      (for { i <- 0 until 4 } yield (200L + i, 2L, "bursty", t(1, i))) ++
+      (for { i <- 0 until 2 } yield (210L + i, 2L, "bursty", t(3, i)))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = TemporalOps.burstiness(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // uniform: m=3, S1=6, S2=12 -> fano = (36-36)/18 = 0, cv = 0
+    assert(out("uniform") === ((3L, 6L, 0.0, 0.0)))
+    // bursty: fano = (3*20-36)/(3*6) = 24/18, cv = sqrt(24)/6
+    val (m, tot, fano, cv) = out("bursty")
+    assert((m, tot) === ((3L, 6L)))
+    assert(fano === 24.0 / 18.0)
+    assert(cv === math.sqrt(24.0) / 6.0)
+  }
 }
