@@ -73,7 +73,9 @@ object SignatureLake {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey.session eq spark) {
-        e.getValue.unpersist()
+        // blocking: callers invalidate to get a clean-slate session
+        // (tests assert on getPersistentRDDs right after)
+        e.getValue.unpersist(blocking = true)
         it.remove()
       }
     }

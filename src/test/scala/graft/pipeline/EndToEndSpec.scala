@@ -50,7 +50,11 @@ class EndToEndSpec extends SparkSpec {
     // empty partition -> 0, no crash (reference would throw)
     assert(sched.runOnce(LocalDateTime.of(2022, 3, 1, 9, 30)) === 0)
 
-    // the per-cycle enriched cache must be released after the sink write
+    // the per-cycle enriched cache must be released after the sink
+    // write. The SignatureLake is a DELIBERATE session-scoped cache
+    // (earlier suites may have populated it via the d11p row) — drop
+    // it first so this assertion stays about the pipeline's own frames
+    graft.sources.SignatureLake.invalidate(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "runOnce must unpersist its enriched frame")
 
