@@ -749,7 +749,10 @@ object TemporalOps {
   def ewmaTrend(events: DataFrame): DataFrame =
     ewmaOverCounts(hourlyCounts(events))
 
-  val ewmaTrendQ: GraftQuery = {
+  /** q36's full oracle text over an optional row filter — shared with
+    * the st05 stream-replay row so the batch and stream oracles can
+    * never state a different EWMA. */
+  private[graft] def ewmaOracleSql(whereClause: String): String = {
     val numTail = (1 until EwmaTerms).map(k =>
       s" + CASE WHEN l$k IS NOT NULL THEN CAST(l$k AS DOUBLE) * ${math.pow(0.5, k)} ELSE 0.0 END")
       .mkString
@@ -757,22 +760,23 @@ object TemporalOps {
       s" + CASE WHEN l$k IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0.0 END")
       .mkString
     val lagDefs = (1 until EwmaTerms).map(k => s"lag(n, $k) OVER w AS l$k").mkString(", ")
-    GraftQuery(
-      "q36_ewma_trend",
-      s"""WITH h AS (
-         |  SELECT event_type,
-         |         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS date_hour,
-         |         count(*) AS n
-         |  FROM events GROUP BY event_type, date_hour),
-         |l AS (SELECT event_type, date_hour, n, $lagDefs
-         |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY date_hour))
-         |SELECT event_type, date_hour, n,
-         |       (CAST(n AS DOUBLE)$numTail)
-         |       / (CAST(1.0 AS DOUBLE)$denTail) AS ewma
-         |FROM l""".stripMargin) { (spark, sf) =>
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS date_hour,
+       |         count(*) AS n
+       |  FROM events $whereClause GROUP BY event_type, date_hour),
+       |l AS (SELECT event_type, date_hour, n, $lagDefs
+       |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY date_hour))
+       |SELECT event_type, date_hour, n,
+       |       (CAST(n AS DOUBLE)$numTail)
+       |       / (CAST(1.0 AS DOUBLE)$denTail) AS ewma
+       |FROM l""".stripMargin
+  }
+
+  val ewmaTrendQ: GraftQuery =
+    GraftQuery("q36_ewma_trend", ewmaOracleSql("")) { (spark, sf) =>
       ewmaTrend(Tables.events(spark, sf))
     }
-  }
 
   /** SCD2-style validity intervals from the event log: per user,
     * collapse consecutive repeats of event_type and emit one row per
@@ -962,12 +966,13 @@ object TemporalOps {
         coalesce(abs(col("z")) >= 3.0, lit(false)).as("is_anomaly"))
   }
 
-  val dailyAnomalyQ: GraftQuery = GraftQuery(
-    "q39_daily_anomaly",
-    """WITH d AS (SELECT event_type,
+  /** q39's full oracle text over an optional row filter — shared with
+    * the st06 stream-replay row. */
+  private[graft] def anomalyOracleSql(whereClause: String): String =
+    s"""WITH d AS (SELECT event_type,
       |             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
       |             count(*) AS n
-      |           FROM events GROUP BY event_type, day),
+      |           FROM events $whereClause GROUP BY event_type, day),
       |w AS (SELECT event_type, day, n,
       |        count(n) OVER fr AS m,
       |        sum(n) OVER fr AS s1,
@@ -982,7 +987,10 @@ object TemporalOps {
       |SELECT event_type, day, CAST(n AS BIGINT) AS n,
       |       CAST(m AS BIGINT) AS base_days, z,
       |       coalesce(abs(z) >= 3.0, false) AS is_anomaly
-      |FROM z""".stripMargin) { (spark, sf) =>
+      |FROM z""".stripMargin
+
+  val dailyAnomalyQ: GraftQuery = GraftQuery(
+    "q39_daily_anomaly", anomalyOracleSql("")) { (spark, sf) =>
     dailyAnomaly(Tables.events(spark, sf))
   }
 

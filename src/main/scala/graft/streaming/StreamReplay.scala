@@ -254,6 +254,38 @@ object StreamReplay {
         col("n_events"))
   }
 
+  /** st05 — q36's hourly EWMA trend computed BY THE STREAM:
+    * [[StatefulOps.ewmaStream]] emits each finalized hour exactly once
+    * with its renormalized β=½ trend over the trailing ≤4 OBSERVED
+    * finalized hours — the same fixed-order addition chain as the
+    * batch lag window, so the ewma doubles are bit-identical and the
+    * relation hash-matches q36's oracle on the slice. The sentinel
+    * type's own buckets are filtered; its job is pushing the
+    * watermark past every real hour. */
+  val streamEwmaQ: GraftQuery = GraftQuery(
+    "st05_stream_ewma",
+    TemporalOps.ewmaOracleSql(s"WHERE user_id % $UserMod = 0")) { (spark, sf) =>
+    runReplay(spark, sf)(StatefulOps.ewmaStream(_))
+      .filter(col("event_type") =!= "__flush")
+      .select(col("event_type"), col("date_hour"), col("n"), col("ewma"))
+  }
+
+  /** st06 — q39's trailing-window daily anomaly computed BY THE
+    * STREAM: [[StatefulOps.anomalyStream]] finalizes each (type, day)
+    * count at watermark-passes-day-end and scores it against the
+    * previous ≤7 finalized observed days with the batch twin's exact
+    * integer z arithmetic — NULL-gated identically, so z and the
+    * 3σ flag hash-match q39's oracle on the slice. */
+  val streamAnomalyQ: GraftQuery = GraftQuery(
+    "st06_stream_anomaly",
+    TemporalOps.anomalyOracleSql(s"WHERE user_id % $UserMod = 0")) { (spark, sf) =>
+    runReplay(spark, sf)(StatefulOps.anomalyStream(_))
+      .filter(col("event_type") =!= "__flush")
+      .select(col("event_type"), col("day"), col("n"),
+        col("base_days"), col("z"), col("is_anomaly"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ)
+    streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ,
+    streamEwmaQ, streamAnomalyQ)
 }
