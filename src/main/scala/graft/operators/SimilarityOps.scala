@@ -164,22 +164,34 @@ object SimilarityOps {
     * exact side is the audit-tier probe-sample scan (ground truth at
     * 100 TB is a probe sample or nothing); the join is (probe,
     * neighbor)-keyed over two k-bounded edge tables. */
-  def recallContract(approx: DataFrame, emb: DataFrame, floor: Double,
-      mod: Int = GraphSampleMod, k: Int = PortableKnnK): DataFrame = {
-    val exact = knnGraphExact(emb, mod, k)
-      .select(col("src_id").as("vec_id"), col("dst_id").as("nid"))
-    val a = approx.filter(col("vec_id") % mod === 0 && col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id").as("nid"), lit(1L).as("__hit"))
-    exact.join(a, Seq("vec_id", "nid"), "left")
+  /** Per-probe hit accounting of an approximate edge table against an
+    * exact one — the ONE shared stage behind the s12/s13 recall rows
+    * and the s02/s04 recall contracts: left-join exact (vec_id, nid)
+    * edges to approximate ones, count exact edges and recovered hits
+    * per probe. `extraAggs` ride the same groupBy (s13's mutual
+    * columns). One definition so a future change to the join keys or
+    * null convention cannot silently skew a subset of the gate rows. */
+  private def probeHits(exact: DataFrame, approx: DataFrame,
+      extraAggs: Seq[Column] = Nil): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("k_exact"),
+      sum(coalesce(col("__hit"), lit(0L))).as("hits")) ++ extraAggs
+    exact.join(approx.withColumn("__hit", lit(1L)), Seq("vec_id", "nid"), "left")
       .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("ke"),
-        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  def recallContract(approx: DataFrame, emb: DataFrame, floor: Double,
+      mod: Int = GraphSampleMod, k: Int = PortableKnnK): DataFrame =
+    probeHits(
+      knnGraphExact(emb, mod, k)
+        .select(col("src_id").as("vec_id"), col("dst_id").as("nid")),
+      approx.filter(col("vec_id") % mod === 0 && col("rank") <= k)
+        .select(col("vec_id"), col("neighbor_id").as("nid")))
       .agg(count(lit(1)).as("n_probes"),
-        sum(col("ke")).as("k_exact"),
-        avg(col("hits").cast("double") / col("ke")).as("__mean"))
+        sum(col("k_exact")).as("k_exact"),
+        avg(col("hits").cast("double") / col("k_exact")).as("__mean"))
       .select(col("n_probes"), lit(k.toLong).as("k"), col("k_exact"),
         lit(floor).as("floor"), (col("__mean") >= floor).as("within_floor"))
-  }
 
   /** The contract's oracle: the exact side's counts are replayed in
     * closed form — every probe ranks the full corpus minus itself, so
@@ -945,20 +957,15 @@ object SimilarityOps {
     * s11's bucketed kernel; the join is (probe, neighbor)-keyed over
     * two k-bounded edge tables. */
   def annRecall(emb: DataFrame, mod: Int = GraphSampleMod,
-      k: Int = PortableKnnK): DataFrame = {
-    val exact = knnGraphExact(emb, mod, k)
-      .select(col("src_id").as("vec_id"), col("dst_id").as("nid"))
-    val approx = portableKnn(emb, k)
-      .filter(col("vec_id") % mod === 0)
-      .select(col("vec_id"), col("neighbor_id").as("nid"),
-        lit(1L).as("__hit"))
-    exact.join(approx, Seq("vec_id", "nid"), "left")
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("k_exact"),
-        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      k: Int = PortableKnnK): DataFrame =
+    probeHits(
+      knnGraphExact(emb, mod, k)
+        .select(col("src_id").as("vec_id"), col("dst_id").as("nid")),
+      portableKnn(emb, k)
+        .filter(col("vec_id") % mod === 0)
+        .select(col("vec_id"), col("neighbor_id").as("nid")))
       .select(col("vec_id"), col("k_exact"), col("hits"),
         (col("hits").cast("double") / col("k_exact")).as("recall"))
-  }
 
   val annRecallQ: GraftQuery = GraftQuery(
     "s12_ann_recall",
@@ -1021,24 +1028,21 @@ object SimilarityOps {
     * s10's bucketed kernel; the join is (probe, neighbor)-keyed over
     * two k-bounded edge tables. */
   def graphRecall(emb: DataFrame, mod: Int = GraphSampleMod,
-      k: Int = GraphK): DataFrame = {
-    val e = knnGraphExact(emb, mod, k)
-      .select(col("src_id").as("vec_id"), col("dst_id").as("nid"),
-        col("mutual").as("em"))
-    val a = knnGraphLsh(emb, mod, k)
-      .select(col("src_id").as("vec_id"), col("dst_id").as("nid"),
-        col("mutual").as("am"), lit(1L).as("__hit"))
-    e.join(a, Seq("vec_id", "nid"), "left")
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("k_exact"),
-        sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+      k: Int = GraphK): DataFrame =
+    probeHits(
+      knnGraphExact(emb, mod, k)
+        .select(col("src_id").as("vec_id"), col("dst_id").as("nid"),
+          col("mutual").as("em")),
+      knnGraphLsh(emb, mod, k)
+        .select(col("src_id").as("vec_id"), col("dst_id").as("nid"),
+          col("mutual").as("am")),
+      extraAggs = Seq(
         sum(when(col("em"), 1L).otherwise(0L)).as("mutual_exact"),
         sum(when(col("em") && coalesce(col("am"), lit(false)), 1L)
-          .otherwise(0L)).as("mutual_hits"))
+          .otherwise(0L)).as("mutual_hits")))
       .select(col("vec_id"), col("k_exact"), col("hits"),
         (col("hits").cast("double") / col("k_exact")).as("recall"),
         col("mutual_exact"), col("mutual_hits"))
-  }
 
   val graphRecallQ: GraftQuery = GraftQuery(
     "s13_graph_recall",

@@ -29,8 +29,10 @@ import graft.operators.{DedupOps, SimilarityOps}
   * fixed-width keys per scale factor — no payload text, no vectors
   * except the bucket ids. Entries are keyed by the owning
   * SparkSession, so a stopped session's entries are never served to a
-  * live one (tests build sessions per-suite); `invalidate` drops a
-  * session's entries when a caller wants a cold re-derivation.
+  * live one, and every access sweeps stopped sessions' entries out of
+  * the map (a session-per-job JVM must not accumulate dead session
+  * graphs here); `invalidate` drops a live session's entries when a
+  * caller wants a cold re-derivation.
   */
 object SignatureLake {
 
@@ -38,9 +40,22 @@ object SignatureLake {
 
   private val cache = new ConcurrentHashMap[Key, DataFrame]()
 
+  /** Drop entries owned by stopped sessions — a session per job in a
+    * long-lived JVM must not accumulate dead (session, DataFrame)
+    * graphs in this static map. Runs on every get: the map holds a
+    * handful of entries, so the sweep is O(entries) pointer checks. */
+  private def evictStopped(): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey.session.sparkContext.isStopped) it.remove()
+    }
+  }
+
   private def get(spark: SparkSession, sfDir: String, family: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    evictStopped()
     cache.computeIfAbsent(Key(spark, sfDir, family), _ => build.persist())
+  }
 
   /** Portable MinHash band keys (doc_id, band, band_key) —
     * [[DedupOps.portableBandKeys]] over [[DedupOps.portableSignatures]]. */

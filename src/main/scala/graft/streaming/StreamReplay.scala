@@ -90,30 +90,41 @@ object StreamReplay {
       val name = s"graft_replay_${nameCounter.incrementAndGet()}"
       // replay checkpoints are EPHEMERAL scratch (the fixture replays
       // from scratch every run): tmpfs spares ~0.8 s/row of offset/
-      // commit/state-delta fsyncs vs disk /tmp, and the dir is deleted
-      // below. Production streams checkpoint to durable storage.
-      val ckpt = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/dev/shm"), s"graft_replay_$name")
-      val q = build(source.toDS())
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode("append").start()
+      // commit/state-delta fsyncs vs disk temp, falling back to the
+      // platform temp dir where /dev/shm doesn't exist, and the dir is
+      // deleted below. Production streams checkpoint to durable
+      // storage (TweetIngest).
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckpt =
+        if (java.nio.file.Files.isDirectory(shm))
+          java.nio.file.Files.createTempDirectory(shm, s"graft_replay_$name")
+        else java.nio.file.Files.createTempDirectory(s"graft_replay_$name")
       try {
-        schedule(spark, sf).foreach { batch =>
-          source.addData(batch: _*)
-          q.processAllAvailable()
+        val q = build(source.toDS())
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try {
+          schedule(spark, sf).foreach { batch =>
+            source.addData(batch: _*)
+            q.processAllAvailable()
+          }
+          val out = spark.table(name)
+          // localize: the memory sink's view is dropped before returning
+          spark.createDataFrame(
+            java.util.Arrays.asList(out.collect(): _*), out.schema)
+        } finally {
+          q.stop()
+          spark.catalog.dropTempView(name)
         }
-        val out = spark.table(name)
-        // localize: the memory sink's view is dropped before returning
-        spark.createDataFrame(
-          java.util.Arrays.asList(out.collect(): _*), out.schema)
       } finally {
-        q.stop()
-        spark.catalog.dropTempView(name)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val walk = java.nio.file.Files.walk(ckpt)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -267,8 +278,8 @@ object StreamReplay {
 
   /** st05 — q36's hourly EWMA trend computed BY THE STREAM:
     * [[StatefulOps.ewmaStream]] emits each finalized hour exactly once
-    * with its renormalized β=½ trend over the trailing ≤4 OBSERVED
-    * finalized hours — the same fixed-order addition chain as the
+    * with its renormalized β=½ trend over the trailing ≤5 OBSERVED
+    * finalized hours ([[graft.operators.TemporalOps.EwmaTerms]] − 1) — the same fixed-order addition chain as the
     * batch lag window, so the ewma doubles are bit-identical and the
     * relation hash-matches q36's oracle on the slice. The sentinel
     * type's own buckets are filtered; its job is pushing the
