@@ -1494,9 +1494,12 @@ object DedupOps {
     * is hash-CHECKED, not spec-pinned. The md5 family costs ~10× d03's
     * xxhash64 per gram; run d14 as the periodic audit / acceptance
     * query and d03 in the hot path. */
-  val portableMinhashQ: GraftQuery = GraftQuery(
-    "d14_dedup_minhash_portable",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** The d14 oracle's CTE chain (portable md5 MinHash → banding →
+    * capped candidates → exact-Jaccard inputs), ending at `p(doc_a,
+    * doc_b, inter, la, lb)` — shared with d21 so the two texts can
+    * never state a different near-dup pipeline. */
+  private def portableNearDupCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
       |       FROM toks WHERE len(t) >= 3),
@@ -1521,7 +1524,11 @@ object DedupOps {
       |p AS (SELECT doc_a, doc_b, len(list_intersect(a.s, b.s)) AS inter,
       |        len(a.s) AS la, len(b.s) AS lb
       |      FROM cand JOIN ss a ON a.doc_id = cand.doc_a
-      |                JOIN ss b ON b.doc_id = cand.doc_b)
+      |                JOIN ss b ON b.doc_id = cand.doc_b)""".stripMargin
+
+  val portableMinhashQ: GraftQuery = GraftQuery(
+    "d14_dedup_minhash_portable",
+    s"""WITH $portableNearDupCtes
       |SELECT doc_a, doc_b,
       |       CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
       |FROM p
@@ -1925,6 +1932,62 @@ object DedupOps {
           .otherwise("new").as("verdict"))
   }
 
+  /** Embedding-agreement bar for d21: a lexical near-dup pair whose
+    * embedding cosine sits below this disagrees across modalities. */
+  val EmbAgreeTau = 0.5
+
+  /** d21 — text↔embedding consistency audit: every VERIFIED lexical
+    * near-dup pair (d14's portable pipeline, Jaccard ≥ 0.6) scored by
+    * its embedding cosine — the cross-modal sanity check a pipeline
+    * runs on its encoder: documents that are near-copies in token
+    * space should embed near each other, and a pair where the two
+    * modalities DISAGREE (high Jaccard, low cosine) is a broken
+    * encoder, a stale embedding, or an id misalignment between the
+    * text and vector stores. Emits the pair with both similarities
+    * and the agreement verdict at [[EmbAgreeTau]].
+    *
+    * Scale shape: the verified-pair table is tiny (≪ corpus — it
+    * already passed banding AND the exact verify); recovering the two
+    * endpoint vectors is two id-equi-joins against the embeddings
+    * table, co-partitioned after the first shuffle — never a pair
+    * expansion of the embedding side. Cosine carries the standard
+    * zero-norm pin; doc_id ↔ vec_id is the harness's shared id domain
+    * (the same join a production lake does between its text and
+    * vector tables). */
+  val textEmbeddingConsistencyQ: GraftQuery = GraftQuery(
+    "d21_text_embedding_consistency",
+    s"""WITH $portableNearDupCtes,
+      |vp AS (SELECT doc_a, doc_b,
+      |         CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+      |       FROM p
+      |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.6),
+      |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+      |c AS (SELECT vp.doc_a, vp.doc_b, vp.jaccard,
+      |        CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+      |             ELSE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) END AS cos_sim
+      |      FROM vp JOIN n na ON na.vec_id = vp.doc_a
+      |              JOIN n nb ON nb.vec_id = vp.doc_b)
+      |SELECT doc_a, doc_b, jaccard, cos_sim,
+      |       cos_sim >= $EmbAgreeTau AS embedding_agrees
+      |FROM c""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val pairs = jaccardVerify(docs, portableCandidatePairs(docs), 0.6)
+    val n = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    pairs
+      .join(n.select(col("vec_id").as("doc_a"), col("v").as("va"),
+        col("nrm").as("na")), "doc_a")
+      .join(n.select(col("vec_id").as("doc_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        when(col("na") === 0 || col("nb") === 0, lit(0.0))
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cos_sim"))
+      .withColumn("embedding_agrees", col("cos_sim") >= EmbAgreeTau)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
@@ -1932,5 +1995,5 @@ object DedupOps {
     segmentDedupQ, portableMinhashQ,
     portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
     minhashCalibrationQ, sourceOverlapQ, thresholdCurveQ,
-    incrementalEmbeddingQ)
+    incrementalEmbeddingQ, textEmbeddingConsistencyQ)
 }

@@ -704,6 +704,21 @@ class DedupSpec extends SparkSpec {
     assert(out(10L) === ((None, "new")))
   }
 
+  test("d21: every verified lexical pair is scored once; verdict matches the cosine bar") {
+    val pairs = DedupOps.portableMinhashQ.run(spark, sf001).count()
+    val out = DedupOps.textEmbeddingConsistencyQ.run(spark, sf001).persist()
+    try {
+      assert(out.count() === pairs, "one consistency row per verified near-dup pair")
+      assert(out.filter(col("jaccard") < 0.6).count() === 0,
+        "only verified pairs enter the audit")
+      assert(out.filter(col("cos_sim") > 1.0 + 1e-9
+        || col("cos_sim") < -1.0 - 1e-9).count() === 0)
+      assert(out.filter(col("embedding_agrees") =!=
+        (col("cos_sim") >= DedupOps.EmbAgreeTau)).count() === 0,
+        "the verdict is exactly the cosine bar")
+    } finally out.unpersist()
+  }
+
   test("d20 on the harness corpus: one row per delta vec, verdict tiers consistent") {
     val out = DedupOps.incrementalEmbeddingQ.run(spark, sf001).persist()
     try {
