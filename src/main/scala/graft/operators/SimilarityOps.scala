@@ -12,13 +12,16 @@ import graft.functions.VectorFunctions._
   * Two paths:
   *  - brute-force cosine top-k for a small query set: the query side is
   *    broadcast, so the scan over the corpus is map-only + one window
-  *    per query partition — the exactness baseline (and the only one
-  *    with a SQL oracle: DuckDB cross-joins the same 8 queries);
+  *    per query partition — the exactness baseline every approximate
+  *    row is ultimately scored against (s12/s13 recall rows, s02/s04
+  *    recall contracts);
   *  - banded multi-table sign-LSH top-k for all vectors, the
   *    100 TB-scale path: candidates come from equality joins on
   *    (table, bucket) keys whose cardinality grows with the corpus
   *    (planesForCorpus), so candidate volume stays O(n·bucket·tables)
   *    and the join parallelism is never capped by a fixed bucket count.
+  *    The FIXED literal-plane geometry (PortableAnn*) is the
+  *    audit/gate tier a DuckDB oracle can replay verbatim.
   */
 object SimilarityOps {
 

@@ -350,6 +350,29 @@ class ScaleStressSpec extends SparkSpec {
     } finally g2.unpersist()
   }
 
+  test("d20 at 10x: the delta×lake filter rides the pair expansion — candidate volume is the slice product, never the full pair volume") {
+    import graft.functions.VectorFunctions.planesForCorpus
+    val e2 = stressEmb(N2, withHotCluster = true)
+    // the production geometry (adaptive planes) at the larger size:
+    // unfiltered directed candidates vs d20's delta→lake slice. With
+    // delta = 1/10 of ids, the slice holds ~(1/10)·(9/10) = 9% of the
+    // directed pairs — the filter must prune INSIDE the expansion, so
+    // the measured ratio sits at the slice product, nowhere near 1
+    val full = SimilarityOps.cosPairs(e2, SimilarityOps.LshTables,
+      planesForCorpus(N2), "d20_stress_full").count()
+    val slice = SimilarityOps.cosPairs(e2, SimilarityOps.LshTables,
+      planesForCorpus(N2), "d20_stress_slice",
+      srcFilter = col("a.vec_id") % DedupOps.IncEmbMod === 0
+        && col("b.vec_id") % DedupOps.IncEmbMod =!= 0).count()
+    val ratio = slice.toDouble / full
+    info(f"d20 slice ratio: $slice of $full = $ratio%.4f (expected ~0.09)")
+    assert(ratio > 0.03 && ratio < 0.18,
+      f"delta×lake volume must be the ~9%% slice of the directed pairs, got $ratio%.4f")
+    // verdict coverage holds at 10x: one row per delta vector
+    val out = DedupOps.incrementalEmbedding(e2)
+    assert(out.count() === e2.filter(col("vec_id") % DedupOps.IncEmbMod === 0).count())
+  }
+
   test("t24 bigram model at 10x: instance conservation, sub-quadratic model table") {
     val (d1, d2) = (stressDocs(N1), stressDocs(N2))
     def modelRows(d: DataFrame): Long = {
