@@ -1098,7 +1098,92 @@ object SimilarityOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
+  /** s14 — rank-biased overlap (Webber et al., TOIS'10) between the
+    * portable LSH ranking and the exact ranking, per probe: where
+    * s12's recall@k treats the top-k as a SET, RBO weights agreement
+    * by rank — a candidate list that finds the true #1 scores above
+    * one that only finds the true #3, which is what a serving surface
+    * actually experiences. Persistence p = ½ makes every weight an
+    * exact dyadic double ((1−p)·p^(d−1) = 0.5, 0.25, 0.125), and the
+    * truncated-at-k sum is a FIXED three-term chain — identical IEEE
+    * sequence in both engines, so the score itself hash-matches.
+    * Emits per-depth prefix overlaps alongside the score (max
+    * attainable at k=3 is 0.875 — truncated RBO, not extrapolated).
+    *
+    * Scale shape: both edge tables are k-bounded per probe; lists
+    * build in one per-probe aggregation each, and the score is
+    * row-local array arithmetic over ≤k-element arrays. */
+  def rboEval(emb: DataFrame, mod: Int = GraphSampleMod,
+      k: Int = PortableKnnK): DataFrame = {
+    def lists(edges: DataFrame) = edges
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("rank"), col("nid")))),
+        x => x.getField("nid")).as("l"))
+    val e = lists(knnGraphExact(emb, mod, k)
+      .select(col("src_id").as("vec_id"), col("rank"), col("dst_id").as("nid")))
+    val a = lists(portableKnn(emb, k)
+      .filter(col("vec_id") % mod === 0)
+      .select(col("vec_id"), col("rank"), col("neighbor_id").as("nid")))
+      .withColumnRenamed("l", "al")
+    def ov(d: Int) = size(array_intersect(
+      slice(col("l"), 1, d), slice(coalesce(col("al"), array()), 1, d)))
+      .cast("long")
+    e.join(a, Seq("vec_id"), "left")
+      .select(col("vec_id"), ov(1).as("o1"), ov(2).as("o2"), ov(3).as("o3"))
+      .withColumn("rbo",
+        lit(0.5) * col("o1") / lit(1.0)
+          + lit(0.25) * col("o2") / lit(2.0)
+          + lit(0.125) * col("o3") / lit(3.0))
+  }
+
+  val rboEvalQ: GraftQuery = GraftQuery(
+    "s14_rbo_eval",
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+       |q AS (SELECT vec_id AS src_id, v AS qv, nrm AS qnrm FROM n
+       |      WHERE vec_id % $GraphSampleMod = 0),
+       |bs AS (SELECT q.src_id, n.vec_id AS dst_id,
+       |        row_number() OVER (
+       |          PARTITION BY q.src_id
+       |          ORDER BY CASE WHEN q.qnrm = 0 OR n.nrm = 0 THEN 0.0
+       |                   ELSE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) END DESC,
+       |                   n.vec_id) AS rank
+       |      FROM q JOIN n ON n.vec_id <> q.src_id),
+       |el AS (SELECT src_id AS vec_id, list(dst_id ORDER BY rank) AS e
+       |       FROM bs WHERE rank <= $PortableKnnK GROUP BY src_id),
+       |ab AS (${DedupOps.portableAnnBucketsSql}),
+       |sz AS (SELECT tbl, bucket, count(*) AS bn FROM ab GROUP BY tbl, bucket),
+       |ok AS (SELECT tbl, bucket FROM sz WHERE bn <= $MaxBucket),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+       |         FROM ab a JOIN ok USING (tbl, bucket)
+       |         JOIN ab b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |          AND a.vec_id <> b.vec_id),
+       |p AS (SELECT c.vec_id, c.neighbor_id,
+       |        CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+       |             ELSE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) END AS cos_sim
+       |      FROM cand c JOIN n na ON na.vec_id = c.vec_id
+       |                  JOIN n nb ON nb.vec_id = c.neighbor_id),
+       |ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |               ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p),
+       |al AS (SELECT vec_id, list(neighbor_id ORDER BY rank) AS a
+       |       FROM ar WHERE rank <= $PortableKnnK AND vec_id % $GraphSampleMod = 0
+       |       GROUP BY vec_id),
+       |j AS (SELECT el.vec_id, el.e,
+       |        CASE WHEN al.a IS NULL THEN CAST([] AS BIGINT[]) ELSE al.a END AS a
+       |      FROM el LEFT JOIN al USING (vec_id)),
+       |o AS (SELECT vec_id,
+       |        CAST(len(list_intersect(list_slice(e, 1, 1), list_slice(a, 1, 1))) AS BIGINT) AS o1,
+       |        CAST(len(list_intersect(list_slice(e, 1, 2), list_slice(a, 1, 2))) AS BIGINT) AS o2,
+       |        CAST(len(list_intersect(list_slice(e, 1, 3), list_slice(a, 1, 3))) AS BIGINT) AS o3
+       |      FROM j)
+       |SELECT vec_id, o1, o2, o3,
+       |       0.5 * o1 / 1.0 + 0.25 * o2 / 2.0 + 0.125 * o3 / 3.0 AS rbo
+       |FROM o""".stripMargin) { (spark, sf) =>
+    rboEval(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
-    knnLshPortableQ, annRecallQ, graphRecallQ)
+    knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ)
 }

@@ -332,6 +332,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s14 rbo: recovered top rank earns the dyadic weights; missed edges cap the score") {
+    import spark.implicits._
+    val a = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    // probes 0 and 5; 3 is the sign flip: exact lists are [other, 3],
+    // the LSH list is [other] only -> prefix overlaps (1, 1, 1) and
+    // rbo = 0.5*1/1 + 0.25*1/2 + 0.125*1/3 exactly
+    val fixture = Seq((0L, a), (5L, a.map(_ * 0.5)), (3L, a.map(-_)))
+      .toDF("vec_id", "v")
+    val expected = 0.5 * 1 / 1.0 + 0.25 * 1 / 2.0 + 0.125 * 1 / 3.0
+    val out = SimilarityOps.rboEval(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set(0L, 5L))
+    assert(out(0L) === ((1L, 1L, 1L, expected)))
+    assert(out(5L) === ((1L, 1L, 1L, expected)))
+  }
+
+  test("s14 on the harness corpus: prefix overlaps monotone, rbo within the truncated bound") {
+    val rows = SimilarityOps.rboEvalQ.run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o1, o2, o3, rbo) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(o1 <= o2 && o2 <= o3, s"prefix overlaps must be non-decreasing: $r")
+      assert(o1 <= 1 && o2 <= 2 && o3 <= 3)
+      assert(rbo >= 0.0 && rbo <= 0.875 + 1e-12, s"truncated RBO bound: $r")
+    }
+  }
+
   test("s11 on the harness corpus: dense per-vector ranks, cosine bounded and monotone") {
     val rows = SimilarityOps.knnLshPortableQ.run(spark, sf001).collect()
     assert(rows.nonEmpty)
