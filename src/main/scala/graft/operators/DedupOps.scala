@@ -161,11 +161,10 @@ object DedupOps {
       .select(col("doc_id"), col("n_members"))
   }
 
-  /** MinHash+LSH near-dup pairs with signature-estimated Jaccard ≥ 0.5.
-    * Hash-based — not ANSI-SQL-expressible, verified by ScalaTest
-    * against the corpus's planted near-duplicates. */
-  val minhashQ: GraftQuery = GraftQuery.noOracle("d03_dedup_minhash") { (spark, sf) =>
-    val pairs = rawCandidatePairs(Tables.documents(spark, sf))
+  /** MinHash+LSH near-dup pairs with signature-estimated Jaccard ≥ 0.5
+    * — the production (xxhash64) near-dup detector's pair relation. */
+  def minhashDupPairs(docs: DataFrame): DataFrame = {
+    val pairs = rawCandidatePairs(docs)
     // codegen'd signature-agreement kernel — the interpreted
     // zip_with+aggregate fold allocated per candidate pair (see
     // graft.functions.EqCount)
@@ -177,6 +176,84 @@ object DedupOps {
       .filter(col("est_jaccard") >= 0.5)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Exact Jaccard bar that defines the pair-recall contracts' truth
+    * set: pairs the AUDIT (md5) pipeline verifies at J ≥ 0.9 — the
+    * regime where d03's 8×4 banding has per-pair candidate
+    * probability ≥ 0.9998 (and d04's 128-bit fingerprints collapse to
+    * a few bits of Hamming), so the production families owe the truth
+    * set near-total recall. At the 0.6 contract boundary the S-curve
+    * only promises ~0.67 and no such contract would be scale-stable. */
+  val ContractTruthJ = 0.9
+
+  /** d03's recall floor against the J ≥ 0.9 audit truth (measured:
+    * 1.00 at sf0.001/0.01/0.1 — theory says ≥ 0.9998 per pair). */
+  val MinhashRecallFloor = 0.9
+
+  /** d04's recall floor against the J ≥ 0.9 truth restricted to
+    * d15's radius (measured: 0.96–1.00 across the three sfs — the
+    * two independent 128-bit projections disagree on a few pairs
+    * that land at Hamming 13–14 in one family and ≤ 12 in the
+    * other). */
+  val SimhashRecallFloor = 0.75
+
+  /** Audit-truth near-dup pairs from the SignatureLake's materialized
+    * portable band keys (the d12 lake-index pattern — the contract
+    * consumers must NOT re-derive the md5 family per row; d14 keeps
+    * the self-contained end-to-end derivation measured). */
+  private def lakeVerifiedPairs(spark: SparkSession, sf: String,
+      threshold: Double, metric: String): DataFrame = {
+    val cand = bucketPairs(
+      graft.sources.SignatureLake.portableBandKeys(spark, sf),
+      keyCols = Seq("band", "band_key"), memberCols = Seq("doc_id"),
+      MaxBandBucket, metric = metric)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    jaccardVerify(Tables.documents(spark, sf), cand, threshold)
+  }
+
+  /** One-row pair-recall contract: |truth|, the floor literal, and
+    * whether `caught` recovers ≥ floor of the truth pairs. Only the
+    * oracle-replayable columns are emitted (the s02/s04 pattern —
+    * the caught side is hash-family-internal, which is WHY these
+    * rows had no oracle); a banding/fingerprint regression flips the
+    * engine's boolean and the row goes red in the driver gate. */
+  private[operators] def pairRecallContract(truth: DataFrame, caught: DataFrame,
+      floor: Double): DataFrame =
+    truth.select(col("doc_a"), col("doc_b"))
+      .join(caught.select(col("doc_a"), col("doc_b"))
+        .withColumn("__hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("__hits"))
+      .select(col("n_true"), lit(floor).as("floor"),
+        (col("n_true") === 0 ||
+          col("__hits").cast("double") / col("n_true") >= floor)
+          .as("within_floor"))
+
+  /** d03 — hash-checked recall CONTRACT for the production MinHash
+    * family (the s02/s04 device applied to dedup, r9): the truth set
+    * is the AUDIT pipeline's exact-verified J ≥ [[ContractTruthJ]]
+    * pairs (md5 band keys read from the [[graft.sources.SignatureLake]],
+    * verified by d05's exact-Jaccard kernel — every stage
+    * DuckDB-replayable), and the engine checks that [[minhashDupPairs]]
+    * recovers ≥ [[MinhashRecallFloor]] of them. The oracle recomputes
+    * |truth| exactly (d14's CTE chain at the 0.9 bar) and expects
+    * `within_floor = TRUE`. The raw pair relation stays available as
+    * [[minhashDupPairs]] with its planted-fixture specs. */
+  val minhashQ: GraftQuery = GraftQuery(
+    "d03_dedup_minhash",
+    s"""WITH $portableNearDupCtes,
+      |tr AS (SELECT count(*) AS n_true FROM p
+      |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $ContractTruthJ)
+      |SELECT CAST(n_true AS BIGINT) AS n_true,
+      |       CAST($MinhashRecallFloor AS DOUBLE) AS floor,
+      |       TRUE AS within_floor
+      |FROM tr""".stripMargin) { (spark, sf) =>
+    pairRecallContract(
+      lakeVerifiedPairs(spark, sf, ContractTruthJ, "d03_truth_band_guard"),
+      minhashDupPairs(Tables.documents(spark, sf)), MinhashRecallFloor)
   }
 
   /** Lanes in the production SimHash fingerprint: 2 × 64-bit xxhash64
@@ -273,9 +350,14 @@ object DedupOps {
     (0 until blocks).map(i => blockVal(starts(i), widths(i)))
   }
 
+  /** @param metric name of the observed drop-guard metric — override
+    *        when a plan holds TWO pigeonhole pair generators (the d04
+    *        contract runs the xxhash64 and md5 families side by side;
+    *        Spark rejects duplicate metric names in one plan) */
   def simhashPairsMulti(
       sh: DataFrame, laneCols: Seq[String], maxHamming: Int,
-      maxBucket: Int = MaxSimhashBucket): DataFrame = {
+      maxBucket: Int = MaxSimhashBucket,
+      metric: String = "simhash_band_guard"): DataFrame = {
     val bandVals = pigeonholeBandVals(laneCols, maxHamming)
     // Self-join, not bucketPairs: simhash members are 8·(lanes+1) bytes
     // and candidate volume is high, so the codegen'd hash join beats
@@ -287,7 +369,7 @@ object DedupOps {
         posexplode(array(bandVals: _*)).as(Seq("band", "band_val")): _*)
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("band_val"))))
-      .observe("simhash_band_guard",
+      .observe(metric,
         sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)).as("dropped_band_rows"))
       .filter(col("bucket_n") <= maxBucket)
     val a = banded.select(col("band") +: col("band_val") +:
@@ -321,10 +403,51 @@ object DedupOps {
     * band keys are full 64-bit hashes with no width ceiling. */
   val SimhashMaxHamming = 12
 
-  val simhashQ: GraftQuery = GraftQuery.noOracle("d04_dedup_simhash") { (spark, sf) =>
-    simhashPairsMulti(
-      simhashFingerprints(Tables.documents(spark, sf)),
+  /** The production (xxhash64) SimHash near-dup pair relation —
+    * Hamming ≤ [[SimhashMaxHamming]] over the 128-bit fingerprint. */
+  def simhashDupPairs(docs: DataFrame): DataFrame =
+    simhashPairsMulti(simhashFingerprints(docs),
       simhashLaneCols(SimhashLanes), SimhashMaxHamming)
+
+  /** d04 — hash-checked recall CONTRACT for the production SimHash
+    * family: the truth set is d15's portable (md5) radius-12 pairs —
+    * fingerprints read from the [[graft.sources.SignatureLake]] —
+    * RESTRICTED to exact-verified J ≥ [[ContractTruthJ]] (so the truth
+    * is semantically-real near-dups, not artifacts of the md5
+    * projection), and the engine checks that [[simhashDupPairs]]
+    * recovers ≥ [[SimhashRecallFloor]] of them. The oracle replays the
+    * truth count via d15's all-pairs BIT-Hamming CTEs (licensed by the
+    * recall-exact pigeonhole + zero-drop guard, exactly as d15) joined
+    * to the exact shingle Jaccard, and expects `within_floor = TRUE`.
+    * The engine plan holds BOTH pigeonhole generators, hence the
+    * distinct observe-metric name on the truth side. */
+  val simhashQ: GraftQuery = GraftQuery(
+    "d04_dedup_simhash",
+    s"""WITH $portableSimhashCtes,
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |tr AS (SELECT count(*) AS n_true
+      |       FROM p JOIN ss a ON a.doc_id = p.doc_a
+      |              JOIN ss b ON b.doc_id = p.doc_b
+      |       WHERE p.hamming <= $SimhashMaxHamming
+      |         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+      |               >= $ContractTruthJ)
+      |SELECT CAST(n_true AS BIGINT) AS n_true,
+      |       CAST($SimhashRecallFloor AS DOUBLE) AS floor,
+      |       TRUE AS within_floor
+      |FROM tr""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val truthPairs = simhashPairsMulti(
+      graft.sources.SignatureLake.portableFingerprints(spark, sf),
+      simhashLaneCols(SimhashLanes), SimhashMaxHamming,
+      metric = "d04_truth_band_guard")
+    pairRecallContract(
+      jaccardVerify(docs, truthPairs.select(col("doc_a"), col("doc_b")),
+        ContractTruthJ),
+      simhashDupPairs(docs), SimhashRecallFloor)
   }
 
   /** Exact n-gram Jaccard on LSH candidates: MinHash proposes, the true
@@ -841,9 +964,7 @@ object DedupOps {
     * vector among its banded-LSH candidates, with an is_dup flag at
     * 0.95 cosine. Multi-table banded LSH (SimilarityOps.cosineCandidates)
     * — bucket count scales with the corpus, no 64-bucket ceiling. */
-  val embeddingDupQ: GraftQuery = GraftQuery.noOracle("d06_dedup_embedding") { (spark, sf) =>
-    val emb = Tables.embeddings(spark, sf)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+  def embeddingBestMatch(emb: DataFrame): DataFrame = {
     val planes = planesForCorpus(emb.count())
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -853,6 +974,67 @@ object DedupOps {
       .select(col("vec_id"), col("neighbor_id").as("best_match"),
         round(col("cos_sim"), 4).as("cos_sim"),
         (col("cos_sim") >= 0.95).as("is_dup"))
+  }
+
+  /** d06 contract floors, measured at the r9 tree: probe top-1 recall
+    * 0.49 / 0.45 / 0.215 and mean best-cosine ratio 0.93 / 0.91 / 0.88
+    * at sf0.001 / 0.01 / 0.1 (recall falls with corpus size as the
+    * adaptive geometry trades it for bucket occupancy; the RATIO is
+    * the scale-stable statistic — the detector's best match stays
+    * within ~12% of the exact best even when it is not the argmax). */
+  val EmbTop1RecallFloor = 0.10
+  val EmbCosRatioFloor = 0.70
+
+  /** d06 — hash-checked quality CONTRACT for the adaptive-geometry
+    * embedding near-dup detector: on the s10 probe sample, score
+    * [[embeddingBestMatch]] against the EXACT per-probe best neighbor
+    * ([[SimilarityOps.knnGraphExact]] at k = 1 — the audit-tier
+    * probe-sample kernel) on two axes: top-1 agreement ≥
+    * [[EmbTop1RecallFloor]] and mean achieved-cosine ratio ≥
+    * [[EmbCosRatioFloor]]. A probe with no LSH candidate contributes
+    * ratio 0 (coalesce), a probe whose exact best cosine is ≤ 0
+    * contributes 1 (vacuous — ratios of non-positive cosines are
+    * meaningless). The oracle recomputes the probe count in closed
+    * form and expects both booleans TRUE; a plane-count or bucketing
+    * regression flips them red in the driver gate. The raw per-vector
+    * report stays available as [[embeddingBestMatch]]. */
+  val embeddingDupQ: GraftQuery = GraftQuery(
+    "d06_dedup_embedding",
+    s"""WITH ev AS (SELECT vec_id FROM embeddings),
+      |q AS (SELECT count(*) AS n_probes FROM ev
+      |      WHERE vec_id % ${SimilarityOps.GraphSampleMod} = 0),
+      |n AS (SELECT count(*) AS n_corpus FROM ev)
+      |SELECT CAST(CASE WHEN n.n_corpus >= 2 THEN q.n_probes ELSE 0 END
+      |            AS BIGINT) AS n_probes,
+      |       CAST($EmbTop1RecallFloor AS DOUBLE) AS recall_floor,
+      |       CAST($EmbCosRatioFloor AS DOUBLE) AS ratio_floor,
+      |       TRUE AS recall_within_floor,
+      |       TRUE AS ratio_within_floor
+      |FROM q, n""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val mod = SimilarityOps.GraphSampleMod
+    val exact = SimilarityOps.knnGraphExact(emb, mod, 1)
+      .select(col("src_id").as("vec_id"), col("dst_id").as("exact_best"),
+        col("cos_sim").as("exact_cos"))
+    val approx = embeddingBestMatch(emb)
+      .filter(col("vec_id") % mod === 0)
+      .select(col("vec_id"), col("best_match"), col("cos_sim"))
+    exact.join(approx, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        coalesce(sum(when(col("best_match") === col("exact_best"), 1L)
+          .otherwise(0L)), lit(0L)).as("__top1"),
+        avg(when(col("exact_cos") > 0,
+          coalesce(col("cos_sim"), lit(0.0)) / col("exact_cos"))
+          .otherwise(lit(1.0))).as("__ratio"))
+      .select(col("n_probes"),
+        lit(EmbTop1RecallFloor).as("recall_floor"),
+        lit(EmbCosRatioFloor).as("ratio_floor"),
+        (col("n_probes") === 0 ||
+          col("__top1").cast("double") / col("n_probes") >= EmbTop1RecallFloor)
+          .as("recall_within_floor"),
+        (col("n_probes") === 0 || col("__ratio") >= EmbCosRatioFloor)
+          .as("ratio_within_floor"))
   }
 
   /** d11 — dedup-guard coverage report: the exact integer funnel a
@@ -881,10 +1063,89 @@ object DedupOps {
     * monotonicity (proposed ≥ distinct ≥ verified), equality of
     * `minhash_pairs_proposed` with the materialized candidate count,
     * and exact drop accounting on a planted boilerplate family. */
-  val coverageQ: GraftQuery = GraftQuery.noOracle("d11_dedup_coverage") { (spark, sf) =>
-    coverageReport(Tables.documents(spark, sf),
+  /** d11 — hash-checked conservation CONTRACT over the production
+    * (xxhash64) coverage funnel. The funnel's per-stage values are
+    * hash-family-internal, but three classes of invariant are exact
+    * closed-form integers an oracle CAN replay, so the gate row emits
+    * those instead of the raw stages:
+    *
+    *  - conservation: kept + dropped banded rows per family ≡ an
+    *    exact product — n_signed·bands (every signed doc emits
+    *    exactly [[Bands]] band rows), n_docs·blocks (13 pigeonhole
+    *    blocks per fingerprint), n_vecs·tables (4 sign-LSH tables) —
+    *    so a lost or double-counted banded row anywhere in the guard
+    *    accounting breaks an exact integer equality;
+    *  - the exact-verify line: candidate pairs at true J ≥ 0.6 — the
+    *    same count d05's oracle replays as all-pairs Jaccard (same
+    *    candidates ⊇ truth license, same corpus);
+    *  - monotonicity: proposed ≥ distinct ≥ verified, folded into a
+    *    boolean the oracle expects TRUE.
+    *
+    * The full 12-line (stage, n) report stays available as
+    * [[coverageReport]] with its DedupSpec funnel pins; d11p remains
+    * the fully-replayed portable twin. */
+  val coverageQ: GraftQuery = GraftQuery(
+    "d11_dedup_coverage",
+    s"""WITH d AS (SELECT count(*) FILTER (WHERE text IS NOT NULL) AS n_docs,
+      |             count(*) FILTER (WHERE len(string_split(text, ' ')) >= 3)
+      |               AS n_docs_signed
+      |           FROM documents),
+      |e AS (SELECT count(*) AS n_vecs FROM embeddings),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |pj AS (SELECT len(list_intersect(a.s, b.s)) AS inter,
+      |         len(a.s) AS la, len(b.s) AS lb
+      |       FROM ss a JOIN ss b ON a.doc_id < b.doc_id),
+      |v AS (SELECT coalesce(sum(CASE WHEN CAST(inter AS DOUBLE)
+      |               / (la + lb - inter) >= 0.6 THEN 1 ELSE 0 END), 0)
+      |        AS pairs_verified FROM pj)
+      |SELECT CAST(d.n_docs AS BIGINT) AS n_docs,
+      |       CAST(d.n_docs_signed AS BIGINT) AS n_docs_signed,
+      |       CAST(e.n_vecs AS BIGINT) AS n_vecs,
+      |       CAST(d.n_docs_signed * $Bands AS BIGINT) AS minhash_banded_rows,
+      |       CAST(d.n_docs * ${SimhashMaxHamming + 1} AS BIGINT)
+      |         AS simhash_banded_rows,
+      |       CAST(e.n_vecs * ${SimilarityOps.LshTables} AS BIGINT)
+      |         AS ann_banded_rows,
+      |       CAST(v.pairs_verified AS BIGINT) AS pairs_verified,
+      |       TRUE AS monotonic_ok
+      |FROM d, e, v""".stripMargin) { (spark, sf) =>
+    coverageContract(Tables.documents(spark, sf),
       Tables.embeddings(spark, sf)
         .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
+  /** The d11 contract relation: closed-form corpus counts (narrow
+    * scans), per-family banded-row sums from [[coverageReport]]'s
+    * guard lines (kept + dropped — the conservation side of the
+    * equality the oracle states as a product), the exact-verify pair
+    * count, and the funnel-monotonicity boolean. The three count
+    * aggregates are one-row frames broadcast into a cross join (the
+    * grand-total pattern, `Relational.scala`). */
+  def coverageContract(docs: DataFrame, emb: DataFrame): DataFrame = {
+    def stage(s: String): Column =
+      coalesce(max(when(col("stage") === s, col("n"))), lit(0L))
+    val fun = coverageReport(docs, emb).agg(
+      (stage("minhash_rows_kept") + stage("minhash_rows_dropped"))
+        .as("minhash_banded_rows"),
+      (stage("simhash_rows_kept") + stage("simhash_rows_dropped"))
+        .as("simhash_banded_rows"),
+      (stage("ann_rows_kept") + stage("ann_rows_dropped"))
+        .as("ann_banded_rows"),
+      stage("minhash_pairs_verified").as("pairs_verified"),
+      (stage("minhash_pairs_proposed") >= stage("minhash_pairs_distinct") &&
+        stage("minhash_pairs_distinct") >= stage("minhash_pairs_verified"))
+        .as("monotonic_ok"))
+    val dCounts = docs.agg(
+      count(when(col("text").isNotNull, 1)).as("n_docs"),
+      count(when(size(split(col("text"), " ")) >= 3, 1)).as("n_docs_signed"))
+    val vCount = emb.agg(count(lit(1)).as("n_vecs"))
+    fun.crossJoin(broadcast(dCounts)).crossJoin(broadcast(vCount))
+      .select(col("n_docs"), col("n_docs_signed"), col("n_vecs"),
+        col("minhash_banded_rows"), col("simhash_banded_rows"),
+        col("ann_banded_rows"), col("pairs_verified"), col("monotonic_ok"))
   }
 
   /** The funnel aggregation shared by d11 and d11p: hot buckets, rows
@@ -1591,7 +1852,11 @@ object DedupOps {
     * bucket exceeds the cap; DedupSpec asserts the guard metric is
     * zero on the harness corpus at both gate scales, which is what
     * licenses the simpler oracle. */
-  private def portableSimhashSql: String = {
+  /** The d15 oracle's CTE chain (md5 bit pool → majority fingerprint →
+    * all-pairs BIT Hamming), ending at `p(doc_a, doc_b, hamming)` —
+    * shared with the d04 recall contract so the two texts can never
+    * state a different portable fingerprint. */
+  private def portableSimhashCtes: String = {
     val nibs = (1 to 32)
       .map(j => s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) AS n$j")
       .mkString(",\n      |         ")
@@ -1602,7 +1867,7 @@ object DedupOps {
     }).mkString(",\n      |         ")
     val bitChars = (for { l <- 0 until SimhashLanes; w <- 0 until 64 } yield
       s"CASE WHEN s${l}_$w > 0 THEN '1' ELSE '0' END").mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |             FROM documents),
       |hx AS (SELECT doc_id, md5(token) AS h FROM tok),
       |nib AS (SELECT doc_id,
@@ -1614,10 +1879,13 @@ object DedupOps {
       |f AS (SELECT doc_id, CAST(concat($bitChars) AS BIT) AS fp FROM s),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |        CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-      |      FROM f a JOIN f b ON a.doc_id < b.doc_id)
+      |      FROM f a JOIN f b ON a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def portableSimhashSql: String =
+    s"""WITH $portableSimhashCtes
       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $SimhashMaxHamming"""
       .stripMargin
-  }
 
   /** Portable SimHash near-dup pairs: d04's contract (Hamming ≤ 12
     * over 128 bits, same [[simhashPairsMulti]] pigeonhole blocking,

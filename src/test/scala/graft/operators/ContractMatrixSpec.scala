@@ -224,5 +224,57 @@ class ContractMatrixSpec extends SparkSpec {
           r.getAs[Long]("n_probes") * r.getAs[Long]("k"))
       }
     }
+
+    test(s"d03/d04/d06 dedup contract rows clear their floors and are non-vacuous at $tag") {
+      // r9: the dedup no_oracle rows became recall/quality contracts
+      // (the s02/s04 device). The matrix keeps each boolean green at
+      // every sf AND pins non-vacuity — a truth set that silently
+      // became empty would make the boolean trivially true, so the
+      // harness corpora must keep planting enough near-dups for
+      // n_true > 0 (and probes for n_probes > 0) at every size.
+      val d03 = DedupOps.minhashQ.run(spark, dir).collect().head
+      assert(d03.getAs[Boolean]("within_floor"), s"$tag d03: $d03")
+      assert(d03.getAs[Long]("n_true") > 0, s"$tag d03 truth set vacuous")
+      val d04 = DedupOps.simhashQ.run(spark, dir).collect().head
+      assert(d04.getAs[Boolean]("within_floor"), s"$tag d04: $d04")
+      assert(d04.getAs[Long]("n_true") > 0, s"$tag d04 truth set vacuous")
+      val d06 = DedupOps.embeddingDupQ.run(spark, dir).collect().head
+      assert(d06.getAs[Boolean]("recall_within_floor"), s"$tag d06: $d06")
+      assert(d06.getAs[Boolean]("ratio_within_floor"), s"$tag d06: $d06")
+      assert(d06.getAs[Long]("n_probes") > 0, s"$tag d06 probe set vacuous")
+    }
+
+    test(s"d11 coverage contract: closed-form conservation holds in-engine at $tag") {
+      // the same equalities the oracle states as products, asserted
+      // engine-side so a guard-accounting bug is caught by ScalaTest
+      // even before the driver gate runs
+      val r = DedupOps.coverageQ.run(spark, dir).collect().head
+      assert(r.getAs[Long]("minhash_banded_rows") ===
+        r.getAs[Long]("n_docs_signed") * DedupOps.Bands)
+      assert(r.getAs[Long]("simhash_banded_rows") ===
+        r.getAs[Long]("n_docs") * (DedupOps.SimhashMaxHamming + 1))
+      assert(r.getAs[Long]("ann_banded_rows") ===
+        r.getAs[Long]("n_vecs") * SimilarityOps.LshTables)
+      assert(r.getAs[Boolean]("monotonic_ok"))
+      assert(r.getAs[Long]("pairs_verified") > 0, s"$tag d11 verify line vacuous")
+    }
+  }
+
+  test("pairRecallContract flips red when the caught side loses the truth pairs") {
+    // the contract boolean must be falsifiable: scoring an EMPTY
+    // caught relation against a non-empty truth set goes false, and
+    // scoring the truth against itself is true at any floor
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val broken = DedupOps.pairRecallContract(truth, none, 0.9).collect().head
+    assert(!broken.getAs[Boolean]("within_floor"))
+    assert(broken.getAs[Long]("n_true") === 2L)
+    val perfect = DedupOps.pairRecallContract(truth, truth, 1.0).collect().head
+    assert(perfect.getAs[Boolean]("within_floor"))
+    // vacuous truth: empty truth set is within any floor (and the
+    // oracle's n_true = 0 matches)
+    val vac = DedupOps.pairRecallContract(none, truth, 1.0).collect().head
+    assert(vac.getAs[Boolean]("within_floor") && vac.getAs[Long]("n_true") === 0L)
   }
 }

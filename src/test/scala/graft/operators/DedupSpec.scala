@@ -274,7 +274,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("planted near-dups in the harness corpus are found end-to-end") {
-    val found = DedupOps.minhashQ.run(spark, sf001)
+    val found = DedupOps.minhashDupPairs(graft.Tables.documents(spark, sf001))
     assert(found.count() > 0, "sf0.001 documents contain planted near-dups")
     // every reported pair estimates high jaccard
     assert(found.filter(col("est_jaccard") < 0.5).count() === 0)
