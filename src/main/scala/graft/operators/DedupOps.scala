@@ -2256,6 +2256,90 @@ object DedupOps {
       .withColumn("embedding_agrees", col("cos_sim") >= EmbAgreeTau)
   }
 
+  /** Containment verify threshold (d22): inter/min(|A|,|B|) ≥ 0.9 —
+    * the asymmetric overlap that catches excerpt/quote duplication
+    * (doc B ⊂ doc A), which symmetric Jaccard structurally misses:
+    * a 10-shingle excerpt inside a 100-shingle article has
+    * containment 1.0 but Jaccard 0.1, far below any near-dup bar. */
+  val ContainmentBar = 0.9
+
+  /** d22 — containment (excerpt) dedup: pairs whose smaller shingle
+    * set is ≥ [[ContainmentBar]] contained in the larger, labeled
+    * `excerpt` when symmetric Jaccard is below d05's 0.6 near-dup bar
+    * (a true subset relation, the quote/boilerplate-reuse case) and
+    * `near_dup` otherwise. MinHash banding cannot propose these —
+    * banding recall tracks JACCARD, which containment decouples from —
+    * so candidates come from a SAMPLED-SHINGLE inverted index: a
+    * shingle is an index key iff its md5 leads with nibble < 8 (an
+    * exact 1/2 universe sample — portable, so the ORACLE REPLAYS the
+    * sampling, the capped buckets, and the verify verbatim; no recall
+    * license needed), pairs expand within capped buckets
+    * ([[bucketPairs]] — one shuffle, drop metric, never a cross
+    * product), and the exact set compare runs only on candidates.
+    *
+    * Miss probability for a true pair is (1/2)^(shared shingles) —
+    * IDENTICAL in both engines (deterministic md5 sampling), so even
+    * a missed pair cannot diverge the row. 100 TB shape: sampling
+    * halves the index; the cap bounds boilerplate keys; the verify
+    * joins ride doc_id hash joins. Production systems sample rarer
+    * (1/8, 1/16) as density grows — the rate is one literal in both
+    * texts. */
+  def containmentPairs(docs: DataFrame,
+      threshold: Double = ContainmentBar): DataFrame = {
+    val sampled = shingles(docs)
+      .filter(substring(md5(col("shingle")), 1, 1) < "8")
+    val cand = bucketPairs(sampled, keyCols = Seq("shingle"),
+      memberCols = Seq("doc_id"), MaxBandBucket,
+      metric = "containment_shingle_guard")
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = shingles(docs).groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val containment = inter / least(size(col("sh_a")), size(col("sh_b")))
+    val jac = inter / size(array_union(col("sh_a"), col("sh_b")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("containment", containment)
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"),
+        when(jac < 0.6, "excerpt").otherwise("near_dup").as("kind"))
+  }
+
+  val containmentQ: GraftQuery = GraftQuery(
+    "d22_containment_dedup",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+      |       FROM toks WHERE len(t) >= 3),
+      |samp AS (SELECT doc_id, shingle FROM sh
+      |         WHERE substr(md5(shingle), 1, 1) < '8'),
+      |bs AS (SELECT shingle, count(*) AS bn FROM samp GROUP BY shingle),
+      |ok AS (SELECT shingle FROM bs WHERE bn <= $MaxBandBucket),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM samp a JOIN ok USING (shingle)
+      |         JOIN samp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |p AS (SELECT doc_a, doc_b,
+      |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+      |        len(a.s) AS la, len(b.s) AS lb
+      |      FROM cand JOIN ss a ON a.doc_id = cand.doc_a
+      |                JOIN ss b ON b.doc_id = cand.doc_b)
+      |SELECT doc_a, doc_b,
+      |       inter / least(la, lb) AS containment,
+      |       CASE WHEN inter / (la + lb - inter) < 0.6
+      |            THEN 'excerpt' ELSE 'near_dup' END AS kind
+      |FROM p
+      |WHERE inter / least(la, lb) >= $ContainmentBar""".stripMargin) {
+    (spark, sf) =>
+      containmentPairs(Tables.documents(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
@@ -2263,5 +2347,5 @@ object DedupOps {
     segmentDedupQ, portableMinhashQ,
     portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
     minhashCalibrationQ, sourceOverlapQ, thresholdCurveQ,
-    incrementalEmbeddingQ, textEmbeddingConsistencyQ)
+    incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ)
 }

@@ -849,7 +849,88 @@ object VectorOps {
         col("max_dist"))
   }
 
+  /** v12 — 1-bit (sign) quantization recall: pack each vector's sign
+    * pattern into ONE 64-bit word (bit i ⟺ v[i] > 0 — 256× smaller
+    * than float32 at dim 64), rank the corpus per query by Hamming
+    * distance on the packed words, and score recall@[[RecallK]]
+    * against the full-precision cosine ranking — the acceptance check
+    * for the cheapest retrieval tier there is (a binary index is what
+    * a 100 TB store scans FIRST; rerank tiers like v07/s06 sit above
+    * it). Everything is exact: packing is a strict sign test, Hamming
+    * is bit_count over XOR (integers), ranks tie on vec_id, hits are
+    * longs and recall one IEEE division — fully hash-checked, no
+    * floors needed.
+    *
+    * Shape: the v05/v07 kernel — queries broadcast, ONE corpus scan,
+    * both rank windows share the one per-query exchange; the scan
+    * side of a production binary index carries 8 bytes/vector. The
+    * oracle states the same fingerprint as a 64-char bitstring
+    * (Hamming is invariant under the position relabeling — the d15
+    * BIT device). */
+  def binaryRecall(emb: DataFrame, k: Int = RecallK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = graft.functions.VectorFunctions.Dim
+    val packed = (0 until dim).map(i =>
+      when(element_at(col("v"), i + 1) > 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+    val base = emb
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bq", packed)
+    val queries = broadcast(
+      base.filter(col("vec_id") < SimilarityOps.QueryVecs)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("bq").as("qbq")))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    val wBin = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    base.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_full",
+        when(col("qnrm") === 0 || col("nrm") === 0, lit(0.0))
+          .otherwise(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+      .withColumn("hamming", bit_count(col("qbq").bitwiseXOR(col("bq"))))
+      .withColumn("rank_full", row_number().over(wFull))
+      .withColumn("rank_bin", row_number().over(wBin))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rank_full") <= k && col("rank_bin") <= k, 1L)
+        .otherwise(0L)).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
+  }
+
+  val binaryRecallQ: GraftQuery = {
+    val dim = graft.functions.VectorFunctions.Dim
+    val bitChars = (1 to dim)
+      .map(i => s"CASE WHEN v[$i] > 0 THEN '1' ELSE '0' END").mkString(", ")
+    GraftQuery(
+      "v12_binary_recall",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |        CAST(concat($bitChars) AS BIT) AS bq
+         |      FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bq AS qbq
+         |      FROM n WHERE vec_id < ${SimilarityOps.QueryVecs}),
+         |s AS (SELECT q.query_id, n.vec_id,
+         |        row_number() OVER (PARTITION BY q.query_id
+         |          ORDER BY CASE WHEN q.qnrm = 0 OR n.nrm = 0 THEN 0.0
+         |                        ELSE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm)
+         |                   END DESC,
+         |                   n.vec_id) AS rank_full,
+         |        row_number() OVER (PARTITION BY q.query_id
+         |          ORDER BY bit_count(xor(q.qbq, n.bq)), n.vec_id) AS rank_bin
+         |      FROM q JOIN n ON n.vec_id <> q.query_id)
+         |SELECT query_id,
+         |       CAST(sum(CASE WHEN rank_full <= $RecallK AND rank_bin <= $RecallK
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       CAST(sum(CASE WHEN rank_full <= $RecallK AND rank_bin <= $RecallK
+         |                     THEN 1 ELSE 0 END) AS DOUBLE) / $RecallK AS recall
+         |FROM s GROUP BY query_id""".stripMargin) { (spark, sf) =>
+      binaryRecall(Tables.embeddings(spark, sf)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
     truncRecallQ, centroidDriftQ, quantRecallQ, matryoshkaRecallQ, dimStatsQ,
-    centroidSeparationQ, pqDistortionQ)
+    centroidSeparationQ, pqDistortionQ, binaryRecallQ)
 }

@@ -273,6 +273,53 @@ class DedupSpec extends SparkSpec {
     assert(got.head.getDouble(0) === expected)
   }
 
+  test("d22 containment: a planted excerpt is found and labeled, unrelated docs are not") {
+    import spark.implicits._
+    // article = 60 distinct-ish tokens; excerpt = a contiguous 15-token
+    // slice → containment 1.0 but Jaccard ≈ 13/58 << 0.6 ('excerpt');
+    // a near-dup of the article (1 token changed) must label 'near_dup'
+    val articleToks = (1 to 60).map(i => s"w${i}x")
+    val article = articleToks.mkString(" ")
+    val excerpt = articleToks.slice(20, 35).mkString(" ")
+    val nearDup = articleToks.updated(7, "CHANGED").mkString(" ")
+    val other = (1 to 60).map(i => s"q${i * 3}z").mkString(" ")
+    val docs = Seq(
+      (10L, article), (11L, excerpt), (12L, nearDup), (13L, other)
+    ).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(3))).toMap
+    assert(got.get((10L, 11L)).contains("excerpt"),
+      s"excerpt pair must surface as 'excerpt': $got")
+    assert(got.get((10L, 12L)).contains("near_dup"),
+      s"near-dup pair must surface as 'near_dup': $got")
+    assert(!got.keySet.exists { case (a, b) => a == 13L || b == 13L },
+      s"unrelated doc must not pair: $got")
+    // the excerpt's containment is exactly 1.0 (every shingle shared)
+    val cont = DedupOps.containmentPairs(docs)
+      .filter(col("doc_a") === 10L && col("doc_b") === 11L)
+      .select("containment").collect().head.getDouble(0)
+    assert(cont === 1.0)
+  }
+
+  test("v12 binary recall: sign-identical vectors rank first; hits bounded by k") {
+    import spark.implicits._
+    // query 0 and vector 9 share the exact sign pattern (scaled copy)
+    // → Hamming 0 → rank_bin 1; full-precision also ranks 9 first
+    // (cosine 1.0) → a guaranteed hit at any k
+    val dim = graft.functions.VectorFunctions.Dim
+    val v0 = Array.tabulate(dim)(i => if (i % 3 == 0) 1.0 else -0.5)
+    val v9 = v0.map(_ * 2.0)
+    val noise = (1L to 8L).map(id =>
+      (id, Array.tabulate(dim)(i => math.sin(id * 31.0 + i * 7.0))))
+    val emb = ((0L, v0) +: noise :+ (9L, v9)).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val r = VectorOps.binaryRecall(emb, k = 3)
+      .filter(col("query_id") === 0L).collect().head
+    assert(r.getAs[Long]("hits") >= 1L && r.getAs[Long]("hits") <= 3L)
+    assert(r.getAs[Double]("recall") === r.getAs[Long]("hits").toDouble / 3)
+  }
+
   test("planted near-dups in the harness corpus are found end-to-end") {
     val found = DedupOps.minhashDupPairs(graft.Tables.documents(spark, sf001))
     assert(found.count() > 0, "sf0.001 documents contain planted near-dups")
