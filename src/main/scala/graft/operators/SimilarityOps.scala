@@ -537,6 +537,153 @@ object SimilarityOps {
     }
   }
 
+  // ------------------------------------------------------------ IVF+PQ
+
+  /** s15 — the IVF+PQ COMPOSITE (Jégou et al.'s IVFADC, TPAMI'11):
+    * the index shape a 100 TB embedding store actually serves from.
+    * IVF coarse cells bound WHICH vectors a query touches
+    * (probes·n/cells candidates instead of n — s03's routing); PQ
+    * codes bound the BYTES per touched vector (blocks table lookups
+    * on a blocks·log2(codes)-bit code instead of a dim-float dot —
+    * s06's scoring). Neither alone survives: flat-PQ still scans
+    * every code, flat-IVF still reads full vectors inside each cell.
+    *
+    * Relational shape: the (queries·blocks·codes)-row ADC distance
+    * table broadcasts; candidates come from the cell equi-join
+    * (query probes × indexed cells — never a corpus cross join); the
+    * scan side is the CODES relation. The ADC sum is the s06
+    * fixed-block-order IEEE chain, so the float result is
+    * order-independent and both engines state it identically.
+    *
+    * First-k centroids + first-k sub-codebooks keep every stage
+    * oracle-replayable (the s03/s06 device). Production note: classic
+    * IVFADC encodes RESIDUALS (v − centroid) for a tighter codebook;
+    * direct coding here keeps the stages independent and the oracle
+    * text finite — the residual variant is one subtraction with the
+    * same plan shape (and the same [[kmeansCentroids]] upgrade path
+    * s04 exercises for the coarse tier). */
+  def knnIvfPq(emb: DataFrame, k: Int = K, probes: Int = 4,
+      blocks: Int = VectorOps.PqBlocks, codes: Int = VectorOps.PqCodes,
+      dim: Int = Dim): DataFrame = {
+    val spark = emb.sparkSession
+    val cb = centroids(emb, cellsForCorpus(emb.count()))
+    val cbId = graft.functions.CodebookRegistry.register(
+      spark.sparkContext.broadcast(cb))
+    val (indexed, qProbes) = try {
+      (emb.withColumn("cell",
+        element_at(call_function("graft_cell_probes", col("v"), lit(cbId), lit(1)), 1))
+        .select(col("vec_id"), col("cell")),
+       emb.filter(col("vec_id") < QueryVecs)
+        .select(col("vec_id").as("query_id"),
+          explode(call_function("graft_cell_probes", col("v"), lit(cbId), lit(probes)))
+            .as("cell")))
+    } finally graft.functions.CodebookRegistry.unregister(cbId)
+    val pqCb = VectorOps.pqCodebook(emb, blocks, codes, dim)
+    val codeRel = VectorOps.pqAssign(emb, blocks, codes, dim, codebook = Some(pqCb))
+      .select(col("vec_id"), col("b"), col("code"))
+    val qBlocks = VectorOps.pqBlockStream(
+      emb.filter(col("vec_id") < QueryVecs), blocks, dim)
+      .select(col("vec_id").as("query_id"), col("b"), col("bv").as("qv"))
+    val dtable = qBlocks
+      .join(pqCb, "b")
+      .select(col("query_id"), col("b"), col("code"),
+        (dot(col("qv"), col("qv")) - lit(2) * dot(col("qv"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("dd"))
+    val perBlock = (0 until blocks).map(b =>
+      sum(when(col("b") === b, col("dd"))).as(s"d$b"))
+    val adc = (0 until blocks).map(b => col(s"d$b")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    qProbes.join(indexed, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .join(codeRel, Seq("vec_id"))
+      .join(broadcast(dtable), Seq("query_id", "b", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(perBlock.head, perBlock.tail: _*)
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc"))
+  }
+
+  val knnIvfPqQ: GraftQuery = {
+    val sub = Dim / VectorOps.PqBlocks
+    val adcTerms = (0 until VectorOps.PqBlocks)
+      .map(b => s"sum(CASE WHEN dt.b = $b THEN dd END)").mkString(" + ")
+    GraftQuery(
+      "s15_knn_ivfpq",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |ccb AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cell,
+         |         list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS c
+         |  FROM (SELECT vec_id, v, nrm,
+         |          row_number() OVER (ORDER BY vec_id) AS rn,
+         |          count(*) OVER () AS total
+         |        FROM n) t
+         |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(total)) AS BIGINT)))),
+         |cscores AS (
+         |  SELECT n.vec_id, ccb.cell, list_dot_product(n.v, ccb.c) AS score
+         |  FROM n CROSS JOIN ccb),
+         |cassign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY score DESC, cell DESC) AS r
+         |    FROM cscores) t WHERE r = 1),
+         |cprobes AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY score DESC, cell DESC) AS r
+         |    FROM cscores WHERE vec_id < $QueryVecs) t WHERE r <= 4),
+         |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+         |        FROM e ORDER BY vec_id LIMIT ${VectorOps.PqCodes}),
+         |bs AS (SELECT unnest(range(0, ${VectorOps.PqBlocks})) AS b),
+         |cb AS (SELECT bs.b AS b, cb0.code AS code,
+         |         list_slice(cb0.v, bs.b * $sub + 1, bs.b * $sub + $sub) AS cv
+         |       FROM cb0 CROSS JOIN bs),
+         |bl AS (SELECT e.vec_id, bs.b AS b,
+         |         list_slice(e.v, bs.b * $sub + 1, bs.b * $sub + $sub) AS bv
+         |       FROM e CROSS JOIN bs),
+         |d AS (SELECT bl.vec_id, bl.b, cb.code,
+         |        list_dot_product(bl.bv, bl.bv)
+         |          - 2 * list_dot_product(bl.bv, cb.cv)
+         |          + list_dot_product(cb.cv, cb.cv) AS bdist
+         |      FROM bl JOIN cb USING (b)),
+         |codes AS (SELECT vec_id, b, code FROM (
+         |    SELECT vec_id, b, code,
+         |           row_number() OVER (PARTITION BY vec_id, b
+         |                              ORDER BY bdist, code) AS rn
+         |    FROM d) t WHERE rn = 1),
+         |qb AS (SELECT vec_id AS query_id, b, bv AS qv FROM bl WHERE vec_id < $QueryVecs),
+         |dt AS (SELECT qb.query_id, qb.b, cb.code,
+         |         list_dot_product(qb.qv, qb.qv)
+         |           - 2 * list_dot_product(qb.qv, cb.cv)
+         |           + list_dot_product(cb.cv, cb.cv) AS dd
+         |       FROM qb JOIN cb USING (b)),
+         |cand AS (SELECT p.query_id, a.vec_id
+         |         FROM cprobes p
+         |         JOIN cassign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+         |a2 AS (SELECT c.query_id, cd.vec_id, ($adcTerms) AS adc
+         |       FROM cand c
+         |       JOIN codes cd ON cd.vec_id = c.vec_id
+         |       JOIN dt ON dt.query_id = c.query_id
+         |              AND dt.b = cd.b AND dt.code = cd.code
+         |       GROUP BY c.query_id, cd.vec_id),
+         |rk AS (SELECT query_id, vec_id AS neighbor_id, adc,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc, vec_id) AS rank
+         |       FROM a2)
+         |SELECT query_id, neighbor_id, rank, adc
+         |FROM rk WHERE rank <= $K""".stripMargin) { (spark, sf) =>
+      knnIvfPq(Tables.embeddings(spark, sf)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")), K)
+    }
+  }
+
   /** Cosine threshold for the range-search query (s07). Sits just
     * above the corpus's 99th-percentile pair similarity, so each query
     * returns a handful of genuine near neighbors rather than the top-k
@@ -1185,5 +1332,5 @@ object SimilarityOps {
 
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
-    knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ)
+    knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ)
 }

@@ -161,6 +161,53 @@ class SimilaritySpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("s15 IVFPQ: equals flat PQ when every cell is probed; ADC exact for codebook members") {
+    import spark.implicits._
+    // 16 vectors = the full first-16 codebook (the s06 device) AND
+    // cells = ceil(sqrt(16)) = 4 <= probes → the cell routing prunes
+    // NOTHING, so the composite must equal flat PQ row-for-row: same
+    // neighbors, same ranks, identical ADC doubles (both sides run
+    // the same fixed-block-order IEEE chain)
+    val pts = (0 until 16).map(i =>
+      (i.toLong, Seq(math.sin(i * 2.3) * 5, math.cos(i * 1.7) * 5)))
+    val emb16 = pts.toDF("vec_id", "v")
+    def keyed(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val flat = keyed(SimilarityOps.knnPq(emb16, k = 3, blocks = 1, codes = 16, dim = 2))
+    val ivfpq = keyed(SimilarityOps.knnIvfPq(emb16, k = 3, probes = 4,
+      blocks = 1, codes = 16, dim = 2))
+    assert(ivfpq === flat,
+      "probing all cells must reduce IVFPQ to flat PQ exactly")
+  }
+
+  test("s15 IVFPQ on the harness corpus: neighbors come only from probed cells") {
+    // independently re-derive the coarse routing on the driver (the
+    // corpus is audit-sized) and check EVERY emitted neighbor sits in
+    // one of its query's probed cells — the invariant that makes the
+    // candidate bound probes·n/cells real, and the one a broken
+    // cell join would silently violate
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val k = SimilarityOps.cellsForCorpus(vecs.size.toLong)
+    val cb = vecs.toSeq.sortBy(_._1).take(k).map(_._2).map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / (if (n == 0.0) 1.0 else n))
+    }
+    def scores(v: Array[Double]): Seq[(Double, Int)] =
+      cb.zipWithIndex.map { case (c, i) => (v.zip(c).map { case (a, b) => a * b }.sum, i) }
+    // ties: higher cell id first — the engine's struct-max semantics
+    def topCells(v: Array[Double], p: Int): Set[Int] =
+      scores(v).sortBy { case (s, i) => (-s, -i) }.take(p).map(_._2).toSet
+    val assignOf = vecs.map { case (id, v) => id -> topCells(v, 1).head }
+    val out = SimilarityOps.knnIvfPq(emb, k = 5, probes = 4).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getLong(0); val n = r.getLong(1)
+      assert(q != n, "self never ranks")
+      assert(topCells(vecs(q), 4).contains(assignOf(n)),
+        s"neighbor $n (cell ${assignOf(n)}) outside query $q's probed cells")
+    }
+  }
+
   test("s07 range search equals an independent HOF-cosine threshold scan") {
     // independent formulation: interpreted zip_with+aggregate fold
     // (same left-to-right sum, different evaluation path than the
