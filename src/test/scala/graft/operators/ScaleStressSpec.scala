@@ -411,4 +411,79 @@ class ScaleStressSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum === out.last.getLong(5),
       "new-token counts partition the vocabulary")
   }
+
+  test("d22 containment at 10x: hot sampled-shingle buckets capped; a planted excerpt still surfaces") {
+    import spark.implicits._
+    val (d1, d2) = (stressDocs(N1).filter(col("text").isNotNull).select("doc_id", "text"),
+      stressDocs(N2).filter(col("text").isNotNull).select("doc_id", "text"))
+    def sampledBuckets(docs: DataFrame): DataFrame =
+      DedupOps.shingles(docs)
+        .filter(substring(md5(col("shingle")), 1, 1) < "8")
+        .groupBy(col("shingle")).agg(count(lit(1)).as("bn"))
+    def guard(docs: DataFrame): (Long, Long) = {
+      val r = sampledBuckets(docs).agg(
+        coalesce(sum(when(col("bn") > DedupOps.MaxBandBucket, col("bn"))
+          .otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("bn") <= DedupOps.MaxBandBucket, col("bn"))
+          .otherwise(0L)), lit(0L))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    // N1: the 100-member template family sits under the 256 cap — its
+    // shared shingles index, and the family's containment pairs surface
+    val (drop1, kept1) = guard(d1)
+    assert(drop1 === 0L, "no bucket over cap at N1")
+    val p1 = DedupOps.containmentPairs(d1).count()
+    assert(p1 > 0L, "sub-cap template family must surface containment pairs")
+    // N2: the 1000-member family blows the cap on every shared sampled
+    // shingle — dropped and accounted, so pair volume stays under the
+    // kept·cap/2 envelope instead of going quadratic in family size
+    // (identical-boilerplate collapse is d01's job upstream, as d03)
+    val (drop2, kept2) = guard(d2)
+    assert(drop2 > 0L, "template family must engage the cap at N2")
+    val p2 = DedupOps.containmentPairs(d2).count()
+    assert(p2 <= kept2 * DedupOps.MaxBandBucket / 2,
+      "containment candidates escaped the O(n·bucket) envelope")
+    info(f"SCALE | d22_kept_rows               | n1=$kept1%10d | n2=$kept2%10d | exponent=${math.log(kept2.toDouble / kept1) / math.log(N2.toDouble / N1)}%6.2f")
+    // a planted excerpt OUTSIDE the hot family survives at N2: its
+    // unique shingles index normally, the hot family's drops don't
+    // take innocent pairs with them
+    val art = (0 until 60).map(i => s"uniq${i}tok").mkString(" ")
+    val exc = (0 until 60).map(i => s"uniq${i}tok").slice(20, 35).mkString(" ")
+    val extra = Seq((900001L, art), (900002L, exc)).toDF("doc_id", "text")
+    val withExcerpt = DedupOps.containmentPairs(d2.union(extra))
+      .filter(col("doc_a") === 900001L && col("doc_b") === 900002L)
+      .collect()
+    assert(withExcerpt.length === 1 && withExcerpt.head.getString(3) === "excerpt",
+      "planted excerpt must survive the hot-family drops")
+  }
+
+  test("s15 IVFPQ at 10x: cell routing prunes the corpus; top-k complete at both sizes") {
+    import graft.functions.CodebookRegistry
+    Seq(N1, N2).foreach { n =>
+      val e = stressEmb(n, withHotCluster = false)
+      assert(SimilarityOps.knnIvfPq(e, k = 3).count() === 8L * 3,
+        s"complete top-3 for all 8 queries at n=$n")
+    }
+    // the candidate bound that makes IVFPQ an index: probed candidates
+    // per query are a vanishing corpus fraction (probes·cells-worth of
+    // rows, cells ~ sqrt n), independently re-derived via the same
+    // codebook plumbing the operator uses
+    val e2 = stressEmb(N2, withHotCluster = false)
+    val cb = SimilarityOps.centroids(e2, SimilarityOps.cellsForCorpus(N2.toLong))
+    val cbId = CodebookRegistry.register(spark.sparkContext.broadcast(cb))
+    val cand = try {
+      val assign = e2.withColumn("cell",
+        element_at(call_function("graft_cell_probes", col("v"), lit(cbId), lit(1)), 1))
+        .select(col("vec_id"), col("cell"))
+      val probes = e2.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          explode(call_function("graft_cell_probes", col("v"), lit(cbId), lit(4)))
+            .as("cell"))
+      probes.join(assign, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id")).count()
+    } finally CodebookRegistry.unregister(cbId)
+    assert(cand < 8L * N2 / 2,
+      s"cell routing must prune (candidates=$cand vs brute=${8L * N2})")
+    info(f"SCALE | s15_probe_candidates         | n2=$cand%10d | corpus_fraction=${cand.toDouble / (8L * N2)}%6.3f")
+  }
 }
