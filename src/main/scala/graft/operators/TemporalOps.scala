@@ -1649,11 +1649,85 @@ object TemporalOps {
     burstiness(Tables.events(spark, sf))
   }
 
+  /** q52 — seasonal-naive forecast backtest: per event type, the MAE
+    * of the two baselines every real forecast must beat before it
+    * ships — seasonal naive (predict day d with day d−7, the weekly
+    * rhythm q42 measures) and persistence (predict with d−1). A model
+    * whose error does not undercut BOTH numbers is worse than no
+    * model; which baseline wins also tells you whether the series is
+    * rhythm-dominated (seasonal wins) or level-dominated (persistence
+    * wins).
+    *
+    * Contract: error is measured over OBSERVED day pairs only — a day
+    * absent from the counts table contributes neither as target nor
+    * as predictor (a zero-fill variant would materialize the calendar
+    * grid; on sparse types that choice is a different statistic, so
+    * it is left to the caller). Every |error| is an exact integer,
+    * the MAE one IEEE division, NULL when a type has no lagged pair
+    * (decide-before-divide).
+    *
+    * Scale shape: one map-side-combinable daily count, then two
+    * date-key self-joins and one aggregation over the POST-AGGREGATE
+    * (type, day) table — kilobytes at 100 TB (q39's argument). */
+  def seasonalBacktest(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("__d"))
+      .agg(count(lit(1)).as("n"))
+    def pred(lag: Int, name: String) = daily.select(col("event_type"),
+      date_add(col("__d"), lag).as("__d"), col("n").as(name))
+    daily
+      .join(pred(7, "__p7"), Seq("event_type", "__d"), "left")
+      .join(pred(1, "__p1"), Seq("event_type", "__d"), "left")
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("__p7")).as("n_days_seasonal"),
+        coalesce(sum(when(col("__p7").isNotNull, abs(col("n") - col("__p7")))),
+          lit(0L)).as("__ae7"),
+        count(col("__p1")).as("n_days_persistence"),
+        coalesce(sum(when(col("__p1").isNotNull, abs(col("n") - col("__p1")))),
+          lit(0L)).as("__ae1"))
+      .select(col("event_type"),
+        col("n_days_seasonal"),
+        when(col("n_days_seasonal") > 0,
+          col("__ae7").cast("double") / col("n_days_seasonal")).as("mae_seasonal"),
+        col("n_days_persistence"),
+        when(col("n_days_persistence") > 0,
+          col("__ae1").cast("double") / col("n_days_persistence"))
+          .as("mae_persistence"))
+  }
+
+  val seasonalBacktestQ: GraftQuery = GraftQuery(
+    "q52_seasonal_backtest",
+    """WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |             count(*) AS n
+      |           FROM events GROUP BY event_type, day),
+      |j AS (SELECT d.event_type, d.n, p7.n AS p7, p1.n AS p1
+      |      FROM d
+      |      LEFT JOIN d p7 ON p7.event_type = d.event_type
+      |                    AND p7.day + 7 = d.day
+      |      LEFT JOIN d p1 ON p1.event_type = d.event_type
+      |                    AND p1.day + 1 = d.day)
+      |SELECT event_type,
+      |       CAST(count(p7) AS BIGINT) AS n_days_seasonal,
+      |       CASE WHEN count(p7) > 0
+      |            THEN CAST(coalesce(sum(CASE WHEN p7 IS NOT NULL
+      |                   THEN abs(n - p7) END), 0) AS DOUBLE) / count(p7)
+      |       END AS mae_seasonal,
+      |       CAST(count(p1) AS BIGINT) AS n_days_persistence,
+      |       CASE WHEN count(p1) > 0
+      |            THEN CAST(coalesce(sum(CASE WHEN p1 IS NOT NULL
+      |                   THEN abs(n - p1) END), 0) AS DOUBLE) / count(p1)
+      |       END AS mae_persistence
+      |FROM j GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    seasonalBacktest(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
       ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
       cooccurrenceQ, changePointQ, dailyTopUsersQ, attributionQ, autocorrQ,
       cohortRetentionQ, conversionLatencyQ, asOfForwardQ, interEventGapsQ,
-      dailyNewReturningQ, burstinessQ)
+      dailyNewReturningQ, burstinessQ, seasonalBacktestQ)
 }

@@ -802,8 +802,97 @@ object TextOps {
     langConfusion(Tables.documents(spark, sf))
   }
 
+  /** t27 — per-source Zipf slope: least-squares slope of ln(freq) on
+    * ln(rank) over each source's full token rank-frequency table —
+    * the one-number language-likeness diagnostic (natural text sits
+    * near −1, Zipf 1949; templated/boilerplate sources flatten toward
+    * 0, and token-soup noise steepens). Read next to t20's vocab
+    * sizes and t25's growth curve when deciding per-source mixture
+    * weights.
+    *
+    * Float discipline: ranks and counts are exact integers; the four
+    * regression terms (x, y, x·y, x²; x = ln rank, y = ln count) snap
+    * on the 2^-30 grid (t13's device — order-independent sums), the
+    * centered co-moments n·Σxy·S − Σx·Σy accumulate in DECIMAL(38,0)
+    * (q32's device — the cross products overflow a Long at realistic
+    * vocab sizes; 38 digits supports ~10^7 ranks/source at S = 2^30),
+    * and the slope is ONE IEEE division of two exact integers. The
+    * terminal round(,4) absorbs only libm ln ulp drift (t13's
+    * argument). Shape: one token aggregation (map-side combined), a
+    * per-source rank window over the POST-AGGREGATE vocab table
+    * (distinct tokens, not token instances), one final per-source
+    * aggregation — O(1) driver state, no corpus-scale window. */
+  val zipfSlopeQ: GraftQuery = {
+    val s = graft.functions.VectorFunctions.DistScale.toLong // 2^30
+    GraftQuery(
+      "t27_zipf_slope",
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token),
+        |r AS (SELECT source, c,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY c DESC, token) AS rank
+        |      FROM f),
+        |t AS (SELECT source,
+        |        CAST(floor(ln(CAST(rank AS DOUBLE)) * $s + 0.5) AS BIGINT) AS sx,
+        |        CAST(floor(ln(CAST(c AS DOUBLE)) * $s + 0.5) AS BIGINT) AS sy,
+        |        CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE)) * $s + 0.5)
+        |          AS BIGINT) AS sxy,
+        |        CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) * $s + 0.5)
+        |          AS BIGINT) AS sxx
+        |      FROM r),
+        |g AS (SELECT source, count(*) AS n,
+        |        CAST(sum(CAST(sx AS HUGEINT)) AS HUGEINT) AS ssx,
+        |        CAST(sum(CAST(sy AS HUGEINT)) AS HUGEINT) AS ssy,
+        |        CAST(sum(CAST(sxy AS HUGEINT)) AS HUGEINT) AS ssxy,
+        |        CAST(sum(CAST(sxx AS HUGEINT)) AS HUGEINT) AS ssxx
+        |      FROM t GROUP BY source),
+        |m AS (SELECT source, n,
+        |        CAST(n AS HUGEINT) * ssxy * CAST($s AS HUGEINT) - ssx * ssy AS num,
+        |        CAST(n AS HUGEINT) * ssxx * CAST($s AS HUGEINT) - ssx * ssx AS den
+        |      FROM g)
+        |SELECT source, CAST(n AS BIGINT) AS n_ranks,
+        |       CASE WHEN n > 1 AND den > 0
+        |            THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4)
+        |       END AS slope
+        |FROM m""".stripMargin) { (spark, sf) =>
+      zipfSlope(Tables.documents(spark, sf))
+    }
+  }
+
+  /** The t27 regression over any (source, text) corpus. */
+  def zipfSlope(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{snapLong, DistScale}
+    val dec = "decimal(38,0)"
+    val sDec = lit(DistScale.toLong).cast(dec)
+    val f = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("token"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("c").cast("double"))
+    f.withColumn("rank", row_number().over(w))
+      .select(col("source"),
+        snapLong(x, DistScale).as("sx"), snapLong(y, DistScale).as("sy"),
+        snapLong(x * y, DistScale).as("sxy"),
+        snapLong(x * x, DistScale).as("sxx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sx").cast(dec)).as("ssx"), sum(col("sy").cast(dec)).as("ssy"),
+        sum(col("sxy").cast(dec)).as("ssxy"), sum(col("sxx").cast(dec)).as("ssxx"))
+      .withColumn("__num",
+        col("n").cast(dec) * col("ssxy") * sDec - col("ssx") * col("ssy"))
+      .withColumn("__den",
+        col("n").cast(dec) * col("ssxx") * sDec - col("ssx") * col("ssx"))
+      .select(col("source"), col("n").as("n_ranks"),
+        when(col("n") > 1 && col("__den") > 0,
+          round(col("__num").cast("double") / col("__den").cast("double"), 4))
+          .as("slope"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
     hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ, ngramNoveltyQ, sourceVocabQ,
-    dfDriftQ, bigramNllQ, vocabGrowthQ, langConfusionQ)
+    dfDriftQ, bigramNllQ, vocabGrowthQ, langConfusionQ, zipfSlopeQ)
 }

@@ -741,4 +741,42 @@ class TemporalVectorSpec extends SparkSpec {
     assert(fano === 24.0 / 18.0)
     assert(cv === math.sqrt(24.0) / 6.0)
   }
+
+  test("q52 backtest: hand-computed MAEs; missing lag pairs drop; single-day type is NULL") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.time.Instant.parse(f"2024-03-$day%02dT12:00:00Z").toEpochMilli)
+    // 'ramp': count(day d) = d for d = 1..9 → persistence |d-(d-1)| = 1
+    // on 8 pairs (mae 1.0); seasonal |d-(d-7)| = 7 on 2 pairs (d=8,9)
+    val ramp = for { d <- 1 to 9; i <- 0 until d } yield
+      (1000L + d * 100 + i, 1L, "ramp", t(d))
+    // 'single': one day only → no lagged pair at either horizon
+    val ev = (ramp :+ ((9999L, 2L, "single", t(5))))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = TemporalOps.seasonalBacktest(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rampRow = out("ramp")
+    assert(rampRow.getLong(1) === 2L) // n_days_seasonal
+    assert(rampRow.getDouble(2) === 7.0) // mae_seasonal
+    assert(rampRow.getLong(3) === 8L) // n_days_persistence
+    assert(rampRow.getDouble(4) === 1.0) // mae_persistence
+    val singleRow = out("single")
+    assert(singleRow.getLong(1) === 0L && singleRow.isNullAt(2))
+    assert(singleRow.getLong(3) === 0L && singleRow.isNullAt(4))
+  }
+
+  test("t27 zipf: two-point power-law source fits slope -1 exactly; flat source fits 0") {
+    import spark.implicits._
+    // 'zipfy': token a ×4, token b ×2 → points (ln1, ln4), (ln2, ln2)
+    // → slope (ln2−ln4)/(ln2−ln1) = −1; 'flat': every token once → all
+    // y = 0 → slope 0
+    val docs = Seq(
+      (1L, "a a a a b b", "zipfy"),
+      (2L, "u v w x y z", "flat")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.zipfSlope(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("zipfy") === ((2L, -1.0)))
+    assert(out("flat") === ((6L, 0.0)))
+  }
 }
