@@ -1666,19 +1666,28 @@ object TemporalOps {
     * the MAE one IEEE division, NULL when a type has no lagged pair
     * (decide-before-divide).
     *
-    * Scale shape: one map-side-combinable daily count, then two
-    * date-key self-joins and one aggregation over the POST-AGGREGATE
-    * (type, day) table — kilobytes at 100 TB (q39's argument). */
+    * Scale shape: one map-side-combinable daily count; the lagged
+    * predictors are RANGE-frame windows over the day ordinal (frame
+    * exactly [−lag, −lag] — an empty frame is NULL, which IS the
+    * observed-pairs contract), so both lags and the final aggregation
+    * ride ONE post-aggregate exchange on the (type, day) table —
+    * kilobytes at 100 TB (q39's argument). A date-key self-join
+    * formulation planned the tiny aggregate once PER LAG SIDE (the
+    * join's key-notnull filters defeat exchange reuse — 3 scans,
+    * plan-audited), which is why this is windows, not joins. */
   def seasonalBacktest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val daily = events
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("__d"))
       .agg(count(lit(1)).as("n"))
-    def pred(lag: Int, name: String) = daily.select(col("event_type"),
-      date_add(col("__d"), lag).as("__d"), col("n").as(name))
+      .withColumn("__ord",
+        datediff(col("__d"), to_date(lit("1970-01-01"))).cast("long"))
+    def lagFrame(lag: Int) = Window.partitionBy(col("event_type"))
+      .orderBy(col("__ord")).rangeBetween(-lag, -lag)
     daily
-      .join(pred(7, "__p7"), Seq("event_type", "__d"), "left")
-      .join(pred(1, "__p1"), Seq("event_type", "__d"), "left")
+      .withColumn("__p7", sum(col("n")).over(lagFrame(7)))
+      .withColumn("__p1", sum(col("n")).over(lagFrame(1)))
       .groupBy(col("event_type"))
       .agg(
         count(col("__p7")).as("n_days_seasonal"),
@@ -1702,12 +1711,13 @@ object TemporalOps {
     """WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
       |             count(*) AS n
       |           FROM events GROUP BY event_type, day),
-      |j AS (SELECT d.event_type, d.n, p7.n AS p7, p1.n AS p1
-      |      FROM d
-      |      LEFT JOIN d p7 ON p7.event_type = d.event_type
-      |                    AND p7.day + 7 = d.day
-      |      LEFT JOIN d p1 ON p1.event_type = d.event_type
-      |                    AND p1.day + 1 = d.day)
+      |o AS (SELECT event_type, n, day - DATE '1970-01-01' AS ord FROM d),
+      |j AS (SELECT event_type, n,
+      |        sum(n) OVER (PARTITION BY event_type ORDER BY ord
+      |                     RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS p7,
+      |        sum(n) OVER (PARTITION BY event_type ORDER BY ord
+      |                     RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS p1
+      |      FROM o)
       |SELECT event_type,
       |       CAST(count(p7) AS BIGINT) AS n_days_seasonal,
       |       CASE WHEN count(p7) > 0

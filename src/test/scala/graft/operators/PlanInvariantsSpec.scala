@@ -412,4 +412,32 @@ class PlanInvariantsSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles === 2, p)
   }
+
+  test("s15: ADC table broadcasts; cell routing is a hash equi-join, never a cartesian") {
+    val p = plan(SimilarityOps.knnIvfPqQ.run(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"cell/code joins must stay equi-joins:\n$p")
+  }
+
+  test("d22: capped bucket expansion, no cartesian; verify joins are doc-keyed hash joins") {
+    val p = plan(DedupOps.containmentQ.run(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q52: ONE scan; both lag predictors are range windows on the day table, no join") {
+    val df = TemporalOps.seasonalBacktestQ.run(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1,
+      s"lag predictors must be windows over the one daily-count subtree:\n$p")
+    assert(!p.contains("Join"), s"the window formulation has no join operator:\n$p")
+    windowsOnlyAboveAggregates(df)
+  }
+
+  test("t27: the rank window sits above the per-source vocab aggregate, never the corpus") {
+    windowsOnlyAboveAggregates(TextOps.zipfSlopeQ.run(spark, sf001))
+  }
 }
