@@ -53,6 +53,23 @@ object DedupOps {
     * bigger array stays cheap. */
   val MaxSimhashBucket = 4096
 
+  /** Audit-tier sign-LSH geometry for the PORTABLE coverage report:
+    * fixed table/plane counts (corpus-INdependent, unlike d11's
+    * adaptive [[graft.functions.VectorFunctions.planesForCorpus]]) so
+    * the plane constants can be embedded as literals in ONE oracle
+    * text that is valid at every scale factor.
+    *
+    * DECLARED AT THE TOP of the object (r9, the GraphSampleMod hazard
+    * class): SimilarityOps's s10-s14 oracle texts interpolate these
+    * at ITS val-init time, and SimilarityOps can start initializing
+    * in the MIDDLE of this object's init (the d06 contract's oracle
+    * interpolates SimilarityOps.GraphSampleMod). A declaration below
+    * that trigger point reads 0 here and silently bakes an empty
+    * `UNION ALL` into five oracle texts — caught by the full local
+    * gate (5 parser errors), invisible to targeted runs. */
+  val PortableAnnTables = 2
+  val PortableAnnPlanes = 6
+
   /** doc_id + exploded distinct 3-token shingles (the MinHash
     * pipeline's fixed width; delegates to [[tokenShingles]] so the
     * shingling definition lives in exactly one place). */
@@ -1205,14 +1222,6 @@ object DedupOps {
       .map(df => df.unpivot(Array.empty, "stage", "n"))
       .reduce(_.unionByName(_))
   }
-
-  /** Audit-tier sign-LSH geometry for the PORTABLE coverage report:
-    * fixed table/plane counts (corpus-INdependent, unlike d11's
-    * adaptive [[graft.functions.VectorFunctions.planesForCorpus]]) so
-    * the plane constants can be embedded as literals in ONE oracle
-    * text that is valid at every scale factor. */
-  val PortableAnnTables = 2
-  val PortableAnnPlanes = 6
 
   /** d11p — the coverage report with every candidate generator drawn
     * from the PORTABLE families (d14's md5 min-lanes, d15's md5 bit

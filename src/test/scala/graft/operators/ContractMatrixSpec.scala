@@ -260,6 +260,28 @@ class ContractMatrixSpec extends SparkSpec {
     }
   }
 
+  test("oracle texts: no empty parenthesized fragment (the init-order interpolation hazard)") {
+    // A cross-object constant read during a partially-initialized
+    // object's construction silently evaluates to 0, and a `(0 until
+    // 0).mkString` interpolation then bakes `AS ()` / `range(0, 0)`
+    // into an oracle text — five rows failed the full gate this way
+    // (r9: SimilarityOps's s10-s14 reading DedupOps.PortableAnnTables
+    // mid-init) while every targeted run stayed green. Pin the class:
+    // no registry oracle text may contain an empty parenthesized
+    // fragment or a degenerate range.
+    // zero-arg calls (`row_number()`) and the grand-total frame
+    // (`OVER ()`) are legitimate empty parens; the interpolation bug
+    // manifests as an empty RELATION body (`ab AS ()`, `FROM ()`) or
+    // a degenerate integer range — flag exactly those shapes
+    val emptyRelation = "(?i)(AS|FROM|JOIN)\\s*\\(\\s*\\)".r
+    graft.SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(emptyRelation.findFirstIn(sql).isEmpty,
+        s"$name oracle contains an empty relation body — init-order bug?")
+      assert(!sql.contains("range(0, 0)") && !sql.contains("range(0,0)"),
+        s"$name oracle contains a degenerate range — init-order bug?")
+    }
+  }
+
   test("pairRecallContract flips red when the caught side loses the truth pairs") {
     // the contract boolean must be falsifiable: scoring an EMPTY
     // caught relation against a non-empty truth set goes false, and
