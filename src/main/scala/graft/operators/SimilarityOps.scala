@@ -684,6 +684,169 @@ object SimilarityOps {
     }
   }
 
+  /** s16 — RESIDUAL IVF+PQ (classic IVFADC, Jégou et al. TPAMI'11
+    * §IV): s15 with the PQ stage coding the residual v − c(cell)
+    * instead of v itself. Residuals concentrate near the origin, so
+    * the same code budget spends its precision on the part of the
+    * vector the coarse quantizer did NOT explain — the reason
+    * production IVFADC codes residuals. The price is a per-(query,
+    * PROBED CELL) distance table (each probed cell sees a different
+    * query residual): queries·probes·blocks·codes rows — still a
+    * bounded broadcast, probes× s15's.
+    *
+    * Relational shape: residuals are a broadcast join of the cell
+    * assignment against the (cells × dim) codebook relation + one
+    * `zip_with` subtraction (built-in, row-local; a native
+    * CellResidual expression is the codegen upgrade if this enters a
+    * hot path); everything downstream is s15's shape with `cell`
+    * added to the distance-table join key. First-k coarse centroids
+    * and first-k RESIDUAL sub-codebooks keep every stage
+    * oracle-replayable. */
+  def knnIvfPqResidual(emb: DataFrame, k: Int = K, probes: Int = 4,
+      blocks: Int = VectorOps.PqBlocks, codes: Int = VectorOps.PqCodes,
+      dim: Int = Dim): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = centroids(emb, cellsForCorpus(emb.count()))
+    val cbId = graft.functions.CodebookRegistry.register(
+      spark.sparkContext.broadcast(cb))
+    val (assigned, qProbes) = try {
+      (emb.withColumn("cell",
+        element_at(call_function("graft_cell_probes", col("v"), lit(cbId), lit(1)), 1)),
+       emb.filter(col("vec_id") < QueryVecs)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(call_function("graft_cell_probes", col("v"), lit(cbId), lit(probes)))
+            .as("cell")))
+    } finally graft.functions.CodebookRegistry.unregister(cbId)
+    val cbRel = broadcast(cb.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "c"))
+    val res = assigned.join(cbRel, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("c"), (a, b) => a - b).as("v"))
+    val rcb = VectorOps.pqCodebook(res.select(col("vec_id"), col("v")),
+      blocks, codes, dim)
+    val codeRel = VectorOps.pqAssign(res.select(col("vec_id"), col("v")),
+      blocks, codes, dim, codebook = Some(rcb))
+      .select(col("vec_id"), col("b"), col("code"))
+    val sub = dim / blocks
+    val qres = qProbes.join(cbRel, Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("c"), (a, b) => a - b).as("v"))
+    val dtable = qres
+      .select(col("query_id"), col("cell"), posexplode(
+        array((0 until blocks).map(b => slice(col("v"), b * sub + 1, sub)): _*))
+        .as(Seq("b", "qbv")))
+      .join(rcb, "b")
+      .select(col("query_id"), col("cell"), col("b"), col("code"),
+        (dot(col("qbv"), col("qbv")) - lit(2) * dot(col("qbv"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("dd"))
+    val perBlock = (0 until blocks).map(b =>
+      sum(when(col("b") === b, col("dd"))).as(s"d$b"))
+    val adc = (0 until blocks).map(b => col(s"d$b")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    qProbes.select(col("query_id"), col("cell"))
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codeRel, Seq("vec_id"))
+      .join(broadcast(dtable), Seq("query_id", "cell", "b", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(perBlock.head, perBlock.tail: _*)
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc"))
+  }
+
+  val knnIvfPqResidualQ: GraftQuery = {
+    val sub = Dim / VectorOps.PqBlocks
+    val adcTerms = (0 until VectorOps.PqBlocks)
+      .map(b => s"sum(CASE WHEN dt.b = $b THEN dd END)").mkString(" + ")
+    GraftQuery(
+      "s16_knn_ivfpq_residual",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |ccb AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cell,
+         |         list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS c
+         |  FROM (SELECT vec_id, v, nrm,
+         |          row_number() OVER (ORDER BY vec_id) AS rn,
+         |          count(*) OVER () AS total
+         |        FROM n) t
+         |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(total)) AS BIGINT)))),
+         |cscores AS (
+         |  SELECT n.vec_id, ccb.cell, list_dot_product(n.v, ccb.c) AS score
+         |  FROM n CROSS JOIN ccb),
+         |cassign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY score DESC, cell DESC) AS r
+         |    FROM cscores) t WHERE r = 1),
+         |cprobes AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY score DESC, cell DESC) AS r
+         |    FROM cscores WHERE vec_id < $QueryVecs) t WHERE r <= 4),
+         |rs AS (SELECT e.vec_id, a.cell,
+         |         list_transform(range(1, ${Dim + 1}),
+         |           i -> e.v[i] - ccb.c[i]) AS rv
+         |       FROM e JOIN cassign a ON a.vec_id = e.vec_id
+         |              JOIN ccb ON ccb.cell = a.cell),
+         |rcb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
+         |         FROM rs ORDER BY vec_id LIMIT ${VectorOps.PqCodes}),
+         |bs AS (SELECT unnest(range(0, ${VectorOps.PqBlocks})) AS b),
+         |rcb AS (SELECT bs.b AS b, rcb0.code AS code,
+         |          list_slice(rcb0.rv, bs.b * $sub + 1, bs.b * $sub + $sub) AS cv
+         |        FROM rcb0 CROSS JOIN bs),
+         |rbl AS (SELECT rs.vec_id, bs.b AS b,
+         |          list_slice(rs.rv, bs.b * $sub + 1, bs.b * $sub + $sub) AS bv
+         |        FROM rs CROSS JOIN bs),
+         |d AS (SELECT rbl.vec_id, rbl.b, rcb.code,
+         |        list_dot_product(rbl.bv, rbl.bv)
+         |          - 2 * list_dot_product(rbl.bv, rcb.cv)
+         |          + list_dot_product(rcb.cv, rcb.cv) AS bdist
+         |      FROM rbl JOIN rcb USING (b)),
+         |codes AS (SELECT vec_id, b, code FROM (
+         |    SELECT vec_id, b, code,
+         |           row_number() OVER (PARTITION BY vec_id, b
+         |                              ORDER BY bdist, code) AS rn
+         |    FROM d) t WHERE rn = 1),
+         |qres AS (SELECT p.query_id, p.cell,
+         |           list_transform(range(1, ${Dim + 1}),
+         |             i -> e.v[i] - ccb.c[i]) AS qrv
+         |         FROM cprobes p JOIN e ON e.vec_id = p.query_id
+         |              JOIN ccb ON ccb.cell = p.cell),
+         |qb AS (SELECT query_id, cell, bs.b AS b,
+         |         list_slice(qrv, bs.b * $sub + 1, bs.b * $sub + $sub) AS qbv
+         |       FROM qres CROSS JOIN bs),
+         |dt AS (SELECT qb.query_id, qb.cell, qb.b, rcb.code,
+         |         list_dot_product(qb.qbv, qb.qbv)
+         |           - 2 * list_dot_product(qb.qbv, rcb.cv)
+         |           + list_dot_product(rcb.cv, rcb.cv) AS dd
+         |       FROM qb JOIN rcb USING (b)),
+         |cand AS (SELECT p.query_id, a.vec_id, a.cell
+         |         FROM cprobes p
+         |         JOIN cassign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+         |a2 AS (SELECT c.query_id, cd.vec_id, ($adcTerms) AS adc
+         |       FROM cand c
+         |       JOIN codes cd ON cd.vec_id = c.vec_id
+         |       JOIN dt ON dt.query_id = c.query_id AND dt.cell = c.cell
+         |              AND dt.b = cd.b AND dt.code = cd.code
+         |       GROUP BY c.query_id, cd.vec_id),
+         |rk AS (SELECT query_id, vec_id AS neighbor_id, adc,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc, vec_id) AS rank
+         |       FROM a2)
+         |SELECT query_id, neighbor_id, rank, adc
+         |FROM rk WHERE rank <= $K""".stripMargin) { (spark, sf) =>
+      knnIvfPqResidual(Tables.embeddings(spark, sf)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")), K)
+    }
+  }
+
   /** Cosine threshold for the range-search query (s07). Sits just
     * above the corpus's 99th-percentile pair similarity, so each query
     * returns a handful of genuine near neighbors rather than the top-k
@@ -1332,5 +1495,6 @@ object SimilarityOps {
 
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
-    knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ)
+    knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
+    knnIvfPqResidualQ)
 }

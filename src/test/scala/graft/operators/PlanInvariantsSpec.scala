@@ -421,6 +421,13 @@ class PlanInvariantsSpec extends SparkSpec {
       s"cell/code joins must stay equi-joins:\n$p")
   }
 
+  test("s16: residual pipeline stays equi-joined and broadcast-tabled, never a cartesian") {
+    val p = plan(SimilarityOps.knnIvfPqResidualQ.run(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d22: capped bucket expansion, no cartesian; verify joins are doc-keyed hash joins") {
     val p = plan(DedupOps.containmentQ.run(spark, sf001))
     assert(!p.contains("CartesianProduct"), p)

@@ -208,6 +208,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s16 residual IVFPQ: exact when residuals ARE the codebook; recall vs s15 logged") {
+    import spark.implicits._
+    // 16 vectors = the full residual codebook and probes >= cells:
+    // every residual quantizes to itself with zero error, and the ADC
+    // computed with the CANDIDATE-CELL query residual telescopes to
+    // ||(q-c) - (v-c)||^2 = the squared L2 — equal to flat PQ's exact
+    // value up to IEEE rearrangement (subtract-then-square is a
+    // different float sequence), so ranks must MATCH EXACTLY and the
+    // distances agree to ulp tolerance
+    val pts = (0 until 16).map(i =>
+      (i.toLong, Seq(math.sin(i * 2.3) * 5, math.cos(i * 1.7) * 5)))
+    val emb16 = pts.toDF("vec_id", "v")
+    def keyed(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val flat = keyed(SimilarityOps.knnPq(emb16, k = 3, blocks = 1, codes = 16, dim = 2))
+    val resid = keyed(SimilarityOps.knnIvfPqResidual(emb16, k = 3, probes = 4,
+      blocks = 1, codes = 16, dim = 2))
+    assert(resid.keySet === flat.keySet,
+      "zero-residual-error + all cells probed must keep the same neighbor set")
+    resid.foreach { case (key, (rank, adc)) =>
+      val (fRank, fAdc) = flat(key)
+      assert(rank === fRank, s"$key rank $rank vs flat $fRank")
+      assert(math.abs(adc - fAdc) < 1e-9, s"$key adc $adc vs flat $fAdc")
+    }
+    // harness corpus: same shape as s15 (8 queries x top-5), recall
+    // relative to the exact cosine truth logged for both coders — the
+    // residual coder's advantage grows with codebook quality, so it
+    // is reported, not pinned, at the first-k audit codebook
+    val r15 = SimilarityOps.knnIvfPq(emb, k = 3)
+    val r16 = SimilarityOps.knnIvfPqResidual(emb, k = 3)
+    def top3(df: DataFrame) = df.filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queryTruth = truth.filter(_._1 < 8L)
+    info(f"s15 direct-PQ recall@3:   ${top3(r15).intersect(queryTruth).size / queryTruth.size.toDouble}%.2f")
+    info(f"s16 residual-PQ recall@3: ${top3(r16).intersect(queryTruth).size / queryTruth.size.toDouble}%.2f")
+    assert(r16.count() > 0)
+  }
+
   test("s07 range search equals an independent HOF-cosine threshold scan") {
     // independent formulation: interpreted zip_with+aggregate fold
     // (same left-to-right sum, different evaluation path than the
