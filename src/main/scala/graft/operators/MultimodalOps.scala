@@ -308,9 +308,14 @@ object MultimodalOps {
     * near-dup shape — at small Hamming. */
   val PhashMaxHamming = 6
 
-  val phashDupQ: GraftQuery = GraftQuery(
-    "m05_phash_dup",
-    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+  /** The m05 oracle's CTE chain (payload universe → strided byte
+    * means → mean-threshold bits → all-pairs Hamming), ending at
+    * `h(doc_a, doc_b, hamming)` — shared with m09 so the two texts
+    * can never state a different perceptual hash. The all-pairs
+    * formulation is licensed by the recall-exact pigeonhole (d15's
+    * argument). */
+  private def phashPairsCtes: String =
+    s"""d AS (SELECT doc_id, text, length(text) AS n FROM documents
        |           WHERE length(text) >= $PhashBits),
        |b AS (SELECT doc_id,
        |        CAST(i * $PhashBits AS BIGINT) // n AS stride,
@@ -326,12 +331,59 @@ object MultimodalOps {
        |        CAST(sum(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
        |      FROM bits a JOIN bits c
        |        ON a.stride = c.stride AND a.doc_id < c.doc_id
-       |      GROUP BY a.doc_id, c.doc_id)
+       |      GROUP BY a.doc_id, c.doc_id)""".stripMargin
+
+  val phashDupQ: GraftQuery = GraftQuery(
+    "m05_phash_dup",
+    s"""WITH $phashPairsCtes
        |SELECT doc_a, doc_b, hamming FROM h
        |WHERE hamming <= $PhashMaxHamming""".stripMargin) { (spark, sf) =>
     DedupOps.simhashPairsMulti(
       perceptualHashes(asMultimodal(spark, sf)).withColumnRenamed("phash", "sh0"),
       Seq("sh0"), PhashMaxHamming)
+  }
+
+  /** m09 — perceptual-hash duplicate GROUPS: m05's radius-6 pair set
+    * closed under transitivity (d07's hash-to-min label propagation),
+    * each payload labeled with its cluster (id = min doc_id — the
+    * representative a media pipeline keeps) and the cluster size.
+    * This is the media-side twin of the d07 text clusters: pairwise
+    * near-dup verdicts alone over-keep (A~B, B~C with A,C at Hamming 7
+    * still duplicates storage and training mass); the component is
+    * the keep/drop unit. Node universe = payloads big enough to hash
+    * (≥ [[PhashBits]] bytes — m05's own filter).
+    *
+    * Scale shape: pair generation is m05's capped pigeonhole (one
+    * shuffle); propagation is d07's kernel — rounds = component
+    * diameter (near-cliques: 2-3), two key-partitioned shuffles per
+    * round, labels persisted per round and released. The oracle
+    * replays the closure as a recursive CTE over the same pair set. */
+  val phashClustersQ: GraftQuery = GraftQuery(
+    "m09_phash_clusters",
+    s"""WITH RECURSIVE
+       |$phashPairsCtes,
+       |p AS (SELECT doc_a, doc_b FROM h WHERE hamming <= $PhashMaxHamming),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |cc(u, label) AS (
+       |  SELECT doc_id, doc_id FROM d
+       |  UNION
+       |  SELECT e.v, c.label FROM cc c JOIN edges e ON e.u = c.u),
+       |lab AS (SELECT u AS doc_id, min(label) AS cluster_id FROM cc GROUP BY u),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+       |FROM lab l JOIN sz s USING (cluster_id)""".stripMargin) { (spark, sf) =>
+    val ph = perceptualHashes(asMultimodal(spark, sf))
+    val pairs = DedupOps.simhashPairsMulti(
+      ph.withColumnRenamed("phash", "sh0"), Seq("sh0"), PhashMaxHamming)
+    val cc = DedupOps.connectedComponents(
+      ph.select(col("doc_id")),
+      pairs.select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("label", "cluster_id")
+    val sizes = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
   /** Shards for the training-manifest assignment. */
@@ -540,5 +592,5 @@ object MultimodalOps {
   }
 
   val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ,
-    shardManifestQ, quarantineQ, sourceHistogramDriftQ)
+    shardManifestQ, quarantineQ, sourceHistogramDriftQ, phashClustersQ)
 }

@@ -289,6 +289,35 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated payload excluded")
   }
 
+  test("m09 phash clusters: transitive chain collapses to one group, unrelated stays singleton") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val base = Array.fill(2000)(rnd.nextInt(256).toByte)
+    def edit(src: Array[Byte], offset: Int): Array[Byte] = {
+      val out = src.clone()
+      (0 until 30).foreach(k => out(offset + k * 60) =
+        ((out(offset + k * 60) + 9) & 0xFF).toByte)
+      out
+    }
+    // A(0) ~ B(1) ~ C(2): B edits A, C edits B FURTHER — A and C may
+    // sit past the pair radius; the component must still unite them
+    val b = edit(base, 0)
+    val c = edit(b, 30)
+    val far = Array.fill(2000)(rnd.nextInt(256).toByte)
+    val payloads = Seq((0L, base), (1L, b), (2L, c), (3L, far))
+      .toDF("doc_id", "payload")
+    val ph = MultimodalOps.perceptualHashes(payloads)
+    val pairs = DedupOps.simhashPairsMulti(
+      ph.withColumnRenamed("phash", "sh0"), Seq("sh0"),
+      MultimodalOps.PhashMaxHamming)
+    val cc = DedupOps.connectedComponents(
+      ph.select(col("doc_id")), pairs.select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(0L) === 0L && cc(1L) === 0L && cc(2L) === 0L,
+      s"chain must collapse to the min-id cluster: $cc")
+    assert(cc(3L) === 3L, "unrelated payload keeps its own cluster")
+  }
+
   test("resize keeps every 4th byte with a stable digest (m04)") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "abc"))
