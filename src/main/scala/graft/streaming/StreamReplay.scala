@@ -118,13 +118,29 @@ object StreamReplay {
           spark.catalog.dropTempView(name)
         }
       } finally {
-        val walk = java.nio.file.Files.walk(ckpt)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } finally walk.close()
+        // Best-effort cleanup that tolerates the state-store
+        // maintenance thread: q.stop() returns before StateStore's
+        // async unload finishes, so a provider can re-create a file
+        // between our walk and the delete (observed once in CI as
+        // DirectoryNotEmptyException on state/0/0). One bounded retry
+        // after a short pause clears the straggler; a directory that
+        // STILL will not empty is left behind in tmpfs rather than
+        // failing the replay — the checkpoint is throwaway by design.
+        def sweep(): Boolean =
+          try {
+            val walk = java.nio.file.Files.walk(ckpt)
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala.toSeq
+                .sortBy(-_.getNameCount)
+                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+              true
+            } finally walk.close()
+          } catch {
+            case _: java.nio.file.DirectoryNotEmptyException => false
+            case _: java.nio.file.NoSuchFileException => true
+          }
+        if (!sweep()) { Thread.sleep(200); sweep() }
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
