@@ -680,6 +680,37 @@ class TemporalVectorSpec extends SparkSpec {
     assert(curve.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
   }
 
+  test("round-9 operators are total on empty inputs") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noSourcedDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val noEvents = Seq.empty[(Long, Long, String, Long)]
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val noEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    val noPayloads = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
+    assert(DedupOps.containmentPairs(noDocs).count() == 0)
+    assert(DedupOps.minhashDupPairs(noDocs).count() == 0)
+    assert(DedupOps.simhashDupPairs(noDocs).count() == 0)
+    assert(DedupOps.embeddingBestMatch(noEmb).count() == 0)
+    // the contract aggregations always emit ONE row, vacuously within
+    // floor (the oracle's n_true/n_probes = 0 branch)
+    val vac = DedupOps.pairRecallContract(
+      noDocs.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")),
+      noDocs.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")), 0.9)
+      .collect()
+    assert(vac.length == 1 && vac.head.getAs[Boolean]("within_floor"))
+    val cov = DedupOps.coverageContract(noDocs, noEmb).collect()
+    assert(cov.length == 1 && cov.head.getAs[Boolean]("monotonic_ok"))
+    assert(SimilarityOps.knnIvfPq(noEmb).count() == 0)
+    assert(SimilarityOps.knnIvfPqResidual(noEmb).count() == 0)
+    assert(VectorOps.binaryRecall(noEmb).count() == 0)
+    assert(TextOps.zipfSlope(noSourcedDocs).count() == 0)
+    assert(TemporalOps.seasonalBacktest(noEvents).count() == 0)
+    assert(MultimodalOps.perceptualHashes(noPayloads).count() == 0)
+  }
+
   test("v09 dim stats: exact means/variance/min-max, dead-dimension flag") {
     import spark.implicits._
     val out = VectorOps.dimStats(Seq(
