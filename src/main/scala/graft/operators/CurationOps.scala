@@ -640,8 +640,55 @@ object CurationOps {
     packStats(Tables.documents(spark, sf))
   }
 
+  /** pk03 — per-source truncation-loss report: what a HARD sequence
+    * budget of [[PackBudget]] tokens costs each source under
+    * head-truncation (keep the first L tokens, drop the tail) — the
+    * number a data planner reads BEFORE picking the packing budget
+    * pk01 then enforces: a source whose docs are systematically
+    * longer than the budget silently loses its document tails, and
+    * loss concentrated in one source skews the trained mixture in a
+    * way the pk02 utilization report cannot see (bins can be full of
+    * truncated fragments). Exact integers per doc (kept = min(n, L),
+    * lost = n − kept), map-side-combined per-source sums, loss_rate
+    * one IEEE division — fully hash-checked, no floors. */
+  val truncationLossQ: GraftQuery = GraftQuery(
+    "pk03_truncation_loss",
+    s"""WITH t AS (SELECT source,
+      |             len(string_split(text, ' ')) AS n
+      |           FROM documents WHERE text IS NOT NULL)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN n > $PackBudget THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS docs_truncated,
+      |       CAST(sum(least(n, $PackBudget)) AS BIGINT) AS tokens_kept,
+      |       CAST(sum(greatest(n - $PackBudget, 0)) AS BIGINT) AS tokens_lost,
+      |       CASE WHEN sum(n) > 0
+      |            THEN CAST(sum(greatest(n - $PackBudget, 0)) AS DOUBLE)
+      |                 / sum(n)
+      |       END AS loss_rate
+      |FROM t GROUP BY source""".stripMargin) { (spark, sf) =>
+    truncationLoss(Tables.documents(spark, sf))
+  }
+
+  /** The pk03 aggregation over any (source, text) corpus and budget. */
+  def truncationLoss(docs: DataFrame, budget: Long = PackBudget): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), n.as("__n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n") > budget, 1L).otherwise(0L)).as("docs_truncated"),
+        sum(least(col("__n"), lit(budget))).as("tokens_kept"),
+        sum(greatest(col("__n") - budget, lit(0L))).as("tokens_lost"))
+      .select(col("source"), col("n_docs"), col("docs_truncated"),
+        col("tokens_kept"), col("tokens_lost"),
+        when(col("tokens_kept") + col("tokens_lost") > 0,
+          col("tokens_lost").cast("double")
+            / (col("tokens_kept") + col("tokens_lost"))).as("loss_rate"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     repetitionQ, qualityFilterQ, piiRedactQ, stratifiedSampleQ, packQ,
     sourceReweightQ, sourceQualityNormQ, tokenBudgetQ, mixtureWeightsQ,
-    packStatsQ)
+    packStatsQ, truncationLossQ)
 }

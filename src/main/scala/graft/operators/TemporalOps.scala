@@ -1733,11 +1733,93 @@ object TemporalOps {
     seasonalBacktest(Tables.events(spark, sf))
   }
 
+  /** q53 — batch drift audit: the event stream split at its time-span
+    * MIDPOINT (exact integer comparison ts·2 < lo+hi — no division,
+    * no quantile), each event type profiled across the halves: row
+    * counts, presence status (a type that appears only in one half is
+    * a schema/emitter change — the thing that silently breaks
+    * downstream jobs), and the 2dp-exact value means with their
+    * delta. This is t23's token-DF drift device applied to the events
+    * table — the pre-flight check before retraining on a refreshed
+    * window.
+    *
+    * Float discipline: value means ride q32's exact ×100 integer
+    * sums; each mean is one IEEE division and the delta one
+    * subtraction of the two division results — the same sequence in
+    * both engines. Scale shape: one broadcast min/max row, one
+    * map-side-combined aggregation — O(|types|) output. */
+  def valueDrift(events: DataFrame): DataFrame = {
+    val q100 = round(col("value") * 100, 0).cast("long")
+    val bounds = broadcast(events.agg(
+      min(unix_micros(col("ts"))).as("__lo"),
+      max(unix_micros(col("ts"))).as("__hi")))
+    events.crossJoin(bounds)
+      .select(col("event_type"),
+        when(unix_micros(col("ts")) * 2 < col("__lo") + col("__hi"), lit(0))
+          .otherwise(lit(1)).as("__h"),
+        q100.as("__q"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("__h") === 0, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("__h") === 1, 1L).otherwise(0L)).as("n_second"),
+        sum(when(col("__h") === 0, col("__q"))).as("__s1"),
+        count(when(col("__h") === 0, col("value"))).as("__c1"),
+        sum(when(col("__h") === 1, col("__q"))).as("__s2"),
+        count(when(col("__h") === 1, col("value"))).as("__c2"))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        when(col("n_first") > 0 && col("n_second") > 0, "both")
+          .when(col("n_first") > 0, "first_only")
+          .otherwise("second_only").as("status"),
+        when(col("__c1") > 0,
+          col("__s1").cast("double") / (col("__c1") * lit(100.0))).as("mean_first"),
+        when(col("__c2") > 0,
+          col("__s2").cast("double") / (col("__c2") * lit(100.0))).as("mean_second"),
+        when(col("__c1") > 0 && col("__c2") > 0,
+          col("__s2").cast("double") / (col("__c2") * lit(100.0))
+            - col("__s1").cast("double") / (col("__c1") * lit(100.0)))
+          .as("delta_mean"))
+  }
+
+  val valueDriftQ: GraftQuery = GraftQuery(
+    "q53_value_drift",
+    """WITH b AS (SELECT min(epoch_ns(ts) // 1000) AS lo,
+      |             max(epoch_ns(ts) // 1000) AS hi FROM events),
+      |h AS (SELECT e.event_type,
+      |        CASE WHEN (epoch_ns(e.ts) // 1000) * 2 < b.lo + b.hi
+      |             THEN 0 ELSE 1 END AS hh,
+      |        CAST(round(e.value * 100) AS BIGINT) AS q, e.value
+      |      FROM events e CROSS JOIN b),
+      |g AS (SELECT event_type,
+      |        sum(CASE WHEN hh = 0 THEN 1 ELSE 0 END) AS n_first,
+      |        sum(CASE WHEN hh = 1 THEN 1 ELSE 0 END) AS n_second,
+      |        sum(CASE WHEN hh = 0 THEN q END) AS s1,
+      |        count(CASE WHEN hh = 0 THEN value END) AS c1,
+      |        sum(CASE WHEN hh = 1 THEN q END) AS s2,
+      |        count(CASE WHEN hh = 1 THEN value END) AS c2
+      |      FROM h GROUP BY event_type)
+      |SELECT event_type,
+      |       CAST(n_first AS BIGINT) AS n_first,
+      |       CAST(n_second AS BIGINT) AS n_second,
+      |       CASE WHEN n_first > 0 AND n_second > 0 THEN 'both'
+      |            WHEN n_first > 0 THEN 'first_only'
+      |            ELSE 'second_only' END AS status,
+      |       CASE WHEN c1 > 0 THEN CAST(s1 AS DOUBLE) / (c1 * 100.0) END
+      |         AS mean_first,
+      |       CASE WHEN c2 > 0 THEN CAST(s2 AS DOUBLE) / (c2 * 100.0) END
+      |         AS mean_second,
+      |       CASE WHEN c1 > 0 AND c2 > 0
+      |            THEN CAST(s2 AS DOUBLE) / (c2 * 100.0)
+      |                 - CAST(s1 AS DOUBLE) / (c1 * 100.0)
+      |       END AS delta_mean
+      |FROM g""".stripMargin) { (spark, sf) =>
+    valueDrift(Tables.events(spark, sf))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
       ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
       cooccurrenceQ, changePointQ, dailyTopUsersQ, attributionQ, autocorrQ,
       cohortRetentionQ, conversionLatencyQ, asOfForwardQ, interEventGapsQ,
-      dailyNewReturningQ, burstinessQ, seasonalBacktestQ)
+      dailyNewReturningQ, burstinessQ, seasonalBacktestQ, valueDriftQ)
 }

@@ -680,6 +680,50 @@ class TemporalVectorSpec extends SparkSpec {
     assert(curve.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
   }
 
+  test("q53 drift: hand-computed half means, midpoint event lands second, one-sided types labeled") {
+    val ev = events(
+      // span [1000, 5000] -> midpoint comparison: us*2 < 6000
+      (1L, 1L, "a", 1000L), // first:  value below
+      (2L, 1L, "a", 2000L), // first
+      (3L, 1L, "a", 3000L), // exactly at midpoint -> SECOND half
+      (4L, 1L, "a", 5000L), // second
+      (5L, 1L, "b", 1500L)  // first only
+    ).withColumn("value",
+      when(col("event_id") === 1L, 1.25).when(col("event_id") === 2L, 2.75)
+        .when(col("event_id") === 3L, 10.0).when(col("event_id") === 4L, 20.0)
+        .otherwise(lit(null).cast("double")))
+    val out = TemporalOps.valueDrift(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) === 2L && a.getLong(2) === 2L) // 2 first, 2 second
+    assert(a.getString(3) === "both")
+    assert(a.getDouble(4) === 2.0)   // (1.25+2.75)/2
+    assert(a.getDouble(5) === 15.0)  // (10+20)/2
+    assert(a.getDouble(6) === 13.0)
+    val b = out("b")
+    assert(b.getString(3) === "first_only")
+    assert(b.isNullAt(4) && b.isNullAt(5) && b.isNullAt(6)) // b's value is NULL
+  }
+
+  test("pk03 truncation loss: over-budget docs lose exactly their tails") {
+    import spark.implicits._
+    val budget = CurationOps.PackBudget // 256
+    val shortDoc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val longDoc = (1 to 300).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, shortDoc, "s1"), (2L, longDoc, "s1"), (3L, longDoc, "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = CurationOps.truncationLoss(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getLong(1) === 2L && s1.getLong(2) === 1L) // one truncated
+    assert(s1.getLong(3) === 10L + budget)               // kept
+    assert(s1.getLong(4) === 300L - budget)              // lost
+    assert(s1.getDouble(5) === (300.0 - budget) / 310.0)
+    val s2 = out("s2")
+    assert(s2.getLong(3) === budget && s2.getLong(4) === 300L - budget)
+  }
+
   test("round-9 operators are total on empty inputs") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
