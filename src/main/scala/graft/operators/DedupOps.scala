@@ -1920,7 +1920,13 @@ object DedupOps {
     * integers (matches/32 is a power-of-two division, inter/union one
     * division, err one subtraction), so the row hashes identically at
     * any parallelism and in both engines with NO rounding needed. */
-  def minhashCalibration(docs: DataFrame): DataFrame = {
+  /** @param sigs the portable signature relation — defaults to a
+    *        fresh derivation; the registry row passes the
+    *        [[graft.sources.SignatureLake]]'s materialized family so
+    *        the calibration report reads the lake index instead of
+    *        re-hashing the corpus (the d11p pattern; the self-
+    *        contained d14 row keeps the honest derivation measured) */
+  def minhashCalibration(docs: DataFrame, sigs: DataFrame = null): DataFrame = {
     // ONE signature computation feeds both the banding and the lane
     // agreement: the long-array signature rides bucketPairs as a
     // member column (cosineCandidates' pattern — 32 longs per row
@@ -1929,7 +1935,8 @@ object DedupOps {
     // the 8-digests-per-shingle pass three times, no exchange reuse),
     // and matches is counted BEFORE the pair-dedup so that shuffle
     // carries one long (d03's argument).
-    val banded = portableSignatures(docs).select(col("doc_id"),
+    val sigRel = Option(sigs).getOrElse(portableSignatures(docs))
+    val banded = sigRel.select(col("doc_id"),
       transform(col("sig"), h => conv(h, 16, 10).cast("long")).as("sigl"),
       posexplode(portableBandCols).as(Seq("band", "band_key")))
     val matches = call_function("graft_eq_count", col("a.sigl"), col("b.sigl"))
@@ -1997,7 +2004,8 @@ object DedupOps {
       |       abs(CAST(matches AS DOUBLE) / $NumHashes
       |           - CAST(inter AS DOUBLE) / uni) AS abs_err
       |FROM p""".stripMargin) { (spark, sf) =>
-    minhashCalibration(Tables.documents(spark, sf))
+    minhashCalibration(Tables.documents(spark, sf),
+      graft.sources.SignatureLake.portableSignatures(spark, sf))
   }
 
   /** Cross-source near-dup overlap matrix (d18): verified near-dup

@@ -57,13 +57,26 @@ object SignatureLake {
     cache.computeIfAbsent(Key(spark, sfDir, family), _ => build.persist())
   }
 
-  /** Portable MinHash band keys (doc_id, band, band_key) —
-    * [[DedupOps.portableBandKeys]] over [[DedupOps.portableSignatures]]. */
-  def portableBandKeys(spark: SparkSession, sfDir: String): DataFrame =
-    get(spark, sfDir, "minhash_bands") {
-      DedupOps.portableBandKeys(
-        DedupOps.portableSignatures(Tables.documents(spark, sfDir)))
+  /** Portable MinHash SIGNATURES (doc_id, sig: array<string> hex
+    * lanes) — the root relation of the minhash family; the band-key
+    * relation derives from it, so the md5 pass over the corpus runs
+    * ONCE per (session, sfDir) no matter how many audit consumers
+    * (band keys, d17's lane-agreement calibration) read the family. */
+  def portableSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    get(spark, sfDir, "minhash_sigs") {
+      DedupOps.portableSignatures(Tables.documents(spark, sfDir))
     }
+
+  /** Portable MinHash band keys (doc_id, band, band_key) —
+    * [[DedupOps.portableBandKeys]] over the materialized
+    * [[portableSignatures]]. */
+  def portableBandKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    // resolve the root family BEFORE entering the band-keys closure:
+    // ConcurrentHashMap.computeIfAbsent forbids a recursive update of
+    // the same map from inside a mapping function
+    val sigs = portableSignatures(spark, sfDir)
+    get(spark, sfDir, "minhash_bands") { DedupOps.portableBandKeys(sigs) }
+  }
 
   /** Portable SimHash fingerprints (doc_id, sh0, sh1). */
   def portableFingerprints(spark: SparkSession, sfDir: String): DataFrame =
