@@ -591,6 +591,70 @@ object MultimodalOps {
     sourceHistogramDrift(asMultimodal(spark, sf))
   }
 
+  /** m10 flag thresholds on the ROUNDED entropy (both engines compare
+    * identical 4dp doubles): below [[EntropyLowBar]] bits the payload
+    * is repetitive/degenerate (stuck encoder, zero-filled file);
+    * above [[EntropyHighBar]] — against the 4-bit ceiling of the
+    * 16-bin histogram — it is near-uniform, the signature of
+    * compressed or encrypted bytes that should not enter a training
+    * set as "text". */
+  val EntropyLowBar = 1.0
+  val EntropyHighBar = 3.9
+
+  /** m10 — payload byte-entropy screen: Shannon entropy of the
+    * decode stub's 16-bin byte histogram, per payload, with a
+    * low/near_uniform/ok verdict — the curation screen that catches
+    * what m07's structural quarantine cannot: a payload that PARSES
+    * but is compressed junk (near-uniform bytes) or degenerate
+    * filler (near-zero entropy). Runs on the decode output
+    * ([[extractFeatures]] — the histogram IS the feature vector), so
+    * the screen costs one row-local expression over a scan the
+    * pipeline already makes.
+    *
+    * Float discipline: each p·log2(p) term is libm, so the 16-term
+    * sum is a FIXED-ORDER IEEE chain (the s06 device) and the
+    * terminal round(,4) absorbs libm ulp drift; the flag compares
+    * the rounded value, so both engines band identically. */
+  val entropyScreenQ: GraftQuery = {
+    val terms = (1 to 16).map(i =>
+      s"(CASE WHEN p$i > 0 THEN -p$i * log2(p$i) ELSE 0.0 END)")
+      .mkString("\n      |         + ")
+    val bins = (1 to 16).map(i =>
+      s"coalesce(sum(CASE WHEN bin = ${i - 1} THEN 1 END), 0) / CAST(max(n) AS DOUBLE) AS p$i")
+      .mkString(",\n      |         ")
+    GraftQuery(
+      "m10_entropy_screen",
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |b AS (SELECT doc_id, n,
+        |        ord(substring(text, CAST(i + 1 AS INT), 1)) % 16 AS bin
+        |      FROM (SELECT doc_id, text, n, unnest(range(0, n)) AS i FROM d) t),
+        |p AS (SELECT doc_id,
+        |         $bins
+        |       FROM b GROUP BY doc_id),
+        |e AS (SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_bytes,
+        |        round(coalesce(
+        |          $terms, 0.0), 4) AS entropy
+        |      FROM d LEFT JOIN p USING (doc_id))
+        |SELECT doc_id, n_bytes,
+        |       coalesce(entropy, 0.0) AS entropy,
+        |       CASE WHEN coalesce(entropy, 0.0) < $EntropyLowBar THEN 'low'
+        |            WHEN coalesce(entropy, 0.0) > $EntropyHighBar THEN 'near_uniform'
+        |            ELSE 'ok' END AS flag
+        |FROM e""".stripMargin) { (spark, sf) =>
+      val feats = extractFeatures(asMultimodal(spark, sf))
+      val term = (i: Int) => {
+        val p = element_at(col("features"), i)
+        when(p > 0, -p * log2(p)).otherwise(lit(0.0))
+      }
+      val ent = round((1 to 16).map(term).reduce(_ + _), 4)
+      feats.select(col("doc_id"), col("n_bytes"), ent.as("entropy"),
+        when(ent < EntropyLowBar, "low")
+          .when(ent > EntropyHighBar, "near_uniform")
+          .otherwise("ok").as("flag"))
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ,
-    shardManifestQ, quarantineQ, sourceHistogramDriftQ, phashClustersQ)
+    shardManifestQ, quarantineQ, sourceHistogramDriftQ, phashClustersQ,
+    entropyScreenQ)
 }

@@ -930,7 +930,69 @@ object VectorOps {
     }
   }
 
+  /** v13 — kNN label purity on the probe sample: for each label, the
+    * fraction of its probes' EXACT top-[[SimilarityOps.GraphK]]
+    * neighbors that share the label — the embedding-quality number a
+    * classifier or retrieval team reads per CLASS (corpus-level
+    * recall evals like v05/v07 can hide one broken class behind nine
+    * good ones; v10's centroid separation sees the class MEANS but
+    * not whether individual neighborhoods are pure). Everything is
+    * exact — probe-sample exact graph, integer edge counts, one IEEE
+    * division — so the row is fully hash-checked, no floors.
+    *
+    * Scale shape: the exact side is the audit-tier probe-sample
+    * kernel (s10's ground-truth machinery); the label joins are
+    * broadcast-sized (vec_id → label), and the aggregation is
+    * O(|labels|) out. */
+  def knnLabelPurity(emb: DataFrame,
+      mod: Int = SimilarityOps.GraphSampleMod,
+      k: Int = SimilarityOps.GraphK): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val edges = SimilarityOps.knnGraphExact(
+      emb.select(col("vec_id"), col("v")), mod, k)
+    edges
+      .join(labels.select(col("vec_id").as("src_id"),
+        col("label").as("src_label")), "src_id")
+      .join(labels.select(col("vec_id").as("dst_id"),
+        col("label").as("dst_label")), "dst_id")
+      .groupBy(col("src_label").as("label"))
+      .agg(countDistinct(col("src_id")).as("n_probes"),
+        count(lit(1)).as("n_edges"),
+        sum(when(col("src_label") === col("dst_label"), 1L).otherwise(0L))
+          .as("same_label_edges"))
+      .select(col("label"), col("n_probes"), col("n_edges"),
+        col("same_label_edges"),
+        (col("same_label_edges").cast("double") / col("n_edges")).as("purity"))
+  }
+
+  val knnLabelPurityQ: GraftQuery = GraftQuery(
+    "v13_knn_label_purity",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |          FROM embeddings),
+       |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT vec_id AS src_id, v AS qv, nrm AS qnrm, label AS src_label
+       |      FROM n WHERE vec_id % ${SimilarityOps.GraphSampleMod} = 0),
+       |s AS (SELECT q.src_id, q.src_label, n.label AS dst_label,
+       |        row_number() OVER (PARTITION BY q.src_id
+       |          ORDER BY CASE WHEN q.qnrm = 0 OR n.nrm = 0 THEN 0.0
+       |                        ELSE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm)
+       |                   END DESC,
+       |                   n.vec_id) AS rank
+       |      FROM q JOIN n ON n.vec_id <> q.src_id),
+       |t AS (SELECT * FROM s WHERE rank <= ${SimilarityOps.GraphK})
+       |SELECT src_label AS label,
+       |       CAST(count(DISTINCT src_id) AS BIGINT) AS n_probes,
+       |       CAST(count(*) AS BIGINT) AS n_edges,
+       |       CAST(sum(CASE WHEN src_label = dst_label THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS same_label_edges,
+       |       CAST(sum(CASE WHEN src_label = dst_label THEN 1 ELSE 0 END)
+       |            AS DOUBLE) / count(*) AS purity
+       |FROM t GROUP BY src_label""".stripMargin) { (spark, sf) =>
+    knnLabelPurity(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label")))
+  }
+
   val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
     truncRecallQ, centroidDriftQ, quantRecallQ, matryoshkaRecallQ, dimStatsQ,
-    centroidSeparationQ, pqDistortionQ, binaryRecallQ)
+    centroidSeparationQ, pqDistortionQ, binaryRecallQ, knnLabelPurityQ)
 }

@@ -724,6 +724,60 @@ class TemporalVectorSpec extends SparkSpec {
     assert(s2.getLong(3) === budget && s2.getLong(4) === 300L - budget)
   }
 
+  test("v13 label purity: separated clusters score 1.0; a planted cross-label neighbor costs its edge share") {
+    import spark.implicits._
+    val dim = graft.functions.VectorFunctions.Dim
+    // two tight, well-separated clusters: label 0 around +e1, label 1
+    // around +e2; probes are vec_id % 5 == 0
+    def near(axis: Int, i: Int) = Seq.tabulate(dim)(j =>
+      (if (j == axis) 10.0 else 0.0) + 0.01 * math.sin(i * 7.0 + j))
+    val emb = ((0 until 10).map(i => (i.toLong, near(1, i), 0)) ++
+      (10 until 20).map(i => (i.toLong, near(2, i), 1)))
+      .toDF("vec_id", "v", "label")
+    val out = VectorOps.knnLabelPurity(emb).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getDouble(4) === 1.0 && out(1).getDouble(4) === 1.0)
+    assert(out(0).getLong(1) === 2L, "probes 0 and 5 carry label 0")
+    assert(out(0).getLong(2) === 2L * SimilarityOps.GraphK)
+    // move one label-1 vector INTO cluster 0: every label-0 probe now
+    // ranks it top-1, costing exactly 1/k of purity per probe
+    val polluted = emb.withColumn("v",
+      when(col("vec_id") === 19L,
+        typedLit(Seq.tabulate(dim)(j => if (j == 1) 10.0 else 0.0)))
+        .otherwise(col("v")))
+    val p0 = VectorOps.knnLabelPurity(polluted).collect()
+      .map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(math.abs(p0(0) - (1.0 - 1.0 / SimilarityOps.GraphK)) < 1e-12,
+      s"each label-0 probe loses one of its k edges: $p0")
+  }
+
+  test("m10 entropy: constant payload reads 0.0/'low'; exact 16-residue cycle reads 4.0/'near_uniform'") {
+    import spark.implicits._
+    // 'A'*64 -> one bin -> entropy 0; chars '0'..'?' (ascii 48..63,
+    // residues 0..15) cycled 4x -> uniform 16 bins -> entropy exactly
+    // 4.0 bits (log2(1/16) = -4 is a power of two: no rounding at all)
+    val docs = Seq(
+      (1L, "A" * 64),
+      (2L, (0 until 64).map(i => (48 + i % 16).toChar).mkString)
+    ).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("meta", struct(lit("txt").as("format"), lit("en").as("lang"),
+        length(col("text")).as("n_chars"), lit("s").as("source")))
+    val feats = MultimodalOps.extractFeatures(
+      docs.select(col("doc_id"), col("payload"), col("meta")))
+    val term = (i: Int) => {
+      val p = element_at(col("features"), i)
+      when(p > 0, -p * log2(p)).otherwise(lit(0.0))
+    }
+    val ent = feats.select(col("doc_id"),
+      round((1 to 16).map(term).reduce(_ + _), 4).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ent(1L) === 0.0)
+    assert(ent(2L) === 4.0)
+    assert(MultimodalOps.EntropyLowBar > 0.0 &&
+      MultimodalOps.EntropyHighBar < 4.0, "bars band the two extremes")
+  }
+
   test("round-9 operators are total on empty inputs") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
