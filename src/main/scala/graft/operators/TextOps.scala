@@ -891,8 +891,137 @@ object TextOps {
           .as("slope"))
   }
 
+  /** t28 rule thresholds as exact rationals (num, den) — the Gopher
+    * repetition-filter family (Rae et al. 2021 §A1.1.2: remove docs
+    * whose most frequent word or duplicate n-gram mass exceeds a fixed
+    * share). Top-word share ≤ 1/5 and duplicate-word fraction ≤ 3/5
+    * are the published word-level cuts; the duplicate-bigram cut is
+    * tightened to 1/10 for this corpus (single-space word streams —
+    * measured p99 ≈ 0.10, so the rule discriminates rather than
+    * passing vacuously). Evaluated by integer cross-multiplication —
+    * no division, no float, no epsilon. */
+  val TopWordMaxShare: (Int, Int) = (1, 5)
+  val DupWordMaxShare: (Int, Int) = (3, 5)
+  val DupBigramMaxShare: (Int, Int) = (1, 10)
+
+  /** t28 — per-source repetition-rule panel (Gopher §A1.1.2 class):
+    * for each document, the most-frequent-word share, the
+    * duplicate-word fraction 1 − distinct/total, and the
+    * duplicate-bigram fraction (occurrences of already-seen word
+    * bigrams over total bigrams); per source, how many documents pass
+    * each cut, pass all three, and the mean duplicate-bigram fraction
+    * (the 2^-30 snap-grid mean — order-independent sum, one terminal
+    * IEEE division). t02 scores length/shape/stopwords; this panel is
+    * the repetition axis it deliberately left out.
+    *
+    * Shape: ONE corpus scan — tokens and bigrams ride one explode as
+    * (kind, item) pairs (bigram arrays built row-local, no self-join,
+    * no second scan), then two map-side-combined aggregations
+    * ((doc, kind, item) → doc → source). No joins anywhere; the rule
+    * booleans are integer cross-products. At 100 TB this is the t27
+    * kernel's cost: linear in token instances, shuffles keyed by
+    * (doc_id, item) then (doc_id). Snapped-sum bound: dupfrac ≤ 1 so
+    * the per-source Long sum holds to ~8·10^9 docs/source (the v09
+    * bound-note contract). */
+  val repetitionRulesQ: GraftQuery = {
+    val (twN, twD) = TopWordMaxShare
+    val (dwN, dwD) = DupWordMaxShare
+    val (dbN, dbD) = DupBigramMaxShare
+    val s = graft.functions.VectorFunctions.DistScaleSql
+    GraftQuery(
+      "t28_repetition_rules",
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+        |           FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, source, 0 AS k, unnest(words) AS it FROM w
+        |      UNION ALL
+        |      SELECT doc_id, source, 1 AS k,
+        |             unnest([words[i] || ' ' || words[i+1]
+        |                     for i in range(1, len(words))]) AS it
+        |      FROM w),
+        |g1 AS (SELECT doc_id, source, k, it, count(*) AS c
+        |       FROM u GROUP BY doc_id, source, k, it),
+        |g2 AS (SELECT doc_id, source,
+        |         sum(CASE WHEN k = 0 THEN c END) AS n_tokens,
+        |         count(CASE WHEN k = 0 THEN 1 END) AS n_distinct,
+        |         max(CASE WHEN k = 0 THEN c END) AS maxc,
+        |         coalesce(sum(CASE WHEN k = 1 THEN c END), 0) AS nb,
+        |         count(CASE WHEN k = 1 THEN 1 END) AS ndb
+        |       FROM g1 GROUP BY doc_id, source),
+        |r AS (SELECT source,
+        |        CASE WHEN maxc * $twD <= n_tokens * $twN THEN 1 ELSE 0 END AS p_tw,
+        |        CASE WHEN (n_tokens - n_distinct) * $dwD <= n_tokens * $dwN
+        |             THEN 1 ELSE 0 END AS p_dw,
+        |        CASE WHEN nb = 0 OR (nb - ndb) * $dbD <= nb * $dbN
+        |             THEN 1 ELSE 0 END AS p_db,
+        |        CAST(floor((CASE WHEN nb > 0
+        |                         THEN CAST(nb - ndb AS DOUBLE) / nb
+        |                         ELSE 0.0 END) * $s + 0.5) AS BIGINT) AS snap_db
+        |      FROM g2)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(p_tw) AS BIGINT) AS pass_top_word,
+        |       CAST(sum(p_dw) AS BIGINT) AS pass_dup_word,
+        |       CAST(sum(p_db) AS BIGINT) AS pass_dup_bigram,
+        |       CAST(sum(p_tw * p_dw * p_db) AS BIGINT) AS pass_all,
+        |       CAST(CAST(sum(snap_db) AS BIGINT) AS DOUBLE)
+        |         / (count(*) * $s) AS mean_dup_bigram
+        |FROM r GROUP BY source""".stripMargin) { (spark, sf) =>
+      repetitionRules(Tables.documents(spark, sf))
+    }
+  }
+
+  /** The t28 kernel over any (doc_id, source, text) corpus. */
+  def repetitionRules(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{snapLong, snapMean, DistScale}
+    val (twN, twD) = TopWordMaxShare
+    val (dwN, dwD) = DupWordMaxShare
+    val (dbN, dbD) = DupBigramMaxShare
+    val w = tokens(col("text"))
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val items = concat(
+      transform(w, t => struct(lit(0).as("k"), t.as("it"))),
+      transform(bigrams, b => struct(lit(1).as("k"), b.as("it"))))
+    val k = col("x.k")
+    val g2 = docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), explode(items).as("x"))
+      .groupBy(col("doc_id"), col("source"), k.as("k"), col("x.it").as("it"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum(when(col("k") === 0, col("c"))).as("n_tokens"),
+        count(when(col("k") === 0, lit(1))).as("n_distinct"),
+        max(when(col("k") === 0, col("c"))).as("maxc"),
+        coalesce(sum(when(col("k") === 1, col("c"))), lit(0L)).as("nb"),
+        count(when(col("k") === 1, lit(1))).as("ndb"))
+    val pTw = when(col("maxc") * twD <= col("n_tokens") * twN, 1L).otherwise(0L)
+    val pDw = when((col("n_tokens") - col("n_distinct")) * dwD
+      <= col("n_tokens") * dwN, 1L).otherwise(0L)
+    val pDb = when(col("nb") === 0 ||
+      (col("nb") - col("ndb")) * dbD <= col("nb") * dbN, 1L).otherwise(0L)
+    val dupFrac = when(col("nb") > 0,
+      (col("nb") - col("ndb")).cast("double") / col("nb")).otherwise(lit(0.0))
+    g2.select(col("source"), pTw.as("p_tw"), pDw.as("p_dw"), pDb.as("p_db"),
+        snapLong(dupFrac, DistScale).as("snap_db"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("p_tw")).as("pass_top_word"),
+        sum(col("p_dw")).as("pass_dup_word"),
+        sum(col("p_db")).as("pass_dup_bigram"),
+        sum(col("p_tw") * col("p_dw") * col("p_db")).as("pass_all"),
+        sum(col("snap_db")).as("__s"))
+      .select(col("source"), col("n_docs"), col("pass_top_word"),
+        col("pass_dup_word"), col("pass_dup_bigram"), col("pass_all"),
+        snapMean(col("__s"), col("n_docs"), DistScale).as("mean_dup_bigram"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
     hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ, ngramNoveltyQ, sourceVocabQ,
-    dfDriftQ, bigramNllQ, vocabGrowthQ, langConfusionQ, zipfSlopeQ)
+    dfDriftQ, bigramNllQ, vocabGrowthQ, langConfusionQ, zipfSlopeQ,
+    repetitionRulesQ)
 }

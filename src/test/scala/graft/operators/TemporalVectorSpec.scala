@@ -805,6 +805,7 @@ class TemporalVectorSpec extends SparkSpec {
     assert(SimilarityOps.knnIvfPqResidual(noEmb).count() == 0)
     assert(VectorOps.binaryRecall(noEmb).count() == 0)
     assert(TextOps.zipfSlope(noSourcedDocs).count() == 0)
+    assert(TextOps.repetitionRules(noSourcedDocs).count() == 0)
     assert(TemporalOps.seasonalBacktest(noEvents).count() == 0)
     assert(MultimodalOps.perceptualHashes(noPayloads).count() == 0)
   }
@@ -892,6 +893,30 @@ class TemporalVectorSpec extends SparkSpec {
     val singleRow = out("single")
     assert(singleRow.getLong(1) === 0L && singleRow.isNullAt(2))
     assert(singleRow.getLong(3) === 0L && singleRow.isNullAt(4))
+  }
+
+  test("t28 repetition: hand-computed pass panel; single-token doc exercises the nb=0 guard") {
+    import spark.implicits._
+    val docs = Seq(
+      // A: maxc 5/10 fails top-word; dup-word 4/10 ≤ 3/5 passes;
+      //    bigrams "a a"×4 + 5 distinct → dup 3/9 > 1/10 fails
+      (1L, "a a a a a b c d e f", "s"),
+      // B: all distinct → passes every rule
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "s"),
+      // C: one token → top-word share 1 fails; nb=0 passes dup-bigram
+      (3L, "solo", "s")
+    ).toDF("doc_id", "text", "source")
+    val r = TextOps.repetitionRules(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(1) === 3L)                  // n_docs
+    assert(row.getLong(2) === 1L)                  // pass_top_word (B)
+    assert(row.getLong(3) === 3L)                  // pass_dup_word
+    assert(row.getLong(4) === 2L)                  // pass_dup_bigram (B, C)
+    assert(row.getLong(5) === 1L)                  // pass_all (B)
+    // mean dup-bigram: snap(1/3) = floor(2^30/3 + 0.5) = 357913941,
+    // B and C contribute 0 → mean = 357913941 / (3 · 2^30)
+    assert(row.getDouble(6) === 357913941.0 / (3.0 * 1073741824.0))
   }
 
   test("t27 zipf: two-point power-law source fits slope -1 exactly; flat source fits 0") {
