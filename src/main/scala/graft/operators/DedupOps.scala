@@ -1511,12 +1511,18 @@ object DedupOps {
     * occurrence in the batch stays 'new').
     *
     * Shape: the exact tiers are one text-keyed semi-join / grouped
-    * first-id join; the near tier reuses the d03→d05 kernel over the
-    * union (in production the corpus side's signatures are the
-    * precomputed index — same plan, cached input), then every
-    * membership test is a doc_id-keyed semi-join, co-partitioned after
-    * the first shuffle. Nothing is corpus²: candidates stay bucketed
-    * and capped.
+    * first-id join; the near tier's candidates come from the ON-DISK
+    * band index — the registry row derives signatures for the NEW
+    * batch only and APPENDS them to the bucketed lake table
+    * ([[graft.sources.SignatureLake.incrementalBandIndex]]), then
+    * expands candidate pairs from the UPDATED index's bucketed scan
+    * (zero exchange into the bucket aggregation — SignatureLakeSpec
+    * pins the plan) and exact-verifies only pairs touching the delta.
+    * Every membership test is a doc_id-keyed semi-join, co-partitioned
+    * after the first shuffle. Nothing is corpus²: candidates stay
+    * bucketed and capped. [[incrementalDedup]] remains the
+    * self-contained (no-lake) form over the production xxhash64
+    * family for library callers.
     *
     * Oracle: fully SQL-expressible — the near tier inherits d05's
     * candidates ⊇ truth agreement on the gate corpora (every
@@ -1525,7 +1531,20 @@ object DedupOps {
     * all-pairs Jaccard; the exact tiers and the precedence CASE are
     * literal. */
   def incrementalDedup(delta: DataFrame, corpus: DataFrame,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6): DataFrame =
+    incrementalVerdicts(delta, corpus,
+      ngramJaccardPairs(
+        delta.select(col("doc_id"), col("text"))
+          .unionByName(corpus.select(col("doc_id"), col("text"))), threshold))
+
+  /** Verdict assembly over a PRE-COMPUTED verified near-pair relation
+    * (doc_a, doc_b) — shared by [[incrementalDedup]] (self-contained
+    * production-hash path) and the registry row's lake path, which
+    * sources candidates from the incrementally-APPENDED on-disk band
+    * index ([[graft.sources.SignatureLake.incrementalBandIndex]])
+    * instead of re-hashing the corpus. */
+  private def incrementalVerdicts(delta: DataFrame, corpus: DataFrame,
+      near: DataFrame): DataFrame = {
     val dIds = delta.select(col("doc_id"))
     val exactCorpus = delta
       .join(corpus.select(col("text")).distinct(), Seq("text"), "left_semi")
@@ -1534,9 +1553,6 @@ object DedupOps {
       .join(delta.groupBy(col("text")).agg(min(col("doc_id")).as("_first_id")), "text")
       .filter(col("doc_id") =!= col("_first_id"))
       .select(col("doc_id")).distinct().withColumn("_eb", lit(true))
-    val near = ngramJaccardPairs(
-      delta.select(col("doc_id"), col("text"))
-        .unionByName(corpus.select(col("doc_id"), col("text"))), threshold)
     // both directions, then keep the delta-side endpoints
     val nearDelta = near.select(
       explode(array(
@@ -1608,9 +1624,23 @@ object DedupOps {
       |LEFT JOIN nc ON d.doc_id = nc.doc_id
       |LEFT JOIN nb ON d.doc_id = nb.doc_id""".stripMargin) { (spark, sf) =>
     val docs = Tables.documents(spark, sf)
-    incrementalDedup(
-      docs.filter(col("doc_id") % 10 === 0),
-      docs.filter(col("doc_id") % 10 =!= 0))
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    // derive the batch's signatures, APPEND to the on-disk index, read
+    // the updated index back — the corpus side is never re-hashed
+    val bands = graft.sources.SignatureLake
+      .incrementalBandIndex(spark, sf, corpus, delta)
+    val cand = bucketPairs(bands, keyCols = Seq("band", "band_key"),
+        memberCols = Seq("doc_id"), MaxBandBucket, metric = "d12_inc_band_guard")
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      // only pairs touching the delta feed the verdict tiers — prune
+      // before the pair-dedup shuffle and the exact verify (the md5
+      // family's candidates ⊇ J≥0.6 truth license is d14's, measured
+      // per scale in DedupSpec's license matrix)
+      .filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)
+      .dropDuplicates("doc_a", "doc_b")
+    incrementalVerdicts(delta, corpus, jaccardVerify(docs, cand, 0.6))
   }
 
   // ------------------------------------------------------------------
@@ -1768,7 +1798,12 @@ object DedupOps {
     * capped candidates → exact-Jaccard inputs), ending at `p(doc_a,
     * doc_b, inter, la, lb)` — shared with d21 so the two texts can
     * never state a different near-dup pipeline. */
-  private def portableNearDupCtes: String =
+  /** The portable band-key derivation alone (md5 MinHash → 8×4
+    * banding), ending at `bd(doc_id, band, band_key)` — the prefix of
+    * [[portableNearDupCtes]], shared with the d23 lake-append
+    * conservation row so the oracle's notion of "the full index"
+    * cannot drift from the near-dup pipeline's. */
+  private def portableBandCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
@@ -1781,7 +1816,10 @@ object DedupOps {
       |       GROUP BY doc_id, p.i, l.l),
       |bd AS (SELECT doc_id, CAST(i AS INT) AS band,
       |         string_agg(h, '|' ORDER BY l) AS band_key
-      |       FROM mh GROUP BY doc_id, i),
+      |       FROM mh GROUP BY doc_id, i)""".stripMargin
+
+  private def portableNearDupCtes: String =
+    s"""$portableBandCtes,
       |ok AS (SELECT band, band_key FROM bd GROUP BY band, band_key
       |       HAVING count(*) <= 256),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2357,6 +2395,41 @@ object DedupOps {
       containmentPairs(Tables.documents(spark, sf))
   }
 
+  // ------------------------------------------------------------------
+  // d23: lake-append conservation (the incremental index is the index)
+  // ------------------------------------------------------------------
+
+  /** d23 — lake-append conservation: the incrementally-maintained
+    * on-disk band index (corpus build + delta APPEND — exactly d12's
+    * ingest path) must equal a from-scratch derivation over the full
+    * corpus, row for row. The engine full-outer-joins the updated
+    * index against a cold derivation on the (doc_id, band) primary
+    * key and emits the index size plus an every-row-matches boolean;
+    * the oracle replays the full derivation (the shared band CTEs)
+    * and expects the same count with `matches_full = TRUE`. An append
+    * path that dropped, duplicated, or corrupted rows (SaveMode.Append
+    * also validates the bucket spec, so it can never silently
+    * de-bucket the index) flips the boolean or the count and the row
+    * goes red in the driver gate. */
+  val lakeAppendQ: GraftQuery = GraftQuery(
+    "d23_lake_append",
+    s"""WITH $portableBandCtes
+      |SELECT CAST(count(*) AS BIGINT) AS n_bands, TRUE AS matches_full
+      |FROM bd""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val inc = graft.sources.SignatureLake.incrementalBandIndex(spark, sf,
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    val full = portableBandKeys(portableSignatures(docs))
+    inc.withColumnRenamed("band_key", "bk_inc")
+      .join(full.withColumnRenamed("band_key", "bk_full"),
+        Seq("doc_id", "band"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("bk_inc").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_bands"),
+        (coalesce(sum(when(col("bk_inc") <=> col("bk_full"), 0L).otherwise(1L)),
+          lit(0L)) === 0L).as("matches_full"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
@@ -2364,5 +2437,6 @@ object DedupOps {
     segmentDedupQ, portableMinhashQ,
     portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
     minhashCalibrationQ, sourceOverlapQ, thresholdCurveQ,
-    incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ)
+    incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ,
+    lakeAppendQ)
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -10,18 +10,35 @@ import graft.functions.VectorFunctions.{lshBandBuckets, toDouble}
 import graft.operators.{DedupOps, SimilarityOps}
 
 /** Materialized signature index for the PORTABLE dedup families — the
-  * d12 "precomputed lake index" pattern made concrete: the md5
-  * MinHash band keys, md5 SimHash fingerprints, and literal-plane ANN
-  * bucket relations are derived ONCE per (session, sfDir) on first
-  * access, persisted, and read by every subsequent consumer.
+  * d12 "precomputed lake index" pattern made concrete AS AN ON-DISK
+  * LAKE TABLE: the md5 MinHash signatures/band keys, md5 SimHash
+  * fingerprints, and literal-plane ANN bucket relations are derived
+  * ONCE per (session, sfDir) on first access and written as
+  * BUCKETED + SORTED managed parquet tables under the session
+  * warehouse; every subsequent consumer reads the table back.
   *
   * This is how the 100 TB deployment actually runs: the dedup jobs
   * write signature/fingerprint tables to the lake alongside the
   * corpus (they must — the signatures ARE the dedup state), and audit
   * consumers like the d11p coverage funnel read those tables instead
-  * of re-hashing petabytes per report. Locally the "lake" is the
-  * session's block-manager cache; the derivation cost is paid by the
-  * first consumer and is itself measured by the d14_sig / d15_fp
+  * of re-hashing petabytes per report. Bucketing by each family's
+  * downstream key means the read-back satisfies the consumer's
+  * required distribution with ZERO exchange (SignatureLakeSpec
+  * asserts this on the physical plan): the band-key bucket
+  * aggregation that generates candidate pairs — the first shuffle of
+  * every near-dup consumer — is paid once at WRITE time, exactly the
+  * [[Bucketing]] ingest-time-shuffle trade.
+  *
+  * Incremental maintenance is the other half of the lake story: a
+  * production pipeline never re-derives the corpus's signatures per
+  * ingest — it derives the NEW batch's signatures and APPENDS them to
+  * the bucketed index ([[appendBandDelta]]; the d12 registry row runs
+  * exactly this path and the d23 row hash-checks that the appended
+  * index equals a from-scratch derivation). Bucketed appends keep the
+  * bucket spec (Spark validates it), so the zero-exchange read-back
+  * property survives every ingest.
+  *
+  * The derivation cost is itself measured by the d14_sig / d15_fp
   * BenchOne stages and the self-contained d14/d15 audit rows, which
   * deliberately do NOT read this index.
   *
@@ -30,63 +47,114 @@ import graft.operators.{DedupOps, SimilarityOps}
   * except the bucket ids. Entries are keyed by the owning
   * SparkSession, so a stopped session's entries are never served to a
   * live one, and every access sweeps stopped sessions' entries out of
-  * the map (a session-per-job JVM must not accumulate dead session
-  * graphs here); `invalidate` drops a live session's entries when a
-  * caller wants a cold re-derivation.
+  * the map; `invalidate` drops a live session's tables (managed drop
+  * deletes the files) when a caller wants a cold re-derivation.
   */
 object SignatureLake {
 
+  /** Bucket count for every lake table. Locally this matches the bench
+    * session's shuffle parallelism so the zero-exchange read-back still
+    * uses every core; at 100 TB the count follows file-size math
+    * instead (table_bytes / 256 MB target files — see [[Bucketing]]),
+    * and joins across different counts coalesce when one divides the
+    * other. */
+  val Buckets = 32
+
   private final case class Key(session: SparkSession, sfDir: String, family: String)
 
-  private val cache = new ConcurrentHashMap[Key, DataFrame]()
+  /** (catalog table name, the ONE table-scan DataFrame served to every
+    * consumer — identity-stable so callers can cheaply observe "same
+    * materialization"). */
+  private val cache = new ConcurrentHashMap[Key, (String, DataFrame)]()
+
+  /** Tables written OUTSIDE the memoizing cache (the incremental-index
+    * namespace — rebuilt per call by design), tracked per session so
+    * [[invalidate]] can drop them too. */
+  private val extraTables = new ConcurrentHashMap[SparkSession, Set[String]]()
 
   /** Drop entries owned by stopped sessions — a session per job in a
     * long-lived JVM must not accumulate dead (session, DataFrame)
-    * graphs in this static map. Runs on every get: the map holds a
-    * handful of entries, so the sweep is O(entries) pointer checks. */
+    * graphs in this static map. (The stopped session's catalog is gone
+    * with it; its warehouse files are orphaned until the next
+    * overwrite, which is the normal lake-GC trade.) */
   private def evictStopped(): Unit = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       if (it.next().getKey.session.sparkContext.isStopped) it.remove()
     }
+    val it2 = extraTables.keySet().iterator()
+    while (it2.hasNext) {
+      if (it2.next().sparkContext.isStopped) it2.remove()
+    }
   }
 
-  private def get(spark: SparkSession, sfDir: String, family: String)(
-      build: => DataFrame): DataFrame = {
+  private def sanitize(s: String): String =
+    s.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+
+  private def tableName(spark: SparkSession, sfDir: String, family: String): String =
+    s"graft_lake_${family}_${sanitize(sfDir)}_s${Integer.toHexString(System.identityHashCode(spark))}"
+
+  /** Write `df` as a MANAGED bucketed+sorted parquet table — the lake
+    * write. SaveMode.Append validates the existing bucket spec, so an
+    * incremental write can never silently de-bucket the index. */
+  private def writeFamily(df: DataFrame, table: String,
+      bucketCols: Seq[String], mode: SaveMode): Unit =
+    df.write.format("parquet")
+      .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode(mode)
+      .saveAsTable(table)
+
+  private def get(spark: SparkSession, sfDir: String, family: String,
+      bucketCols: Seq[String])(build: => DataFrame): DataFrame = {
     evictStopped()
-    cache.computeIfAbsent(Key(spark, sfDir, family), _ => build.persist())
+    cache.computeIfAbsent(Key(spark, sfDir, family), _ => {
+      val t = tableName(spark, sfDir, family)
+      writeFamily(build, t, bucketCols, SaveMode.Overwrite)
+      (t, spark.table(t))
+    })._2
   }
 
   /** Portable MinHash SIGNATURES (doc_id, sig: array<string> hex
     * lanes) — the root relation of the minhash family; the band-key
     * relation derives from it, so the md5 pass over the corpus runs
     * ONCE per (session, sfDir) no matter how many audit consumers
-    * (band keys, d17's lane-agreement calibration) read the family. */
+    * (band keys, d17's lane-agreement calibration) read the family.
+    * Bucketed by doc_id: the audit consumers' joins back to the
+    * corpus are doc-keyed. */
   def portableSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    get(spark, sfDir, "minhash_sigs") {
+    get(spark, sfDir, "minhash_sigs", Seq("doc_id")) {
       DedupOps.portableSignatures(Tables.documents(spark, sfDir))
     }
 
   /** Portable MinHash band keys (doc_id, band, band_key) —
     * [[DedupOps.portableBandKeys]] over the materialized
-    * [[portableSignatures]]. */
+    * [[portableSignatures]]. Bucketed by (band, band_key): the
+    * candidate-pair bucket aggregation — every near-dup consumer's
+    * first shuffle — reads this distribution straight off the scan. */
   def portableBandKeys(spark: SparkSession, sfDir: String): DataFrame = {
     // resolve the root family BEFORE entering the band-keys closure:
     // ConcurrentHashMap.computeIfAbsent forbids a recursive update of
     // the same map from inside a mapping function
     val sigs = portableSignatures(spark, sfDir)
-    get(spark, sfDir, "minhash_bands") { DedupOps.portableBandKeys(sigs) }
+    get(spark, sfDir, "minhash_bands", Seq("band", "band_key")) {
+      DedupOps.portableBandKeys(sigs)
+    }
   }
 
-  /** Portable SimHash fingerprints (doc_id, sh0, sh1). */
+  /** Portable SimHash fingerprints (doc_id, sh0, sh1), bucketed by
+    * doc_id (pigeonhole band keys are derived per-radius downstream —
+    * doc_id is the one stable key). */
   def portableFingerprints(spark: SparkSession, sfDir: String): DataFrame =
-    get(spark, sfDir, "simhash_fp") {
+    get(spark, sfDir, "simhash_fp", Seq("doc_id")) {
       DedupOps.portableSimhashFingerprints(Tables.documents(spark, sfDir))
     }
 
-  /** Portable sign-LSH ANN buckets (vec_id, table, bucket). */
+  /** Portable sign-LSH ANN buckets (vec_id, table, bucket), bucketed by
+    * (table, bucket): occupancy stats and within-bucket pair expansion
+    * group on exactly that key. */
   def portableAnnBuckets(spark: SparkSession, sfDir: String): DataFrame =
-    get(spark, sfDir, "ann_buckets") {
+    get(spark, sfDir, "ann_buckets", Seq("table", "bucket")) {
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         .select(col("vec_id"),
@@ -95,17 +163,48 @@ object SignatureLake {
             .as(Seq("table", "bucket")))
     }
 
-  /** Drop (and unpersist) every entry owned by `spark`. */
+  // ------------------------------------------------------------------
+  // Incremental maintenance (the d12 ingest path)
+  // ------------------------------------------------------------------
+
+  /** Derive the portable band keys of `delta` docs and APPEND them to
+    * an existing bucketed band index — the per-ingest maintenance
+    * write. Only the NEW batch is hashed; the corpus side stays on
+    * disk untouched. */
+  def appendBandDelta(spark: SparkSession, table: String, delta: DataFrame): Unit =
+    writeFamily(DedupOps.portableBandKeys(DedupOps.portableSignatures(delta)),
+      table, Seq("band", "band_key"), SaveMode.Append)
+
+  /** Build the band-key index for `base`, then [[appendBandDelta]] the
+    * `delta` batch — the d12 registry row's index path, in a private
+    * `inc_bands` namespace so the shared full-corpus families above
+    * are never clobbered. Rebuilt on every call (deterministic and
+    * idempotent under bench repetition; a long-lived deployment calls
+    * [[appendBandDelta]] alone per ingest). Returns the read-back of
+    * the UPDATED table: base ∪ delta band keys, still bucketed. */
+  def incrementalBandIndex(spark: SparkSession, sfDir: String,
+      base: DataFrame, delta: DataFrame): DataFrame = {
+    evictStopped()
+    val t = tableName(spark, sfDir, "inc_bands")
+    writeFamily(DedupOps.portableBandKeys(DedupOps.portableSignatures(base)),
+      t, Seq("band", "band_key"), SaveMode.Overwrite)
+    appendBandDelta(spark, t, delta)
+    extraTables.merge(spark, Set(t), _ ++ _)
+    spark.table(t)
+  }
+
+  /** Drop (and delete — managed tables) every lake table owned by
+    * `spark`. */
   def invalidate(spark: SparkSession): Unit = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey.session eq spark) {
-        // blocking: callers invalidate to get a clean-slate session
-        // (tests assert on getPersistentRDDs right after)
-        e.getValue.unpersist(blocking = true)
+        spark.sql(s"DROP TABLE IF EXISTS ${e.getValue._1}")
         it.remove()
       }
     }
+    Option(extraTables.remove(spark)).foreach(_.foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")))
   }
 }

@@ -1,16 +1,17 @@
 package graft.sources
 
+import org.apache.spark.sql.functions._
+
 import graft.{SparkSpec, Tables}
 import graft.operators.DedupOps
 
 class SignatureLakeSpec extends SparkSpec {
 
-  test("one derivation per (session, sfDir): same persisted instance, parity with direct derivation") {
+  test("one derivation per (session, sfDir): same table-scan instance, parity with direct derivation") {
     SignatureLake.invalidate(spark)
     val a = SignatureLake.portableBandKeys(spark, sf001)
     val b = SignatureLake.portableBandKeys(spark, sf001)
     assert(a eq b, "second read must hit the materialized entry")
-    assert(a.storageLevel.useMemory, "the index must be persisted")
 
     // the index IS the derivation — row-for-row
     val direct = DedupOps.portableBandKeys(
@@ -23,9 +24,9 @@ class SignatureLakeSpec extends SparkSpec {
     assert(!(other eq a))
 
     SignatureLake.invalidate(spark)
-    // (storageLevel can't distinguish the dropped entry from the fresh
-    // one — Spark's cache lookup is by canonical plan, and the fresh
-    // entry re-registers an identical plan — so pin identity only)
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_lake_")),
+      "invalidate must drop every lake table")
     val c = SignatureLake.portableBandKeys(spark, sf001)
     assert(!(c eq a), "invalidate must force a fresh entry")
     SignatureLake.invalidate(spark)
@@ -38,6 +39,63 @@ class SignatureLakeSpec extends SparkSpec {
     assert(SignatureLake.portableFingerprints(spark, sf001).count() === nDocs)
     assert(SignatureLake.portableAnnBuckets(spark, sf001).count()
       === nVecs * DedupOps.PortableAnnTables)
+    SignatureLake.invalidate(spark)
+  }
+
+  test("band-key read-back satisfies the bucket aggregation with ZERO exchange") {
+    SignatureLake.invalidate(spark)
+    val bands = SignatureLake.portableBandKeys(spark, sf001)
+    // the first shuffle of every near-dup consumer: bucket occupancy /
+    // candidate-pair grouping on (band, band_key) — the lake table is
+    // bucketed on exactly that key, so the scan itself satisfies the
+    // required distribution
+    val agg = bands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket aggregation over the lake index must not shuffle:\n$plan")
+
+    // and a signature-side self-join (pair expansion by join rather
+    // than collect_list) shuffles NEITHER side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+      val r = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+      val j = l.join(r, Seq("band", "band_key")).filter(col("doc_a") < col("doc_b"))
+      j.count()
+      val jp = j.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange"),
+        s"co-bucketed signature self-join must not shuffle either side:\n$jp")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      SignatureLake.invalidate(spark)
+    }
+  }
+
+  test("incremental index: corpus build + delta append equals the full derivation, still bucketed") {
+    SignatureLake.invalidate(spark)
+    val docs = Tables.documents(spark, sf001)
+    val inc = SignatureLake.incrementalBandIndex(spark, sf001,
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    val full = DedupOps.portableBandKeys(
+      DedupOps.portableSignatures(docs))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "appended index must equal a from-scratch derivation")
+
+    // the APPEND must not cost the zero-exchange property: the table
+    // keeps its bucket spec (Spark validates it on append), so the
+    // bucket aggregation still reads the distribution off the scan
+    val agg = inc.groupBy(col("band"), col("band_key")).agg(count(lit(1)))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucket aggregation over the appended index must not shuffle")
+
+    // idempotent under repetition (bench reps re-run the d12/d23 rows)
+    val again = SignatureLake.incrementalBandIndex(spark, sf001,
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    assert(again.count() === full.count())
     SignatureLake.invalidate(spark)
   }
 }
