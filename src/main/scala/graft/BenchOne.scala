@@ -7,6 +7,12 @@ import org.apache.spark.sql.DataFrame
   * the expensive operators be attributed (signature computation vs
   * candidate join vs verification) without touching Bench. */
 object BenchOne {
+  private def embOf(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Tables.embeddings(s, sf).select(col("vec_id"),
+      functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("d04_dedup_simhash")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
@@ -21,7 +27,12 @@ object BenchOne {
       "d03_cand" -> ((s, sf) => operators.DedupOps.rawCandidatePairs(Tables.documents(s, sf))),
       "d14_sig" -> ((s, sf) => operators.DedupOps.portableSignatures(Tables.documents(s, sf))),
       "d14_cand" -> ((s, sf) => operators.DedupOps.portableCandidatePairs(Tables.documents(s, sf))),
-      "d15_fp" -> ((s, sf) => operators.DedupOps.portableSimhashFingerprints(Tables.documents(s, sf))))
+      "d15_fp" -> ((s, sf) => operators.DedupOps.portableSimhashFingerprints(Tables.documents(s, sf))),
+      "s02_approx" -> ((s, sf) => operators.SimilarityOps.knnLsh(embOf(s, sf))),
+      "s04_approx" -> ((s, sf) => operators.SimilarityOps.knnIvfKmeans(embOf(s, sf))),
+      "s0x_exact" -> ((s, sf) => operators.SimilarityOps.knnGraphExact(
+        embOf(s, sf), operators.SimilarityOps.GraphSampleMod,
+        operators.SimilarityOps.PortableKnnK)))
     val fn = stages.getOrElse(name,
       SparkEntry.queries.getOrElse(name, sys.error(s"unknown query/stage '$name'")))
 

@@ -92,22 +92,70 @@ object SignatureLake {
     s.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
 
   private def tableName(spark: SparkSession, sfDir: String, family: String): String =
-    s"graft_lake_${family}_${sanitize(sfDir)}_s${Integer.toHexString(System.identityHashCode(spark))}"
+    s"graft_lake_${family}_${sanitize(sfDir)}_p${ProcessHandle.current().pid()}" +
+      s"_s${Integer.toHexString(System.identityHashCode(spark))}"
+
+  /** A fresh JVM's catalog starts empty, but the WAREHOUSE directory
+    * survives process exits — and identityHashCode sequences can
+    * repeat across identical forked JVMs, so a new run's managed
+    * CREATE can land on a dead run's leftover location and throw
+    * LOCATION_ALREADY_EXISTS. Overwrite writes therefore pre-clean
+    * both the catalog entry and any orphaned directory (the pid in
+    * the name already makes cross-process collisions rare; this makes
+    * them harmless). */
+  private def preclean(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 
   /** Write `df` as a MANAGED bucketed+sorted parquet table — the lake
     * write. SaveMode.Append validates the existing bucket spec, so an
     * incremental write can never silently de-bucket the index. */
   private def writeFamily(df: DataFrame, table: String,
-      bucketCols: Seq[String], mode: SaveMode): Unit =
+      bucketCols: Seq[String], mode: SaveMode): Unit = {
+    if (mode == SaveMode.Overwrite) preclean(df.sparkSession, table)
     df.write.format("parquet")
       .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode(mode)
       .saveAsTable(table)
+  }
+
+  /** Once per JVM, garbage-collect lake directories left by DEAD
+    * processes (each forked Verify/Bench/test JVM writes pid-named
+    * tables and cannot drop them after exit). Best-effort: a live
+    * pid's tables are never touched, and any IO failure is ignored —
+    * this is warehouse hygiene, not correctness. */
+  private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def sweepOrphans(spark: SparkSession): Unit =
+    if (swept.compareAndSet(false, true)) {
+      try {
+        val wh = new org.apache.hadoop.fs.Path(spark.sessionState.conf.warehousePath)
+        val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+        val self = ProcessHandle.current().pid()
+        val pidRe = "_p(\\d+)_s".r
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("graft_lake_")) {
+            pidRe.findFirstMatchIn(n).foreach { m =>
+              val pid = m.group(1).toLong
+              val dead = pid != self &&
+                !ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive).orElse(false)
+              if (dead) fs.delete(st.getPath, true)
+            }
+          }
+        }
+      } catch { case _: Exception => () }
+    }
 
   private def get(spark: SparkSession, sfDir: String, family: String,
       bucketCols: Seq[String])(build: => DataFrame): DataFrame = {
     evictStopped()
+    sweepOrphans(spark)
     cache.computeIfAbsent(Key(spark, sfDir, family), _ => {
       val t = tableName(spark, sfDir, family)
       writeFamily(build, t, bucketCols, SaveMode.Overwrite)
@@ -163,6 +211,24 @@ object SignatureLake {
             .as(Seq("table", "bucket")))
     }
 
+  /** Exact probe-sample kNN ground truth — [[SimilarityOps.knnGraphExact]]
+    * at the audit geometry (mod = [[SimilarityOps.GraphSampleMod]],
+    * k = [[SimilarityOps.GraphK]]): (src_id, dst_id, rank, cos_sim,
+    * mutual), bucketed by src_id. FIVE gate rows (s02/s04 recall
+    * contracts, s12/s13/s14 recall evals) score approximate kernels
+    * against this one relation — the audit tier derives it once per
+    * (session, sf) and reads it back, exactly like the signature
+    * families. A consumer needing k' < GraphK filters `rank <= k'`
+    * (row_number prefixes are monotone); `mutual` is only meaningful
+    * at k = GraphK (s13, the one consumer that reads it). */
+  def exactProbeGraph(spark: SparkSession, sfDir: String): DataFrame =
+    get(spark, sfDir, "knn_exact", Seq("src_id")) {
+      SimilarityOps.knnGraphExact(
+        Tables.embeddings(spark, sfDir).select(col("vec_id"),
+          toDouble(col("embedding")).as("v")),
+        SimilarityOps.GraphSampleMod, SimilarityOps.GraphK)
+    }
+
   // ------------------------------------------------------------------
   // Incremental maintenance (the d12 ingest path)
   // ------------------------------------------------------------------
@@ -185,6 +251,7 @@ object SignatureLake {
   def incrementalBandIndex(spark: SparkSession, sfDir: String,
       base: DataFrame, delta: DataFrame): DataFrame = {
     evictStopped()
+    sweepOrphans(spark)
     val t = tableName(spark, sfDir, "inc_bands")
     writeFamily(DedupOps.portableBandKeys(DedupOps.portableSignatures(base)),
       t, Seq("band", "band_key"), SaveMode.Overwrite)

@@ -375,10 +375,14 @@ class PlanInvariantsSpec extends SparkSpec {
       s"expected the cell aggregation + the per-declared share window only:\n$p")
   }
 
-  test("s12: probe sides broadcast; never a cartesian product") {
+  test("s12: exact side reads the materialized lake graph; never a cartesian product") {
     val p = SimilarityOps.annRecallQ.run(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the brute probe×corpus BroadcastNestedLoopJoin runs ONCE at
+    // lake-build time; the gate row itself must read the bucketed
+    // knn_exact table back instead of re-deriving the ground truth
+    assert(p.contains("graft_lake_knn_exact"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
