@@ -43,11 +43,17 @@ import StatefulOps.{AttrEvent, TypedEvent}
   */
 object StreamReplay {
 
-  /** Micro-batches in the replay schedule — enough to exercise many
+  /** Micro-batches in the replay schedule — enough to exercise several
     * watermark advances and timeout firings while keeping the
     * per-micro-batch fixed cost (planning + state-store commit +
-    * offset/commit log IO) a bounded share of the bench row. */
-  val ReplayChunks = 6
+    * offset/commit log IO) a bounded share of the bench row. 4 (plus
+    * the two sentinel flushes) still advances the watermark through
+    * mid-stream finalizations on every machine; the finalized OUTPUT
+    * is schedule-independent by the parity theorem the rows prove, and
+    * the ×300 random-schedule Stream*Specs keep proving it across
+    * chunkings — 6 → 4 only drops a third of the fixed state-store
+    * commits from the audit fixture (r9 verdict item 4). */
+  val ReplayChunks = 4
 
   /** Deterministic user-slice modulus (mirrored in the oracles). */
   val UserMod = 7L
@@ -55,23 +61,36 @@ object StreamReplay {
   private val SentinelUser = -1L
   private val nameCounter = new AtomicInteger()
 
+  /** Collected schedules memoized per (session, sf): all six st* rows
+    * replay the SAME slice, so the sort+collect job runs once and the
+    * later five rows start at addData (the SignatureLake first-consumer
+    * pattern, driver-side because a replay schedule is driver data by
+    * nature — the slice is a bounded audit fixture). Entries of
+    * stopped sessions are swept on access. */
+  private val schedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Seq[TypedEvent]]]()
+
   /** The sorted, sliced, intra-batch-reversed replay schedule plus the
     * two watermark-flushing sentinel batches. */
   private def schedule(spark: SparkSession, sf: String): Seq[Seq[TypedEvent]] = {
-    import spark.implicits._
-    val evs = Tables.events(spark, sf)
-      .filter(col("user_id") % UserMod === 0)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      .as[TypedEvent].collect().toSeq
-      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-    require(evs.nonEmpty, s"replay slice is empty at $sf")
-    val sz = math.max(1, math.ceil(evs.size / ReplayChunks.toDouble).toInt)
-    val chunks = evs.grouped(sz).map(_.reverse).toSeq
-    val maxMs = evs.map(_.ts.getTime).max
-    val day = 86400000L
-    chunks ++ Seq(
-      Seq(TypedEvent(-1L, SentinelUser, "__flush", new Timestamp(maxMs + 2 * day))),
-      Seq(TypedEvent(-2L, SentinelUser, "__flush", new Timestamp(maxMs + 4 * day))))
+    val it = schedCache.keySet().iterator()
+    while (it.hasNext) { if (it.next()._1.sparkContext.isStopped) it.remove() }
+    schedCache.computeIfAbsent((spark, sf), _ => {
+      import spark.implicits._
+      val evs = Tables.events(spark, sf)
+        .filter(col("user_id") % UserMod === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .as[TypedEvent].collect().toSeq
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      require(evs.nonEmpty, s"replay slice is empty at $sf")
+      val sz = math.max(1, math.ceil(evs.size / ReplayChunks.toDouble).toInt)
+      val chunks = evs.grouped(sz).map(_.reverse).toSeq
+      val maxMs = evs.map(_.ts.getTime).max
+      val day = 86400000L
+      chunks ++ Seq(
+        Seq(TypedEvent(-1L, SentinelUser, "__flush", new Timestamp(maxMs + 2 * day))),
+        Seq(TypedEvent(-2L, SentinelUser, "__flush", new Timestamp(maxMs + 4 * day))))
+    })
   }
 
   /** Run `build`'s stream over the replay schedule and return the
