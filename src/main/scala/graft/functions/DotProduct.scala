@@ -125,6 +125,14 @@ object GraftExtensions {
             "<penalty weight literal>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_space_saving"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "graft_space_saving"),
+      (children: Seq[Expression]) => children match {
+        case Seq(u, w, Literal(cap: Int, IntegerType)) => SpaceSavingAgg(u, w, cap)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_space_saving(user, weight, <cap literal>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cell_probes"),
       new ExpressionInfo(classOf[CellProbes].getName, "graft_cell_probes"),
       (children: Seq[Expression]) => children match {

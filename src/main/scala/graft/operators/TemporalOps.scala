@@ -1181,6 +1181,172 @@ object TemporalOps {
     dailyTopUsers(Tables.events(spark, sf))
   }
 
+  // ------------------------------------------------------------------
+  // q54: bounded-memory batch heavy hitters (SpaceSaving contract)
+  // ------------------------------------------------------------------
+
+  /** SpaceSaving capacity for the batch sketch — mirrors the streaming
+    * twin's per-(type, day) capacity, and sits BELOW the gate corpora's
+    * per-day user cardinality at sf0.01/0.1 (42–587 distinct users) so
+    * the contract exercises real evictions, while sf0.001 (≤10 users)
+    * pins the under-capacity exactness claim. */
+  val HhBatchCap = 32
+
+  /** Bounded-memory approximate daily top-k audit — the batch twin of
+    * the streaming SpaceSaving heavy hitters and the approximate
+    * counterpart of exact q44 (the count-based sketch family, next to
+    * q22's distinct and q24's quantile sketches): per (event_type,
+    * day), a [[HhBatchCap]]-counter `graft_space_saving` sketch
+    * (native TypedImperativeAggregate — O(cap) state per group, the
+    * 100 TB path where q44's exact per-user counts are the state one
+    * cannot keep) is audited against the exact counts, per event type,
+    * on exactly the four claims the sketch THEOREM makes (events'
+    * per-day counts are near-uniform — at sf0.1 every count sits far
+    * below the total/cap guarantee threshold, the regime where any
+    * counter sketch legitimately recalls nothing, so an unconditional
+    * recall floor would be either vacuous or dishonest — measured
+    * top-k recall here: 1.0 / ~0.5 / ~0.0 at sf0.001/0.01/0.1; the
+    * planted-Zipf HeavyHitterSketchSpec carries the non-vacuous
+    * recall pin, the regime the sketch exists for):
+    *
+    *  - `bounds_ok`     — EVERY kept counter satisfies
+    *                      est − err ≤ true ≤ est (the SpaceSaving
+    *                      containment, preserved through merges);
+    *  - `guaranteed_sound` — every top-k counter the sketch GUARANTEES
+    *                      in the true top-k (est − err clears the
+    *                      (k+1)-th estimate, an upper bound on every
+    *                      unseen user) really is there;
+    *  - `coverage_ok`   — every user with true count > day_total/cap
+    *                      holds a counter (Metwally et al. 2005, the
+    *                      heavy-hitter guarantee; integer-exact as
+    *                      n·cap > total);
+    *  - `exact_under_cap` — a day with ≤ cap distinct users is tracked
+    *                      EXACTLY: one counter per user, est = true
+    *                      count, err = 0.
+    *
+    * The sketch ingests pre-reduced per-user counts, co-partitioned
+    * and deterministically ordered (count DESC, user ASC — the
+    * streaming twin's fold order), so each group's summary builds in
+    * one partial buffer and the gate hash is stable run to run; the
+    * production path feeds raw events through the same aggregate and
+    * keeps only the bounds, not determinism (see SpaceSavingAgg's
+    * merge note). */
+  def heavyHitterAudit(events: DataFrame,
+      k: Int = DailyTopK, cap: Int = HhBatchCap): DataFrame = {
+    val counts = events
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val dayStats = counts
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("u"))
+    val sketches = counts
+      .repartition(col("event_type"), col("day"))
+      .sortWithinPartitions(col("event_type"), col("day"),
+        col("n").desc, col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(call_function("graft_space_saving",
+        col("user_id"), col("n"), lit(cap)).as("sk"))
+    val exploded = sketches
+      .select(col("event_type"), col("day"),
+        // the (k+1)-th estimate: the best possible true count OUTSIDE
+        // the emitted top-k (and ≥ any unseen user, by the invariant)
+        coalesce(get(col("sk"), lit(k)).getField("est"), lit(0L)).as("thresh"),
+        size(col("sk")).as("n_counters"),
+        posexplode(col("sk")).as(Seq("i", "c")))
+      .select(col("event_type"), col("day"), col("n_counters"),
+        col("c.user_id").as("user_id"), col("c.est").as("est"),
+        col("c.err").as("err"),
+        (col("i") < k && col("c.est") - col("c.err") >= col("thresh"))
+          .as("guaranteed"))
+    val exactTop = counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(col("n").desc, col("user_id"))))
+      .filter(col("rank") <= k)
+    val scored = exploded
+      // every sketched user was observed, so the count join is total;
+      // a NULL n here means a corrupted sketch and must flip bounds_ok
+      .join(counts, Seq("event_type", "day", "user_id"), "left")
+      .join(exactTop.select(col("event_type"), col("day"), col("user_id"))
+        .withColumn("__intop", lit(true)),
+        Seq("event_type", "day", "user_id"), "left")
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        first(col("n_counters")).as("n_counters"),
+        min(when(col("n").isNotNull
+          && col("est") >= col("n")
+          && col("est") - col("err") <= col("n"), 1L).otherwise(0L)).as("__bounds"),
+        min(when(!col("guaranteed")
+          || coalesce(col("__intop"), lit(false)), 1L).otherwise(0L)).as("__sound"),
+        sum(when(col("est") === col("n") && col("err") === 0L, 1L)
+          .otherwise(0L)).as("__exact_counters"))
+    // heavy users per day (n·cap > total) vs how many of them the
+    // sketch tracks — the coverage theorem, joined on the tracked set
+    val heavy = counts
+      .join(dayStats, Seq("event_type", "day"))
+      .filter(col("n") * cap > col("total"))
+      .select(col("event_type"), col("day"), col("user_id"))
+    val heavyTracked = heavy
+      .join(exploded.select(col("event_type"), col("day"), col("user_id"))
+        .withColumn("__trk", lit(true)),
+        Seq("event_type", "day", "user_id"), "left")
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_heavy"),
+        sum(when(coalesce(col("__trk"), lit(false)), 1L).otherwise(0L))
+          .as("n_heavy_tracked"))
+    val perDay = exactTop
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("k_exact"))
+      .join(dayStats, Seq("event_type", "day"))
+      .join(scored, Seq("event_type", "day"))
+      .join(heavyTracked, Seq("event_type", "day"), "left")
+    perDay
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("k_exact")).as("k_exact_total"),
+        min(col("__bounds")).as("__b"),
+        min(col("__sound")).as("__s"),
+        min(when(coalesce(col("n_heavy"), lit(0L))
+          === coalesce(col("n_heavy_tracked"), lit(0L)), 1L).otherwise(0L))
+          .as("__cov"),
+        min(when(col("u") > cap
+          || (col("n_counters") === col("u")
+            && col("__exact_counters") === col("u")), 1L).otherwise(0L))
+          .as("__ex"))
+      .select(col("event_type"), col("n_days"), lit(k.toLong).as("k"),
+        col("k_exact_total"),
+        (col("__b") === 1L).as("bounds_ok"),
+        (col("__s") === 1L).as("guaranteed_sound"),
+        (col("__cov") === 1L).as("coverage_ok"),
+        (col("__ex") === 1L).as("exact_under_cap"))
+  }
+
+  /** q54's gate row: the oracle replays the replayable side — day and
+    * exact-top-k cardinalities per type — and expects all four
+    * contract booleans TRUE (the s02/s04/d03 contract device applied
+    * to the count-sketch family, with the sketch's own theorem as the
+    * claims). */
+  val heavyHitterAuditQ: GraftQuery = GraftQuery(
+    "q54_heavy_hitters_sketch",
+    s"""WITH c AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |d AS (SELECT event_type, day, count(*) AS u FROM c GROUP BY 1, 2)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST($DailyTopK AS BIGINT) AS k,
+      |       CAST(sum(least($DailyTopK, u)) AS BIGINT) AS k_exact_total,
+      |       TRUE AS bounds_ok,
+      |       TRUE AS guaranteed_sound,
+      |       TRUE AS coverage_ok,
+      |       TRUE AS exact_under_cap
+      |FROM d GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    heavyHitterAudit(Tables.events(spark, sf))
+  }
+
   /** Last-touch label when the conversion opens its session — shared
     * with the streaming twin so the two surfaces cannot drift. */
   val DirectTouch = "(direct)"
@@ -1821,5 +1987,6 @@ object TemporalOps {
       ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
       cooccurrenceQ, changePointQ, dailyTopUsersQ, attributionQ, autocorrQ,
       cohortRetentionQ, conversionLatencyQ, asOfForwardQ, interEventGapsQ,
-      dailyNewReturningQ, burstinessQ, seasonalBacktestQ, valueDriftQ)
+      dailyNewReturningQ, burstinessQ, seasonalBacktestQ, valueDriftQ,
+      heavyHitterAuditQ)
 }

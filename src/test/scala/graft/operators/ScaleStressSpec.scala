@@ -486,4 +486,26 @@ class ScaleStressSpec extends SparkSpec {
       s"cell routing must prune (candidates=$cand vs brute=${8L * N2})")
     info(f"SCALE | s15_probe_candidates         | n2=$cand%10d | corpus_fraction=${cand.toDouble / (8L * N2)}%6.3f")
   }
+
+  test("q54 sketch: per-group state stays O(cap) while input cardinality grows 10x") {
+    import spark.implicits._
+    // ~n/8 distinct users per group — far over capacity at both sizes,
+    // so every group's summary saturates at exactly HhBatchCap counters
+    def counterTotal(n: Int): Long = {
+      val df = (0 until n)
+        .map(i => (s"g${i % 4}", (i * 2654435761L % (n / 2)).toLong, 1L))
+        .toDF("g", "user_id", "w")
+      val sizes = df.groupBy(col("g"))
+        .agg(call_function("graft_space_saving", col("user_id"), col("w"),
+          lit(TemporalOps.HhBatchCap)).as("sk"))
+        .select(size(col("sk")).as("s")).collect().map(_.getInt(0))
+      assert(sizes.max <= TemporalOps.HhBatchCap,
+        s"sketch exceeded its cap at n=$n")
+      sizes.map(_.toLong).sum
+    }
+    val (c1, c2) = (counterTotal(N1), counterTotal(N2))
+    logScale("q54_sketch_counters", c1, c2)
+    assert(expo(c1, c2) < 0.05,
+      s"sketch state must not scale with input cardinality ($c1 -> $c2)")
+  }
 }
