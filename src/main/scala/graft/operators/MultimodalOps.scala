@@ -601,6 +601,23 @@ object MultimodalOps {
   val EntropyLowBar = 1.0
   val EntropyHighBar = 3.9
 
+  /** Engine side of m10 (shared with ScaleStressSpec): the 16-term
+    * fixed-order entropy chain and the band verdict over a multimodal
+    * payload frame — one row-local expression over the decode scan,
+    * no joins, no shuffles. */
+  def entropyScreen(payloads: DataFrame): DataFrame = {
+    val feats = extractFeatures(payloads)
+    val term = (i: Int) => {
+      val p = element_at(col("features"), i)
+      when(p > 0, -p * log2(p)).otherwise(lit(0.0))
+    }
+    val ent = round((1 to 16).map(term).reduce(_ + _), 4)
+    feats.select(col("doc_id"), col("n_bytes"), ent.as("entropy"),
+      when(ent < EntropyLowBar, "low")
+        .when(ent > EntropyHighBar, "near_uniform")
+        .otherwise("ok").as("flag"))
+  }
+
   /** m10 — payload byte-entropy screen: Shannon entropy of the
     * decode stub's 16-bin byte histogram, per payload, with a
     * low/near_uniform/ok verdict — the curation screen that catches
@@ -641,16 +658,7 @@ object MultimodalOps {
         |            WHEN coalesce(entropy, 0.0) > $EntropyHighBar THEN 'near_uniform'
         |            ELSE 'ok' END AS flag
         |FROM e""".stripMargin) { (spark, sf) =>
-      val feats = extractFeatures(asMultimodal(spark, sf))
-      val term = (i: Int) => {
-        val p = element_at(col("features"), i)
-        when(p > 0, -p * log2(p)).otherwise(lit(0.0))
-      }
-      val ent = round((1 to 16).map(term).reduce(_ + _), 4)
-      feats.select(col("doc_id"), col("n_bytes"), ent.as("entropy"),
-        when(ent < EntropyLowBar, "low")
-          .when(ent > EntropyHighBar, "near_uniform")
-          .otherwise("ok").as("flag"))
+      entropyScreen(asMultimodal(spark, sf))
     }
   }
 

@@ -508,4 +508,44 @@ class ScaleStressSpec extends SparkSpec {
     assert(expo(c1, c2) < 0.05,
       s"sketch state must not scale with input cardinality ($c1 -> $c2)")
   }
+
+  test("m10 entropy screen: one row-local pass, zero exchange, rows exactly linear at 10x") {
+    def run(n: Int): Long = {
+      val mm = stressDocs(n).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          struct(lit("txt").as("format")).as("meta"))
+      val out = MultimodalOps.entropyScreen(mm)
+      val cnt = out.count()
+      // the screen is a projection over the decode scan — any Exchange
+      // here means someone added corpus-scale structure to a per-row op
+      assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+        "m10 must stay a row-local pass")
+      assert(cnt === mm.count(), "one verdict per payload, none dropped")
+      cnt
+    }
+    val (c1, c2) = (run(N1), run(N2))
+    logScale("m10_entropy_rows", c1, c2)
+    assert(math.abs(expo(c1, c2) - 1.0) < 0.01,
+      "output must be exactly one row per payload")
+  }
+
+  test("v13 label purity: edge volume conserved at probes*k; output O(|labels|) at 10x") {
+    def run(n: Int): (Long, Long) = {
+      val emb = stressEmb(n, withHotCluster = false)
+        .withColumn("label", (col("vec_id") % 10).cast("string"))
+      val rows = VectorOps.knnLabelPurity(emb).collect()
+      val probes = emb.filter(col("vec_id") % SimilarityOps.GraphSampleMod === 0).count()
+      // conservation: the probe-sample kernel emits exactly k edges per
+      // probe (corpus ≫ k), and the purity report accounts every one
+      assert(rows.map(_.getAs[Long]("n_edges")).sum
+        === probes * SimilarityOps.GraphK, s"edge volume must be probes*k at n=$n")
+      assert(rows.map(_.getAs[Long]("n_probes")).sum === probes)
+      (rows.length.toLong, probes * SimilarityOps.GraphK)
+    }
+    val ((o1, e1), (o2, e2)) = (run(N1), run(N2))
+    logScale("v13_purity_out_rows", o1, o2)
+    logScale("v13_exact_edges", e1, e2)
+    assert(o1 <= 10 && o2 <= 10, "output is one row per label, never per vector")
+    assert(expo(o1, o2) < 0.05, "report cardinality must not scale with the corpus")
+  }
 }
