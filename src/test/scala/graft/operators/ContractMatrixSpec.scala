@@ -35,19 +35,11 @@ class ContractMatrixSpec extends SparkSpec {
   private val ivfFloor = Map("sf0.001" -> 0.38, "sf0.01" -> 0.40, "sf0.1" -> 0.28)
   private val ivfTrainedFloor = Map("sf0.001" -> 0.50, "sf0.01" -> 0.52, "sf0.1" -> 0.35)
 
-  test("oracle texts: no bare integer aggregate in a terminal projection (the q35 dtype class)") {
-    // The r8 root cause, pinned shut: the driver's comparator hashes
-    // VALUES, DuckDB renders an integer-sum HUGEINT as float64, and a
-    // terminal projection emitting a bare integer aggregate is exactly
-    // where the int-vs-float hash divergence enters. Every sum(/count(
-    // that IS a terminal select item must therefore carry an explicit
-    // CAST. This scans every registry oracle text: depth-0 SELECTs are
-    // the terminal projections (CTE bodies and subqueries sit inside
-    // parens), items split at top-level commas, and an item whose
-    // whole value is one aggregate call is flagged. Conservative by
-    // design: integer arithmetic over aggregates should be wrapped
-    // too.
-    def depth0Selects(sql: String): Seq[Int] = {
+  // ---- terminal-projection scanner helpers (shared by the oracle
+  // hygiene ratchet tests): depth-0 SELECTs are the terminal
+  // projections (CTE bodies and subqueries sit inside parens); items
+  // split at top-level commas ----
+  private def depth0Selects(sql: String): Seq[Int] = {
       val out = Seq.newBuilder[Int]
       var depth = 0
       var i = 0
@@ -111,6 +103,15 @@ class ContractMatrixSpec extends SparkSpec {
       items += cur.result()
       items.result()
     }
+
+  test("oracle texts: no bare integer aggregate in a terminal projection (the q35 dtype class)") {
+    // The r8 root cause, pinned shut: the driver's comparator hashes
+    // VALUES, DuckDB renders an integer-sum HUGEINT as float64, and a
+    // terminal projection emitting a bare integer aggregate is exactly
+    // where the int-vs-float hash divergence enters. Every sum(/count(
+    // that IS a terminal select item must therefore carry an explicit
+    // CAST. Conservative by design: integer arithmetic over aggregates
+    // should be wrapped too.
     val bare = "(?is)^(sum|count)\\s*\\(.*\\)$".r
     val offenders = for {
       (name, sql) <- graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
@@ -124,6 +125,48 @@ class ContractMatrixSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"terminal integer aggregates must be CAST-wrapped (DuckDB HUGEINT " +
         s"renders as float64 and breaks the value hash):\n${offenders.mkString("\n")}")
+  }
+
+  test("oracle texts: no NEW terminal round() (the decimal-tie divergence class, ratcheted)") {
+    // Spark (HALF_UP on a double) and DuckDB can disagree on decimal
+    // ties, so the float-parity rules ban round() in oracle-checked
+    // output EXCEPT where both engines provably round the same
+    // bit-identical double: the frozen rows below predate the ratchet
+    // and each belongs to a vetted class —
+    //   chart fixed-precision emissions over exact-integer ratios
+    //     (c08/c09/c14, p02 — 2-4dp over identical IEEE divisions),
+    //   snap-grid ulp absorbers (t13/t27, m02 — dyadic-snapped sums
+    //     rounded once to absorb libm drift, per the float rules),
+    //   exact scaled-integer 2dp domains (q35 — scaled-100 longs;
+    //     q04/q05 — lineitem's 2dp prices summed as DECIMAL),
+    //   shared rollup/cube tails of the q04 family (q20/q25/q31).
+    // A NEW row must use raw IEEE division, the dyadic snap, or
+    // scaled-integer sums instead — this test fails on any addition.
+    val allowed = Set(
+      "c08_positivity_topic", "c09_positivity_period", "c14_positivity_hour",
+      "p02_emotion_share", "m02_features", "q04_pricing_summary",
+      "q05_revenue_by_nation", "q20_rollup", "q25_cube", "q31_grouping_sets",
+      "q35_winsorize", "t13_unigram_nll", "t27_zipf_slope")
+    val roundRe = "(?i)\\bround\\s*\\(".r
+    val offenders = for {
+      (name, sql) <- graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      if !allowed.contains(name)
+      pos <- depth0Selects(sql)
+      if roundRe.findFirstIn(selectList(sql, pos)).isDefined
+    } yield name
+    assert(offenders.isEmpty,
+      s"terminal round() in a NEW oracle text — use raw IEEE division, the " +
+        s"dyadic snap, or scaled-integer sums (float-parity rules, " +
+        s"ARCHITECTURE.md):\n${offenders.distinct.mkString("\n")}")
+    // the allowlist is a ratchet, not a graveyard: drop entries that
+    // no longer have a terminal round so it can only shrink
+    val stale = allowed.filter { name =>
+      graft.SparkEntry.oracleSql.get(name).forall(sql =>
+        !depth0Selects(sql).exists(p =>
+          roundRe.findFirstIn(selectList(sql, p)).isDefined))
+    }
+    assert(stale.isEmpty,
+      s"allowlisted rows no longer carry a terminal round() — remove them: $stale")
   }
 
   for ((tag, dir) <- sfs) {
