@@ -912,11 +912,46 @@ object CoreQueries {
       .withColumn("is_peak", col("n") === max(col("n")).over(w))
   }
 
+  /** q55 — multi-format source parity: the engine's CSV/JSON batch
+    * source ([[graft.sources.MultiFormat]] — explicit schema, never
+    * inference; microsecond timestamp pattern) proven ROW-EXACT
+    * against the parquet lake by a full write→read round trip of the
+    * events table through each text format: longs, doubles, micros
+    * timestamps and the JSON-in-string `props` column must all
+    * survive, both directions of the multiset difference empty. The
+    * oracle replays the row count per format and expects the parity
+    * boolean TRUE — a lossy option (second-precision timestamps,
+    * unquoted CSV) flips it red. The per-format loop is bounded by
+    * |Formats| = 2; the exports land in a pid-scoped temp dir,
+    * overwritten per run (idempotent under bench reps). */
+  val sourceFormats: GraftQuery = GraftQuery(
+    "q55_source_formats",
+    """SELECT 'csv' AS format, CAST(count(*) AS BIGINT) AS n_rows,
+      |       TRUE AS roundtrip_exact
+      |FROM events
+      |UNION ALL
+      |SELECT 'json', CAST(count(*) AS BIGINT), TRUE FROM events""".stripMargin) {
+    (spark, sf) =>
+      import graft.sources.MultiFormat
+      val base = Tables.events(spark, sf)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_fmt" +
+        s"_p${ProcessHandle.current().pid()}_${sf.replaceAll("[^A-Za-z0-9]+", "_")}"
+      val rows = MultiFormat.Formats.map { fmt =>
+        MultiFormat.write(base, s"$dir/$fmt", fmt)
+        val back = MultiFormat.read(spark, s"$dir/$fmt", fmt, base.schema)
+        val exact = base.exceptAll(back).isEmpty && back.exceptAll(base).isEmpty
+        (fmt, back.count(), exact)
+      }
+      import spark.implicits._
+      rows.toDF("format", "n_rows", "roundtrip_exact")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
     latestInputs, dedupFirst, jsonExtract, timeBuckets, stringKey,
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
     distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
-    valueHistogram, groupingSets, moments, keySkew, seasonality)
+    valueHistogram, groupingSets, moments, keySkew, seasonality,
+    sourceFormats)
 }
