@@ -342,7 +342,63 @@ object StreamReplay {
         col("base_days"), col("z"), col("is_anomaly"))
   }
 
+  /** st07 — the SpaceSaving daily heavy hitters computed BY THE
+    * STREAM: [[StatefulOps.heavyHitterStream]] finalizes each (type,
+    * day) sketch at watermark-passes-day-end and emits its top-k with
+    * (est, err, guaranteed); the row scores those rows against the
+    * batch-exact per-user counts on the same slice with q54's theorem
+    * claims — every emitted bound contains the true count, every
+    * GUARANTEED row really is in the exact top-k — and the oracle
+    * replays the replayable side (days and min(k, users) row
+    * cardinalities) expecting TRUE booleans. Closes the count-sketch
+    * triangle: exact q44 ↔ batch sketch q54 ↔ this stream sketch,
+    * the one state machine the st* replay family didn't yet gate. */
+  val streamHeavyHittersQ: GraftQuery = GraftQuery(
+    "st07_stream_heavy_hitters",
+    s"""WITH e AS (
+      |  SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day
+      |  FROM events WHERE user_id % $UserMod = 0),
+      |c AS (SELECT event_type, day, user_id, count(*) AS n
+      |      FROM e GROUP BY 1, 2, 3),
+      |d AS (SELECT event_type, day, count(*) AS u FROM c GROUP BY 1, 2)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(sum(least(${StatefulOps.HhK}, u)) AS BIGINT) AS n_rows,
+      |       TRUE AS bounds_ok,
+      |       TRUE AS guaranteed_sound
+      |FROM d GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    import org.apache.spark.sql.expressions.Window
+    val out = runReplay(spark, sf)(StatefulOps.heavyHitterStream(_))
+      .filter(col("event_type") =!= "__flush")
+    val counts = Tables.events(spark, sf)
+      .filter(col("user_id") % UserMod === 0)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val exactTop = counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(col("n").desc, col("user_id"))))
+      .filter(col("rank") <= StatefulOps.HhK)
+    out
+      .join(counts, Seq("event_type", "day", "user_id"), "left")
+      .join(exactTop.select(col("event_type"), col("day"), col("user_id"))
+        .withColumn("__intop", lit(true)),
+        Seq("event_type", "day", "user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("n_rows"),
+        (min(when(col("n").isNotNull
+          && col("est") >= col("n")
+          && col("est") - col("err") <= col("n"), 1L).otherwise(0L)) === 1L)
+          .as("bounds_ok"),
+        (min(when(!col("guaranteed")
+          || coalesce(col("__intop"), lit(false)), 1L).otherwise(0L)) === 1L)
+          .as("guaranteed_sound"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ,
-    streamEwmaQ, streamAnomalyQ)
+    streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ)
 }
