@@ -2401,16 +2401,20 @@ object DedupOps {
 
   /** d23 — lake-append conservation: the incrementally-maintained
     * on-disk band index (corpus build + delta APPEND — exactly d12's
-    * ingest path) must equal a from-scratch derivation over the full
-    * corpus, row for row. The engine full-outer-joins the updated
-    * index against a cold derivation on the (doc_id, band) primary
-    * key and emits the index size plus an every-row-matches boolean;
-    * the oracle replays the full derivation (the shared band CTEs)
-    * and expects the same count with `matches_full = TRUE`. An append
-    * path that dropped, duplicated, or corrupted rows (SaveMode.Append
-    * also validates the bucket spec, so it can never silently
-    * de-bucket the index) flips the boolean or the count and the row
-    * goes red in the driver gate. */
+    * ingest path) must equal the full-corpus derivation, row for row.
+    * The full side is the SHARED lake family — materialized once per
+    * session by the one-shot path, independent of the append path
+    * under audit — which is also the shape of the production audit (an
+    * incremental index is checked against the index, not against a
+    * re-hash of the corpus). The engine full-outer-joins the two
+    * bucketed tables on the (doc_id, band) primary key and emits the
+    * index size plus an every-row-matches boolean; the oracle replays
+    * the full derivation (the shared band CTEs) and expects the same
+    * count with `matches_full = TRUE`. An append path that dropped,
+    * duplicated, or corrupted rows (SaveMode.Append also validates the
+    * bucket spec, so it can never silently de-bucket the index) flips
+    * the boolean or the count and the row goes red in the driver
+    * gate. */
   val lakeAppendQ: GraftQuery = GraftQuery(
     "d23_lake_append",
     s"""WITH $portableBandCtes
@@ -2419,7 +2423,7 @@ object DedupOps {
     val docs = Tables.documents(spark, sf)
     val inc = graft.sources.SignatureLake.incrementalBandIndex(spark, sf,
       docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
-    val full = portableBandKeys(portableSignatures(docs))
+    val full = graft.sources.SignatureLake.portableBandKeys(spark, sf)
     inc.withColumnRenamed("band_key", "bk_inc")
       .join(full.withColumnRenamed("band_key", "bk_full"),
         Seq("doc_id", "band"), "full_outer")

@@ -95,15 +95,22 @@ object StreamReplay {
 
   /** Run `build`'s stream over the replay schedule and return the
     * finalized output rows (sentinel rows included — callers filter on
-    * their own user column). Shuffle partitions drop to 2 for the
-    * micro-batches (state-store overhead per partition dominates a
-    * fixture-sized batch) and restore after. */
+    * their own user column). Shuffle partitions drop to 1 for the
+    * micro-batches (state-store commit cost is per partition per
+    * batch and dominates a fixture-sized batch; single-partition state
+    * changes nothing the rows claim — watermark semantics are
+    * partitioning-independent, and the cross-partition paths stay
+    * covered by the Stream*Specs' default-partitioned schedules) and
+    * restore after; snapshot retention drops to the minimum for the
+    * same reason (the checkpoint is throwaway by design). */
   private def runReplay[O](spark: SparkSession, sf: String)(
       build: Dataset[TypedEvent] => Dataset[O]): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val prevRetain = spark.conf.getOption("spark.sql.streaming.minBatchesToRetain")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     try {
       val source = MemoryStream[TypedEvent]
       val name = s"graft_replay_${nameCounter.incrementAndGet()}"
@@ -161,7 +168,13 @@ object StreamReplay {
           }
         if (!sweep()) { Thread.sleep(200); sweep() }
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevRetain match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+        case None => spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
+      }
+    }
   }
 
   /** st01 — the q38 transition matrix computed BY THE STREAM: pair
