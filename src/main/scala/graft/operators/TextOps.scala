@@ -914,14 +914,16 @@ object TextOps {
     * IEEE division). t02 scores length/shape/stopwords; this panel is
     * the repetition axis it deliberately left out.
     *
-    * Shape: ONE corpus scan — tokens and bigrams ride one explode as
-    * (kind, item) pairs (bigram arrays built row-local, no self-join,
-    * no second scan), then two map-side-combined aggregations
-    * ((doc, kind, item) → doc → source). No joins anywhere; the rule
-    * booleans are integer cross-products. At 100 TB this is the t27
-    * kernel's cost: linear in token instances, shuffles keyed by
-    * (doc_id, item) then (doc_id). Snapped-sum bound: dupfrac ≤ 1 so
-    * the per-source Long sum holds to ~8·10^9 docs/source (the v09
+    * Shape: ONE corpus scan, ZERO per-doc shuffles — every per-doc
+    * statistic is row-local (a document's tokens fit in one array):
+    * distinct counts via `array_distinct`, the top-word multiplicity
+    * as the longest run in `array_sort(tokens)` (one O(n log n) sort
+    * + O(n) fold per row — no (doc_id, token) explode, which costs
+    * two shuffles linear in TOKEN instances; this plan's only
+    * exchange is the final per-source rollup, linear in DOCUMENTS).
+    * No joins anywhere; the rule booleans are integer
+    * cross-products. Snapped-sum bound: dupfrac ≤ 1 so the
+    * per-source Long sum holds to ~8·10^9 docs/source (the v09
     * bound-note contract). */
   val repetitionRulesQ: GraftQuery = {
     val (twN, twD) = TopWordMaxShare
@@ -970,33 +972,59 @@ object TextOps {
     }
   }
 
-  /** The t28 kernel over any (doc_id, source, text) corpus. */
+  /** The t28 kernel over any (doc_id, source, text) corpus.
+    *
+    * All per-document statistics are computed INSIDE the row (no
+    * (doc_id, item) explode — that shape shuffles twice, linear in
+    * token instances): distinct counts via `array_distinct`, bigram
+    * totals by construction (n − 1), and the top-word multiplicity as
+    * the longest equal-run in the sorted token array via one
+    * `aggregate` fold. The only exchange left is the final per-source
+    * rollup over one pre-aggregated row per partition. */
   def repetitionRules(docs: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.{snapLong, snapMean, DistScale}
     val (twN, twD) = TopWordMaxShare
     val (dwN, dwD) = DupWordMaxShare
     val (dbN, dbD) = DupBigramMaxShare
-    val w = tokens(col("text"))
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+    val ww = col("w")
+    val bigrams = when(size(ww) >= 2,
+      transform(sequence(lit(1), size(ww) - 1),
+        i => concat_ws(" ", element_at(ww, i), element_at(ww, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val items = concat(
-      transform(w, t => struct(lit(0).as("k"), t.as("it"))),
-      transform(bigrams, b => struct(lit(1).as("k"), b.as("it"))))
-    val k = col("x.k")
+    // One fold over the sorted copy yields BOTH token stats: the
+    // longest equal-run == max multiplicity, and the number of run
+    // starts == distinct count. Init prev = NULL: a real token never
+    // <=>-matches it, so the first element always starts a run of 1
+    // (tokens can be "" — a non-null sentinel would miscount that
+    // case).
+    val runStats = aggregate(
+      array_sort(ww),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("nd")),
+      (acc, x) => {
+        val cont = x <=> acc.getField("prev")
+        val run2 = when(cont, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run2.as("run"),
+          greatest(acc.getField("best"), run2).as("best"),
+          (acc.getField("nd") + when(cont, 0L).otherwise(1L)).as("nd"))
+      },
+      acc => struct(acc.getField("best").as("maxc"),
+        acc.getField("nd").as("n_distinct")))
+    // Token array and fold-struct are projected once and referenced by
+    // name: CollapseProject keeps non-cheap multiply-referenced
+    // expressions materialized, so split/sort/fold each run once.
     val g2 = docs
       .where(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), explode(items).as("x"))
-      .groupBy(col("doc_id"), col("source"), k.as("k"), col("x.it").as("it"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(
-        sum(when(col("k") === 0, col("c"))).as("n_tokens"),
-        count(when(col("k") === 0, lit(1))).as("n_distinct"),
-        max(when(col("k") === 0, col("c"))).as("maxc"),
-        coalesce(sum(when(col("k") === 1, col("c"))), lit(0L)).as("nb"),
-        count(when(col("k") === 1, lit(1))).as("ndb"))
+      .select(col("source"), tokens(col("text")).as("w"))
+      .select(col("source"), ww, runStats.as("rs"))
+      .select(
+        col("source"),
+        size(ww).cast("long").as("n_tokens"),
+        col("rs.n_distinct").as("n_distinct"),
+        col("rs.maxc").as("maxc"),
+        when(size(ww) >= 2, (size(ww) - 1).cast("long")).otherwise(lit(0L))
+          .as("nb"),
+        size(array_distinct(bigrams)).cast("long").as("ndb"))
     val pTw = when(col("maxc") * twD <= col("n_tokens") * twN, 1L).otherwise(0L)
     val pDw = when((col("n_tokens") - col("n_distinct")) * dwD
       <= col("n_tokens") * dwN, 1L).otherwise(0L)
