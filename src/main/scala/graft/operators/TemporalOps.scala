@@ -880,6 +880,76 @@ object TemporalOps {
     (spark, sf) => pointInTimeState(Tables.events(spark, sf))
   }
 
+  /** Incremental SCD2 maintenance — the MERGE a warehouse applies per
+    * ingest batch instead of re-deriving the dimension from the full
+    * history: given the current SCD2 table and a delta of new events,
+    * (1) detect the delta's change points per user with the change
+    * detection SEEDED by the user's open-interval state (so a delta
+    * that continues the current state creates no interval), (2) close
+    * each touched open interval at its user's first post-cutoff
+    * change, (3) append one interval per change point, and (4) pass
+    * every other dimension row through untouched.
+    *
+    * Scale shape: every stage keys on user_id — the open-state seed
+    * join, the delta's one window (exchange+sort reused by the lag
+    * and lead), and the first-change aggregation — so with the
+    * dimension bucketed by user_id the merge is one delta-sized
+    * shuffle; closed history is never rewritten (in a real lake the
+    * MERGE touches only matched files — here it flows through the
+    * union unchanged). The merged table provably equals the
+    * from-scratch [[scd2Intervals]] over the full history, which is
+    * exactly what the q56 gate row hash-checks. */
+  def scd2Merge(dim: DataFrame, deltaEvents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val open = dim.filter(col("valid_to_us").isNull)
+      .select(col("user_id").as("o_user"), col("event_type").as("open_state"))
+    val changes = deltaEvents
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .join(open, col("user_id") === col("o_user"), "left")
+      .withColumn("prev",
+        coalesce(lag(col("event_type"), 1).over(w), col("open_state")))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+    val newIv = changes.select(col("user_id"), col("event_type"),
+      col("ts_us").as("valid_from_us"),
+      lead(col("ts_us"), 1).over(w).as("valid_to_us"))
+    val closeAt = changes.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("close_at"))
+    val openUpd = dim.filter(col("valid_to_us").isNull)
+      .join(closeAt, Seq("user_id"), "left")
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("close_at").as("valid_to_us"))
+    dim.filter(col("valid_to_us").isNotNull)
+      .unionByName(openUpd)
+      .unionByName(newIv)
+  }
+
+  /** q56 — the merge≡rebuild conservation gate: build the dimension
+    * from the first 3/5 of the corpus time range, MERGE the remaining
+    * 2/5 as the delta batch, and hash-check the merged table against
+    * q37's from-scratch oracle over the FULL history. The cutoff is a
+    * driver-side min/max literal (in production it is the ingest
+    * watermark, already known) so both slice predicates push into the
+    * parquet scans. Strict `< cut` / `>= cut` split means no
+    * within-user timestamp tie can straddle the boundary, so the
+    * seeded ordering matches the from-scratch (ts_us, event_id)
+    * ordering exactly. */
+  val scd2MergeQ: GraftQuery = GraftQuery(
+    "q56_scd2_merge",
+    s"""WITH $eventsMicrosCte,
+       |${scd2OracleCtes("", "event_type")}
+       |SELECT user_id, event_type, valid_from_us, valid_to_us
+       |FROM iv""".stripMargin) { (spark, sf) =>
+    val events = Tables.events(spark, sf)
+    val bounds = events
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      .head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val cut = lo + (hi - lo) * 3L / 5L
+    val dim = scd2Intervals(events.filter(unix_micros(col("ts")) < cut))
+    scd2Merge(dim, events.filter(unix_micros(col("ts")) >= cut))
+  }
+
   /** First-order event-type transition matrix over per-user event
     * sequences: P(next = to | current = from), the Markov summary
     * behind behavioral anomaly screens and simulated-session
@@ -1984,7 +2054,7 @@ object TemporalOps {
   val all: Seq[GraftQuery] =
     Seq(asOfJoinQ, asOfWindowQ, hourlyDeltasQ, valueRanksQ, funnelQ,
       sessionFunnelQ, retentionQ, decileBucketsQ, winsorizeQ, intervalJoinQ,
-      ewmaTrendQ, scd2Q, pointInTimeQ, transitionsQ, dailyAnomalyQ,
+      ewmaTrendQ, scd2Q, scd2MergeQ, pointInTimeQ, transitionsQ, dailyAnomalyQ,
       cooccurrenceQ, changePointQ, dailyTopUsersQ, attributionQ, autocorrQ,
       cohortRetentionQ, conversionLatencyQ, asOfForwardQ, interEventGapsQ,
       dailyNewReturningQ, burstinessQ, seasonalBacktestQ, valueDriftQ,

@@ -110,6 +110,12 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(sorts === 1, s"identical window ordering must reuse one sort:\n$p")
   }
 
+  test("q56: the SCD2 merge is equi-joined on user_id, never a nested loop") {
+    val p = plan(TemporalOps.scd2MergeQ.run(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("j04: the point-in-time lookup is an equi-join on user_id, never a nested loop") {
     val p = plan(TemporalOps.pointInTimeQ.run(spark, sf001))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)

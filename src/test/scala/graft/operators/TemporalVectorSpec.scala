@@ -225,6 +225,33 @@ class TemporalVectorSpec extends SparkSpec {
       (20L, "x", 150000000L, -1L)))
   }
 
+  test("q56 SCD2 merge: merge over a cutoff equals the from-scratch derivation") {
+    val all = events(
+      (1L, 10L, "a", 100L), (2L, 10L, "a", 200L), (3L, 10L, "b", 300L),
+      (4L, 10L, "b", 500L),  // delta continues b → not a change
+      (5L, 10L, "a", 600L),  // first delta change → closes the open b
+      (6L, 20L, "x", 150L),  // dim-only user: open interval passes through
+      (7L, 30L, "p", 450L),  // user new in the delta
+      (8L, 30L, "q", 450L),  // same-instant change: event_id order holds
+      (9L, 40L, "m", 100L),
+      (10L, 40L, "m", 700L)) // delta all-equal → open m stays open
+    val cut = 400L
+    val dim = TemporalOps.scd2Intervals(all.filter(unix_micros(col("ts")) < cut))
+    val merged = TemporalOps.scd2Merge(dim, all.filter(unix_micros(col("ts")) >= cut))
+    def canon(df: DataFrame): Set[(Long, String, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val m = canon(merged)
+    assert(m === canon(TemporalOps.scd2Intervals(all)))
+    assert(m.contains((10L, "b", 300L, 600L)))  // closed at the FIRST delta change
+    assert(m.contains((10L, "a", 600L, -1L)))
+    assert(m.contains((20L, "x", 150L, -1L)))
+    assert(m.contains((40L, "m", 100L, -1L)))   // continuation created no interval
+    assert(m.contains((30L, "p", 450L, 450L)))  // tie pair: p run is zero-length
+    assert(m.contains((30L, "q", 450L, -1L)))
+    assert(m.size === 7)                        // 10:a[100,300) + the six above
+  }
+
   test("j04 point-in-time: purchases resolve to the containing state interval") {
     import spark.implicits._
     import java.sql.Timestamp
