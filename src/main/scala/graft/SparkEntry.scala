@@ -16,6 +16,7 @@ object SparkEntry {
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
       operators.TemporalOps.all ++
+      operators.LayoutOps.all ++
       operators.VectorOps.all ++
       operators.MultimodalOps.all ++
       operators.ServingQueries.all ++

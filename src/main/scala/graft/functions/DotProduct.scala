@@ -105,6 +105,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[EqCount].getName, "graft_eq_count"),
       (children: Seq[Expression]) => EqCount(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZInterleave].getName, "graft_zorder"),
+      (children: Seq[Expression]) => ZInterleave(children.head, children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => children match {

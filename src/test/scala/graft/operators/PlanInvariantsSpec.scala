@@ -110,6 +110,17 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(sorts === 1, s"identical window ordering must reuse one sort:\n$p")
   }
 
+  test("q57: layout audit — no cartesian, no corpus-wide window, 3 scans") {
+    val df = LayoutOps.zorderAuditQ.run(spark, sf001)
+    windowsOnlyAboveAggregates(df)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // base + the quantile kernel's histogram and totals; the boundary
+    // pivot must NOT recompute the histogram per dimension
+    assert("Scan parquet ".r.findAllIn(
+      df.queryExecution.executedPlan.toString).size <= 3, p)
+  }
+
   test("q56: the SCD2 merge is equi-joined on user_id, never a nested loop") {
     val p = plan(TemporalOps.scd2MergeQ.run(spark, sf001))
     assert(!p.contains("CartesianProduct"), p)
