@@ -137,6 +137,14 @@ object GraftExtensions {
           "usage: graft_space_saving(user, weight, <cap literal>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h, Literal(k: Int, IntegerType)) => KmvAgg(h, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_kmv(digest, <k literal>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cell_probes"),
       new ExpressionInfo(classOf[CellProbes].getName, "graft_cell_probes"),
       (children: Seq[Expression]) => children match {

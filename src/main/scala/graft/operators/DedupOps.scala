@@ -2087,6 +2087,227 @@ object DedupOps {
     sourceOverlap(Tables.documents(spark, sf))
   }
 
+  // ── KMV distinct / set-overlap sketches (d24, d25) ─────────────────
+
+  /** KMV sketch size. Chosen so the gate exercises BOTH estimator
+    * regimes: per-source shingle sets are ~1.1–1.5k members at
+    * sf0.001/0.01 (under capacity — the sketch IS the set and the
+    * estimate is exact) and ~10k at sf0.1 (estimating, measured
+    * relative error ≈ 1/√(k−2) ≈ 2%). */
+  val KmvK = 2048
+
+  /** 2⁶⁰ as an exact double — the KMV normalization base: the first
+    * 15 hex chars of an md5 digest read as a 60-bit integer over
+    * 16¹⁵. A power of two, so the constant and the (k−1)·2⁶⁰ product
+    * are both exactly representable and the estimator stays ONE IEEE
+    * division in both engines. */
+  private val Kmv2p60 = 1152921504606846976.0
+
+  /** Distinct (source, 3-shingle) pairs — d05's shingle convention
+    * lifted to the source grain: one corpus scan, per-doc
+    * `array_distinct`, then one hash aggregation keyed on the pair
+    * (map-side combinable). */
+  private[operators] def sourceShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("shingle"))
+      .distinct()
+
+  /** Shared oracle prefix for the KMV rows: the d18 tokenization
+    * replayed at the source grain, then the per-source bottom-k of
+    * distinct md5 digests — the exact sketch `graft_kmv` builds,
+    * recomputed as ORDER BY hh LIMIT k (lexicographic min on
+    * fixed-width lowercase hex == numeric min, the portable-tier
+    * device). */
+  private def kmvSketchSql(k: Int): String =
+    s"""toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT source, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+      |       FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+      |       WHERE len(t) >= 3),
+      |h AS (SELECT DISTINCT source, md5(s) AS hh FROM sh),
+      |r AS (SELECT source, hh,
+      |        row_number() OVER (PARTITION BY source ORDER BY hh) AS rk
+      |      FROM h)""".stripMargin
+
+  /** Per-source distinct-shingle cardinality via the mergeable KMV
+    * bottom-k sketch (d24) — the set-cardinality member of the sketch
+    * family (next to q22's HLL distinct, q24's quantiles, q54's
+    * SpaceSaving counts), and the one whose gate row needs NO contract
+    * boolean: the md5 digest family makes the sketch bit-replayable,
+    * so the oracle rebuilds the identical sketch and the identical
+    * estimate.
+    *
+    * 100 TB shape: the production path is ONE aggregation with O(k)
+    * state per group and map-side partials — no distinct shuffle at
+    * all (KMV dedupes by construction), which is the whole point next
+    * to the exact side's (source, shingle) distinct whose shuffle
+    * carries every unique shingle instance. The gate row carries both
+    * sides because it is an audit: `n_exact` is the truth the
+    * estimator is scored against, and `rel_err` is emitted, not
+    * asserted (KMV's error is probabilistic — the planted-fixture
+    * KmvSketchSpec pins accuracy; under capacity exactness is a
+    * theorem and IS asserted via `under_cap_exact`). */
+  def kmvVocab(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val perSource = sourceShingles(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"),
+        call_function("graft_kmv", md5(col("shingle")), lit(k)).as("sk"))
+    // 0-based get: null while the sketch is under capacity (ANSI-safe)
+    val kth = get(col("sk"), lit(k - 1))
+    perSource
+      .withColumn("n_sketch", size(col("sk")).cast("long"))
+      .withColumn("kth_hash", kth)
+      .withColumn("kth_h60", conv(substring(kth, 1, 15), 16, 10).cast("long"))
+      .withColumn("est_distinct",
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * Kmv2p60 / col("kth_h60").cast("double")))
+      .select(col("source"), lit(k.toLong).as("k"), col("n_exact"),
+        col("n_sketch"), col("kth_hash"), col("kth_h60"), col("est_distinct"),
+        abs(col("est_distinct") / col("n_exact").cast("double") - 1.0d).as("rel_err"),
+        (col("n_exact") >= k || col("n_sketch") === col("n_exact"))
+          .as("under_cap_exact"))
+  }
+
+  val kmvVocabQ: GraftQuery = GraftQuery(
+    "d24_kmv_vocab",
+    s"""WITH ${kmvSketchSql(KmvK)},
+      |ex AS (SELECT source, count(*) AS n_exact FROM sh GROUP BY 1),
+      |nd AS (SELECT source, count(*) AS ndh FROM h GROUP BY 1),
+      |ag AS (SELECT source, max(CASE WHEN rk = $KmvK THEN hh END) AS kth
+      |       FROM r GROUP BY 1),
+      |b AS (SELECT nd.source, least(nd.ndh, $KmvK) AS n_sketch, ag.kth,
+      |        CASE WHEN ag.kth IS NULL THEN NULL ELSE
+      |          CAST(list_sum(list_transform(range(15),
+      |            i -> (strpos('0123456789abcdef', substr(ag.kth, CAST(i + 1 AS INT), 1)) - 1)
+      |                 * CAST(power(16, 14 - i) AS BIGINT))) AS BIGINT) END AS h60
+      |      FROM nd JOIN ag ON ag.source = nd.source),
+      |o AS (SELECT b.source, ex.n_exact, b.n_sketch, b.kth, b.h60,
+      |        CASE WHEN b.n_sketch < $KmvK THEN CAST(b.n_sketch AS DOUBLE)
+      |             ELSE CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976.0
+      |                  / b.h60 END AS est
+      |      FROM b JOIN ex ON ex.source = b.source)
+      |SELECT source,
+      |       CAST($KmvK AS BIGINT) AS k,
+      |       CAST(n_exact AS BIGINT) AS n_exact,
+      |       CAST(n_sketch AS BIGINT) AS n_sketch,
+      |       kth AS kth_hash,
+      |       h60 AS kth_h60,
+      |       est AS est_distinct,
+      |       abs(est / CAST(n_exact AS DOUBLE) - 1.0) AS rel_err,
+      |       (n_exact >= $KmvK OR n_sketch = n_exact) AS under_cap_exact
+      |FROM o""".stripMargin) { (spark, sf) =>
+    kmvVocab(Tables.documents(spark, sf))
+  }
+
+  /** Cross-source content-overlap matrix from KMV sketches (d25) —
+    * d18's provenance question ("which feeds re-crawl each other")
+    * answered at sketch cost: the bottom-k of a UNION is computable
+    * from the two bottom-k's alone, and every member of that union
+    * sketch that lies in both sets is, by the KMV threshold argument,
+    * in both per-source sketches — so `|bottom-k(A∪B) ∩ A ∩ B| / k'`
+    * estimates J(A,B) from 2·k digests per pair, independent of corpus
+    * size (Beyer et al., SIGMOD'07). The exact Jaccard rides along as
+    * the audit truth (one equi-join on the shingle), and `abs_err` is
+    * emitted, not asserted — d17's report shape.
+    *
+    * 100 TB shape: per-source sketches are one O(k)-state aggregation;
+    * the pair stage touches S·(S−1)/2 · 2k digest rows (S = #sources)
+    * — corpus-independent — and the bounded source-pair relation is
+    * broadcast. The exact side is the one corpus-scale join, present
+    * here because the row is an audit; the production estimate-only
+    * path drops it. */
+  def kmvOverlap(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val shingleSets = sourceShingles(docs)
+    val sk = shingleSets
+      .groupBy(col("source"))
+      .agg(call_function("graft_kmv", md5(col("shingle")), lit(k)).as("sk"))
+    val e = sk.select(col("source"), explode(col("sk")).as("h"))
+    val srcs = sk.select(col("source"))
+    // bounded |S|² pair relation — broadcast by construction
+    val pairs = broadcast(srcs.select(col("source").as("source_a"))
+      .join(srcs.select(col("source").as("source_b")),
+        col("source_a") < col("source_b")))
+    val memb = e.join(pairs, col("source") === col("source_a"))
+      .select(col("source_a"), col("source_b"), col("h"),
+        lit(1).as("ina"), lit(0).as("inb"))
+      .unionAll(e.join(pairs, col("source") === col("source_b"))
+        .select(col("source_a"), col("source_b"), col("h"),
+          lit(0).as("ina"), lit(1).as("inb")))
+      .groupBy(col("source_a"), col("source_b"), col("h"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    val est = memb
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("h"))))
+      .filter(col("rk") <= k)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_union_k"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+    val cnt = shingleSets.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = shingleSets.select(col("source").as("source_a"), col("shingle"))
+      .join(shingleSets.select(col("source").as("source_b"), col("shingle")),
+        "shingle")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    val uni = col("na") + col("nb") - col("inter")
+    est
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(cnt.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(cnt.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("source_a"), col("source_b"), lit(k.toLong).as("k"),
+        col("n_union_k"), col("n_both"), col("inter"), uni.as("uni"),
+        (col("n_both").cast("double") / col("n_union_k")).as("jac_kmv"),
+        (col("inter").cast("double") / uni).as("jac_exact"))
+      .withColumn("abs_err", abs(col("jac_kmv") - col("jac_exact")))
+  }
+
+  val kmvOverlapQ: GraftQuery = GraftQuery(
+    "d25_kmv_overlap",
+    s"""WITH ${kmvSketchSql(KmvK)},
+      |sk AS (SELECT source, hh FROM r WHERE rk <= $KmvK),
+      |srcs AS (SELECT DISTINCT source FROM sh),
+      |pr AS (SELECT a.source AS sa, b.source AS sb
+      |       FROM srcs a JOIN srcs b ON a.source < b.source),
+      |m AS (SELECT pr.sa, pr.sb, s.hh,
+      |        max(CASE WHEN s.source = pr.sa THEN 1 ELSE 0 END) AS ina,
+      |        max(CASE WHEN s.source = pr.sb THEN 1 ELSE 0 END) AS inb
+      |      FROM pr JOIN sk s ON s.source = pr.sa OR s.source = pr.sb
+      |      GROUP BY 1, 2, 3),
+      |ru AS (SELECT sa, sb, ina, inb,
+      |         row_number() OVER (PARTITION BY sa, sb ORDER BY hh) AS rk
+      |       FROM m),
+      |km AS (SELECT sa, sb, count(*) AS n_union_k,
+      |         sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS n_both
+      |       FROM ru WHERE rk <= $KmvK GROUP BY 1, 2),
+      |c AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      |iv AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |       GROUP BY 1, 2),
+      |o AS (SELECT km.sa, km.sb, km.n_union_k, km.n_both,
+      |        coalesce(iv.inter, 0) AS inter,
+      |        ca.n + cb.n - coalesce(iv.inter, 0) AS uni
+      |      FROM km LEFT JOIN iv ON iv.sa = km.sa AND iv.sb = km.sb
+      |        JOIN c ca ON ca.source = km.sa
+      |        JOIN c cb ON cb.source = km.sb)
+      |SELECT sa AS source_a, sb AS source_b,
+      |       CAST($KmvK AS BIGINT) AS k,
+      |       CAST(n_union_k AS BIGINT) AS n_union_k,
+      |       CAST(n_both AS BIGINT) AS n_both,
+      |       CAST(inter AS BIGINT) AS inter,
+      |       CAST(uni AS BIGINT) AS uni,
+      |       CAST(n_both AS DOUBLE) / n_union_k AS jac_kmv,
+      |       CAST(inter AS DOUBLE) / uni AS jac_exact,
+      |       abs(CAST(n_both AS DOUBLE) / n_union_k
+      |           - CAST(inter AS DOUBLE) / uni) AS abs_err
+      |FROM o""".stripMargin) { (spark, sf) =>
+    kmvOverlap(Tables.documents(spark, sf))
+  }
+
   private[operators] def jaccardVerify(docs: DataFrame, pairs: DataFrame,
       threshold: Double): DataFrame = {
     val sets = shingles(docs).groupBy(col("doc_id"))
@@ -2442,5 +2663,5 @@ object DedupOps {
     portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
     minhashCalibrationQ, sourceOverlapQ, thresholdCurveQ,
     incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ,
-    lakeAppendQ)
+    lakeAppendQ, kmvVocabQ, kmvOverlapQ)
 }

@@ -455,6 +455,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d24: ONE corpus scan; exact count and KMV sketch ride the same aggregation") {
+    val df = DedupOps.kmvVocabQ.run(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1,
+      s"exact count and sketch must share the one distinct-shingle subtree:\n$p")
+    assert(!p.contains("Join"), s"d24 is aggregation-only, no join operator:\n$p")
+  }
+
+  test("d25: pair stage is broadcast-joined on the bounded source relation; " +
+    "the window sits above the sketch explode, never the corpus") {
+    val df = DedupOps.kmvOverlapQ.run(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    windowsOnlyAboveAggregates(df)
+  }
+
   test("q52: ONE scan; both lag predictors are range windows on the day table, no join") {
     val df = TemporalOps.seasonalBacktestQ.run(spark, sf001)
     val p = df.queryExecution.executedPlan.toString

@@ -509,6 +509,24 @@ class ScaleStressSpec extends SparkSpec {
       s"sketch state must not scale with input cardinality ($c1 -> $c2)")
   }
 
+  test("d24 KMV sketch: per-source state hard-capped at k regardless of corpus size") {
+    def sketchTotal(n: Int): Long = {
+      val out = DedupOps.kmvVocab(stressDocs(n)).collect()
+      out.foreach { r =>
+        val nSketch = r.getAs[Long]("n_sketch")
+        assert(nSketch <= DedupOps.KmvK, s"sketch exceeded k at n=$n")
+        assert(r.getAs[Boolean]("under_cap_exact"),
+          s"under-capacity sketch must be exact at n=$n")
+      }
+      out.map(_.getAs[Long]("n_sketch")).sum
+    }
+    val (c1, c2) = (sketchTotal(N1), sketchTotal(N2))
+    logScale("d24_kmv_state", c1, c2)
+    // every source outgrows k at both sizes -> state is |sources|*k flat
+    assert(expo(c1, c2) < 0.05,
+      s"KMV state must not scale with corpus cardinality ($c1 -> $c2)")
+  }
+
   test("m10 entropy screen: one row-local pass, zero exchange, rows exactly linear at 10x") {
     def run(n: Int): Long = {
       val mm = stressDocs(n).filter(col("text").isNotNull)
