@@ -837,6 +837,25 @@ class TemporalVectorSpec extends SparkSpec {
     assert(MultimodalOps.perceptualHashes(noPayloads).count() == 0)
   }
 
+  test("round-10 operators are total on empty inputs") {
+    import spark.implicits._
+    val noSourcedDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val noEvents = Seq.empty[(Long, Long, String, Long, Double)]
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val noDim = Seq.empty[(Long, String, Long, Option[Long])]
+      .toDF("user_id", "event_type", "valid_from_us", "valid_to_us")
+    assert(DedupOps.kmvVocab(noSourcedDocs).count() == 0)
+    assert(DedupOps.kmvOverlap(noSourcedDocs).count() == 0)
+    assert(TemporalOps.heavyHitterAudit(noEvents).count() == 0)
+    assert(TemporalOps.scd2Merge(noDim, noEvents).count() == 0)
+    // the audit's probe grid is a fixed relation: on an empty corpus
+    // every (layout, probe) row survives and reports zero files hit
+    val z = LayoutOps.zorderAudit(spark, noEvents).collect()
+    assert(z.nonEmpty && z.forall(_.getAs[Long]("files_hit") == 0L))
+  }
+
   test("v09 dim stats: exact means/variance/min-max, dead-dimension flag") {
     import spark.implicits._
     val out = VectorOps.dimStats(Seq(
