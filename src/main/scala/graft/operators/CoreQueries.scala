@@ -946,6 +946,47 @@ object CoreQueries {
       rows.toDF("format", "n_rows", "roundtrip_exact")
   }
 
+  /** q58 — salted skew join, result-invariance gate: the orders fact
+    * joined to the customer dim THROUGH
+    * [[graft.functions.Relational.saltedJoin]] (salt factor 8 — the
+    * fact side gets a rand-derived salt, the dim replicates 8×, and
+    * the join key becomes (custkey, salt) so a hot key's rows spread
+    * over 8 shuffle partitions), then aggregated per market segment.
+    * The oracle is the PLAIN join: salting is load-bearing for
+    * partition balance and INVISIBLE in the result, and this row pins
+    * that invariant on the real tables the same way RelationalSpec
+    * pins it on planted skew — which salt a row draws can never reach
+    * the output, only the balance (each fact row matches exactly the
+    * one replica carrying its salt). q41's skew report is the decision
+    * input; this row is the mitigation it recommends, gate-checked.
+    *
+    * Revenue rides the q04/q05 exact-cents device (2dp money summed as
+    * longs, one terminal division). Scale shape: one shuffle on
+    * (key, salt) at |dim|·8 extra build rows — the trade a 1000-
+    * executor job takes when the dim exceeds broadcast reach and AQE
+    * cannot re-plan the downstream consumer. */
+  val saltedJoinSegments: GraftQuery = GraftQuery(
+    "q58_salted_join",
+    """SELECT c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |       CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+      |FROM (SELECT o_custkey, c_mktsegment,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |GROUP BY c_mktsegment""".stripMargin) { (spark, sf) =>
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.functions.Relational.saltedJoin(
+        Tables.orders(spark, sf), dim, Seq("o_custkey"), saltFactor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        (sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("double")
+          / lit(100.0)).as("revenue"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
@@ -953,5 +994,5 @@ object CoreQueries {
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
     distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
     valueHistogram, groupingSets, moments, keySkew, seasonality,
-    sourceFormats)
+    sourceFormats, saltedJoinSegments)
 }

@@ -687,8 +687,57 @@ object CurationOps {
             / (col("tokens_kept") + col("tokens_lost"))).as("loss_rate"))
   }
 
+  /** pk04 — deterministic mixture-interleaved training order: every
+    * document gets a POSITION on one shared axis such that reading the
+    * corpus in position order interleaves the sources sqrt-dampened —
+    * source s's i-th document (in salted-md5 order, so the within-
+    * source sequence is a stable shuffle decorrelated from t08/t12's
+    * hashes) sits at (i − ½)/√n_s, which puts source prefixes in
+    * proportion √n_s : √n_t at every cut: the t14/t22 dampening
+    * motivation applied to the ORDER the trainer consumes, not just
+    * the sampling rate. √ of an integer is IEEE-correctly-rounded and
+    * the position is one subtraction + one division — bit-identical in
+    * both engines, no snap needed.
+    *
+    * The row emits NO global rank on purpose: a corpus-wide
+    * row_number is a single-partition window (the q41-audit
+    * anti-pattern); the total order is the SORT KEY
+    * (position, source, doc_id) — at scale a range-partitioned sort,
+    * which is exactly how the materialized training manifest would be
+    * written. Both windows here are keyed by source (rank + count),
+    * parallel across sources. */
+  val mixtureOrderQ: GraftQuery = GraftQuery(
+    "pk04_mixture_order",
+    """WITH r AS (SELECT doc_id, source,
+      |             row_number() OVER (PARTITION BY source
+      |               ORDER BY md5('ord:' || CAST(doc_id AS VARCHAR)),
+      |                        doc_id) AS i,
+      |             count(*) OVER (PARTITION BY source) AS ns
+      |           FROM documents)
+      |SELECT doc_id, source, CAST(i AS BIGINT) AS src_rank,
+      |       CAST(ns AS BIGINT) AS n_src,
+      |       (CAST(i AS DOUBLE) - 0.5) / sqrt(CAST(ns AS DOUBLE)) AS position
+      |FROM r""".stripMargin) { (spark, sf) =>
+    mixtureOrder(Tables.documents(spark, sf))
+  }
+
+  /** The pk04 ordering over any (doc_id, source) corpus. */
+  def mixtureOrder(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy(col("source"))
+    val w = bySource.orderBy(col("__ord"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("ord:"), col("doc_id").cast("string"))).as("__ord"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(bySource))
+      .select(col("doc_id"), col("source"), col("src_rank"), col("n_src"),
+        ((col("src_rank").cast("double") - lit(0.5))
+          / sqrt(col("n_src").cast("double"))).as("position"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     repetitionQ, qualityFilterQ, piiRedactQ, stratifiedSampleQ, packQ,
     sourceReweightQ, sourceQualityNormQ, tokenBudgetQ, mixtureWeightsQ,
-    packStatsQ, truncationLossQ)
+    packStatsQ, truncationLossQ, mixtureOrderQ)
 }

@@ -52,6 +52,18 @@ object SimilarityOps {
   /** Out-degree of the s10 graph. */
   val GraphK = 5
 
+  /** Degree threshold of the s17 k-core peel (declared up top with the
+    * other oracle-interpolated constants — init-order discipline). */
+  val KCoreK = 3
+
+  /** Round cap for the s17 peel: the engine asserts fixpoint within
+    * this many filter passes and the oracle's recursive CTE iterates to
+    * exactly this depth (re-emitting the fixpoint set once reached, so
+    * round-cap state ≡ fixpoint state — removal is monotone). Measured
+    * rounds-to-fixpoint on the harness corpora: 5/6/10 at
+    * sf0.001/0.01/0.1; 20 is headroom, not tuning. */
+  val KCoreMaxRounds = 20
+
   /** Neighbors kept per vector by the portable LSH kNN (s02's k, and
     * the k of the s02/s04 recall contracts). */
   val PortableKnnK = 3
@@ -1534,8 +1546,172 @@ object SimilarityOps {
       exact = Some(graft.sources.SignatureLake.exactProbeGraph(spark, sf)))
   }
 
+  /** Iterative k-core peel over a SYMMETRIC edge table (`src_id`,
+    * `dst_id`; both directions present per undirected edge): each round
+    * keeps an edge iff BOTH endpoints currently have degree >= coreK,
+    * until the edge set is stable. This simultaneous edge-filter
+    * formulation has the classic k-core as its fixpoint and — unlike
+    * node-at-a-time peeling — a round schedule both engines can replay
+    * exactly, so per-node peel rounds are gate-checkable integers.
+    *
+    * Returns one row per node that EVER appeared in `edges`:
+    * (node_id, in_core, core_deg = degree inside the final core or
+    * NULL, peel_round = first round the node had no surviving edge or
+    * NULL for core nodes).
+    *
+    * Scale shape: the d07 discipline — one count action per round, on
+    * a MONOTONICALLY SHRINKING persisted edge set; per round two
+    * node-keyed window counts (degree by src, degree by dst — nothing
+    * broadcasts the corpus, nothing reaches the driver, and no window
+    * ever runs unpartitioned). Rounds to fixpoint are bounded by
+    * the peel depth of the graph's degeneracy ordering; `maxRounds` is
+    * a loud guard, not a knob. Drop snapshots reference per-round
+    * cached frames, so the NODE-LEVEL report (never edge-level) is
+    * materialized in the session cache before the round frames are
+    * released — the SignatureLake session-persistence trade; a
+    * production pipeline would write it to the lake alongside the
+    * cluster labels it complements. */
+  def kCorePeel(edges: DataFrame, coreK: Int = KCoreK,
+      maxRounds: Int = KCoreMaxRounds): DataFrame = {
+    require(coreK >= 1, "coreK must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    try {
+      var cur = edges.select(col("src_id"), col("dst_id")).persist(lvl)
+      cached += cur
+      var curCnt = cur.count()
+      var drops = List.empty[DataFrame]
+      var r = 0
+      var stable = curCnt == 0L
+      while (!stable) {
+        r += 1
+        require(r <= maxRounds,
+          s"k-core peel did not reach fixpoint in $maxRounds rounds")
+        // degrees as two window counts over the ONE cur reference (the
+        // oracle's exact formulation). A groupBy→filter→join-back shape
+        // references cur three times per round, nesting the logical
+        // plan 3^rounds — the window form keeps plan growth linear,
+        // which is what lets the loop run to 10+ rounds at all.
+        val next = cur
+          .withColumn("__ds",
+            count(lit(1)).over(Window.partitionBy(col("src_id"))))
+          .withColumn("__dd",
+            count(lit(1)).over(Window.partitionBy(col("dst_id"))))
+          .filter(col("__ds") >= coreK && col("__dd") >= coreK)
+          .select(col("src_id"), col("dst_id"))
+          .persist(lvl)
+        cached += next
+        val nextCnt = next.count()
+        // nodes present this round but edgeless in the next — includes
+        // the deg >= coreK node whose every neighbor fell this round
+        drops ::= cur.select(col("src_id").as("node_id")).distinct()
+          .join(next.select(col("src_id").as("node_id")).distinct(),
+            Seq("node_id"), "left_anti")
+          .select(col("node_id"), lit(r.toLong).as("peel_round"))
+        stable = nextCnt == curCnt
+        cur = next
+        curCnt = nextCnt
+      }
+      val core = cur.groupBy(col("src_id")).agg(count(lit(1)).as("core_deg"))
+        .select(col("src_id").as("node_id"), lit(true).as("in_core"),
+          col("core_deg"), lit(null).cast("long").as("peel_round"))
+      val report = drops.reduceOption(_ unionByName _)
+        .map(d => core.unionByName(
+          d.select(col("node_id"), lit(false).as("in_core"),
+            lit(null).cast("long").as("core_deg"), col("peel_round"))))
+        .getOrElse(core)
+        .persist(lvl)
+      report.count()
+      report
+    } finally cached.foreach(_.unpersist())
+  }
+
+  /** s17's relation: the exact mutual-kNN graph WITHIN the
+    * [[GraphSampleMod]] probe sample (the audit-tier graph — ground
+    * truth at 100 TB is computed on a bounded sample or not at all, the
+    * [[knnGraphExact]] precedent), peeled to its [[KCoreK]]-core. One
+    * row per sample node: never-connected nodes carry peel_round 1
+    * (edgeless from the first pass), peeled nodes their drop round,
+    * core nodes their within-core degree. */
+  def kCoreReport(emb: DataFrame, mod: Int = GraphSampleMod,
+      k: Int = GraphK, coreK: Int = KCoreK,
+      maxRounds: Int = KCoreMaxRounds): DataFrame = {
+    val sample = emb.filter(col("vec_id") % mod === 0)
+    val mutual = knnGraphExact(sample, 1, k)
+      .filter(col("mutual"))
+      .select(col("src_id"), col("dst_id"))
+    val peel = kCorePeel(mutual, coreK, maxRounds)
+    sample.select(col("vec_id"))
+      .join(peel, col("vec_id") === col("node_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        col("core_deg"),
+        when(coalesce(col("in_core"), lit(false)), lit(null).cast("long"))
+          .otherwise(coalesce(col("peel_round"), lit(1L))).as("peel_round"))
+  }
+
+  /** s17 — k-core decomposition of the sample mutual-kNN graph: the
+    * graph-refinement step past d07's connected components. Components
+    * say "these embeddings touch"; the k-core says which of them sit in
+    * a DENSELY reciprocated neighborhood — the region semantic-dedup
+    * actually collapses and kNN classifiers actually trust — and the
+    * peel round is each node's depth in that density ordering
+    * (Matula–Beck degeneracy peeling; Batagelj–Zaveršnik's O(m) variant
+    * is the single-machine analogue of this round-synchronous filter).
+    *
+    * Fully hash-checked: the sample graph is deterministic and
+    * DuckDB-replayable (the s13 precedent), and the peel itself is
+    * integer arithmetic — the oracle replays it as a recursive CTE
+    * whose working table re-emits surviving edges with a window-counted
+    * degree filter, iterated to [[KCoreMaxRounds]] (fixpoint re-emission
+    * makes cap state ≡ fixpoint state; the engine asserts convergence
+    * within the cap).
+    *
+    * Scale shape: graph construction is audit-tier (bounded sample —
+    * production edges come from s10's bucketed LSH kernel and feed the
+    * SAME [[kCorePeel]]); the peel is one degree aggregation + two key
+    * joins per round on a shrinking edge set. */
+  val kCoreQ: GraftQuery = GraftQuery(
+    "s17_kcore",
+    s"""WITH RECURSIVE
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE vec_id % $GraphSampleMod = 0),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+       |bs AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+       |        row_number() OVER (PARTITION BY a.vec_id
+       |          ORDER BY CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+       |                   ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END DESC,
+       |                   b.vec_id) AS rank
+       |      FROM n a JOIN n b ON b.vec_id <> a.vec_id),
+       |kn AS (SELECT src_id, dst_id FROM bs WHERE rank <= $GraphK),
+       |me AS (SELECT a.src_id, a.dst_id FROM kn a
+       |       JOIN kn b ON b.src_id = a.dst_id AND b.dst_id = a.src_id),
+       |peel(r, src_id, dst_id) AS (
+       |  SELECT 0, src_id, dst_id FROM me
+       |  UNION ALL
+       |  SELECT r + 1, src_id, dst_id FROM (
+       |    SELECT r, src_id, dst_id,
+       |           count(*) OVER (PARTITION BY src_id) AS ds,
+       |           count(*) OVER (PARTITION BY dst_id) AS dd
+       |    FROM peel) t
+       |  WHERE ds >= $KCoreK AND dd >= $KCoreK AND r < $KCoreMaxRounds),
+       |fin AS (SELECT src_id, count(*) AS core_deg FROM peel
+       |        WHERE r = $KCoreMaxRounds GROUP BY src_id),
+       |seen AS (SELECT src_id, max(r) AS last_r FROM peel GROUP BY src_id)
+       |SELECT p.vec_id,
+       |       (f.src_id IS NOT NULL) AS in_core,
+       |       CAST(f.core_deg AS BIGINT) AS core_deg,
+       |       CAST(CASE WHEN f.src_id IS NULL
+       |            THEN coalesce(s.last_r + 1, 1) END AS BIGINT) AS peel_round
+       |FROM (SELECT vec_id FROM ev) p
+       |LEFT JOIN fin f ON f.src_id = p.vec_id
+       |LEFT JOIN seen s ON s.src_id = p.vec_id""".stripMargin) { (spark, sf) =>
+    kCoreReport(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
-    knnIvfPqResidualQ)
+    knnIvfPqResidualQ, kCoreQ)
 }

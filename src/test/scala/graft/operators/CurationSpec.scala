@@ -306,4 +306,32 @@ class CurationSpec extends SparkSpec {
     assert(out(0L) == ((1L, 1L, 1L)))
     assert(out(9L) == ((1L, 3L, 2L)))
   }
+
+  test("pk04 mixture order: sqrt-proportional prefixes, dense ranks, keyed windows only") {
+    import spark.implicits._
+    // A has 16 docs, B has 4: sqrt weights 4 : 2, so every prefix cut
+    // of the position axis holds A and B in ratio 2 : 1 — positions
+    // depend only on (rank, n_src), not on which doc drew which rank
+    val docs = ((0L until 16L).map(i => (i, "A")) ++
+      (100L until 104L).map(i => (i, "B"))).toDF("doc_id", "source")
+    val out = CurationOps.mixtureOrder(docs)
+    assert(!out.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "pk04 must never run a corpus-wide window")
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 20)
+    // per-source ranks dense, positions strictly increasing in rank
+    Seq(("A", 16L), ("B", 4L)).foreach { case (s, n) =>
+      val rs = rows.filter(_._2 == s).sortBy(_._3)
+      assert(rs.map(_._3).toSeq == (1L to n).toSeq)
+      assert(rs.forall(_._4 == n))
+      assert(rs.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+      // the closed form: position_i = (i - 0.5) / sqrt(n)
+      rs.foreach { case (_, _, i, _, pos) =>
+        assert(pos == (i - 0.5) / math.sqrt(n.toDouble)) }
+    }
+    // first 6 docs in training order: 4 of A, 2 of B (the 2:1 cut)
+    val firstSix = rows.sortBy(t => (t._5, t._2, t._1)).take(6)
+    assert(firstSix.count(_._2 == "A") == 4 && firstSix.count(_._2 == "B") == 2)
+  }
 }

@@ -566,4 +566,29 @@ class ScaleStressSpec extends SparkSpec {
     assert(o1 <= 10 && o2 <= 10, "output is one row per label, never per vector")
     assert(expo(o1, o2) < 0.05, "report cardinality must not scale with the corpus")
   }
+
+  test("s17 k-core peel at 10x: node conservation, rounds set by structure not size") {
+    import spark.implicits._
+    def run(n: Int): Long = {
+      // ring of n nodes (degree 2, IS the 2-core) + a pendant on every
+      // 10th ring node: the pendants fall in round 1 whatever n is —
+      // peel depth tracks graph STRUCTURE, so a 10x corpus pays 10x
+      // per-round edge volume but not 10x rounds
+      val ring = (0L until n.toLong).map(i => (i, (i + 1) % n))
+      val pend = (0L until n.toLong by 10).map(i => (i, n + i))
+      val pairs = ring ++ pend
+      val edges = (pairs ++ pairs.map(p => (p._2, p._1)))
+        .toDF("src_id", "dst_id")
+      val rep = SimilarityOps.kCorePeel(edges, coreK = 2, maxRounds = 5)
+      val core = rep.filter(col("in_core")).count()
+      val dropped = rep.filter(!col("in_core")).count()
+      assert(core === n.toLong, s"the ring survives whole at n=$n")
+      assert(dropped === n.toLong / 10, s"every pendant falls, nothing else, at n=$n")
+      core + dropped
+    }
+    val (c1, c2) = (run(N1), run(N2))
+    logScale("s17_report_rows", c1, c2)
+    assert(math.abs(expo(c1, c2) - 1.0) < 0.02,
+      "the peel report is node-level — exactly linear")
+  }
 }

@@ -459,4 +459,62 @@ class SimilaritySpec extends SparkSpec {
         s"vec $vid cosine not monotone in rank")
     }
   }
+
+  /** Symmetric edge table from undirected pairs. */
+  private def symEdges(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src_id", "dst_id")
+  }
+
+  private def peelMap(edges: DataFrame, coreK: Int)
+      : Map[Long, (Boolean, Option[Long], Option[Long])] =
+    SimilarityOps.kCorePeel(edges, coreK, 20).collect().map { r =>
+      r.getLong(0) -> ((r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    }.toMap
+
+  test("s17 peel: triangle survives, pendant drops round 1, starved hub falls with its leaves") {
+    // triangle 1-2-3 with pendant 4 on 3; disjoint star 20-(21,22)
+    val out = peelMap(
+      symEdges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (20L, 21L), (20L, 22L)),
+      coreK = 2)
+    // the 2-core is exactly the triangle, each member with degree 2
+    Seq(1L, 2L, 3L).foreach(v => assert(out(v) == ((true, Some(2L), None))))
+    assert(out(4L) == ((false, None, Some(1L))))
+    // hub 20 has degree 2 >= coreK, but both its edges touch degree-1
+    // leaves — the simultaneous edge filter starves it in the SAME
+    // round its leaves fall (the documented edge-based semantics)
+    Seq(20L, 21L, 22L).foreach(v => assert(out(v) == ((false, None, Some(1L)))))
+  }
+
+  test("s17 peel: a path peels from the ends inward, one layer per round") {
+    val out = peelMap(
+      symEdges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)), coreK = 2)
+    assert(out.values.forall(v => !v._1 && v._2.isEmpty))
+    assert(out(1L)._3 == Some(1L) && out(6L)._3 == Some(1L))
+    assert(out(2L)._3 == Some(2L) && out(5L)._3 == Some(2L))
+    assert(out(3L)._3 == Some(3L) && out(4L)._3 == Some(3L))
+  }
+
+  test("s17 report on the harness corpus: one row per probe, flags partition cleanly") {
+    val rows = SimilarityOps.kCoreQ.run(spark, sf001).collect()
+    val probes = Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") % SimilarityOps.GraphSampleMod === 0).count()
+    assert(rows.length == probes)
+    rows.foreach { r =>
+      val (inCore, deg, round) =
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))
+      if (inCore) {
+        assert(round.isEmpty, "core nodes carry no peel round")
+        assert(deg.exists(_.asInstanceOf[Long] >= SimilarityOps.KCoreK),
+          "core degree honors the threshold")
+      } else {
+        assert(deg.isEmpty, "removed nodes carry no core degree")
+        assert(round.exists(_.asInstanceOf[Long] >= 1L))
+      }
+    }
+    assert(rows.exists(_.getBoolean(1)) && rows.exists(!_.getBoolean(1)),
+      "the harness graph has both a core and a peeled fringe")
+  }
 }

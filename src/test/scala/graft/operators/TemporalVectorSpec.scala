@@ -854,6 +854,11 @@ class TemporalVectorSpec extends SparkSpec {
     // every (layout, probe) row survives and reports zero files hit
     val z = LayoutOps.zorderAudit(spark, noEvents).collect()
     assert(z.nonEmpty && z.forall(_.getAs[Long]("files_hit") == 0L))
+    val noEdges = Seq.empty[(Long, Long)].toDF("src_id", "dst_id")
+    assert(SimilarityOps.kCorePeel(noEdges, 2, 5).count() == 0)
+    val noEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    assert(SimilarityOps.kCoreReport(noEmb).count() == 0)
+    assert(CurationOps.mixtureOrder(noSourcedDocs).count() == 0)
   }
 
   test("v09 dim stats: exact means/variance/min-max, dead-dimension flag") {
