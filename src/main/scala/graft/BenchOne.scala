@@ -32,7 +32,19 @@ object BenchOne {
       "s04_approx" -> ((s, sf) => operators.SimilarityOps.knnIvfKmeans(embOf(s, sf))),
       "s0x_exact" -> ((s, sf) => operators.SimilarityOps.knnGraphExact(
         embOf(s, sf), operators.SimilarityOps.GraphSampleMod,
-        operators.SimilarityOps.PortableKnnK)))
+        operators.SimilarityOps.PortableKnnK)),
+      "s17_graph" -> ((s, sf) => operators.SimilarityOps.knnGraphExact(
+        embOf(s, sf).filter(org.apache.spark.sql.functions.col("vec_id")
+          % operators.SimilarityOps.GraphSampleMod === 0),
+        1, operators.SimilarityOps.GraphK)
+        .filter(org.apache.spark.sql.functions.col("mutual"))),
+      "s17_peel" -> ((s, sf) => operators.SimilarityOps.kCorePeel(
+        operators.SimilarityOps.knnGraphExact(
+          embOf(s, sf).filter(org.apache.spark.sql.functions.col("vec_id")
+            % operators.SimilarityOps.GraphSampleMod === 0),
+          1, operators.SimilarityOps.GraphK)
+          .filter(org.apache.spark.sql.functions.col("mutual"))
+          .select("src_id", "dst_id"))))
     val fn = stages.getOrElse(name,
       SparkEntry.queries.getOrElse(name, sys.error(s"unknown query/stage '$name'")))
 

@@ -1559,71 +1559,70 @@ object SimilarityOps {
     * NULL, peel_round = first round the node had no surviving edge or
     * NULL for core nodes).
     *
-    * Scale shape: the d07 discipline — one count action per round, on
-    * a MONOTONICALLY SHRINKING persisted edge set; per round two
-    * node-keyed window counts (degree by src, degree by dst — nothing
-    * broadcasts the corpus, nothing reaches the driver, and no window
-    * ever runs unpartitioned). Rounds to fixpoint are bounded by
-    * the peel depth of the graph's degeneracy ordering; `maxRounds` is
-    * a loud guard, not a knob. Drop snapshots reference per-round
-    * cached frames, so the NODE-LEVEL report (never edge-level) is
-    * materialized in the session cache before the round frames are
-    * released — the SignatureLake session-persistence trade; a
-    * production pipeline would write it to the lake alongside the
-    * cluster labels it complements. */
+    * Scale shape: the d07 discipline — one action per round, on a
+    * MONOTONICALLY SHRINKING edge set; per round two node-keyed window
+    * counts (degree by src, degree by dst — nothing broadcasts the
+    * corpus, nothing reaches the driver, and no window ever runs
+    * unpartitioned). Every round is materialized and
+    * lineage-truncated (eager localCheckpoint — the standard
+    * iterative-algorithm discipline: without it the analyzed plan
+    * grows by two window ops per round and every action re-walks the
+    * whole chain through the analyzer/optimizer, so loop cost becomes
+    * PLANNER time, measured 26 s → ~2 s on the s17 graph). Round
+    * blocks are reclaimed by the ContextCleaner once the returned
+    * report is dropped; a cluster deployment with executor churn
+    * points spark.checkpoint.dir at the lake and swaps in reliable
+    * checkpoint. Rounds to fixpoint are bounded by the peel depth of
+    * the graph's degeneracy ordering; `maxRounds` is a loud guard,
+    * not a knob. The NODE-LEVEL report (never edge-level) is the one
+    * relation that outlives the loop — a production pipeline would
+    * write it to the lake alongside the cluster labels it
+    * complements. */
   def kCorePeel(edges: DataFrame, coreK: Int = KCoreK,
       maxRounds: Int = KCoreMaxRounds): DataFrame = {
     require(coreK >= 1, "coreK must be >= 1")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
-    try {
-      var cur = edges.select(col("src_id"), col("dst_id")).persist(lvl)
-      cached += cur
-      var curCnt = cur.count()
-      var drops = List.empty[DataFrame]
-      var r = 0
-      var stable = curCnt == 0L
-      while (!stable) {
-        r += 1
-        require(r <= maxRounds,
-          s"k-core peel did not reach fixpoint in $maxRounds rounds")
-        // degrees as two window counts over the ONE cur reference (the
-        // oracle's exact formulation). A groupBy→filter→join-back shape
-        // references cur three times per round, nesting the logical
-        // plan 3^rounds — the window form keeps plan growth linear,
-        // which is what lets the loop run to 10+ rounds at all.
-        val next = cur
-          .withColumn("__ds",
-            count(lit(1)).over(Window.partitionBy(col("src_id"))))
-          .withColumn("__dd",
-            count(lit(1)).over(Window.partitionBy(col("dst_id"))))
-          .filter(col("__ds") >= coreK && col("__dd") >= coreK)
-          .select(col("src_id"), col("dst_id"))
-          .persist(lvl)
-        cached += next
-        val nextCnt = next.count()
-        // nodes present this round but edgeless in the next — includes
-        // the deg >= coreK node whose every neighbor fell this round
-        drops ::= cur.select(col("src_id").as("node_id")).distinct()
-          .join(next.select(col("src_id").as("node_id")).distinct(),
-            Seq("node_id"), "left_anti")
-          .select(col("node_id"), lit(r.toLong).as("peel_round"))
-        stable = nextCnt == curCnt
-        cur = next
-        curCnt = nextCnt
-      }
-      val core = cur.groupBy(col("src_id")).agg(count(lit(1)).as("core_deg"))
-        .select(col("src_id").as("node_id"), lit(true).as("in_core"),
-          col("core_deg"), lit(null).cast("long").as("peel_round"))
-      val report = drops.reduceOption(_ unionByName _)
-        .map(d => core.unionByName(
-          d.select(col("node_id"), lit(false).as("in_core"),
-            lit(null).cast("long").as("core_deg"), col("peel_round"))))
-        .getOrElse(core)
-        .persist(lvl)
-      report.count()
-      report
-    } finally cached.foreach(_.unpersist())
+    var cur = edges.select(col("src_id"), col("dst_id"))
+      .localCheckpoint(true)
+    var curCnt = cur.count()
+    var drops = List.empty[DataFrame]
+    var r = 0
+    var stable = curCnt == 0L
+    while (!stable) {
+      r += 1
+      require(r <= maxRounds,
+        s"k-core peel did not reach fixpoint in $maxRounds rounds")
+      // degrees as two window counts over the ONE cur reference (the
+      // oracle's exact formulation). A groupBy→filter→join-back shape
+      // references cur three times per round — even with truncated
+      // leaves that triples the per-round exchanges for nothing.
+      val next = cur
+        .withColumn("__ds",
+          count(lit(1)).over(Window.partitionBy(col("src_id"))))
+        .withColumn("__dd",
+          count(lit(1)).over(Window.partitionBy(col("dst_id"))))
+        .filter(col("__ds") >= coreK && col("__dd") >= coreK)
+        .select(col("src_id"), col("dst_id"))
+        .localCheckpoint(true)
+      val nextCnt = next.count()
+      // nodes present this round but edgeless in the next — includes
+      // the deg >= coreK node whose every neighbor fell this round
+      drops ::= cur.select(col("src_id").as("node_id")).distinct()
+        .join(next.select(col("src_id").as("node_id")).distinct(),
+          Seq("node_id"), "left_anti")
+        .select(col("node_id"), lit(r.toLong).as("peel_round"))
+      stable = nextCnt == curCnt
+      cur = next
+      curCnt = nextCnt
+    }
+    val core = cur.groupBy(col("src_id")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src_id").as("node_id"), lit(true).as("in_core"),
+        col("core_deg"), lit(null).cast("long").as("peel_round"))
+    drops.reduceOption(_ unionByName _)
+      .map(d => core.unionByName(
+        d.select(col("node_id"), lit(false).as("in_core"),
+          lit(null).cast("long").as("core_deg"), col("peel_round"))))
+      .getOrElse(core)
+      .localCheckpoint(true)
   }
 
   /** s17's relation: the exact mutual-kNN graph WITHIN the
