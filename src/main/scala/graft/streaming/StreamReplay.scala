@@ -61,7 +61,7 @@ object StreamReplay {
   private val SentinelUser = -1L
   private val nameCounter = new AtomicInteger()
 
-  /** Collected schedules memoized per (session, sf): all six st* rows
+  /** Collected schedules memoized per (session, sf): all st* rows
     * replay the SAME slice, so the sort+collect job runs once and the
     * later five rows start at addData (the SignatureLake first-consumer
     * pattern, driver-side because a replay schedule is driver data by
@@ -103,7 +103,12 @@ object StreamReplay {
     * covered by the Stream*Specs' default-partitioned schedules) and
     * restore after; snapshot retention drops to the minimum for the
     * same reason (the checkpoint is throwaway by design). */
-  private def runReplay[O](spark: SparkSession, sf: String)(
+  /** @param mapBatch per-micro-batch rewrite of the shared schedule
+    *        (st08 injects exact duplicate rows with it) — applied at
+    *        addData time so the memoized schedule itself stays shared
+    *        and untouched */
+  private def runReplay[O](spark: SparkSession, sf: String,
+      mapBatch: Seq[TypedEvent] => Seq[TypedEvent] = identity)(
       build: Dataset[TypedEvent] => Dataset[O]): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -132,7 +137,7 @@ object StreamReplay {
           .outputMode("append").start()
         try {
           schedule(spark, sf).foreach { batch =>
-            source.addData(batch: _*)
+            source.addData(mapBatch(batch): _*)
             q.processAllAvailable()
           }
           val out = spark.table(name)
@@ -411,7 +416,47 @@ object StreamReplay {
           .as("guaranteed_sound"))
   }
 
+  /** st08's injection rule: events with event_id % 3 == 0 are added
+    * TWICE to their micro-batch as EXACT copies (same id, ts, payload)
+    * — so the dedup claim is payload-independent: whichever copy the
+    * state store sees first, the emitted row is THE row, and
+    * intra-batch disorder stays free. */
+  private def injectDupes(batch: Seq[TypedEvent]): Seq[TypedEvent] =
+    batch.flatMap(e => if (e.event_id % 3 == 0) Seq(e, e) else Seq(e))
+
+  /** st08 — the reference's keyed ingest dedup (F3, q12's streaming
+    * twin — the ONE reference streaming semantic the st* family didn't
+    * yet gate) proven at the driver: exact duplicates injected into
+    * every micro-batch vanish at the sink. The machine is the
+    * watermark-keyed `dropDuplicatesWithinWatermark` shape of
+    * [[TweetIngest.dedupedParse]], run on the replay's event slice;
+    * the oracle is the PLAIN slice aggregate — it never models the
+    * injection, because "the duplicates are invisible" is precisely
+    * the claim. Chronological micro-batches mean no row is ever late
+    * (the watermark can only evict state, never drop rows), and
+    * id_sum makes the hash sensitive to WHICH rows survived, not just
+    * how many. State is O(keys inside the watermark horizon), the
+    * same bound the production ingest pays. */
+  val streamDedupQ: GraftQuery = GraftQuery(
+    "st08_stream_dedup",
+    s"""SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(sum(event_id) AS BIGINT) AS id_sum
+      |FROM events WHERE user_id % $UserMod = 0
+      |GROUP BY event_type""".stripMargin) { (spark, sf) =>
+    runReplay(spark, sf, injectDupes) { ds =>
+      ds.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+    }
+      .filter(col("user_id") =!= SentinelUser)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("id_sum"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ,
-    streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ)
+    streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ, streamDedupQ)
 }

@@ -37,4 +37,20 @@ class StreamReplaySpec extends SparkSpec {
     assert(stream === batch,
       "stream-computed credits must equal the batch twin in-engine, not only vs DuckDB")
   }
+
+  test("st08 stream dedup equals the undeduplicated batch aggregate on the slice") {
+    import org.apache.spark.sql.functions._
+    // the gate claim restated in-engine: duplicates injected into the
+    // stream are invisible — the sink aggregate equals the PLAIN batch
+    // aggregate of the slice, which never saw a duplicate at all
+    val slice = graft.Tables.events(spark, sf001)
+      .filter(col("user_id") % StreamReplay.UserMod === 0)
+    val batch = canon(slice.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("id_sum")))
+    val stream = canon(StreamReplay.streamDedupQ.run(spark, sf001))
+    assert(stream === batch,
+      "injected duplicates must vanish at the sink")
+  }
 }
