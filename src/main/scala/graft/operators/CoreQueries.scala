@@ -987,6 +987,77 @@ object CoreQueries {
           / lit(100.0)).as("revenue"))
   }
 
+  /** Sign lanes of the q59 AMS sketch (declared above its only
+    * consumer — same-object init-order discipline). 64 lanes put the
+    * tug-of-war estimator's relative error near sqrt(2/64) ≈ 18%;
+    * the row replays the estimate bit-exactly either way. */
+  val F2Lanes = 64
+
+  /** q59 — second frequency moment (self-join size) by AMS tug-of-war
+    * sketch (Alon–Matias–Szegedy, STOC'96): per event type, the exact
+    * F2 = Σ_u c_u² — the quantity that prices every equi-join and
+    * groupBy on the key, and what q41's max-share only glimpses —
+    * next to the sketch estimate mean(S_l²) over [[F2Lanes]] lanes,
+    * where S_l = Σ_events sign_l(user). The sketch side NEVER builds
+    * the per-key count table: Σ_u sign·c_u telescopes to one
+    * map-side-combined pass over raw events into |types|·lanes cells —
+    * O(lanes) state per group where the exact side pays the full key
+    * shuffle. That asymmetry is the row's 100 TB point; the exact side
+    * is the audit truth this fixture-scale row can still afford.
+    *
+    * Signs are md5-derived (the [[Md5Bucket]] device, salt 'f2:lane:'),
+    * so unlike every contract sketch row the DuckDB oracle replays the
+    * ESTIMATE itself bit-for-bit — integer sums and squares end to
+    * end (|S_l| ≤ rows/type, squares ≪ 2^63), one IEEE division for
+    * the mean, the d24/d25 replayable-sketch pattern. */
+  val f2Sketch: GraftQuery = GraftQuery(
+    "q59_f2_sketch",
+    s"""WITH kc AS (SELECT event_type, user_id, count(*) AS c
+       |           FROM events GROUP BY 1, 2),
+       |ex AS (SELECT event_type,
+       |         CAST(sum(c) AS BIGINT) AS n_rows,
+       |         CAST(count(*) AS BIGINT) AS n_keys,
+       |         CAST(sum(c * c) AS BIGINT) AS f2_exact
+       |       FROM kc GROUP BY event_type),
+       |ln AS (SELECT range AS lane FROM range(0, $F2Lanes)),
+       |sg AS (SELECT e.event_type, l.lane,
+       |         CAST(sum(1 - 2 * (${Md5Bucket.bucketSql("duckdb",
+                  "'f2:' || CAST(l.lane AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)", 2)}))
+       |           AS BIGINT) AS s
+       |       FROM events e CROSS JOIN ln l
+       |       GROUP BY e.event_type, l.lane),
+       |es AS (SELECT event_type, CAST(sum(s * s) AS BIGINT) AS ss
+       |       FROM sg GROUP BY event_type)
+       |SELECT ex.event_type, ex.n_rows, ex.n_keys, ex.f2_exact,
+       |       CAST(es.ss AS DOUBLE) / $F2Lanes.0 AS f2_est,
+       |       CAST(es.ss AS DOUBLE) / $F2Lanes.0 / ex.f2_exact - 1.0 AS rel_err
+       |FROM ex JOIN es ON es.event_type = ex.event_type""".stripMargin) {
+    (spark, sf) => f2Report(Tables.events(spark, sf))
+  }
+
+  /** q59 over any (event_type, user_id) stream of rows. */
+  def f2Report(events: DataFrame): DataFrame = {
+    val sgn = (lit(1L) - lit(2L) * expr(Md5Bucket.bucketSql("spark",
+      "concat('f2:', CAST(lane AS STRING), ':', CAST(user_id AS STRING))", 2))
+      .cast("long"))
+    val sketch = events.select(col("event_type"), col("user_id"))
+      .withColumn("lane", explode(sequence(lit(0), lit(F2Lanes - 1))))
+      .groupBy(col("event_type"), col("lane"))
+      .agg(sum(sgn).as("s"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("s") * col("s")).as("ss"))
+    val exact = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(col("c") * col("c")).as("f2_exact"))
+    exact.join(sketch, Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("n_keys"), col("f2_exact"),
+        (col("ss").cast("double") / lit(F2Lanes.toDouble)).as("f2_est"),
+        (col("ss").cast("double") / lit(F2Lanes.toDouble) / col("f2_exact")
+          - lit(1.0)).as("rel_err"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
@@ -994,5 +1065,5 @@ object CoreQueries {
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
     distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
     valueHistogram, groupingSets, moments, keySkew, seasonality,
-    sourceFormats, saltedJoinSegments)
+    sourceFormats, saltedJoinSegments, f2Sketch)
 }

@@ -107,6 +107,27 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q59 F2 sketch: single-key type is lane-exact; two-key estimate stays in its envelope") {
+    import spark.implicits._
+    // one key with c events: S_l = ±c in EVERY lane, so est == exact == c²
+    val ev = ((1 to 5).map(_ => ("solo", 7L)) ++
+      Seq.fill(3)(("duo", 1L)) ++ Seq.fill(4)(("duo", 2L)))
+      .toDF("event_type", "user_id")
+    val out = CoreQueries.f2Report(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val solo = out("solo")
+    assert(solo.getAs[Long]("n_rows") == 5L && solo.getAs[Long]("n_keys") == 1L)
+    assert(solo.getAs[Long]("f2_exact") == 25L)
+    assert(solo.getAs[Double]("f2_est") == 25.0)
+    assert(solo.getAs[Double]("rel_err") == 0.0)
+    val duo = out("duo")
+    assert(duo.getAs[Long]("f2_exact") == 25L) // 3² + 4²
+    // est_l = (±3 ±4)² ∈ {1, 49}; the lane mean is 25 + 24·avg(s₁s₂),
+    // pinned to the envelope whatever the md5 signs drew
+    val est = duo.getAs[Double]("f2_est")
+    assert(est >= 1.0 && est <= 49.0)
+  }
+
   test("q41 skew report: hand-computed shares, top10 caps at 10 keys") {
     import spark.implicits._
     val ev = (Seq.fill(5)(("a", 1L)) ++ Seq.fill(3)(("a", 2L)) ++ Seq(("a", 3L)) ++

@@ -591,4 +591,26 @@ class ScaleStressSpec extends SparkSpec {
     assert(math.abs(expo(c1, c2) - 1.0) < 0.02,
       "the peel report is node-level — exactly linear")
   }
+
+  test("q59 AMS sketch at 10x: report O(|types|), exact F2 conserved, estimate in envelope") {
+    import spark.implicits._
+    def run(n: Int): Long = {
+      // 4 types, n/8 users per type, every (type, user) seen exactly
+      // twice -> per type: n_keys = n/8, F2 = 4·(n/8) = n/2
+      val ev = (0 until n).map(i => (s"t${i % 4}", ((i / 4) % (n / 8)).toLong))
+        .toDF("event_type", "user_id")
+      val rows = CoreQueries.f2Report(ev).collect()
+      assert(rows.length == 4, s"one report row per type at n=$n")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_keys") == n / 8, s"keys at n=$n")
+        assert(r.getAs[Long]("f2_exact") == n / 2, s"exact F2 at n=$n")
+        assert(math.abs(r.getAs[Double]("rel_err")) < 0.5,
+          s"64-lane estimate within its deterministic envelope at n=$n")
+      }
+      rows.length.toLong
+    }
+    val (c1, c2) = (run(N1), run(N2))
+    logScale("q59_report_rows", c1, c2)
+    assert(expo(c1, c2) == 0.0, "sketch report must not scale with keys or rows")
+  }
 }
