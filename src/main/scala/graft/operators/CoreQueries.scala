@@ -993,26 +993,58 @@ object CoreQueries {
     * the row replays the estimate bit-exactly either way. */
   val F2Lanes = 64
 
+  /** Lane sign for the q59 sketch: bit `lane` of ONE md5 per key
+    * (hex digit lane/4, bit lane%4 — 64 lanes use half the 128-bit
+    * digest), emitted as engine-native SQL for Spark and DuckDB. One
+    * hash per key instead of one per (key, lane): the first cut paid
+    * 64 md5s per row and was the bench's most expensive row (6.6 s);
+    * this one is integer bit-plumbing after a single hash. */
+  private def f2SignSql(engine: String, hcol: String): String = {
+    val hexv = engine match {
+      case "spark" =>
+        s"(instr('0123456789abcdef', substring($hcol, 1 + (lane div 4), 1)) - 1)"
+      case _ =>
+        s"(position(substring($hcol, 1 + (lane // 4), 1) IN '0123456789abcdef') - 1)"
+    }
+    val pw = "(CASE (lane % 4) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)"
+    val dv = if (engine == "spark") "div" else "//"
+    s"(1 - 2 * (($hexv $dv $pw) % 2))"
+  }
+
+  /** The q59 sketch's PRODUCTION shape: lane sums in ONE
+    * map-side-combined pass over raw events, no per-key table —
+    * Σ_u sign_l(u)·c_u telescopes to Σ_events sign_l(user), so a
+    * stream or a 100 TB scan folds straight into |types|·[[F2Lanes]]
+    * integer cells. Integer-EQUAL to the key-table formulation the
+    * audit row uses (QueryInvariantsSpec asserts the equality — it is
+    * algebra, not approximation). */
+  def f2LaneSums(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        md5(concat(lit("f2:"), col("user_id").cast("string"))).as("__h"))
+      .withColumn("lane", explode(sequence(lit(0), lit(F2Lanes - 1))))
+      .groupBy(col("event_type"), col("lane"))
+      .agg(sum(expr(f2SignSql("spark", "__h")).cast("long")).as("s"))
+
   /** q59 — second frequency moment (self-join size) by AMS tug-of-war
     * sketch (Alon–Matias–Szegedy, STOC'96): per event type, the exact
     * F2 = Σ_u c_u² — the quantity that prices every equi-join and
     * groupBy on the key, and what q41's max-share only glimpses —
-    * next to the sketch estimate mean(S_l²) over [[F2Lanes]] lanes,
-    * where S_l = Σ_events sign_l(user). The sketch side NEVER builds
-    * the per-key count table: Σ_u sign·c_u telescopes to one
-    * map-side-combined pass over raw events into |types|·lanes cells —
-    * O(lanes) state per group where the exact side pays the full key
-    * shuffle. That asymmetry is the row's 100 TB point; the exact side
-    * is the audit truth this fixture-scale row can still afford.
+    * next to the sketch estimate mean(S_l²) over [[F2Lanes]] lanes.
+    * The audit row derives both sides from ONE per-key count table
+    * (the truth side needs it anyway — one scan, one shuffle); the
+    * production sketch path is [[f2LaneSums]], which never builds
+    * that table and is spec-asserted integer-equal.
     *
-    * Signs are md5-derived (the [[Md5Bucket]] device, salt 'f2:lane:'),
-    * so unlike every contract sketch row the DuckDB oracle replays the
-    * ESTIMATE itself bit-for-bit — integer sums and squares end to
-    * end (|S_l| ≤ rows/type, squares ≪ 2^63), one IEEE division for
-    * the mean, the d24/d25 replayable-sketch pattern. */
+    * Signs are md5-derived bits ([[f2SignSql]]), so unlike every
+    * contract sketch row the DuckDB oracle replays the ESTIMATE
+    * itself bit-for-bit — integer sums and squares end to end
+    * (|S_l| ≤ rows/type, squares ≪ 2^63), one IEEE division for the
+    * mean, the d24/d25 replayable-sketch pattern. */
   val f2Sketch: GraftQuery = GraftQuery(
     "q59_f2_sketch",
-    s"""WITH kc AS (SELECT event_type, user_id, count(*) AS c
+    s"""WITH kc AS (SELECT event_type, user_id, count(*) AS c,
+       |             md5('f2:' || CAST(user_id AS VARCHAR)) AS h
        |           FROM events GROUP BY 1, 2),
        |ex AS (SELECT event_type,
        |         CAST(sum(c) AS BIGINT) AS n_rows,
@@ -1020,12 +1052,10 @@ object CoreQueries {
        |         CAST(sum(c * c) AS BIGINT) AS f2_exact
        |       FROM kc GROUP BY event_type),
        |ln AS (SELECT range AS lane FROM range(0, $F2Lanes)),
-       |sg AS (SELECT e.event_type, l.lane,
-       |         CAST(sum(1 - 2 * (${Md5Bucket.bucketSql("duckdb",
-                  "'f2:' || CAST(l.lane AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)", 2)}))
-       |           AS BIGINT) AS s
-       |       FROM events e CROSS JOIN ln l
-       |       GROUP BY e.event_type, l.lane),
+       |sg AS (SELECT kc.event_type, l.lane,
+       |         CAST(sum(${f2SignSql("duckdb", "kc.h")} * kc.c) AS BIGINT) AS s
+       |       FROM kc CROSS JOIN ln l
+       |       GROUP BY kc.event_type, l.lane),
        |es AS (SELECT event_type, CAST(sum(s * s) AS BIGINT) AS ss
        |       FROM sg GROUP BY event_type)
        |SELECT ex.event_type, ex.n_rows, ex.n_keys, ex.f2_exact,
@@ -1037,18 +1067,17 @@ object CoreQueries {
 
   /** q59 over any (event_type, user_id) stream of rows. */
   def f2Report(events: DataFrame): DataFrame = {
-    val sgn = (lit(1L) - lit(2L) * expr(Md5Bucket.bucketSql("spark",
-      "concat('f2:', CAST(lane AS STRING), ':', CAST(user_id AS STRING))", 2))
-      .cast("long"))
-    val sketch = events.select(col("event_type"), col("user_id"))
+    val kc = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__h",
+        md5(concat(lit("f2:"), col("user_id").cast("string"))))
+    val sketch = kc
       .withColumn("lane", explode(sequence(lit(0), lit(F2Lanes - 1))))
       .groupBy(col("event_type"), col("lane"))
-      .agg(sum(sgn).as("s"))
+      .agg(sum(expr(f2SignSql("spark", "__h")).cast("long") * col("c")).as("s"))
       .groupBy(col("event_type"))
       .agg(sum(col("s") * col("s")).as("ss"))
-    val exact = events.groupBy(col("event_type"), col("user_id"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("event_type"))
+    val exact = kc.groupBy(col("event_type"))
       .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
         sum(col("c") * col("c")).as("f2_exact"))
     exact.join(sketch, Seq("event_type"))

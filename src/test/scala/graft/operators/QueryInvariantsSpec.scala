@@ -126,6 +126,23 @@ class QueryInvariantsSpec extends SparkSpec {
     // pinned to the envelope whatever the md5 signs drew
     val est = duo.getAs[Double]("f2_est")
     assert(est >= 1.0 && est <= 49.0)
+    // the telescoping identity: the production ONE-PASS lane sums
+    // (f2LaneSums, no per-key table) square-mean to bit-exactly the
+    // audit row's key-table estimate — algebra, not approximation.
+    // Checked on the planted fixture and on real sf0.001 events.
+    def estFromOnePass(events: org.apache.spark.sql.DataFrame) =
+      CoreQueries.f2LaneSums(events).collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rs) =>
+          t -> rs.map(r => { val s = r.getLong(2); s * s }).sum.toDouble /
+            CoreQueries.F2Lanes }
+    estFromOnePass(ev).foreach { case (t, e) =>
+      assert(e == out(t).getAs[Double]("f2_est"), s"telescoping broke at $t") }
+    val real = graft.Tables.events(spark, sf001)
+    val realReport = CoreQueries.f2Report(real).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("f2_est")).toMap
+    estFromOnePass(real).foreach { case (t, e) =>
+      assert(e == realReport(t), s"telescoping broke on real data at $t") }
   }
 
   test("q41 skew report: hand-computed shares, top10 caps at 10 keys") {
