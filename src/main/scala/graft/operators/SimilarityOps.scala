@@ -335,18 +335,21 @@ object SimilarityOps {
     *        before the probe explode — a contract row scoring a 1/mod
     *        probe sample pays 1/mod of the probe→cell join volume; the
     *        INDEXED side always stays the full corpus */
-  def knnIvf(
-      emb: DataFrame, k: Int, probes: Int,
-      codebook: DataFrame => Array[Array[Double]] = df => centroids(df, cellsForCorpus(df.count())),
-      queryFilter: Column = lit(true)): DataFrame = {
+  /** The IVF pipeline's two relations — (indexed: every vector with
+    * its assigned cell; probed: each query exploded into its top-
+    * `probes` cells) — shared by [[knnIvf]] and the s18 probe-curve
+    * audit. Dataset construction analyzes eagerly: both CellProbes
+    * expressions hold the broadcast once built, so the registry entry
+    * can be dropped before returning (lifetime = plan, not
+    * process). */
+  private def ivfParts(
+      emb: DataFrame, probes: Int, queryFilter: Column,
+      codebook: DataFrame => Array[Array[Double]]): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     val cb = codebook(emb)
     val cbId = graft.functions.CodebookRegistry.register(
       spark.sparkContext.broadcast(cb))
-    // Dataset construction analyzes eagerly: both CellProbes
-    // expressions hold the broadcast once built, so the registry entry
-    // can be dropped before returning (lifetime = plan, not process)
-    val (indexed, probed) = try {
+    try {
       (emb
         .withColumn("nrm", norm(col("v")))
         .withColumn("cell",
@@ -358,6 +361,13 @@ object SimilarityOps {
           explode(call_function("graft_cell_probes", col("v"), lit(cbId), lit(probes)))
             .as("cell")))
     } finally graft.functions.CodebookRegistry.unregister(cbId)
+  }
+
+  def knnIvf(
+      emb: DataFrame, k: Int, probes: Int,
+      codebook: DataFrame => Array[Array[Double]] = df => centroids(df, cellsForCorpus(df.count())),
+      queryFilter: Column = lit(true)): DataFrame = {
+    val (indexed, probed) = ivfParts(emb, probes, queryFilter, codebook)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     probed.join(indexed.select(col("cell"), col("vec_id").as("neighbor_id"),
@@ -1709,8 +1719,137 @@ object SimilarityOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v")))
   }
 
+  /** Probe counts swept by the s18 curve (interpolated into the oracle
+    * text — same-object init-order discipline). */
+  val IvfCurveProbes: Seq[Int] = Seq(1, 2, 4)
+
+  /** s18's relation: for each probe count, the replayable first-k IVF
+    * scored against the exact probe-sample graph — aggregate recall@k
+    * AND the candidates actually scanned, which is the cost axis the
+    * recall curve is traded against. n_candidates is Σ probed-cell
+    * sizes − one self per query (a query's own cell is always its
+    * rank-1 probe), so the cost side needs only the probe table and
+    * the cell-size table — never the pair join. */
+  def ivfProbeCurve(emb: DataFrame, ps: Seq[Int] = IvfCurveProbes,
+      k: Int = PortableKnnK, mod: Int = GraphSampleMod,
+      exact: Option[DataFrame] = None): DataFrame = {
+    val qf = col("vec_id") % mod === 0
+    val ex = exactOr(exact, emb, mod, k)
+      .select(col("src_id").as("qid"), col("dst_id").as("nid"))
+    val perP = ps.map { p =>
+      val (indexed, probed) = ivfParts(emb, p, qf,
+        df => centroids(df, cellsForCorpus(df.count())))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val approx = probed
+        .join(indexed.select(col("cell"), col("vec_id").as("neighbor_id"),
+          col("v").as("nv"), col("nrm")), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_sim", dot(col("qv"), col("nv")) / (col("qnrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+      val rec = ex.join(approx,
+          ex("qid") === approx("query_id") && ex("nid") === approx("neighbor_id"),
+          "left")
+        .agg(count(lit(1)).as("k_exact"),
+          count(col("neighbor_id")).as("hits"),
+          countDistinct(col("qid")).as("n_queries"))
+      val cand = probed
+        .join(indexed.groupBy(col("cell")).agg(count(lit(1)).as("__sz")),
+          Seq("cell"))
+        .agg((sum(col("__sz")) - countDistinct(col("query_id")))
+          .as("n_candidates"))
+      rec.crossJoin(broadcast(cand))
+        .select(lit(p.toLong).as("probes"), col("n_queries"),
+          col("k_exact"), col("hits"),
+          (col("hits").cast("double") / col("k_exact")).as("recall"),
+          col("n_candidates"))
+    }
+    perP.reduce(_ unionByName _)
+  }
+
+  /** s18 — IVF recall-vs-probes curve: the tuning report an ANN
+    * operator reads before fixing nprobe — recall@k against the exact
+    * probe-sample graph next to candidates scanned, per probe count
+    * in [[IvfCurveProbes]]. Fully hash-checked at the deterministic
+    * first-k geometry (s03's oracle-able codebook — the trained
+    * codebook's curve shifts, its SHAPE machinery is identical), with
+    * the exact side read from the knn_exact lake family. Scale shape:
+    * per probe count one bounded probes×cell join (the s03 kernel)
+    * plus one probes⋈cell-sizes join for the cost column — the sweep
+    * is |ps| bounded passes, each map-combined to ONE row. */
+  val ivfProbeCurveQ: GraftQuery = GraftQuery(
+    "s18_ivf_probe_curve",
+    {
+      val perP = IvfCurveProbes.map { p =>
+        s"""pr$p AS (SELECT vec_id AS query_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY score DESC, cell DESC) AS r
+           |    FROM scores WHERE vec_id % $GraphSampleMod = 0) t WHERE r <= $p),
+           |ca$p AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           |         list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm) AS cos
+           |       FROM pr$p p JOIN assign a ON a.cell = p.cell
+           |         AND a.vec_id <> p.query_id
+           |       JOIN n qn ON qn.vec_id = p.query_id
+           |       JOIN n nn ON nn.vec_id = a.vec_id),
+           |ar$p AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |             PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+           |             AS rank FROM ca$p) t WHERE rank <= $PortableKnnK),
+           |re$p AS (SELECT CAST(count(*) AS BIGINT) AS k_exact,
+           |           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           |           CAST(count(DISTINCT e2.qid) AS BIGINT) AS n_queries
+           |         FROM ex e2 LEFT JOIN ar$p a
+           |           ON a.query_id = e2.qid AND a.neighbor_id = e2.nid),
+           |cd$p AS (SELECT CAST(sum(s.c) - count(DISTINCT p.query_id) AS BIGINT)
+           |           AS n_candidates
+           |         FROM pr$p p JOIN sz s ON s.cell = p.cell)""".stripMargin
+      }.mkString(",\n")
+      val tails = IvfCurveProbes.map { p =>
+        s"""SELECT CAST($p AS BIGINT) AS probes, re$p.n_queries, re$p.k_exact,
+           |       re$p.hits, CAST(re$p.hits AS DOUBLE) / re$p.k_exact AS recall,
+           |       cd$p.n_candidates
+           |FROM re$p, cd$p""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |cb AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cell,
+         |         list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS c
+         |  FROM (SELECT vec_id, v, nrm,
+         |          row_number() OVER (ORDER BY vec_id) AS rn,
+         |          count(*) OVER () AS total
+         |        FROM n) t
+         |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(total)) AS BIGINT)))),
+         |scores AS (
+         |  SELECT n.vec_id, cb.cell, list_dot_product(n.v, cb.c) AS score
+         |  FROM n CROSS JOIN cb),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY score DESC, cell DESC) AS r
+         |    FROM scores) t WHERE r = 1),
+         |sz AS (SELECT cell, count(*) AS c FROM assign GROUP BY cell),
+         |q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % $GraphSampleMod = 0),
+         |bs AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY CASE WHEN q.nrm = 0 OR n.nrm = 0 THEN 0.0
+         |                   ELSE list_dot_product(q.v, n.v) / (q.nrm * n.nrm) END DESC,
+         |                   n.vec_id) AS rank
+         |      FROM q JOIN n ON n.vec_id <> q.vec_id),
+         |ex AS (SELECT qid, nid FROM bs WHERE rank <= $PortableKnnK),
+         |$perP
+         |$tails""".stripMargin
+    }) { (spark, sf) =>
+    ivfProbeCurve(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")),
+      exact = Some(graft.sources.SignatureLake.exactProbeGraph(spark, sf)))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
-    knnIvfPqResidualQ, kCoreQ)
+    knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ)
 }

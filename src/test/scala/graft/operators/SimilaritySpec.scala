@@ -497,6 +497,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L)._3 == Some(3L) && out(4L)._3 == Some(3L))
   }
 
+  test("s18 probe curve: recall monotone in probes, candidates strictly growing, arithmetic ties out") {
+    val rows = SimilarityOps.ivfProbeCurveQ.run(spark, sf001).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == SimilarityOps.IvfCurveProbes.map(_.toLong))
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * SimilarityOps.PortableKnnK,
+        "k_exact = queries x k (full exact graph per query)")
+      assert(r.getDouble(4) == r.getLong(3).toDouble / r.getLong(2),
+        "recall is the one division it claims to be")
+    }
+    val recalls = rows.map(_.getDouble(4))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      "more probes can only add candidates — recall is monotone")
+    val cands = rows.map(_.getLong(5))
+    assert(cands.zip(cands.tail).forall { case (a, b) => b > a },
+      "every extra probe scans strictly more cells on this corpus")
+  }
+
   test("s17 report on the harness corpus: one row per probe, flags partition cleanly") {
     val rows = SimilarityOps.kCoreQ.run(spark, sf001).collect()
     val probes = Tables.embeddings(spark, sf001)
