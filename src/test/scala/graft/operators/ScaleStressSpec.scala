@@ -613,4 +613,20 @@ class ScaleStressSpec extends SparkSpec {
     logScale("q59_report_rows", c1, c2)
     assert(expo(c1, c2) == 0.0, "sketch report must not scale with keys or rows")
   }
+
+  test("s18 probe curve at 10x: candidates PER QUERY grow ~sqrt(n) — the IVF pruning claim") {
+    def run(n: Int): Long = {
+      val emb = stressEmb(n, withHotCluster = false)
+      val rows = SimilarityOps.ivfProbeCurve(emb).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      // per-query scan cost at the largest sweep point: cells size
+      // ~n/sqrt(n) = sqrt(n), probes fixed -> sqrt(n) candidates/query
+      val p = SimilarityOps.IvfCurveProbes.max.toLong
+      rows(p).getAs[Long]("n_candidates") / rows(p).getAs[Long]("n_queries")
+    }
+    val (c1, c2) = (run(N1), run(N2))
+    logScale("s18_cand_per_query", c1, c2)
+    assert(expo(c1, c2) < 0.65,
+      "IVF must prune: per-query candidates ~sqrt(n), never ~n")
+  }
 }
