@@ -528,4 +528,49 @@ class PropertySpec extends SparkSpec {
         s"diverged on arrival=${arrival.map(_.event_id)} cuts=$cuts")
     }
   }
+
+  /** Single-machine reference k-core: node-at-a-time removal to the
+    * same fixpoint (the k-core is the unique maximal subgraph with
+    * min degree >= k, so membership is formulation-independent even
+    * though round schedules differ). */
+  private def refCore(pairs: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      adj.keys.toSeq.foreach { v =>
+        if (adj.contains(v) && adj(v).size < k) {
+          adj(v).foreach(u => adj(u) -= v)
+          adj -= v
+          changed = true
+        }
+      }
+    }
+    adj.map { case (v, ns) => v -> ns.size }.toMap
+  }
+
+  private val graphGen: Gen[Set[(Long, Long)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+      .map(_.filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet)
+
+  test("s17 kCorePeel matches the node-at-a-time reference core on random graphs (any edges)") {
+    import spark.implicits._
+    samples(graphGen, 6).foreach { pairs =>
+      val edges = (pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1)))
+        .toDF("src_id", "dst_id")
+      Seq(2, 3).foreach { k =>
+        val expect = refCore(pairs, k)
+        val got = graft.operators.SimilarityOps.kCorePeel(edges, k, 20)
+          .filter(col("in_core")).collect()
+          .map(r => r.getLong(0) -> r.getLong(2).toInt).toMap
+        assert(got === expect,
+          s"k-core diverged at k=$k on $pairs: got $got expected $expect")
+      }
+    }
+  }
 }

