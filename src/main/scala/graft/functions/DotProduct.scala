@@ -137,6 +137,15 @@ object GraftExtensions {
           "usage: graft_space_saving(user, weight, <cap literal>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "graft_minhash_bands"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sh, Literal(b: Int, IntegerType), Literal(r: Int, IntegerType)) =>
+          MinHashBandKeys(sh, b, r)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_minhash_bands(shingles, <bands literal>, <rowsPerBand literal>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => children match {

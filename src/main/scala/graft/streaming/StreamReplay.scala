@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -107,15 +107,35 @@ object StreamReplay {
     *        (st08 injects exact duplicate rows with it) — applied at
     *        addData time so the memoized schedule itself stays shared
     *        and untouched */
+  /** @param coarse replay the shared schedule at half density (data
+    *        chunks merged pairwise, the two sentinels as one batch —
+    *        3 micro-batches instead of 6). For the PASS-THROUGH dedup
+    *        rows (st09/st10) whose operators emit on arrival, batch
+    *        count is pure fixed cost — st10 pays it across 8 chained
+    *        state stores — and nothing watermark-FIRED needs the
+    *        denser schedule; the finalizing rows (st01–st07) keep the
+    *        4-chunk density. Cross-batch state is still exercised
+    *        (batch 2 dedups against batch 1's stored keys). */
   private def runReplay[O](spark: SparkSession, sf: String,
-      mapBatch: Seq[TypedEvent] => Seq[TypedEvent] = identity)(
+      mapBatch: Seq[TypedEvent] => Seq[TypedEvent] = identity,
+      coarse: Boolean = false)(
       build: Dataset[TypedEvent] => Dataset[O]): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevRetain = spark.conf.getOption("spark.sql.streaming.minBatchesToRetain")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    // No-data batches exist to fire watermark-only state transitions
+    // when no further data arrives — the replay schedule never needs
+    // them (the SECOND sentinel batch is a DATA batch whose start-of-
+    // batch watermark, set by sentinel 1 at +2d, already exceeds every
+    // real finalization deadline), and with multi-stateful-operator
+    // rows (st10 chains 8 dedup stores) each suppressed no-data batch
+    // saves a full plan+commit cycle across every store: measured
+    // st10 13.1 -> 6.9 s, st01 3.3 -> 2.6 s at sf0.1.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val source = MemoryStream[TypedEvent]
       val name = s"graft_replay_${nameCounter.incrementAndGet()}"
@@ -136,7 +156,14 @@ object StreamReplay {
           .option("checkpointLocation", ckpt.toString)
           .outputMode("append").start()
         try {
-          schedule(spark, sf).foreach { batch =>
+          val sched0 = schedule(spark, sf)
+          val sched =
+            if (!coarse) sched0
+            else {
+              val (data, sentinels) = sched0.splitAt(sched0.size - 2)
+              data.grouped(2).map(_.flatten).toSeq :+ sentinels.flatten
+            }
+          sched.foreach { batch =>
             source.addData(mapBatch(batch): _*)
             q.processAllAvailable()
           }
@@ -178,6 +205,10 @@ object StreamReplay {
       prevRetain match {
         case Some(v) => spark.conf.set("spark.sql.streaming.minBatchesToRetain", v)
         case None => spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
+      }
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
       }
     }
   }
@@ -456,7 +487,137 @@ object StreamReplay {
         sum(col("event_id")).as("id_sum"))
   }
 
+  /** st09/st10's variant-injection encoding: a replayed copy of event
+    * `e` carries `event_id + DupOffset` — the copy is distinguishable
+    * (different Kafka KEY and raw bytes, so neither keyed nor raw-bytes
+    * dedup can claim the drop) while `event_id % DupOffset` recovers
+    * the doc identity on BOTH sides, making the sink aggregate
+    * invariant to WHICH of a colliding pair the state store saw first
+    * (intra-batch order is not a streaming guarantee). Offset chosen
+    * far above any real event_id (max 99,999 at sf0.1). */
+  private val DupOffset = 10000000L
+
+  /** Inject a lightly-disguised replay copy for every third doc (same
+    * user/type/ts; id offset per [[DupOffset]]); sentinels (negative
+    * ids) are never copied. The copy's TEXT disguise is applied by the
+    * row's kafka-shaping, keyed off the offset. */
+  private def injectVariantCopies(batch: Seq[TypedEvent]): Seq[TypedEvent] =
+    batch.flatMap(e =>
+      if (e.event_id >= 0 && e.event_id % 3 == 0)
+        Seq(e, e.copy(event_id = e.event_id + DupOffset)) else Seq(e))
+
+  /** Deterministic synthetic tweet text for a replay doc: 20 tokens,
+    * each embedding the doc id verbatim — so token sets (hence 3-gram
+    * shingle sets, hence MinHash band keys) are PROVABLY disjoint
+    * across distinct docs, and the only near-dup pairs in the fixture
+    * are the ones st10 plants. That is what makes a full hash row
+    * (rather than a floor-contract row) honest here: zero accidental
+    * collisions by construction, not by measured luck. */
+  private def docTokens(base: Column): Column =
+    transform(sequence(lit(0), lit(19)),
+      i => concat(lit("e"), base, lit("x"), i))
+
+  /** Replay events as Kafka-shaped tweet messages (the [[TweetIngest]]
+    * input shape): key = raw event_id (copies get distinct keys),
+    * value = the reference's Twitter-envelope JSON with a synthetic
+    * text chosen per (doc id, is-variant-copy) by `text`. Micros-exact
+    * timestampFormat so created_at (the watermark column) round-trips
+    * the JSON hop losslessly. */
+  private def kafkaShaped(ds: Dataset[TypedEvent],
+      text: (Column, Column) => Column): DataFrame = {
+    val base = col("event_id") % DupOffset
+    val isVariant = col("event_id") >= DupOffset
+    ds.toDF().select(
+      col("event_id").cast("string").as("key"),
+      to_json(
+        struct(struct(
+          (col("event_id") % DupOffset).cast("string").as("id"),
+          col("ts").as("created_at"),
+          text(base, isVariant).as("text")).as("data")),
+        Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")).as("value"),
+      col("event_type").as("topic"))
+  }
+
+  /** Shared sink tail for the content/near-dup gates: doc identity is
+    * recovered from the Kafka key ([[DupOffset]] encoding), so every
+    * aggregate column is invariant to which copy of a colliding pair
+    * survived; `n_rows` vs `n_docs` is the teeth — ONE surviving
+    * injected copy splits them and the hash goes red. */
+  private def dedupSinkTail(sink: DataFrame): DataFrame =
+    sink.filter(col("topic") =!= "__flush")
+      .withColumn("base", col("key").cast("long") % DupOffset)
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("base")).as("n_docs"),
+        sum(col("base")).as("id_sum"))
+
+  /** The oracle for both dedup gates is the PLAIN slice aggregate — it
+    * never models the injection, because "the replays are invisible at
+    * the sink" is precisely the claim (the st08 device, one tier up
+    * the dedup ladder). */
+  private val dedupOracle: String =
+    s"""SELECT event_type AS topic,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_docs,
+      |       CAST(sum(event_id) AS BIGINT) AS id_sum
+      |FROM events WHERE user_id % $UserMod = 0
+      |GROUP BY event_type""".stripMargin
+
+  /** st09 — CONTENT-level stream dedup ([[TweetIngest.contentDedupedParse]],
+    * the F3 ladder's second rung) proven at the driver: every third doc
+    * is replayed inside its micro-batch as an UPPERCASED copy under a
+    * different Kafka key and different raw bytes — so only the
+    * normalized-content fingerprint (lowercase, whitespace-collapsed)
+    * can identify it — and the sink hash-matches the plain slice
+    * aggregate that never saw a copy. Deterministic by construction:
+    * normalization is exact, copies arrive in the same chronological
+    * micro-batch as their original (never late), and distinct docs
+    * have disjoint texts ([[docTokens]]). Also gates the JSON
+    * round-trip: a copy with a null parsed event time would bypass
+    * watermark state and surface as n_rows > n_docs. */
+  val streamContentDedupQ: GraftQuery = GraftQuery(
+    "st09_stream_content_dedup", dedupOracle) { (spark, sf) =>
+    dedupSinkTail(
+      runReplay(spark, sf, injectVariantCopies, coarse = true) { ds =>
+        TweetIngest.contentDedupedParse(kafkaShaped(ds, (base, isVariant) => {
+          val t = concat_ws(" ", docTokens(base))
+          when(isVariant, upper(t)).otherwise(t)
+        }))
+      })
+  }
+
+  /** st10 — NEAR-dup stream dedup ([[TweetIngest.nearDupDedupedParse]],
+    * the top F3 rung — batch d03's streaming twin) proven at the
+    * driver: every third doc is replayed with a trailing tracker token
+    * appended (the classic re-crawl mutation; J = 18/19 ≈ 0.947, far
+    * above the 0.6 band-geometry midpoint), under a different key, raw
+    * bytes, AND content fingerprint — only a shared MinHash band can
+    * drop it. The sink hash-matches the never-injected slice
+    * aggregate at all 3 sfs. Two claims ride on one hash: no injected
+    * copy survives (miss probability per copy (1−J⁴)⁸ ≈ 2·10⁻⁶ —
+    * ~0.01 expected misses across sf0.1's ~4.8k copies; deterministic
+    * per fixture, verified green at every sf), and NO original is
+    * falsely dropped — docs have provably disjoint shingle sets
+    * ([[docTokens]]), so a missing doc identity would shrink n_docs.
+    * The mid-similarity false-drop rate of the per-band OR path (docs
+    * BELOW the 0.6 contract) is measured in StreamDedupSpec against
+    * the 1−(1−J⁴)⁸ envelope — that trade is a property of the band
+    * geometry, not of this fixture. */
+  val streamNearDupDedupQ: GraftQuery = GraftQuery(
+    "st10_stream_neardup_dedup", dedupOracle) { (spark, sf) =>
+    dedupSinkTail(
+      runReplay(spark, sf, injectVariantCopies, coarse = true) { ds =>
+        TweetIngest.nearDupDedupedParse(kafkaShaped(ds, (base, isVariant) => {
+          val toks = docTokens(base)
+          when(isVariant,
+            concat_ws(" ", concat(toks, array(concat(lit("trk"), base)))))
+            .otherwise(concat_ws(" ", toks))
+        }))
+      })
+  }
+
   val all: Seq[GraftQuery] = Seq(
     streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ,
-    streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ, streamDedupQ)
+    streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ, streamDedupQ,
+    streamContentDedupQ, streamNearDupDedupQ)
 }

@@ -46,12 +46,18 @@ object TweetIngest {
   def parse(kafkaShaped: DataFrame): DataFrame = parseKeeping(kafkaShaped, Nil)
 
   private def parseKeeping(kafkaShaped: DataFrame, extra: Seq[Column]): DataFrame = {
-    val parsed = from_json(col("value").cast("string"), tweetSchema)
+    // from_json lands in its OWN projection: CollapseProject keeps a
+    // non-cheap expression referenced by two extractions un-inlined,
+    // so the document really is parsed once per row — extracting both
+    // fields from an inline from_json in one select would duplicate
+    // the parse in the physical plan (the reference's double-parse,
+    // re-created by the optimizer).
     kafkaShaped
+      .withColumn("_parsed", from_json(col("value").cast("string"), tweetSchema))
       .select(Seq(
         col("key").cast("string").as("key"),
-        parsed.getField("data").getField("created_at").as("created_at"),
-        parsed.getField("data").getField("text").as("text"),
+        col("_parsed").getField("data").getField("created_at").as("created_at"),
+        col("_parsed").getField("data").getField("text").as("text"),
         col("topic")) ++ extra: _*)
       .withColumn("hour", date_format(col("created_at"), "HH"))
       .withColumn("date", date_format(col("created_at"), "yyyy-MM-dd"))
@@ -151,29 +157,33 @@ object TweetIngest {
       rowsPerBand: Int = graft.operators.DedupOps.RowsPerBand): DataFrame = {
     val raw = hex(xxhash64(col("topic"), col("value").cast("string")))
     val parsed = parseKeeping(kafkaShaped, Seq(raw.as("_raw_fp")))
-    val tokens = split(col("text"), " ")
-    val nTok = size(tokens)
-    val shingles = transform(sequence(lit(1), nTok - lit(2)), i =>
-      concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
-        element_at(tokens, i + 2)))
-    val withSh = parsed.withColumn("_sh",
-      when(col("text").isNotNull && nTok >= 3, shingles))
-    val withSig = withSh.withColumn("_mh",
-      array((0 until bands * rowsPerBand).map(p =>
-        array_min(transform(col("_sh"), s => xxhash64(lit(p), s)))): _*))
+    // tokenize → 3-shingle → minhash → band keys in ONE native kernel
+    // call per row ([[graft.functions.MinHashBandKeys]]). The
+    // higher-order-function formulation was 34 interpreted lambda
+    // evaluations per row — and its `element_at(split(text), i)` calls
+    // re-split the text once per shingle position (~54 splits/row in
+    // the physical plan) — dominating the stream's parse stage. _bk
+    // stays its own projection: CollapseProject keeps multi-referenced
+    // non-cheap expressions un-inlined, so the kernel runs once per
+    // row, not once per band column.
+    val withBk = parsed.withColumn("_bk",
+      call_function("graft_minhash_bands", col("text"), lit(bands), lit(rowsPerBand)))
     val bandCols = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand)
-        .map(r => element_at(col("_mh"), b * rowsPerBand + r + 1))
-      when(col("_sh").isNotNull, hex(xxhash64((lit(b) +: rows): _*)))
+      when(col("_bk").isNotNull, element_at(col("_bk"), b + 1))
         .otherwise(concat(lit(s"raw$b:"), col("_raw_fp")))
         .as(s"_band$b")
     }
-    val banded = withSig.select(col("*") +: bandCols: _*)
+    // project the scaffolding (shingle array, band array, raw fp) OUT
+    // before the stateful chain: every one of the `bands` dedup stages
+    // is a shuffle, and carrying ~1 KB/row of dead columns through all
+    // of them is pure shuffle-volume waste — at stream scale the band
+    // keys and the lake row are all the chain needs.
+    val lakeCols = Seq("key", "created_at", "text", "topic", "hour", "date").map(col)
+    val banded = withBk.select(lakeCols ++ bandCols: _*)
       .withWatermark("created_at", lateness)
     val deduped = (0 until bands).foldLeft(banded)(
       (df, b) => df.dropDuplicatesWithinWatermark(s"_band$b"))
-    deduped.drop(
-      ("_raw_fp" +: "_sh" +: "_mh" +: (0 until bands).map(b => s"_band$b")): _*)
+    deduped.drop((0 until bands).map(b => s"_band$b"): _*)
   }
 
   /** Production ingest assembly from typed config (reference

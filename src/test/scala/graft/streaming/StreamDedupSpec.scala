@@ -68,11 +68,15 @@ class StreamDedupSpec extends SparkSpec {
         msg(5, "alpha", "2022-03-01T10:16:00Z", "yo"),     // different short doc: kept
         msg(6, "alpha", "2022-03-01T10:17:00Z", base))     // exact replay: dropped
       val out = texts(q, "near_dedup")
-      assert(out.contains(base))
-      assert(!out.contains(nearDup), "near-dup (J≈0.85) must share a band and drop")
+      // base, its near-dup (J≈0.85, shares a band), and an exact replay
+      // arrive in ONE batch: the cluster must collapse to a single row.
+      // WHICH variant survives is intra-batch arrival order — not a
+      // streaming guarantee (the chained band shuffles reorder rows) —
+      // so assert the cluster size, not the winner.
+      assert(out.count(t => t == base || t == nearDup) === 1,
+        "the {base, near-dup, exact-replay} cluster must collapse to one row")
       assert(out.contains(unrelated))
       assert(out.contains("hi") && out.contains("yo"))
-      assert(out.count(_ == base) === 1)
     } finally q.stop()
   }
 
@@ -106,6 +110,49 @@ class StreamDedupSpec extends SparkSpec {
     assert(!texts.contains(nearDup),
       "near-dup of a PRE-RESTART doc must drop against restored state")
     assert(texts.size === 2)
+  }
+
+  test("per-band OR false-drop bound: mid-similarity docs drop at the banded envelope, high-sim always drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nPairs = 300
+    def tokens(p: Int, side: String) = (0 until 20).map(i => s"p$p$side$i")
+    // mid-similarity pair BELOW the 0.6 band-geometry contract: B keeps
+    // the first 10 of A's 20 tokens → 8 of 28 distinct 3-shingles
+    // shared, J = 2/7 ≈ 0.286 → per-doc drop probability under the
+    // 8×4 OR path is 1-(1-J⁴)⁸ ≈ 0.052 (the documented trade: no
+    // exact-verify stage in the stream).
+    val midA = (0 until nPairs).map(p => tokens(p, "a").mkString(" "))
+    val midB = (0 until nPairs).map(p =>
+      (tokens(p, "a").take(10) ++ tokens(p, "b").drop(10)).mkString(" "))
+    // high-similarity pair ABOVE the contract (st10's trailing-tracker
+    // mutation, J = 18/19): miss probability ≈ 2·10⁻⁶ per doc.
+    val hiA = (0 until nPairs).map(p => tokens(p, "h").mkString(" "))
+    val hiB = (0 until nPairs).map(p => (tokens(p, "h") :+ s"trk$p").mkString(" "))
+    val source = MemoryStream[KafkaMsg]
+    val q = TweetIngest.nearDupDedupedParse(source.toDF())
+      .writeStream.format("memory").queryName("or_falsedrop")
+      .outputMode("append").start()
+    try {
+      source.addData((midA ++ hiA).zipWithIndex.map { case (t, i) =>
+        msg(i, "alpha", "2022-03-01T10:00:00Z", t) }: _*)
+      q.processAllAvailable()
+      source.addData((midB ++ hiB).zipWithIndex.map { case (t, i) =>
+        msg(10000 + i, "beta", "2022-03-01T10:30:00Z", t) }: _*)
+      val out = texts(q, "or_falsedrop").toSet
+      val midDropped = midB.count(!out.contains(_))
+      val hiDropped = hiB.count(!out.contains(_))
+      val rate = midDropped.toDouble / nPairs
+      info(f"measured mid-similarity (J=0.286) false-drop rate: $rate%.3f " +
+        f"($midDropped/$nPairs; analytic envelope 1-(1-J^4)^8 = 0.052)")
+      assert(hiDropped === nPairs,
+        s"J=18/19 near-dups must all drop (got $hiDropped/$nPairs; miss prob ~2e-6)")
+      assert(rate <= 0.12, f"false-drop rate $rate%.3f beyond the banded envelope")
+      assert(midDropped > 0,
+        "the OR path's false-drop trade must be visible at J≈0.29 across 300 pairs")
+      assert(midA.forall(out.contains) && hiA.forall(out.contains),
+        "originals must never drop (disjoint-token construction)")
+    } finally q.stop()
   }
 
   test("near-dup state is watermark-bounded: old band keys evict") {
