@@ -298,15 +298,41 @@ object MultimodalOps {
     * check (affordable at gate SF; the engine never does all-pairs).
     * Precondition shared with d05: no hot-bucket capping at gate SF.
     *
-    * On the text stand-in corpus this yields ZERO pairs, and that is
-    * the correct answer (oracle agrees): a token edit shifts every
-    * downstream byte, so unaligned text never produces near phashes —
-    * aHash's contract is aligned media (resize normalizes image
-    * geometry; measured: true text near-dups sit at Hamming 15-35
-    * here, min random-pair distance 10). The planted-fixture spec
-    * proves the operator finds aligned in-place edits — the image
-    * near-dup shape — at small Hamming. */
+    * On the raw text stand-in corpus this yields ZERO pairs, and that
+    * is the correct answer: a token edit shifts every downstream byte,
+    * so unaligned text never produces near phashes — aHash's contract
+    * is aligned media (resize normalizes image geometry; measured:
+    * true text near-dups sit at Hamming 15-35 here, min random-pair
+    * distance 10). A zero-row gate proves little, so the phash rows
+    * run over [[phashAuditUniverse]]: the corpus plus planted ALIGNED
+    * in-place byte edits (the image near-dup shape) modeled
+    * identically in both texts — the d06p audit-floor device. The
+    * plants land at Hamming 0-2 (measured at all 3 sfs), so m05 gates
+    * on a non-empty verified pair set, and at sf0.1 they also surface
+    * organic cross-pairs. */
   val PhashMaxHamming = 6
+
+  /** Every [[PhashPlantMod]]-th hashable payload is replanted with its
+    * first byte overwritten — a deterministic aligned single-byte edit
+    * under an offset doc_id, derivable by both engines. */
+  val PhashPlantMod = 50
+  val PhashPlantOffset = 10000000L
+
+  /** The phash family's payload universe: real payloads + planted
+    * aligned near-dup edits (see [[PhashMaxHamming]]'s scaladoc). */
+  def phashAuditUniverse(spark: SparkSession, sf: String): DataFrame =
+    asMultimodal(spark, sf).unionByName(
+      Tables.documents(spark, sf)
+        .filter(length(col("text")) >= PhashBits &&
+          col("doc_id") % PhashPlantMod === 0)
+        .select(
+          (col("doc_id") + PhashPlantOffset).as("doc_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).cast("binary").as("payload"),
+          struct(
+            lit("txt").as("format"),
+            col("lang").as("lang"),
+            col("n_chars").as("n_chars"),
+            col("source").as("source")).as("meta")))
 
   /** The m05 oracle's CTE chain (payload universe → strided byte
     * means → mean-threshold bits → all-pairs Hamming), ending at
@@ -316,7 +342,12 @@ object MultimodalOps {
     * argument). */
   private def phashPairsCtes: String =
     s"""d AS (SELECT doc_id, text, length(text) AS n FROM documents
-       |           WHERE length(text) >= $PhashBits),
+       |           WHERE length(text) >= $PhashBits
+       |      UNION ALL
+       |      SELECT doc_id + $PhashPlantOffset, 'Z' || substring(text, 2),
+       |             length(text)
+       |      FROM documents
+       |      WHERE length(text) >= $PhashBits AND doc_id % $PhashPlantMod = 0),
        |b AS (SELECT doc_id,
        |        CAST(i * $PhashBits AS BIGINT) // n AS stride,
        |        ord(substring(text, CAST(i + 1 AS INT), 1)) AS v
@@ -339,7 +370,7 @@ object MultimodalOps {
        |SELECT doc_a, doc_b, hamming FROM h
        |WHERE hamming <= $PhashMaxHamming""".stripMargin) { (spark, sf) =>
     DedupOps.simhashPairsMulti(
-      perceptualHashes(asMultimodal(spark, sf)).withColumnRenamed("phash", "sh0"),
+      perceptualHashes(phashAuditUniverse(spark, sf)).withColumnRenamed("phash", "sh0"),
       Seq("sh0"), PhashMaxHamming)
   }
 
@@ -373,7 +404,7 @@ object MultimodalOps {
        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
        |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
        |FROM lab l JOIN sz s USING (cluster_id)""".stripMargin) { (spark, sf) =>
-    val ph = perceptualHashes(asMultimodal(spark, sf))
+    val ph = perceptualHashes(phashAuditUniverse(spark, sf))
     val pairs = DedupOps.simhashPairsMulti(
       ph.withColumnRenamed("phash", "sh0"), Seq("sh0"), PhashMaxHamming)
     val cc = DedupOps.connectedComponents(

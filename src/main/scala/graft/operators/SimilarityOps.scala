@@ -1732,13 +1732,22 @@ object SimilarityOps {
     * the cell-size table — never the pair join. */
   def ivfProbeCurve(emb: DataFrame, ps: Seq[Int] = IvfCurveProbes,
       k: Int = PortableKnnK, mod: Int = GraphSampleMod,
-      exact: Option[DataFrame] = None): DataFrame = {
+      exact: Option[DataFrame] = None): DataFrame =
+    ivfProbeSweep(emb, ps, k, mod, exact,
+      df => centroids(df, cellsForCorpus(df.count())))
+
+  /** The probe sweep's shared machinery (s18 runs it at the replayable
+    * first-k codebook, s19 at the trained one): per probe count, the
+    * s03 join kernel scored against the exact probe graph — raw rows
+    * (probes, n_queries, k_exact, hits, recall, n_candidates). */
+  private def ivfProbeSweep(emb: DataFrame, ps: Seq[Int], k: Int, mod: Int,
+      exact: Option[DataFrame],
+      codebook: DataFrame => Array[Array[Double]]): DataFrame = {
     val qf = col("vec_id") % mod === 0
     val ex = exactOr(exact, emb, mod, k)
       .select(col("src_id").as("qid"), col("dst_id").as("nid"))
     val perP = ps.map { p =>
-      val (indexed, probed) = ivfParts(emb, p, qf,
-        df => centroids(df, cellsForCorpus(df.count())))
+      val (indexed, probed) = ivfParts(emb, p, qf, codebook)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       val approx = probed
@@ -1767,6 +1776,18 @@ object SimilarityOps {
           col("n_candidates"))
     }
     perP.reduce(_ unionByName _)
+  }
+
+  /** s19's relation: the probe sweep at the PRODUCTION geometry — one
+    * k-means codebook trained ONCE ([[kmeansCentroids]], the s04
+    * device) and shared by every probe count, so the sweep prices
+    * nprobe against a fixed index, exactly as a deployment tunes it. */
+  def ivfTrainedProbeCurve(emb: DataFrame, ps: Seq[Int] = IvfCurveProbes,
+      k: Int = PortableKnnK, mod: Int = GraphSampleMod,
+      exact: Option[DataFrame] = None): DataFrame = {
+    val n = emb.count()
+    val cb = kmeansCentroids(emb, cellsForCorpus(n), knownN = Some(n))
+    ivfProbeSweep(emb, ps, k, mod, exact, _ => cb)
   }
 
   /** s18 — IVF recall-vs-probes curve: the tuning report an ANN
