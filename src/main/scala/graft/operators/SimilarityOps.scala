@@ -1723,6 +1723,23 @@ object SimilarityOps {
     * text — same-object init-order discipline). */
   val IvfCurveProbes: Seq[Int] = Seq(1, 2, 4)
 
+  /** s19's per-probe recall floors for the TRAINED codebook — gate
+    * floors, deliberately below the weakest measured sf (measured mean
+    * recall@3 across sf0.001/0.01/0.1: p=1 0.164-0.277, p=2
+    * 0.260-0.407, p=4 0.387-0.560; the weakest is always sf0.1, where
+    * √n cells partition 2 000 vectors finest). Tight per-sf pins live
+    * in ContractMatrixSpec. */
+  val IvfTrainedCurveFloors: Seq[(Int, Double)] = Seq(1 -> 0.10, 2 -> 0.18, 4 -> 0.30)
+
+  /** s19's posting-list balance cap: mean candidates per query must
+    * stay within this factor of the balanced p·n/cells — measured
+    * ratio 0.984-0.995 at all 3 sfs (k-means cells are near-balanced;
+    * the ratio can sit below 1 because a query's own cell contributes
+    * its size minus the query itself). Balance is WHY the codebook is
+    * trained: a degenerate codebook that dumps the corpus into few hot
+    * cells blows this boolean long before recall notices. */
+  val IvfCandBalanceCap = 1.5
+
   /** s18's relation: for each probe count, the replayable first-k IVF
     * scored against the exact probe-sample graph — aggregate recall@k
     * AND the candidates actually scanned, which is the cost axis the
@@ -1869,8 +1886,57 @@ object SimilarityOps {
       exact = Some(graft.sources.SignatureLake.exactProbeGraph(spark, sf)))
   }
 
+  /** s19 — the probe curve at the PRODUCTION geometry: one trained
+    * k-means codebook shared across the sweep, each probe count scored
+    * as a recall CONTRACT (the s02/s04 device — k-means internals are
+    * engine-specific, so the oracle replays the replayable side and
+    * expects TRUE booleans) plus the cost axis as a BALANCE contract:
+    * mean candidates per query within [[IvfCandBalanceCap]] of the
+    * balanced p·n/cells. s18 keeps the fully hash-checked first-k
+    * curve; this row is the tuning artifact a deployment actually
+    * reads — trained recall per nprobe against what each probe costs.
+    * Scale shape: s04's training (sampled Lloyd's, broadcast codebook)
+    * + |probes| bounded join passes, each map-combined to one row. */
+  val ivfTrainedProbeCurveQ: GraftQuery = GraftQuery(
+    "s19_ivf_trained_curve",
+    {
+      val values = IvfTrainedCurveFloors
+        .map { case (p, f) => s"($p, $f)" }.mkString(", ")
+      s"""WITH ev AS (SELECT vec_id FROM embeddings),
+         |q AS (SELECT count(*) AS n_probes FROM ev
+         |      WHERE vec_id % $GraphSampleMod = 0),
+         |n AS (SELECT count(*) AS n_corpus FROM ev)
+         |SELECT CAST(p.probes AS BIGINT) AS probes,
+         |       CAST(q.n_probes AS BIGINT) AS n_queries,
+         |       CAST(q.n_probes * least($PortableKnnK, n.n_corpus - 1) AS BIGINT)
+         |         AS k_exact,
+         |       CAST(p.floor AS DOUBLE) AS floor,
+         |       TRUE AS within_floor,
+         |       CAST($IvfCandBalanceCap AS DOUBLE) AS cand_cap,
+         |       TRUE AS within_cand_cap
+         |FROM (VALUES $values) AS p(probes, floor), q, n""".stripMargin
+    }) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = emb.count()
+    val cells = cellsForCorpus(n)
+    val cb = kmeansCentroids(emb, cells, knownN = Some(n))
+    val raw = ivfProbeSweep(emb, IvfCurveProbes, PortableKnnK, GraphSampleMod,
+      Some(graft.sources.SignatureLake.exactProbeGraph(spark, sf)), _ => cb)
+    val floorExpr = IvfTrainedCurveFloors.foldLeft(lit(Double.NaN))(
+      (acc, kv) => when(col("probes") === kv._1, lit(kv._2)).otherwise(acc))
+    raw.select(
+      col("probes"), col("n_queries"), col("k_exact"),
+      floorExpr.as("floor"),
+      (col("recall") >= floorExpr).as("within_floor"),
+      lit(IvfCandBalanceCap).as("cand_cap"),
+      (col("n_candidates").cast("double") / col("n_queries").cast("double") <=
+        lit(IvfCandBalanceCap) * col("probes").cast("double") *
+          lit(n.toDouble / cells)).as("within_cand_cap"))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
-    knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ)
+    knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ)
 }

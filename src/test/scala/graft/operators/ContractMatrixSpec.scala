@@ -35,6 +35,16 @@ class ContractMatrixSpec extends SparkSpec {
   private val ivfFloor = Map("sf0.001" -> 0.38, "sf0.01" -> 0.40, "sf0.1" -> 0.28)
   private val ivfTrainedFloor = Map("sf0.001" -> 0.50, "sf0.01" -> 0.52, "sf0.1" -> 0.35)
 
+  // s19 trained probe curve: measured probe-sample recall@3 per probe
+  // count (round 11): sf0.001 0.220/0.360/0.560, sf0.01
+  // 0.277/0.407/0.560, sf0.1 0.164/0.260/0.387 at p=1/2/4; floors are
+  // measured-minus-margin, tight where the gate row's single literal
+  // must stay loose enough for every sf
+  private val trainedCurveFloor = Map(
+    "sf0.001" -> Map(1 -> 0.20, 2 -> 0.33, 4 -> 0.52),
+    "sf0.01" -> Map(1 -> 0.25, 2 -> 0.38, 4 -> 0.52),
+    "sf0.1" -> Map(1 -> 0.15, 2 -> 0.24, 4 -> 0.36))
+
   // ---- terminal-projection scanner helpers (shared by the oracle
   // hygiene ratchet tests): depth-0 SELECTs are the terminal
   // projections (CTE bodies and subqueries sit inside parens); items
@@ -265,6 +275,29 @@ class ContractMatrixSpec extends SparkSpec {
           s"$tag ${q.name} recall contract below its floor: $r")
         assert(r.getAs[Long]("k_exact") ===
           r.getAs[Long]("n_probes") * r.getAs[Long]("k"))
+      }
+    }
+
+    test(s"s19 trained probe-curve recall and balance pins at $tag") {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val n = emb.count()
+      val cells = SimilarityOps.cellsForCorpus(n)
+      val rows = SimilarityOps.ivfTrainedProbeCurve(emb).collect()
+        .map(r => r.getAs[Long]("probes").toInt -> r).toMap
+      var prev = 0.0
+      SimilarityOps.IvfCurveProbes.foreach { p =>
+        val r = rows(p)
+        val rec = r.getAs[Double]("recall")
+        val ratio = r.getAs[Long]("n_candidates").toDouble /
+          r.getAs[Long]("n_queries") / (p.toDouble * n / cells)
+        info(f"$tag p=$p recall=$rec%.4f balance=$ratio%.3f")
+        assert(rec >= trainedCurveFloor(tag)(p),
+          f"$tag s19 p=$p recall $rec%.4f below its pin")
+        assert(rec >= prev - 1e-9, s"$tag s19 recall must not decrease with probes")
+        assert(ratio >= 0.5 && ratio <= 1.1,
+          f"$tag s19 p=$p balance ratio $ratio%.3f out of band")
+        prev = rec
       }
     }
 
