@@ -2452,17 +2452,35 @@ object DedupOps {
       |            ELSE 'new' END AS verdict
       |FROM (SELECT vec_id FROM ev WHERE vec_id % $IncEmbMod = 0) d
       |LEFT JOIN b1 USING (vec_id)""".stripMargin) { (spark, sf) =>
-    incrementalEmbedding(Tables.embeddings(spark, sf)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+    // candidates come off the incrementally-MAINTAINED on-disk posting
+    // index (base build + delta append — the d12 lake pattern on the
+    // embedding side; d26 proves append ≡ rebuild, so the oracle's
+    // from-scratch replay still matches). The self-contained
+    // derivation stays available below for spec fixtures.
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val postings = graft.sources.SignatureLake.incrementalAnnPostings(
+      spark, sf,
+      base = emb.filter(col("vec_id") % IncEmbMod =!= 0),
+      delta = emb.filter(col("vec_id") % IncEmbMod === 0))
+    incrementalEmbedding(emb, postings = Some(postings))
   }
 
-  /** The d20 verdict relation over any embedding frame. */
+  /** The d20 verdict relation over any embedding frame. Pass
+    * `postings` (a (vec_id, tbl, bucket, v, nrm) posting relation —
+    * [[graft.sources.SignatureLake.incrementalAnnPostings]]'s
+    * read-back) to source candidates from the persisted index instead
+    * of re-hashing `emb`; the verdicts are identical (the literal
+    * planes are deterministic per row, so base∪delta postings ≡
+    * full-corpus postings — d26 gates exactly that). */
   def incrementalEmbedding(emb: DataFrame, mod: Int = IncEmbMod,
-      tau: Double = EmbDupTau): DataFrame = {
-    val best = SimilarityOps.cosPairs(emb,
-        PortableAnnTables, PortableAnnPlanes, metric = "inc_emb_guard",
-        srcFilter = col("a.vec_id") % mod === 0
-          && col("b.vec_id") % mod =!= 0)
+      tau: Double = EmbDupTau, postings: Option[DataFrame] = None): DataFrame = {
+    val srcFilter = col("a.vec_id") % mod === 0 && col("b.vec_id") % mod =!= 0
+    val best = postings.fold(
+        SimilarityOps.cosPairs(emb, PortableAnnTables, PortableAnnPlanes,
+          metric = "inc_emb_guard", srcFilter = srcFilter))(p =>
+        SimilarityOps.cosPairsFromPostings(p,
+          metric = "inc_emb_guard", srcFilter = srcFilter))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
@@ -2658,6 +2676,45 @@ object DedupOps {
           lit(0L)) === 0L).as("matches_full"))
   }
 
+  /** d26 — ANN-lake-append conservation: d23's invariant on the
+    * EMBEDDING side. The incrementally-maintained posting index (base
+    * build + delta APPEND with the frozen literal-plane quantizer —
+    * exactly d20's ingest path,
+    * [[graft.sources.SignatureLake.incrementalAnnPostings]]) must
+    * equal the full-corpus assignment, posting for posting. The full
+    * side is the SHARED ann_buckets lake family — materialized
+    * independently of the append path under audit, the
+    * index-checked-against-index shape of a production conservation
+    * audit. The engine full-outer-joins the two bucketed tables on the
+    * (vec_id, tbl) primary key (one bucket per vector per hash table)
+    * and emits the posting count plus an every-bucket-matches boolean;
+    * the oracle replays the full literal-plane assignment and expects
+    * the same count with `matches_full = TRUE`. An append that
+    * dropped, duplicated, or mis-assigned vectors flips the boolean or
+    * the count and the row goes red in the driver gate. */
+  val annLakeAppendQ: GraftQuery = GraftQuery(
+    "d26_ann_lake_append",
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ab AS ($portableAnnBucketsSql)
+      |SELECT CAST(count(*) AS BIGINT) AS n_postings, TRUE AS matches_full
+      |FROM ab""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val inc = graft.sources.SignatureLake.incrementalAnnPostings(spark, sf,
+      base = emb.filter(col("vec_id") % IncEmbMod =!= 0),
+      delta = emb.filter(col("vec_id") % IncEmbMod === 0))
+    val full = graft.sources.SignatureLake.portableAnnBuckets(spark, sf)
+      .select(col("vec_id"), col("table").as("tbl"),
+        col("bucket").as("bucket_full"))
+    inc.select(col("vec_id"), col("tbl"), col("bucket").as("bucket_inc"))
+      .join(full, Seq("vec_id", "tbl"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("bucket_inc").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_postings"),
+        (coalesce(sum(when(col("bucket_inc") <=> col("bucket_full"), 0L)
+          .otherwise(1L)), lit(0L)) === 0L).as("matches_full"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
@@ -2666,5 +2723,5 @@ object DedupOps {
     portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
     minhashCalibrationQ, sourceOverlapQ, thresholdCurveQ,
     incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ,
-    lakeAppendQ, kmvVocabQ, kmvOverlapQ)
+    lakeAppendQ, annLakeAppendQ, kmvVocabQ, kmvOverlapQ)
 }

@@ -1169,13 +1169,25 @@ object SimilarityOps {
     * exponent on this kernel. */
   private[operators] def cosPairs(
       emb: DataFrame, tables: Int, planes: Int, metric: String,
-      srcFilter: Column = lit(true)): DataFrame = {
-    val banded = emb
-      .withColumn("nrm", norm(col("v")))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(lshBandBuckets(col("v"), tables, planes, Dim))
-          .as(Seq("tbl", "bucket")))
-    DedupOps.bucketPairs(banded, keyCols = Seq("tbl", "bucket"),
+      srcFilter: Column = lit(true)): DataFrame =
+    cosPairsFromPostings(
+      emb
+        .withColumn("nrm", norm(col("v")))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          posexplode(lshBandBuckets(col("v"), tables, planes, Dim))
+            .as(Seq("tbl", "bucket"))),
+      metric, srcFilter)
+
+  /** [[cosPairs]] over a PRECOMPUTED posting relation (vec_id, tbl,
+    * bucket, v, nrm) — the lake read-back path
+    * ([[graft.sources.SignatureLake.incrementalAnnPostings]]):
+    * candidates come from within-bucket expansion of the persisted
+    * index, never a re-hash, and the table's (tbl, bucket) bucketing
+    * feeds the expansion's groupBy with zero exchange. */
+  private[operators] def cosPairsFromPostings(
+      postings: DataFrame, metric: String,
+      srcFilter: Column = lit(true)): DataFrame =
+    DedupOps.bucketPairs(postings, keyCols = Seq("tbl", "bucket"),
         memberCols = Seq("vec_id", "v", "nrm"),
         MaxBucket, metric, directed = true)
       .filter(srcFilter && col("a.vec_id") =!= col("b.vec_id"))
@@ -1185,7 +1197,6 @@ object SimilarityOps {
           .as("cos_sim"))
       .groupBy(col("vec_id"), col("neighbor_id"))
       .agg(max(col("cos_sim")).as("cos_sim"))
-  }
 
   /** s10 — reciprocal kNN graph over a deterministic probe sample,
     * candidates from the BUCKETED LSH kernel: every

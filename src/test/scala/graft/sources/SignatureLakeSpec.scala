@@ -98,4 +98,42 @@ class SignatureLakeSpec extends SparkSpec {
     assert(again.count() === full.count())
     SignatureLake.invalidate(spark)
   }
+
+  test("incremental ANN postings: base build + delta append equals the full assignment, zero-exchange pair expansion") {
+    SignatureLake.invalidate(spark)
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val inc = SignatureLake.incrementalAnnPostings(spark, sf001,
+      emb.filter(col("vec_id") % 10 =!= 0), emb.filter(col("vec_id") % 10 === 0))
+
+    // append ≡ rebuild: the frozen literal-plane quantizer assigns each
+    // vector independently, so the appended index must equal the shared
+    // full-corpus bucket family on the (vec_id, tbl) primary key
+    val full = SignatureLake.portableAnnBuckets(spark, sf001)
+      .select(col("vec_id"), col("table").as("tbl"), col("bucket"))
+    val incKeys = inc.select(col("vec_id"), col("tbl"), col("bucket"))
+    assert(incKeys.exceptAll(full).isEmpty && full.exceptAll(incKeys).isEmpty,
+      "appended ANN posting index must equal the full-corpus assignment")
+
+    // posting rows carry the vector + norm (the posting-list shape), so
+    // the within-bucket pair expansion — d20's first shuffle — reads its
+    // required (tbl, bucket) distribution straight off the bucketed scan
+    val agg = inc.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucket aggregation over the appended ANN index must not shuffle")
+
+    // the rerouted d20 path returns the same verdicts as the
+    // self-contained derivation (collected row multisets — combining
+    // the two plans in one exceptAll would collide their observe
+    // metric names)
+    val viaLake = graft.operators.DedupOps.incrementalEmbedding(
+      emb, postings = Some(inc)).collect().toSeq.sortBy(_.getLong(0))
+    val direct = graft.operators.DedupOps.incrementalEmbedding(emb)
+      .collect().toSeq.sortBy(_.getLong(0))
+    assert(viaLake === direct,
+      "lake-sourced d20 verdicts must equal the self-contained derivation")
+    SignatureLake.invalidate(spark)
+  }
 }
