@@ -413,10 +413,104 @@ object ChartRegistry {
       .withColumn("counts_cum", sum(col("counts")).over(wCum))
   }
 
+  /** S4/S5 + compaction: compact-then-serve ≡ serve-raw, gate-checked
+    * end-to-end through the real sink machinery. The fixture is
+    * appended to a [[graft.pipeline.CompactingAggregateSink]] in two
+    * batches plus an INJECTED at-least-once replay batch (every row
+    * re-appended 20 minutes later with a perturbed count — strictly
+    * later in its hour, so it loses keep-first dedup), the store is
+    * compacted, and the serve is processData over the read-back. The
+    * oracle is c01's — it never models the injection or the store, so
+    * a compaction that dropped a winner, kept a loser, or duplicated a
+    * row hash-mismatches. The physical collapse is ALSO load-bearing:
+    * `store_rows` (the compacted store's on-disk row count, a
+    * broadcast scalar) must equal the processed row count — exactly
+    * one stored row per (topic, hour) — which the oracle predicts as
+    * a subquery; without `compact()` the store holds 3× that and the
+    * row goes red. Fresh pid/sf-scoped store per run (bench reps):
+    * the contract is the store CONTENT, rebuilt deterministically.
+    * SinkCrashSpec separately proves every crash window self-heals. */
+  val compactionServeQ: GraftQuery = GraftQuery(
+    "c19_compaction_serve",
+    withProcessed(
+      """SELECT p.*, (SELECT CAST(count(*) AS BIGINT) FROM processed) AS store_rows
+        |FROM processed p""".stripMargin)) { (spark, sf) =>
+    val raw = aggregates(spark, sf)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_compact" +
+      s"_p${ProcessHandle.current().pid()}_${sf.replaceAll("[^A-Za-z0-9]+", "_")}"
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    del(new java.io.File(dir))
+    val sink = new graft.pipeline.CompactingAggregateSink(dir)
+    sink.append(raw.filter(hour(col("created_at")) % 2 === 0))
+    sink.append(raw.filter(hour(col("created_at")) % 2 =!= 0))
+    sink.append(raw
+      .withColumn("created_at", expr("timestampadd(MINUTE, 20, created_at)"))
+      .withColumn("counts", col("counts") + 5))
+    sink.compact(spark)
+    val store = sink.readBack(spark)
+    ChartQueries.processData(store)
+      .crossJoin(broadcast(store.agg(count(lit(1)).as("store_rows"))))
+  }
+
+  /** A9 in the reference's OWN quartile convention: linear
+    * interpolation (pandas/Vega-Lite type-7 — charts.py:173-199),
+    * behind positivityBoxplot's `interpolated` flag; c10's discrete
+    * ⌈p·n⌉ stays the default. Stats run over the ×10⁴ integer image
+    * of the 4dp rates (exact dyadic interpolation, one terminal
+    * division per column — the q09 device), and the oracle spells the
+    * identical rank selection + interpolation via
+    * [[QuantileKernel.contSelectSql]], never `quantile_cont`. */
+  val positivityBoxplotInterpQ: GraftQuery = GraftQuery(
+    "c20_boxplot_interp",
+    withProcessed(
+      s""", h AS (SELECT topic, CAST(round(positivity_rate * 10000) AS BIGINT) AS r4,
+        |              count(*) AS cnt
+        |        FROM processed WHERE positivity_rate IS NOT NULL GROUP BY 1, 2),
+        |ch AS (SELECT topic, r4,
+        |         sum(cnt) OVER (PARTITION BY topic ORDER BY r4) AS cum,
+        |         sum(cnt) OVER (PARTITION BY topic) AS n
+        |       FROM h),
+        |b AS (SELECT topic, max(n) AS n,
+        |        ${QuantileKernel.contSelectSql("0.25", "r4")._1} AS lo1,
+        |        ${QuantileKernel.contSelectSql("0.25", "r4")._2} AS hi1,
+        |        ${QuantileKernel.contSelectSql("0.5", "r4")._1} AS lo2,
+        |        ${QuantileKernel.contSelectSql("0.5", "r4")._2} AS hi2,
+        |        ${QuantileKernel.contSelectSql("0.75", "r4")._1} AS lo3,
+        |        ${QuantileKernel.contSelectSql("0.75", "r4")._2} AS hi3,
+        |        min(r4) AS qmin, max(r4) AS qmax
+        |      FROM ch GROUP BY 1),
+        |s AS (SELECT topic, lo1, hi1, lo2, hi2, lo3, hi3, qmin, qmax,
+        |        0.25 * (n - 1) AS p1, 0.5 * (n - 1) AS p2, 0.75 * (n - 1) AS p3
+        |      FROM b),
+        |i AS (SELECT topic,
+        |        CAST(CASE WHEN floor(p1) = ceil(p1) THEN CAST(lo1 AS DOUBLE)
+        |             ELSE lo1 * (ceil(p1) - p1) + hi1 * (p1 - floor(p1)) END AS DOUBLE) AS q1s,
+        |        CAST(CASE WHEN floor(p2) = ceil(p2) THEN CAST(lo2 AS DOUBLE)
+        |             ELSE lo2 * (ceil(p2) - p2) + hi2 * (p2 - floor(p2)) END AS DOUBLE) AS q2s,
+        |        CAST(CASE WHEN floor(p3) = ceil(p3) THEN CAST(lo3 AS DOUBLE)
+        |             ELSE lo3 * (ceil(p3) - p3) + hi3 * (p3 - floor(p3)) END AS DOUBLE) AS q3s,
+        |        CAST(qmin AS DOUBLE) AS los, CAST(qmax AS DOUBLE) AS his
+        |      FROM s)
+        |SELECT k.topic,
+        |       q1s / 10000.0 AS q1, q2s / 10000.0 AS median, q3s / 10000.0 AS q3,
+        |       los / 10000.0 AS lo, his / 10000.0 AS hi,
+        |       (q3s - q1s) / 10000.0 AS iqr,
+        |       greatest(los, q1s - 1.5 * (q3s - q1s)) / 10000.0 AS whisker_lo,
+        |       least(his, q3s + 1.5 * (q3s - q1s)) / 10000.0 AS whisker_hi
+        |FROM (SELECT DISTINCT topic FROM processed) k
+        |LEFT JOIN i ON k.topic IS NOT DISTINCT FROM i.topic""".stripMargin)) {
+    (spark, sf) =>
+    ChartQueries.positivityBoxplot(processed(spark, sf), interpolated = true)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     processDataQ, emotionLongQ, emotionShareQ, emotionDonutQ, countsDonutQ,
     countsPeriodQ, countsTopicPeriodQ, positivityTopicQ, positivityPeriodQ,
     positivityBoxplotQ, latestInputsQ,
     emotionShareHourQ, countsTopicHourQ, positivityHourQ, positivityBoxplotDayQ,
-    countsPeriodDayQ, emotionLongDayQ, rollingCountsQ)
+    countsPeriodDayQ, emotionLongDayQ, rollingCountsQ, compactionServeQ,
+    positivityBoxplotInterpQ)
 }

@@ -1087,6 +1087,94 @@ object CoreQueries {
           - lit(1.0)).as("rel_err"))
   }
 
+  /** Salt when a key's F2-implied skew ratio exceeds this multiple of
+    * uniform: F2·K/N² = 1 for perfectly uniform keys, and equals the
+    * factor by which the self-join/shuffle size exceeds the uniform
+    * plan. 4× is the point where AQE's skew split starts paying and a
+    * pre-salted join ([[graft.functions.Relational.saltedJoin]], q58)
+    * beats rebalancing after the fact. */
+  val SkewSaltThreshold = 4.0
+
+  /** q60 — the q59 sketch put to WORK: a per-key-column shuffle-skew
+    * ADVISORY that flags join/groupBy keys whose second moment
+    * predicts a skewed exchange, cross-checked three ways — the
+    * replayable sketch estimate (what a 100 TB pipeline consults: one
+    * map-combined pass, no key table), the exact F2 (the audit tier),
+    * and q41's hottest-key share (the report the salt decision used
+    * before this row existed). skew = F2·K/N² is the ratio of the
+    * actual self-join volume to the uniform-keys volume (≥ 1, = 1 iff
+    * uniform); `needs_salt_*` fires at [[SkewSaltThreshold]] and
+    * `advisory_agrees` pins that the sketch reaches the same decision
+    * as the exact moment — the property that lets the cheap pass
+    * replace the expensive one. q58 is the mitigation this advisory
+    * recommends; RelationalSpec's planted-skew test shows the flag
+    * fire on a hot key and stay quiet on uniform keys.
+    *
+    * Every emitted double is exact-integer arithmetic with terminal
+    * IEEE divisions in the same textual order in both engines, and
+    * the sketch is the d24/d25-style md5 bit-replay — the booleans
+    * therefore hash-match even AT a threshold knife-edge. */
+  val skewAdvisory: GraftQuery = GraftQuery(
+    "q60_skew_advisory",
+    s"""WITH kc AS (SELECT event_type, user_id, count(*) AS c,
+       |             md5('f2:' || CAST(user_id AS VARCHAR)) AS h
+       |           FROM events GROUP BY 1, 2),
+       |ex AS (SELECT event_type,
+       |         CAST(sum(c) AS BIGINT) AS n_rows,
+       |         CAST(count(*) AS BIGINT) AS n_keys,
+       |         CAST(sum(c * c) AS BIGINT) AS f2_exact,
+       |         CAST(max(c) AS BIGINT) AS max_key_rows
+       |       FROM kc GROUP BY event_type),
+       |ln AS (SELECT range AS lane FROM range(0, $F2Lanes)),
+       |sg AS (SELECT kc.event_type, l.lane,
+       |         CAST(sum(${f2SignSql("duckdb", "kc.h")} * kc.c) AS BIGINT) AS s
+       |       FROM kc CROSS JOIN ln l
+       |       GROUP BY kc.event_type, l.lane),
+       |es AS (SELECT event_type, CAST(sum(s * s) AS BIGINT) AS ss
+       |       FROM sg GROUP BY event_type)
+       |SELECT ex.event_type, ex.n_rows, ex.n_keys,
+       |       CAST(ex.max_key_rows AS DOUBLE) / ex.n_rows AS max_share,
+       |       CAST(ex.f2_exact AS DOUBLE) * ex.n_keys / (ex.n_rows * ex.n_rows) AS skew_exact,
+       |       CAST(es.ss AS DOUBLE) / $F2Lanes.0 * ex.n_keys / (ex.n_rows * ex.n_rows) AS skew_est,
+       |       CAST(ex.f2_exact AS DOUBLE) * ex.n_keys / (ex.n_rows * ex.n_rows) >= $SkewSaltThreshold AS needs_salt_exact,
+       |       CAST(es.ss AS DOUBLE) / $F2Lanes.0 * ex.n_keys / (ex.n_rows * ex.n_rows) >= $SkewSaltThreshold AS needs_salt_est,
+       |       (CAST(ex.f2_exact AS DOUBLE) * ex.n_keys / (ex.n_rows * ex.n_rows) >= $SkewSaltThreshold)
+       |         = (CAST(es.ss AS DOUBLE) / $F2Lanes.0 * ex.n_keys / (ex.n_rows * ex.n_rows) >= $SkewSaltThreshold) AS advisory_agrees
+       |FROM ex JOIN es ON es.event_type = ex.event_type""".stripMargin) {
+    (spark, sf) => skewAdvisoryReport(Tables.events(spark, sf))
+  }
+
+  /** q60 over any (event_type, user_id) stream of rows. */
+  def skewAdvisoryReport(events: DataFrame,
+      threshold: Double = SkewSaltThreshold): DataFrame = {
+    val kc = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__h",
+        md5(concat(lit("f2:"), col("user_id").cast("string"))))
+    val exact = kc.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(col("c") * col("c")).as("f2_exact"),
+        max(col("c")).as("max_key_rows"))
+    val sketch = kc
+      .withColumn("lane", explode(sequence(lit(0), lit(F2Lanes - 1))))
+      .groupBy(col("event_type"), col("lane"))
+      .agg(sum(expr(f2SignSql("spark", "__h")).cast("long") * col("c")).as("s"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("s") * col("s")).as("ss"))
+    val skewExact = col("f2_exact").cast("double") * col("n_keys") /
+      (col("n_rows") * col("n_rows"))
+    val skewEst = col("ss").cast("double") / lit(F2Lanes.toDouble) *
+      col("n_keys") / (col("n_rows") * col("n_rows"))
+    exact.join(sketch, Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("n_keys"),
+        (col("max_key_rows").cast("double") / col("n_rows")).as("max_share"),
+        skewExact.as("skew_exact"), skewEst.as("skew_est"),
+        (skewExact >= threshold).as("needs_salt_exact"),
+        (skewEst >= threshold).as("needs_salt_est"),
+        ((skewExact >= threshold) === (skewEst >= threshold))
+          .as("advisory_agrees"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
@@ -1094,5 +1182,5 @@ object CoreQueries {
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
     distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
     valueHistogram, groupingSets, moments, keySkew, seasonality,
-    sourceFormats, saltedJoinSegments, f2Sketch)
+    sourceFormats, saltedJoinSegments, f2Sketch, skewAdvisory)
 }

@@ -187,7 +187,10 @@ object ChartQueries {
     * stats — exactly what a SQL GROUP BY produces (r6 ADVICE: the
     * filter alone would silently drop such a group while the oracle
     * kept it). */
-  def positivityBoxplot(processed: DataFrame, byLevel: Option[String] = None): DataFrame = {
+  def positivityBoxplot(
+      processed: DataFrame, byLevel: Option[String] = None,
+      interpolated: Boolean = false): DataFrame = {
+    if (interpolated) return positivityBoxplotInterp(processed, byLevel)
     val keyNames = Seq("topic") ++ byLevel
     val keys = keyNames.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col("positivity_rate"))
@@ -216,6 +219,82 @@ object ChartQueries {
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("whisker_lo", greatest(col("lo"), col("q1") - lit(1.5) * col("iqr")))
       .withColumn("whisker_hi", least(col("hi"), col("q3") + lit(1.5) * col("iqr")))
+  }
+
+  /** [[positivityBoxplot]]'s LINEAR-INTERPOLATION mode — the
+    * reference dashboard's own quartile convention (pandas/Vega-Lite
+    * type-7 = `quantile_cont`: 0-based position p·(n−1), value
+    * interpolated between the boundary order statistics;
+    * charts.py:173-199), closing the one documented dashboard-
+    * semantics divergence. Discrete ⌈p·n⌉ stays the default for
+    * cross-engine history (c10/c15).
+    *
+    * Float discipline (the q09 device): the kernel runs over the
+    * ×10⁴ INTEGER image of the 4dp rates — positions p·(n−1) with
+    * p ∈ {¼,½,¾} are exact dyadic products, interpolation weights
+    * ∈ [0,1) dyadic, 1.5·iqr exact — so every stat is exact
+    * arithmetic on integer-valued doubles until ONE terminal
+    * division per emitted column. The oracle spells the identical
+    * rank selection + interpolation ([[graft.operators.QuantileKernel
+    * .contSelectSql]]), never `quantile_cont` itself (version-
+    * sensitive convention — the q35 lesson).
+    *
+    * Scale shape: a distinct-value HISTOGRAM per group (the
+    * QuantileKernel form — state is the distinct 4dp rate domain,
+    * ≤ 10⁴+1 values, not the rows), cumulative window over the
+    * histogram only, order statistics as conditional mins. NULL rates
+    * are excluded before ranking; all-NULL groups re-enter via the
+    * null-safe LEFT JOIN exactly like the discrete mode. */
+  private def positivityBoxplotInterp(
+      processed: DataFrame, byLevel: Option[String]): DataFrame = {
+    val keyNames = Seq("topic") ++ byLevel
+    val keys = keyNames.map(col)
+    val h = processed
+      .filter(col("positivity_rate").isNotNull)
+      .withColumn("__sr", round(col("positivity_rate") * 10000, 0).cast("long"))
+      .groupBy((keys :+ col("__sr")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__sr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ch = h
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(keys: _*)))
+    def loAgg(p: Double) =
+      min(when(col("cum") > floor(lit(p) * (col("n") - 1)), col("__sr")))
+    def hiAgg(p: Double) =
+      min(when(col("cum") > ceil(lit(p) * (col("n") - 1)), col("__sr")))
+    val agged = ch.groupBy(keys: _*).agg(
+      max(col("n")).as("__n"),
+      loAgg(0.25).as("__lo1"), hiAgg(0.25).as("__hi1"),
+      loAgg(0.50).as("__lo2"), hiAgg(0.50).as("__hi2"),
+      loAgg(0.75).as("__lo3"), hiAgg(0.75).as("__hi3"),
+      min(col("__sr")).as("__min"), max(col("__sr")).as("__max"))
+    def interp(tag: Int, p: Double) = {
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      when(floor(pos) === ceil(pos), col(s"__lo$tag").cast("double"))
+        .otherwise(col(s"__lo$tag") * (ceil(pos).cast("double") - pos)
+          + col(s"__hi$tag") * (pos - floor(pos).cast("double")))
+    }
+    val stats = agged.select(keys ++ Seq(
+      interp(1, 0.25).as("__q1s"), interp(2, 0.50).as("__q2s"),
+      interp(3, 0.75).as("__q3s"),
+      col("__min").cast("double").as("__los"),
+      col("__max").cast("double").as("__his")): _*)
+    val iqrS = col("__q3s") - col("__q1s")
+    processed.select(keys: _*).distinct().as("k")
+      .join(stats.as("b"),
+        keyNames.map(k => col(s"k.$k") <=> col(s"b.$k")).reduce(_ && _), "left")
+      .select(keyNames.map(k => col(s"k.$k").as(k)) ++ Seq(
+        (col("__q1s") / lit(10000.0)).as("q1"),
+        (col("__q2s") / lit(10000.0)).as("median"),
+        (col("__q3s") / lit(10000.0)).as("q3"),
+        (col("__los") / lit(10000.0)).as("lo"),
+        (col("__his") / lit(10000.0)).as("hi"),
+        (iqrS / lit(10000.0)).as("iqr"),
+        (greatest(col("__los"), col("__q1s") - lit(1.5) * iqrS)
+          / lit(10000.0)).as("whisker_lo"),
+        (least(col("__his"), col("__q3s") + lit(1.5) * iqrS)
+          / lit(10000.0)).as("whisker_hi")): _*)
   }
 
   /** Latest-N aggregate rows in insertion order (streamlit/main.py:

@@ -17,6 +17,71 @@ class ChartRegistrySpec extends SparkSpec {
     assert(processed.filter(minute(col("created_at")) === 10).count() === 0)
   }
 
+  test("c19 non-vacuity: injected re-appends inflate the raw store 3x; compact collapses to one row per key") {
+    val raw = ChartRegistry.aggregates(spark, sf001)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_compact_spec" +
+      s"_p${ProcessHandle.current().pid()}"
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    del(new java.io.File(dir))
+    val sink = new graft.pipeline.CompactingAggregateSink(dir)
+    sink.append(raw)
+    sink.append(raw
+      .withColumn("created_at", expr("timestampadd(MINUTE, 20, created_at)"))
+      .withColumn("counts", col("counts") + 5))
+    val processedCount = ChartRegistry.processed(spark, sf001).count()
+    // pre-compact the store holds every append (2x raw > processed);
+    // serving is ALREADY correct (processData dedups on read)
+    assert(sink.readBack(spark).count() === 2 * raw.count())
+    // materialize the pre-compact serve NOW: compaction rewrites the
+    // store, so the lazy plan's file listing would dangle afterwards
+    val servedPre = graft.serving.ChartQueries
+      .processData(sink.readBack(spark)).collect().toSet
+    assert(servedPre.size === processedCount)
+    // compaction collapses to exactly one stored row per (topic, hour)
+    // without changing what a serve returns
+    sink.compact(spark)
+    assert(sink.readBack(spark).count() === processedCount,
+      "compacted store must hold exactly one row per (topic, hour)")
+    val servedPost = graft.serving.ChartQueries
+      .processData(sink.readBack(spark)).collect().toSet
+    assert(servedPost === servedPre, "compact-then-serve must equal serve-raw")
+    del(new java.io.File(dir))
+  }
+
+  test("interpolated boxplot pins the pandas/Vega type-7 convention; discrete stays the default") {
+    import graft.serving.ChartQueries
+    // 4 rates in one group: type-7 median = (0.2+0.3)/2 = 0.25,
+    // q1 = 0.1 + 0.75*(0.2-0.1) = 0.175, q3 = 0.3 + 0.25*(0.9-0.3) = 0.45;
+    // the discrete ⌈p·n⌉ convention picks members (q1=0.1@rank1 ... wait
+    // ⌈.25·4⌉=1 -> 0.1, median ⌈.5·4⌉=2 -> 0.2, q3 ⌈.75·4⌉=3 -> 0.3)
+    val rows = Seq(0.1, 0.2, 0.3, 0.9).zipWithIndex.map { case (r, i) =>
+      (s"t", r, 1L, java.sql.Timestamp.valueOf(s"2022-03-01 0$i:00:00"))
+    }
+    import spark.implicits._
+    val agg = rows.toDF("topic", "positivity_rate", "counts", "created_at")
+    val processed = ChartQueries.processData(
+      ChartQueries.emotions.foldLeft(agg)((d, e) => d.withColumn(e, lit(0L))))
+    val interp = ChartQueries.positivityBoxplot(processed, interpolated = true)
+      .select("q1", "median", "q3").head()
+    assert(interp.getDouble(0) === 0.175)
+    assert(interp.getDouble(1) === 0.25)
+    assert(interp.getDouble(2) === 0.45)
+    val disc = ChartQueries.positivityBoxplot(processed)
+      .select("q1", "median", "q3").head()
+    assert(disc.getDouble(0) === 0.1)
+    assert(disc.getDouble(1) === 0.2)
+    assert(disc.getDouble(2) === 0.3)
+    // single-member group: both conventions collapse to the value
+    val one = ChartQueries.positivityBoxplot(
+      processed.filter(col("positivity_rate") === 0.2), interpolated = true)
+      .select("q1", "median", "q3", "iqr").head()
+    assert(one.getDouble(0) === 0.2 && one.getDouble(1) === 0.2
+      && one.getDouble(2) === 0.2 && one.getDouble(3) === 0.0)
+  }
+
   test("latest-wins dedup keeps the corrected replay instead") {
     val agg = ChartRegistry.aggregates(spark, sf001)
     val latest = graft.serving.ChartQueries.processData(agg, latestWins = true)

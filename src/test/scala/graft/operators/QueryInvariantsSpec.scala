@@ -145,6 +145,34 @@ class QueryInvariantsSpec extends SparkSpec {
       assert(e == realReport(t), s"telescoping broke on real data at $t") }
   }
 
+  test("q60 advisory fires on a planted hot key, stays quiet on uniform keys, sketch agrees with exact") {
+    import spark.implicits._
+    // hot: one key owns 512 of 1024 rows over 513 keys ->
+    // F2 = 512² + 512 = 262656, skew = F2·K/N² ≈ 128.5 >> 4
+    val hot = (Seq.fill(512)(("hot", 0L)) ++
+      (1 to 512).map(u => ("hot", u.toLong))).toDF("event_type", "user_id")
+    // uniform: 512 keys × 2 rows -> F2 = 2048, skew = 2048·512/1024² = 1
+    val uni = (0 until 1024).map(i => ("uni", (i % 512).toLong))
+      .toDF("event_type", "user_id")
+    val out = CoreQueries.skewAdvisoryReport(hot.unionByName(uni)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val h = out("hot")
+    assert(h.getAs[Double]("skew_exact") > 100.0)
+    assert(h.getAs[Boolean]("needs_salt_exact"), "exact advisory must fire on the hot key")
+    assert(h.getAs[Boolean]("needs_salt_est"),
+      "the one-pass sketch must reach the same salt decision as the exact moment")
+    assert(h.getAs[Double]("max_share") === 0.5)
+    val u = out("uni")
+    assert(u.getAs[Double]("skew_exact") === 1.0)
+    assert(!u.getAs[Boolean]("needs_salt_exact") && !u.getAs[Boolean]("needs_salt_est"),
+      "uniform keys must not be salted")
+    assert(h.getAs[Boolean]("advisory_agrees") && u.getAs[Boolean]("advisory_agrees"))
+    // cross-check with q41's report on the same frame: the hottest-key
+    // share the old decision path read matches the advisory's column
+    val q41 = CoreQueries.keySkewReport(hot).head()
+    assert(q41.getAs[Double]("max_share") === h.getAs[Double]("max_share"))
+  }
+
   test("q41 skew report: hand-computed shares, top10 caps at 10 keys") {
     import spark.implicits._
     val ev = (Seq.fill(5)(("a", 1L)) ++ Seq.fill(3)(("a", 2L)) ++ Seq(("a", 3L)) ++
