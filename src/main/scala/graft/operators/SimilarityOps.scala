@@ -1946,8 +1946,91 @@ object SimilarityOps {
           lit(n.toDouble / cells)).as("within_cand_cap"))
   }
 
+  /** Nearest-cell assignment of `emb` under an EXPLICIT codebook —
+    * (vec_id, cell, v, nrm), the IVF index's posting unit. The
+    * codebook reaches executors as a broadcast behind the
+    * `graft_cell_probes` expression (one codegen-resident argmax loop
+    * per row, no n·k relation); the caller owns the codebook's
+    * provenance, which is what makes FROZEN-quantizer maintenance
+    * expressible ([[graft.sources.SignatureLake.appendIvfDelta]]
+    * assigns only the new batch under the codebook trained at index
+    * build time — the real incremental-IVF contract: cells never move
+    * under an append, only posting lists grow). */
+  def cellAssignments(emb: DataFrame, cb: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    val cbId = graft.functions.CodebookRegistry.register(
+      spark.sparkContext.broadcast(cb))
+    try emb
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        element_at(call_function("graft_cell_probes",
+          col("v"), lit(cbId), lit(1)), 1).as("cell"))
+    finally graft.functions.CodebookRegistry.unregister(cbId)
+  }
+
+  /** s20 — IVF-lake-append conservation: d23/d26's invariant on the
+    * IVF posting index. The incrementally-maintained index
+    * ([[graft.sources.SignatureLake.incrementalIvfPostings]]: base
+    * build under the base-trained first-k codebook, delta APPENDED
+    * under the SAME frozen codebook) must equal a from-scratch
+    * assignment of the full corpus under that codebook — per CELL,
+    * which makes the oracle replay the assignment itself (the s03
+    * device: first-k centroids, dot-argmax with ties to the higher
+    * cell), not just a row count. Emits one row per occupied cell:
+    * posting-list size, how many postings the delta contributed, and
+    * an every-vector-matches boolean from the full-outer join on
+    * vec_id. An append that dropped, duplicated, or re-assigned a
+    * vector (the frozen-codebook contract: cells never move under an
+    * append) flips a boolean or a count and the row goes red. */
+  val ivfLakeAppendQ: GraftQuery = GraftQuery(
+    "s20_ivf_lake_append",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |cb AS (
+      |  SELECT CAST(rn - 1 AS INT) AS cell,
+      |         list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS c
+      |  FROM (SELECT vec_id, v, nrm,
+      |          row_number() OVER (ORDER BY vec_id) AS rn,
+      |          count(*) OVER () AS total
+      |        FROM n WHERE vec_id % 10 <> 0) t
+      |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(total)) AS BIGINT)))),
+      |scores AS (
+      |  SELECT n.vec_id, cb.cell, list_dot_product(n.v, cb.c) AS score
+      |  FROM n CROSS JOIN cb),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores) t WHERE r = 1)
+      |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+      |       CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+      |       TRUE AS matches_full
+      |FROM assign GROUP BY cell""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val inc = graft.sources.SignatureLake.incrementalIvfPostings(spark, sf,
+      base, emb.filter(col("vec_id") % 10 === 0))
+    // independent full derivation under the same frozen codebook (the
+    // codebook is bounded driver state, re-derived deterministically —
+    // a deployment would read the persisted one)
+    val cb = centroids(base, cellsForCorpus(base.count()))
+    val full = cellAssignments(emb, cb)
+      .select(col("vec_id"), col("cell").as("cell_full"))
+    inc.select(col("vec_id"), col("cell").as("cell_inc"))
+      .join(full, Seq("vec_id"), "full_outer")
+      .groupBy(col("cell_full").as("cell"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_delta"),
+        (sum(when(col("cell_inc") <=> col("cell_full"), 0L).otherwise(1L))
+          === 0L).as("matches_full"))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
-    knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ)
+    knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
+    ivfLakeAppendQ)
 }

@@ -326,6 +326,45 @@ object SignatureLake {
     })._2
   }
 
+  /** Assign the `delta` batch's vectors to their nearest cell under an
+    * EXPLICIT (frozen) codebook and APPEND the posting rows to an
+    * existing cell-bucketed posting table — the per-ingest IVF
+    * maintenance write. The codebook is the one trained at index
+    * build time: cells never move under an append, only posting lists
+    * grow (re-training is a REBUILD, a different operation with a
+    * different cost class). */
+  def appendIvfDelta(spark: SparkSession, table: String, delta: DataFrame,
+      codebook: Array[Array[Double]]): Unit =
+    writeFamily(SimilarityOps.cellAssignments(delta, codebook),
+      table, Seq("cell"), SaveMode.Append)
+
+  /** Build the IVF posting index for `base` under the base-trained
+    * first-k codebook ([[SimilarityOps.centroids]] at the
+    * ⌈√n_base⌉ sizing — the oracle-replayable geometry; a production
+    * deployment passes its k-means codebook through the same two
+    * writes), then [[appendIvfDelta]] the `delta` batch under that
+    * SAME frozen codebook — the s20 registry row's index path, in a
+    * private `inc_ivf` namespace. Memoized per (session, sfDir, slice)
+    * like the other incremental families. Returns the read-back of
+    * the UPDATED table: (vec_id, v, nrm, cell) for base ∪ delta,
+    * bucketed+sorted by cell, so a probe-side equi-join on cell reads
+    * the posting lists with zero exchange on the index side. */
+  def incrementalIvfPostings(spark: SparkSession, sfDir: String,
+      base: DataFrame, delta: DataFrame,
+      slice: String = "mod10"): DataFrame = {
+    evictStopped()
+    sweepOrphans(spark)
+    cache.computeIfAbsent(Key(spark, sfDir, s"inc_ivf_$slice"), _ => {
+      val t = tableName(spark, sfDir, s"inc_ivf_$slice")
+      val cb = SimilarityOps.centroids(base,
+        SimilarityOps.cellsForCorpus(base.count()))
+      writeFamily(SimilarityOps.cellAssignments(base, cb),
+        t, Seq("cell"), SaveMode.Overwrite)
+      appendIvfDelta(spark, t, delta, cb)
+      (t, spark.table(t))
+    })._2
+  }
+
   /** Drop (and delete — managed tables) every lake table owned by
     * `spark`. */
   def invalidate(spark: SparkSession): Unit = {

@@ -124,6 +124,25 @@ class SignatureLakeSpec extends SparkSpec {
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
       "bucket aggregation over the appended ANN index must not shuffle")
 
+    // the IVF posting index: delta assigned under the FROZEN base
+    // codebook equals a full assignment under that codebook, and the
+    // cell-keyed posting-list read (the probe join's index side)
+    // satisfies its distribution off the bucketed scan
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val ivf = SignatureLake.incrementalIvfPostings(spark, sf001,
+      base, emb.filter(col("vec_id") % 10 === 0))
+    val cb = graft.operators.SimilarityOps.centroids(base,
+      graft.operators.SimilarityOps.cellsForCorpus(base.count()))
+    val fullIvf = graft.operators.SimilarityOps.cellAssignments(emb, cb)
+      .select(col("vec_id"), col("cell"))
+    val incIvf = ivf.select(col("vec_id"), col("cell"))
+    assert(incIvf.exceptAll(fullIvf).isEmpty && fullIvf.exceptAll(incIvf).isEmpty,
+      "appended IVF posting index must equal the frozen-codebook full assignment")
+    val cellAgg = ivf.groupBy(col("cell")).agg(count(lit(1)))
+    cellAgg.collect()
+    assert(!cellAgg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "posting-list aggregation over the appended IVF index must not shuffle")
+
     // the rerouted d20 path returns the same verdicts as the
     // self-contained derivation (collected row multisets — combining
     // the two plans in one exceptAll would collide their observe
