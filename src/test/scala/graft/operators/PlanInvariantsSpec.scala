@@ -509,4 +509,50 @@ class PlanInvariantsSpec extends SparkSpec {
     val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
     assert(aggs.nonEmpty)
   }
+
+  test("q60: the advisory keeps q59's shape — no window, no cartesian, aggregation-only") {
+    val p = plan(CoreQueries.skewAdvisory.run(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("d20/d26: candidates come off the appended lake table, never a re-hash or a cartesian") {
+    graft.sources.SignatureLake.invalidate(spark)
+    val p20 = plan(DedupOps.incrementalEmbeddingQ.run(spark, sf001))
+    // the posting rows arrive from the managed inc_ann lake scan
+    assert(p20.contains("inc_ann"), p20)
+    assert(!p20.contains("CartesianProduct"), p20)
+    val p26 = plan(DedupOps.annLakeAppendQ.run(spark, sf001))
+    assert(p26.contains("inc_ann"), p26)
+    assert(!p26.contains("CartesianProduct"), p26)
+    graft.sources.SignatureLake.invalidate(spark)
+  }
+
+  test("s20: frozen-codebook assignment is the broadcast CellProbes primitive off the lake scan") {
+    graft.sources.SignatureLake.invalidate(spark)
+    val p = plan(SimilarityOps.ivfLakeAppendQ.run(spark, sf001))
+    assert(p.contains("inc_ivf"), p)
+    // cell selection is one codegen-resident loop per row — the plan
+    // carries the expression, never an n-by-k score relation or a
+    // cartesian against a centroid table
+    assert(p.contains("graft_cell_probes"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    graft.sources.SignatureLake.invalidate(spark)
+  }
+
+  test("c20: interpolated quartile windows sit above the rate histogram, never the serving rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = ChartRegistry.positivityBoxplotInterpQ.run(spark, sf001)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val (aboveAgg, bare) = wins.partition(
+      _.child.collectFirst { case a: Aggregate => a }.isDefined)
+    // the cum/n windows ride the distinct-rate histogram aggregate;
+    // the ONE bare window allowed is processData's keep-first dedup,
+    // which runs on the bounded serving relation by design
+    assert(aboveAgg.nonEmpty, s"expected histogram windows:\n${wins.mkString("\n")}")
+    // (it appears once per consumer subtree — stats side + keys side)
+    bare.foreach(w => assert(w.windowExpressions.mkString.contains("row_number"),
+      s"unexpected corpus-side window:\n$w"))
+    assert(!plan(df).contains("CartesianProduct"))
+  }
 }
