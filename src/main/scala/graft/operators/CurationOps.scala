@@ -148,9 +148,11 @@ object CurationOps {
     * repetition rules; failing rule names are emitted in fixed order as
     * the audit trail. One corpus-level aggregation (the 2-gram signal);
     * everything else is row-local and fuses into the scan. */
-  val qualityFilterQ: GraftQuery = GraftQuery(
-    "t10_quality_filter",
-    s"""WITH t AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+  /** The t10 gate's CTE chain (… → `f` with the five ok_* booleans) —
+    * body form shared by the t10 row and p03's funnel stage, so the
+    * gate rules are spelled exactly once. */
+  private def qualityGateCtesSql: String =
+    s"""t AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
        |s AS (SELECT doc_id,
        |${TextOps.langScoreSql.map { case (l, e) => s"  $e AS s_$l" }.mkString(",\n")}
        |      FROM t),
@@ -173,7 +175,11 @@ object CurationOps {
        |        coalesce(a2.top2_frac, 0.0) <= $MaxTop2Frac AS ok_rep
        |      FROM m
        |      JOIN l ON l.doc_id = m.doc_id
-       |      LEFT JOIN a2 ON a2.doc_id = m.doc_id)
+       |      LEFT JOIN a2 ON a2.doc_id = m.doc_id)""".stripMargin
+
+  val qualityFilterQ: GraftQuery = GraftQuery(
+    "t10_quality_filter",
+    s"""WITH $qualityGateCtesSql
        |SELECT doc_id,
        |       CASE WHEN ok_lang AND ok_len AND ok_shape AND ok_stop AND ok_rep
        |            THEN 'keep' ELSE 'drop' END AS verdict,
@@ -345,9 +351,11 @@ object CurationOps {
       .toDF()
   }
 
-  val packQ: GraftQuery = GraftQuery(
-    "pk01_sequence_pack",
-    s"""WITH RECURSIVE o AS (
+  /** pk01's greedy pack as a recursive CTE — the ONE spelling shared
+    * by every pk oracle that replays the bin assignment (pk01, pk02,
+    * pk05), so the packing convention is written exactly once. */
+  private def packRecursiveCtes: String =
+    s"""o AS (
        |  SELECT doc_id,
        |         CAST(${Md5Bucket.bucketSql("duckdb", "'p:' || CAST(doc_id AS VARCHAR)", PackShards)} AS INT) AS shard,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -364,7 +372,11 @@ object CurationOps {
        |              THEN r.fill + o.n_tokens ELSE o.n_tokens END,
        |         CASE WHEN r.fill + o.n_tokens <= $PackBudget
        |              THEN r.bin ELSE r.bin + 1 END
-       |  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+       |  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)""".stripMargin
+
+  val packQ: GraftQuery = GraftQuery(
+    "pk01_sequence_pack",
+    s"""WITH RECURSIVE $packRecursiveCtes
        |SELECT doc_id, shard, bin, fill - n_tokens AS tok_offset, n_tokens
        |FROM r""".stripMargin) { (spark, sf) =>
     packed(Tables.documents(spark, sf), PackShards, PackBudget)
@@ -613,24 +625,7 @@ object CurationOps {
 
   val packStatsQ: GraftQuery = GraftQuery(
     "pk02_pack_stats",
-    s"""WITH RECURSIVE o AS (
-       |  SELECT doc_id,
-       |         CAST(${Md5Bucket.bucketSql("duckdb", "'p:' || CAST(doc_id AS VARCHAR)", PackShards)} AS INT) AS shard,
-       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |         row_number() OVER (
-       |           PARTITION BY CAST(${Md5Bucket.bucketSql("duckdb", "'p:' || CAST(doc_id AS VARCHAR)", PackShards)} AS INT)
-       |           ORDER BY doc_id) AS rn
-       |  FROM documents),
-       |r AS (
-       |  SELECT doc_id, shard, n_tokens, rn, n_tokens AS fill, CAST(0 AS BIGINT) AS bin
-       |  FROM o WHERE rn = 1
-       |  UNION ALL
-       |  SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
-       |         CASE WHEN r.fill + o.n_tokens <= $PackBudget
-       |              THEN r.fill + o.n_tokens ELSE o.n_tokens END,
-       |         CASE WHEN r.fill + o.n_tokens <= $PackBudget
-       |              THEN r.bin ELSE r.bin + 1 END
-       |  FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+    s"""WITH RECURSIVE $packRecursiveCtes
        |SELECT CAST(shard AS BIGINT) AS shard, bin,
        |       CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
@@ -638,6 +633,62 @@ object CurationOps {
        |       sum(n_tokens) > $PackBudget AS is_overflow
        |FROM r GROUP BY shard, bin""".stripMargin) { (spark, sf) =>
     packStats(Tables.documents(spark, sf))
+  }
+
+  /** pk05 — packed-shard training MANIFEST: m06's artifact for the
+    * TEXT pipeline, published next to pk01's packed shards — per
+    * shard, the numbers a trainer's data loader reads before it maps
+    * the shard (document count, bin count = context windows, token
+    * total, fill rate against bins×budget) plus the two integrity
+    * columns a manifest needs to be worth shipping: `max_bin_tokens`
+    * (the pk01 budget invariant visible IN the artifact — a packer
+    * that silently overflowed a bin flips `has_overflow`) and the
+    * doc_id checksum that pins shard membership without listing rows
+    * (m06's device). pack → manifest is the last hop of the text
+    * pipeline exactly as decode → shard → manifest is for media.
+    *
+    * The oracle replays the greedy pack itself (the shared recursive
+    * CTE), so the manifest is re-derived end-to-end, never read from
+    * an engine artifact. Scale shape: pk01's per-shard sequential
+    * pass, a (shard, bin) map-combined aggregation, then |shards|
+    * rows; fill_rate is one IEEE division of exact longs. */
+  def packManifest(docs: DataFrame, shards: Int = PackShards,
+      budget: Long = PackBudget): DataFrame =
+    packed(docs, shards, budget)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("bin_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        sum(col("doc_id")).as("bin_ids"))
+      .groupBy(col("shard"))
+      .agg(sum(col("bin_docs")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum(col("bin_tokens")).as("n_tokens"),
+        max(col("bin_tokens")).as("max_bin_tokens"),
+        sum(col("bin_ids")).as("id_checksum"))
+      .select(col("shard").cast("long").as("shard"),
+        col("n_docs"), col("n_bins"), col("n_tokens"), col("max_bin_tokens"),
+        (col("n_tokens").cast("double") / (col("n_bins") * lit(budget)))
+          .as("fill_rate"),
+        (col("max_bin_tokens") > budget).as("has_overflow"),
+        col("id_checksum"))
+
+  val packManifestQ: GraftQuery = GraftQuery(
+    "pk05_pack_manifest",
+    s"""WITH RECURSIVE $packRecursiveCtes,
+       |bins AS (
+       |  SELECT shard, bin, count(*) AS bin_docs,
+       |         sum(n_tokens) AS bin_tokens, sum(doc_id) AS bin_ids
+       |  FROM r GROUP BY shard, bin)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |       CAST(sum(bin_docs) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_bins,
+       |       CAST(sum(bin_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+       |       CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * $PackBudget) AS fill_rate,
+       |       max(bin_tokens) > $PackBudget AS has_overflow,
+       |       CAST(sum(bin_ids) AS BIGINT) AS id_checksum
+       |FROM bins GROUP BY shard""".stripMargin) { (spark, sf) =>
+    packManifest(Tables.documents(spark, sf))
   }
 
   /** pk03 — per-source truncation-loss report: what a HARD sequence
@@ -736,8 +787,116 @@ object CurationOps {
           / sqrt(col("n_src").cast("double"))).as("position"))
   }
 
+  // ------------------------------------------------ p03 curation funnel
+
+  /** p03 — the WHOLE curation pipeline as one artifact: raw → quality
+    * gate (t10) → exact dedup (d01's min-id representative, applied to
+    * the survivors) → decontamination (d08's 8-gram rule: eval docs
+    * AND contaminated train docs leave) → token-budget sampling (t21,
+    * with rates recomputed over the corpus that actually reaches the
+    * stage — the honest pipeline order). One row per stage with the
+    * surviving document and token counts — the nightly report a data
+    * owner reads to see WHERE the corpus went, and the row that gates
+    * stage COMPOSITION (each stage is individually proven by its own
+    * row; this one proves the hand-offs).
+    *
+    * The oracle chains the exact same shared CTE bodies the stage
+    * rows use (qualityGateCtesSql, DedupOps.decontamGramsBodySql,
+    * t21's rate arithmetic), so a drift in any stage's convention
+    * breaks BOTH that stage's row and the funnel. All counts are
+    * exact integers.
+    *
+    * Scale shape: each stage is its own proven-scalable kernel; the
+    * funnel adds only doc_id semi-joins between stages (hash joins on
+    * the key) and five single-row aggregations. */
+  def curationFunnel(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"), col("text"),
+      when(col("text").isNull, lit(0L))
+        .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val keep1 = qualityVerdict(docs)
+      .filter(col("verdict") === "keep").select("doc_id")
+    val s1 = tok.join(keep1, "doc_id")
+    val s2 = tok.join(
+      s1.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id"),
+      "doc_id")
+    val trainSurv = s2.filter(col("doc_id") % 50 =!= 0)
+    val clean = DedupOps.decontaminate(
+        trainSurv.select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text")))
+      .filter(!col("contaminated")).select("doc_id")
+    val s3 = trainSurv.join(clean, "doc_id")
+    val s4 = s3.join(
+      tokenBudgetSample(s3.select(col("doc_id"), col("source"), col("text")))
+        .filter(col("kept")).select("doc_id"),
+      "doc_id")
+    def stage(idx: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("docs"), col("tokens"))
+    Seq(stage(0, "raw", tok), stage(1, "quality", s1),
+        stage(2, "exact_dedup", s2), stage(3, "decontaminate", s3),
+        stage(4, "token_budget", s4))
+      .reduce(_.unionByName(_))
+  }
+
+  val curationFunnelQ: GraftQuery = GraftQuery(
+    "p03_curation_funnel",
+    s"""WITH $qualityGateCtesSql,
+       |keep1 AS (SELECT doc_id FROM f
+       |          WHERE ok_lang AND ok_len AND ok_shape AND ok_stop AND ok_rep),
+       |tokf AS (SELECT doc_id, source,
+       |           CASE WHEN text IS NULL THEN CAST(0 AS BIGINT)
+       |                ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS n_tokens
+       |         FROM documents),
+       |s2 AS (SELECT min(d.doc_id) AS doc_id
+       |       FROM documents d JOIN keep1 k ON k.doc_id = d.doc_id
+       |       GROUP BY d.text),
+       |${graft.operators.DedupOps.decontamGramsBodySql},
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+       |hits AS (SELECT g.doc_id, count(*) AS n_hits
+       |         FROM grams g JOIN bench b USING (g)
+       |         WHERE g.doc_id % 50 <> 0
+       |         GROUP BY g.doc_id),
+       |s3 AS (SELECT s2.doc_id FROM s2 LEFT JOIN hits h ON h.doc_id = s2.doc_id
+       |       WHERE s2.doc_id % 50 <> 0 AND coalesce(h.n_hits, 0) = 0),
+       |b4 AS (SELECT t.doc_id, t.source, t.n_tokens
+       |       FROM tokf t JOIN s3 USING (doc_id)),
+       |ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s
+       |       FROM b4 GROUP BY source),
+       |gt AS (SELECT CAST(sum(t_s) AS BIGINT) AS total, count(*) AS ns FROM ps),
+       |r4 AS (SELECT source,
+       |         least(10000, (${(TokenBudgetFrac * 10000).toLong} * total) // (ns * t_s)) AS rate_bp
+       |       FROM ps CROSS JOIN gt),
+       |s4 AS (SELECT b.doc_id FROM b4 b JOIN r4 USING (source)
+       |       WHERE CAST(${Md5Bucket.bucketSql("duckdb", "'tb:' || CAST(doc_id AS VARCHAR)", 10000)} AS BIGINT)
+       |             < r4.rate_bp)
+       |SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+       |       CAST(count(*) AS BIGINT) AS docs,
+       |       coalesce(CAST(sum(n_tokens) AS BIGINT), 0) AS tokens FROM tokf
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), 'quality', CAST(count(*) AS BIGINT),
+       |       coalesce(CAST(sum(n_tokens) AS BIGINT), 0)
+       |FROM tokf JOIN keep1 USING (doc_id)
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), 'exact_dedup', CAST(count(*) AS BIGINT),
+       |       coalesce(CAST(sum(n_tokens) AS BIGINT), 0)
+       |FROM tokf JOIN s2 USING (doc_id)
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), 'decontaminate', CAST(count(*) AS BIGINT),
+       |       coalesce(CAST(sum(n_tokens) AS BIGINT), 0)
+       |FROM tokf JOIN s3 USING (doc_id)
+       |UNION ALL
+       |SELECT CAST(4 AS BIGINT), 'token_budget', CAST(count(*) AS BIGINT),
+       |       coalesce(CAST(sum(n_tokens) AS BIGINT), 0)
+       |FROM tokf JOIN s4 USING (doc_id)""".stripMargin) { (spark, sf) =>
+    curationFunnel(Tables.documents(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     repetitionQ, qualityFilterQ, piiRedactQ, stratifiedSampleQ, packQ,
     sourceReweightQ, sourceQualityNormQ, tokenBudgetQ, mixtureWeightsQ,
-    packStatsQ, truncationLossQ, mixtureOrderQ)
+    packStatsQ, truncationLossQ, mixtureOrderQ, packManifestQ,
+    curationFunnelQ)
 }

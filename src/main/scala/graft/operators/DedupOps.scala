@@ -797,16 +797,19 @@ object DedupOps {
     contaminationReport(train, tokenShingles(train, gram), benchGrams)
   }
 
-  /** Shared oracle prefix of d08/d09/d16: per-document distinct
-    * [[DecontamGram]]-gram rows — one definition so the membership
-    * report and the overlap report can never disagree on what a gram
-    * is. */
-  private def decontamGramsCteSql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Shared oracle prefix of d08/d09/d16 (and p03's funnel stage):
+    * per-document distinct [[DecontamGram]]-gram rows — one definition
+    * so the membership report and the overlap report can never
+    * disagree on what a gram is. Body form (no WITH) so a larger
+    * chain can embed it. */
+  private[operators] def decontamGramsBodySql: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |grams AS (SELECT doc_id,
        |            unnest(list_distinct(list_transform(range(1, len(t) - ${DecontamGram - 2}),
        |              i -> concat_ws(' ', ${(0 until DecontamGram).map(k => s"t[i+$k]").mkString(", ")})))) AS g
        |          FROM toks WHERE len(t) >= $DecontamGram)""".stripMargin
+
+  private def decontamGramsCteSql: String = "WITH " + decontamGramsBodySql
 
   /** The fixture benchmark is every 50th document — a stand-in for an
     * eval set drawn from the same distribution (template corpora

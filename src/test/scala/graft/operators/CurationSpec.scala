@@ -141,6 +141,55 @@ class CurationSpec extends SparkSpec {
     assert(out.size == n)
   }
 
+  test("pk05 manifest conserves docs, tokens, and id-sum; budget invariant visible in the artifact") {
+    val fixture = docs((0 until 200).map(i =>
+      i.toLong -> Seq.fill(1 + (i * 7) % 23)("w").mkString(" ")): _*)
+    val budget = 40L
+    val man = CurationOps.packManifest(fixture, shards = 4, budget = budget)
+      .collect()
+    assert(man.length <= 4 && man.nonEmpty)
+    assert(man.map(_.getAs[Long]("n_docs")).sum === 200L)
+    val expTokens = (0 until 200).map(i => (1 + (i * 7) % 23).toLong).sum
+    assert(man.map(_.getAs[Long]("n_tokens")).sum === expTokens,
+      "manifest token total must equal the corpus token total")
+    assert(man.map(_.getAs[Long]("id_checksum")).sum === (0L until 200L).sum)
+    man.foreach { r =>
+      assert(r.getAs[Long]("max_bin_tokens") <= budget,
+        "no oversized doc in this fixture, so every bin obeys the budget")
+      assert(!r.getAs[Boolean]("has_overflow"))
+      val fr = r.getAs[Double]("fill_rate")
+      assert(fr > 0.0 && fr <= 1.0)
+      // the bin count IS what fill_rate prices: tokens / (bins*budget)
+      assert(fr === r.getAs[Long]("n_tokens").toDouble
+        / (r.getAs[Long]("n_bins") * budget))
+    }
+    // an oversized doc flips the overflow flag in the artifact
+    val over = CurationOps.packManifest(
+      docs(1L -> Seq.fill(50)("w").mkString(" ")), shards = 1, budget = budget)
+      .head()
+    assert(over.getAs[Boolean]("has_overflow")
+      && over.getAs[Long]("max_bin_tokens") === 50L)
+  }
+
+  test("p03 funnel: stages shrink monotonically and agree with the stage kernels") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val rows = CurationOps.curationFunnel(docs).collect()
+      .sortBy(_.getAs[Long]("stage_idx"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("raw", "quality", "exact_dedup", "decontaminate", "token_budget"))
+    val counts = rows.map(_.getAs[Long]("docs"))
+    val tokens = rows.map(_.getAs[Long]("tokens"))
+    assert(counts.head === docs.count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"stages must shrink: ${counts.mkString(",")}")
+    assert(tokens.zip(tokens.tail).forall { case (a, b) => b <= a })
+    assert(counts.last > 0, "the pipeline must not empty the corpus")
+    // hand-off consistency: stage 1 equals the t10 kernel's own count
+    val q = CurationOps.qualityVerdict(docs)
+      .filter(col("verdict") === "keep").count()
+    assert(counts(1) === q)
+  }
+
   test("t14 reweight: uniform-mixture rates via integer division, capped at 10000") {
     import spark.implicits._
     // 8 docs from A, 2 from B: total 10, k=2, target 5 each ->
