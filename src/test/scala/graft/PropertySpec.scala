@@ -196,6 +196,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("interpolated boxplot matches the type-7 reference on any 4dp rate multiset (c20)") {
+    import spark.implicits._
+    // 4dp rates in [0,1] with ties — the serving domain
+    val ratesGen: Gen[List[Int]] =
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 10000))
+    samples(ratesGen, 6).foreach { scaled =>
+      val processed = scaled.map(s => ("t", s.toDouble / 10000.0))
+        .toDF("topic", "positivity_rate")
+      val row = graft.serving.ChartQueries
+        .positivityBoxplot(processed, interpolated = true).collect().head
+      val sorted = scaled.sorted.map(_.toDouble).toIndexedSeq
+      def q(p: Double) = refCont(sorted, p)
+      val (q1s, q2s, q3s) = (q(0.25), q(0.5), q(0.75))
+      assert(row.getAs[Double]("q1") === q1s / 10000.0, s"q1 over $scaled")
+      assert(row.getAs[Double]("median") === q2s / 10000.0)
+      assert(row.getAs[Double]("q3") === q3s / 10000.0)
+      assert(row.getAs[Double]("lo") === sorted.head / 10000.0)
+      assert(row.getAs[Double]("hi") === sorted.last / 10000.0)
+      assert(row.getAs[Double]("iqr") === (q3s - q1s) / 10000.0)
+      assert(row.getAs[Double]("whisker_lo")
+        === math.max(sorted.head, q1s - 1.5 * (q3s - q1s)) / 10000.0)
+      assert(row.getAs[Double]("whisker_hi")
+        === math.min(sorted.last, q3s + 1.5 * (q3s - q1s)) / 10000.0)
+    }
+  }
+
+  test("skew advisory invariants on any key multiset (q60)") {
+    import spark.implicits._
+    val eventsGen: Gen[List[Long]] =
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 30L))
+    samples(eventsGen, 6).foreach { users =>
+      val ev = users.map(u => ("t", u)).toDF("event_type", "user_id")
+      val r = graft.operators.CoreQueries.skewAdvisoryReport(ev).collect().head
+      val counts = users.groupBy(identity).values.map(_.size.toLong).toSeq
+      val n = counts.sum; val k = counts.size.toLong
+      val f2 = counts.map(c => c * c).sum
+      assert(r.getAs[Long]("n_rows") === n && r.getAs[Long]("n_keys") === k)
+      val skewExact = r.getAs[Double]("skew_exact")
+      // Cauchy-Schwarz: F2*K >= N^2, so the ratio is >= 1 (two exact
+      // integer products, one IEEE division — allow an ulp)
+      assert(skewExact >= 1.0 - 1e-12, s"skew $skewExact over $users")
+      assert(skewExact === f2.toDouble * k / (n * n))
+      assert(r.getAs[Double]("max_share") === counts.max.toDouble / n)
+      assert(r.getAs[Boolean]("needs_salt_exact") === (skewExact >= 4.0))
+      assert(r.getAs[Boolean]("advisory_agrees") ===
+        (r.getAs[Boolean]("needs_salt_exact") === r.getAs[Boolean]("needs_salt_est")))
+    }
+  }
+
   test("sessionize mergeChain equals reference gap grouping for any point set") {
     import graft.streaming.StatefulOps
     import graft.streaming.StatefulOps.OpenSession
