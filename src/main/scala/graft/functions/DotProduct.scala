@@ -154,6 +154,14 @@ object GraftExtensions {
           "usage: graft_kmv(digest, <k literal>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_gram"),
+      new ExpressionInfo(classOf[GramAgg].getName, "graft_gram"),
+      (children: Seq[Expression]) => children match {
+        case Seq(xs, Literal(d: Int, IntegerType)) => GramAgg(xs, d)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_gram(snapped_array, <dim literal>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cell_probes"),
       new ExpressionInfo(classOf[CellProbes].getName, "graft_cell_probes"),
       (children: Seq[Expression]) => children match {

@@ -992,7 +992,91 @@ object VectorOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label")))
   }
 
+  /** v14's snap scale: 2^14. |x| ≤ 1 ⇒ every Gram cell and every
+    * downstream n·Σ product stays under 2^53 (double-exact, no
+    * overflow) for corpora up to ~2^24 vectors; at larger n the
+    * CALLER lowers the scale — the aggregate is scale-agnostic. */
+  val CorrSnap = 16384.0
+
+  /** v14 — dimension-correlation audit: the Pearson correlation of
+    * every embedding-dimension PAIR (upper triangle, d(d−1)/2 = 2,016
+    * rows at d = 64) — the redundancy report behind truncation (v05),
+    * matryoshka (v08), and PQ sub-space (v04) decisions: a dim pair
+    * with |corr| ≈ 1 is a wasted coordinate, and a block of correlated
+    * dims is where product-quantization distortion concentrates.
+    *
+    * Scale shape — the reason this row exists as an AGGREGATE:
+    * co-moments accumulate in ONE pass through
+    * [[graft.functions.GramAgg]] (`graft_gram`, O(d²) mergeable longs
+    * per group; ~17 KB at d = 64), never the d²-per-row pair explode
+    * or an exploded self-join (2,016× the corpus volume at d = 64 —
+    * the thing that dies at 100 TB). The relation then unfolds the
+    * returned triangle with 2,016 element_at lookups on a ONE-row
+    * frame.
+    *
+    * Float discipline: inputs are the 2^14 snap images, so n, sums,
+    * and co-moments are exact longs; corr's numerator/denominator are
+    * exact-long products cast to double (every value < 2^53 — exact),
+    * one multiply, one sqrt, one division — the identical IEEE
+    * sequence both engines spell. Zero-variance dims emit NULL. The
+    * oracle replays the co-moments with a plain exploded self-join —
+    * the semantics, not the plan. */
+  val dimCorrelationQ: GraftQuery = GraftQuery(
+    "v14_dim_correlation",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id,
+       |        list_transform(v, x -> CAST(floor(x * $CorrSnap + 0.5) AS BIGINT)) AS xs
+       |      FROM e),
+       |x AS (SELECT vec_id, i, xs[i + 1] AS xv
+       |      FROM s CROSS JOIN range(0, ${Dim}) t(i)),
+       |p AS (SELECT a.i AS di, b.i AS dj,
+       |        CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(a.xv) AS BIGINT) AS si, CAST(sum(b.xv) AS BIGINT) AS sj,
+       |        CAST(sum(a.xv * a.xv) AS BIGINT) AS sii,
+       |        CAST(sum(b.xv * b.xv) AS BIGINT) AS sjj,
+       |        CAST(sum(a.xv * b.xv) AS BIGINT) AS sij
+       |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+       |      GROUP BY a.i, b.i)
+       |SELECT CAST(di AS BIGINT) AS di, CAST(dj AS BIGINT) AS dj, n, sij,
+       |       CASE WHEN (n * sii - si * si) = 0 OR (n * sjj - sj * sj) = 0
+       |            THEN NULL
+       |            ELSE CAST(n * sij - si * sj AS DOUBLE)
+       |                 / sqrt(CAST(n * sii - si * si AS DOUBLE)
+       |                        * CAST(n * sjj - sj * sj AS DOUBLE)) END AS corr
+       |FROM p""".stripMargin) { (spark, sf) =>
+    dimCorrelation(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+  }
+
+  /** The v14 relation over any (vec_id, v) frame. */
+  def dimCorrelation(emb: DataFrame, dim: Int = Dim,
+      snap: Double = CorrSnap): DataFrame = {
+    val g = emb
+      .select(transform(col("v"), x => snapLong(x, snap)).as("xs"))
+      .agg(call_function("graft_gram", col("xs"), lit(dim)).as("g"))
+    // unfold the triangle: tri(i,j) = i·dim − i(i−1)/2 + (j − i);
+    // element_at is 1-based and the layout is [n, sums(dim), tri(...)]
+    def sumAt(i: org.apache.spark.sql.Column) = element_at(col("g"), (i + 2).cast("int"))
+    def gramAt(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      element_at(col("g"),
+        (lit(2 + dim) + i * lit(dim) - (i * (i - 1)) / 2 + (j - i)).cast("int"))
+    val n = element_at(col("g"), 1)
+    val pairs = g
+      .select(col("g"), explode(sequence(lit(0L), lit((dim - 2).toLong))).as("di"))
+      .select(col("g"), col("di"),
+        explode(sequence(col("di") + 1, lit((dim - 1).toLong))).as("dj"))
+    val (si, sj) = (sumAt(col("di")), sumAt(col("dj")))
+    val (sii, sjj) = (gramAt(col("di"), col("di")), gramAt(col("dj"), col("dj")))
+    val sij = gramAt(col("di"), col("dj"))
+    val (vi, vj) = (n * sii - si * si, n * sjj - sj * sj)
+    pairs.select(col("di"), col("dj"), n.as("n"), sij.as("sij"),
+      when(vi === 0 || vj === 0, lit(null).cast("double"))
+        .otherwise((n * sij - si * sj).cast("double")
+          / sqrt(vi.cast("double") * vj.cast("double"))).as("corr"))
+  }
+
   val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
     truncRecallQ, centroidDriftQ, quantRecallQ, matryoshkaRecallQ, dimStatsQ,
-    centroidSeparationQ, pqDistortionQ, binaryRecallQ, knnLabelPurityQ)
+    centroidSeparationQ, pqDistortionQ, binaryRecallQ, knnLabelPurityQ,
+    dimCorrelationQ)
 }

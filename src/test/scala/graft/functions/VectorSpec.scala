@@ -24,6 +24,37 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - expected) < 1e-12)
   }
 
+  test("graft_gram: hand-computed triangle, merge-invariant under repartition, nulls skipped (v14)") {
+    import spark.implicits._
+    // three 3-dim snapped vectors; hand Gram:
+    // n=3; sums = (6, 12, 3); sii: d0=14, d1=56, d2=5;
+    // s01 = 2+8+18 = 28, s02 = 0+2+6 = 8, s12 = 0+4+12 = 16
+    val rows: Seq[Option[Seq[Long]]] = Seq(
+      Some(Seq(1L, 2L, 0L)), Some(Seq(2L, 4L, 1L)), Some(Seq(3L, 6L, 2L)), None)
+    val df = rows.toDF("xs")
+    def gram(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(call_function("graft_gram", col("xs"), lit(3)).as("g"))
+        .head().getSeq[Long](0)
+    val g = gram(df)
+    assert(g === Seq(3L, 6L, 12L, 3L, 14L, 28L, 8L, 56L, 16L, 5L))
+    // mergeability: any partitioning folds to the identical state
+    assert(gram(df.repartition(7)) === g)
+
+    // corr off the relation: dim0 and dim1 are exactly proportional
+    // (corr 1); dim2 is an affine shift of dim0 (corr 1 too); replace
+    // to get an anti-correlated and a constant dim
+    val emb = Seq(
+      (1L, Seq(0.1, -0.1, 0.5)), (2L, Seq(0.2, -0.2, 0.5)),
+      (3L, Seq(0.3, -0.3, 0.5)))
+      .toDF("vec_id", "v")
+    val out = graft.operators.VectorOps.dimCorrelation(emb, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out((0L, 1L)).getAs[Double]("corr") === -1.0)
+    assert(out((0L, 2L)).isNullAt(out((0L, 2L)).fieldIndex("corr")),
+      "constant dim must emit NULL corr")
+    assert(out.size === 3)
+  }
+
   test("dot of mismatched-length arrays is null, not a prefix product") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f)))
