@@ -540,6 +540,23 @@ class PlanInvariantsSpec extends SparkSpec {
     graft.sources.SignatureLake.invalidate(spark)
   }
 
+  test("v14: ONE corpus pass — the pair explode unfolds the aggregated Gram row, never the scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val df = VectorOps.dimCorrelationQ.run(spark, sf001)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size === 1, s"expected one embeddings scan:\n${df.queryExecution.optimizedPlan}")
+    assert(!plan(df).contains("Join"), plan(df))
+    // every Generate (the di/dj explodes) must sit ABOVE the gram
+    // aggregate — an explode below it would be the d²-per-row volume
+    val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.nonEmpty)
+    gens.foreach(g => assert(
+      g.child.collectFirst { case a: Aggregate => a }.isDefined,
+      s"explode below the gram aggregate:\n$g"))
+  }
+
   test("c20: interpolated quartile windows sit above the rate histogram, never the serving rows") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = ChartRegistry.positivityBoxplotInterpQ.run(spark, sf001)
