@@ -813,22 +813,32 @@ object CurationOps {
     val tok = docs.select(col("doc_id"), col("source"), col("text"),
       when(col("text").isNull, lit(0L))
         .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-    val keep1 = qualityVerdict(docs)
-      .filter(col("verdict") === "keep").select("doc_id")
+    // each stage's surviving-id set is EAGERLY localCheckpointed (the
+    // s17 lineage-truncation discipline): the five stage aggregates
+    // below otherwise re-evaluate the shared kernel chain once per
+    // stage (measured 6.3 s vs ~2 s at sf0.1 — stage k re-ran kernels
+    // 1..k), and at 100 TB a nightly funnel materializes its stage
+    // boundaries for exactly this reason. The checkpointed sets are
+    // O(docs) ids, released by the ContextCleaner with the plan.
+    def checkpointIds(df: DataFrame): DataFrame =
+      df.select("doc_id").localCheckpoint()
+    val keep1 = checkpointIds(
+      qualityVerdict(docs).filter(col("verdict") === "keep"))
     val s1 = tok.join(keep1, "doc_id")
     val s2 = tok.join(
-      s1.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id"),
+      checkpointIds(
+        s1.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))),
       "doc_id")
     val trainSurv = s2.filter(col("doc_id") % 50 =!= 0)
-    val clean = DedupOps.decontaminate(
+    val clean = checkpointIds(DedupOps.decontaminate(
         trainSurv.select(col("doc_id"), col("text")),
         docs.filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text")))
-      .filter(!col("contaminated")).select("doc_id")
+      .filter(!col("contaminated")))
     val s3 = trainSurv.join(clean, "doc_id")
     val s4 = s3.join(
-      tokenBudgetSample(s3.select(col("doc_id"), col("source"), col("text")))
-        .filter(col("kept")).select("doc_id"),
+      checkpointIds(
+        tokenBudgetSample(s3.select(col("doc_id"), col("source"), col("text")))
+          .filter(col("kept"))),
       "doc_id")
     def stage(idx: Int, name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("docs"),
