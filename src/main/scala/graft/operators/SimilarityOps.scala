@@ -2028,9 +2028,102 @@ object SimilarityOps {
           === 0L).as("matches_full"))
   }
 
+  /** IVF top-k SERVED off a persisted posting relation: queries probe
+    * their top-`probes` cells under the (frozen) `cb` codebook and
+    * equi-join the posting lists — the production query path against
+    * [[graft.sources.SignatureLake.incrementalIvfPostings]], where the
+    * index side arrives bucketed by cell (its join distribution reads
+    * off the scan) and only the O(n·probes) probe side shuffles. */
+  def knnFromPostings(queries: DataFrame, postings: DataFrame,
+      cb: Array[Array[Double]], k: Int, probes: Int,
+      queryFilter: Column = lit(true)): DataFrame = {
+    val spark = queries.sparkSession
+    val cbId = graft.functions.CodebookRegistry.register(
+      spark.sparkContext.broadcast(cb))
+    val probed =
+      try queries
+        .filter(queryFilter)
+        .withColumn("qnrm", norm(col("v")))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qnrm"),
+          explode(call_function("graft_cell_probes",
+            col("v"), lit(cbId), lit(probes))).as("cell"))
+      finally graft.functions.CodebookRegistry.unregister(cbId)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probed.join(postings.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("nv")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
+  /** s21 — kNN QUERIES against the incrementally-maintained IVF
+    * posting lake: the consumer s20's conservation row exists for.
+    * Every vector probes its top-4 cells under the FROZEN base-slice
+    * codebook and ranks cosine over the lake's posting lists (base ∪
+    * appended delta — so a query CAN retrieve freshly-ingested
+    * vectors, the property an incremental index is for). The frozen
+    * first-k codebook keeps the whole path bit-replayable: the oracle
+    * is s03's text with the codebook window restricted to the base
+    * slice — same argmax ties, same ranked cosine. At 100 TB the
+    * posting side is the persisted bucketed table (zero-exchange into
+    * the cell join); only the probe side shuffles. */
+  val knnIvfLakeQ: GraftQuery = GraftQuery(
+    "s21_knn_ivf_lake",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |cb AS (
+      |  SELECT CAST(rn - 1 AS INT) AS cell,
+      |         list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS c
+      |  FROM (SELECT vec_id, v, nrm,
+      |          row_number() OVER (ORDER BY vec_id) AS rn,
+      |          count(*) OVER () AS total
+      |        FROM n WHERE vec_id % 10 <> 0) t
+      |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(total)) AS BIGINT)))),
+      |scores AS (
+      |  SELECT n.vec_id, cb.cell, list_dot_product(n.v, cb.c) AS score
+      |  FROM n CROSS JOIN cb),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores) t WHERE r = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores) t WHERE r <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |         list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm) AS cos
+      |  FROM probes p
+      |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN n qn ON qn.vec_id = p.query_id
+      |  JOIN n nn ON nn.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT query_id AS vec_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |SELECT vec_id, neighbor_id, rank, cos AS cos_sim
+      |FROM ranked WHERE rank <= 3""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val postings = graft.sources.SignatureLake.incrementalIvfPostings(spark, sf,
+      base, emb.filter(col("vec_id") % 10 === 0))
+    knnFromPostings(emb, postings,
+      centroids(base, cellsForCorpus(base.count())), k = 3, probes = 4)
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
-    ivfLakeAppendQ)
+    ivfLakeAppendQ, knnIvfLakeQ)
 }

@@ -557,6 +557,22 @@ class PlanInvariantsSpec extends SparkSpec {
       s"explode below the gram aggregate:\n$g"))
   }
 
+  test("s21: lake-served kNN — posting side reads bucketed, only probe side + rank window shuffle") {
+    graft.sources.SignatureLake.invalidate(spark)
+    val df = SimilarityOps.knnIvfLakeQ.run(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_cell_probes"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // two hash exchanges TOTAL: the probe rows repartitioned to the
+    // posting table's cell distribution, and the rank window's
+    // query_id partitioning — the bucketed posting scan itself never
+    // shuffles (that is what the ingest-time bucketing bought)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2, s"expected probe + window exchanges only:\n$p")
+    graft.sources.SignatureLake.invalidate(spark)
+  }
+
   test("c20: interpolated quartile windows sit above the rate histogram, never the serving rows") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = ChartRegistry.positivityBoxplotInterpQ.run(spark, sf001)

@@ -143,6 +143,15 @@ class SignatureLakeSpec extends SparkSpec {
     assert(!cellAgg.queryExecution.executedPlan.toString.contains("Exchange"),
       "posting-list aggregation over the appended IVF index must not shuffle")
 
+    // the incremental property a production index exists for: queries
+    // served off the lake RETRIEVE freshly-appended delta vectors
+    val served = graft.operators.SimilarityOps.knnFromPostings(
+      emb, ivf, cb, k = 3, probes = 4)
+    val hits = served.filter(col("neighbor_id") % 10 === 0).count()
+    assert(hits > 0, "appended delta vectors must be retrievable")
+    val deltaQueries = served.filter(col("vec_id") % 10 === 0).count()
+    assert(deltaQueries > 0, "delta vectors must also be servable as queries")
+
     // the rerouted d20 path returns the same verdicts as the
     // self-contained derivation (collected row multisets — combining
     // the two plans in one exceptAll would collide their observe
