@@ -616,8 +616,38 @@ object StreamReplay {
       })
   }
 
+  /** st11 — event-time tumbling WINDOW aggregation under a watermark
+    * ([[TweetIngest.windowedTopicCounts]] — SURVEY §2.9's "Windows"
+    * row, the idiomatic streaming alternative to the hourly batch
+    * tier; previously unit-only), gated at the driver: the replayed
+    * slice flows kafka-shaped through parse → 2 h watermark → 1-hour
+    * window counts in APPEND mode, so only watermark-FINALIZED windows
+    * reach the sink, and the finalized relation hash-matches the plain
+    * batch hour×topic aggregate. Determinism argument: the schedule is
+    * time-ordered across chunks (disorder only INSIDE a chunk, and
+    * finalization uses the start-of-batch watermark, so within-chunk
+    * reversal can never cross it), and the sentinel batches push the
+    * watermark two days past max event time, closing every real
+    * window; the sentinels' own __flush windows are dropped at the
+    * sink tail. A window that finalized early (losing late rows), fired
+    * twice, or never closed splits the hash. */
+  val streamWindowCountsQ: GraftQuery = GraftQuery(
+    "st11_stream_window_counts",
+    s"""SELECT event_type AS topic,
+      |       date_trunc('hour', ts) AS hour_start,
+      |       CAST(count(*) AS BIGINT) AS counts
+      |FROM events WHERE user_id % $UserMod = 0
+      |GROUP BY 1, 2""".stripMargin) { (spark, sf) =>
+    runReplay(spark, sf) { ds =>
+      TweetIngest.windowedTopicCounts(TweetIngest.parse(
+        kafkaShaped(ds, (base, _) => concat_ws(" ", docTokens(base)))))
+    }
+      .filter(col("topic") =!= "__flush")
+      .select(col("topic"), col("hour_start"), col("counts"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ,
     streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ, streamDedupQ,
-    streamContentDedupQ, streamNearDupDedupQ)
+    streamContentDedupQ, streamNearDupDedupQ, streamWindowCountsQ)
 }
