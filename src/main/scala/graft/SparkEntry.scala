@@ -31,8 +31,14 @@ object SparkEntry {
     operators.ServingQueries.pipelineAggregateQ.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a name collision would silently shadow a row in this map — the
+    // gate would then never run the shadowed query and the registry
+    // count would still look right. Fail loudly instead.
+    val dupes = registry.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate registry names: ${dupes.mkString(", ")}")
     registry.map(q => q.name -> q.run).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
