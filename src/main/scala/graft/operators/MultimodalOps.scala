@@ -693,7 +693,45 @@ object MultimodalOps {
     }
   }
 
+  /** m11 — content-digest EXACT payload dedup: one row per distinct
+    * payload digest with the kept representative (min doc_id), the
+    * copy count, the payload size, and the storage the dedup saves —
+    * the FIRST pass of every media pipeline (content-addressable
+    * storage), ahead of any perceptual hashing (m05/m09 handle the
+    * near-dups this pass can't see).
+    *
+    * The scale distinction from d01's text groupBy: the shuffle key is
+    * the 16-byte digest, never the payload bytes — at 100 TB the
+    * payloads are multi-MB blobs and a groupBy on the raw bytes ships
+    * the corpus through the exchange; hashing first ships 32 hex chars
+    * per row. md5 over the payload bytes is the same digest in both
+    * engines (payload = the UTF-8 text bytes — m01's BLOB mapping), so
+    * the row is fully hash-checked. */
+  val payloadDedupQ: GraftQuery = GraftQuery(
+    "m11_payload_dedup",
+    """SELECT md5(text) AS digest,
+      |       CAST(min(doc_id) AS BIGINT) AS keep_id,
+      |       CAST(count(*) AS BIGINT) AS n_copies,
+      |       CAST(min(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes,
+      |       CAST((count(*) - 1)
+      |            * min(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes_saved
+      |FROM documents GROUP BY md5(text)""".stripMargin) { (spark, sf) =>
+    payloadDedup(asMultimodal(spark, sf))
+  }
+
+  /** The m11 relation over any (doc_id, payload) frame. */
+  def payloadDedup(payloads: DataFrame): DataFrame =
+    payloads
+      .select(col("doc_id"), md5(col("payload")).as("digest"),
+        length(col("payload")).cast("long").as("__nb"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("__nb")).as("n_bytes"))
+      .select(col("digest"), col("keep_id"), col("n_copies"), col("n_bytes"),
+        ((col("n_copies") - 1) * col("n_bytes")).as("bytes_saved"))
+
   val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ,
     shardManifestQ, quarantineQ, sourceHistogramDriftQ, phashClustersQ,
-    entropyScreenQ)
+    entropyScreenQ, payloadDedupQ)
 }

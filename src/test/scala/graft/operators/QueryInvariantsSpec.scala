@@ -288,6 +288,24 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(out(("flat", 5)) == ((0.0, 0.0, 0.0, false)))
   }
 
+  test("m11 payload dedup: planted byte-identical copies collapse, savings exact") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, "same bytes"), (2L, "same bytes"), (7L, "same bytes"),
+      (3L, "unique")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = MultimodalOps.payloadDedup(payloads).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r).toMap
+    assert(out.size === 2)
+    val dup = out(1L)
+    assert(dup.getAs[Long]("n_copies") === 3L)
+    assert(dup.getAs[Long]("n_bytes") === 10L)
+    assert(dup.getAs[Long]("bytes_saved") === 20L)
+    val uniq = out(3L)
+    assert(uniq.getAs[Long]("n_copies") === 1L
+      && uniq.getAs[Long]("bytes_saved") === 0L)
+  }
+
   test("multimodal features: 16-dim, L1-normalized (m02)") {
     val f = MultimodalOps.featuresQ.run(spark, sf001)
     assert(f.filter(col("dim") =!= 16).count() === 0)
