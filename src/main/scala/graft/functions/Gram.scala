@@ -22,10 +22,14 @@ import org.apache.spark.sql.types._
   * elementwise addition — any merge tree yields the identical state,
   * and a SQL engine replays it with plain integer sums (the v03/t27
   * snap discipline). The caller picks the snap scale to bound the
-  * cells: |x| ≤ 1 at scale 2^k gives |Σxᵢxⱼ| ≤ n·2^2k, so scale 2^14
-  * holds every cell (and every downstream n·Σ product) under 2^53 —
-  * double-exact — for corpora up to ~2^24 rows; a 100 TB run drops
-  * the scale, not the algorithm. */
+  * cells: |x| ≤ 1 at scale 2^k gives |Σxᵢxⱼ| ≤ n·2^2k — int64-exact
+  * for n ≤ 2^(63−2k) and double-exact for n ≤ 2^(53−2k). The BINDING
+  * bound is usually downstream: a Pearson numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ
+  * reaches n²·2^2k, so double-exactness needs n ≤ 2^((53−2k)/2)
+  * (~5.8k rows at k = 14) and int64 safety n ≤ 2^((63−2k)/2)
+  * (~1.9·10⁵ at k = 14). A larger corpus drops the snap scale, not
+  * the algorithm: k = 8 holds the corr numerator double-exact to
+  * n ≈ 2^18.5 and int64-safe to n ≈ 2^23.5. */
 final class GramState(val dim: Int) {
   val cells: Array[Long] = new Array[Long](1 + dim + dim * (dim + 1) / 2)
 
@@ -67,6 +71,20 @@ case class GramAgg(
   extends TypedImperativeAggregate[GramState] {
 
   require(dim > 0, "graft_gram dim must be positive")
+
+  /** Pin array<bigint> input at ANALYSIS time: `toLongArray` on an
+    * array<double> column would reinterpret the IEEE bits as longs and
+    * yield silently-garbage co-moments instead of an error. */
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_gram requires array<bigint> (snapped integer image), got " +
+            other.catalogString)
+    }
 
   override def prettyName: String = "graft_gram"
   override def children: Seq[Expression] = Seq(child)

@@ -436,6 +436,13 @@ object ChartRegistry {
       """SELECT p.*, (SELECT CAST(count(*) AS BIGINT) FROM processed) AS store_rows
         |FROM processed p""".stripMargin)) { (spark, sf) =>
     val raw = aggregates(spark, sf)
+    // The +20-minute replay injection below is a WITHIN-HOUR claim: a
+    // fixture row at minute ≥ 40 would cross into the next hour,
+    // minting a new (topic, hour) key instead of a losing replay and
+    // breaking the gate non-obviously. Fail loudly instead.
+    val maxMinute = raw.agg(max(minute(col("created_at")))).head.getInt(0)
+    require(maxMinute < 40,
+      s"c19 replay injection requires minute(created_at) < 40; fixture has $maxMinute")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_compact" +
       s"_p${ProcessHandle.current().pid()}_${sf.replaceAll("[^A-Za-z0-9]+", "_")}"
     def del(f: java.io.File): Unit = {

@@ -992,10 +992,12 @@ object VectorOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label")))
   }
 
-  /** v14's snap scale: 2^14. |x| ≤ 1 ⇒ every Gram cell and every
-    * downstream n·Σ product stays under 2^53 (double-exact, no
-    * overflow) for corpora up to ~2^24 vectors; at larger n the
-    * CALLER lowers the scale — the aggregate is scale-agnostic. */
+  /** v14's snap scale: 2^14. |x| ≤ 1 ⇒ Gram cells ≤ n·2^28, and the
+    * corr numerators below reach n²·2^28 — double-exact for
+    * n ≤ 2^12.5 ≈ 5.8k vectors (the harness corpora: ≤5k at sf0.1)
+    * and int64-safe to n ≈ 1.9·10⁵. A larger corpus passes a lower
+    * `snap` to [[dimCorrelation]] (k = 8 is double-exact to ~2^18.5
+    * rows) — the aggregate is scale-agnostic. */
   val CorrSnap = 16384.0
 
   /** v14 — dimension-correlation audit: the Pearson correlation of
@@ -1026,7 +1028,7 @@ object VectorOps {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |s AS (SELECT vec_id,
        |        list_transform(v, x -> CAST(floor(x * $CorrSnap + 0.5) AS BIGINT)) AS xs
-       |      FROM e),
+       |      FROM e WHERE v IS NOT NULL),
        |x AS (SELECT vec_id, i, xs[i + 1] AS xv
        |      FROM s CROSS JOIN range(0, ${Dim}) t(i)),
        |p AS (SELECT a.i AS di, b.i AS dj,
