@@ -70,6 +70,17 @@ object DedupOps {
   val PortableAnnTables = 2
   val PortableAnnPlanes = 6
 
+  /** Takedown-slice rule for the d28/d29/s22 delete-conservation rows:
+    * ids with `id % TombMod == TombRem` are tombstoned. Deliberately
+    * coprime with the 10-way build/delta split so the deleted set cuts
+    * across BOTH the base build and the appended delta — a delete that
+    * only cleaned one generation would still go red. Declared up top:
+    * s22 lives in SimilarityOps, whose init can run mid-DedupOps-init
+    * (the two objects cross-reference), and a query text interpolating
+    * a not-yet-initialized val silently bakes in 0. */
+  val TombMod = 7
+  val TombRem = 3
+
   /** doc_id + exploded distinct 3-token shingles (the MinHash
     * pipeline's fixed width; delegates to [[tokenShingles]] so the
     * shingling definition lives in exactly one place). */
@@ -1806,8 +1817,9 @@ object DedupOps {
     * [[portableNearDupCtes]], shared with the d23 lake-append
     * conservation row so the oracle's notion of "the full index"
     * cannot drift from the near-dup pipeline's. */
-  private def portableBandCtes: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  private def portableBandCtesWhere(pred: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |         WHERE $pred),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
       |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
       |       FROM toks WHERE len(t) >= 3),
@@ -1820,6 +1832,8 @@ object DedupOps {
       |bd AS (SELECT doc_id, CAST(i AS INT) AS band,
       |         string_agg(h, '|' ORDER BY l) AS band_key
       |       FROM mh GROUP BY doc_id, i)""".stripMargin
+
+  private def portableBandCtes: String = portableBandCtesWhere("TRUE")
 
   private def portableNearDupCtes: String =
     s"""$portableBandCtes,
@@ -2718,6 +2732,94 @@ object DedupOps {
           .otherwise(1L)), lit(0L)) === 0L).as("matches_full"))
   }
 
+  // ------------------------------------------------------------------
+  // d28/d29: tombstone-delete conservation (the missing third of index
+  // maintenance — build ✓, append ✓, DELETE)
+  // ------------------------------------------------------------------
+
+  /** The agreement aggregate shared by the delete-conservation rows:
+    * full-outer join `side` (a post-delete index) against `full` (the
+    * independent rebuild-without-deleted) on the family's primary key
+    * and emit (row count of `side`, every-row-matches boolean) — the
+    * d23 device pointed at the delete lifecycle. */
+  private def deleteAgreement(side: DataFrame, full: DataFrame,
+      keys: Seq[String], valueCol: String,
+      nName: String, okName: String): DataFrame =
+    side.withColumnRenamed(valueCol, "__vs")
+      .join(full.withColumnRenamed(valueCol, "__vf"), keys, "full_outer")
+      .agg(
+        coalesce(sum(when(col("__vs").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as(nName),
+        (coalesce(sum(when(col("__vs") <=> col("__vf"), 0L).otherwise(1L)),
+          lit(0L)) === 0L).as(okName))
+
+  /** d28 — band-index tombstone-delete conservation: the full
+    * maintenance lifecycle (d12's build + append, then a takedown
+    * batch tombstoning every doc with `doc_id % 7 == 3` — a slice
+    * cutting across base AND delta — and the physical rewrite) must
+    * leave exactly the index a from-scratch derivation over the
+    * surviving corpus would build. BOTH serving tiers are gated: the
+    * tombstone-masked view (what queries see between takedown and the
+    * maintenance window) and the rewritten generation (tombstoned rows
+    * physically gone) each full-outer-join the independent full-lake
+    * family filtered by the delete predicate — the family never saw a
+    * tombstone, so agreement is evidence, not circularity. A delete
+    * that missed a row, took an extra one, or a rewrite that dropped a
+    * survivor flips a boolean or the count. The oracle rebuilds the
+    * band derivation over the surviving documents. */
+  val bandLakeDeleteQ: GraftQuery = GraftQuery(
+    "d28_band_lake_delete",
+    s"""WITH ${portableBandCtesWhere(s"doc_id % $TombMod <> $TombRem")}
+      |SELECT CAST(count(*) AS BIGINT) AS n_bands,
+      |       TRUE AS matches_full, TRUE AS compact_matches
+      |FROM bd""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val lake = graft.sources.SignatureLake.tombstonedBandIndex(spark, sf,
+      base = docs.filter(col("doc_id") % 10 =!= 0),
+      delta = docs.filter(col("doc_id") % 10 === 0),
+      deleted = docs.filter(col("doc_id") % TombMod === TombRem)
+        .select("doc_id"))
+    val full = graft.sources.SignatureLake.portableBandKeys(spark, sf)
+      .filter(col("doc_id") % TombMod =!= TombRem)
+    deleteAgreement(lake.compacted, full, Seq("doc_id", "band"), "band_key",
+        "n_bands", "compact_matches")
+      .crossJoin(broadcast(
+        deleteAgreement(lake.served, full, Seq("doc_id", "band"), "band_key",
+          "n_served", "matches_full").select("matches_full")))
+      .select(col("n_bands"), col("matches_full"), col("compact_matches"))
+  }
+
+  /** d29 — ANN-posting tombstone-delete conservation: d28's invariant
+    * on the embedding side (d20's build + append writes, vec-id
+    * tombstones, physical rewrite), gated against the shared
+    * ann_buckets family filtered by the delete predicate; the oracle
+    * replays the literal-plane assignment over surviving vectors. */
+  val annLakeDeleteQ: GraftQuery = GraftQuery(
+    "d29_ann_lake_delete",
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ab AS ($portableAnnBucketsSql)
+      |SELECT CAST(count(*) AS BIGINT) AS n_postings,
+      |       TRUE AS matches_full, TRUE AS compact_matches
+      |FROM ab WHERE vec_id % $TombMod <> $TombRem""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val lake = graft.sources.SignatureLake.tombstonedAnnPostings(spark, sf,
+      base = emb.filter(col("vec_id") % IncEmbMod =!= 0),
+      delta = emb.filter(col("vec_id") % IncEmbMod === 0),
+      deleted = emb.filter(col("vec_id") % TombMod === TombRem)
+        .select("vec_id"))
+    val full = graft.sources.SignatureLake.portableAnnBuckets(spark, sf)
+      .filter(col("vec_id") % TombMod =!= TombRem)
+      .select(col("vec_id"), col("table").as("tbl"), col("bucket"))
+    def side(df: DataFrame) = df.select(col("vec_id"), col("tbl"), col("bucket"))
+    deleteAgreement(side(lake.compacted), full, Seq("vec_id", "tbl"), "bucket",
+        "n_postings", "compact_matches")
+      .crossJoin(broadcast(
+        deleteAgreement(side(lake.served), full, Seq("vec_id", "tbl"), "bucket",
+          "n_served", "matches_full").select("matches_full")))
+      .select(col("n_postings"), col("matches_full"), col("compact_matches"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
@@ -2726,5 +2828,6 @@ object DedupOps {
     portableSimhashQ, contaminationOverlapQ, leakageSafeSplitQ,
     minhashCalibrationQ, sourceOverlapQ, thresholdCurveQ,
     incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ,
-    lakeAppendQ, annLakeAppendQ, kmvVocabQ, kmvOverlapQ)
+    lakeAppendQ, annLakeAppendQ, kmvVocabQ, kmvOverlapQ,
+    bandLakeDeleteQ, annLakeDeleteQ)
 }

@@ -2121,9 +2121,76 @@ object SimilarityOps {
       centroids(base, cellsForCorpus(base.count())), k = 3, probes = 4)
   }
 
+  /** s22 — IVF tombstone-delete conservation: the full maintenance
+    * lifecycle on the IVF posting lake (s20's build-under-frozen-
+    * codebook + append, then a takedown batch tombstoning every
+    * `vec_id % 7 == 3` — cutting across base and delta — and the
+    * physical rewrite) must equal a from-scratch assignment of the
+    * SURVIVING corpus under the SAME frozen codebook. The codebook
+    * was trained on the pre-takedown base slice and a delete never
+    * retrains (cells never move — retraining is a rebuild, priced by
+    * s23), so the oracle can replay the assignment verbatim: s20's
+    * first-k/argmax text with the deleted slice filtered out of the
+    * final aggregation only. Per occupied cell: surviving posting-list
+    * size, surviving delta contribution, a per-cell every-vector-
+    * matches boolean for the REWRITTEN generation, and a global
+    * boolean for the tombstone-MASKED serve view. */
+  val ivfLakeDeleteQ: GraftQuery = GraftQuery(
+    "s22_ivf_lake_delete",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |cb AS (
+      |  SELECT CAST(rn - 1 AS INT) AS cell,
+      |         list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS c
+      |  FROM (SELECT vec_id, v, nrm,
+      |          row_number() OVER (ORDER BY vec_id) AS rn,
+      |          count(*) OVER () AS total
+      |        FROM n WHERE vec_id % 10 <> 0) t
+      |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(total)) AS BIGINT)))),
+      |scores AS (
+      |  SELECT n.vec_id, cb.cell, list_dot_product(n.v, cb.c) AS score
+      |  FROM n CROSS JOIN cb),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores) t WHERE r = 1)
+      |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+      |       CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+      |       TRUE AS compact_matches, TRUE AS served_matches
+      |FROM assign WHERE vec_id % ${DedupOps.TombMod} <> ${DedupOps.TombRem}
+      |GROUP BY cell""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val lake = graft.sources.SignatureLake.tombstonedIvfPostings(spark, sf,
+      base, emb.filter(col("vec_id") % 10 === 0),
+      deleted = emb.filter(
+        col("vec_id") % DedupOps.TombMod === DedupOps.TombRem).select("vec_id"))
+    // independent full derivation: same frozen codebook, surviving rows
+    val cb = centroids(base, cellsForCorpus(base.count()))
+    val full = cellAssignments(
+        emb.filter(col("vec_id") % DedupOps.TombMod =!= DedupOps.TombRem), cb)
+      .select(col("vec_id"), col("cell").as("cell_full"))
+    val servedOk = lake.served.select(col("vec_id"), col("cell").as("cell_inc"))
+      .join(full, Seq("vec_id"), "full_outer")
+      .agg((coalesce(sum(when(col("cell_inc") <=> col("cell_full"), 0L)
+        .otherwise(1L)), lit(0L)) === 0L).as("served_matches"))
+    lake.compacted.select(col("vec_id"), col("cell").as("cell_inc"))
+      .join(full, Seq("vec_id"), "full_outer")
+      .groupBy(col("cell_full").as("cell"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_delta"),
+        (sum(when(col("cell_inc") <=> col("cell_full"), 0L).otherwise(1L))
+          === 0L).as("compact_matches"))
+      .crossJoin(broadcast(servedOk))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
-    ivfLakeAppendQ, knnIvfLakeQ)
+    ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ)
 }

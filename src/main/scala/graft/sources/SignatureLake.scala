@@ -72,6 +72,15 @@ object SignatureLake {
     * [[invalidate]] can drop them too. */
   private val extraTables = new ConcurrentHashMap[SparkSession, Set[String]]()
 
+  /** A tombstoned index family's two serving tiers: `served` is the
+    * logical view (index read-back ANTI-JOIN tombstones — what queries
+    * run against between takedown and the next maintenance window) and
+    * `compacted` is the physically rewritten generation (tombstoned
+    * rows gone from disk, tombstone store retired). */
+  final case class TombstonedLake(served: DataFrame, compacted: DataFrame)
+
+  private val delCache = new ConcurrentHashMap[Key, TombstonedLake]()
+
   /** Drop entries owned by stopped sessions — a session per job in a
     * long-lived JVM must not accumulate dead (session, DataFrame)
     * graphs in this static map. (The stopped session's catalog is gone
@@ -86,6 +95,14 @@ object SignatureLake {
     while (it2.hasNext) {
       if (it2.next().sparkContext.isStopped) it2.remove()
     }
+    val it3 = delCache.entrySet().iterator()
+    while (it3.hasNext) {
+      if (it3.next().getKey.session.sparkContext.isStopped) it3.remove()
+    }
+  }
+
+  private def registerExtra(spark: SparkSession, t: String): Unit = {
+    extraTables.merge(spark, Set(t), _ ++ _); ()
   }
 
   private def sanitize(s: String): String =
@@ -365,6 +382,122 @@ object SignatureLake {
     })._2
   }
 
+  // ------------------------------------------------------------------
+  // Tombstone deletes (takedown / right-to-be-forgotten maintenance)
+  // ------------------------------------------------------------------
+
+  /** APPEND a batch of deleted ids to an index's tombstone side table
+    * — the takedown write, and the third leg of index maintenance
+    * (build / append / DELETE). A 100 TB deployment never rewrites a
+    * petabyte bucketed index per takedown batch: deletes land as rows
+    * in a tiny id-keyed side table, every serve path anti-joins it
+    * ([[maskTombstones]] — the tombstone side broadcasts), and the
+    * next maintenance window folds them into a physical rewrite
+    * ([[rewriteWithoutTombstones]]) and retires them. Bucketed by the
+    * id column so the eventual rewrite's anti-join and any
+    * id-keyed audit read their distribution off the scan. */
+  def appendTombstones(spark: SparkSession, indexTable: String,
+      deletedIds: DataFrame, idCol: String): String = {
+    val tt = s"${indexTable}_tomb"
+    writeFamily(deletedIds.select(idCol), tt, Seq(idCol),
+      if (spark.catalog.tableExists(tt)) SaveMode.Append else SaveMode.Overwrite)
+    registerExtra(spark, tt)
+    tt
+  }
+
+  /** The between-compactions serve view: index rows whose id is not
+    * tombstoned. The tombstone side is takedown-batch sized (≪ index),
+    * so the anti-join broadcasts — no index-side shuffle. */
+  def maskTombstones(index: DataFrame, tombstones: DataFrame,
+      idCol: String): DataFrame =
+    index.join(broadcast(tombstones.select(idCol)), Seq(idCol), "left_anti")
+
+  /** Physical delete — the maintenance-window rewrite: a NEW bucketed
+    * generation of the index without the tombstoned rows, after which
+    * the tombstone store is retired (dropped). One distributed
+    * anti-join + one bucketed write, amortized over every takedown
+    * batch since the last window — never a per-delete rewrite. Returns
+    * the new generation's read-back. */
+  /** @param retireTombstones drop the tombstone store once its rows
+    *        are folded into the rewrite (the production default); the
+    *        audit lifecycle passes false because the conservation rows
+    *        gate the MASKED view and the rewritten generation side by
+    *        side, and the masked view still reads the store lazily. */
+  def rewriteWithoutTombstones(spark: SparkSession, indexTable: String,
+      tombTable: String, idCol: String, bucketCols: Seq[String],
+      retireTombstones: Boolean = true): DataFrame = {
+    val g2 = s"${indexTable}_g2"
+    writeFamily(
+      maskTombstones(spark.table(indexTable), spark.table(tombTable), idCol),
+      g2, bucketCols, SaveMode.Overwrite)
+    registerExtra(spark, g2)
+    if (retireTombstones) spark.sql(s"DROP TABLE IF EXISTS $tombTable")
+    spark.table(g2)
+  }
+
+  /** Full index-maintenance lifecycle for one family — build(base),
+    * append(delta), tombstone(deleted), serve-masked, physically
+    * rewrite — memoized per (session, sfDir, family) like the
+    * incremental families (the d28/d29/s22 conservation rows replay
+    * deterministic slices; bench reps read the tables back). `build`
+    * derives the base index relation; `append` is the family's
+    * delta-ingest write against a named table. */
+  private def tombstonedFamily(spark: SparkSession, sfDir: String,
+      family: String, bucketCols: Seq[String], idCol: String,
+      deleted: DataFrame)(build: => DataFrame)(
+      append: String => Unit): TombstonedLake = {
+    evictStopped()
+    sweepOrphans(spark)
+    delCache.computeIfAbsent(Key(spark, sfDir, family), _ => {
+      val t = tableName(spark, sfDir, family)
+      writeFamily(build, t, bucketCols, SaveMode.Overwrite)
+      append(t)
+      registerExtra(spark, t)
+      val tt = appendTombstones(spark, t, deleted, idCol)
+      val served = maskTombstones(spark.table(t), spark.table(tt), idCol)
+      TombstonedLake(served,
+        rewriteWithoutTombstones(spark, t, tt, idCol, bucketCols,
+          retireTombstones = false))
+    })
+  }
+
+  /** Band-key index under the full lifecycle: d12's build+append writes
+    * followed by a tombstone batch for `deleted` doc ids and the
+    * physical rewrite — the d28 conservation row's index path. */
+  def tombstonedBandIndex(spark: SparkSession, sfDir: String,
+      base: DataFrame, delta: DataFrame, deleted: DataFrame,
+      slice: String = "mod10del7"): TombstonedLake =
+    tombstonedFamily(spark, sfDir, s"del_bands_$slice",
+        Seq("band", "band_key"), "doc_id", deleted)(
+      DedupOps.portableBandKeys(DedupOps.portableSignatures(base)))(
+      t => appendBandDelta(spark, t, delta))
+
+  /** LSH ANN posting index under the full lifecycle (d29's path): the
+    * d20 build+append writes, then vec-id tombstones + rewrite. */
+  def tombstonedAnnPostings(spark: SparkSession, sfDir: String,
+      base: DataFrame, delta: DataFrame, deleted: DataFrame,
+      slice: String = "mod10del7"): TombstonedLake =
+    tombstonedFamily(spark, sfDir, s"del_ann_$slice",
+        Seq("tbl", "bucket"), "vec_id", deleted)(
+      annPostings(base))(
+      t => appendEmbeddingDelta(spark, t, delta))
+
+  /** IVF posting index under the full lifecycle (s22's path). The
+    * codebook is FROZEN at index build time — trained on the base
+    * slice before the takedown arrived, and a delete never retrains
+    * (cells never move; re-training is a REBUILD with its own cost
+    * class, priced by the s23 crossover row). */
+  def tombstonedIvfPostings(spark: SparkSession, sfDir: String,
+      base: DataFrame, delta: DataFrame, deleted: DataFrame,
+      slice: String = "mod10del7"): TombstonedLake = {
+    lazy val cb = SimilarityOps.centroids(base,
+      SimilarityOps.cellsForCorpus(base.count()))
+    tombstonedFamily(spark, sfDir, s"del_ivf_$slice",
+        Seq("cell"), "vec_id", deleted)(
+      SimilarityOps.cellAssignments(base, cb))(
+      t => appendIvfDelta(spark, t, delta, cb))
+  }
+
   /** Drop (and delete — managed tables) every lake table owned by
     * `spark`. */
   def invalidate(spark: SparkSession): Unit = {
@@ -376,6 +509,8 @@ object SignatureLake {
         it.remove()
       }
     }
+    val itDel = delCache.keySet().iterator()
+    while (itDel.hasNext) { if (itDel.next().session eq spark) itDel.remove() }
     Option(extraTables.remove(spark)).foreach(_.foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")))
   }

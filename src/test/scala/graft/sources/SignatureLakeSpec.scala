@@ -164,4 +164,54 @@ class SignatureLakeSpec extends SparkSpec {
       "lake-sourced d20 verdicts must equal the self-contained derivation")
     SignatureLake.invalidate(spark)
   }
+
+  test("tombstone delete: deleted vectors stop being retrievable on the s21 serve path, both tiers") {
+    SignatureLake.invalidate(spark)
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delMod = DedupOps.TombMod
+    val delRem = DedupOps.TombRem
+    val isDel = col("vec_id") % delMod === delRem
+    val lake = SignatureLake.tombstonedIvfPostings(spark, sf001,
+      base, emb.filter(col("vec_id") % 10 === 0),
+      deleted = emb.filter(isDel).select("vec_id"))
+    val cb = graft.operators.SimilarityOps.centroids(base,
+      graft.operators.SimilarityOps.cellsForCorpus(base.count()))
+
+    // teeth: the PRE-delete index does serve tombstoned vectors — the
+    // negative claim below can't pass vacuously
+    val preDelete = SignatureLake.incrementalIvfPostings(spark, sf001,
+      base, emb.filter(col("vec_id") % 10 === 0))
+    val survivors = emb.filter(!isDel)
+    assert(graft.operators.SimilarityOps.knnFromPostings(
+        survivors, preDelete, cb, k = 3, probes = 4)
+      .filter(col("neighbor_id") % delMod === delRem).count() > 0,
+      "fixture must contain retrievable tombstoned vectors pre-delete")
+
+    // the takedown claim, on BOTH serving tiers: no surviving query
+    // can retrieve a deleted vector from the masked view or from the
+    // rewritten generation
+    Seq("served" -> lake.served, "compacted" -> lake.compacted).foreach {
+      case (tier, postings) =>
+        val got = graft.operators.SimilarityOps.knnFromPostings(
+          survivors, postings, cb, k = 3, probes = 4)
+        assert(got.filter(col("neighbor_id") % delMod === delRem).count() === 0L,
+          s"$tier tier must not serve a deleted vector as a neighbor")
+        assert(got.count() > 0, s"$tier tier must still serve survivors")
+    }
+
+    // physical claim: the rewritten generation holds zero tombstoned
+    // rows ON DISK (the masked view merely hides them)
+    assert(lake.compacted.filter(isDel).count() === 0L,
+      "rewrite must physically remove tombstoned posting rows")
+    // and the rewrite keeps the cell bucketing: posting-list reads
+    // stay zero-exchange
+    val cellAgg = lake.compacted.groupBy(col("cell")).agg(count(lit(1)))
+    cellAgg.collect()
+    assert(!cellAgg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "rewritten generation must stay bucketed by cell")
+    SignatureLake.invalidate(spark)
+  }
 }
