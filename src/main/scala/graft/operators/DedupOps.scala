@@ -2733,6 +2733,146 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------------
+  // d27: exact-substring dedup at ARBITRARY offsets (span granularity)
+  // ------------------------------------------------------------------
+
+  /** Minimum repeated-span length for d27. Lee et al. use 50 tokens on
+    * web corpora; the harness documents run 10–100 tokens, so 15 keeps
+    * the operator exercised at every sf. The span theorem below holds
+    * for any L. */
+  val MinSpanTokens = 15
+
+  /** Exact-substring dedup at arbitrary offsets — the span-granularity
+    * operator d13's fixed 16-token chunks approximate (a shared span
+    * straddling a chunk boundary is invisible to d13; this catches it
+    * at ANY offset). Semantics are Lee et al.'s ExactSubstr
+    * (reference: "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22, §4.1): every maximal token span of length ≥ L
+    * repeated anywhere in the corpus (across documents or within one)
+    * is removed from every occurrence.
+    *
+    * The relational reduction replacing their suffix array: token
+    * position p of doc d is COVERED iff some L-gram starting in
+    * (p−L, p] occurs ≥ 2 times corpus-wide. A repeated span of length
+    * s ≥ L contributes s−L+1 duplicated L-grams whose cover-union is
+    * exactly the span, and no position outside a ≥L repeated span can
+    * be covered (its surrounding L-grams are all unique) — so
+    * covered-position union ≡ union of maximal repeated spans, with no
+    * extension step and no per-node suffix array. Spans are then
+    * recovered by a per-doc interval union (running-max window), and
+    * the surviving text by an anti-join on covered positions.
+    *
+    * Scale shape: every relation is linear in corpus tokens (grams:
+    * one row per position carrying one md5; the duplicate filter is a
+    * map-combined count on the hash — uniform key space, no skew; the
+    * anchor join reuses the same key), except `covered`, which is
+    * O(duplicated-volume · L) — proportional to the text being
+    * REMOVED, the honest cost of span reconstruction. Windows
+    * partition by doc_id (bounded by document length). md5 is the
+    * portability choice; a production run swaps xxhash64 into the same
+    * plan (the d03-vs-d14 trade) and, if gram hashing ever dominates,
+    * a rolling Rabin–Karp gram hash — the plan shape is unchanged. */
+  def exactSubstringDedup(docs: DataFrame, minSpan: Int = MinSpanTokens): DataFrame = {
+    val L = minSpan
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = toks
+      .filter(size(col("tk")) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - L),
+        i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(L)))))))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("h")
+    val anchors = grams.join(dup, "h").select(col("doc_id"), col("pos"))
+    // per-doc interval union of [pos, pos+L): a new span starts where
+    // pos exceeds the running max end of every earlier anchor
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = anchors
+      .withColumn("prev_end", max(col("pos") + L).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s")).as("n_covered"))
+    val covered = anchors
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + L - 1)).as("cpos"))
+      .distinct()
+    val tokRows = toks.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    val kept = tokRows.join(covered,
+        tokRows("doc_id") === covered("doc_id") && tokRows("pos") === covered("cpos"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x("tok")), " ").as("dedup_text"))
+    docs.select(col("doc_id"), col("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).cast("long").as("n_dup_spans"),
+        coalesce(col("n_covered"), lit(0L)).cast("long").as("n_covered"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("dedup_text"), lit(""))).as("dedup_text"))
+  }
+
+  val exactSubstringQ: GraftQuery = GraftQuery(
+    "d27_exact_substring", {
+      val L = MinSpanTokens
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE text IS NOT NULL),
+        |g0 AS (SELECT doc_id, unnest(list_transform(range(0, len(t) - ${L - 1}),
+        |         i -> struct_pack(pos := i,
+        |                h := md5(array_to_string(list_slice(t, i + 1, i + $L), ' '))))) AS u
+        |       FROM toks WHERE len(t) >= $L),
+        |g AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.h AS h FROM g0),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |a AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM a),
+        |b AS (SELECT doc_id, pos,
+        |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk
+        |      FROM m),
+        |w AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM b),
+        |sp AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + $L AS e
+        |       FROM w GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |         CAST(sum(e - s) AS BIGINT) AS n_covered FROM sp GROUP BY 1),
+        |cov AS (SELECT DISTINCT doc_id, cpos FROM
+        |          (SELECT doc_id, unnest(range(pos, pos + $L)) AS cpos FROM a) z),
+        |tok0 AS (SELECT doc_id, unnest(list_transform(range(0, len(t)),
+        |           i -> struct_pack(pos := i, tok := t[i + 1]))) AS u FROM toks),
+        |tk AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok FROM tok0),
+        |kept AS (SELECT tk.doc_id,
+        |           string_agg(tk.tok, ' ' ORDER BY tk.pos) AS dedup_text
+        |         FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.cpos = tk.pos
+        |         WHERE cov.cpos IS NULL GROUP BY tk.doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.text IS NULL THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT) END AS n_tokens,
+        |       CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |       CAST(coalesce(pd.n_covered, 0) AS BIGINT) AS n_covered,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            ELSE coalesce(k.dedup_text, '') END AS dedup_text
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |                 LEFT JOIN kept k ON k.doc_id = d.doc_id""".stripMargin
+    }) { (spark, sf) =>
+    exactSubstringDedup(Tables.documents(spark, sf))
+  }
+
+  // ------------------------------------------------------------------
   // d28/d29: tombstone-delete conservation (the missing third of index
   // maintenance — build ✓, append ✓, DELETE)
   // ------------------------------------------------------------------
@@ -2829,5 +2969,5 @@ object DedupOps {
     minhashCalibrationQ, sourceOverlapQ, thresholdCurveQ,
     incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ,
     lakeAppendQ, annLakeAppendQ, kmvVocabQ, kmvOverlapQ,
-    bandLakeDeleteQ, annLakeDeleteQ)
+    exactSubstringQ, bandLakeDeleteQ, annLakeDeleteQ)
 }

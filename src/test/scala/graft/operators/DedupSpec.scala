@@ -781,4 +781,58 @@ class DedupSpec extends SparkSpec {
         .count() === 0)
     } finally out.unpersist()
   }
+
+  test("d27 exact-substring: planted shared spans removed at span granularity, remove-all convention") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val L = DedupOps.MinSpanTokens
+    val docLen = 120
+    val span = (0 until 60).map(i => s"shared$i").toVector
+    val short = (0 until L - 5).map(i => s"tiny$i").toVector // < L: untouchable
+    def filler(d: Int, n: Int, tag: String = "f"): Vector[String] =
+      (0 until n).map(i => s"u${d}$tag$i").toVector
+
+    // the 60-token span planted at a RANDOM offset in three docs; the
+    // rest are globally-unique filler, so covered == planted, exactly
+    val offsets = Seq(0, 2, 5).map(d => d -> rng.nextInt(docLen - 60)).toMap
+    val planted = (0 until 8).map { d =>
+      val toks = offsets.get(d) match {
+        case Some(o) =>
+          val f = filler(d, docLen - 60); f.take(o) ++ span ++ f.drop(o)
+        case None => filler(d, docLen)
+      }
+      (d.toLong, toks.mkString(" "))
+    }
+    // a shared span SHORTER than L must be untouched
+    val shortDocs = Seq(8, 9).map { d =>
+      val f = filler(d, 40)
+      (d.toLong, (f.take(20) ++ short ++ f.drop(20)).mkString(" "))
+    }
+    // a WITHIN-doc repeat: Lee et al.'s remove-all drops BOTH copies
+    val rep = (0 until 20).map(i => s"rep$i").toVector
+    val d10toks =
+      filler(10, 30) ++ rep ++ filler(10, 30, "g") ++ rep ++ filler(10, 30, "h")
+    val corpus = planted ++ shortDocs :+ (10L -> d10toks.mkString(" "))
+    val out = DedupOps.exactSubstringDedup(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    offsets.foreach { case (d, o) =>
+      val r = out(d.toLong)
+      assert(r.getAs[Long]("n_dup_spans") === 1L, s"doc $d (offset $o)")
+      assert(r.getAs[Long]("n_covered") === 60L, s"doc $d (offset $o)")
+      assert(r.getAs[String]("dedup_text") === filler(d, docLen - 60).mkString(" "),
+        s"doc $d (offset $o): exactly the planted span must be removed")
+    }
+    Seq(1L, 3L, 4L, 6L, 7L, 8L, 9L).foreach { d =>
+      assert(out(d).getAs[Long]("n_covered") === 0L, s"doc $d must be untouched")
+      assert(out(d).getAs[String]("dedup_text")
+        === corpus.find(_._1 == d).get._2, s"doc $d text must survive intact")
+    }
+    val r10 = out(10L)
+    assert(r10.getAs[Long]("n_dup_spans") === 2L)
+    assert(r10.getAs[Long]("n_covered") === 40L)
+    assert(r10.getAs[String]("dedup_text") ===
+      (filler(10, 30) ++ filler(10, 30, "g") ++ filler(10, 30, "h")).mkString(" "),
+      "both copies of a within-doc repeated span are removed")
+  }
 }
