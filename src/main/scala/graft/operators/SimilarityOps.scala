@@ -2188,9 +2188,131 @@ object SimilarityOps {
       .crossJoin(broadcast(servedOk))
   }
 
+  /** s23's delta sizes: the appended slice as a fraction of the corpus
+    * (1/10 and 1/3 — a routine ingest and a third of the index). */
+  val RetrainDeltaMods: Seq[Int] = Seq(10, 3)
+
+  /** s23's probe count: the s21 serve geometry. */
+  val RetrainProbes = 4
+
+  /** s23's raw relation: for each delta size, the corpus served at
+    * [[RetrainProbes]] under (a) the codebook trained on the
+    * pre-append BASE — what s20's frozen-quantizer contract keeps
+    * serving after the append — and (b) a codebook RETRAINED on the
+    * full corpus (the rebuild's cost class buys this), both scored
+    * against the exact probe graph. Emits per delta size one row with
+    * both mean recalls — the crossover artifact a deployment reads to
+    * decide when delta routing distortion justifies the rebuild. */
+  def ivfRetrainSweep(emb: DataFrame, mods: Seq[Int] = RetrainDeltaMods,
+      probes: Int = RetrainProbes, k: Int = PortableKnnK,
+      mod: Int = GraphSampleMod, exact: Option[DataFrame] = None): DataFrame = {
+    val n = emb.count()
+    val ex = exactOr(exact, emb, mod, k)
+      .select(col("src_id").as("vec_id"), col("dst_id").as("nid"))
+    def meanRecall(cb: Array[Array[Double]], name: String): DataFrame =
+      probeHits(ex,
+        knnFromPostings(emb, cellAssignments(emb, cb), cb, k, probes,
+          queryFilter = col("vec_id") % mod === 0)
+          .select(col("vec_id"), col("neighbor_id").as("nid")))
+        .agg(count(lit(1)).as("n_probes"), sum(col("k_exact")).as("k_exact"),
+          avg(col("hits").cast("double") / col("k_exact")).as(name))
+    // one retrained codebook: the full corpus is the same for every
+    // delta size, so the rebuild trains once
+    val cbFull = kmeansCentroids(emb, cellsForCorpus(n), knownN = Some(n))
+    val retrained = meanRecall(cbFull, "recall_retrained")
+      .select("recall_retrained")
+    mods.map { m =>
+      val base = emb.filter(col("vec_id") % m =!= 0)
+      val nBase = base.count()
+      val cbFrozen = kmeansCentroids(base, cellsForCorpus(nBase),
+        knownN = Some(nBase))
+      meanRecall(cbFrozen, "recall_frozen")
+        .crossJoin(broadcast(retrained))
+        .select(
+          lit(m.toLong).as("delta_mod"),
+          lit(n - nBase).as("n_delta"),
+          lit(n).as("n_corpus"),
+          (lit((n - nBase).toDouble) / lit(n.toDouble)).as("delta_fraction"),
+          col("n_probes"), col("k_exact"),
+          col("recall_frozen"), col("recall_retrained"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** s23's recall floor for BOTH codebooks — below the weakest
+    * measured mean recall@3 (0.387, sf0.1 m=10 frozen; sf0.001–0.1
+    * range 0.387–0.587) with ~22% margin. */
+  val RetrainRecallFloor = 0.30
+
+  /** s23's crossover band: |recall_frozen − recall_retrained| must
+    * stay within this. Measured gaps 0.004–0.053 across all (sf, m) —
+    * at these delta fractions the frozen codebook's routing is within
+    * noise of a full retrain, i.e. the rebuild's cost class is NOT yet
+    * warranted (at sf0.1 m=3 the retrained codebook even measures
+    * slightly WORSE — k-means init noise exceeds delta distortion).
+    * The band going red is the signal a deployment schedules the
+    * rebuild on. */
+  val RetrainGainBand = 0.15
+
+  /** s23 — IVF retrain/rebuild cost-crossover: s20 freezes the
+    * codebook under append (cells never move per ingest); this row
+    * measures WHEN that stops being free. For each delta fraction in
+    * [[RetrainDeltaMods]], the corpus is served at the s21 geometry
+    * under the frozen base-trained codebook and under a full-corpus
+    * retrain, both scored against the exact probe graph
+    * ([[ivfRetrainSweep]]). Contract-style oracle (the s19 device:
+    * k-means internals are engine-specific, so the replayable side is
+    * counts + literals and the measurements land as booleans): both
+    * recalls above [[RetrainRecallFloor]], and the frozen-vs-retrained
+    * gap inside [[RetrainGainBand]] — the artifact a deployment reads
+    * to decide whether the delta has distorted routing enough to pay
+    * the rebuild. Scale shape: training is sampled Lloyd's with a
+    * broadcast codebook (the s04 device, run 3×: once per base, once
+    * for the shared full retrain); each serve is the s21 bounded
+    * probe join, map-combined to one row. */
+  val ivfRetrainCrossoverQ: GraftQuery = GraftQuery(
+    "s23_ivf_retrain_crossover",
+    {
+      val mods = RetrainDeltaMods.map(m => s"($m)").mkString(", ")
+      s"""WITH ev AS (SELECT vec_id FROM embeddings),
+         |q AS (SELECT count(*) AS n_probes FROM ev
+         |      WHERE vec_id % $GraphSampleMod = 0),
+         |n AS (SELECT count(*) AS n_corpus FROM ev),
+         |d AS (SELECT m.m AS delta_mod,
+         |        (SELECT count(*) FROM ev WHERE vec_id % m.m = 0) AS n_delta
+         |      FROM (VALUES $mods) m(m))
+         |SELECT CAST(d.delta_mod AS BIGINT) AS delta_mod,
+         |       CAST(d.n_delta AS BIGINT) AS n_delta,
+         |       CAST(n.n_corpus AS BIGINT) AS n_corpus,
+         |       CAST(d.n_delta AS DOUBLE) / n.n_corpus AS delta_fraction,
+         |       CAST(q.n_probes AS BIGINT) AS n_probes,
+         |       CAST(q.n_probes * least($PortableKnnK, n.n_corpus - 1) AS BIGINT)
+         |         AS k_exact,
+         |       CAST($RetrainRecallFloor AS DOUBLE) AS recall_floor,
+         |       TRUE AS within_frozen_floor,
+         |       TRUE AS within_retrained_floor,
+         |       CAST($RetrainGainBand AS DOUBLE) AS gain_band,
+         |       TRUE AS within_gain_band
+         |FROM d, q, n""".stripMargin
+    }) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    ivfRetrainSweep(emb,
+        exact = Some(graft.sources.SignatureLake.exactProbeGraph(spark, sf)))
+      .select(
+        col("delta_mod"), col("n_delta"), col("n_corpus"),
+        col("delta_fraction"), col("n_probes"), col("k_exact"),
+        lit(RetrainRecallFloor).as("recall_floor"),
+        (col("recall_frozen") >= RetrainRecallFloor).as("within_frozen_floor"),
+        (col("recall_retrained") >= RetrainRecallFloor)
+          .as("within_retrained_floor"),
+        lit(RetrainGainBand).as("gain_band"),
+        (abs(col("recall_frozen") - col("recall_retrained")) <= RetrainGainBand)
+          .as("within_gain_band"))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
-    ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ)
+    ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ)
 }

@@ -382,6 +382,28 @@ object SignatureLake {
     })._2
   }
 
+  /** IVF REBUILD — the operation the s23 crossover row prices against
+    * frozen-codebook appends: retrain the codebook on the full corpus
+    * (sampled Lloyd's) and rewrite the posting table under it in one
+    * bucketed overwrite. Not memoized (a rebuild is an explicit
+    * maintenance action); the table is registered so [[invalidate]]
+    * retires it. Returns the read-back AND the retrained codebook —
+    * the serve path must probe with the codebook that built the
+    * index. */
+  def rebuildIvfPostings(spark: SparkSession, sfDir: String, emb: DataFrame,
+      slice: String = "full"): (DataFrame, Array[Array[Double]]) = {
+    evictStopped()
+    sweepOrphans(spark)
+    val n = emb.count()
+    val cb = SimilarityOps.kmeansCentroids(emb,
+      SimilarityOps.cellsForCorpus(n), knownN = Some(n))
+    val t = tableName(spark, sfDir, s"rebuild_ivf_$slice")
+    writeFamily(SimilarityOps.cellAssignments(emb, cb), t, Seq("cell"),
+      SaveMode.Overwrite)
+    registerExtra(spark, t)
+    (spark.table(t), cb)
+  }
+
   // ------------------------------------------------------------------
   // Tombstone deletes (takedown / right-to-be-forgotten maintenance)
   // ------------------------------------------------------------------

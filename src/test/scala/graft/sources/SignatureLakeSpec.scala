@@ -214,4 +214,35 @@ class SignatureLakeSpec extends SparkSpec {
       "rewritten generation must stay bucketed by cell")
     SignatureLake.invalidate(spark)
   }
+
+  test("IVF retrain-rebuild: s21 serve path re-serves green off the rebuilt lake") {
+    SignatureLake.invalidate(spark)
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val (rebuilt, cb) = SignatureLake.rebuildIvfPostings(spark, sf001, emb)
+    // the rebuilt lake covers the corpus, one posting per vector
+    assert(rebuilt.count() === emb.count())
+    // s21's serve geometry off the rebuilt generation: every vector
+    // retrieves k neighbors, including post-append delta vectors
+    val served = graft.operators.SimilarityOps.knnFromPostings(
+      emb, rebuilt, cb, k = 3, probes = 4)
+    assert(served.count() > 0)
+    assert(served.filter(col("neighbor_id") % 10 === 0).count() > 0,
+      "delta-slice vectors must be retrievable off the rebuilt lake")
+    // serve off the lake == serve off a direct in-plan assignment
+    // under the same codebook (the lake is a materialization, not a
+    // different kernel)
+    val direct = graft.operators.SimilarityOps.knnFromPostings(
+      emb, graft.operators.SimilarityOps.cellAssignments(emb, cb), cb,
+      k = 3, probes = 4)
+    assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty,
+      "rebuilt-lake serve must equal the direct-plan serve")
+    // and the posting-list read stays zero-exchange off the bucketed scan
+    val agg = rebuilt.groupBy(col("cell")).agg(count(lit(1)))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "rebuilt posting table must stay bucketed by cell")
+    SignatureLake.invalidate(spark)
+  }
 }
