@@ -1322,7 +1322,7 @@ object DedupOps {
     * embedded as round-tripping double literals. Shared by the d11p
     * funnel, d06p pair generation, and s11's portable kNN so the three
     * can never disagree about what a bucket is. */
-  private[operators] def portableAnnBucketsSql: String =
+  private[graft] def portableAnnBucketsSql: String =
     (0 until PortableAnnTables).map { t =>
       val planes = graft.functions.VectorFunctions
         .hyperplanes(PortableAnnPlanes, SimilarityOps.Dim, 42L + 1000L * t)

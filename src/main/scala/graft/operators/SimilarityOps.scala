@@ -2188,6 +2188,22 @@ object SimilarityOps {
       .crossJoin(broadcast(servedOk))
   }
 
+  /** Top-k within-bucket cosine serve off a persisted LSH posting
+    * relation (vec_id, tbl, bucket, v, nrm) for the deterministic
+    * probe sample — the s11 kernel pointed at a lake read-back instead
+    * of an in-plan banding (st12's serve path: the index side arrives
+    * bucketed by (tbl, bucket), so the candidate expansion's groupBy
+    * reads off the scan; only the k-bounded edge table shuffles). */
+  def lshLakeServe(postings: DataFrame, mod: Int = GraphSampleMod,
+      k: Int = PortableKnnK,
+      metric: String = "lsh_lake_serve_guard"): DataFrame =
+    cosPairsFromPostings(postings, metric,
+        srcFilter = col("a.vec_id") % mod === 0)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+
   /** s23's delta sizes: the appended slice as a fraction of the corpus
     * (1/10 and 1/3 — a routine ingest and a third of the index). */
   val RetrainDeltaMods: Seq[Int] = Seq(10, 3)

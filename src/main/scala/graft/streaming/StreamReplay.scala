@@ -61,6 +61,12 @@ object StreamReplay {
   private val SentinelUser = -1L
   private val nameCounter = new AtomicInteger()
 
+  /** st12's streamed ingest unit (explicit product encoder — tuple
+    * encoders for Seq-valued fields don't derive inside the lambda). */
+  final case class EmbRow(vec_id: Long, v: Seq[Double])
+  private implicit val embRowEnc: org.apache.spark.sql.Encoder[EmbRow] =
+    org.apache.spark.sql.Encoders.product[EmbRow]
+
   /** Collected schedules memoized per (session, sf): all st* rows
     * replay the SAME slice, so the sort+collect job runs once and the
     * later five rows start at addData (the SignatureLake first-consumer
@@ -646,8 +652,119 @@ object StreamReplay {
       .select(col("topic"), col("hour_start"), col("counts"))
   }
 
+  /** st12 — streaming ingest composed with INCREMENTAL INDEX
+    * MAINTENANCE: the base posting generation is written once, then
+    * the delta slice (vec_id % 10 == 0) arrives through a real
+    * Structured Streaming query whose foreachBatch calls
+    * [[graft.sources.SignatureLake.appendEmbeddingDelta]] per
+    * micro-batch — the production shape where the stream IS the
+    * index's ingest path (each micro-batch hashes only its own
+    * vectors; SaveMode.Append validates the bucket spec, so a
+    * micro-batch can never de-bucket the index). Two claims ride one
+    * hash, both replayed by the d26-style oracle: (1) conservation —
+    * the streamed lake full-outer-matches the independent full-corpus
+    * assignment, posting for posting; (2) RETRIEVAL — an s21-style
+    * within-bucket top-k serve off the streamed lake retrieves
+    * mid-stream vectors, and the count of distinct delta neighbors
+    * retrieved matches the oracle's replay of the same serve over the
+    * full assignment (a lost or mis-bucketed append would shift the
+    * count). The delta fixture is driver-collected (a bounded audit
+    * slice, the [[schedule]] convention) and split into three
+    * micro-batches; the throwaway generation table is dropped after
+    * the result is localized, so bench reps rebuild deterministically
+    * (the c19 fresh-store pattern). */
+  val streamIndexAppendQ: GraftQuery = GraftQuery(
+    "st12_stream_index_append",
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ab AS (${graft.operators.DedupOps.portableAnnBucketsSql}),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+      |sz AS (SELECT tbl, bucket, count(*) AS bn FROM ab GROUP BY 1, 2),
+      |ok AS (SELECT tbl, bucket FROM sz
+      |       WHERE bn <= ${graft.operators.SimilarityOps.MaxBucket}),
+      |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+      |         FROM ab a JOIN ok USING (tbl, bucket)
+      |         JOIN ab b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |          AND a.vec_id <> b.vec_id
+      |         WHERE a.vec_id % ${graft.operators.SimilarityOps.GraphSampleMod} = 0),
+      |p AS (SELECT c.vec_id, c.neighbor_id,
+      |        CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+      |             ELSE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) END AS cos_sim
+      |      FROM cand c JOIN n na ON na.vec_id = c.vec_id
+      |                  JOIN n nb ON nb.vec_id = c.neighbor_id),
+      |ar AS (SELECT vec_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |       FROM p),
+      |srv AS (SELECT CAST(count(DISTINCT CASE WHEN neighbor_id % 10 = 0
+      |                 THEN neighbor_id END) AS BIGINT) AS n_delta_neighbors
+      |        FROM ar WHERE rank <= ${graft.operators.SimilarityOps.PortableKnnK})
+      |SELECT CAST((SELECT count(*) FROM ab) AS BIGINT) AS n_postings,
+      |       TRUE AS matches_full, srv.n_delta_neighbors
+      |FROM srv""".stripMargin) { (spark, sf) =>
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.VectorFunctions.toDouble
+    import graft.sources.SignatureLake
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // driver-collected delta fixture, three chronological micro-batches
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+      .as[EmbRow].collect().sortBy(_.vec_id).toSeq
+    val chunks = delta.grouped(math.max(1, (delta.size + 2) / 3)).toSeq
+    val table = s"graft_lake_st12append_${sf.replaceAll("[^A-Za-z0-9]+", "_")}" +
+      s"_p${ProcessHandle.current().pid()}_s${nameCounter.incrementAndGet()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    SignatureLake.appendEmbeddingDelta(spark, table,
+      emb.filter(col("vec_id") % 10 =!= 0)) // generation 0: the base build
+    try {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckpt =
+        if (java.nio.file.Files.isDirectory(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft_st12")
+        else java.nio.file.Files.createTempDirectory("graft_st12")
+      try {
+        val source = MemoryStream[EmbRow]
+        val q = source.toDS().toDF("vec_id", "v")
+          .writeStream
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            SignatureLake.appendEmbeddingDelta(spark, table, batch))
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try {
+          chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
+        } finally q.stop()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      val postings = spark.table(table)
+      val full = SignatureLake.portableAnnBuckets(spark, sf)
+        .select(col("vec_id"), col("table").as("tbl"),
+          col("bucket").as("bucket_full"))
+      val conserve = postings
+        .select(col("vec_id"), col("tbl"), col("bucket").as("bucket_inc"))
+        .join(full, Seq("vec_id", "tbl"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("bucket_inc").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_postings"),
+          (coalesce(sum(when(col("bucket_inc") <=> col("bucket_full"), 0L)
+            .otherwise(1L)), lit(0L)) === 0L).as("matches_full"))
+      val serve = graft.operators.SimilarityOps
+        .lshLakeServe(postings, metric = "st12_serve_guard")
+        .agg(countDistinct(when(col("neighbor_id") % 10 === 0,
+          col("neighbor_id"))).as("n_delta_neighbors"))
+      val out = conserve.crossJoin(broadcast(serve))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ,
     streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ, streamDedupQ,
-    streamContentDedupQ, streamNearDupDedupQ, streamWindowCountsQ)
+    streamContentDedupQ, streamNearDupDedupQ, streamWindowCountsQ,
+    streamIndexAppendQ)
 }
