@@ -436,30 +436,79 @@ object ChartRegistry {
       """SELECT p.*, (SELECT CAST(count(*) AS BIGINT) FROM processed) AS store_rows
         |FROM processed p""".stripMargin)) { (spark, sf) =>
     val raw = aggregates(spark, sf)
-    // The +20-minute replay injection below is a WITHIN-HOUR claim: a
-    // fixture row at minute ≥ 40 would cross into the next hour,
-    // minting a new (topic, hour) key instead of a losing replay and
-    // breaking the gate non-obviously. Fail loudly instead.
+    val sink = freshSink(sf, "c19")
+    sink.append(raw.filter(hour(col("created_at")) % 2 === 0))
+    sink.append(raw.filter(hour(col("created_at")) % 2 =!= 0))
+    sink.append(replayBatch(raw))
+    sink.compact(spark)
+    serveWithStoreRows(spark, sink)
+  }
+
+  /** The at-least-once replay injection shared by c19/c21: every row
+    * re-appended 20 minutes later in its hour with a perturbed count —
+    * strictly later, so it loses keep-first dedup. This is a
+    * WITHIN-HOUR claim: a fixture row at minute ≥ 40 would cross into
+    * the next hour, minting a new (topic, hour) key instead of a
+    * losing replay and breaking the gate non-obviously — fail loudly
+    * instead. */
+  private def replayBatch(raw: DataFrame): DataFrame = {
     val maxMinute = raw.agg(max(minute(col("created_at")))).head.getInt(0)
     require(maxMinute < 40,
-      s"c19 replay injection requires minute(created_at) < 40; fixture has $maxMinute")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_compact" +
+      s"replay injection requires minute(created_at) < 40; fixture has $maxMinute")
+    raw
+      .withColumn("created_at", expr("timestampadd(MINUTE, 20, created_at)"))
+      .withColumn("counts", col("counts") + 5)
+  }
+
+  /** Fresh pid/sf-scoped compacting store (bench reps rebuild — the
+    * contract is the store CONTENT, rebuilt deterministically). */
+  private def freshSink(sf: String, tag: String): graft.pipeline.CompactingAggregateSink = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$tag" +
       s"_p${ProcessHandle.current().pid()}_${sf.replaceAll("[^A-Za-z0-9]+", "_")}"
     def del(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
       f.delete(); ()
     }
     del(new java.io.File(dir))
-    val sink = new graft.pipeline.CompactingAggregateSink(dir)
-    sink.append(raw.filter(hour(col("created_at")) % 2 === 0))
-    sink.append(raw.filter(hour(col("created_at")) % 2 =!= 0))
-    sink.append(raw
-      .withColumn("created_at", expr("timestampadd(MINUTE, 20, created_at)"))
-      .withColumn("counts", col("counts") + 5))
-    sink.compact(spark)
+    new graft.pipeline.CompactingAggregateSink(dir)
+  }
+
+  private def serveWithStoreRows(spark: SparkSession,
+      sink: graft.pipeline.CompactingAggregateSink): DataFrame = {
     val store = sink.readBack(spark)
     ChartQueries.processData(store)
       .crossJoin(broadcast(store.agg(count(lit(1)).as("store_rows"))))
+  }
+
+  /** c21 — compaction INTERLEAVED with appends (c19 compacts a
+    * quiesced store; this gates the maintenance reality, where
+    * compaction windows and ingest interleave): compact a PARTIAL
+    * store (evens only), append the odd hours, compact the mixed
+    * compacted-generation + raw-batch store, then append the
+    * at-least-once replay batch AFTER that compaction and compact a
+    * third time — the replays must lose keep-first dedup against
+    * winners that now live in compacted (created_at-preserving) form.
+    * The oracle is c01's and never models the store, the injection, or
+    * the schedule: a window lost at any interleave point, double-kept
+    * across generations, or a replay surviving against a compacted
+    * winner splits the hash; `store_rows` pins the physical collapse
+    * after the final pass (exactly one stored row per (topic, hour)).
+    * SinkCrashSpec separately proves each crash window self-heals and
+    * the interleaving keeps every window exactly once. */
+  val compactionInterleavedQ: GraftQuery = GraftQuery(
+    "c21_compaction_interleaved",
+    withProcessed(
+      """SELECT p.*, (SELECT CAST(count(*) AS BIGINT) FROM processed) AS store_rows
+        |FROM processed p""".stripMargin)) { (spark, sf) =>
+    val raw = aggregates(spark, sf)
+    val sink = freshSink(sf, "c21")
+    sink.append(raw.filter(hour(col("created_at")) % 2 === 0))
+    sink.compact(spark) // partial-store compaction
+    sink.append(raw.filter(hour(col("created_at")) % 2 =!= 0))
+    sink.compact(spark) // compacted generation ∪ raw batch
+    sink.append(replayBatch(raw)) // replays arrive AFTER compaction
+    sink.compact(spark)
+    serveWithStoreRows(spark, sink)
   }
 
   /** A9 in the reference's OWN quartile convention: linear
@@ -519,5 +568,5 @@ object ChartRegistry {
     positivityBoxplotQ, latestInputsQ,
     emotionShareHourQ, countsTopicHourQ, positivityHourQ, positivityBoxplotDayQ,
     countsPeriodDayQ, emotionLongDayQ, rollingCountsQ, compactionServeQ,
-    positivityBoxplotInterpQ)
+    positivityBoxplotInterpQ, compactionInterleavedQ)
 }

@@ -92,4 +92,36 @@ class SinkCrashSpec extends SparkSpec {
     sink.append(batch("2022-03-01 13:00:00", 9L))
     assert(raw(sink).size === 3)
   }
+
+  test("interleaved append-compact-append keeps every window exactly once (c21's schedule)") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val path = Files.createTempDirectory("sink_interleave").toString + "/agg"
+    val sink = new CompactingAggregateSink(path)
+
+    // compact a PARTIAL store, then keep appending
+    sink.append(batch("2022-03-01 11:00:05", 3L))
+    sink.compact(spark)
+    assert(raw(sink) === Set((ts("2022-03-01 11:00:05"), 3L)),
+      "partial-store compaction must keep its one window")
+
+    sink.append(batch("2022-03-01 12:00:10", 7L))          // new hour
+    sink.append(batch("2022-03-01 11:20:00", 9L))          // replay of the COMPACTED hour, later → loses
+    sink.compact(spark)
+    assert(raw(sink) ===
+      Set((ts("2022-03-01 11:00:05"), 3L), (ts("2022-03-01 12:00:10"), 7L)),
+      "compacting a compacted-generation ∪ raw-batch store keeps each window once, " +
+        "and the replay loses keep-first against the compacted winner")
+
+    // a crash mid-interleave heals and the schedule continues
+    intercept[InjectedCrash] {
+      sink.append(batch("2022-03-01 13:00:00", 1L))
+      sink.compact(spark, l => if (l == "staged") throw InjectedCrash(l))
+    }
+    sink.append(batch("2022-03-01 14:00:00", 2L)) // first touch recovers
+    sink.compact(spark)
+    assert(raw(sink).map(_._1) ===
+      Set(ts("2022-03-01 11:00:05"), ts("2022-03-01 12:00:10"),
+        ts("2022-03-01 13:00:00"), ts("2022-03-01 14:00:00")),
+      "no window lost or double-kept across the crash-interrupted interleave")
+  }
 }
