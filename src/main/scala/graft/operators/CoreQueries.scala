@@ -1146,33 +1146,66 @@ object CoreQueries {
 
   /** q60 over any (event_type, user_id) stream of rows. */
   def skewAdvisoryReport(events: DataFrame,
+      threshold: Double = SkewSaltThreshold): DataFrame =
+    skewAdvisoryFor(events, col("event_type"), col("user_id"), threshold)
+      .withColumnRenamed("group", "event_type")
+
+  /** q60's decision core over an arbitrary (group, key) pair —
+    * [[skewAdvisoryReport]] instantiates it at (event_type, user_id);
+    * [[advisedJoin]] at (constant, join key). Output column `group`
+    * carries the group expression's value. */
+  def skewAdvisoryFor(df: DataFrame, group: Column, key: Column,
       threshold: Double = SkewSaltThreshold): DataFrame = {
-    val kc = events.groupBy(col("event_type"), col("user_id"))
+    val kc = df.groupBy(group.as("group"), key.as("__k"))
       .agg(count(lit(1)).as("c"))
       .withColumn("__h",
-        md5(concat(lit("f2:"), col("user_id").cast("string"))))
-    val exact = kc.groupBy(col("event_type"))
+        md5(concat(lit("f2:"), col("__k").cast("string"))))
+    val exact = kc.groupBy(col("group"))
       .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
         sum(col("c") * col("c")).as("f2_exact"),
         max(col("c")).as("max_key_rows"))
     val sketch = kc
       .withColumn("lane", explode(sequence(lit(0), lit(F2Lanes - 1))))
-      .groupBy(col("event_type"), col("lane"))
+      .groupBy(col("group"), col("lane"))
       .agg(sum(expr(f2SignSql("spark", "__h")).cast("long") * col("c")).as("s"))
-      .groupBy(col("event_type"))
+      .groupBy(col("group"))
       .agg(sum(col("s") * col("s")).as("ss"))
     val skewExact = col("f2_exact").cast("double") * col("n_keys") /
       (col("n_rows") * col("n_rows"))
     val skewEst = col("ss").cast("double") / lit(F2Lanes.toDouble) *
       col("n_keys") / (col("n_rows") * col("n_rows"))
-    exact.join(sketch, Seq("event_type"))
-      .select(col("event_type"), col("n_rows"), col("n_keys"),
+    exact.join(sketch, Seq("group"))
+      .select(col("group"), col("n_rows"), col("n_keys"),
         (col("max_key_rows").cast("double") / col("n_rows")).as("max_share"),
         skewExact.as("skew_exact"), skewEst.as("skew_est"),
         (skewExact >= threshold).as("needs_salt_exact"),
         (skewEst >= threshold).as("needs_salt_est"),
         ((skewExact >= threshold) === (skewEst >= threshold))
           .as("advisory_agrees"))
+  }
+
+  /** q58's mitigation wired to q60's decision — the advisory ACTED ON:
+    * consult the F2 skew report on the probe side's join key and salt
+    * exactly when the SKETCH tier flags it (`needs_salt_est` — the
+    * pass a 100 TB pipeline can afford per candidate join;
+    * `advisory_agrees` is the q60 gate pinning that the sketch reaches
+    * the exact moment's decision). The one-row report is a bounded
+    * driver read — a plan decision is driver state by nature, the
+    * same tier as AQE's runtime statistics. Returns the joined frame
+    * plus the decision for observability; the join RESULT is
+    * decision-invariant (q58's gate), only the shuffle balance moves.
+    * RelationalSpec's planted corpus pins flag ⇔ salting actually
+    * shrinks the max per-key reducer load ≥ [[SkewSaltThreshold]]×. */
+  def advisedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltFactor: Int = 8, threshold: Double = SkewSaltThreshold,
+      seed: Long = 42L): (DataFrame, Boolean) = {
+    val key = concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
+    val salt = skewAdvisoryFor(big, lit("join"), key, threshold)
+      .select(col("needs_salt_est")).head().getBoolean(0)
+    val joined =
+      if (salt) graft.functions.Relational.saltedJoin(big, small, keys, saltFactor, seed)
+      else big.join(small, keys)
+    (joined, salt)
   }
 
   val all: Seq[GraftQuery] = Seq(

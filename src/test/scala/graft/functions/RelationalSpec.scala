@@ -37,6 +37,61 @@ class RelationalSpec extends SparkSpec {
       s"no salt bucket may hold a quarter of the hot key's rows, got $max")
   }
 
+  test("q60 advisory drives q58's salt decision: flag set == joins where salting shrinks the hot reducer") {
+    import spark.implicits._
+    import graft.operators.CoreQueries
+    // planted corpus: one group with a 90%-hot key, one uniform group
+    val hot = (0 until 2000).map(i =>
+      ("hot", if (i % 10 == 0) i.toLong else 0L))
+    val uni = (0 until 2000).map(i => ("uni", (i % 400).toLong))
+    val events = (hot ++ uni).toDF("event_type", "user_id")
+
+    val report = CoreQueries.skewAdvisoryReport(events).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(report("hot").getAs[Boolean]("needs_salt_exact"),
+      "the planted hot key must be flagged")
+    assert(!report("uni").getAs[Boolean]("needs_salt_exact"),
+      "the uniform group must stay quiet")
+    assert(report.values.forall(_.getAs[Boolean]("advisory_agrees")),
+      "sketch tier must reach the exact tier's decision")
+
+    val dim = (0 until 400).map(i => (i.toLong, s"d$i")).toDF("user_id", "dim")
+    Seq("hot", "uni").foreach { t =>
+      val fact = events.filter(col("event_type") === t).select("user_id")
+      val (joined, salted) =
+        CoreQueries.advisedJoin(fact, dim, Seq("user_id"), saltFactor = 8)
+      // the ACTED-ON decision equals the advisory flag
+      assert(salted === report(t).getAs[Boolean]("needs_salt_est"),
+        s"decision for '$t' must equal the advisory flag")
+      // the join result is decision-invariant (q58's gate, both modes)
+      val plain = fact.join(dim, Seq("user_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(joined.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        === plain, s"'$t': salting must be invisible in the result")
+
+      val maxKey = fact.groupBy("user_id").count()
+        .agg(max("count")).head().getLong(0)
+      if (salted) {
+        // the consequence the flag predicts: salting shrinks the max
+        // per-(key, salt) reducer load by >= the advisory threshold
+        val maxSalted = fact
+          .withColumn("s", (rand(42L) * 8).cast("int"))
+          .groupBy("user_id", "s").count()
+          .agg(max("count")).head().getLong(0)
+        assert(maxSalted * CoreQueries.SkewSaltThreshold <= maxKey,
+          s"flagged '$t': salting must shrink the hot reducer " +
+            s">= ${CoreQueries.SkewSaltThreshold}x (max $maxKey -> $maxSalted)")
+      } else {
+        // the quiet flag is correct: the max key load is already
+        // within threshold of the mean — salting would buy nothing
+        val meanKey = fact.groupBy("user_id").count()
+          .agg(avg("count")).head().getDouble(0)
+        assert(maxKey <= CoreQueries.SkewSaltThreshold * meanKey,
+          s"unflagged '$t': no reducer is ${CoreQueries.SkewSaltThreshold}x the mean")
+      }
+    }
+  }
+
   test("graft_eq_count matches the HOF fold it replaces, incl. null semantics") {
     import spark.implicits._
     val df = Seq(
