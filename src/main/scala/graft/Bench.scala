@@ -23,6 +23,27 @@ object Bench {
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Materialize the SHARED lake families first and time each build —
+    // these one-time derivations are index-BUILD cost, not serve cost.
+    // Before this section, whichever consumer row's warmup ran first
+    // paid the build invisibly, and when registry growth reshuffled
+    // that order, unchanged rows' timings moved (r11: s12/s13 swung
+    // 0.56→2.34 s with identical code). Pinned here, consumer rows
+    // time pure serve cost and the build bill is attributed by name.
+    val lakeBuilds: Seq[(String, () => Unit)] = Seq(
+      "minhash_sigs" -> (() => { sources.SignatureLake.portableSignatures(spark, sfDir); () }),
+      "minhash_bands" -> (() => { sources.SignatureLake.portableBandKeys(spark, sfDir); () }),
+      "simhash_fp" -> (() => { sources.SignatureLake.portableFingerprints(spark, sfDir); () }),
+      "ann_buckets" -> (() => { sources.SignatureLake.portableAnnBuckets(spark, sfDir); () }),
+      "knn_exact" -> (() => { sources.SignatureLake.exactProbeGraph(spark, sfDir); () }))
+    val lakeTimes = lakeBuilds.map { case (name, build) =>
+      val t0 = System.nanoTime()
+      val ok = try { build(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val lakeJson = lakeTimes.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("\"lake_build\":{", ",", "},")
+
     // warmup pass (untimed)
     SparkEntry.queries.foreach { case (_, fn) =>
       try exec(fn) catch { case _: Throwable => () }
@@ -71,7 +92,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":${failed.length},""" +
         s""""failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        stream +
+        stream + lakeJson +
         s""""sf":"$sfDir"}"""
     println(line)
     // also drop the JSON to a file: sbt decorates stdout with [info]

@@ -28,6 +28,9 @@ object BenchOne {
       "d14_sig" -> ((s, sf) => operators.DedupOps.portableSignatures(Tables.documents(s, sf))),
       "d14_cand" -> ((s, sf) => operators.DedupOps.portableCandidatePairs(Tables.documents(s, sf))),
       "d15_fp" -> ((s, sf) => operators.DedupOps.portableSimhashFingerprints(Tables.documents(s, sf))),
+      "lake_knn_exact" -> ((s, sf) => sources.SignatureLake.exactProbeGraph(s, sf)),
+      "lake_ann_buckets" -> ((s, sf) => sources.SignatureLake.portableAnnBuckets(s, sf)),
+      "lake_bands" -> ((s, sf) => sources.SignatureLake.portableBandKeys(s, sf)),
       "s02_approx" -> ((s, sf) => operators.SimilarityOps.knnLsh(embOf(s, sf))),
       "s04_approx" -> ((s, sf) => operators.SimilarityOps.knnIvfKmeans(embOf(s, sf))),
       "s0x_exact" -> ((s, sf) => operators.SimilarityOps.knnGraphExact(
