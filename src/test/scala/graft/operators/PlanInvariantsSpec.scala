@@ -588,4 +588,36 @@ class PlanInvariantsSpec extends SparkSpec {
       s"unexpected corpus-side window:\n$w"))
     assert(!plan(df).contains("CartesianProduct"))
   }
+
+  test("d27: linear passes only — no cartesian, and every window partitions by doc") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = DedupOps.exactSubstringQ.run(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the interval-merge windows are per-document (bounded by doc
+    // length) — a corpus-wide window here would be the non-scalable
+    // suffix-array substitute this operator exists to avoid
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the interval-merge windows")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"corpus-wide window in d27:\n$w"))
+  }
+
+  test("d28: tombstone-masked serve anti-joins a BROADCAST tombstone side — index never shuffles") {
+    import org.apache.spark.sql.functions.col
+    graft.sources.SignatureLake.invalidate(spark)
+    val docs = graft.Tables.documents(spark, sf001)
+    val lake = graft.sources.SignatureLake.tombstonedBandIndex(spark, sf001,
+      base = docs.filter(col("doc_id") % 10 =!= 0),
+      delta = docs.filter(col("doc_id") % 10 === 0),
+      deleted = docs.filter(col("doc_id") % DedupOps.TombMod === DedupOps.TombRem)
+        .select("doc_id"))
+    lake.served.collect()
+    val p = lake.served.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the index side of the tombstone mask must not shuffle:\n$p")
+    graft.sources.SignatureLake.invalidate(spark)
+  }
 }

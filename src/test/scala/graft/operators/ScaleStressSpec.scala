@@ -629,4 +629,51 @@ class ScaleStressSpec extends SparkSpec {
     assert(expo(c1, c2) < 0.65,
       "IVF must prune: per-query candidates ~sqrt(n), never ~n")
   }
+
+  /** d27-specific corpus: a 20-token boilerplate header on every 20th
+    * doc, all other tokens globally unique (doc-id-salted). The
+    * repeated volume is EXACTLY header × family size, so the covered
+    * totals below are equalities, not envelopes. stressDocs is
+    * unsuitable here: its filler tokens alias every 1250 ids
+    * ((id·40+i)·K mod 50000 repeats when id shifts by 1250), which is
+    * adversarial gold for the pair-based families but makes exact
+    * substring-coverage accounting unreadable. */
+  private def substringDocs(n: Int): DataFrame = {
+    import spark.implicits._
+    val boiler = (0 until 20).map(i => s"hdr$i")
+    (0L until n.toLong).map { id =>
+      val text =
+        if (id % 100 == 99) null
+        else if (id % 20 == 0)
+          (boiler ++ (0 until 20).map(i => s"u${id}x$i")).mkString(" ")
+        else (0 until 40).map(i => s"u${id}x$i").mkString(" ")
+      (id, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("d27 exact-substring at 10x: covered volume LINEAR in duplicated text, never pair-quadratic") {
+    def stats(n: Int): (Long, Long, Long) = {
+      val out = DedupOps.exactSubstringDedup(substringDocs(n))
+      val r = out.agg(sum("n_covered"),
+        sum(when(col("n_dup_spans") > 0, 1L).otherwise(0L)),
+        max("n_dup_spans")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (c1, docs1, maxSpans1) = stats(N1)
+    val (c2, docs2, maxSpans2) = stats(N2)
+    // exact accounting: the header family is the only repeated ≥L
+    // content, every 20th doc carries it once — covered ≡ 20·(n/20)
+    // = n tokens, one span per member. THIS is the ExactSubstr scale
+    // story: cover volume is linear in the duplicated text (the
+    // L-gram cover-union never enumerates member PAIRS, whose count
+    // is quadratic in family size — 100 vs 1000² at N2).
+    assert(docs1 === (N1 / 20).toLong && docs2 === (N2 / 20).toLong,
+      s"exactly the header family is covered: $docs1/$docs2")
+    assert(c1 === N1.toLong && c2 === N2.toLong,
+      s"covered tokens must equal header×family exactly: $c1/$c2")
+    assert(maxSpans1 === 1L && maxSpans2 === 1L,
+      "each member carries exactly one merged span")
+    logScale("d27_covered_tokens", c1, c2)
+    assert(expo(c1, c2) <= 1.01, "cover volume must be linear in dup text")
+  }
 }
