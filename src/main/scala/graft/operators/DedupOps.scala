@@ -2772,19 +2772,30 @@ object DedupOps {
     * portability choice; a production run swaps xxhash64 into the same
     * plan (the d03-vs-d14 trade) and, if gram hashing ever dominates,
     * a rolling Rabin–Karp gram hash — the plan shape is unchanged. */
-  def exactSubstringDedup(docs: DataFrame, minSpan: Int = MinSpanTokens): DataFrame = {
-    val L = minSpan
-    val toks = docs.filter(col("text").isNotNull)
+  /** (doc_id, tk): token arrays of the non-null docs. */
+  private def tokenArrays(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val grams = toks
+
+  /** (doc_id, pos, h): md5 of the L-token window at EVERY offset —
+    * the span families' gram relation (one row per position, linear
+    * in corpus tokens). */
+  private def spanGrams(toks: DataFrame, L: Int): DataFrame =
+    toks
       .filter(size(col("tk")) >= L)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("tk")) - L),
         i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(L)))))))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
-    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select("h")
-    val anchors = grams.join(dup, "h").select(col("doc_id"), col("pos"))
+
+  /** Shared span-coverage tail of d27/d30: given anchor rows
+    * (doc_id, pos) marking flagged-L-gram start positions, recover
+    * merged span structure (per-doc interval union via a running-max
+    * window), the covered-position set, and the surviving text, and
+    * emit one report row per doc in `docs`. One definition so the two
+    * consumers cannot drift on span semantics. */
+  private def spanCoverage(docs: DataFrame, toks: DataFrame,
+      anchors: DataFrame, L: Int): DataFrame = {
     // per-doc interval union of [pos, pos+L): a new span starts where
     // pos exceeds the running max end of every earlier anchor
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -2825,51 +2836,133 @@ object DedupOps {
           .otherwise(coalesce(col("dedup_text"), lit(""))).as("dedup_text"))
   }
 
+  def exactSubstringDedup(docs: DataFrame, minSpan: Int = MinSpanTokens): DataFrame = {
+    val L = minSpan
+    val toks = tokenArrays(docs)
+    val grams = spanGrams(toks, L)
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("h")
+    val anchors = grams.join(dup, "h").select(col("doc_id"), col("pos"))
+    spanCoverage(docs, toks, anchors, L)
+  }
+
+  /** d30's relation: span-level DECONTAMINATION — d27's coverage
+    * kernel with the anchor rule "this L-gram occurs in the eval set"
+    * instead of "occurs ≥2 times anywhere". A train position is
+    * contaminated iff some L-gram starting in (p−L, p] appears in any
+    * benchmark doc; contaminated spans are removed from the TRAIN side
+    * only (the eval set is read-only truth). The benchmark gram-hash
+    * set is deduplicated and broadcast (d08's small-side convention —
+    * a benchmark suite is MBs against a 100 TB corpus), so the train
+    * side never shuffles on the gram key. */
+  def substringDecontaminate(train: DataFrame, benchmark: DataFrame,
+      minSpan: Int = MinSpanTokens): DataFrame = {
+    val L = minSpan
+    val toks = tokenArrays(train)
+    val evalHashes = spanGrams(tokenArrays(benchmark), L)
+      .select(col("h")).distinct()
+    val anchors = spanGrams(toks, L)
+      .join(broadcast(evalHashes), "h")
+      .select(col("doc_id"), col("pos"))
+    spanCoverage(train, toks, anchors, L)
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_dup_spans").as("n_contam_spans"),
+        col("n_covered").as("n_contam_tokens"),
+        col("dedup_text").as("clean_text"))
+  }
+
+  /** The span families' gram CTEs over a named toks relation —
+    * `$gName(doc_id, pos, h)`. Shared by the d27 and d30 oracles so
+    * the two texts cannot state a different gram. */
+  private def spanGramCtesSql(L: Int, toksName: String, gName: String): String =
+    s"""${gName}0 AS (SELECT doc_id, unnest(list_transform(range(0, len(t) - ${L - 1}),
+      |         i -> struct_pack(pos := i,
+      |                h := md5(array_to_string(list_slice(t, i + 1, i + $L), ' '))))) AS u
+      |       FROM $toksName WHERE len(t) >= $L),
+      |$gName AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.h AS h FROM ${gName}0)""".stripMargin
+
+  /** The shared span-coverage oracle tail — expects prefix CTEs
+    * defining `toks` (doc_id, t: the report-side token arrays) and
+    * `a` (doc_id, pos: anchors). Mirrors [[spanCoverage]]; one
+    * definition so the d27/d30 oracles cannot drift on span
+    * semantics. */
+  private def spanCoverageOracleSql(L: Int, docPred: String,
+      spansName: String, coveredName: String, textName: String): String =
+    s"""m AS (SELECT doc_id, pos,
+      |        max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM a),
+      |b AS (SELECT doc_id, pos,
+      |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk
+      |      FROM m),
+      |w AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM b),
+      |sp AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + $L AS e
+      |       FROM w GROUP BY 1, 2),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+      |         CAST(sum(e - s) AS BIGINT) AS n_covered FROM sp GROUP BY 1),
+      |cov AS (SELECT DISTINCT doc_id, cpos FROM
+      |          (SELECT doc_id, unnest(range(pos, pos + $L)) AS cpos FROM a) z),
+      |tok0 AS (SELECT doc_id, unnest(list_transform(range(0, len(t)),
+      |           i -> struct_pack(pos := i, tok := t[i + 1]))) AS u FROM toks),
+      |tk AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok FROM tok0),
+      |kept AS (SELECT tk.doc_id,
+      |           string_agg(tk.tok, ' ' ORDER BY tk.pos) AS dedup_text
+      |         FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.cpos = tk.pos
+      |         WHERE cov.cpos IS NULL GROUP BY tk.doc_id)
+      |SELECT d.doc_id,
+      |       CASE WHEN d.text IS NULL THEN CAST(0 AS BIGINT)
+      |            ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT) END AS n_tokens,
+      |       CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS $spansName,
+      |       CAST(coalesce(pd.n_covered, 0) AS BIGINT) AS $coveredName,
+      |       CASE WHEN d.text IS NULL THEN NULL
+      |            ELSE coalesce(k.dedup_text, '') END AS $textName
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |                 LEFT JOIN kept k ON k.doc_id = d.doc_id
+      |WHERE $docPred""".stripMargin
+
   val exactSubstringQ: GraftQuery = GraftQuery(
     "d27_exact_substring", {
       val L = MinSpanTokens
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |              WHERE text IS NOT NULL),
-        |g0 AS (SELECT doc_id, unnest(list_transform(range(0, len(t) - ${L - 1}),
-        |         i -> struct_pack(pos := i,
-        |                h := md5(array_to_string(list_slice(t, i + 1, i + $L), ' '))))) AS u
-        |       FROM toks WHERE len(t) >= $L),
-        |g AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.h AS h FROM g0),
+        |${spanGramCtesSql(L, "toks", "g")},
         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
         |a AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
-        |m AS (SELECT doc_id, pos,
-        |        max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        |      FROM a),
-        |b AS (SELECT doc_id, pos,
-        |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk
-        |      FROM m),
-        |w AS (SELECT doc_id, pos,
-        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM b),
-        |sp AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + $L AS e
-        |       FROM w GROUP BY 1, 2),
-        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
-        |         CAST(sum(e - s) AS BIGINT) AS n_covered FROM sp GROUP BY 1),
-        |cov AS (SELECT DISTINCT doc_id, cpos FROM
-        |          (SELECT doc_id, unnest(range(pos, pos + $L)) AS cpos FROM a) z),
-        |tok0 AS (SELECT doc_id, unnest(list_transform(range(0, len(t)),
-        |           i -> struct_pack(pos := i, tok := t[i + 1]))) AS u FROM toks),
-        |tk AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok FROM tok0),
-        |kept AS (SELECT tk.doc_id,
-        |           string_agg(tk.tok, ' ' ORDER BY tk.pos) AS dedup_text
-        |         FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.cpos = tk.pos
-        |         WHERE cov.cpos IS NULL GROUP BY tk.doc_id)
-        |SELECT d.doc_id,
-        |       CASE WHEN d.text IS NULL THEN CAST(0 AS BIGINT)
-        |            ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT) END AS n_tokens,
-        |       CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-        |       CAST(coalesce(pd.n_covered, 0) AS BIGINT) AS n_covered,
-        |       CASE WHEN d.text IS NULL THEN NULL
-        |            ELSE coalesce(k.dedup_text, '') END AS dedup_text
-        |FROM documents d LEFT JOIN pd USING (doc_id)
-        |                 LEFT JOIN kept k ON k.doc_id = d.doc_id""".stripMargin
+        |${spanCoverageOracleSql(L, "TRUE", "n_dup_spans", "n_covered", "dedup_text")}""".stripMargin
     }) { (spark, sf) =>
     exactSubstringDedup(Tables.documents(spark, sf))
+  }
+
+  /** d30 — span-level decontamination (the d08/d09/d16 ladder at SPAN
+    * granularity): d08 flags a train doc that shares any 5-gram with
+    * the eval set; d30 locates and REMOVES the contaminated spans
+    * themselves, keeping the rest of the document — the operator a
+    * pipeline runs when whole-doc drops would cost too much good text.
+    * Anchor rule: a train position is contaminated iff some
+    * [[MinSpanTokens]]-gram starting within (p−L, p] occurs in ANY
+    * benchmark doc (d08's every-50th-doc eval slice). Same coverage
+    * kernel and oracle tail as d27, so the two rows cannot drift on
+    * span semantics; the benchmark gram-hash set broadcasts (a
+    * benchmark suite is MBs against a 100 TB train corpus), so the
+    * train side never shuffles on the gram key. */
+  val substringDecontaminateQ: GraftQuery = GraftQuery(
+    "d30_substring_decontaminate", {
+      val L = MinSpanTokens
+      s"""WITH toksall AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |                 WHERE text IS NOT NULL),
+        |${spanGramCtesSql(L, "toksall", "ga")},
+        |ev AS (SELECT DISTINCT h FROM ga WHERE doc_id % 50 = 0),
+        |a AS (SELECT doc_id, pos FROM ga JOIN ev USING (h)
+        |      WHERE doc_id % 50 <> 0),
+        |toks AS (SELECT doc_id, t FROM toksall WHERE doc_id % 50 <> 0),
+        |${spanCoverageOracleSql(L, "d.doc_id % 50 <> 0",
+            "n_contam_spans", "n_contam_tokens", "clean_text")}""".stripMargin
+    }) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    substringDecontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
   }
 
   // ------------------------------------------------------------------
@@ -2969,5 +3062,6 @@ object DedupOps {
     minhashCalibrationQ, sourceOverlapQ, thresholdCurveQ,
     incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ,
     lakeAppendQ, annLakeAppendQ, kmvVocabQ, kmvOverlapQ,
-    exactSubstringQ, bandLakeDeleteQ, annLakeDeleteQ)
+    exactSubstringQ, bandLakeDeleteQ, annLakeDeleteQ,
+    substringDecontaminateQ)
 }

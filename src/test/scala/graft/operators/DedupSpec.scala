@@ -835,4 +835,41 @@ class DedupSpec extends SparkSpec {
       (filler(10, 30) ++ filler(10, 30, "g") ++ filler(10, 30, "h")).mkString(" "),
       "both copies of a within-doc repeated span are removed")
   }
+
+  test("d30 substring decontamination: eval spans removed from train only; train-train repeats untouched") {
+    import spark.implicits._
+    val L = DedupOps.MinSpanTokens
+    def filler(d: Int, n: Int): Vector[String] =
+      (0 until n).map(i => s"v${d}f$i").toVector
+    val evalSpan = (0 until 30).map(i => s"ev$i").toVector
+    val trainDup = (0 until 30).map(i => s"tt$i").toVector
+
+    val benchmark = Seq(
+      (100L, (filler(100, 20) ++ evalSpan ++ filler(101, 20)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // carries the eval span at offset 25 → exactly it is removed
+      0L -> (filler(0, 25) ++ evalSpan ++ filler(1, 25)),
+      // two train docs sharing a 30-token span: NOT d30's business
+      1L -> (filler(2, 20) ++ trainDup ++ filler(3, 20)),
+      2L -> (filler(4, 20) ++ trainDup ++ filler(5, 20)),
+      // clean doc
+      3L -> filler(6, 60)
+    ).map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+
+    val out = DedupOps.substringDecontaminate(train, benchmark)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L),
+      "report covers exactly the train docs — the eval set is read-only truth")
+    assert(out(0L).getAs[Long]("n_contam_spans") === 1L)
+    assert(out(0L).getAs[Long]("n_contam_tokens") === 30L)
+    assert(out(0L).getAs[String]("clean_text")
+      === (filler(0, 25) ++ filler(1, 25)).mkString(" "),
+      "exactly the eval span is removed from the train doc")
+    Seq(1L, 2L, 3L).foreach { d =>
+      assert(out(d).getAs[Long]("n_contam_tokens") === 0L,
+        s"doc $d: a train-train repeat is d27's business, not decontamination's")
+    }
+    assert(L <= 30, "fixture spans must be at least one gram long")
+  }
 }
