@@ -762,9 +762,127 @@ object StreamReplay {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  /** st13 — TAKEDOWNS arriving on the stream (st12's delete twin,
+    * completing the stream × index-maintenance matrix): the posting
+    * lake is built for the full corpus, then the tombstone batch
+    * (vec_id % 7 == 3 — the d28/d29/s22 takedown slice) arrives
+    * through a real streaming query whose foreachBatch calls
+    * [[graft.sources.SignatureLake.appendTombstones]] per micro-batch
+    * — the production right-to-be-forgotten path, where delete
+    * requests are a stream like everything else and each batch is one
+    * bounded append to the tombstone store, never an index rewrite.
+    * The gate serves off the tombstone-MASKED view and one d29-style
+    * oracle hash carries three claims: conservation (masked view ≡
+    * full assignment over survivors), retrieval still works (the
+    * distinct-neighbor count of an s21-style serve over the masked
+    * lake replays exactly over the surviving assignment — note the
+    * bucket cap is measured over SURVIVORS), and NO deleted vector is
+    * retrievable (the oracle pins n_deleted_neighbors at literal 0;
+    * the engine counts what the masked serve actually returned). */
+  val streamTombstoneQ: GraftQuery = GraftQuery(
+    "st13_stream_tombstone_delete", {
+      import graft.operators.DedupOps.{TombMod, TombRem}
+      import graft.operators.SimilarityOps.{GraphSampleMod, MaxBucket, PortableKnnK}
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ab0 AS (${graft.operators.DedupOps.portableAnnBucketsSql}),
+        |ab AS (SELECT * FROM ab0 WHERE vec_id % $TombMod <> $TombRem),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+        |sz AS (SELECT tbl, bucket, count(*) AS bn FROM ab GROUP BY 1, 2),
+        |ok AS (SELECT tbl, bucket FROM sz WHERE bn <= $MaxBucket),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+        |         FROM ab a JOIN ok USING (tbl, bucket)
+        |         JOIN ab b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |          AND a.vec_id <> b.vec_id
+        |         WHERE a.vec_id % $GraphSampleMod = 0),
+        |p AS (SELECT c.vec_id, c.neighbor_id,
+        |        CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+        |             ELSE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) END AS cos_sim
+        |      FROM cand c JOIN n na ON na.vec_id = c.vec_id
+        |                  JOIN n nb ON nb.vec_id = c.neighbor_id),
+        |ar AS (SELECT vec_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |       FROM p),
+        |srv AS (SELECT CAST(count(DISTINCT neighbor_id) AS BIGINT) AS n_neighbors
+        |        FROM ar WHERE rank <= $PortableKnnK)
+        |SELECT CAST((SELECT count(*) FROM ab) AS BIGINT) AS n_postings,
+        |       TRUE AS matches_full, srv.n_neighbors,
+        |       CAST(0 AS BIGINT) AS n_deleted_neighbors
+        |FROM srv""".stripMargin
+    }) { (spark, sf) =>
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.VectorFunctions.toDouble
+    import graft.operators.DedupOps.{TombMod, TombRem}
+    import graft.sources.SignatureLake
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val deleted = emb.filter(col("vec_id") % TombMod === TombRem)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    val chunks = deleted.grouped(math.max(1, (deleted.size + 2) / 3)).toSeq
+    val table = s"graft_lake_st13tomb_${sf.replaceAll("[^A-Za-z0-9]+", "_")}" +
+      s"_p${ProcessHandle.current().pid()}_s${nameCounter.incrementAndGet()}"
+    val tomb = s"${table}_tomb"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $tomb")
+    SignatureLake.appendEmbeddingDelta(spark, table, emb) // full-corpus build
+    try {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckpt =
+        if (java.nio.file.Files.isDirectory(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft_st13")
+        else java.nio.file.Files.createTempDirectory("graft_st13")
+      try {
+        val source = MemoryStream[Long]
+        val q = source.toDS().toDF("vec_id")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            SignatureLake.appendTombstones(spark, table, batch, "vec_id"); ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try {
+          chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
+        } finally q.stop()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      val served = SignatureLake.maskTombstones(
+        spark.table(table), spark.table(tomb), "vec_id")
+      val full = SignatureLake.portableAnnBuckets(spark, sf)
+        .filter(col("vec_id") % TombMod =!= TombRem)
+        .select(col("vec_id"), col("table").as("tbl"),
+          col("bucket").as("bucket_full"))
+      val conserve = served
+        .select(col("vec_id"), col("tbl"), col("bucket").as("bucket_inc"))
+        .join(full, Seq("vec_id", "tbl"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("bucket_inc").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_postings"),
+          (coalesce(sum(when(col("bucket_inc") <=> col("bucket_full"), 0L)
+            .otherwise(1L)), lit(0L)) === 0L).as("matches_full"))
+      val serve = graft.operators.SimilarityOps
+        .lshLakeServe(served, metric = "st13_serve_guard")
+        .agg(
+          countDistinct(col("neighbor_id")).as("n_neighbors"),
+          coalesce(sum(when(col("neighbor_id") % TombMod === TombRem, 1L)
+            .otherwise(0L)), lit(0L)).as("n_deleted_neighbors"))
+      val out = conserve.crossJoin(broadcast(serve))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $tomb")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ,
     streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ, streamDedupQ,
     streamContentDedupQ, streamNearDupDedupQ, streamWindowCountsQ,
-    streamIndexAppendQ)
+    streamIndexAppendQ, streamTombstoneQ)
 }
