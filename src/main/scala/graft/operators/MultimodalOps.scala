@@ -731,7 +731,62 @@ object MultimodalOps {
       .select(col("digest"), col("keep_id"), col("n_copies"), col("n_bytes"),
         ((col("n_copies") - 1) * col("n_bytes")).as("bytes_saved"))
 
+  /** m12 — digest-based payload TAKEDOWN: the delete leg for the
+    * binary store, completing the round's takedown matrix (text bands
+    * d28, ANN d29, IVF s22, streamed st13 — and now payloads). The
+    * real-world shape: takedown lists arrive as CONTENT DIGESTS, not
+    * doc ids, and removal must catch EVERY copy regardless of which
+    * document carried it (the content-addressable-storage property
+    * m11 establishes). The blocklist here is the digests of every
+    * 50th-plus-7 doc's payload — a deterministic stand-in for an
+    * external digest list; the teeth are that exact copies of a
+    * blocked payload under OTHER doc ids are removed too. Per blocked
+    * digest: copies removed, bytes removed, first carrying doc; a
+    * broadcast grand-total pins the surviving-doc count (survivors +
+    * removed ≡ corpus, so a leaked copy flips two cells at once).
+    * Scale shape: the blocklist broadcasts (a takedown list is KBs
+    * against a 100 TB store), the per-digest report groups on the
+    * 16-byte digest — payload bytes never shuffle. */
+  val payloadTakedownQ: GraftQuery = GraftQuery(
+    "m12_payload_takedown",
+    """WITH dg AS (SELECT doc_id, md5(text) AS digest,
+      |              octet_length(CAST(text AS BLOB)) AS nb
+      |            FROM documents WHERE text IS NOT NULL),
+      |bl AS (SELECT DISTINCT digest FROM dg WHERE doc_id % 50 = 7),
+      |rm AS (SELECT dg.digest,
+      |         CAST(count(*) AS BIGINT) AS n_copies_removed,
+      |         CAST(sum(dg.nb) AS BIGINT) AS bytes_removed,
+      |         CAST(min(dg.doc_id) AS BIGINT) AS first_doc
+      |       FROM dg JOIN bl USING (digest) GROUP BY dg.digest),
+      |sv AS (SELECT CAST(count(*) AS BIGINT) AS n_surviving_docs FROM dg
+      |       WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.digest = dg.digest))
+      |SELECT rm.digest, rm.n_copies_removed, rm.bytes_removed, rm.first_doc,
+      |       sv.n_surviving_docs
+      |FROM rm, sv""".stripMargin) { (spark, sf) =>
+    val payloads = asMultimodal(spark, sf)
+    payloadTakedown(payloads,
+      payloads.filter(col("doc_id") % 50 === 7)
+        .select(md5(col("payload")).as("digest")))
+  }
+
+  /** The m12 relation over any (doc_id, payload) frame + a digest
+    * blocklist. */
+  def payloadTakedown(payloads: DataFrame, blocklist: DataFrame): DataFrame = {
+    val dg = payloads.filter(col("payload").isNotNull)
+      .select(col("doc_id"), md5(col("payload")).as("digest"),
+        length(col("payload")).cast("long").as("__nb"))
+    val bl = blocklist.select("digest").distinct()
+    val perDigest = dg.join(broadcast(bl), Seq("digest"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies_removed"),
+        sum(col("__nb")).as("bytes_removed"),
+        min(col("doc_id")).as("first_doc"))
+    val survivors = dg.join(broadcast(bl), Seq("digest"), "left_anti")
+      .agg(count(lit(1)).as("n_surviving_docs"))
+    perDigest.crossJoin(broadcast(survivors))
+  }
+
   val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ,
     shardManifestQ, quarantineQ, sourceHistogramDriftQ, phashClustersQ,
-    entropyScreenQ, payloadDedupQ)
+    entropyScreenQ, payloadDedupQ, payloadTakedownQ)
 }
