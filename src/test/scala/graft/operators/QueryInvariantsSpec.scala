@@ -306,6 +306,27 @@ class QueryInvariantsSpec extends SparkSpec {
       && uniq.getAs[Long]("bytes_saved") === 0L)
   }
 
+  test("m12 payload takedown: a blocked digest removes EVERY carrier, survivors conserve") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, "blocked bytes"), (2L, "blocked bytes"), (9L, "blocked bytes"),
+      (3L, "kept alpha"), (4L, "kept beta")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    // the takedown list names ONE digest, carried by doc 1 — docs 2
+    // and 9 carry byte-identical copies under other ids and must go too
+    val blocklist = payloads.filter(col("doc_id") === 1L)
+      .select(md5(col("payload")).as("digest"))
+    val out = MultimodalOps.payloadTakedown(payloads, blocklist).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_copies_removed") === 3L,
+      "every byte-identical carrier is removed, not just the listed doc")
+    assert(r.getAs[Long]("bytes_removed") === 3L * "blocked bytes".length)
+    assert(r.getAs[Long]("first_doc") === 1L)
+    assert(r.getAs[Long]("n_surviving_docs") === 2L,
+      "survivors + removed must conserve the corpus")
+  }
+
   test("multimodal features: 16-dim, L1-normalized (m02)") {
     val f = MultimodalOps.featuresQ.run(spark, sf001)
     assert(f.filter(col("dim") =!= 16).count() === 0)
