@@ -1956,15 +1956,20 @@ object SimilarityOps {
     * assigns only the new batch under the codebook trained at index
     * build time — the real incremental-IVF contract: cells never move
     * under an append, only posting lists grow). */
-  def cellAssignments(emb: DataFrame, cb: Array[Array[Double]]): DataFrame = {
+  /** @param extra attribute columns carried INTO the posting row —
+    *        the filtered-ANN attribute-in-index shape (s24): a
+    *        metadata predicate can then compose inside the posting
+    *        join instead of joining back to the corpus per query. */
+  def cellAssignments(emb: DataFrame, cb: Array[Array[Double]],
+      extra: Seq[String] = Nil): DataFrame = {
     val spark = emb.sparkSession
     val cbId = graft.functions.CodebookRegistry.register(
       spark.sparkContext.broadcast(cb))
     try emb
       .withColumn("nrm", norm(col("v")))
-      .select(col("vec_id"), col("v"), col("nrm"),
+      .select(Seq(col("vec_id"), col("v"), col("nrm")) ++ extra.map(col) :+
         element_at(call_function("graft_cell_probes",
-          col("v"), lit(cbId), lit(1)), 1).as("cell"))
+          col("v"), lit(cbId), lit(1)), 1).as("cell"): _*)
     finally graft.functions.CodebookRegistry.unregister(cbId)
   }
 
@@ -2254,6 +2259,100 @@ object SimilarityOps {
     }.reduce(_ unionByName _)
   }
 
+  /** [[knnFromPostings]] in the FILTERED-ANN shape (s05's constraint
+    * served off the lake): posting rows carry the filter attribute
+    * (label — [[graft.sources.SignatureLake.incrementalIvfPostingsLabeled]]),
+    * and the same-label predicate composes INSIDE the cell equi-join,
+    * before ranking — ranks count only eligible neighbors, and the
+    * engine never post-filters an unconstrained top-k (which would
+    * under-fill) nor joins back to the corpus for metadata (which
+    * would double the probe cost at 100 TB). */
+  def knnFromPostingsFiltered(queries: DataFrame, postings: DataFrame,
+      cb: Array[Array[Double]], k: Int, probes: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cbId = graft.functions.CodebookRegistry.register(
+      spark.sparkContext.broadcast(cb))
+    val probed =
+      try queries
+        .withColumn("qnrm", norm(col("v")))
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("qnrm"),
+          explode(call_function("graft_cell_probes",
+            col("v"), lit(cbId), lit(probes))).as("cell"))
+      finally graft.functions.CodebookRegistry.unregister(cbId)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probed.join(postings.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("label"), col("v").as("nv"), col("nrm")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id")
+        && col("label") === col("qlabel"))
+      .withColumn("cos_sim", dot(col("qv"), col("nv")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
+  /** s24 — FILTERED kNN served off the labeled IVF posting lake: s05's
+    * metadata constraint (neighbors must share the query's label) at
+    * s21's serve geometry. The index is the attribute-in-index family
+    * — posting rows carry the label — so the constraint rides the
+    * posting join and a selective label can prune at the bucketed
+    * scan; the corpus is never re-joined for metadata. Frozen base
+    * codebook keeps the whole path bit-replayable: the oracle is
+    * s21's text with labels carried through and the same-label
+    * condition on the candidate join. */
+  val knnIvfLakeFilteredQ: GraftQuery = GraftQuery(
+    "s24_knn_ivf_lake_filtered",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |cb AS (
+      |  SELECT CAST(rn - 1 AS INT) AS cell,
+      |         list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS c
+      |  FROM (SELECT vec_id, v, nrm,
+      |          row_number() OVER (ORDER BY vec_id) AS rn,
+      |          count(*) OVER () AS total
+      |        FROM n WHERE vec_id % 10 <> 0) t
+      |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(total)) AS BIGINT)))),
+      |scores AS (
+      |  SELECT n.vec_id, cb.cell, list_dot_product(n.v, cb.c) AS score
+      |  FROM n CROSS JOIN cb),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores) t WHERE r = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores) t WHERE r <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id, nn.label,
+      |         CASE WHEN qn.nrm = 0 OR nn.nrm = 0 THEN 0.0
+      |              ELSE list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm) END AS cos
+      |  FROM probes p
+      |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN n qn ON qn.vec_id = p.query_id
+      |  JOIN n nn ON nn.vec_id = a.vec_id AND nn.label = qn.label),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, label, cos,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, neighbor_id, label, rank, cos AS cos_sim
+      |FROM ranked WHERE rank <= 3""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val postings = graft.sources.SignatureLake.incrementalIvfPostingsLabeled(
+      spark, sf, base, emb.filter(col("vec_id") % 10 === 0))
+    knnFromPostingsFiltered(emb, postings,
+      centroids(base, cellsForCorpus(base.count())), k = 3, probes = 4)
+  }
+
   /** s23's recall floor for BOTH codebooks — below the weakest
     * measured mean recall@3 (0.387, sf0.1 m=10 frozen; sf0.001–0.1
     * range 0.387–0.587) with ~22% margin. */
@@ -2330,5 +2429,6 @@ object SimilarityOps {
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
-    ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ)
+    ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
+    knnIvfLakeFilteredQ)
 }

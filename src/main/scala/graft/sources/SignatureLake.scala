@@ -382,6 +382,30 @@ object SignatureLake {
     })._2
   }
 
+  /** LABELED IVF posting index (build + append, frozen codebook) —
+    * the filtered-ANN attribute-in-index family: every posting row
+    * carries the filter attribute (label) alongside the vector, so a
+    * metadata predicate composes inside the cell join instead of
+    * joining back to the corpus per query (s24's serve path). Same
+    * memoized lifecycle as [[incrementalIvfPostings]], distinct
+    * namespace. */
+  def incrementalIvfPostingsLabeled(spark: SparkSession, sfDir: String,
+      base: DataFrame, delta: DataFrame,
+      slice: String = "mod10"): DataFrame = {
+    evictStopped()
+    sweepOrphans(spark)
+    cache.computeIfAbsent(Key(spark, sfDir, s"inc_ivf_lbl_$slice"), _ => {
+      val t = tableName(spark, sfDir, s"inc_ivf_lbl_$slice")
+      val cb = SimilarityOps.centroids(base,
+        SimilarityOps.cellsForCorpus(base.count()))
+      writeFamily(SimilarityOps.cellAssignments(base, cb, Seq("label")),
+        t, Seq("cell"), SaveMode.Overwrite)
+      writeFamily(SimilarityOps.cellAssignments(delta, cb, Seq("label")),
+        t, Seq("cell"), SaveMode.Append)
+      (t, spark.table(t))
+    })._2
+  }
+
   /** IVF REBUILD — the operation the s23 crossover row prices against
     * frozen-codebook appends: retrain the codebook on the full corpus
     * (sampled Lloyd's) and rewrite the posting table under it in one
