@@ -2812,10 +2812,13 @@ object DedupOps {
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("e") - col("s")).as("n_covered"))
-    val covered = anchors
+    // covered positions unfold from the MERGED spans, not the anchors:
+    // spans are disjoint by construction, so the explode emits each
+    // position exactly once (no distinct shuffle over the O(dup·L)
+    // anchor-cover multiset) and its input is the tiny span relation
+    val covered = spans
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + L - 1)).as("cpos"))
-      .distinct()
+        explode(sequence(col("s"), col("e") - 1)).as("cpos"))
     val tokRows = toks.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
     val kept = tokRows.join(covered,
         tokRows("doc_id") === covered("doc_id") && tokRows("pos") === covered("cpos"),
