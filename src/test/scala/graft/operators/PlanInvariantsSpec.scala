@@ -604,6 +604,22 @@ class PlanInvariantsSpec extends SparkSpec {
       s"corpus-wide window in d27:\n$w"))
   }
 
+  test("s24: filtered lake kNN keeps s21's exchange budget — label rides the posting row, no corpus join-back") {
+    graft.sources.SignatureLake.invalidate(spark)
+    val df = SimilarityOps.knnIvfLakeFilteredQ.run(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_cell_probes"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the attribute-in-index claim: ONE scan of the posting table
+    // serves vector + label together, so the metadata constraint adds
+    // ZERO joins — same two hash exchanges as unfiltered s21 (probe
+    // repartition + rank window)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2, s"expected probe + window exchanges only:\n$p")
+    graft.sources.SignatureLake.invalidate(spark)
+  }
+
   test("d28: tombstone-masked serve anti-joins a BROADCAST tombstone side — index never shuffles") {
     import org.apache.spark.sql.functions.col
     graft.sources.SignatureLake.invalidate(spark)
