@@ -2884,35 +2884,44 @@ object DedupOps {
       |       FROM $toksName WHERE len(t) >= $L),
       |$gName AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.h AS h FROM ${gName}0)""".stripMargin
 
-  /** The shared span-coverage oracle tail — expects prefix CTEs
-    * defining `toks` (doc_id, t: the report-side token arrays) and
-    * `a` (doc_id, pos: anchors). Mirrors [[spanCoverage]]; one
-    * definition so the d27/d30 oracles cannot drift on span
+  /** The shared span-coverage oracle CTE block (suffixed so two
+    * instances can chain in one text — p04): given `$a(doc_id, pos)`
+    * anchors and `$toks(doc_id, t)` token arrays, derives
+    * `pd$sfx(doc_id, n_dup_spans, n_covered)` and
+    * `kept$sfx(doc_id, dedup_text)`. Mirrors [[spanCoverage]],
+    * covered positions unfolded from the merged (disjoint) spans. One
+    * definition so the d27/d30/p04 oracles cannot drift on span
     * semantics. */
-  private def spanCoverageOracleSql(L: Int, docPred: String,
-      spansName: String, coveredName: String, textName: String): String =
-    s"""m AS (SELECT doc_id, pos,
+  private def spanCoverageCtesSql(L: Int, a: String, toks: String,
+      sfx: String): String =
+    s"""m$sfx AS (SELECT doc_id, pos,
       |        max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-      |      FROM a),
-      |b AS (SELECT doc_id, pos,
+      |      FROM $a),
+      |b$sfx AS (SELECT doc_id, pos,
       |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk
-      |      FROM m),
-      |w AS (SELECT doc_id, pos,
-      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM b),
-      |sp AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + $L AS e
-      |       FROM w GROUP BY 1, 2),
-      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
-      |         CAST(sum(e - s) AS BIGINT) AS n_covered FROM sp GROUP BY 1),
-      |cov AS (SELECT DISTINCT doc_id, cpos FROM
-      |          (SELECT doc_id, unnest(range(pos, pos + $L)) AS cpos FROM a) z),
-      |tok0 AS (SELECT doc_id, unnest(list_transform(range(0, len(t)),
-      |           i -> struct_pack(pos := i, tok := t[i + 1]))) AS u FROM toks),
-      |tk AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok FROM tok0),
-      |kept AS (SELECT tk.doc_id,
+      |      FROM m$sfx),
+      |w$sfx AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM b$sfx),
+      |sp$sfx AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + $L AS e
+      |       FROM w$sfx GROUP BY 1, 2),
+      |pd$sfx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+      |         CAST(sum(e - s) AS BIGINT) AS n_covered FROM sp$sfx GROUP BY 1),
+      |cov$sfx AS (SELECT doc_id, unnest(range(s, e)) AS cpos FROM sp$sfx),
+      |tok$sfx AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok FROM
+      |  (SELECT doc_id, unnest(list_transform(range(0, len(t)),
+      |     i -> struct_pack(pos := i, tok := t[i + 1]))) AS u FROM $toks) z),
+      |kept$sfx AS (SELECT tk.doc_id,
       |           string_agg(tk.tok, ' ' ORDER BY tk.pos) AS dedup_text
-      |         FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.cpos = tk.pos
-      |         WHERE cov.cpos IS NULL GROUP BY tk.doc_id)
+      |         FROM tok$sfx tk LEFT JOIN cov$sfx cv
+      |           ON cv.doc_id = tk.doc_id AND cv.cpos = tk.pos
+      |         WHERE cv.cpos IS NULL GROUP BY tk.doc_id)""".stripMargin
+
+  /** One-stage final SELECT over [[spanCoverageCtesSql]] (sfx "") —
+    * the d27/d30 report shape. */
+  private def spanCoverageOracleSql(L: Int, docPred: String,
+      spansName: String, coveredName: String, textName: String): String =
+    s"""${spanCoverageCtesSql(L, "a", "toks", "")}
       |SELECT d.doc_id,
       |       CASE WHEN d.text IS NULL THEN CAST(0 AS BIGINT)
       |            ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT) END AS n_tokens,
@@ -2966,6 +2975,86 @@ object DedupOps {
     substringDecontaminate(
       docs.filter(col("doc_id") % 50 =!= 0),
       docs.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** p04 — the span-REWRITING curation funnel: where p03's stages
+    * FILTER documents, this one composes the stages that rewrite
+    * text — exact-substring dedup (d27) WITHIN the train slice, then
+    * span decontamination (d30) of the CLEANED train text against the
+    * ORIGINAL eval docs. The stage order and scoping are the
+    * production semantics: stage 1 must not see the eval set (a
+    * corpus-global dedup would silently launder eval-shared spans out
+    * as "duplicates", leaving decontamination vacuously green and the
+    * audit trail wrong about WHY each token left), and the eval set
+    * is read-only truth — its grams come from the original text. Per
+    * train doc: raw token count, tokens after span dedup, tokens
+    * after decontamination (both by EXACT arithmetic from the stage
+    * reports — re-splitting a fully-deduped empty string would count
+    * a phantom token), and the final text. Stage 1's output is
+    * eagerly localCheckpointed (p03's materialization-barrier lesson:
+    * stage 2 consumes stage 1's OUTPUT TEXT, so without the barrier
+    * the d27 kernel chain re-evaluates inside stage 2 and again in
+    * the final join — and a production funnel writes this stage
+    * boundary to the lake anyway). The oracle chains two instances of
+    * the shared coverage CTE block, so a drift in span semantics
+    * breaks d27, d30, and p04 together. */
+  val spanFunnelQ: GraftQuery = GraftQuery(
+    "p04_span_funnel", {
+      val L = MinSpanTokens
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE text IS NOT NULL AND doc_id % 50 <> 0),
+        |${spanGramCtesSql(L, "toks", "g")},
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |a1 AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |${spanCoverageCtesSql(L, "a1", "toks", "1")},
+        |r1 AS (SELECT d.doc_id,
+        |         CASE WHEN d.text IS NULL THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT) END AS n_tokens,
+        |         CAST(coalesce(pd1.n_covered, 0) AS BIGINT) AS cov1,
+        |         CASE WHEN d.text IS NULL THEN NULL
+        |              ELSE coalesce(k1.dedup_text, '') END AS cleaned
+        |       FROM documents d LEFT JOIN pd1 USING (doc_id)
+        |                        LEFT JOIN kept1 k1 ON k1.doc_id = d.doc_id
+        |       WHERE d.doc_id % 50 <> 0),
+        |toks2 AS (SELECT doc_id, string_split(cleaned, ' ') AS t FROM r1
+        |          WHERE cleaned IS NOT NULL),
+        |${spanGramCtesSql(L, "toks2", "g2")},
+        |toksE AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |          WHERE text IS NOT NULL AND doc_id % 50 = 0),
+        |${spanGramCtesSql(L, "toksE", "ge")},
+        |evg AS (SELECT DISTINCT h FROM ge),
+        |a2 AS (SELECT doc_id, pos FROM g2 JOIN evg USING (h)),
+        |${spanCoverageCtesSql(L, "a2", "toks2", "2")}
+        |SELECT r1.doc_id, r1.n_tokens,
+        |       r1.n_tokens - r1.cov1 AS n_after_dedup,
+        |       r1.n_tokens - r1.cov1 - CAST(coalesce(pd2.n_covered, 0) AS BIGINT)
+        |         AS n_after_decontam,
+        |       CASE WHEN r1.cleaned IS NULL THEN NULL
+        |            ELSE coalesce(k2.dedup_text, '') END AS final_text
+        |FROM r1 LEFT JOIN pd2 ON pd2.doc_id = r1.doc_id
+        |        LEFT JOIN kept2 k2 ON k2.doc_id = r1.doc_id""".stripMargin
+    }) { (spark, sf) =>
+    spanCurationFunnel(Tables.documents(spark, sf))
+  }
+
+  /** The p04 relation over any (doc_id, text) frame (eval slice =
+    * d08's every-50th convention). */
+  def spanCurationFunnel(docs: DataFrame): DataFrame = {
+    val train1 = exactSubstringDedup(docs.filter(col("doc_id") % 50 =!= 0))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        col("dedup_text"))
+      .localCheckpoint()
+    val stage2 = substringDecontaminate(
+      train1.select(col("doc_id"), col("dedup_text").as("text")),
+      docs.filter(col("doc_id") % 50 === 0))
+    train1
+      .join(stage2.select(col("doc_id"), col("n_contam_tokens"),
+        col("clean_text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_covered")).as("n_after_dedup"),
+        (col("n_tokens") - col("n_covered") - col("n_contam_tokens"))
+          .as("n_after_decontam"),
+        col("clean_text").as("final_text"))
   }
 
   // ------------------------------------------------------------------
@@ -3066,5 +3155,5 @@ object DedupOps {
     incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ,
     lakeAppendQ, annLakeAppendQ, kmvVocabQ, kmvOverlapQ,
     exactSubstringQ, bandLakeDeleteQ, annLakeDeleteQ,
-    substringDecontaminateQ)
+    substringDecontaminateQ, spanFunnelQ)
 }

@@ -872,4 +872,26 @@ class DedupSpec extends SparkSpec {
     }
     assert(L <= 30, "fixture spans must be at least one gram long")
   }
+
+  test("p04 funnel: monotone token accounting, final_text consistent with the arithmetic") {
+    val out = DedupOps.spanFunnelQ.run(spark, sf001).persist()
+    try {
+      assert(out.filter(col("n_after_dedup") > col("n_tokens")
+        || col("n_after_decontam") > col("n_after_dedup")
+        || col("n_after_decontam") < 0).count() === 0,
+        "token counts must shrink monotonically through the stages")
+      // re-splitting final_text reproduces the arithmetic count (the
+      // one legitimate divergence is '' vs 0 — split('') is [''])
+      assert(out.filter(col("final_text").isNotNull && col("final_text") =!= ""
+        && size(split(col("final_text"), " ")) =!= col("n_after_decontam"))
+        .count() === 0, "final_text must hold exactly n_after_decontam tokens")
+      assert(out.filter(col("final_text") === ""
+        && col("n_after_decontam") =!= 0).count() === 0)
+      // both rewriting stages do real work on the harness corpus
+      assert(out.agg(sum(col("n_tokens") - col("n_after_dedup")))
+        .head.getLong(0) > 0, "stage 1 must remove repeated spans")
+      assert(out.agg(sum(col("n_after_dedup") - col("n_after_decontam")))
+        .head.getLong(0) > 0, "stage 2 must remove eval-shared spans")
+    } finally { out.unpersist(); () }
+  }
 }
