@@ -1208,6 +1208,70 @@ object CoreQueries {
     (joined, salt)
   }
 
+  /** q61 — [[advisedJoin]] DRIVER-GATED on both decisions: the
+    * fixture's uniform user_id key (skew ≈ 1.07 — the advisory must
+    * stay quiet and the join run plain) and a deterministically
+    * planted hot key (2/3 of rows mapped onto key 0 — skew ≈ 23, the
+    * advisory must fire and the join run salted). The `salted` column
+    * is what advisedJoin ACTUALLY DID, while the oracle derives it
+    * from the replayable sketch formula (q60's md5 lane arithmetic) —
+    * a decision that drifts from the advisory, or a salted join that
+    * perturbs the result (row count, key count, id sum), splits the
+    * hash. Decision margins are enormous on both sides (1.07 and ~23
+    * against the 4.0 threshold), so the 64-lane estimator's ~18%
+    * error can never flip a boolean. */
+  val advisedJoinQ: GraftQuery = GraftQuery(
+    "q61_advised_join",
+    s"""WITH u AS (SELECT user_id FROM events),
+      |s2 AS (SELECT CASE WHEN user_id % 3 <> 0 THEN 0 ELSE user_id END AS user_id
+      |       FROM u),
+      |ln AS (SELECT range AS lane FROM range(0, $F2Lanes)),
+      |kc1 AS (SELECT user_id, count(*) AS c,
+      |          md5('f2:' || CAST(user_id AS VARCHAR)) AS h
+      |        FROM u GROUP BY 1),
+      |kc2 AS (SELECT user_id, count(*) AS c,
+      |          md5('f2:' || CAST(user_id AS VARCHAR)) AS h
+      |        FROM s2 GROUP BY 1),
+      |es1 AS (SELECT CAST(sum(s * s) AS BIGINT) AS ss FROM (
+      |          SELECT l.lane, CAST(sum(${f2SignSql("duckdb", "kc1.h")} * kc1.c)
+      |            AS BIGINT) AS s
+      |          FROM kc1 CROSS JOIN ln l GROUP BY l.lane) t),
+      |es2 AS (SELECT CAST(sum(s * s) AS BIGINT) AS ss FROM (
+      |          SELECT l.lane, CAST(sum(${f2SignSql("duckdb", "kc2.h")} * kc2.c)
+      |            AS BIGINT) AS s
+      |          FROM kc2 CROSS JOIN ln l GROUP BY l.lane) t),
+      |t1 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+      |         CAST(sum(user_id) AS BIGINT) AS id_sum FROM u),
+      |t2 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+      |         CAST(sum(user_id) AS BIGINT) AS id_sum FROM s2)
+      |SELECT 'uniform' AS scenario, t1.n_rows, t1.n_keys, t1.id_sum,
+      |       CAST(es1.ss AS DOUBLE) / $F2Lanes.0 * t1.n_keys
+      |         / (t1.n_rows * t1.n_rows) >= $SkewSaltThreshold AS salted
+      |FROM t1, es1
+      |UNION ALL
+      |SELECT 'skewed', t2.n_rows, t2.n_keys, t2.id_sum,
+      |       CAST(es2.ss AS DOUBLE) / $F2Lanes.0 * t2.n_keys
+      |         / (t2.n_rows * t2.n_rows) >= $SkewSaltThreshold AS salted
+      |FROM t2, es2""".stripMargin) { (spark, sf) =>
+    val ev = Tables.events(spark, sf).select(col("user_id"))
+    def scenario(name: String, fact: DataFrame): DataFrame = {
+      val dim = fact.distinct()
+        .withColumn("dim_tag", concat(lit("u"), col("user_id")))
+      val (joined, salted) = advisedJoin(fact, dim, Seq("user_id"))
+      joined.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_keys"),
+          sum(col("user_id")).as("id_sum"))
+        .select(lit(name).as("scenario"), col("n_rows"), col("n_keys"),
+          col("id_sum"), lit(salted).as("salted"))
+    }
+    scenario("uniform", ev).unionByName(
+      scenario("skewed", ev.select(
+        when(col("user_id") % 3 =!= 0, lit(0L))
+          .otherwise(col("user_id")).as("user_id"))))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
@@ -1215,5 +1279,6 @@ object CoreQueries {
     filterTopic, topOrders, semiJoin, antiJoin, rollupCounts, sessions,
     distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
     valueHistogram, groupingSets, moments, keySkew, seasonality,
-    sourceFormats, saltedJoinSegments, f2Sketch, skewAdvisory)
+    sourceFormats, saltedJoinSegments, f2Sketch, skewAdvisory,
+    advisedJoinQ)
 }
