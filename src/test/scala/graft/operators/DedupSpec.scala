@@ -873,6 +873,57 @@ class DedupSpec extends SparkSpec {
     assert(L <= 30, "fixture spans must be at least one gram long")
   }
 
+  test("d27 property: engine ≡ driver-side reference on random segment-pool corpora") {
+    import spark.implicits._
+    val L = 5
+    val rng = new scala.util.Random(20260815L)
+    // driver-side reference: brute-force gram counts, cover marking,
+    // maximal covered runs — the spec of the relational reduction
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toVector }
+      val gramCount = scala.collection.mutable.Map[Seq[String], Int]()
+      toks.foreach { case (_, tk) =>
+        if (tk.size >= L)
+          tk.sliding(L).filter(_.size == L)
+            .foreach(g => gramCount(g) = gramCount.getOrElse(g, 0) + 1)
+      }
+      toks.map { case (id, tk) =>
+        val covered = Array.fill(tk.size)(false)
+        if (tk.size >= L)
+          for (i <- 0 to tk.size - L; if gramCount(tk.slice(i, i + L)) >= 2;
+               j <- i until i + L) covered(j) = true
+        val nCov = covered.count(identity).toLong
+        val spans = covered.zipWithIndex.count {
+          case (c, i) => c && (i == 0 || !covered(i - 1))
+        }.toLong
+        val kept = tk.zipWithIndex.collect {
+          case (t, i) if !covered(i) => t
+        }.mkString(" ")
+        id -> ((spans, nCov, kept))
+      }.toMap
+    }
+    (1 to 8).foreach { round =>
+      // shared segment pool: repeats of varying length arise naturally
+      // across docs; per-doc unique filler breaks up the seams
+      val pool = (0 until 8).map(s =>
+        (0 until (3 + rng.nextInt(6))).map(i => s"seg${s}t$i").toVector)
+      val docs = (0L until (8 + rng.nextInt(8)).toLong).map { id =>
+        val parts = (0 until (2 + rng.nextInt(6))).flatMap { _ =>
+          if (rng.nextInt(4) == 0)
+            Vector(s"u${round}d${id}f${rng.nextInt(1000)}")
+          else pool(rng.nextInt(pool.size))
+        }
+        (id, parts.mkString(" "))
+      }
+      val expect = reference(docs)
+      val got = DedupOps.exactSubstringDedup(docs.toDF("doc_id", "text"), L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_covered"),
+            r.getAs[String]("dedup_text")))).toMap
+      assert(got === expect, s"round $round diverged from the reference")
+    }
+  }
+
   test("p04 funnel: monotone token accounting, final_text consistent with the arithmetic") {
     val out = DedupOps.spanFunnelQ.run(spark, sf001).persist()
     try {
