@@ -301,6 +301,40 @@ class ContractMatrixSpec extends SparkSpec {
       }
     }
 
+    test(s"s23 retrain-crossover recall pins at $tag") {
+      // measured mean recall@3 (round 12, seeded k-means — exact
+      // regression pins, not statistical hopes):
+      //   sf0.001: frozen 0.507 (m=10) / 0.520 (m=3), retrained 0.560
+      //   sf0.01:  frozen 0.587 / 0.543,              retrained 0.560
+      //   sf0.1:   frozen 0.387 / 0.433,              retrained 0.387
+      val frozenFloor = Map(
+        "sf0.001" -> Map(10 -> 0.47, 3 -> 0.49),
+        "sf0.01" -> Map(10 -> 0.55, 3 -> 0.51),
+        "sf0.1" -> Map(10 -> 0.35, 3 -> 0.40))
+      val retrainedFloor =
+        Map("sf0.001" -> 0.52, "sf0.01" -> 0.52, "sf0.1" -> 0.35)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val rows = SimilarityOps.ivfRetrainSweep(emb,
+          exact = Some(graft.sources.SignatureLake.exactProbeGraph(spark, dir)))
+        .collect().map(r => r.getAs[Long]("delta_mod").toInt -> r).toMap
+      SimilarityOps.RetrainDeltaMods.foreach { m =>
+        val r = rows(m)
+        val (rf, rr) = (r.getAs[Double]("recall_frozen"),
+          r.getAs[Double]("recall_retrained"))
+        info(f"$tag m=$m frozen=$rf%.4f retrained=$rr%.4f gap=${rf - rr}%.4f")
+        assert(rf >= frozenFloor(tag)(m),
+          f"$tag s23 m=$m frozen recall $rf%.4f below its pin")
+        assert(rr >= retrainedFloor(tag),
+          f"$tag s23 retrained recall $rr%.4f below its pin")
+        // the crossover claim, pinned tighter than the gate row's
+        // universal 0.15 band (measured gaps 0.004–0.053)
+        assert(math.abs(rf - rr) <= 0.08,
+          f"$tag s23 m=$m frozen-vs-retrained gap ${rf - rr}%.4f out of band")
+      }
+      graft.sources.SignatureLake.invalidate(spark)
+    }
+
     test(s"d03/d04/d06 dedup contract rows clear their floors and are non-vacuous at $tag") {
       // r9: the dedup no_oracle rows became recall/quality contracts
       // (the s02/s04 device). The matrix keeps each boolean green at
