@@ -2353,6 +2353,109 @@ object SimilarityOps {
       centroids(base, cellsForCorpus(base.count())), k = 3, probes = 4)
   }
 
+  /** s25 — the filtered path's ACCEPTANCE row (s12's device at the
+    * filtered geometry): for every probe, s24's lake-served same-label
+    * top-k is scored against the exact brute-force same-label top-k —
+    * hits and recall per probe, fully hash-checked (both sides are
+    * deterministic and DuckDB-replayable: the exact side is s05's
+    * ranking restricted to the probe sample, the approximate side is
+    * s24's frozen-codebook chain). k_exact varies per probe here —
+    * min(k, |label members| − 1) — so the report also audits label
+    * sparsity: a probe whose label has no other member contributes no
+    * exact edges and drops out identically in both engines. Scale
+    * shape: the exact side is audit-tier (probe sample × corpus, the
+    * s12 argument); the approximate side is the bounded posting join;
+    * the comparison is (probe, neighbor)-keyed over two k-bounded edge
+    * tables. */
+  val filteredRecallQ: GraftQuery = GraftQuery(
+    "s25_filtered_recall",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qnrm
+      |      FROM n WHERE vec_id % $GraphSampleMod = 0),
+      |bs AS (SELECT q.query_id, n.vec_id AS nid,
+      |        row_number() OVER (
+      |          PARTITION BY q.query_id
+      |          ORDER BY CASE WHEN q.qnrm = 0 OR n.nrm = 0 THEN 0.0
+      |                   ELSE list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) END DESC,
+      |                   n.vec_id) AS rank
+      |      FROM q JOIN n ON n.vec_id <> q.query_id AND n.label = q.qlabel),
+      |exact AS (SELECT query_id AS vec_id, nid FROM bs WHERE rank <= $PortableKnnK),
+      |cb AS (
+      |  SELECT CAST(rn - 1 AS INT) AS cell,
+      |         list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS c
+      |  FROM (SELECT vec_id, v, nrm,
+      |          row_number() OVER (ORDER BY vec_id) AS rn,
+      |          count(*) OVER () AS total
+      |        FROM n WHERE vec_id % 10 <> 0) t
+      |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(total)) AS BIGINT)))),
+      |scores AS (
+      |  SELECT n.vec_id, cb.cell, list_dot_product(n.v, cb.c) AS score
+      |  FROM n CROSS JOIN cb),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores) t WHERE r = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores WHERE vec_id % $GraphSampleMod = 0) t WHERE r <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS nid,
+      |         CASE WHEN qn.nrm = 0 OR nn.nrm = 0 THEN 0.0
+      |              ELSE list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm) END AS cos
+      |  FROM probes p
+      |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN n qn ON qn.vec_id = p.query_id
+      |  JOIN n nn ON nn.vec_id = a.vec_id AND nn.label = qn.label),
+      |approx AS (SELECT query_id AS vec_id, nid FROM (
+      |    SELECT query_id, nid,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY cos DESC, nid) AS rank
+      |    FROM cand) t WHERE rank <= $PortableKnnK)
+      |SELECT e2.vec_id, CAST(count(*) AS BIGINT) AS k_exact,
+      |       CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |       CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) AS recall
+      |FROM exact e2 LEFT JOIN approx a ON a.vec_id = e2.vec_id AND a.nid = e2.nid
+      |GROUP BY e2.vec_id""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val postings = graft.sources.SignatureLake.incrementalIvfPostingsLabeled(
+      spark, sf, base, emb.filter(col("vec_id") % 10 === 0))
+    // exact side: s05's kernel over the probe sample (audit tier)
+    val nrm0 = emb.withColumn("nrm", norm(col("v")))
+    val queries = broadcast(nrm0.filter(col("vec_id") % GraphSampleMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = nrm0.join(queries,
+        col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .withColumn("cos_sim",
+        when(col("qnrm") === 0 || col("nrm") === 0, lit(0.0))
+          .otherwise(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PortableKnnK)
+      .select(col("query_id").as("vec_id"), col("vec_id").as("nid"))
+    val approx = knnFromPostingsFiltered(
+        emb.filter(col("vec_id") % GraphSampleMod === 0), postings,
+        centroids(base, cellsForCorpus(base.count())),
+        k = PortableKnnK, probes = 4)
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("nid"))
+    exact.join(approx.withColumn("__hit", lit(1L)), Seq("vec_id", "nid"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("vec_id"), col("k_exact"), col("hits"),
+        (col("hits").cast("double") / col("k_exact")).as("recall"))
+  }
+
   /** s23's recall floor for BOTH codebooks — below the weakest
     * measured mean recall@3 (0.387, sf0.1 m=10 frozen; sf0.001–0.1
     * range 0.387–0.587) with ~22% margin. */
@@ -2430,5 +2533,5 @@ object SimilarityOps {
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
-    knnIvfLakeFilteredQ)
+    knnIvfLakeFilteredQ, filteredRecallQ)
 }
