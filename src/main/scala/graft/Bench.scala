@@ -23,6 +23,15 @@ object Bench {
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // One tiny untimed action first: the very first Spark job of a
+    // fresh JVM pays session startup + codegen-cache + noop-sink
+    // classloading costs that belong to NO query. Without this, the
+    // first timed lake family (minhash_sigs) absorbed that one-time
+    // bill and the per-family build attribution below was skewed
+    // (advisor, r12).
+    spark.range(1L << 16).selectExpr("sum(id) AS s")
+      .write.format("noop").mode("overwrite").save()
+
     // Materialize the SHARED lake families first and time each build —
     // these one-time derivations are index-BUILD cost, not serve cost.
     // Before this section, whichever consumer row's warmup ran first

@@ -452,7 +452,12 @@ object ChartRegistry {
     * losing replay and breaking the gate non-obviously — fail loudly
     * instead. */
   private def replayBatch(raw: DataFrame): DataFrame = {
-    val maxMinute = raw.agg(max(minute(col("created_at")))).head.getInt(0)
+    val maxRow = raw.agg(max(minute(col("created_at")))).head
+    // max over zero rows is NULL — getInt would NPE before the require
+    // message ever fired; fail with the same descriptive contract
+    require(!maxRow.isNullAt(0),
+      "replay injection requires a non-empty fixture batch")
+    val maxMinute = maxRow.getInt(0)
     require(maxMinute < 40,
       s"replay injection requires minute(created_at) < 40; fixture has $maxMinute")
     raw

@@ -1200,8 +1200,13 @@ object CoreQueries {
       saltFactor: Int = 8, threshold: Double = SkewSaltThreshold,
       seed: Long = 42L): (DataFrame, Boolean) = {
     val key = concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
+    // an empty probe side yields an empty advisory relation: no rows is
+    // no skew evidence, so the decision defaults to a plain join rather
+    // than throwing. (The .head here is a deliberate eager driver
+    // action — the advisory is plan-TIME state, consulted once per
+    // candidate join, same tier as AQE's runtime statistics.)
     val salt = skewAdvisoryFor(big, lit("join"), key, threshold)
-      .select(col("needs_salt_est")).head().getBoolean(0)
+      .select(col("needs_salt_est")).head(1).headOption.exists(_.getBoolean(0))
     val joined =
       if (salt) graft.functions.Relational.saltedJoin(big, small, keys, saltFactor, seed)
       else big.join(small, keys)

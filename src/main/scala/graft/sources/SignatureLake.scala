@@ -441,7 +441,17 @@ object SignatureLake {
     * next maintenance window folds them into a physical rewrite
     * ([[rewriteWithoutTombstones]]) and retires them. Bucketed by the
     * id column so the eventual rewrite's anti-join and any
-    * id-keyed audit read their distribution off the scan. */
+    * id-keyed audit read their distribution off the scan.
+    *
+    * ACCUMULATE-ONLY contract: repeated calls against the same index
+    * UNION their delete sets — a tombstoned id stays deleted until the
+    * rewrite retires the store; there is no retraction, and duplicate
+    * ids across batches are harmless (the serve path is an anti-join).
+    * That is the takedown semantic on purpose: un-deleting is a
+    * re-APPEND of the row through the index's normal append path, a
+    * new fact, never a mutation of the tombstone log. If per-batch
+    * retraction is ever needed, key this table by batch id and make
+    * [[maskTombstones]] filter to live batches. */
   def appendTombstones(spark: SparkSession, indexTable: String,
       deletedIds: DataFrame, idCol: String): String = {
     val tt = s"${indexTable}_tomb"

@@ -92,6 +92,16 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("advisedJoin: empty probe side means no skew evidence -> plain join, no throw") {
+    import spark.implicits._
+    import graft.operators.CoreQueries
+    val big = Seq.empty[(Long, String)].toDF("user_id", "payload")
+    val dim = Seq((1L, "d1")).toDF("user_id", "dim")
+    val (joined, salted) = CoreQueries.advisedJoin(big, dim, Seq("user_id"))
+    assert(!salted, "an empty advisory relation must default to a plain join")
+    assert(joined.count() === 0L)
+  }
+
   test("graft_eq_count matches the HOF fold it replaces, incl. null semantics") {
     import spark.implicits._
     val df = Seq(
