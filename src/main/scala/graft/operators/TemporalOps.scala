@@ -178,6 +178,99 @@ object TemporalOps {
     (spark, sf) => asOfPurchaseAfterClick(Tables.events(spark, sf))
   }
 
+  /** j06 — NEAREST as-of join: each purchase paired with the user's
+    * click of minimum |time distance|, looking BOTH directions — the
+    * sensor-alignment / feature-snapping shape ("attach the closest
+    * reading, whichever side of the event it fell on") that completes
+    * the as-of family: j01 backward, j05 forward, j06 nearest.
+    *
+    * Same single-shuffle union kernel run twice over ONE exchange:
+    * clicks are pre-reduced to one row per (user, instant) keeping max
+    * click_id (j01's tie-break), then an ascending scan carries the
+    * latest click at-or-before each purchase and a descending scan
+    * carries the earliest click strictly after it — both windows
+    * partition on user_id, so Catalyst plans one shuffle and two
+    * sorts, never a per-row range probe. The pick is then row-local:
+    * smaller |gap| wins, an exact tie prefers the backward (earlier)
+    * click — deterministic because the pre-reduce leaves at most one
+    * click per instant. A same-instant click is the backward candidate
+    * at gap 0 and always wins.
+    *
+    * `gap_us` is SIGNED (click_ts − purchase_ts: ≤0 backward, >0
+    * forward) and `direction` names the winning side. The oracle is an
+    * independent LATERAL nearest-1 formulation — order by (|gap|,
+    * signed gap) — not a transcription of the two-scan trick. */
+  def asOfNearestClick(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+
+    // sortKind orders ties at one instant: ascending scan wants the
+    // click visible to a same-instant purchase (<= semantics), the
+    // descending scan wants it hidden (> semantics) — clicks sort
+    // before purchases under BOTH orders with click=0 / purchase=1
+    // ascending and purchase=0 / click=1 descending, encoded once as
+    // a per-scan key below.
+    val u = clicks
+      .select(col("user_id"), col("ts_us"), col("click_id"),
+        lit(null).cast("long").as("event_id"))
+      .unionByName(purchases.select(col("user_id"), col("ts_us"),
+        lit(null).cast("long").as("click_id"), col("event_id")))
+      .withColumn("isClick", col("click_id").isNotNull)
+
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), when(col("isClick"), 0).otherwise(1))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, when(col("isClick"), 1).otherwise(0))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val picked = u
+      .withColumn("back_id", last(col("click_id"), ignoreNulls = true).over(back))
+      .withColumn("back_ts",
+        last(when(col("isClick"), col("ts_us")), ignoreNulls = true).over(back))
+      .withColumn("fwd_id", last(col("click_id"), ignoreNulls = true).over(fwd))
+      .withColumn("fwd_ts",
+        last(when(col("isClick"), col("ts_us")), ignoreNulls = true).over(fwd))
+      .filter(!col("isClick"))
+
+    val backGap = col("ts_us") - col("back_ts") // >= 0
+    val fwdGap = col("fwd_ts") - col("ts_us") // > 0
+    val takeBack = col("back_ts").isNotNull &&
+      (col("fwd_ts").isNull || backGap <= fwdGap)
+    val takeFwd = col("fwd_ts").isNotNull && !takeBack
+    picked.select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      when(takeBack, col("back_id")).when(takeFwd, col("fwd_id")).as("click_id"),
+      when(takeBack, col("back_ts")).when(takeFwd, col("fwd_ts")).as("click_ts_us"),
+      when(takeBack, -backGap).when(takeFwd, fwdGap).as("gap_us"),
+      when(takeBack, lit("back")).when(takeFwd, lit("fwd")).as("direction"))
+  }
+
+  val asOfNearestQ: GraftQuery = GraftQuery(
+    "j06_asof_nearest",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             epoch_ns(ts) // 1000 AS ts_us
+      |           FROM events),
+      |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT max(event_id) AS click_id, user_id, ts_us
+      |      FROM e WHERE event_type = 'click' GROUP BY user_id, ts_us)
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |       n.click_id, n.ts_us AS click_ts_us,
+      |       n.ts_us - p.ts_us AS gap_us,
+      |       CASE WHEN n.click_id IS NULL THEN NULL
+      |            WHEN n.ts_us <= p.ts_us THEN 'back' ELSE 'fwd' END AS direction
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT c.click_id, c.ts_us
+      |  FROM c
+      |  WHERE c.user_id = p.user_id
+      |  ORDER BY abs(c.ts_us - p.ts_us), c.ts_us - p.ts_us LIMIT 1) n ON true""".stripMargin) {
+    (spark, sf) => asOfNearestClick(Tables.events(spark, sf))
+  }
+
   /** Inter-arrival bands for q49 (closed-open, micros). */
   private val GapBands: Seq[(Long, String)] = Seq(
     1000000L -> "00_lt_1s", 60000000L -> "01_1s_1m", 600000000L -> "02_1m_10m")
@@ -2058,5 +2151,5 @@ object TemporalOps {
       cooccurrenceQ, changePointQ, dailyTopUsersQ, attributionQ, autocorrQ,
       cohortRetentionQ, conversionLatencyQ, asOfForwardQ, interEventGapsQ,
       dailyNewReturningQ, burstinessQ, seasonalBacktestQ, valueDriftQ,
-      heavyHitterAuditQ)
+      heavyHitterAuditQ, asOfNearestQ)
 }

@@ -57,6 +57,39 @@ class TemporalVectorSpec extends SparkSpec {
     assert(out == Map(3L -> Some((2L, 500L)), 4L -> None, 5L -> None))
   }
 
+  test("j06 nearest as-of: min |gap| either side, exact tie prefers backward") {
+    val out = TemporalOps.asOfNearestClick(events(
+      (1L, 1L, "click", 1000L),
+      (2L, 1L, "click", 4000L),
+      (3L, 1L, "purchase", 1200L),  // back gap 200 < fwd gap 2800 -> click 1
+      (4L, 1L, "purchase", 3900L),  // fwd gap 100 < back gap 2900 -> click 2
+      (5L, 2L, "click", 1000L),
+      (6L, 2L, "click", 3000L),
+      (7L, 2L, "purchase", 2000L),  // exact tie 1000/1000 -> backward click 5
+      (8L, 3L, "click", 500L),
+      (9L, 3L, "purchase", 500L),   // same instant -> gap 0, backward
+      (10L, 4L, "purchase", 42L)))  // clickless user -> null row kept
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(5), r.getString(6))))).toMap
+    assert(out == Map(
+      3L -> Some((1L, -200L, "back")),
+      4L -> Some((2L, 100L, "fwd")),
+      7L -> Some((5L, -1000L, "back")),
+      9L -> Some((8L, 0L, "back")),
+      10L -> None))
+  }
+
+  test("j06 nearest as-of: same-instant clicks reduce to max click_id first") {
+    val out = TemporalOps.asOfNearestClick(events(
+      (1L, 1L, "click", 1000L),
+      (2L, 1L, "click", 1000L),     // same instant: id 2 wins the pre-reduce
+      (3L, 1L, "purchase", 900L)))  // forward match across the reduce
+      .collect().head
+    assert(out.getLong(3) == 2L && out.getLong(5) == 100L
+      && out.getString(6) == "fwd")
+  }
+
   test("q34 session funnel: steps only count within one session") {
     val gap = 600000000L // 10 min
     val out = TemporalOps.sessionFunnel(events(
