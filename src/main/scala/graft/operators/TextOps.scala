@@ -1047,9 +1047,88 @@ object TextOps {
         snapMean(col("__s"), col("n_docs"), DistScale).as("mean_dup_bigram"))
   }
 
+  /** t29 chunking geometry: 32-token windows advancing 24 tokens —
+    * an 8-token overlap so no span is ever split without a copy that
+    * sees it whole (the RAG / context-window prep convention). */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** t29 — overlapping token-window chunking with stable ids: every
+    * document unfolds into `1 + ceil(max(n − size, 0) / stride)`
+    * chunks at starts 0, stride, 2·stride, … — full coverage, the
+    * last chunk short rather than a trailing no-new-token window.
+    * Each chunk carries a POSITIONAL id (md5 of doc_id:idx — stable
+    * under re-runs, the retrieval handle) and a CONTENT fingerprint
+    * (md5 of the chunk text — what chunk-level dedup keys on, so two
+    * docs sharing a window collide here and nowhere else).
+    *
+    * Scale shape: one narrow stage — tokenize, a row-local
+    * sequence+posexplode (no shuffle, no window), and string slicing
+    * fused into the scan by codegen. Chunk volume is ~n_tokens/stride
+    * rows per doc, linear in corpus tokens; nothing is driver-side.
+    * The oracle replays the exact geometry (integer ceil, 1-based
+    * inclusive slicing) over the same whitespace tokens. */
+  val chunkOverlapQ: GraftQuery = GraftQuery(
+    "t29_chunk_overlap",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, len(toks) AS n,
+      |        1 + (greatest(len(toks) - $ChunkSize, 0) + ${ChunkStride - 1})
+      |              // $ChunkStride AS n_chunks
+      |      FROM d),
+      |c AS (SELECT doc_id, toks, n,
+      |        unnest(range(0, CAST(n_chunks AS BIGINT))) AS idx
+      |      FROM s)
+      |SELECT doc_id,
+      |       CAST(idx AS BIGINT) AS chunk_idx,
+      |       CAST(idx * $ChunkStride AS BIGINT) AS start_token,
+      |       CAST(least(n - idx * $ChunkStride, $ChunkSize) AS BIGINT) AS n_tokens,
+      |       array_to_string(
+      |         toks[CAST(idx * $ChunkStride + 1 AS BIGINT) :
+      |              CAST(least(idx * $ChunkStride + $ChunkSize, n) AS BIGINT)],
+      |         ' ') AS chunk_text,
+      |       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(idx AS VARCHAR)) AS chunk_id,
+      |       md5(array_to_string(
+      |         toks[CAST(idx * $ChunkStride + 1 AS BIGINT) :
+      |              CAST(least(idx * $ChunkStride + $ChunkSize, n) AS BIGINT)],
+      |         ' ')) AS content_fp
+      |FROM c""".stripMargin) { (spark, sf) =>
+    chunkOverlap(Tables.documents(spark, sf))
+  }
+
+  /** The t29 kernel over any (doc_id, text) frame — geometry pinned by
+    * QueryInvariantsSpec on planted docs (coverage, stride, short-doc
+    * single chunk). */
+  def chunkOverlap(docs: DataFrame,
+      size0: Int = ChunkSize, stride: Int = ChunkStride): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // integer ceil((n - size)^+ / stride): exact in doubles far past
+    // any real token count, floored back to an int chunk count
+    val nChunks = (lit(1) +
+      floor((greatest(n - lit(size0), lit(0)) + lit(stride - 1))
+        / lit(stride))).cast("int")
+    val chunkText = concat_ws(" ",
+      slice(col("toks"), col("start_token").cast("int") + lit(1), lit(size0)))
+    docs
+      .select(col("doc_id"), toks.as("toks"), n.as("n"), nChunks.as("n_chunks"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0L), (col("n_chunks") - 1).cast("long") * stride,
+          lit(stride.toLong))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start_token")
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_token"),
+        least(col("n") - col("start_token"), lit(size0)).cast("long")
+          .as("n_tokens"),
+        chunkText.as("chunk_text"),
+        md5(concat_ws(":", col("doc_id"), col("chunk_idx"))).as("chunk_id"),
+        md5(chunkText).as("content_fp"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     langIdQ, qualityQ, tokenStatsQ, fingerprintQ, winnowQ, topTokensQ, tfidfQ,
     hashSplitQ, unigramNllQ, nllBandQ, boilerplateQ, ngramNoveltyQ, sourceVocabQ,
     dfDriftQ, bigramNllQ, vocabGrowthQ, langConfusionQ, zipfSlopeQ,
-    repetitionRulesQ)
+    repetitionRulesQ, chunkOverlapQ)
 }

@@ -438,6 +438,34 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(out(3L)._2 === 1L) // "abc" -> "a"
   }
 
+  test("t29 chunking geometry: coverage, stride, overlap, short docs") {
+    import spark.implicits._
+    // 3 tokens (single short chunk), exactly size, size+1 (two chunks),
+    // and 100 tokens (4 chunks, short tail)
+    val mk = (k: Int) => (0 until k).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, mk(3)), (2L, mk(32)), (3L, mk(33)), (4L, mk(100)))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkOverlap(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+
+    assert(out.keys.count(_._1 == 1L) === 1 && out((1L, 0L))._2 === 3L)
+    assert(out.keys.count(_._1 == 2L) === 1 && out((2L, 0L))._2 === 32L)
+    // 33 tokens: chunks at 0 (full) and 24 (9 tokens) — the straddling
+    // token 32 appears in both (overlap), never split without a whole copy
+    assert(out.keys.count(_._1 == 3L) === 2)
+    assert(out((3L, 1L)) === ((24L, 9L, (24 until 33).map(i => s"w$i").mkString(" "))))
+    // 100 tokens: 1 + ceil(68/24) = 4 chunks; starts 0,24,48,72; full
+    // coverage (last covers to token 99) and every non-final chunk full
+    val d4 = out.filter(_._1._1 == 4L).toSeq.sortBy(_._1._2)
+    assert(d4.map(_._2._1) === Seq(0L, 24L, 48L, 72L))
+    assert(d4.map(_._2._2) === Seq(32L, 32L, 32L, 28L))
+    assert(d4.last._2._1 + d4.last._2._2 === 100L)
+    // positional ids distinct; content fp equal for identical windows
+    val all = TextOps.chunkOverlap(docs).select("chunk_id").collect()
+    assert(all.map(_.getString(0)).distinct.length === all.length)
+  }
+
   test("entry point returns rows (driver smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
