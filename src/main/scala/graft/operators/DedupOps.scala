@@ -3145,6 +3145,145 @@ object DedupOps {
       .select(col("n_postings"), col("matches_full"), col("compact_matches"))
   }
 
+  // ------------------------------------------------------------------
+  // d31 — SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023)
+  // ------------------------------------------------------------------
+
+  /** SemDeDup near-dup bar: within-cluster cosine above this marks a
+    * semantic duplicate. On the hashed-BoW text embedding the corpus
+    * separates cleanly — unrelated same-vocabulary docs top out ~0.89,
+    * true near-copies sit ≥ 0.98 — so 0.95 splits the two populations
+    * with margin on both sides at every sf. */
+  val SemDedupTau = 0.95
+
+  /** Hashed bag-of-words dimensionality for [[semDedup]]. */
+  val SemDedupDims = 64
+
+  /** Deterministic text embedding for d31: the hashing-trick
+    * bag-of-words — token → md5-prefix dim, term-frequency weights,
+    * dense `array<double>`. Integer-valued components, so every dot
+    * product downstream is an EXACT integer (order-independent — no
+    * float-summation parity risk) and only the terminal sqrt/divide
+    * is IEEE, shared formula-for-formula with the oracle. Row-local:
+    * one md5 pass per token, then a dims×tokens counting loop — no
+    * shuffle, no UDF (all higher-order expressions). */
+  def bowVector(doc: Column): Column =
+    transform(sequence(lit(0L), lit(SemDedupDims - 1L)),
+      d => size(filter(doc, x => x === d)).cast("double"))
+
+  private def bowDims(text: Column): Column =
+    transform(TextFunctions.tokens(text),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % SemDedupDims)
+
+  /** d31 — SemDeDup (arXiv:2303.09540): embed → cluster → prune
+    * within-cluster semantic duplicates, keeping the cluster's most
+    * OUTLYING copy (lowest cosine to its centroid — the paper's rule:
+    * near-centroid redundancy goes, diversity stays; ties break to
+    * the smaller doc_id). The candidate structure is what makes this
+    * the 100 TB semantic-dedup shape: pairs are generated per CELL
+    * (an equi-join on the assignment cell, O(n·cellsize) with
+    * ceil(sqrt(n)) cells), never corpus-wide — a pair split across
+    * cells is deliberately missed, which is the documented recall
+    * trade every SemDeDup deployment makes.
+    *
+    * Removal is a dominance rule, not a sequential greedy pass: x is
+    * removed iff SOME same-cell y with cos(x,y) > τ ranks better
+    * ((cent_sim, id) lexicographic). The minimum of every dup
+    * component survives (nothing beats it), so the kept set is never
+    * empty per component, and the rule is one relational EXISTS —
+    * embarrassingly parallel where the paper's in-cluster loop is
+    * not.
+    *
+    * Embeddings are the deterministic hashed BoW ([[bowVector]]) and
+    * the codebook is the first-ceil(sqrt(n)) convention (s03), so the
+    * ENTIRE pipeline — embed, assign (argmax dot, ties to higher
+    * cell), centroid cosine, pair cosine, dominance — replays in the
+    * oracle bit-for-bit: integer dots, one sqrt, one divide, same
+    * fold order (`list_dot_product` ≡ the codegen fold). Production
+    * swaps real encoder vectors and the trained k-means codebook
+    * (s04) into the same plan; only the embed stage changes. */
+  def semDedup(docs: DataFrame, tau: Double = SemDedupTau): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withV = docs
+      .withColumn("__ds", bowDims(col("text")))
+      .select(col("doc_id"), bowVector(col("__ds")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val n = withV.count() // once: sizes the codebook (the s03/s04 convention)
+    val k = SimilarityOps.cellsForCorpus(n)
+    val cb = withV.orderBy(col("doc_id")).limit(k).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val nn = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / (if (nn == 0.0) 1.0 else nn))
+      }
+    val cbId = graft.functions.CodebookRegistry.register(
+      spark.sparkContext.broadcast(cb))
+    // Dataset construction analyzes eagerly; the expression holds the
+    // broadcast once built, so the registry entry can go (ivfParts).
+    val assigned =
+      try withV.withColumn("cell",
+        element_at(call_function("graft_cell_probes", col("v"), lit(cbId), lit(1)), 1)
+          .cast("long"))
+      finally graft.functions.CodebookRegistry.unregister(cbId)
+    // own-centroid cosine: the tiny (cell, centroid) relation
+    // broadcasts; cent_sim = dot(v, ĉ)/|v| — the keep-rule key
+    val cbDf = cb.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq.toDF("cell", "cv")
+    val withCent = assigned.join(broadcast(cbDf), Seq("cell"))
+      .withColumn("cent_sim", dot(col("v"), col("cv")) / col("nrm"))
+      .select(col("doc_id"), col("cell"), col("v"), col("nrm"), col("cent_sim"))
+    val rhs = withCent.select(col("cell"), col("doc_id").as("y"),
+      col("v").as("vy"), col("nrm").as("ny"), col("cent_sim").as("cy"))
+    val beaten = withCent.join(rhs, Seq("cell"))
+      .filter(col("doc_id") =!= col("y"))
+      .filter(dot(col("v"), col("vy")) / (col("nrm") * col("ny")) > tau)
+      .filter(col("cy") < col("cent_sim") ||
+        (col("cy") === col("cent_sim") && col("y") < col("doc_id")))
+      .select(col("doc_id")).distinct()
+      .withColumn("__beaten", lit(true))
+    withCent.join(beaten, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cell"), col("cent_sim"),
+        coalesce(col("__beaten"), lit(false)).as("removed"))
+  }
+
+  val semDedupQ: GraftQuery = GraftQuery(
+    "d31_semdedup",
+    s"""WITH dims AS (SELECT doc_id,
+      |    list_transform(string_split(text, ' '),
+      |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % $SemDedupDims) AS ds
+      |  FROM documents),
+      |dense AS (SELECT doc_id,
+      |    list_transform(range(0, $SemDedupDims),
+      |      d -> CAST(len(list_filter(ds, x -> x = d)) AS DOUBLE)) AS v
+      |  FROM dims),
+      |n AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dense),
+      |tot AS (SELECT count(*) AS c FROM n),
+      |cb AS (SELECT CAST(rn - 1 AS BIGINT) AS cell,
+      |    list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS cv
+      |  FROM (SELECT doc_id, v, nrm,
+      |          row_number() OVER (ORDER BY doc_id) AS rn FROM n) t, tot
+      |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(tot.c)) AS BIGINT)))),
+      |scores AS (SELECT n.doc_id, cb.cell, list_dot_product(n.v, cb.cv) AS score
+      |  FROM n CROSS JOIN cb),
+      |assign AS (SELECT doc_id, cell, score FROM (
+      |    SELECT doc_id, cell, score, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, cell DESC) AS r FROM scores) t WHERE r = 1),
+      |cent AS (SELECT a.doc_id, a.cell, a.score / n.nrm AS cent_sim
+      |  FROM assign a JOIN n USING (doc_id)),
+      |beaten AS (SELECT DISTINCT ca.doc_id
+      |  FROM cent ca JOIN cent cb2 ON ca.cell = cb2.cell AND ca.doc_id <> cb2.doc_id
+      |  JOIN n nx ON nx.doc_id = ca.doc_id
+      |  JOIN n ny ON ny.doc_id = cb2.doc_id
+      |  WHERE list_dot_product(nx.v, ny.v) / (nx.nrm * ny.nrm) > $SemDedupTau
+      |    AND (cb2.cent_sim < ca.cent_sim OR
+      |         (cb2.cent_sim = ca.cent_sim AND cb2.doc_id < ca.doc_id)))
+      |SELECT c.doc_id, c.cell, c.cent_sim,
+      |       (b.doc_id IS NOT NULL) AS removed
+      |FROM cent c LEFT JOIN beaten b ON b.doc_id = c.doc_id""".stripMargin) {
+    (spark, sf) => semDedup(Tables.documents(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
@@ -3155,5 +3294,5 @@ object DedupOps {
     incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ,
     lakeAppendQ, annLakeAppendQ, kmvVocabQ, kmvOverlapQ,
     exactSubstringQ, bandLakeDeleteQ, annLakeDeleteQ,
-    substringDecontaminateQ, spanFunnelQ)
+    substringDecontaminateQ, spanFunnelQ, semDedupQ)
 }

@@ -945,4 +945,45 @@ class DedupSpec extends SparkSpec {
         .head.getLong(0) > 0, "stage 2 must remove eval-shared spans")
     } finally { out.unpersist(); () }
   }
+
+  test("d31 semdedup: dup component keeps exactly the most-outlying copy") {
+    import spark.implicits._
+    // docs 0-3 are the first-4 codebook (k = max(4, ceil(sqrt(8)))).
+    // 4/5 are exact copies of 0, 6 a one-token near-dup — all land in
+    // doc 0's cell with cent_sim 1.0 / 1.0 / 1.0 / ~0.99, so the
+    // paper's keep-low-centroid-sim rule must keep ONLY doc 6.
+    val base = (1 to 40).map(i => s"tok${i % 13}w").mkString(" ")
+    val near = base.split(" ").updated(5, "MUTATED").mkString(" ")
+    def vocab(p: String) = (1 to 40).map(i => s"$p${i * 7 % 17}q").mkString(" ")
+    val docs = Seq(
+      (0L, base), (1L, vocab("aa")), (2L, vocab("bb")), (3L, vocab("cc")),
+      (4L, base), (5L, base), (6L, near), (7L, vocab("dd"))
+    ).toDF("doc_id", "text")
+    val out = DedupOps.semDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out.size === 8)
+    // the dup component {0,4,5,6}: exact copies removed, outlier kept
+    assert(out(0L)._3 && out(4L)._3 && out(5L)._3,
+      "near-centroid copies must be removed")
+    assert(!out(6L)._3, "the most-outlying copy must survive")
+    assert(Set(0L, 4L, 5L, 6L).map(out(_)._1).size === 1,
+      "the whole dup component must share one cell")
+    assert(out(6L)._2 < out(0L)._2, "keep rule keys on centroid cosine")
+    // unrelated docs untouched
+    Seq(1L, 2L, 3L, 7L).foreach(id => assert(!out(id)._3, s"doc $id kept"))
+  }
+
+  test("d31 semdedup: exact-copy tie breaks to the smallest doc_id") {
+    import spark.implicits._
+    // 5 anchors (codebook k=4 is docs 0-3), then two identical copies
+    // 8/9 of a NON-codebook text: equal cent_sim, id tie -> 8 survives
+    def vocab(p: String) = (1 to 40).map(i => s"$p${i * 3 % 11}x").mkString(" ")
+    val dup = vocab("zz")
+    val docs = (0L to 3L).map(i => (i, vocab(s"a$i"))) ++
+      Seq((8L, dup), (9L, dup))
+    val out = DedupOps.semDedup(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!out(8L) && out(9L), "tie must keep the smaller id")
+  }
 }
