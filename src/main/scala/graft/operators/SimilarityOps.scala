@@ -2528,10 +2528,138 @@ object SimilarityOps {
           .as("within_gain_band"))
   }
 
+  // ------------------------------------------------------------- SQ8
+
+  /** Shortlist width multiple for [[knnSq8]]: the int8 tier proposes
+    * RescoreFactor·k candidates, the float tier re-ranks them. */
+  val Sq8RescoreFactor = 3
+
+  /** s26 — scalar-quantized (SQ8) IVF serve with full-precision
+    * rescore: the memory-bound ANN deployment shape. The INDEX tier
+    * holds int8 codes + one scale per vector (65 B/row at d=64
+    * against 512 B of doubles — ~8× more postings per executor-GB,
+    * which is the entire point at 100 TB), candidate scoring runs on
+    * exact INTEGER dot products (|q|≤127 ⇒ Σq·q ≤ 64·127² — exact in
+    * doubles in any summation order, so the approx tier has zero
+    * float-parity risk), and only the RescoreFactor·k shortlist per
+    * query touches the full-precision vectors (the cold tier a real
+    * system reads from slow storage).
+    *
+    * Pipeline: v01's symmetric per-vector quantization (scale =
+    * max|x|/127, q = floor(x/scale + 0.5)) on both sides → s03's
+    * deterministic IVF geometry (first-√n codebook, 4 probes) →
+    * shortlist by approx cosine (sx·sy·Σqxqy)/(|x||y|), ties to the
+    * smaller neighbor — → rescore shortlist with the exact fold-left
+    * cosine → top-k. Emits both cosines per edge, so the row IS the
+    * quantization-error audit (v07's recall contract generalized to
+    * per-edge evidence). Fully deterministic — the oracle replays
+    * quantization, assignment, shortlist, and rescore verbatim. */
+  def knnSq8(emb: DataFrame, k: Int = 3, probes: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    val cb = centroids(emb, cellsForCorpus(n))
+    val cbId = graft.functions.CodebookRegistry.register(
+      spark.sparkContext.broadcast(cb))
+    val quant = emb
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127)
+      .withColumn("q",
+        when(col("scale") === 0, transform(col("v"), _ => lit(0.0)))
+          .otherwise(transform(col("v"), x => floor(x / col("scale") + 0.5))))
+    val (indexed, probed) =
+      try {(
+        quant.select(
+          element_at(call_function("graft_cell_probes", col("v"), lit(cbId), lit(1)), 1)
+            .as("cell"),
+          col("vec_id").as("neighbor_id"), col("q").as("nq"),
+          col("scale").as("ns"), col("nrm").as("nnrm"), col("v").as("nv")),
+        quant.select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("scale").as("qs"), col("nrm").as("qnrm"), col("v").as("qv"),
+          explode(call_function("graft_cell_probes", col("v"), lit(cbId), lit(probes)))
+            .as("cell")))
+      } finally graft.functions.CodebookRegistry.unregister(cbId)
+    val w8 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sq8").desc, col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probed.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sq8",
+        (col("qs") * col("ns") * dot(col("qq"), col("nq")))
+          / (col("qnrm") * col("nnrm")))
+      .withColumn("r8", row_number().over(w8))
+      .filter(col("r8") <= k * Sq8RescoreFactor)
+      .withColumn("cos_sim", dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"), col("cos_sq8"))
+  }
+
+  val knnSq8Q: GraftQuery = GraftQuery(
+    "s26_knn_sq8",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q8 AS (SELECT vec_id, v,
+      |         sqrt(list_dot_product(v, v)) AS nrm,
+      |         list_max(list_transform(v, x -> abs(x))) / 127 AS scale,
+      |         CASE WHEN list_max(list_transform(v, x -> abs(x))) / 127 = 0
+      |              THEN list_transform(v, x -> 0.0)
+      |              ELSE list_transform(v,
+      |                x -> floor(x / (list_max(list_transform(v, y -> abs(y))) / 127) + 0.5))
+      |         END AS q
+      |       FROM e),
+      |cb AS (
+      |  SELECT CAST(rn - 1 AS INT) AS cell,
+      |         list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS c
+      |  FROM (SELECT vec_id, v, nrm,
+      |          row_number() OVER (ORDER BY vec_id) AS rn,
+      |          count(*) OVER () AS total
+      |        FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)) t
+      |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(total)) AS BIGINT)))),
+      |scores AS (
+      |  SELECT q8.vec_id, cb.cell, list_dot_product(q8.v, cb.c) AS score
+      |  FROM q8 CROSS JOIN cb),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores) t WHERE r = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM scores) t WHERE r <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |         (qn.scale * nn.scale * list_dot_product(qn.q, nn.q))
+      |           / (qn.nrm * nn.nrm) AS cos_sq8,
+      |         list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm) AS cos
+      |  FROM probes p
+      |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN q8 qn ON qn.vec_id = p.query_id
+      |  JOIN q8 nn ON nn.vec_id = a.vec_id),
+      |short AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cos_sq8 DESC, neighbor_id) AS r8 FROM cand),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos, cos_sq8,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM short WHERE r8 <= ${3 * Sq8RescoreFactor})
+      |SELECT query_id AS vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+      |       cos AS cos_sim, cos_sq8
+      |FROM ranked WHERE rank <= 3""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    knnSq8(emb)
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
-    knnIvfLakeFilteredQ, filteredRecallQ)
+    knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q)
 }

@@ -535,4 +535,37 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(1)) && rows.exists(!_.getBoolean(1)),
       "the harness graph has both a core and a peeled fringe")
   }
+
+  test("s26 SQ8: per-edge quantization error bounded, recall matches float IVF") {
+    val out = SimilarityOps.knnSq8(emb).persist()
+    try {
+      // int8 symmetric quantization on unit-norm 64-dim vectors: the
+      // per-edge cosine error stays well under 0.02 (measured max
+      // ~0.006 on this corpus — the bound has 3x margin)
+      val maxErr = out.agg(max(abs(col("cos_sim") - col("cos_sq8"))))
+        .head.getDouble(0)
+      assert(maxErr < 0.02, s"SQ8 cosine error $maxErr exceeds bound")
+      // the rescored top-k must not lose recall vs the same-geometry
+      // float IVF beyond the shortlist-boundary wiggle
+      val floatIvf = recallAt3(SimilarityOps.knnIvf(emb, k = 3, probes = 4))
+      val sq8 = recallAt3(out)
+      info(f"recall@3 float=$floatIvf%.4f sq8=$sq8%.4f")
+      assert(sq8 >= floatIvf - 0.02,
+        s"SQ8 recall $sq8 fell more than 0.02 below float IVF $floatIvf")
+    } finally { out.unpersist(); () }
+  }
+
+  test("s26 SQ8: a planted exact duplicate is the rank-1 match under quantization") {
+    import spark.implicits._
+    // 40 deterministic vectors + one exact copy of vec 7 as id 1000
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 8 + d + 1).toDouble))
+    }
+    val docs = (base :+ (1000L, base(7)._2)).toDF("vec_id", "v")
+    val out = SimilarityOps.knnSq8(docs).collect()
+      .filter(r => r.getLong(2) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1000L) === 7L && out(7L) === 1000L,
+      "exact copies must be each other's rank-1 under SQ8")
+  }
 }
