@@ -516,6 +516,43 @@ object ChartRegistry {
     serveWithStoreRows(spark, sink)
   }
 
+  /** c22 retention boundary: keep the fixture's last 36 hours (half
+    * the 72-hour window) — an exact hour-aligned cutoff interpolated
+    * into BOTH texts so the two sides cannot drift. */
+  private val RetentionCutoff = "2022-03-02 12:00:00"
+
+  /** S4/S5 + RETENTION: age-based vacuum gated end-to-end — the
+    * third maintenance op on the aggregate store (compact c19/c21,
+    * takedown m12/d28, now retention). The full fixture (both parity
+    * batches + the at-least-once replay injection) is compacted, then
+    * `vacuum(RetentionCutoff)` drops the first half of the window.
+    * The oracle is c01's restricted to surviving hours and never
+    * models the store: a vacuum that over-drops (a surviving hour
+    * missing), under-drops (a pre-cutoff hour served), or splits a
+    * window (the cutoff is hour-aligned by contract) splits the hash.
+    * The PHYSICAL drop is load-bearing too: `store_rows` must equal
+    * the surviving key count — a vacuum that filters at serve time
+    * but leaves the store intact goes red on that column. On a
+    * hive-partitioned production store this is a partition DROP, not
+    * a row rewrite (see CompactingAggregateSink.vacuum); crash
+    * healing rides the same two-rename proof as compaction. */
+  val retentionVacuumQ: GraftQuery = GraftQuery(
+    "c22_retention_vacuum",
+    withProcessed(
+      s"""SELECT p.*, (SELECT CAST(count(*) AS BIGINT) FROM processed
+         |            WHERE date_hour >= TIMESTAMP '$RetentionCutoff') AS store_rows
+         |FROM processed p
+         |WHERE p.date_hour >= TIMESTAMP '$RetentionCutoff'""".stripMargin)) { (spark, sf) =>
+    val raw = aggregates(spark, sf)
+    val sink = freshSink(sf, "c22")
+    sink.append(raw.filter(hour(col("created_at")) % 2 === 0))
+    sink.append(raw.filter(hour(col("created_at")) % 2 =!= 0))
+    sink.append(replayBatch(raw))
+    sink.compact(spark)
+    sink.vacuum(spark, RetentionCutoff)
+    serveWithStoreRows(spark, sink)
+  }
+
   /** A9 in the reference's OWN quartile convention: linear
     * interpolation (pandas/Vega-Lite type-7 — charts.py:173-199),
     * behind positivityBoxplot's `interpolated` flag; c10's discrete
@@ -573,5 +610,5 @@ object ChartRegistry {
     positivityBoxplotQ, latestInputsQ,
     emotionShareHourQ, countsTopicHourQ, positivityHourQ, positivityBoxplotDayQ,
     countsPeriodDayQ, emotionLongDayQ, rollingCountsQ, compactionServeQ,
-    positivityBoxplotInterpQ, compactionInterleavedQ)
+    positivityBoxplotInterpQ, compactionInterleavedQ, retentionVacuumQ)
 }

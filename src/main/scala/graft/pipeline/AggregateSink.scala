@@ -77,11 +77,45 @@ final class CompactingAggregateSink(
   private[pipeline] def compact(
       spark: SparkSession, crashPoint: String => Unit): Unit = {
     recover()
-    val compacted = graft.serving.ChartQueries
+    publishGeneration(graft.serving.ChartQueries
       .processData(inner.readBack(spark), latestWins = latestWins)
-      .drop("date_hour", "date", "hour") // derived on read, not stored
+      .drop("date_hour", "date", "hour"), // derived on read, not stored
+      crashPoint)
+  }
+
+  /** Retention vacuum: physically drop every stored row older than
+    * `keepFrom` (a `yyyy-MM-dd HH:mm:ss` boundary — align it to an
+    * hour so the cut can never split a (topic, hour) window). Same
+    * two-rename publish as [[compact]], so a crash at any point
+    * self-heals through [[recover]]; serving reads between vacuums
+    * stay correct either way — retention only bounds store size and
+    * read cost, it is not load-bearing for dedup. On a hive-
+    * partitioned production store this rewrite degenerates to a
+    * partition DROP (delete whole `date=`/`hour=` directories +
+    * manifest update) — never a row-level rewrite of the survivors;
+    * the flat test store pays the rewrite because it has no
+    * partition directories to drop. */
+  def vacuum(spark: SparkSession, keepFrom: String): Unit =
+    vacuum(spark, keepFrom, _ => ())
+
+  private[pipeline] def vacuum(
+      spark: SparkSession, keepFrom: String, crashPoint: String => Unit): Unit = {
+    recover()
+    publishGeneration(inner.readBack(spark)
+      .filter(org.apache.spark.sql.functions.col("created_at") >=
+        java.sql.Timestamp.valueOf(keepFrom)),
+      crashPoint)
+  }
+
+  /** The shared generation swap: write the new generation to a tmp
+    * dir, stage the old one away, publish, drop the staged copy. The
+    * crash windows (labels "written" / "staged" / "published") are
+    * identical for every rewriting maintenance op, so SinkCrashSpec's
+    * proofs cover compact and vacuum alike. */
+  private def publishGeneration(
+      generation: DataFrame, crashPoint: String => Unit): Unit = {
     val tmp = path + ".compacting"
-    compacted.write.mode("overwrite").parquet(tmp)
+    generation.write.mode("overwrite").parquet(tmp)
     crashPoint("written")
     deleteRecursively(staged)
     require(dir.renameTo(staged), s"could not stage old generation of $path")

@@ -124,4 +124,31 @@ class SinkCrashSpec extends SparkSpec {
         ts("2022-03-01 13:00:00"), ts("2022-03-01 14:00:00")),
       "no window lost or double-kept across the crash-interrupted interleave")
   }
+
+  for (point <- Seq("written", "staged", "published"))
+    test(s"vacuum kill at '$point' self-heals; retention is all-or-nothing") {
+      val path = Files.createTempDirectory("sink_vac").toString + "/agg"
+      val sink = new CompactingAggregateSink(path)
+      sink.append(batch("2022-03-01 11:00:05", 3L)) // pre-cutoff
+      sink.append(batch("2022-03-01 12:00:10", 7L)) // survivor
+      sink.append(batch("2022-03-01 13:00:00", 9L)) // survivor
+      val rawBefore = raw(sink)
+
+      val crash = intercept[InjectedCrash] {
+        sink.vacuum(spark, "2022-03-01 12:00:00",
+          label => if (label == point) throw InjectedCrash(label))
+      }
+      assert(crash.label === point)
+      // a crashed vacuum leaves either the FULL history or the FULL
+      // survivor set — never a partially-dropped store
+      val healed = raw(sink)
+      assert(healed === rawBefore ||
+        healed === rawBefore.filter(_._1.after(Timestamp.valueOf("2022-03-01 11:59:59"))),
+        s"crash at '$point' left a partial retention state: $healed")
+
+      // the re-run completes the drop and clears the staging area
+      sink.vacuum(spark, "2022-03-01 12:00:00")
+      assert(raw(sink).map(_._2) === Set(7L, 9L))
+      assert(!new java.io.File(path + ".old").exists())
+    }
 }
