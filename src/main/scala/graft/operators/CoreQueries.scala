@@ -946,6 +946,57 @@ object CoreQueries {
       rows.toDF("format", "n_rows", "roundtrip_exact")
   }
 
+  /** q62 — schema-evolution read across lake generations: a parquet
+    * lake whose writer gained a column mid-stream (gen1 writes
+    * (event_id, user_id, value); gen2 adds event_type) read back as
+    * ONE relation via mergeSchema, pre-evolution rows surfacing NULL
+    * in the added column — the reader-tolerance contract every
+    * long-lived lake needs, proven end-to-end through a real
+    * two-generation write + merged read + aggregate, not a schema
+    * assertion. The oracle rebuilds the merged relation from the
+    * events table (even ids lose their event_type), so a merged read
+    * that drops the added column, nulls the wrong generation, or
+    * loses rows splits the hash. All aggregates are order-independent
+    * (counts, exact integer id sum, min/max) — no float-summation
+    * parity surface.
+    *
+    * Scale shape: mergeSchema's cost is footer reads across
+    * generations (at 100 TB the schema lives in a catalog and the
+    * merged read pays nothing extra); the query itself is one
+    * map-combined aggregation to ≤|types|+1 rows. The generations
+    * land in a pid-scoped temp lake, overwritten per run. */
+  val schemaEvolution: GraftQuery = GraftQuery(
+    "q62_schema_evolution",
+    """WITH m AS (
+      |  SELECT event_id, user_id, value,
+      |         CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END AS event_type
+      |  FROM events)
+      |SELECT coalesce(event_type, '__pre_evolution__') AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       min(value) AS min_value, max(value) AS max_value
+      |FROM m GROUP BY 1""".stripMargin) { (spark, sf) =>
+    val ev = Tables.events(spark, sf)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_evo" +
+      s"_p${ProcessHandle.current().pid()}_${sf.replaceAll("[^A-Za-z0-9]+", "_")}"
+    ev.filter(col("event_id") % 2 === 0)
+      .select("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/gen1")
+    ev.filter(col("event_id") % 2 =!= 0)
+      .select("event_id", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/gen2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/gen1", s"$dir/gen2")
+      .groupBy(coalesce(col("event_type"), lit("__pre_evolution__"))
+        .as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+  }
+
   /** q58 — salted skew join, result-invariance gate: the orders fact
     * joined to the customer dim THROUGH
     * [[graft.functions.Relational.saltedJoin]] (salt factor 8 — the
@@ -1285,5 +1336,5 @@ object CoreQueries {
     distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
     valueHistogram, groupingSets, moments, keySkew, seasonality,
     sourceFormats, saltedJoinSegments, f2Sketch, skewAdvisory,
-    advisedJoinQ)
+    advisedJoinQ, schemaEvolution)
 }
