@@ -1077,8 +1077,119 @@ object VectorOps {
           / sqrt(vi.cast("double") * vj.cast("double"))).as("corr"))
   }
 
+  /** v15 power-iteration budget: enough that the top-eigenspace
+    * component ratio (λ₂/λ₁)^T is far below double precision for any
+    * non-degenerate spectrum (0.97^2000 ≈ 10⁻²⁷). Fixed count, no
+    * early-stop — determinism over adaptivity. */
+  val PcIters = 2000
+
+  /** v15 driver kernel — top principal component of the snapped
+    * covariance image M = n·S − s·sᵀ (PSD, n²× the covariance, same
+    * eigenvectors) built from ONE [[graft.functions.GramAgg]] pass:
+    * exact-long matrix assembly (every cell < 2^53 under the v14
+    * sizing note), deterministic start vector 1 + i/dim, `iters`
+    * unnormalized-then-renormalized multiplies, Rayleigh λ, relative
+    * residual ‖Mv − λv‖/λ. Driver cost is O(d²·iters) flops on a
+    * d×d matrix — bounded state exactly like the IVF codebook, never
+    * a distributed eigensolve. Returns
+    * (v, λ, residual, n, traceScaled, maxDiagScaled). */
+  def topPrincipalComponent(emb: DataFrame, dim: Int = Dim,
+      snap: Double = CorrSnap, iters: Int = PcIters)
+      : (Array[Double], Double, Double, Long, Long, Long) = {
+    val g = emb
+      .select(transform(col("v"), x => snapLong(x, snap)).as("xs"))
+      .agg(call_function("graft_gram", col("xs"), lit(dim)).as("g"))
+      .head.getSeq[Long](0).toArray
+    val n = g(0)
+    def sumAt(i: Int) = g(1 + i)
+    def tri(i: Int, j: Int) = g(1 + dim + i * dim - i * (i - 1) / 2 + (j - i))
+    val m = Array.ofDim[Double](dim, dim)
+    var trace = 0L
+    var maxDiag = Long.MinValue
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val cell = n * tri(i, j) - sumAt(i) * sumAt(j) // exact long
+        m(i)(j) = cell.toDouble
+        m(j)(i) = cell.toDouble
+        if (i == j) { trace += cell; maxDiag = math.max(maxDiag, cell) }
+        j += 1
+      }
+      i += 1
+    }
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { r =>
+        var s = 0.0; var c = 0
+        while (c < dim) { s += m(r)(c) * v(c); c += 1 }
+        s
+      }
+    def nrm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    var v = Array.tabulate(dim)(i => 1.0 + i.toDouble / dim)
+    val n0 = nrm(v); v = v.map(_ / n0)
+    var t = 0
+    while (t < iters) {
+      val w = matVec(v)
+      val nw = nrm(w)
+      if (nw == 0.0) t = iters // M annihilates v (zero matrix): keep v
+      else { v = w.map(_ / nw); t += 1 }
+    }
+    val mv = matVec(v)
+    val lambda = v.zip(mv).map { case (a, b) => a * b }.sum
+    val res = nrm(v.indices.map(i => mv(i) - lambda * v(i)).toArray)
+    val rel = if (lambda == 0.0) res else res / math.abs(lambda)
+    (v, lambda, rel, n, trace, maxDiag)
+  }
+
+  /** v15 — top-PC spectral audit off ONE corpus pass: the PCA
+    * front-door every embedding pipeline wants (whitening decisions,
+    * matryoshka truncation sizing v05/v08, drift direction v06)
+    * without ever materializing an n×d×d anything — the co-moment
+    * matrix arrives via the v14 `graft_gram` aggregate (O(d²)
+    * mergeable longs) and the eigensolve is driver-side bounded
+    * state. The gate row is a CONTRACT (the s19 device): the exact
+    * integers an oracle CAN replay (n, scaled trace, max diagonal —
+    * the same snapped self-join as v14) plus the spectral invariants
+    * the engine's float tier must satisfy — unit eigenvector,
+    * relative residual ≤ 10⁻⁶ (power iteration converged), max_diag ≤
+    * λ ≤ trace (Rayleigh bounds, 10⁻⁹ slack for the float boundary),
+    * explained variance above uniform and ≤ 1. Any boolean false →
+    * hash split. VectorPcaSpec pins the DIRECTION on planted
+    * anisotropic data, which no oracle-replayable scalar can. */
+  val topPcQ: GraftQuery = GraftQuery(
+    "v15_top_pc",
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT list_transform(v, x -> CAST(floor(x * $CorrSnap + 0.5) AS BIGINT)) AS xs
+       |      FROM e WHERE v IS NOT NULL),
+       |x AS (SELECT xs, i, xs[i + 1] AS xv FROM s CROSS JOIN range(0, $Dim) t(i)),
+       |d AS (SELECT i, CAST(count(*) AS BIGINT) AS n, CAST(sum(xv) AS BIGINT) AS si,
+       |        CAST(sum(xv * xv) AS BIGINT) AS sii FROM x GROUP BY i)
+       |SELECT CAST($Dim AS BIGINT) AS dim, max(n) AS n,
+       |       CAST(sum(n * sii - si * si) AS BIGINT) AS trace,
+       |       CAST(max(n * sii - si * si) AS BIGINT) AS max_diag,
+       |       TRUE AS unit_norm_ok, TRUE AS residual_ok,
+       |       TRUE AS lambda_ge_max_diag, TRUE AS lambda_le_trace,
+       |       TRUE AS ev_gt_avg, TRUE AS psd_ok
+       |FROM d""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val (v, lambda, rel, n, trace, maxDiag) = topPrincipalComponent(emb)
+    val unitErr = math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0)
+    val slack = 1e-9
+    import spark.implicits._
+    Seq((Dim.toLong, n, trace, maxDiag,
+      unitErr < 1e-12, rel <= 1e-6,
+      lambda >= maxDiag.toDouble * (1 - slack),
+      lambda <= trace.toDouble * (1 + slack),
+      lambda >= trace.toDouble / Dim * (1 - slack),
+      lambda >= 0.0 && maxDiag >= 0L))
+      .toDF("dim", "n", "trace", "max_diag", "unit_norm_ok", "residual_ok",
+        "lambda_ge_max_diag", "lambda_le_trace", "ev_gt_avg", "psd_ok")
+  }
+
   val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
     truncRecallQ, centroidDriftQ, quantRecallQ, matryoshkaRecallQ, dimStatsQ,
     centroidSeparationQ, pqDistortionQ, binaryRecallQ, knnLabelPurityQ,
-    dimCorrelationQ)
+    dimCorrelationQ, topPcQ)
 }
