@@ -125,4 +125,31 @@ class ChartRegistrySpec extends SparkSpec {
     val t2 = out("t2")
     assert((1 to 8).forall(t2.isNullAt), "all stats NULL, row retained")
   }
+
+  test("c23 non-vacuity: some hours recomputed, most kept from gen1, and " +
+      "skipping the recompute serves stale aggregates") {
+    import org.apache.spark.sql.functions._
+    val out = ChartRegistry.incrementalRecomputeQ.run(spark, sf001)
+      .select(col("date_hour"), col("recomputed"), col("counts")).collect()
+    val flags = out.map(_.getBoolean(1)).toSeq
+    assert(flags.contains(true), "at least one hour must be recomputed")
+    assert(flags.count(!_) > flags.count(identity),
+      "most hours must be served from gen1 untouched — that is the point")
+    // teeth: gen1 alone (no recompute) disagrees with the full serve
+    // on the changed hours, so a digest that missed them would go red
+    val docs = graft.Tables.documents(spark, sf001)
+    val isLate = (col("doc_id") % ChartRegistry.HourBuckets % 7 === 3) &&
+      (col("doc_id") % 5 === 0)
+    val stale = graft.serving.ChartQueries.processData(
+      ChartRegistry.aggregatesPlanFrom(docs.filter(!isLate)))
+      .select(col("date_hour"), col("topic"), col("counts").as("stale_counts"))
+    val full = ChartRegistry.processed(spark, sf001)
+      .select(col("date_hour"), col("topic"), col("counts"))
+    // divergence is EITHER a changed count OR an hour gen1 never had
+    // (at tiny sf a bucket can consist entirely of late docs)
+    val diverging = full.join(stale, Seq("date_hour", "topic"), "left")
+      .filter(col("stale_counts").isNull ||
+        col("counts") =!= col("stale_counts")).count()
+    assert(diverging > 0, "late docs must actually change some hour's aggregate")
+  }
 }
