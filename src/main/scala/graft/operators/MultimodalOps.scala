@@ -786,7 +786,113 @@ object MultimodalOps {
     perDigest.crossJoin(broadcast(survivors))
   }
 
+  /** m13 rolling window width / boundary divisor: P(boundary) = 1/64
+    * per position → ~64-byte mean chunks against 48–553-byte payloads,
+    * so most docs split into several chunks and dup detection works
+    * below whole-payload granularity. */
+  val CdcWindow = 16
+  val CdcDivisor = 64
+
+  /** m13 — content-defined chunking (CDC) block-level dedup, the
+    * backup/storage-system classic (Muthitacharoen et al., LBFS,
+    * SOSP'01): m11 dedups whole payloads by digest; this row dedups
+    * SUB-payload blocks whose boundaries are chosen by content, so an
+    * insertion near the head of a file shifts every byte offset yet
+    * every chunk after the edit re-aligns and still dedups — the
+    * property fixed-size blocking fundamentally lacks. A position is
+    * a boundary iff the rolling [[CdcWindow]]-byte window hash ≡ 0
+    * (mod [[CdcDivisor]]); the hash is md5's low 6 bits so both
+    * engines state the identical rule (production swaps a Rabin/gear
+    * rolling hash into the same plan shape).
+    *
+    * Execution shape (the part that matters at 100 TB): boundary
+    * detection and chunk splitting are ROW-LOCAL higher-order
+    * expressions — zero shuffle until chunks exist; the only shuffle
+    * in the pipeline groups 16-byte chunk digests (m11's rule:
+    * payload bytes never shuffle as a key). First-copy rule is
+    * keep-first by (doc_id, offset); per-doc report emits exact
+    * integers plus one IEEE division. */
+  def cdcChunkDedup(payloads: DataFrame): DataFrame = {
+    val W = CdcWindow
+    val D = CdcDivisor
+    val t = payloads
+      .select(col("doc_id"), col("payload").cast("string").as("t"))
+      .filter(col("t").isNotNull)
+      .withColumn("__L", length(col("t")))
+    // boundaries only at p ∈ [W, L-1]: a cut at p = L would duplicate
+    // the terminal cut (and Spark's sequence(W, L-1) DESCENDS when
+    // L-1 < W — the CASE guards the short-payload path)
+    val chunks = t
+      .withColumn("__cuts", expr(
+        s"""concat(array(0),
+           |  CASE WHEN __L > $W THEN
+           |    filter(sequence($W, __L - 1), p ->
+           |      CAST(conv(substring(md5(substring(t, p - $W + 1, $W)), 31, 2),
+           |                16, 10) AS INT) % $D = 0)
+           |  ELSE array() END,
+           |  array(__L))""".stripMargin))
+      .withColumn("__ch", expr(
+        """transform(sequence(1, size(__cuts) - 1), i -> struct(
+          |  element_at(__cuts, i) AS off,
+          |  substring(t, CAST(element_at(__cuts, i) AS INT) + 1,
+          |    CAST(element_at(__cuts, i + 1) - element_at(__cuts, i) AS INT)) AS c))""".stripMargin))
+      .select(col("doc_id"), explode(col("__ch")).as("u"))
+      .select(col("doc_id"), col("u.off").cast("long").as("off"),
+        md5(col("u.c")).as("dg"), length(col("u.c")).cast("long").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dg")).orderBy(col("doc_id"), col("off"))
+    chunks
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("nb")).as("n_bytes"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__rn") > 1, col("nb")).otherwise(0L)).as("dup_bytes"))
+      .select(col("doc_id"), col("n_chunks"), col("n_bytes"),
+        col("n_dup_chunks"), col("dup_bytes"),
+        (col("dup_bytes").cast("double") / col("n_bytes")).as("dedup_ratio"))
+  }
+
+  val cdcChunkDedupQ: GraftQuery = GraftQuery(
+    "m13_cdc_chunk_dedup", {
+      val W = CdcWindow
+      val D = CdcDivisor
+      val hex = "0123456789abcdef"
+      s"""WITH dd AS (SELECT doc_id, text AS t, len(text) AS L FROM documents
+        |            WHERE text IS NOT NULL),
+        |cz AS (SELECT doc_id, t, L,
+        |         ([0] ||
+        |          CASE WHEN L > $W THEN
+        |            list_filter(range($W, L), p ->
+        |              ((strpos('$hex', substr(md5(substr(t, CAST(p AS INT) - ${W - 1}, $W)), 31, 1)) - 1) * 16
+        |               + strpos('$hex', substr(md5(substr(t, CAST(p AS INT) - ${W - 1}, $W)), 32, 1)) - 1)
+        |              % $D = 0)
+        |          ELSE [] END ||
+        |          [L]) AS cuts
+        |       FROM dd),
+        |ch AS (SELECT doc_id, u.off AS off, u.c AS c FROM
+        |         (SELECT doc_id, unnest(list_transform(range(1, len(cuts)), i ->
+        |            struct_pack(off := cuts[i],
+        |              c := substr(t, CAST(cuts[i] AS INT) + 1,
+        |                          CAST(cuts[i + 1] - cuts[i] AS INT))))) AS u
+        |          FROM cz) z),
+        |ce AS (SELECT doc_id, CAST(off AS BIGINT) AS off, md5(c) AS dg,
+        |         CAST(len(c) AS BIGINT) AS nb FROM ch),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY dg
+        |         ORDER BY doc_id, off) AS r FROM ce)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(nb) AS BIGINT) AS n_bytes,
+        |       CAST(coalesce(sum(CASE WHEN r > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_chunks,
+        |       CAST(coalesce(sum(CASE WHEN r > 1 THEN nb END), 0) AS BIGINT) AS dup_bytes,
+        |       CAST(coalesce(sum(CASE WHEN r > 1 THEN nb END), 0) AS DOUBLE)
+        |         / CAST(sum(nb) AS BIGINT) AS dedup_ratio
+        |FROM rn GROUP BY doc_id""".stripMargin
+    }) { (spark, sf) =>
+    cdcChunkDedup(asMultimodal(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ,
     shardManifestQ, quarantineQ, sourceHistogramDriftQ, phashClustersQ,
-    entropyScreenQ, payloadDedupQ, payloadTakedownQ)
+    entropyScreenQ, payloadDedupQ, payloadTakedownQ, cdcChunkDedupQ)
 }

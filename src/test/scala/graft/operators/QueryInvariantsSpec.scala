@@ -327,6 +327,36 @@ class QueryInvariantsSpec extends SparkSpec {
       "survivors + removed must conserve the corpus")
   }
 
+  test("m13 CDC chunking survives an offset shift that breaks fixed blocks") {
+    import spark.implicits._
+    // doc 2 = doc 1 with bytes INSERTED at the head: every byte offset
+    // shifts, so fixed-size blocks would share nothing — content-
+    // defined boundaries re-align after the edit and the tail chunks
+    // dedup. Body long enough (~600 bytes) to expect ~9 boundary hits
+    // at the 1/64 rate.
+    val body = (1 to 120).map(i => s"tok$i").mkString(" ") // aperiodic: no within-doc dups
+    val payloads = Seq(
+      (1L, body),
+      (2L, "INSERTED-PREFIX-SHIFTS-EVERY-OFFSET " + body),
+      (3L, "short")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = MultimodalOps.cdcChunkDedup(payloads).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_chunks") > 1L,
+      "fixture body must actually produce content-defined boundaries")
+    assert(out(2L).getAs[Long]("dup_bytes") > 0L,
+      "chunks after the insertion must re-align and dedup against doc 1")
+    assert(out(1L).getAs[Long]("n_dup_chunks") === 0L,
+      "keep-first: doc 1 holds every first copy")
+    val short = out(3L)
+    assert(short.getAs[Long]("n_chunks") === 1L &&
+      short.getAs[Long]("n_bytes") === 5L,
+      "a payload shorter than the window is one whole chunk")
+    // conservation: chunk bytes reassemble each payload exactly
+    assert(out(1L).getAs[Long]("n_bytes") === body.length.toLong)
+    assert(out(2L).getAs[Long]("n_bytes") === body.length.toLong + 36L)
+  }
+
   test("multimodal features: 16-dim, L1-normalized (m02)") {
     val f = MultimodalOps.featuresQ.run(spark, sf001)
     assert(f.filter(col("dim") =!= 16).count() === 0)
