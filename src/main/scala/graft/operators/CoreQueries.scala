@@ -1328,6 +1328,102 @@ object CoreQueries {
           .otherwise(col("user_id")).as("user_id"))))
   }
 
+  /** q63 build-side row threshold: broadcast iff the KMV-estimated
+    * key count of the dim side is ≤ this (rows as the replayable
+    * proxy for `autoBroadcastJoinThreshold` bytes). Fixture margins:
+    * the small scenario's dim is ≤ 64 keys and the large scenario's
+    * is ≥ 1000 at every sf — ≥ 3.9× on both sides of 256, far beyond
+    * the 2048-lane KMV's ~2% error, so the estimator can never flip
+    * the boolean. */
+  val BroadcastRowThreshold = 256
+
+  private val Kmv2p60 = 1152921504606846976.0
+
+  /** Join-STRATEGY advisory acted on — q61's sibling for the other
+    * plan-time decision a 100 TB join planner makes: q60/q61 decide
+    * "salt or not" from a skew sketch; this decides "broadcast or
+    * shuffle" from a cardinality sketch. The build side's key count
+    * is estimated by the d24 KMV bottom-k device (O(k) driver state,
+    * one map-side-combinable aggregation over the dim side — never a
+    * corpus count on the probe side), and the decision is ACTED on:
+    * under the threshold the dim broadcasts (replication cost
+    * n_dim × executors, zero probe-side shuffle); over it both sides
+    * hint SHUFFLE_MERGE (a broadcast of a too-big build side is the
+    * classic driver-OOM). The eager .head is plan-time state, same
+    * tier as AQE statistics — consulted once per candidate join. */
+  def advisedStrategyJoin(big: DataFrame, dim: DataFrame, keys: Seq[String],
+      rowThreshold: Int = BroadcastRowThreshold,
+      k: Int = DedupOps.KmvK): (DataFrame, Boolean) = {
+    val key = concat_ws("", keys.map(c => col(c).cast("string")): _*)
+    val kth = get(col("sk"), lit(k - 1))
+    val est = dim
+      .agg(call_function("graft_kmv", md5(key), lit(k)).as("sk"))
+      .select(size(col("sk")).as("ns"),
+        conv(substring(kth, 1, 15), 16, 10).cast("long").as("h60"))
+      .select(when(col("ns") < k, col("ns").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * Kmv2p60 / col("h60").cast("double"))
+        .as("est"))
+      .head(1).headOption.map(_.getDouble(0)).getOrElse(0.0)
+    val broadcasted = est <= rowThreshold
+    val joined =
+      if (broadcasted) big.join(broadcast(dim), keys)
+      else big.hint("SHUFFLE_MERGE").join(dim.hint("SHUFFLE_MERGE"), keys)
+    (joined, broadcasted)
+  }
+
+  /** One q63 scenario's oracle legs: KMV estimate of the distinct
+    * `keyExpr` population (replaying graft_kmv's md5 ranking + the
+    * 60-bit threshold estimator verbatim) and the joined aggregates. */
+  private def strategyScenarioSql(name: String, keyExpr: String): String = {
+    val k = DedupOps.KmvK
+    s"""SELECT '$name' AS scenario, t.n_rows, t.n_keys, t.key_sum,
+       |  (CASE WHEN e.nd < $k THEN CAST(e.nd AS DOUBLE)
+       |        ELSE CAST(${k - 1} AS DOUBLE) * $Kmv2p60 /
+       |          CAST(list_sum(list_transform(range(15), i ->
+       |            (strpos('0123456789abcdef', substr(e.kth, CAST(i + 1 AS INT), 1)) - 1)
+       |            * CAST(power(16, 14 - i) AS BIGINT))) AS BIGINT) END)
+       |    <= $BroadcastRowThreshold AS broadcasted
+       |FROM
+       |  (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |          CAST(count(DISTINCT $keyExpr) AS BIGINT) AS n_keys,
+       |          CAST(sum($keyExpr) AS BIGINT) AS key_sum
+       |   FROM events) t,
+       |  (SELECT (SELECT count(DISTINCT md5(CAST($keyExpr AS VARCHAR)))
+       |           FROM events) AS nd,
+       |          (SELECT hh
+       |           FROM (SELECT DISTINCT md5(CAST($keyExpr AS VARCHAR)) AS hh
+       |                 FROM events) z
+       |           ORDER BY hh LIMIT 1 OFFSET ${k - 1}) AS kth) e""".stripMargin
+  }
+
+  /** q63 — [[advisedStrategyJoin]] driver-gated on BOTH decisions:
+    * a ≤ 64-key dim (user bucket — broadcast) and a ≥ 1000-key dim
+    * (event_id — shuffle-merge). `broadcasted` is what the engine
+    * actually DID; the oracle re-derives it from the replayable KMV
+    * formula. The joined aggregates pin that neither strategy
+    * perturbs the relation. PlanInvariantsSpec pins the physical
+    * plans (BroadcastHashJoin vs SortMergeJoin). */
+  val advisedStrategyQ: GraftQuery = GraftQuery(
+    "q63_advised_strategy",
+    s"""${strategyScenarioSql("dim_small", "user_id % 64")}
+      |UNION ALL
+      |${strategyScenarioSql("dim_large", "event_id")}""".stripMargin) {
+    (spark, sf) =>
+      val ev = Tables.events(spark, sf)
+      def scenario(name: String, keyed: DataFrame): DataFrame = {
+        val dim = keyed.select(col("k")).distinct()
+          .withColumn("dim_tag", concat(lit("t"), col("k")))
+        val (joined, bc) = advisedStrategyJoin(keyed, dim, Seq("k"))
+        joined.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("k")).as("n_keys"),
+            sum(col("k")).as("key_sum"))
+          .select(lit(name).as("scenario"), col("n_rows"), col("n_keys"),
+            col("key_sum"), lit(bc).as("broadcasted"))
+      }
+      scenario("dim_small", ev.select((col("user_id") % 64).as("k")))
+        .unionByName(scenario("dim_large", ev.select(col("event_id").as("k"))))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     positivity, pivotCounts, joinAggregates, pricingSummary, revenueByNation,
     windowShare, shareOfTotal, globalMean, quantiles, unpivotCounts,
@@ -1336,5 +1432,5 @@ object CoreQueries {
     distinctCounts, approxDistinct, approxQuantiles, cubeCounts,
     valueHistogram, groupingSets, moments, keySkew, seasonality,
     sourceFormats, saltedJoinSegments, f2Sketch, skewAdvisory,
-    advisedJoinQ, schemaEvolution)
+    advisedJoinQ, schemaEvolution, advisedStrategyQ)
 }

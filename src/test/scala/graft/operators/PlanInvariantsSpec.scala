@@ -636,4 +636,20 @@ class PlanInvariantsSpec extends SparkSpec {
       s"the index side of the tombstone mask must not shuffle:\n$p")
     graft.sources.SignatureLake.invalidate(spark)
   }
+
+  test("q63: the strategy advisory's decision IS the physical join") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf001)
+    val small = ev.select((col("user_id") % 64).as("k"))
+    val dimS = small.distinct().withColumn("dim_tag", concat(lit("t"), col("k")))
+    val (joinedS, bcS) = CoreQueries.advisedStrategyJoin(small, dimS, Seq("k"))
+    assert(bcS, "<=64-key dim must be advised to broadcast")
+    assert(plan(joinedS).contains("BroadcastHashJoin"), plan(joinedS))
+    val large = ev.select(col("event_id").as("k"))
+    val dimL = large.distinct().withColumn("dim_tag", concat(lit("t"), col("k")))
+    val (joinedL, bcL) = CoreQueries.advisedStrategyJoin(large, dimL, Seq("k"))
+    assert(!bcL, ">=1000-key dim must be advised to shuffle-merge")
+    val pL = plan(joinedL)
+    assert(pL.contains("SortMergeJoin") && !pL.contains("BroadcastHashJoin"), pL)
+  }
 }
