@@ -1096,6 +1096,18 @@ object VectorOps {
   def topPrincipalComponent(emb: DataFrame, dim: Int = Dim,
       snap: Double = CorrSnap, iters: Int = PcIters)
       : (Array[Double], Double, Double, Long, Long, Long) = {
+    val (m, n, trace, maxDiag, _) = scatterMatrix(emb, dim, snap)
+    val (v, lambda, rel) = powerIterate(m, dim, iters)
+    (v, lambda, rel, n, trace, maxDiag)
+  }
+
+  /** The snapped scatter image M = n·S − s·sᵀ (= n·Σ(x−μ)(x−μ)ᵀ, PSD,
+    * n²× the covariance, same eigenvectors) from ONE
+    * [[graft.functions.GramAgg]] pass, as exact-long cells (< 2^53
+    * under the v14 sizing note). Returns (m, n, trace, maxDiag,
+    * dimension sums) — the sums are what v16 needs for μ. */
+  private[operators] def scatterMatrix(emb: DataFrame, dim: Int, snap: Double)
+      : (Array[Array[Double]], Long, Long, Long, Array[Long]) = {
     val g = emb
       .select(transform(col("v"), x => snapLong(x, snap)).as("xs"))
       .agg(call_function("graft_gram", col("xs"), lit(dim)).as("g"))
@@ -1118,6 +1130,13 @@ object VectorOps {
       }
       i += 1
     }
+    (m, n, trace, maxDiag, Array.tabulate(dim)(sumAt))
+  }
+
+  /** Deterministic power iteration (start vector 1 + i/dim, `iters`
+    * renormalized multiplies, Rayleigh λ, relative residual). */
+  private[operators] def powerIterate(m: Array[Array[Double]], dim: Int,
+      iters: Int): (Array[Double], Double, Double) = {
     def matVec(v: Array[Double]): Array[Double] =
       Array.tabulate(dim) { r =>
         var s = 0.0; var c = 0
@@ -1138,7 +1157,7 @@ object VectorOps {
     val lambda = v.zip(mv).map { case (a, b) => a * b }.sum
     val res = nrm(v.indices.map(i => mv(i) - lambda * v(i)).toArray)
     val rel = if (lambda == 0.0) res else res / math.abs(lambda)
-    (v, lambda, rel, n, trace, maxDiag)
+    (v, lambda, rel)
   }
 
   /** v15 — top-PC spectral audit off ONE corpus pass: the PCA
@@ -1188,8 +1207,103 @@ object VectorOps {
         "lambda_ge_max_diag", "lambda_le_trace", "ev_gt_avg", "psd_ok")
   }
 
+  /** v16 driver kernel — all-but-the-top postprocess audit: top PC of
+    * the scatter image, the DEFLATED second component (power iteration
+    * on M − λ₁v₁v₁ᵀ), plus the distributed sums over the actually-
+    * postprocessed vectors. Returns everything the spec pins. */
+  private[operators] def abttKernel(emb: DataFrame, dim: Int, snap: Double,
+      iters: Int): (Long, Long, Long, // n, trace, maxDiag
+      Array[Double], Double, Double,  // v1, λ1, rel1
+      Array[Double], Double, Double,  // v2, λ2, res2 (absolute)
+      Double, Double, Double) = {     // sProj, sCent, sPost (×n, snapped units)
+    val (m, n, trace, maxDiag, sums) = scatterMatrix(emb, dim, snap)
+    val (v1, l1, rel1) = powerIterate(m, dim, iters)
+    val m2 = Array.tabulate(dim, dim)((i, j) => m(i)(j) - l1 * v1(i) * v1(j))
+    val (v2, l2, rel2) = powerIterate(m2, dim, iters)
+    val res2 = rel2 * math.abs(l2) // back to absolute scale
+    val mu = sums.map(s => if (n == 0) 0.0 else s.toDouble / n)
+    val muLit = array(mu.map(lit): _*)
+    val v1Lit = array(v1.map(lit): _*)
+    val stats = emb
+      .select(transform(col("v"), x => snapLong(x, snap).cast("double")).as("xs"))
+      .select(zip_with(col("xs"), muLit, (a, b) => a - b).as("c"))
+      .select(col("c"),
+        aggregate(zip_with(col("c"), v1Lit, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("p"))
+      // e' = c − p·v1: the ACTUAL postprocessed vector, its norm taken
+      // explicitly so the row exercises the operator, not Pythagoras
+      .select(col("p"),
+        aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x).as("nsq"),
+        aggregate(zip_with(col("c"), v1Lit, (ci, vi) => ci - col("p") * vi),
+          lit(0.0), (acc, x) => acc + x * x).as("psq"))
+      .agg(sum(col("p") * col("p")).as("s_proj"), sum(col("nsq")).as("s_cent"),
+        sum(col("psq")).as("s_post"))
+      .head
+    val (sProj, sCent, sPost) =
+      if (stats.isNullAt(0)) (0.0, 0.0, 0.0)
+      else (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2))
+    (n, trace, maxDiag, v1, l1, rel1, v2, l2, res2, sProj, sCent, sPost)
+  }
+
+  /** v16 — all-but-the-top (Mu & Viswanath, ICLR'18) embedding
+    * postprocess, audited end to end: subtract the corpus mean, remove
+    * the projection onto the top principal component — the standard
+    * isotropy fix that measurably improves similarity search on
+    * anisotropic embedding spaces (the common-direction artifact every
+    * trained encoder has). The eigensolves are v15's bounded driver
+    * state (one `graft_gram` pass + O(d²·iters) flops; the second
+    * component comes from the DEFLATED matrix M − λ₁v₁v₁ᵀ); the
+    * postprocess itself is a row-local literal-plane expression —
+    * zero shuffle, and the audit sums over the postprocessed vectors
+    * are one map-side-combined aggregation.
+    *
+    * Contract row (the v15/s19 device): replayable exact integers
+    * (n, scaled trace, max diagonal) plus invariants the float tier
+    * must satisfy — the distributed Σ(v₁·c)² matches λ₁/n (the driver
+    * eigenvector explains exactly the variance it claims, measured on
+    * the corpus, ≤10⁻⁶ rel), Σ‖c‖² matches trace/n, Σ‖e′‖² matches
+    * (trace−λ₁)/n (the removal removed exactly the top component and
+    * nothing else), λ₂ ≤ λ₁, v₂ ⊥ v₁, and the deflated iteration
+    * converged. Any boolean false → hash split. */
+  val abttQ: GraftQuery = GraftQuery(
+    "v16_abtt",
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT list_transform(v, x -> CAST(floor(x * $CorrSnap + 0.5) AS BIGINT)) AS xs
+       |      FROM e WHERE v IS NOT NULL),
+       |x AS (SELECT xs, i, xs[i + 1] AS xv FROM s CROSS JOIN range(0, $Dim) t(i)),
+       |d AS (SELECT i, CAST(count(*) AS BIGINT) AS n, CAST(sum(xv) AS BIGINT) AS si,
+       |        CAST(sum(xv * xv) AS BIGINT) AS sii FROM x GROUP BY i)
+       |SELECT CAST($Dim AS BIGINT) AS dim, max(n) AS n,
+       |       CAST(sum(n * sii - si * si) AS BIGINT) AS trace,
+       |       CAST(max(n * sii - si * si) AS BIGINT) AS max_diag,
+       |       TRUE AS cent_var_ok, TRUE AS top_var_ok, TRUE AS post_var_ok,
+       |       TRUE AS lambda2_le_lambda1, TRUE AS deflation_orthogonal,
+       |       TRUE AS residual2_ok
+       |FROM d""".stripMargin) { (spark, sf) =>
+    val emb = Tables.embeddings(spark, sf)
+      .select(toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
+    val (n, trace, maxDiag, v1, l1, _, v2, l2, res2, sProj, sCent, sPost) =
+      abttKernel(emb, Dim, CorrSnap, PcIters)
+    val traceScale = math.max(trace.toDouble, 1.0)
+    val orth = math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum)
+    import spark.implicits._
+    Seq((Dim.toLong, n, trace, maxDiag,
+      math.abs(sCent * n - trace.toDouble) <= 1e-6 * traceScale,
+      math.abs(sProj * n - l1) <= 1e-6 * math.max(l1, 1.0),
+      math.abs(sPost * n - (trace.toDouble - l1)) <= 1e-6 * traceScale,
+      l2 <= l1 * (1 + 1e-9) + 1e-9,
+      orth <= 1e-6,
+      // residual measured against the spectral scale: on a near-rank-1
+      // corpus λ₂ ≈ 0 and the float noise floor is set by λ₁
+      res2 <= 1e-6 * math.max(math.abs(l2), math.max(l1 * 1e-6, 1.0))))
+      .toDF("dim", "n", "trace", "max_diag", "cent_var_ok", "top_var_ok",
+        "post_var_ok", "lambda2_le_lambda1", "deflation_orthogonal",
+        "residual2_ok")
+  }
+
   val all: Seq[GraftQuery] = Seq(quantizeQ, labelCentroidsQ, centroidOutliersQ, pqQ,
     truncRecallQ, centroidDriftQ, quantRecallQ, matryoshkaRecallQ, dimStatsQ,
     centroidSeparationQ, pqDistortionQ, binaryRecallQ, knnLabelPurityQ,
-    dimCorrelationQ, topPcQ)
+    dimCorrelationQ, topPcQ, abttQ)
 }

@@ -51,4 +51,29 @@ class VectorPcaSpec extends SparkSpec {
     assert(rel < 1e-6, s"residual $rel")
     assert(lambda >= maxDiag.toDouble && lambda <= trace.toDouble)
   }
+
+  test("v16 deflation recovers the SECOND planted axis and removes the first") {
+    import spark.implicits._
+    // variance along axis 3 (±3 pattern) dominates; axis 5 (±1.5
+    // pattern at a coprime period) is second; everything else ~0
+    val rows = (0 until 210).map { i =>
+      val v = Array.fill(8)(0.0)
+      v(3) = if (i % 2 == 0) 3.0 else -3.0
+      v(5) = if (i % 3 == 0) 1.5 else -0.75 // zero-mean over period 3
+      Tuple1(v.toSeq)
+    }
+    val emb = rows.toDF("v")
+    val (n, trace, _, v1, l1, rel1, v2, l2, _, sProj, sCent, sPost) =
+      VectorOps.abttKernel(emb, 8, VectorOps.CorrSnap, VectorOps.PcIters)
+    assert(n === 210L)
+    assert(rel1 < 1e-9)
+    assert(math.abs(v1(3)) > 0.999, s"v1 must be the planted top axis: ${v1.toSeq}")
+    assert(math.abs(v2(5)) > 0.999, s"v2 must be the SECOND axis: ${v2.toSeq}")
+    assert(l2 < l1 && l2 > 0.0)
+    // the distributed sums agree with the driver spectrum
+    assert(math.abs(sCent * n - trace.toDouble) <= 1e-6 * trace)
+    assert(math.abs(sProj * n - l1) <= 1e-6 * l1)
+    assert(math.abs(sPost * n - (trace - l1)) <= 1e-6 * trace,
+      "postprocessed corpus variance = trace minus exactly the removed component")
+  }
 }
