@@ -143,7 +143,7 @@ object ChartRegistry {
        |        FROM aggregates) t
        |  WHERE rn = 1)""".stripMargin
 
-  private def withProcessed(body: String): String = s"WITH $processedSql\n$body"
+  private[graft] def withProcessed(body: String): String = s"WITH $processedSql\n$body"
 
   /** Wide per-level emotion sums CTE (BIGINT-cast: DuckDB sums of
     * BIGINT widen to HUGEINT, Spark stays long). */
@@ -473,7 +473,7 @@ object ChartRegistry {
 
   /** Fresh pid/sf-scoped compacting store (bench reps rebuild — the
     * contract is the store CONTENT, rebuilt deterministically). */
-  private def freshSink(sf: String, tag: String): graft.pipeline.CompactingAggregateSink = {
+  private[graft] def freshSink(sf: String, tag: String): graft.pipeline.CompactingAggregateSink = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$tag" +
       s"_p${ProcessHandle.current().pid()}_${sf.replaceAll("[^A-Za-z0-9]+", "_")}"
     def del(f: java.io.File): Unit = {
@@ -612,8 +612,8 @@ object ChartRegistry {
 
   /** c23 late-arrival model: hour buckets h % 7 == 3 receive late
     * docs (the doc_id % 5 == 0 slice) after the initial load. */
-  private val LateHourMod = 7
-  private val LateDocMod = 5
+  private[graft] val LateHourMod = 7
+  private[graft] val LateDocMod = 5
 
   /** Incremental recompute by DIGEST-DIFF reconciliation — the
     * production maintenance op c19/c21/c22 don't cover: when late

@@ -107,6 +107,38 @@ final class CompactingAggregateSink(
       crashPoint)
   }
 
+  /** Hour-level UPSERT — the remaining CRUD leg of the store
+    * lifecycle (append ✓ / compact ✓ / vacuum ✓ / replace): swap in
+    * recomputed rows for exactly the hours the batch carries, leaving
+    * every other hour's stored bytes untouched in content. The hour
+    * set is derived from the batch itself (distinct truncated
+    * created_at), broadcast into a left-anti join against the store —
+    * an incremental-recompute consumer (c23/st14) never has to name
+    * its hours twice. Same two-rename publish as [[compact]], so
+    * every crash window self-heals through [[recover]]. On a hive-
+    * partitioned production store this is dynamic partition overwrite
+    * (replace only the touched `date=`/`hour=` directories); the flat
+    * test store pays a full rewrite because it has no partitions. */
+  def replaceHours(spark: SparkSession, recomputed: DataFrame): Unit =
+    replaceHours(spark, recomputed, _ => ())
+
+  private[pipeline] def replaceHours(spark: SparkSession,
+      recomputed: DataFrame, crashPoint: String => Unit): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, date_trunc}
+    recover()
+    // localize the batch before the swap: the recomputed plan may read
+    // the store being rewritten (staging windows would race the scan)
+    val rows = recomputed.collect()
+    val batch = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), recomputed.schema)
+    val hours = batch
+      .select(date_trunc("hour", col("created_at")).as("__h")).distinct()
+    val kept = inner.readBack(spark)
+      .join(broadcast(hours),
+        date_trunc("hour", col("created_at")) === col("__h"), "left_anti")
+    publishGeneration(kept.unionByName(batch), crashPoint)
+  }
+
   /** The shared generation swap: write the new generation to a tmp
     * dir, stage the old one away, publish, drop the staged copy. The
     * crash windows (labels "written" / "staged" / "published") are

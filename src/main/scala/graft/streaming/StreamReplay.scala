@@ -880,9 +880,112 @@ object StreamReplay {
     }
   }
 
+  final case class DocRow(doc_id: Long, source: String, text: String)
+
+  /** st14 — LATE DATA arriving on the stream, absorbed by hour-level
+    * UPSERTS of the aggregate store (c23's stream twin, and the
+    * composition the maintenance matrix was missing: st12/st13
+    * maintain the INDEX from a stream; this maintains the SERVING
+    * STORE). The store is built from the initial load, then the late
+    * slice (c23's model: doc_id % 5 == 0 within hour buckets
+    * h % 7 == 3) arrives through a real Structured Streaming query
+    * whose foreachBatch (1) appends the raw docs to a staging lake
+    * and (2) recomputes ONLY the hour buckets the batch touches —
+    * from initial ∪ staged-so-far, so a bucket hit by two
+    * micro-batches is re-upserted with everything it has received —
+    * and swaps them in via
+    * [[graft.pipeline.CompactingAggregateSink.replaceHours]] (the
+    * two-rename publish, every crash window self-healing). The gate
+    * is maximal: after the last batch the store must serve EXACTLY
+    * the full-corpus c01 relation (the oracle never models the
+    * stream, the staging, or the upserts), `recomputed` is re-derived
+    * by the oracle from the late-arrival model, and `store_rows` pins
+    * the store's physical content to the full-corpus pre-dedup
+    * aggregate count — an upsert that dropped, doubled, or
+    * half-filled an hour splits the hash. */
+  val streamUpsertQ: GraftQuery = GraftQuery(
+    "st14_stream_upsert_recompute", {
+      import graft.operators.ChartRegistry
+      ChartRegistry.withProcessed(
+        s"""SELECT p.*,
+          |       (date_diff('hour', TIMESTAMP '${ChartRegistry.Epoch}', p.date_hour)
+          |          % ${ChartRegistry.LateHourMod} = 3
+          |        AND EXISTS (SELECT 1 FROM documents d
+          |                    WHERE d.doc_id % ${ChartRegistry.HourBuckets} =
+          |                          date_diff('hour', TIMESTAMP '${ChartRegistry.Epoch}', p.date_hour)
+          |                      AND d.doc_id % ${ChartRegistry.LateDocMod} = 0)) AS recomputed,
+          |       (SELECT CAST(count(*) AS BIGINT) FROM aggregates) AS store_rows
+          |FROM processed p""".stripMargin)
+    }) { (spark, sf) =>
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.ChartRegistry
+    val docs = Tables.documents(spark, sf)
+    val bucket = col("doc_id") % ChartRegistry.HourBuckets
+    val isLate = (bucket % ChartRegistry.LateHourMod === 3) &&
+      (col("doc_id") % ChartRegistry.LateDocMod === 0)
+    val initial = docs.filter(!isLate)
+    val sink = ChartRegistry.freshSink(sf, "st14")
+    sink.append(ChartRegistry.aggregatesPlanFrom(initial))
+    val late = docs.filter(isLate).select("doc_id", "source", "text")
+      .as[DocRow].collect().sortBy(_.doc_id).toSeq
+    val chunks = late.grouped(math.max(1, (late.size + 2) / 3)).toSeq
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_st14_staging").toString + "/docs"
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isDirectory(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_st14")
+      else java.nio.file.Files.createTempDirectory("graft_st14")
+    try {
+      val source = MemoryStream[DocRow]
+      val q = source.toDS().toDF("doc_id", "source", "text")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(staging)
+          val affected = batch
+            .select((col("doc_id") % ChartRegistry.HourBuckets).as("bucket"))
+            .distinct()
+          def inAffected(d: DataFrame): DataFrame =
+            d.join(broadcast(affected),
+              (col("doc_id") % ChartRegistry.HourBuckets) === col("bucket"),
+              "left_semi")
+          val relevant = inAffected(initial.select("doc_id", "source", "text"))
+            .unionByName(inAffected(spark.read.parquet(staging)))
+          sink.replaceHours(spark, ChartRegistry.aggregatesPlanFrom(relevant))
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val store = sink.readBack(spark)
+      val served = graft.serving.ChartQueries.processData(store)
+      val lateBuckets = docs.filter(isLate)
+        .select(bucket.as("b")).distinct()
+        .select(expr(s"timestampadd(HOUR, CAST(b AS INT), " +
+          s"TIMESTAMP'${ChartRegistry.Epoch}')").as("__ch"))
+      val out = served
+        .join(broadcast(lateBuckets), col("date_hour") === col("__ch"), "left")
+        .withColumn("recomputed", col("__ch").isNotNull)
+        .drop("__ch")
+        .crossJoin(broadcast(store.agg(count(lit(1)).as("store_rows"))))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(ckpt, java.nio.file.Paths.get(staging).getParent).foreach { d =>
+        val walk = java.nio.file.Files.walk(d)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ,
     streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ, streamDedupQ,
     streamContentDedupQ, streamNearDupDedupQ, streamWindowCountsQ,
-    streamIndexAppendQ, streamTombstoneQ)
+    streamIndexAppendQ, streamTombstoneQ, streamUpsertQ)
 }

@@ -151,4 +151,32 @@ class SinkCrashSpec extends SparkSpec {
       assert(raw(sink).map(_._2) === Set(7L, 9L))
       assert(!new java.io.File(path + ".old").exists())
     }
+
+  for (point <- Seq("written", "staged", "published"))
+    test(s"replaceHours kill at '$point' self-heals; the upsert is all-or-nothing") {
+      val path = Files.createTempDirectory("sink_upsert").toString + "/agg"
+      val sink = new CompactingAggregateSink(path)
+      sink.append(batch("2022-03-01 11:00:05", 3L)) // hour being replaced
+      sink.append(batch("2022-03-01 12:00:10", 7L)) // untouched hour
+      val rawBefore = raw(sink)
+      val recomputed = batch("2022-03-01 11:00:05", 5L) // corrected hour 11
+
+      val crash = intercept[InjectedCrash] {
+        sink.replaceHours(spark, recomputed,
+          label => if (label == point) throw InjectedCrash(label))
+      }
+      assert(crash.label === point)
+      // either the full pre-upsert store or the full post-upsert store —
+      // never a store missing hour 11 or holding both versions
+      val healed = raw(sink)
+      val after = Set((Timestamp.valueOf("2022-03-01 11:00:05"), 5L),
+        (Timestamp.valueOf("2022-03-01 12:00:10"), 7L))
+      assert(healed === rawBefore || healed === after,
+        s"crash at '$point' left a partial upsert: $healed")
+
+      // the re-run lands the replacement exactly once
+      sink.replaceHours(spark, recomputed)
+      assert(raw(sink) === after)
+      assert(!new java.io.File(path + ".old").exists())
+    }
 }
