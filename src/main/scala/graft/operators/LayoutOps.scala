@@ -30,8 +30,9 @@ import graft.functions.ZInterleave
   * In production the layout is applied at write time —
   * `repartitionByRange(F, $"zkey").sortWithinPartitions($"zkey")` —
   * and consumed for free by Parquet row-group pruning on the RAW
-  * columns' min/max footers, which is exactly what the audit
-  * measures.
+  * columns' min/max footers, which is exactly what the audits
+  * measure. q57 audits the layout choice; q64 audits layout DECAY
+  * under append and the re-optimize that repairs it.
   */
 object LayoutOps {
 
@@ -54,64 +55,69 @@ object LayoutOps {
   private val probsTagged: Seq[(String, Double)] =
     (1 until ZFiles).map(i => s"__q$i" -> i.toDouble / ZFiles)
 
-  /** Per (layout, probe): how many of the [[ZFiles]] files a min/max-
-    * pruning reader must scan, under rank-normalized z-order vs a
-    * user-major linear sort of the same rows. Dimensions: a =
-    * user_id, b = value in cents, both masked onto the 16-bit grid
-    * (exact integer math end to end; the 2dp value domain makes
-    * round(value·100) exact — the q35 device).
-    *
-    * Plan shape: one events scan for the per-dimension histograms
-    * (both dimensions ride one explode), one for the file assignment;
-    * the boundary relation collapses to ONE broadcast row, file
-    * assignment is a row-local rank lookup + the [[ZInterleave]]
-    * codegen kernel, and the per-(layout, file) min/max aggregation —
-    * 32 rows — broadcasts into the probe grid. Every shuffle is keyed
-    * and map-side combined; nothing corpus-wide. */
-  def zorderAudit(spark: SparkSession, events: DataFrame): DataFrame = {
-    import spark.implicits._
-    val base = events
+  // ---------------------------------------------------------- engine kernels
+
+  /** Masked (a, b) projection of events — dimensions a = user_id,
+    * b = value in cents, both on the 16-bit grid (exact integer math
+    * end to end; the 2dp value domain makes round(value·100) exact —
+    * the q35 device). q57 needs no row identity (LayoutSpec audits
+    * id-free fixtures through it); q64 appends `event_id` for the
+    * arrival-order file assignment. */
+  private def maskedAB(events: DataFrame, withId: Boolean = false): DataFrame = {
+    val dims = Seq(
+      col("user_id").bitwiseAND(lit(ZInterleave.Mask)).as("a"),
+      round(col("value") * 100).cast("long")
+        .bitwiseAND(lit(ZInterleave.Mask)).as("b"))
+    events
       .where(col("value").isNotNull && col("user_id").isNotNull)
-      .select(
-        col("user_id").bitwiseAND(lit(ZInterleave.Mask)).as("a"),
-        round(col("value") * 100).cast("long")
-          .bitwiseAND(lit(ZInterleave.Mask)).as("b"))
+      .select((if (withId) col("event_id") +: dims else dims): _*)
+  }
+
+  /** ONE broadcast boundary row (bs_a, bs_b): the 15 exact
+    * 16-quantiles of each dimension. Both dimensions ride one explode
+    * so the stats pass scans the input once; the pivot to a single
+    * row happens in one aggregation (a where/crossJoin pivot would
+    * recompute the histogram subtree per dimension — plan-visible as
+    * extra scans). */
+  private def rankBoundaries(base: DataFrame): DataFrame = {
     val dims = base
       .select(explode(array(
         struct(lit("a").as("dim"), col("a").as("v")),
         struct(lit("b").as("dim"), col("b").as("v")))).as("d"))
       .select(col("d.dim").as("dim"), col("d.v").as("v"))
     val hist = QuantileKernel.cumulativeHistogram(dims, "dim", "v")
-    val bounds = QuantileKernel.discQuantiles(hist, "dim", "v", probsTagged)
+    QuantileKernel.discQuantiles(hist, "dim", "v", probsTagged)
       .select(col("dim"),
         array(probsTagged.map(p => col(p._1)): _*).as("bs"))
-    // pivot the 2-row boundary relation into ONE broadcast row in a
-    // single aggregation (a where/crossJoin pivot would recompute the
-    // histogram subtree once per dimension — plan-visible as 4 scans)
-    val bset = bounds.agg(
-      first(when(col("dim") === "a", col("bs")), ignoreNulls = true).as("bs_a"),
-      first(when(col("dim") === "b", col("bs")), ignoreNulls = true).as("bs_b"))
-    val ranked = base.crossJoin(broadcast(bset))
+      .agg(
+        first(when(col("dim") === "a", col("bs")), ignoreNulls = true).as("bs_a"),
+        first(when(col("dim") === "b", col("bs")), ignoreNulls = true).as("bs_b"))
+  }
+
+  /** Rank-bucketed z-order file assignment under a given boundary
+    * row: row-local rank lookup + the [[ZInterleave]] codegen kernel.
+    * `ra` rides along as the user-major LINEAR file id. */
+  private def zAssign(base: DataFrame, bset: DataFrame): DataFrame =
+    base.crossJoin(broadcast(bset))
       .select(col("a"), col("b"),
         size(filter(col("bs_a"), x => col("a") > x)).cast("long").as("ra"),
         size(filter(col("bs_b"), x => col("b") > x)).cast("long").as("rb"))
-    val keyed = ranked.select(col("a"), col("b"),
-      shiftright(call_function("graft_zorder", col("ra"), col("rb")), 4)
-        .as("zfile"),
-      col("ra").as("linfile"))
-    val u = keyed
-      .select(explode(array(
-        struct(lit("zorder").as("layout"), col("zfile").as("file_id")),
-        struct(lit("linear").as("layout"), col("linfile").as("file_id")))).as("x"),
-        col("a"), col("b"))
-      .select(col("x.layout").as("layout"), col("x.file_id").as("file_id"),
-        col("a"), col("b"))
+      .select(col("a"), col("b"), col("ra"),
+        shiftright(call_function("graft_zorder", col("ra"), col("rb")), 4)
+          .as("zfile"))
+
+  /** min/max footer audit over a (layout, file_id, a, b) relation:
+    * how many files a pruning reader must scan per probe. The
+    * per-(layout, file) min/max aggregation — a few dozen rows —
+    * broadcasts into the probe grid. */
+  private def pruneAudit(spark: SparkSession, u: DataFrame): DataFrame = {
+    import spark.implicits._
     val fs = u.groupBy(col("layout"), col("file_id"))
       .agg(min(col("a")).as("min_a"), max(col("a")).as("max_a"),
         min(col("b")).as("min_b"), max(col("b")).as("max_b"))
       .withColumnRenamed("layout", "f_layout")
     val probesDf = Probes.toDF("probe_id", "a_lo", "a_hi", "b_lo", "b_hi")
-    val grid = Seq("zorder", "linear").toDF("layout")
+    val grid = u.select(col("layout")).distinct()
       .crossJoin(broadcast(probesDf))
     grid.join(broadcast(fs),
         col("f_layout") === col("layout") &&
@@ -122,49 +128,115 @@ object LayoutOps {
       .agg(count(col("file_id")).as("files_hit"))
   }
 
-  private def zorderOracleSql: String = {
-    val boundarySelects = probsTagged
-      .map { case (_, p) => QuantileKernel.discSelectSql(p.toString, "v") }
-      .mkString(",\n          ")
+  /** Per (layout, probe): how many of the [[ZFiles]] files a min/max-
+    * pruning reader must scan, under rank-normalized z-order vs a
+    * user-major linear sort of the same rows.
+    *
+    * Plan shape: one events scan for the per-dimension histograms
+    * (both dimensions ride one explode), one for the file assignment;
+    * the boundary relation collapses to ONE broadcast row, file
+    * assignment is a row-local rank lookup + the [[ZInterleave]]
+    * codegen kernel, and the per-(layout, file) min/max aggregation —
+    * 32 rows — broadcasts into the probe grid. Every shuffle is keyed
+    * and map-side combined; nothing corpus-wide. */
+  def zorderAudit(spark: SparkSession, events: DataFrame): DataFrame = {
+    val base = maskedAB(events)
+    val keyed = zAssign(base, rankBoundaries(base))
+    val u = keyed
+      .select(explode(array(
+        struct(lit("zorder").as("layout"), col("zfile").as("file_id")),
+        struct(lit("linear").as("layout"), col("ra").as("file_id")))).as("x"),
+        col("a"), col("b"))
+      .select(col("x.layout").as("layout"), col("x.file_id").as("file_id"),
+        col("a"), col("b"))
+    pruneAudit(spark, u)
+  }
+
+  /** q64 — layout DECAY under append, and the re-optimize that
+    * repairs it: the reason Delta/Iceberg deployments re-run OPTIMIZE
+    * on a cadence. The base 3/4 of the corpus is z-ordered once (16
+    * files, boundaries from the base — exactly what an optimize run
+    * at that point in time would have seen); the remaining 1/4
+    * arrives LATER as 4 append files clustered by arrival order, not
+    * key — each spans nearly the full key space, so a pruning reader
+    * must scan every append file for almost any probe, and the
+    * audit's `decayed` rows quantify that tax probe by probe. The
+    * `reoptimized` rows re-z-order the full corpus under full-corpus
+    * boundaries — the repair's measured payoff, same probe set.
+    * Decision rule at 100 TB: re-optimize when the append tax
+    * (files_hit decayed − reoptimized, integrated over the probe
+    * workload) exceeds the one-time rewrite cost of the partition. */
+  def layoutDecayAudit(spark: SparkSession, events: DataFrame): DataFrame = {
+    val all0 = maskedAB(events, withId = true)
+    val base = all0.filter(col("event_id") % 4 =!= 0)
+    val delta = all0.filter(col("event_id") % 4 === 0)
+    val decayedBase = zAssign(base, rankBoundaries(base))
+      .select(lit("decayed").as("layout"), col("zfile").as("file_id"),
+        col("a"), col("b"))
+    // append files are ARRIVAL-ordered: consecutive event_ids land in
+    // the same file, every file spans ~the whole key space
+    val deltaFiles = delta.select(lit("decayed").as("layout"),
+      expr("16 + (event_id DIV 4) % 4").as("file_id"), col("a"), col("b"))
+    val reopt = zAssign(all0, rankBoundaries(all0))
+      .select(lit("reoptimized").as("layout"), col("zfile").as("file_id"),
+        col("a"), col("b"))
+    pruneAudit(spark, decayedBase.unionByName(deltaFiles).unionByName(reopt))
+  }
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private def boundarySelectsSql: String = probsTagged
+    .map { case (_, p) => QuantileKernel.discSelectSql(p.toString, "v") }
+    .mkString(",\n          ")
+
+  /** The boundary + z-assignment CTE chain over `base0(event_id, a,
+    * b)` restricted by `pred`, suffixed so two populations can chain
+    * in one text (q64) — ends at `k$sfx(a, b, ra, zfile)`. ONE
+    * definition shared by the q57 and q64 oracles, so the two texts
+    * cannot state a different layout. */
+  private def zAssignCtesSql(pred: String, sfx: String): String =
+    s"""base$sfx AS (SELECT a, b FROM base0 WHERE $pred),
+       |d$sfx AS (SELECT 'a' AS dim, a AS v FROM base$sfx
+       |      UNION ALL SELECT 'b' AS dim, b AS v FROM base$sfx),
+       |h$sfx AS (SELECT dim, v, count(*) AS cnt FROM d$sfx GROUP BY 1, 2),
+       |ch$sfx AS (SELECT dim, v,
+       |              sum(cnt) OVER (PARTITION BY dim ORDER BY v) AS cum,
+       |              sum(cnt) OVER (PARTITION BY dim) AS n
+       |       FROM h$sfx),
+       |bd$sfx AS (SELECT dim,
+       |          [$boundarySelectsSql] AS bs
+       |       FROM ch$sfx GROUP BY dim),
+       |r$sfx AS (SELECT a, b,
+       |             len(list_filter((SELECT bs FROM bd$sfx WHERE dim = 'a'),
+       |                             x -> a > x)) AS ra,
+       |             len(list_filter((SELECT bs FROM bd$sfx WHERE dim = 'b'),
+       |                             x -> b > x)) AS rb
+       |      FROM base$sfx),
+       |z0$sfx AS (SELECT a, b, ra, ra AS sa, rb AS sb FROM r$sfx),
+       |${ZInterleave.spreadCtesSql(s"z0$sfx", s"z$sfx", "a, b, ra")},
+       |k$sfx AS (SELECT a, b, ra, (sa | (sb << 1)) >> 4 AS zfile
+       |      FROM ${ZInterleave.spreadLastCte(s"z$sfx")})""".stripMargin
+
+  private val base0Sql: String =
+    s"""base0 AS (
+       |  SELECT event_id, user_id & ${ZInterleave.Mask} AS a,
+       |         CAST(round(value * 100) AS BIGINT) & ${ZInterleave.Mask} AS b
+       |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL)""".stripMargin
+
+  /** The probe-grid audit tail over `u(layout, file_id, a, b)`. */
+  private def auditTailSql(layouts: Seq[String]): String = {
     val probeValues = Probes
       .map { case (id, aLo, aHi, bLo, bHi) => s"($id, $aLo, $aHi, $bLo, $bHi)" }
       .mkString(", ")
-    val m = ZInterleave.Mask
-    s"""WITH base AS (
-       |  SELECT user_id & $m AS a,
-       |         CAST(round(value * 100) AS BIGINT) & $m AS b
-       |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
-       |d AS (SELECT 'a' AS dim, a AS v FROM base
-       |      UNION ALL SELECT 'b' AS dim, b AS v FROM base),
-       |h AS (SELECT dim, v, count(*) AS cnt FROM d GROUP BY 1, 2),
-       |ch AS (SELECT dim, v,
-       |              sum(cnt) OVER (PARTITION BY dim ORDER BY v) AS cum,
-       |              sum(cnt) OVER (PARTITION BY dim) AS n
-       |       FROM h),
-       |bd AS (SELECT dim,
-       |          [$boundarySelects] AS bs
-       |       FROM ch GROUP BY dim),
-       |r AS (SELECT a, b,
-       |             len(list_filter((SELECT bs FROM bd WHERE dim = 'a'),
-       |                             x -> a > x)) AS ra,
-       |             len(list_filter((SELECT bs FROM bd WHERE dim = 'b'),
-       |                             x -> b > x)) AS rb
-       |      FROM base),
-       |z0 AS (SELECT a, b, ra, ra AS sa, rb AS sb FROM r),
-       |${ZInterleave.spreadCtesSql("z0", "z", "a, b, ra")},
-       |k AS (SELECT a, b, ra, (sa | (sb << 1)) >> 4 AS zfile
-       |      FROM ${ZInterleave.spreadLastCte("z")}),
-       |u AS (SELECT 'zorder' AS layout, zfile AS file_id, a, b FROM k
-       |      UNION ALL
-       |      SELECT 'linear' AS layout, ra AS file_id, a, b FROM k),
-       |fs AS (SELECT layout, file_id,
+    val layoutVals = layouts.map(l => s"('$l')").mkString(", ")
+    s"""fs AS (SELECT layout, file_id,
        |              min(a) AS min_a, max(a) AS max_a,
        |              min(b) AS min_b, max(b) AS max_b
        |       FROM u GROUP BY 1, 2),
        |p AS (SELECT * FROM (VALUES $probeValues)
        |        AS t(probe_id, a_lo, a_hi, b_lo, b_hi)),
        |g AS (SELECT l.layout, p.*
-       |      FROM (VALUES ('zorder'), ('linear')) AS l(layout) CROSS JOIN p)
+       |      FROM (VALUES $layoutVals) AS l(layout) CROSS JOIN p)
        |SELECT g.layout, g.probe_id,
        |       CAST(count(fs.file_id) AS BIGINT) AS files_hit
        |FROM g LEFT JOIN fs ON fs.layout = g.layout
@@ -173,6 +245,26 @@ object LayoutOps {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  private def zorderOracleSql: String =
+    s"""WITH $base0Sql,
+       |${zAssignCtesSql("TRUE", "")},
+       |u AS (SELECT 'zorder' AS layout, zfile AS file_id, a, b FROM k
+       |      UNION ALL
+       |      SELECT 'linear' AS layout, ra AS file_id, a, b FROM k),
+       |${auditTailSql(Seq("zorder", "linear"))}""".stripMargin
+
+  private def layoutDecayOracleSql: String =
+    s"""WITH $base0Sql,
+       |${zAssignCtesSql("event_id % 4 <> 0", "d")},
+       |${zAssignCtesSql("TRUE", "f")},
+       |u AS (SELECT 'decayed' AS layout, zfile AS file_id, a, b FROM kd
+       |      UNION ALL
+       |      SELECT 'decayed' AS layout, 16 + (event_id // 4) % 4 AS file_id, a, b
+       |      FROM base0 WHERE event_id % 4 = 0
+       |      UNION ALL
+       |      SELECT 'reoptimized' AS layout, zfile AS file_id, a, b FROM kf),
+       |${auditTailSql(Seq("decayed", "reoptimized"))}""".stripMargin
+
   /** q57 — the layout experiment at the gate: same rows, two layouts,
     * the pruning cost of every probe hash-checked in both engines. */
   val zorderAuditQ: GraftQuery =
@@ -180,5 +272,12 @@ object LayoutOps {
       zorderAudit(spark, Tables.events(spark, sf))
     }
 
-  val all: Seq[GraftQuery] = Seq(zorderAuditQ)
+  /** q64 — the decay experiment: same probes, a decayed
+    * (z-ordered-then-appended) layout vs its re-optimized repair. */
+  val layoutDecayQ: GraftQuery =
+    GraftQuery("q64_layout_decay", layoutDecayOracleSql) { (spark, sf) =>
+      layoutDecayAudit(spark, Tables.events(spark, sf))
+    }
+
+  val all: Seq[GraftQuery] = Seq(zorderAuditQ, layoutDecayQ)
 }

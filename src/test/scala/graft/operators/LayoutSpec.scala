@@ -98,4 +98,28 @@ class LayoutSpec extends SparkSpec {
       assert(gridAudit(("zorder", p)) <= 8L, s"probe $p")
     }
   }
+
+  test("q64: appends decay pruning on every probe; re-optimize repairs it") {
+    import spark.implicits._
+    // arrival order (event_id) must not cluster either dimension into
+    // the append files: id = w·64 + u makes the delta slice
+    // (id % 4 = 0 ⟺ u % 4 = 0) span every value, and each append
+    // file (id DIV 4 mod 4 ⟺ u DIV 4 mod 4) contains u-runs spread
+    // across the whole user range — both probe classes hit all four
+    val rows = for (u <- 0 until 64; w <- 0 until 64)
+      yield ((w * 64 + u).toLong, u.toLong, w * 6.0)
+    val ev = rows.toDF("event_id", "user_id", "value")
+    val audit = LayoutOps.layoutDecayAudit(spark, ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    LayoutOps.Probes.foreach { case (p, _, _, _, _) =>
+      val dec = audit(("decayed", p))
+      val re = audit(("reoptimized", p))
+      assert(dec >= re, s"probe $p: decayed $dec < reoptimized $re")
+      // arrival-ordered append files span ~the whole key space: every
+      // probe that hits ANY data pays all 4 of them (probe 2's user
+      // slice lies above the 64-user grid and legitimately hits 0)
+      if (re > 0)
+        assert(dec >= re + 4, s"probe $p: append tax missing ($dec vs $re)")
+    }
+  }
 }
