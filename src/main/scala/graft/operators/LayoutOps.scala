@@ -110,15 +110,18 @@ object LayoutOps {
     * how many files a pruning reader must scan per probe. The
     * per-(layout, file) min/max aggregation — a few dozen rows —
     * broadcasts into the probe grid. */
-  private def pruneAudit(spark: SparkSession, u: DataFrame): DataFrame = {
+  private def pruneAudit(spark: SparkSession, u: DataFrame,
+      layouts: Seq[String]): DataFrame = {
     import spark.implicits._
     val fs = u.groupBy(col("layout"), col("file_id"))
       .agg(min(col("a")).as("min_a"), max(col("a")).as("max_a"),
         min(col("b")).as("min_b"), max(col("b")).as("max_b"))
       .withColumnRenamed("layout", "f_layout")
     val probesDf = Probes.toDF("probe_id", "a_lo", "a_hi", "b_lo", "b_hi")
-    val grid = u.select(col("layout")).distinct()
-      .crossJoin(broadcast(probesDf))
+    // the layout axis is a LITERAL relation: deriving it from `u`
+    // (select-distinct) would re-evaluate the whole assignment subtree
+    // — plan-visible as doubled events scans (the q57 3-scan pin)
+    val grid = layouts.toDF("layout").crossJoin(broadcast(probesDf))
     grid.join(broadcast(fs),
         col("f_layout") === col("layout") &&
           col("min_a") <= col("a_hi") && col("max_a") >= col("a_lo") &&
@@ -149,7 +152,7 @@ object LayoutOps {
         col("a"), col("b"))
       .select(col("x.layout").as("layout"), col("x.file_id").as("file_id"),
         col("a"), col("b"))
-    pruneAudit(spark, u)
+    pruneAudit(spark, u, Seq("zorder", "linear"))
   }
 
   /** q64 — layout DECAY under append, and the re-optimize that
@@ -180,7 +183,8 @@ object LayoutOps {
     val reopt = zAssign(all0, rankBoundaries(all0))
       .select(lit("reoptimized").as("layout"), col("zfile").as("file_id"),
         col("a"), col("b"))
-    pruneAudit(spark, decayedBase.unionByName(deltaFiles).unionByName(reopt))
+    pruneAudit(spark, decayedBase.unionByName(deltaFiles).unionByName(reopt),
+      Seq("decayed", "reoptimized"))
   }
 
   // ---------------------------------------------------------- oracle SQL

@@ -2656,10 +2656,109 @@ object SimilarityOps {
     knnSq8(emb)
   }
 
+  // ------------------------------------------------------------------
+  // s27: BM25 lexical top-k retrieval (the non-vector search modality)
+  // ------------------------------------------------------------------
+
+  /** s27 constants. k1 = 6/5 and b = 3/4 are the textbook BM25
+    * parameters CHOSEN AS EXACT RATIONALS so the whole per-term score
+    * folds into integer numerators/denominators (see [[bm25TopK]]);
+    * scores snap at 2^20 (sub-ulp of any rank-relevant gap on this
+    * corpus); 10 hits per query; every 100th doc poses a query from
+    * its first 5 distinct tokens. */
+  val Bm25TopK = 10
+  val Bm25QueryMod = 100
+  val Bm25Scale = 1048576L // 2^20
+
+  /** BM25 top-k lexical retrieval — the search modality the vector
+    * rows don't cover, over the classic inverted-posting relation:
+    * postings (term, doc_id, tf) keyed by term (at 100 TB: a bucketed
+    * term-keyed lake, built once like the ANN posting lakes), query
+    * terms equi-join the postings on term (a query set is tiny
+    * against the index — broadcast in production), and the per-query
+    * top-k is a query-partitioned window, never corpus-global.
+    *
+    * Float-parity design (the verify discipline): with k1 = 6/5,
+    * b = 3/4 the tf saturation term is EXACTLY
+    * 44·tf·L / (20·L·tf + 6·L + 18·dl·N) — both sides exact integers
+    * (< 2^53 by far at gate scale), ONE IEEE division; the idf is the
+    * odds form (2N − 2df + 1)/(2df + 1) — again one division of exact
+    * integers (the monotone equivalent of the usual log-idf: log is
+    * libm-dependent across engines and would poison the hash, and
+    * ranking only needs monotonicity per term). The per-term product
+    * rounds once, the 2^20 scale is an exact exponent shift, and the
+    * snapped per-term scores are LONGS — so the per-document sum is
+    * order-independent and the whole ranking hash-checks. */
+  def bm25TopK(docs: DataFrame, queryMod: Int = Bm25QueryMod,
+      k: Int = Bm25TopK): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val corpus = toks
+      .agg(count(lit(1)).as("n"), sum(size(col("t")).cast("long")).as("l"))
+    val post = toks
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = toks.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("t"), 1, 5))).as("term"))
+    val idf = (lit(2.0) * col("n") - lit(2.0) * col("df") + lit(1.0)) /
+      (lit(2.0) * col("df") + lit(1.0))
+    val tfPart = (lit(44.0) * col("tf") * col("l")) /
+      (lit(20.0) * col("l") * col("tf") + lit(6.0) * col("l") +
+        lit(18.0) * col("dl") * col("n"))
+    val scored = qt
+      .join(post, "term")
+      .join(dft, "term")
+      .crossJoin(broadcast(corpus))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * tfPart * Bm25Scale + lit(0.5)).cast("long").as("s"))
+    val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score_scaled"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_scaled"))
+  }
+
+  val bm25Q: GraftQuery = GraftQuery(
+    "s27_bm25_topk",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE text IS NOT NULL),
+      |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l
+      |      FROM dl),
+      |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |         FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+      |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:5])) AS term
+      |       FROM toks WHERE doc_id % $Bm25QueryMod = 0),
+      |sc AS (SELECT q.query_id, p.doc_id,
+      |         CAST(floor(
+      |           ((2.0 * c.n - 2.0 * df.df + 1.0) / (2.0 * df.df + 1.0)) *
+      |           ((44.0 * p.tf * c.l) /
+      |            (20.0 * c.l * p.tf + 6.0 * c.l + 18.0 * d.dl * c.n))
+      |           * $Bm25Scale + 0.5) AS BIGINT) AS s
+      |       FROM qt q JOIN post p USING (term)
+      |            JOIN df USING (term)
+      |            JOIN dl d ON d.doc_id = p.doc_id, c),
+      |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_scaled
+      |        FROM sc GROUP BY 1, 2),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY score_scaled DESC, doc_id) AS rank FROM agg)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
+      |FROM rk WHERE rank <= $Bm25TopK""".stripMargin) { (spark, sf) =>
+    bm25TopK(Tables.documents(spark, sf))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
-    knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q)
+    knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q)
 }

@@ -568,4 +568,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1000L) === 7L && out(7L) === 1000L,
       "exact copies must be each other's rank-1 under SQ8")
   }
+
+  test("s27 BM25: self-hit first, rare term outranks common at equal tf/dl") {
+    import spark.implicits._
+    val common = Seq.fill(6)("common").mkString(" ")
+    val docs = Seq(
+      (0L, "apple banana zq1 zq2 zq3"), // the query doc (0 % 100 == 0)
+      (1L, "apple apple apple apple common common common"),
+      (2L, s"apple $common"),  // one apple, dl 7
+      (3L, s"banana $common"), // one banana, dl 7 — same tf/dl as doc 2
+      (4L, s"apple $common"),
+      (5L, s"apple $common"),
+      (6L, common), (7L, common), (8L, common), (9L, common)
+    ).toDF("doc_id", "text")
+    val out = SimilarityOps.bm25TopK(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    assert(out.keys.forall(_._1 == 0L), "only doc 0 poses a query")
+    assert(out((0L, 0L))._1 === 1L,
+      "the query doc itself carries every query term and must rank first")
+    // banana df=2 vs apple df=5: idf favors the rare term; tf and dl
+    // are identical, so doc 3 must outrank docs 2/4/5
+    assert(out((0L, 3L))._1 < out((0L, 2L))._1,
+      s"rare-term hit must outrank common-term hit: ${out.toSeq.sortBy(_._2._1)}")
+    // ranking is strictly ordered by the snapped score
+    val byRank = out.toSeq.map { case ((_, d), (r, s)) => (r, s, d) }.sortBy(_._1)
+    assert(byRank.sliding(2).forall {
+      case Seq((_, s1, d1), (_, s2, d2)) => s1 > s2 || (s1 == s2 && d1 < d2)
+      case _ => true
+    }, s"rank order must follow (score desc, doc_id): $byRank")
+  }
 }
