@@ -2690,7 +2690,7 @@ object SimilarityOps {
     * snapped per-term scores are LONGS — so the per-document sum is
     * order-independent and the whole ranking hash-checks. */
   def bm25TopK(docs: DataFrame, queryMod: Int = Bm25QueryMod,
-      k: Int = Bm25TopK): DataFrame = {
+      k: Int = Bm25TopK, excludeSelf: Boolean = false): DataFrame = {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val corpus = toks
@@ -2715,8 +2715,14 @@ object SimilarityOps {
       .crossJoin(broadcast(corpus))
       .select(col("query_id"), col("doc_id"),
         floor(idf * tfPart * Bm25Scale + lit(0.5)).cast("long").as("s"))
-    val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
+    val perDoc0 = scored.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score_scaled"))
+    // retrieval-eval convention for the hybrid row (s28): the query
+    // document itself is not a result; s27 keeps it (sanity: the only
+    // doc carrying every query term must rank first)
+    val perDoc =
+      if (excludeSelf) perDoc0.filter(col("doc_id") =!= col("query_id"))
+      else perDoc0
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_scaled").desc, col("doc_id"))
     perDoc.withColumn("rank", row_number().over(w).cast("long"))
@@ -2724,9 +2730,14 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_scaled"))
   }
 
-  val bm25Q: GraftQuery = GraftQuery(
-    "s27_bm25_topk",
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  /** The s27 oracle's CTE chain (tokenize → postings → df → query
+    * terms → snapped per-term scores → ranked per-doc totals), ending
+    * at `rk(query_id, doc_id, score_scaled, rank)` — shared with the
+    * s28 hybrid so the two texts cannot state a different lexical
+    * ranking. `selfPred` injects the hybrid's self-exclusion before
+    * the rank window. */
+  private def bm25OracleCtes(selfPred: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |              WHERE text IS NOT NULL),
       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
       |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l
@@ -2747,12 +2758,93 @@ object SimilarityOps {
       |            JOIN df USING (term)
       |            JOIN dl d ON d.doc_id = p.doc_id, c),
       |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_scaled
-      |        FROM sc GROUP BY 1, 2),
+      |        FROM sc GROUP BY 1, 2 HAVING $selfPred),
       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-      |         ORDER BY score_scaled DESC, doc_id) AS rank FROM agg)
+      |         ORDER BY score_scaled DESC, doc_id) AS rank FROM agg)""".stripMargin
+
+  val bm25Q: GraftQuery = GraftQuery(
+    "s27_bm25_topk",
+    s"""WITH ${bm25OracleCtes("TRUE")}
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
       |FROM rk WHERE rank <= $Bm25TopK""".stripMargin) { (spark, sf) =>
     bm25TopK(Tables.documents(spark, sf))
+  }
+
+  /** s28 — HYBRID retrieval: BM25 (s27's lexical ranking) fused with
+    * exact cosine kNN over the embeddings by Reciprocal Rank Fusion
+    * (Cormack et al., SIGIR'09) — the standard production shape for
+    * "semantic + keyword" search, and deliberately ranking-source-
+    * agnostic: at 100 TB the vector leg swaps in the s21/s26 lake
+    * serve and the lexical leg a bucketed term lake without touching
+    * the fusion. RRF score = Σ 1/(60 + rank) over the rankers that
+    * returned the doc (k₀ = 60, the paper's constant): rank-only
+    * fusion needs no score calibration between a snapped-integer BM25
+    * and a cosine — which is exactly why production uses it. Float
+    * parity: each term is one IEEE division of exact integers, and
+    * the two-term sum is written in one fixed order in both engines.
+    * Both rankers exclude the query document (retrieval-eval
+    * convention); candidates are the UNION of both top-k lists via a
+    * full-outer join on (query, doc). */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame,
+      queryMod: Int = Bm25QueryMod, k: Int = Bm25TopK): DataFrame = {
+    val lex = bm25TopK(docs, queryMod, k, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val nrmEmb = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = broadcast(
+      nrmEmb.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm")))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val vec = nrmEmb.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .filter(col("vec_rank") <= k)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("vec_rank"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"),
+        col("lex_rank"), col("vec_rank"))
+  }
+
+  val hybridRrfQ: GraftQuery = GraftQuery(
+    "s28_hybrid_rrf",
+    s"""WITH ${bm25OracleCtes("doc_id <> query_id")},
+      |lx AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
+      |       FROM rk WHERE rank <= $Bm25TopK),
+      |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+      |qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nv
+      |       WHERE vec_id % $Bm25QueryMod = 0),
+      |vs AS (SELECT q.query_id, n.vec_id AS doc_id,
+      |         row_number() OVER (PARTITION BY q.query_id
+      |           ORDER BY list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) DESC,
+      |                    n.vec_id) AS vrank
+      |       FROM qv q JOIN nv n ON n.vec_id <> q.query_id),
+      |vc AS (SELECT query_id, doc_id, CAST(vrank AS BIGINT) AS vec_rank
+      |       FROM vs WHERE vrank <= $Bm25TopK),
+      |f AS (SELECT coalesce(lx.query_id, vc.query_id) AS query_id,
+      |             coalesce(lx.doc_id, vc.doc_id) AS doc_id,
+      |             lx.lex_rank, vc.vec_rank
+      |      FROM lx FULL OUTER JOIN vc
+      |        ON lx.query_id = vc.query_id AND lx.doc_id = vc.doc_id),
+      |sf AS (SELECT query_id, doc_id, lex_rank, vec_rank,
+      |         coalesce(1.0 / (60 + lex_rank), 0.0)
+      |           + coalesce(1.0 / (60 + vec_rank), 0.0) AS rrf_score
+      |       FROM f),
+      |rf AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY rrf_score DESC, doc_id) AS rank FROM sf)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_score,
+      |       lex_rank, vec_rank
+      |FROM rf WHERE rank <= $Bm25TopK""".stripMargin) { (spark, sf) =>
+    hybridRrfTopK(Tables.documents(spark, sf), Tables.embeddings(spark, sf))
   }
 
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
@@ -2760,5 +2852,5 @@ object SimilarityOps {
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
-    knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q)
+    knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q, hybridRrfQ)
 }

@@ -598,4 +598,34 @@ class SimilaritySpec extends SparkSpec {
       case _ => true
     }, s"rank order must follow (score desc, doc_id): $byRank")
   }
+
+  test("s28 RRF: a doc in BOTH rankers' lists outranks single-list docs") {
+    import spark.implicits._
+    val common = Seq.fill(6)("common").mkString(" ")
+    val docs = Seq(
+      (0L, "apple banana zq1 zq2 zq3"),
+      (1L, s"apple $common"),         // weaker on both rankers
+      (2L, s"banana banana $common"), // top lexical hit AND planted vector neighbor
+      (3L, common), (4L, common), (5L, common)
+    ).toDF("doc_id", "text")
+    // vec 2 nearly parallel to the query vec 0; others near-orthogonal
+    def v(main: Int, eps: Double) =
+      (0 until 8).map(d => if (d == main) 1.0 else eps)
+    val emb = Seq(
+      (0L, v(0, 0.01)), (1L, v(3, 0.02)), (2L, v(0, 0.03)),
+      (3L, v(5, 0.01)), (4L, v(6, 0.01)), (5L, v(7, 0.01))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.hybridRrfTopK(docs, emb).collect()
+      .map(r => r.getLong(2) -> (r.getLong(1), r.isNullAt(4), r.isNullAt(5)))
+      .toMap
+    assert(!out.contains(0L), "the query doc is excluded from both rankers")
+    val (rank2, lexNull2, vecNull2) = out(2L)
+    assert(!lexNull2 && !vecNull2, "doc 2 must appear in BOTH rankers' lists")
+    assert(rank2 === 1L,
+      s"top rank on both rankers must fuse to rank 1: $out")
+    val (rank1, _, _) = out(1L)
+    assert(rank1 > rank2, "strictly worse ranks on both legs fuse strictly behind")
+    // pure-filler docs never earn a lexical rank
+    Seq(3L, 4L, 5L).foreach(d => assert(out(d)._2, s"doc $d must have NULL lex_rank"))
+  }
 }
