@@ -3167,14 +3167,6 @@ object DedupOps {
     * is IEEE, shared formula-for-formula with the oracle. Row-local:
     * one md5 pass per token, then a dims×tokens counting loop — no
     * shuffle, no UDF (all higher-order expressions). */
-  def bowVector(doc: Column): Column =
-    transform(sequence(lit(0L), lit(SemDedupDims - 1L)),
-      d => size(filter(doc, x => x === d)).cast("double"))
-
-  private def bowDims(text: Column): Column =
-    transform(TextFunctions.tokens(text),
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % SemDedupDims)
-
   /** d31 — SemDeDup (arXiv:2303.09540): embed → cluster → prune
     * within-cluster semantic duplicates, keeping the cluster's most
     * OUTLYING copy (lowest cosine to its centroid — the paper's rule:
@@ -3194,7 +3186,7 @@ object DedupOps {
     * embarrassingly parallel where the paper's in-cluster loop is
     * not.
     *
-    * Embeddings are the deterministic hashed BoW ([[bowVector]]) and
+    * Embeddings are the deterministic hashed BoW (md5-token histogram) and
     * the codebook is the first-ceil(sqrt(n)) convention (s03), so the
     * ENTIRE pipeline — embed, assign (argmax dot, ties to higher
     * cell), centroid cosine, pair cosine, dominance — replays in the
@@ -3205,10 +3197,30 @@ object DedupOps {
   def semDedup(docs: DataFrame, tau: Double = SemDedupTau): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val withV = docs
-      .withColumn("__ds", bowDims(col("text")))
-      .select(col("doc_id"), bowVector(col("__ds")).as("v"))
+    // The bag-of-words embedding runs EXPLODED (codegen md5 per token,
+    // map-combined histogram), not as the row-local [[bowVector]]
+    // lambda — a higher-order 64×filter scan evaluates interpreted
+    // (measured: the lambda shape cost ~37 s at sf0.1 across this
+    // plan's consumers; exploded + checkpointed it is ~2 s). The
+    // eager localCheckpoint is the p03 barrier lesson: withV feeds
+    // FOUR consumers (sizing count, codebook collect, both sides of
+    // the within-cell pair join).
+    val hist = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long")
+          % SemDedupDims).as("d"))
+      .groupBy(col("doc_id"), col("d")).agg(count(lit(1)).as("c"))
+    val withV = hist
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("d"), col("c")))).as("m"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${SemDedupDims - 1}), d ->
+           |  CAST(coalesce(element_at(m, CAST(d AS BIGINT)), 0) AS DOUBLE))""".stripMargin)
+        .as("v"))
       .withColumn("nrm", norm(col("v")))
+      .localCheckpoint()
     val n = withV.count() // once: sizes the codebook (the s03/s04 convention)
     val k = SimilarityOps.cellsForCorpus(n)
     val cb = withV.orderBy(col("doc_id")).limit(k).select(col("v")).collect()

@@ -819,18 +819,27 @@ object MultimodalOps {
       .select(col("doc_id"), col("payload").cast("string").as("t"))
       .filter(col("t").isNotNull)
       .withColumn("__L", length(col("t")))
-    // boundaries only at p ∈ [W, L-1]: a cut at p = L would duplicate
-    // the terminal cut (and Spark's sequence(W, L-1) DESCENDS when
-    // L-1 < W — the CASE guards the short-payload path)
+    // boundary detection runs EXPLODED, not as a row-local lambda: a
+    // higher-order filter evaluates md5+substring interpreted per
+    // position (measured 75 s at sf0.1), while the exploded pipeline
+    // keeps both inside whole-stage codegen (the d27 spanGrams shape,
+    // ~5 s for the same position volume). Only boundary positions
+    // (~1/64) survive to the per-doc collect, which is bounded by
+    // payload_len/64 rows per doc. Boundaries only at p ∈ [W, L-1]:
+    // a cut at p = L would duplicate the terminal cut (and Spark's
+    // sequence DESCENDS when L-1 < W — the CASE guards short payloads)
+    val bs = t
+      .select(col("doc_id"), col("t"), explode(expr(
+        s"CASE WHEN __L > $W THEN sequence($W, __L - 1) ELSE array() END")).as("p"))
+      .filter(expr(
+        s"""CAST(conv(substring(md5(substring(t, p - $W + 1, $W)), 31, 2),
+           |          16, 10) AS INT) % $D = 0""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("__bs"))
     val chunks = t
-      .withColumn("__cuts", expr(
-        s"""concat(array(0),
-           |  CASE WHEN __L > $W THEN
-           |    filter(sequence($W, __L - 1), p ->
-           |      CAST(conv(substring(md5(substring(t, p - $W + 1, $W)), 31, 2),
-           |                16, 10) AS INT) % $D = 0)
-           |  ELSE array() END,
-           |  array(__L))""".stripMargin))
+      .join(bs, Seq("doc_id"), "left") // docs with no boundary: one chunk
+      .withColumn("__cuts", concat(array(lit(0)),
+        coalesce(col("__bs"), expr("array()")), array(col("__L"))))
       .withColumn("__ch", expr(
         """transform(sequence(1, size(__cuts) - 1), i -> struct(
           |  element_at(__cuts, i) AS off,

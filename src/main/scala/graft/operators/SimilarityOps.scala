@@ -2689,21 +2689,38 @@ object SimilarityOps {
     * rounds once, the 2^20 scale is an exact exponent shift, and the
     * snapped per-term scores are LONGS — so the per-document sum is
     * order-independent and the whole ranking hash-checks. */
-  def bm25TopK(docs: DataFrame, queryMod: Int = Bm25QueryMod,
-      k: Int = Bm25TopK, excludeSelf: Boolean = false): DataFrame = {
-    val toks = docs.filter(col("text").isNotNull)
+  /** The inverted-posting relation (doc_id, term, tf, dl) — the
+    * term-keyed lake's row format. st15 appends exactly this shape
+    * per micro-batch; [[bm25Rank]] serves off any such relation. */
+  def bm25Postings(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val corpus = toks
-      .agg(count(lit(1)).as("n"), sum(size(col("t")).cast("long")).as("l"))
-    val post = toks
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
         explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  def bm25TopK(docs: DataFrame, queryMod: Int = Bm25QueryMod,
+      k: Int = Bm25TopK, excludeSelf: Boolean = false): DataFrame =
+    bm25Rank(docs, bm25Postings(docs), queryMod, k, excludeSelf)
+
+  /** BM25 serve off an explicit posting relation. Corpus statistics
+    * (N, total length, df) derive from the POSTINGS, not the document
+    * table — the lake is the single source of truth, so an
+    * incrementally-appended index serves with exactly the stats its
+    * rows imply (st15's gate). Every non-null text yields ≥1 posting
+    * (an empty string splits to one empty token), so N from distinct
+    * doc_id equals the document count. */
+  def bm25Rank(queryDocs: DataFrame, post: DataFrame,
+      queryMod: Int = Bm25QueryMod, k: Int = Bm25TopK,
+      excludeSelf: Boolean = false): DataFrame = {
+    val corpus = post.groupBy(col("doc_id")).agg(max(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("l"))
     val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qt = toks.filter(col("doc_id") % queryMod === 0)
+    val qt = queryDocs
+      .filter(col("text").isNotNull && col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"),
-        explode(array_distinct(slice(col("t"), 1, 5))).as("term"))
+        explode(array_distinct(slice(split(col("text"), " "), 1, 5))).as("term"))
     val idf = (lit(2.0) * col("n") - lit(2.0) * col("df") + lit(1.0)) /
       (lit(2.0) * col("df") + lit(1.0))
     val tfPart = (lit(44.0) * col("tf") * col("l")) /
@@ -2736,7 +2753,7 @@ object SimilarityOps {
     * s28 hybrid so the two texts cannot state a different lexical
     * ranking. `selfPred` injects the hybrid's self-exclusion before
     * the rank window. */
-  private def bm25OracleCtes(selfPred: String): String =
+  private[graft] def bm25OracleCtes(selfPred: String): String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |              WHERE text IS NOT NULL),
       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),

@@ -318,6 +318,19 @@ object SignatureLake {
   def appendEmbeddingDelta(spark: SparkSession, table: String, delta: DataFrame): Unit =
     writeFamily(annPostings(delta), table, Seq("tbl", "bucket"), SaveMode.Append)
 
+  /** Term-posting lake write/append for the LEXICAL index (s27's
+    * inverted postings, rows (doc_id, term, tf, dl) from
+    * [[graft.operators.SimilarityOps.bm25Postings]]): each ingest
+    * batch tokenizes only its own documents and appends term-bucketed
+    * rows — SaveMode.Append validates the bucket spec, so a
+    * micro-batch can never de-bucket the index. Serve-side corpus
+    * statistics (N, L, df) derive from the lake rows themselves
+    * (bm25Rank), so the index is the single source of truth after any
+    * append history. */
+  def appendTermPostings(spark: SparkSession, table: String, docs: DataFrame): Unit =
+    writeFamily(graft.operators.SimilarityOps.bm25Postings(docs),
+      table, Seq("term"), SaveMode.Append)
+
   /** Build the ANN posting index for `base`, then
     * [[appendEmbeddingDelta]] the `delta` batch — d20's index path, in
     * a private `inc_ann` namespace (the shared read-only families

@@ -983,9 +983,83 @@ object StreamReplay {
     }
   }
 
+  /** st15 — the LEXICAL index joins the stream-maintained-index
+    * matrix (ANN postings st12, tombstones st13, serving store st14 —
+    * and now term postings): the base 9/10 of the corpus is indexed
+    * once, then the delta slice (doc_id % 10 == 7) arrives through a
+    * real streaming query whose foreachBatch calls
+    * [[graft.sources.SignatureLake.appendTermPostings]] — each
+    * micro-batch tokenizes only its own documents, and the
+    * term-bucketed Append can never de-bucket the index. The gate
+    * serves s27's FULL BM25 ranking off the streamed lake with corpus
+    * statistics (N, L, df) derived from the lake rows themselves
+    * (bm25Rank — the index as single source of truth), against s27's
+    * unchanged full-recompute oracle: a lost posting shifts df/L and
+    * splits score hashes corpus-wide, a lost delta doc drops a result
+    * row. `n_delta_hits` additionally pins that mid-stream documents
+    * are actually RETRIEVED (6/4/45 at the three sfs — non-vacuous),
+    * replayed by the oracle over its own result relation. */
+  val streamTermPostingsQ: GraftQuery = GraftQuery(
+    "st15_stream_term_postings", {
+      import graft.operators.SimilarityOps
+      s"""WITH ${SimilarityOps.bm25OracleCtes("TRUE")},
+        |res AS (SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |               score_scaled
+        |        FROM rk WHERE rank <= ${SimilarityOps.Bm25TopK})
+        |SELECT r.*, (SELECT CAST(count(*) AS BIGINT) FROM res
+        |             WHERE doc_id % 10 = 7) AS n_delta_hits
+        |FROM res r""".stripMargin
+    }) { (spark, sf) =>
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    import graft.sources.SignatureLake
+    val docs = Tables.documents(spark, sf)
+    val isDelta = col("doc_id") % 10 === 7
+    val table = s"graft_lake_st15terms_${sf.replaceAll("[^A-Za-z0-9]+", "_")}" +
+      s"_p${ProcessHandle.current().pid()}_s${nameCounter.incrementAndGet()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    SignatureLake.appendTermPostings(spark, table, docs.filter(!isDelta))
+    val delta = docs.filter(isDelta).select("doc_id", "source", "text")
+      .as[DocRow].collect().sortBy(_.doc_id).toSeq
+    val chunks = delta.grouped(math.max(1, (delta.size + 2) / 3)).toSeq
+    try {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckpt =
+        if (java.nio.file.Files.isDirectory(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft_st15")
+        else java.nio.file.Files.createTempDirectory("graft_st15")
+      try {
+        val source = MemoryStream[DocRow]
+        val q = source.toDS().toDF("doc_id", "source", "text")
+          .writeStream
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            SignatureLake.appendTermPostings(spark, table, batch))
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try {
+          chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
+        } finally q.stop()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      val served = SimilarityOps.bm25Rank(docs, spark.table(table))
+      val out = served.crossJoin(broadcast(
+        served.filter(col("doc_id") % 10 === 7)
+          .agg(count(lit(1)).as("n_delta_hits"))))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ,
     streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ, streamDedupQ,
     streamContentDedupQ, streamNearDupDedupQ, streamWindowCountsQ,
-    streamIndexAppendQ, streamTombstoneQ, streamUpsertQ)
+    streamIndexAppendQ, streamTombstoneQ, streamUpsertQ,
+    streamTermPostingsQ)
 }

@@ -245,4 +245,35 @@ class SignatureLakeSpec extends SparkSpec {
       "rebuilt posting table must stay bucketed by cell")
     SignatureLake.invalidate(spark)
   }
+
+  test("term-posting lake: append keeps term bucketing (zero-exchange df) and " +
+      "appended docs are retrievable through bm25Rank") {
+    import spark.implicits._
+    val table = s"graft_lake_spec_terms_p${ProcessHandle.current().pid()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val base = Seq((1L, "alpha beta gamma"), (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val delta = Seq((3L, "alpha beta RAREWORD")).toDF("doc_id", "text")
+    try {
+      SignatureLake.appendTermPostings(spark, table, base)
+      SignatureLake.appendTermPostings(spark, table, delta)
+      val post = spark.table(table)
+      // df aggregation on the bucket key must read the required
+      // distribution straight off the bucketed scan — the property
+      // the one-time bucketBy shuffle buys every serve
+      val df = post.groupBy(col("term")).agg(count(lit(1)))
+      df.collect()
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        "appended term lake must stay bucketed by term")
+      // the appended doc serves: query doc 0 not needed — rank doc 3
+      // via a query carrying its rare term
+      val queries = Seq((0L, "RAREWORD beta x y z")).toDF("doc_id", "text")
+      val hits = graft.operators.SimilarityOps
+        .bm25Rank(queries, post, queryMod = 1000000, k = 3)
+      // queryMod filter keeps doc 0 (0 % mod == 0); rare term only in doc 3
+      val top = hits.orderBy(col("rank")).collect()
+      assert(top.nonEmpty && top.head.getLong(2) === 3L,
+        s"appended doc must be retrievable and top-ranked: ${top.toSeq}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
