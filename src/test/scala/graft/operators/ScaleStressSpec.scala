@@ -676,4 +676,85 @@ class ScaleStressSpec extends SparkSpec {
     logScale("d27_covered_tokens", c1, c2)
     assert(expo(c1, c2) <= 1.01, "cover volume must be linear in dup text")
   }
+
+  test("m13 CDC at 10x: chunk volume linear, bytes conserve, template family dedups") {
+    def payloads(d: DataFrame): DataFrame = d
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val (d1, d2) = (stressDocs(N1), stressDocs(N2))
+    def stats(d: DataFrame): (Long, Long, Long) = {
+      val r = MultimodalOps.cdcChunkDedup(payloads(d))
+        .agg(sum(col("n_chunks")), sum(col("n_bytes")), sum(col("dup_bytes")))
+        .head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val ((ch1, by1, dup1), (ch2, by2, dup2)) = (stats(d1), stats(d2))
+    // conservation: chunk bytes reassemble the corpus exactly
+    def chars(d: DataFrame): Long = d.filter(col("text").isNotNull)
+      .agg(sum(length(col("text")).cast("long"))).head.getLong(0)
+    assert(by1 === chars(d1) && by2 === chars(d2), "chunk bytes must conserve")
+    logScale("m13_chunks", ch1, ch2)
+    assert(expo(ch1, ch2) <= 1.05,
+      "content-defined boundaries fire at a fixed per-byte rate — chunk volume is linear")
+    // the 5% template family (one token mutated per member) shares
+    // most chunks across members: dup volume grows with the family,
+    // never quadratically (chunks dedup by digest, not by pair).
+    // Family-scoped on purpose: the w-hash filler corpus ALSO has
+    // structural whole-doc clones (ids 1250 apart share the token
+    // progression) whose population grows super-linearly between
+    // these two sizes — true duplicated text, correctly billed, but
+    // not the family claim under test
+    assert(dup1 > 0L && dup2 > dup1, s"corpus must dedup: $dup1/$dup2")
+    def famDup(d: DataFrame): Long =
+      MultimodalOps.cdcChunkDedup(payloads(d))
+        .filter(col("doc_id") % 20 === 0)
+        .agg(coalesce(sum(col("dup_bytes")), lit(0L))).head.getLong(0)
+    val (f1, f2) = (famDup(d1), famDup(d2))
+    logScale("m13_family_dup_bytes", f1, f2)
+    assert(expo(f1, f2) <= 1.05,
+      "family dup volume is linear in family size — digest groups, not member pairs")
+  }
+
+  test("s27 BM25 at 10x: candidate volume IS query-term df mass; a df ceiling restores linearity") {
+    val (d1, d2) = (stressDocs(N1).filter(col("text").isNotNull),
+      stressDocs(N2).filter(col("text").isNotNull))
+    def volumes(d: DataFrame): (Long, Long, Long, Long) = {
+      val post = SimilarityOps.bm25Postings(d)
+      val qt = d.filter(col("doc_id") % SimilarityOps.Bm25QueryMod === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 1, 5))).as("term"))
+      val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = qt.join(post, "term").count()
+      val dfMass = qt.join(dft, "term").agg(coalesce(sum(col("df")), lit(0L)))
+        .head.getLong(0)
+      // the production mitigation for corpus-wide common terms: an
+      // ABSOLUTE posting ceiling per term at index time (the WAND /
+      // stopword device — a posting-block budget, like MaxBandBucket,
+      // never corpus-relative)
+      val capped = qt.join(post, "term").join(dft, "term")
+        .filter(col("df") <= DfCeiling).count()
+      val nQueries = qt.select(col("query_id")).distinct().count()
+      (scored, dfMass, capped, nQueries)
+    }
+    val ((s1, m1, c1, q1), (s2, m2, c2, q2)) = (volumes(d1), volumes(d2))
+    // the model, exactly: scored rows == sum of df over query terms
+    assert(s1 === m1 && s2 === m2,
+      s"BM25 candidate volume must equal query-term df mass: $s1/$m1, $s2/$m2")
+    // this adversarial corpus makes every query a template doc whose
+    // terms hit the whole 5% family — the df-driven worst case; log
+    // it rather than hide it (exponent ~2 between these sizes), and
+    // prove the ceiling ENGAGES exactly when a term outgrows it
+    // (d03's guard-engagement shape): under the cap at N1 (family
+    // df 100 ≤ 256 — nothing dropped), over it at N2 (df 1000)
+    logScale("s27_scored_raw", s1, s2)
+    logScale("s27_scored_df_capped", c1, c2)
+    assert(c1 === s1, "no term over the ceiling at N1 — cap must not engage")
+    assert(c2 < s2, "family terms outgrow the ceiling at N2 — cap must engage")
+    assert(c1 <= q1 * 5 * DfCeiling && c2 <= q2 * 5 * DfCeiling,
+      "capped candidate volume is bounded by queries x terms x ceiling")
+  }
+
+  /** Absolute per-term posting ceiling for the s27 scale test — the
+    * posting-block budget a WAND-style index enforces. */
+  private val DfCeiling = 256L
 }
