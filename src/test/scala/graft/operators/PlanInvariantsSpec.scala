@@ -637,6 +637,24 @@ class PlanInvariantsSpec extends SparkSpec {
     graft.sources.SignatureLake.invalidate(spark)
   }
 
+  test("m13: only 16-byte chunk digests shuffle — payload text never becomes an exchange key") {
+    val p = plan(MultimodalOps.cdcChunkDedupQ.run(spark, sf001))
+    assert(p.contains("hashpartitioning(dg"), p.take(2000))
+    assert(!p.contains("hashpartitioning(t#") && !p.contains("hashpartitioning(payload"),
+      s"payload bytes must never key an exchange:\n${p.take(2000)}")
+  }
+
+  test("s27/s28: every top-k window is query-partitioned, never corpus-global") {
+    Seq(SimilarityOps.bm25Q, SimilarityOps.hybridRrfQ).foreach { q =>
+      val p = plan(q.run(spark, sf001))
+      assert(p.contains("windowspecdefinition(query_id"), p.take(2000))
+      // a corpus-global window would log the single-partition warning
+      // and show an empty partition spec
+      assert(!p.contains("windowspecdefinition(,"),
+        s"${q.name}: unpartitioned window found")
+    }
+  }
+
   test("q63: the strategy advisory's decision IS the physical join") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, sf001)
