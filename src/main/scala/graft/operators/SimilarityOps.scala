@@ -2864,10 +2864,45 @@ object SimilarityOps {
     hybridRrfTopK(Tables.documents(spark, sf), Tables.embeddings(spark, sf))
   }
 
+  /** Absolute per-term posting ceiling — a posting-BLOCK budget
+    * (WAND / stopword device), deliberately not corpus-relative: the
+    * thing it protects is per-executor memory and per-query scan
+    * cost, which are absolute. Same role as the dedup families'
+    * MaxBandBucket. */
+  val PostingBudget = 256L
+
+  /** s29 — posting-budget advisory for the lexical index: per term,
+    * its document frequency and whether a WAND-style index would cap
+    * its posting list at [[PostingBudget]]. This is the q60/q63
+    * family's decision tier applied to s27's inverted index — the
+    * ScaleStressSpec measures WHY it exists (BM25 candidate volume is
+    * exactly the query terms' df mass; one corpus-wide common term
+    * makes a query touch the whole corpus), and this row makes the
+    * decision engine-visible and hash-checked. `kept_postings` is
+    * what the capped index would store; Σ(df − kept) is the scan
+    * work the ceiling deletes from every query carrying the term. */
+  val postingBudgetQ: GraftQuery = GraftQuery(
+    "s29_posting_budget",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      |post AS (SELECT doc_id, term FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1)
+      |SELECT term, df, df > $PostingBudget AS over_budget,
+      |       least(df, $PostingBudget) AS kept_postings
+      |FROM df""".stripMargin) { (spark, sf) =>
+    bm25Postings(Tables.documents(spark, sf))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        (col("df") > PostingBudget).as("over_budget"),
+        least(col("df"), lit(PostingBudget)).as("kept_postings"))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
-    knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q, hybridRrfQ)
+    knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q, hybridRrfQ,
+    postingBudgetQ)
 }
