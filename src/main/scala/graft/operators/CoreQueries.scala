@@ -1387,12 +1387,12 @@ object CoreQueries {
        |  (SELECT CAST(count(*) AS BIGINT) AS n_rows,
        |          CAST(count(DISTINCT $keyExpr) AS BIGINT) AS n_keys,
        |          CAST(sum($keyExpr) AS BIGINT) AS key_sum
-       |   FROM events) t,
+       |   FROM events WHERE $keyExpr IS NOT NULL) t,
        |  (SELECT (SELECT count(DISTINCT md5(CAST($keyExpr AS VARCHAR)))
-       |           FROM events) AS nd,
+       |           FROM events WHERE $keyExpr IS NOT NULL) AS nd,
        |          (SELECT hh
        |           FROM (SELECT DISTINCT md5(CAST($keyExpr AS VARCHAR)) AS hh
-       |                 FROM events) z
+       |                 FROM events WHERE $keyExpr IS NOT NULL) z
        |           ORDER BY hh LIMIT 1 OFFSET ${k - 1}) AS kth) e""".stripMargin
   }
 
@@ -1410,7 +1410,13 @@ object CoreQueries {
       |${strategyScenarioSql("dim_large", "event_id")}""".stripMargin) {
     (spark, sf) =>
       val ev = Tables.events(spark, sf)
-      def scenario(name: String, keyed: DataFrame): DataFrame = {
+      // keys-not-null stated EXPLICITLY on both legs (the oracle's
+      // subqueries carry the same WHERE): an inner join would drop
+      // null-key rows from n_rows silently while the oracle's bare
+      // count(*) kept them — the populations must match by
+      // construction, not by fixture luck.
+      def scenario(name: String, keyed0: DataFrame): DataFrame = {
+        val keyed = keyed0.filter(col("k").isNotNull)
         val dim = keyed.select(col("k")).distinct()
           .withColumn("dim_tag", concat(lit("t"), col("k")))
         val (joined, bc) = advisedStrategyJoin(keyed, dim, Seq("k"))

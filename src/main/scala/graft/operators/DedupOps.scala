@@ -3164,9 +3164,10 @@ object DedupOps {
     * dense `array<double>`. Integer-valued components, so every dot
     * product downstream is an EXACT integer (order-independent — no
     * float-summation parity risk) and only the terminal sqrt/divide
-    * is IEEE, shared formula-for-formula with the oracle. Row-local:
-    * one md5 pass per token, then a dims×tokens counting loop — no
-    * shuffle, no UDF (all higher-order expressions). */
+    * is IEEE, shared formula-for-formula with the oracle. Built as
+    * an EXPLODED token histogram (codegen md5 per token, map-side
+    * combined groupBy, densified once per doc) — one narrow shuffle
+    * keyed by doc_id, no UDF anywhere. */
   /** d31 — SemDeDup (arXiv:2303.09540): embed → cluster → prune
     * within-cluster semantic duplicates, keeping the cluster's most
     * OUTLYING copy (lowest cosine to its centroid — the paper's rule:
@@ -3198,14 +3199,17 @@ object DedupOps {
     val spark = docs.sparkSession
     import spark.implicits._
     // The bag-of-words embedding runs EXPLODED (codegen md5 per token,
-    // map-combined histogram), not as the row-local [[bowVector]]
-    // lambda — a higher-order 64×filter scan evaluates interpreted
-    // (measured: the lambda shape cost ~37 s at sf0.1 across this
-    // plan's consumers; exploded + checkpointed it is ~2 s). The
-    // eager localCheckpoint is the p03 barrier lesson: withV feeds
-    // FOUR consumers (sizing count, codebook collect, both sides of
-    // the within-cell pair join).
+    // map-combined histogram), not as a row-local higher-order
+    // 64×filter lambda, which evaluates interpreted (measured: the
+    // lambda shape cost ~37 s at sf0.1 across this plan's consumers;
+    // exploded + checkpointed it is ~2 s). The eager localCheckpoint
+    // is the p03 barrier lesson: withV feeds FOUR consumers (sizing
+    // count, codebook collect, both sides of the within-cell pair
+    // join). Null-text docs are excluded EXPLICITLY (the repo-wide
+    // d05/d14/s27 convention) — explode would drop them silently,
+    // and the stated population must match the oracle's.
     val hist = docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("tk"))
       .select(col("doc_id"),
@@ -3264,7 +3268,7 @@ object DedupOps {
     s"""WITH dims AS (SELECT doc_id,
       |    list_transform(string_split(text, ' '),
       |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % $SemDedupDims) AS ds
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |dense AS (SELECT doc_id,
       |    list_transform(range(0, $SemDedupDims),
       |      d -> CAST(len(list_filter(ds, x -> x = d)) AS DOUBLE)) AS v

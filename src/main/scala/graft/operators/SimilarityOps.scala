@@ -2713,26 +2713,49 @@ object SimilarityOps {
     * doc_id equals the document count. */
   def bm25Rank(queryDocs: DataFrame, post: DataFrame,
       queryMod: Int = Bm25QueryMod, k: Int = Bm25TopK,
-      excludeSelf: Boolean = false): DataFrame = {
-    val corpus = post.groupBy(col("doc_id")).agg(max(col("dl")).as("__dl"))
-      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("l"))
-    val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qt = queryDocs
+      excludeSelf: Boolean = false): DataFrame =
+    bm25RankImpacts(bm25QueryTerms(queryDocs, queryMod), bm25Impacts(post),
+      k, excludeSelf)
+
+  /** Query-term relation (query_id, term): first 5 distinct tokens of
+    * every `queryMod`-th document — tiny against the index, broadcast
+    * in production. */
+  private[graft] def bm25QueryTerms(queryDocs: DataFrame,
+      queryMod: Int): DataFrame =
+    queryDocs
       .filter(col("text").isNotNull && col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(split(col("text"), " "), 1, 5))).as("term"))
+
+  /** Per-posting SNAPPED IMPACT (term, doc_id, s): the full BM25
+    * per-term contribution, computed once on the posting relation —
+    * query-independent, which is what lets the capped serve store a
+    * champion tier ordered by it (score-at-a-time indexes quantize
+    * exactly this value). Corpus stats (N, ΣL, df) derive from the
+    * postings themselves, so an incrementally-appended lake serves
+    * with the stats its rows imply. */
+  private[graft] def bm25Impacts(post: DataFrame): DataFrame = {
+    val corpus = post.groupBy(col("doc_id")).agg(max(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("l"))
+    val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = (lit(2.0) * col("n") - lit(2.0) * col("df") + lit(1.0)) /
       (lit(2.0) * col("df") + lit(1.0))
     val tfPart = (lit(44.0) * col("tf") * col("l")) /
       (lit(20.0) * col("l") * col("tf") + lit(6.0) * col("l") +
         lit(18.0) * col("dl") * col("n"))
-    val scored = qt
-      .join(post, "term")
-      .join(dft, "term")
+    post.join(dft, "term")
       .crossJoin(broadcast(corpus))
-      .select(col("query_id"), col("doc_id"),
+      .select(col("term"), col("doc_id"),
         floor(idf * tfPart * Bm25Scale + lit(0.5)).cast("long").as("s"))
-    val perDoc0 = scored.groupBy(col("query_id"), col("doc_id"))
+  }
+
+  /** Rank query terms against an impact relation: per-doc sum of
+    * snapped per-term LONGS (order-independent — the hash-parity
+    * device), per-query top-k window. */
+  private def bm25RankImpacts(qt: DataFrame, si: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val perDoc0 = qt.join(si, "term")
+      .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score_scaled"))
     // retrieval-eval convention for the hybrid row (s28): the query
     // document itself is not a result; s27 keeps it (sanity: the only
@@ -2747,6 +2770,62 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_scaled"))
   }
 
+  /** Champion tier: per term, the top-[[PostingBudget]] postings by
+    * (impact desc, doc_id) — s29's advisory ACTED ON. The replayable
+    * keep-rule is the MaxBandBucket device; the ordering is the
+    * score-at-a-time impact, not raw tf, so short high-tf documents
+    * (the ones BM25 actually ranks first) survive the cap. At 100 TB
+    * this tier is what the index MATERIALIZES per term (bounded:
+    * budget × |vocab| rows); here it derives from the full postings
+    * at serve time, per-term window — the same one-time sort the lake
+    * build pays. */
+  private[graft] def bm25ChampionTier(si: DataFrame,
+      budget: Long = PostingBudget): DataFrame = {
+    val w = Window.partitionBy(col("term")).orderBy(col("s").desc, col("doc_id"))
+    si.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= budget).drop("__pr")
+  }
+
+  /** BM25 serve BOUNDED BY THE POSTING BUDGET — the two-tier
+    * champion-list shape (candidate generation off the capped tier,
+    * exact rescore of candidates only): per query, candidate docs are
+    * the union of its terms' champion lists (≤ budget·|q| postings
+    * touched — the uncapped serve touches the terms' full df mass,
+    * which ScaleStressSpec measured at exponent 2.00 on a
+    * common-term corpus), then candidates are rescored EXACTLY
+    * against the full impact relation restricted to (candidate doc,
+    * query term) keys — ≤ budget·|q|² lookups per query, never
+    * corpus mass. The ranking the cap loses is only a document
+    * absent from EVERY query term's champion list; s30 gates that
+    * loss against [[Bm25OverlapFloor]]. */
+  def bm25RankCapped(queryDocs: DataFrame, post: DataFrame,
+      queryMod: Int = Bm25QueryMod, k: Int = Bm25TopK,
+      excludeSelf: Boolean = false,
+      budget: Long = PostingBudget): DataFrame = {
+    val si = bm25Impacts(post)
+    val qt = bm25QueryTerms(queryDocs, queryMod)
+    bm25RankCappedImpacts(qt, si, k, excludeSelf, budget)
+  }
+
+  private def bm25RankCappedImpacts(qt: DataFrame, si: DataFrame, k: Int,
+      excludeSelf: Boolean, budget: Long): DataFrame = {
+    val champ = bm25ChampionTier(si, budget)
+    val cand = qt.join(champ, "term")
+      .select(col("query_id"), col("doc_id")).distinct()
+    val rescored = cand.join(qt, "query_id")
+      .join(si, Seq("term", "doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score_scaled"))
+    val perDoc =
+      if (excludeSelf) rescored.filter(col("doc_id") =!= col("query_id"))
+      else rescored
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_scaled"))
+  }
+
   /** The s27 oracle's CTE chain (tokenize → postings → df → query
     * terms → snapped per-term scores → ranked per-doc totals), ending
     * at `rk(query_id, doc_id, score_scaled, rank)` — shared with the
@@ -2754,6 +2833,19 @@ object SimilarityOps {
     * ranking. `selfPred` injects the hybrid's self-exclusion before
     * the rank window. */
   private[graft] def bm25OracleCtes(selfPred: String): String =
+    s"""$bm25PrefixCtes,
+      |agg AS (SELECT q.query_id, p.doc_id,
+      |          CAST(sum(p.s) AS BIGINT) AS score_scaled
+      |        FROM qt q JOIN si p USING (term) GROUP BY 1, 2 HAVING $selfPred),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY score_scaled DESC, doc_id) AS rank FROM agg)""".stripMargin
+
+  /** Shared oracle prefix: tokenize → postings → corpus stats → query
+    * terms → per-posting snapped impact `si(term, doc_id, s)` —
+    * mirror of [[bm25Impacts]]/[[bm25QueryTerms]], shared by every
+    * BM25 chain (s27/s28/s30/st15) so no two texts can state a
+    * different score. */
+  private[graft] def bm25PrefixCtes: String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |              WHERE text IS NOT NULL),
       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
@@ -2765,19 +2857,34 @@ object SimilarityOps {
       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
       |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:5])) AS term
       |       FROM toks WHERE doc_id % $Bm25QueryMod = 0),
-      |sc AS (SELECT q.query_id, p.doc_id,
+      |si AS (SELECT p.term, p.doc_id,
       |         CAST(floor(
       |           ((2.0 * c.n - 2.0 * df.df + 1.0) / (2.0 * df.df + 1.0)) *
       |           ((44.0 * p.tf * c.l) /
       |            (20.0 * c.l * p.tf + 6.0 * c.l + 18.0 * d.dl * c.n))
       |           * $Bm25Scale + 0.5) AS BIGINT) AS s
-      |       FROM qt q JOIN post p USING (term)
-      |            JOIN df USING (term)
-      |            JOIN dl d ON d.doc_id = p.doc_id, c),
-      |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_scaled
-      |        FROM sc GROUP BY 1, 2 HAVING $selfPred),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-      |         ORDER BY score_scaled DESC, doc_id) AS rank FROM agg)""".stripMargin
+      |       FROM post p JOIN df USING (term)
+      |            JOIN dl d ON d.doc_id = p.doc_id, c)""".stripMargin
+
+  /** The CAPPED serve's oracle chain (mirror of [[bm25RankCapped]]):
+    * champion tier → candidate union → exact rescore → `rkc`.
+    * Extends [[bm25OracleCtes]], so the full chain's `rk` is also in
+    * scope (s30 compares the two). */
+  private[graft] def bm25CappedOracleCtes(selfPred: String): String =
+    s"""${bm25OracleCtes(selfPred)},
+      |champ AS (SELECT term, doc_id, s FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY term
+      |      ORDER BY s DESC, doc_id) AS pr FROM si) t
+      |  WHERE pr <= $PostingBudget),
+      |cand AS (SELECT DISTINCT q.query_id, p.doc_id
+      |         FROM qt q JOIN champ p USING (term)),
+      |aggc AS (SELECT cd.query_id, cd.doc_id,
+      |           CAST(sum(p.s) AS BIGINT) AS score_scaled
+      |         FROM cand cd JOIN qt q ON q.query_id = cd.query_id
+      |              JOIN si p ON p.term = q.term AND p.doc_id = cd.doc_id
+      |         GROUP BY 1, 2 HAVING $selfPred),
+      |rkc AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score_scaled DESC, doc_id) AS rank FROM aggc)""".stripMargin
 
   val bm25Q: GraftQuery = GraftQuery(
     "s27_bm25_topk",
@@ -2898,11 +3005,71 @@ object SimilarityOps {
         least(col("df"), lit(PostingBudget)).as("kept_postings"))
   }
 
+  /** s30 acceptance floor: minimum per-query overlap between the
+    * capped serve's top-k and the uncapped top-k. Measured on the
+    * gate corpora (impact-ordered champion tier at
+    * [[PostingBudget]] = 256 + exact rescore): overlap is 1.0 at
+    * sf0.001/sf0.01 (no term's champion list truncates a top-k
+    * contributor) and min 0.5 / mean 0.816 over the 50 probes at
+    * sf0.1 — a deliberately adversarial corpus for capping (31-term
+    * vocabulary, every term df ≈ 0.78·N, scores nearly flat). 0.4
+    * sits under the measured minimum; everything is deterministic on
+    * both engines, so the margin is against future corpus shifts,
+    * not noise. */
+  val Bm25OverlapFloor = 0.4
+
+  /** s30 — the s29 posting budget WIRED INTO THE SERVE PATH, gated by
+    * ranking overlap vs the uncapped serve (the s25 hash-checked
+    * acceptance device): per probe query, `k_full` uncapped top-k
+    * results, `hits` of them also returned by the capped two-tier
+    * serve ([[bm25RankCapped]]), `overlap` their ratio, `floor_ok`
+    * the [[Bm25OverlapFloor]] acceptance. Both rankings and the
+    * comparison replay in the oracle bit-for-bit (snapped-integer
+    * scores, one IEEE division for `overlap`). Scale shape: the
+    * uncapped leg is the audit tier (the s12/s25 argument — it
+    * exists to measure the capped leg and runs on probe samples at
+    * 100 TB); the capped leg is the production serve, per-query work
+    * O(budget·|q|²) regardless of df. */
+  val cappedServeQ: GraftQuery = GraftQuery(
+    "s30_bm25_capped_serve",
+    s"""WITH ${bm25CappedOracleCtes("TRUE")},
+      |fl AS (SELECT query_id, doc_id FROM rk WHERE rank <= $Bm25TopK),
+      |cl AS (SELECT query_id, doc_id FROM rkc WHERE rank <= $Bm25TopK)
+      |SELECT f.query_id, CAST(count(*) AS BIGINT) AS k_full,
+      |       CAST(sum(CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS hits,
+      |       CAST(sum(CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS DOUBLE) / count(*) AS overlap,
+      |       CAST(sum(CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS DOUBLE) / count(*) >= $Bm25OverlapFloor AS floor_ok
+      |FROM fl f LEFT JOIN cl c2
+      |  ON c2.query_id = f.query_id AND c2.doc_id = f.doc_id
+      |GROUP BY f.query_id""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val si = bm25Impacts(bm25Postings(docs))
+      .localCheckpoint() // three consumers: full rank, champion tier, rescore
+    val qt = bm25QueryTerms(docs, Bm25QueryMod)
+    val full = bm25RankImpacts(qt, si, Bm25TopK, excludeSelf = false)
+      .select(col("query_id"), col("doc_id"))
+    val capped = bm25RankCappedImpacts(qt, si, Bm25TopK,
+        excludeSelf = false, budget = PostingBudget)
+      .select(col("query_id").as("__cq"), col("doc_id").as("__cd"))
+    val hits = sum(when(col("__cd").isNotNull, 1L).otherwise(0L))
+    full.join(capped,
+        col("__cq") === col("query_id") && col("__cd") === col("doc_id"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_full"), hits.as("hits"))
+      .withColumn("overlap",
+        col("hits").cast("double") / col("k_full").cast("double"))
+      .withColumn("floor_ok", col("overlap") >= Bm25OverlapFloor)
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
     knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q, hybridRrfQ,
-    postingBudgetQ)
+    postingBudgetQ, cappedServeQ)
 }

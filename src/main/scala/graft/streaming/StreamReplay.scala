@@ -991,21 +991,25 @@ object StreamReplay {
     * [[graft.sources.SignatureLake.appendTermPostings]] — each
     * micro-batch tokenizes only its own documents, and the
     * term-bucketed Append can never de-bucket the index. The gate
-    * serves s27's FULL BM25 ranking off the streamed lake with corpus
+    * serves the PRODUCTION ranking — s30's budget-capped two-tier
+    * serve (bm25RankCapped: champion tier + exact rescore, s29's
+    * posting budget enforced) — off the streamed lake with corpus
     * statistics (N, L, df) derived from the lake rows themselves
-    * (bm25Rank — the index as single source of truth), against s27's
-    * unchanged full-recompute oracle: a lost posting shifts df/L and
+    * (the index as single source of truth), against the capped
+    * chain's full-recompute oracle: a lost posting shifts df/L and
     * splits score hashes corpus-wide, a lost delta doc drops a result
-    * row. `n_delta_hits` additionally pins that mid-stream documents
-    * are actually RETRIEVED (6/4/45 at the three sfs — non-vacuous),
-    * replayed by the oracle over its own result relation. */
+    * row. The uncapped parity serve stays s27's row; this row is the
+    * one that must look like production at 100 TB, so it carries the
+    * cap. `n_delta_hits` additionally pins that mid-stream documents
+    * are actually RETRIEVED (non-vacuous at every sf), replayed by
+    * the oracle over its own result relation. */
   val streamTermPostingsQ: GraftQuery = GraftQuery(
     "st15_stream_term_postings", {
       import graft.operators.SimilarityOps
-      s"""WITH ${SimilarityOps.bm25OracleCtes("TRUE")},
+      s"""WITH ${SimilarityOps.bm25CappedOracleCtes("TRUE")},
         |res AS (SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
         |               score_scaled
-        |        FROM rk WHERE rank <= ${SimilarityOps.Bm25TopK})
+        |        FROM rkc WHERE rank <= ${SimilarityOps.Bm25TopK})
         |SELECT r.*, (SELECT CAST(count(*) AS BIGINT) FROM res
         |             WHERE doc_id % 10 = 7) AS n_delta_hits
         |FROM res r""".stripMargin
@@ -1047,7 +1051,7 @@ object StreamReplay {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
         finally walk.close()
       }
-      val served = SimilarityOps.bm25Rank(docs, spark.table(table))
+      val served = SimilarityOps.bm25RankCapped(docs, spark.table(table))
       val out = served.crossJoin(broadcast(
         served.filter(col("doc_id") % 10 === 7)
           .agg(count(lit(1)).as("n_delta_hits"))))

@@ -757,4 +757,40 @@ class ScaleStressSpec extends SparkSpec {
   /** Absolute per-term posting ceiling for the s27 scale test — the
     * posting-block budget a WAND-style index enforces. */
   private val DfCeiling = 256L
+
+  test("s30 capped serve at 10x: two-tier candidate mass tracks query count, not df mass") {
+    val (d1, d2) = (stressDocs(N1).filter(col("text").isNotNull),
+      stressDocs(N2).filter(col("text").isNotNull))
+    // the s27 test above measures the UNCAPPED serve's exponent (~2 on
+    // this adversarial corpus); this one runs the actual production
+    // path (bm25ChampionTier + exact rescore) and pins that both of
+    // its join volumes are budget-bounded per query — so total mass
+    // grows with the query count (linear in n), independent of df
+    def volumes(d: DataFrame): (Long, Long, Long, Long) = {
+      val si = SimilarityOps.bm25Impacts(SimilarityOps.bm25Postings(d))
+      val qt = SimilarityOps.bm25QueryTerms(d, SimilarityOps.Bm25QueryMod)
+      val champ = SimilarityOps.bm25ChampionTier(si, DfCeiling)
+      val candGen = qt.join(champ, "term")
+      val cand = candGen.select(col("query_id"), col("doc_id")).distinct()
+      val rescore = cand.join(qt, "query_id").join(si, Seq("term", "doc_id"))
+      (candGen.count(), rescore.count(),
+        qt.select(col("query_id")).distinct().count(),
+        qt.join(si, "term").count()) // the uncapped serve's mass
+    }
+    val ((g1, r1, q1, u1), (g2, r2, q2, u2)) = (volumes(d1), volumes(d2))
+    logScale("s30_champion_cand", g1, g2)
+    logScale("s30_rescore_rows", r1, r2)
+    logScale("s30_uncapped_mass", u1, u2)
+    // N1 sits under the budget (family df 100), N2 over it (df 1000),
+    // so an exponent between the two points mixes regimes — the pins
+    // are the guard-engagement shape (d03's device) + absolute bounds:
+    // untruncated below the budget, strictly cheaper above it, and
+    // per-query cost bounded by budget x terms REGARDLESS of df
+    assert(g1 === u1, "no term over the budget at N1 — champion tier must not truncate")
+    assert(g2 < u2, s"family terms outgrow the budget at N2 — cap must engage ($g2 vs $u2)")
+    assert(g1 <= q1 * 5 * DfCeiling && g2 <= q2 * 5 * DfCeiling,
+      "candidate generation is bounded by queries x terms x budget")
+    assert(r1 <= q1 * 25 * DfCeiling && r2 <= q2 * 25 * DfCeiling,
+      "rescore volume is bounded by queries x terms^2 x budget")
+  }
 }

@@ -628,4 +628,39 @@ class SimilaritySpec extends SparkSpec {
     // pure-filler docs never earn a lexical rank
     Seq(3L, 4L, 5L).foreach(d => assert(out(d)._2, s"doc $d must have NULL lex_rank"))
   }
+
+  test("s30 capped serve: floor holds, champion tier enforces the budget, wide budget = exact") {
+    val docs = Tables.documents(spark, sf001)
+    // acceptance: every probe clears the pinned overlap floor, and on
+    // this corpus (no term's champion list truncates a top-k
+    // contributor at sf0.001) overlap is exactly 1.0
+    val rows = SimilarityOps.cappedServeQ.run(spark, sf001).collect()
+    assert(rows.nonEmpty, "s30 must produce probe rows")
+    rows.foreach { r =>
+      val (q, ov, ok) = (r.getLong(0), r.getDouble(3), r.getBoolean(4))
+      assert(ok, s"query $q overlap $ov under floor ${SimilarityOps.Bm25OverlapFloor}")
+      assert(ov === 1.0, s"query $q: sf0.001 measured overlap is exactly 1.0, got $ov")
+    }
+    // the budget is ENFORCED: per-term champion list size == min(df, budget)
+    val si = SimilarityOps.bm25Impacts(SimilarityOps.bm25Postings(docs))
+    val sizes = SimilarityOps.bm25ChampionTier(si)
+      .groupBy(col("term")).agg(count(lit(1)).as("kept"))
+      .join(si.groupBy(col("term")).agg(count(lit(1)).as("df")), "term")
+      .collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach { r =>
+      val (term, kept, df) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(kept === math.min(df, SimilarityOps.PostingBudget),
+        s"term $term kept $kept of df=$df under budget ${SimilarityOps.PostingBudget}")
+    }
+    // self-consistency: a budget no term exceeds makes the two-tier
+    // serve EXACTLY the uncapped ranking (rescore is exact, so the
+    // only divergence channel is champion-list truncation)
+    val wide = SimilarityOps.bm25RankCapped(docs, SimilarityOps.bm25Postings(docs),
+        budget = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = SimilarityOps.bm25Rank(docs, SimilarityOps.bm25Postings(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(wide === exact, "uncapped-budget two-tier serve must equal the exact ranking")
+  }
 }
