@@ -126,17 +126,24 @@ final class CompactingAggregateSink(
       recomputed: DataFrame, crashPoint: String => Unit): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, date_trunc}
     recover()
-    // localize the batch before the swap: the recomputed plan may read
-    // the store being rewritten (staging windows would race the scan)
-    val rows = recomputed.collect()
-    val batch = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), recomputed.schema)
-    val hours = batch
-      .select(date_trunc("hour", col("created_at")).as("__h")).distinct()
-    val kept = inner.readBack(spark)
-      .join(broadcast(hours),
-        date_trunc("hour", col("created_at")) === col("__h"), "left_anti")
-    publishGeneration(kept.unionByName(batch), crashPoint)
+    // materialize the batch OFF the store before the swap: the
+    // recomputed plan may read the store being rewritten (the staging
+    // windows would race that scan). The spill is a distributed
+    // parquet write — NOT a driver collect(), so the contract holds
+    // at any caller grain (a raw-grain recompute is merely slower,
+    // never a driver OOM); the .compacting/.old swap machinery never
+    // sees this path, it only feeds the generation plan.
+    val tmpBatch = path + ".upsert_batch"
+    recomputed.write.mode("overwrite").parquet(tmpBatch)
+    try {
+      val batch = spark.read.parquet(tmpBatch)
+      val hours = batch
+        .select(date_trunc("hour", col("created_at")).as("__h")).distinct()
+      val kept = inner.readBack(spark)
+        .join(broadcast(hours),
+          date_trunc("hour", col("created_at")) === col("__h"), "left_anti")
+      publishGeneration(kept.unionByName(batch), crashPoint)
+    } finally deleteRecursively(new java.io.File(tmpBatch))
   }
 
   /** The shared generation swap: write the new generation to a tmp

@@ -882,6 +882,33 @@ object StreamReplay {
 
   final case class DocRow(doc_id: Long, source: String, text: String)
 
+  /** One st14 micro-batch, IDEMPOTENT under Structured Streaming's
+    * at-least-once foreachBatch contract: the batch stages under a
+    * batchId-named subdirectory with overwrite — a replayed batchId
+    * replaces its own staging rather than doubling it (the sink side
+    * already has the two-rename discipline; this is the source side
+    * of the same guarantee) — and the hour recompute reads
+    * initial ∪ ALL staged batches, so re-running any batchId leaves
+    * the store byte-equal to the first run. StreamReplaySpec proves
+    * both: a literal double-invocation with the same batchId, and a
+    * stop/restart-from-checkpoint mid-stream. */
+  private[graft] def st14UpsertBatch(spark: SparkSession,
+      sink: graft.pipeline.CompactingAggregateSink, initial: DataFrame,
+      staging: String, batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.ChartRegistry
+    batch.write.mode("overwrite").parquet(s"$staging/batch_$batchId")
+    val affected = batch
+      .select((col("doc_id") % ChartRegistry.HourBuckets).as("bucket"))
+      .distinct()
+    def inAffected(d: DataFrame): DataFrame =
+      d.join(broadcast(affected),
+        (col("doc_id") % ChartRegistry.HourBuckets) === col("bucket"),
+        "left_semi")
+    val relevant = inAffected(initial.select("doc_id", "source", "text"))
+      .unionByName(inAffected(spark.read.parquet(s"$staging/batch_*")))
+    sink.replaceHours(spark, ChartRegistry.aggregatesPlanFrom(relevant))
+  }
+
   /** st14 — LATE DATA arriving on the stream, absorbed by hour-level
     * UPSERTS of the aggregate store (c23's stream twin, and the
     * composition the maintenance matrix was missing: st12/st13
@@ -941,18 +968,8 @@ object StreamReplay {
       val source = MemoryStream[DocRow]
       val q = source.toDS().toDF("doc_id", "source", "text")
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(staging)
-          val affected = batch
-            .select((col("doc_id") % ChartRegistry.HourBuckets).as("bucket"))
-            .distinct()
-          def inAffected(d: DataFrame): DataFrame =
-            d.join(broadcast(affected),
-              (col("doc_id") % ChartRegistry.HourBuckets) === col("bucket"),
-              "left_semi")
-          val relevant = inAffected(initial.select("doc_id", "source", "text"))
-            .unionByName(inAffected(spark.read.parquet(staging)))
-          sink.replaceHours(spark, ChartRegistry.aggregatesPlanFrom(relevant))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          st14UpsertBatch(spark, sink, initial, staging, batch, batchId)
         }
         .option("checkpointLocation", ckpt.toString)
         .start()

@@ -53,4 +53,87 @@ class StreamReplaySpec extends SparkSpec {
     assert(stream === batch,
       "injected duplicates must vanish at the sink")
   }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  test("st14 micro-batch retry is idempotent: re-running a batchId leaves the store unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.ChartRegistry
+    val docs = graft.Tables.documents(spark, sf001)
+    val bucket = col("doc_id") % ChartRegistry.HourBuckets
+    val isLate = (bucket % ChartRegistry.LateHourMod === 3) &&
+      (col("doc_id") % ChartRegistry.LateDocMod === 0)
+    val initial = docs.filter(!isLate)
+    val sink = ChartRegistry.freshSink(sf001, "st14retry")
+    sink.append(ChartRegistry.aggregatesPlanFrom(initial))
+    val stagingRoot = java.nio.file.Files.createTempDirectory("graft_st14_retry")
+    try {
+      val staging = stagingRoot.toString + "/docs"
+      val late = docs.filter(isLate).select("doc_id", "source", "text")
+      assert(late.count() > 0, "the late slice must be non-empty for the retry to mean anything")
+      StreamReplay.st14UpsertBatch(spark, sink, initial, staging, late, 0L)
+      val once = canon(graft.serving.ChartQueries.processData(sink.readBack(spark)))
+      val storeOnce = sink.readBack(spark).count()
+      // the at-least-once event: Structured Streaming re-delivers the
+      // SAME batchId after a crash-before-commit. Overwrite staging +
+      // full-hour recompute must make this a no-op.
+      StreamReplay.st14UpsertBatch(spark, sink, initial, staging, late, 0L)
+      assert(canon(graft.serving.ChartQueries.processData(sink.readBack(spark))) === once,
+        "a replayed batchId must not change what the store serves")
+      assert(sink.readBack(spark).count() === storeOnce,
+        "a replayed batchId must not inflate the store's physical rows")
+    } finally rmTree(stagingRoot)
+  }
+
+  test("st14 stop/restart from checkpoint serves exactly the full-corpus relation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.ChartRegistry
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    val bucket = col("doc_id") % ChartRegistry.HourBuckets
+    val isLate = (bucket % ChartRegistry.LateHourMod === 3) &&
+      (col("doc_id") % ChartRegistry.LateDocMod === 0)
+    val initial = docs.filter(!isLate)
+    val sink = ChartRegistry.freshSink(sf001, "st14restart")
+    sink.append(ChartRegistry.aggregatesPlanFrom(initial))
+    val stagingRoot = java.nio.file.Files.createTempDirectory("graft_st14_restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_st14_restart_ckpt")
+    try {
+      val staging = stagingRoot.toString + "/docs"
+      val source = MemoryStream[StreamReplay.DocRow]
+      def startQ() = source.toDS().toDF("doc_id", "source", "text")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamReplay.st14UpsertBatch(spark, sink, initial, staging, b, id)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      val late = docs.filter(isLate).select("doc_id", "source", "text")
+        .as[StreamReplay.DocRow].collect().sortBy(_.doc_id).toSeq
+      assert(late.size >= 2, "need at least two late docs to split across a restart")
+      val (c1, c2) = late.splitAt(late.size / 2)
+      // first query processes half the late slice, then STOPS
+      val q1 = startQ()
+      try { source.addData(c1: _*); q1.processAllAvailable() } finally q1.stop()
+      // a fresh query resumes from the SAME checkpoint — committed
+      // offsets must not be re-upserted, new data must be
+      val q2 = startQ()
+      try { source.addData(c2: _*); q2.processAllAvailable() } finally q2.stop()
+      val served = canon(graft.serving.ChartQueries.processData(sink.readBack(spark)))
+      val full = canon(graft.serving.ChartQueries.processData(
+        ChartRegistry.aggregatesPlanFrom(docs)))
+      assert(served.nonEmpty && served === full,
+        "after restart-from-checkpoint the store must serve exactly the full-corpus relation")
+    } finally { rmTree(stagingRoot); rmTree(ckpt) }
+  }
 }
