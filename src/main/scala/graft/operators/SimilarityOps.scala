@@ -2870,7 +2870,12 @@ object SimilarityOps {
     * champion tier → candidate union → exact rescore → `rkc`.
     * Extends [[bm25OracleCtes]], so the full chain's `rk` is also in
     * scope (s30 compares the two). */
-  private[graft] def bm25CappedOracleCtes(selfPred: String): String =
+  private[graft] def bm25CappedOracleCtes(selfPred: String): String = {
+    // aggc's FROM has doc_id/query_id on two relations each — qualify
+    // the shared predicate's references to the group keys (cd.*)
+    val cappedPred = selfPred
+      .replaceAll("\\bdoc_id\\b", "cd.doc_id")
+      .replaceAll("\\bquery_id\\b", "cd.query_id")
     s"""${bm25OracleCtes(selfPred)},
       |champ AS (SELECT term, doc_id, s FROM (
       |    SELECT *, row_number() OVER (PARTITION BY term
@@ -2882,9 +2887,10 @@ object SimilarityOps {
       |           CAST(sum(p.s) AS BIGINT) AS score_scaled
       |         FROM cand cd JOIN qt q ON q.query_id = cd.query_id
       |              JOIN si p ON p.term = q.term AND p.doc_id = cd.doc_id
-      |         GROUP BY 1, 2 HAVING $selfPred),
+      |         GROUP BY 1, 2 HAVING $cappedPred),
       |rkc AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |          ORDER BY score_scaled DESC, doc_id) AS rank FROM aggc)""".stripMargin
+  }
 
   val bm25Q: GraftQuery = GraftQuery(
     "s27_bm25_topk",
@@ -2926,6 +2932,17 @@ object SimilarityOps {
       .withColumn("vec_rank", row_number().over(wv).cast("long"))
       .filter(col("vec_rank") <= k)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("vec_rank"))
+    rrfFuse(lex, vec, k)
+  }
+
+  /** Reciprocal Rank Fusion over two (query_id, doc_id, *_rank) edge
+    * tables — THE ranking-source-agnostic piece of the hybrid rows:
+    * s28 feeds it full-recompute legs, s31 the two incremental lakes'
+    * serves, and the fusion text is shared so they cannot drift. The
+    * two-term sum is written in one fixed order (lexical then vector)
+    * in both engines — float parity. */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame,
+      k: Int): DataFrame = {
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_score",
         coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
@@ -3065,11 +3082,103 @@ object SimilarityOps {
       .withColumn("floor_ok", col("overlap") >= Bm25OverlapFloor)
   }
 
+  /** s31 — HYBRID RETRIEVAL SERVED OFF BOTH INCREMENTAL LAKES: the
+    * claim s28 makes in prose ("at 100 TB the vector leg swaps in the
+    * lake serve and the lexical leg the term lake without touching
+    * the fusion"), proven as a gate row. The vector leg is s21's
+    * serve against [[graft.sources.SignatureLake.incrementalIvfPostings]]
+    * (base build + frozen-codebook append, probe-side join on cell);
+    * the lexical leg is s30's budget-capped serve against
+    * [[graft.sources.SignatureLake.incrementalTermPostings]] (base
+    * build + term-bucketed append, stats derived from lake rows);
+    * the fusion is the SAME [[rrfFuse]] s28 runs — ranking-source
+    * agnosticism means exactly this substitution. Both rankers
+    * exclude the query document (the s28 eval convention). The oracle
+    * re-derives both approximate chains bit-for-bit (frozen first-k
+    * codebook, snapped impacts) and the same RRF; PlanInvariantsSpec
+    * pins that the engine's plan SCANS both lake tables rather than
+    * re-deriving either index. */
+  val hybridLakeQ: GraftQuery = GraftQuery(
+    "s31_hybrid_lake_serve",
+    s"""WITH ${bm25CappedOracleCtes("doc_id <> query_id")},
+      |lx AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
+      |       FROM rkc WHERE rank <= $Bm25TopK),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |vcb AS (
+      |  SELECT CAST(rn - 1 AS INT) AS cell,
+      |         list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS cv
+      |  FROM (SELECT vec_id, v, nrm,
+      |          row_number() OVER (ORDER BY vec_id) AS rn,
+      |          count(*) OVER () AS total
+      |        FROM n WHERE vec_id % 10 <> 0) t
+      |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(total)) AS BIGINT)))),
+      |vscores AS (
+      |  SELECT n.vec_id, vcb.cell, list_dot_product(n.v, vcb.cv) AS score
+      |  FROM n CROSS JOIN vcb),
+      |vassign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM vscores) t WHERE r = 1),
+      |vprobes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY score DESC, cell DESC) AS r
+      |    FROM vscores WHERE vec_id % $Bm25QueryMod = 0) t WHERE r <= 4),
+      |vcand AS (
+      |  SELECT p.query_id, a.vec_id AS doc_id,
+      |         list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm) AS cos
+      |  FROM vprobes p
+      |  JOIN vassign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN n qn ON qn.vec_id = p.query_id
+      |  JOIN n nn ON nn.vec_id = a.vec_id),
+      |vc AS (SELECT query_id, doc_id, CAST(vrank AS BIGINT) AS vec_rank FROM (
+      |    SELECT query_id, doc_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY cos DESC, doc_id) AS vrank
+      |    FROM vcand) t WHERE vrank <= $Bm25TopK),
+      |f AS (SELECT coalesce(lx.query_id, vc.query_id) AS query_id,
+      |             coalesce(lx.doc_id, vc.doc_id) AS doc_id,
+      |             lx.lex_rank, vc.vec_rank
+      |      FROM lx FULL OUTER JOIN vc
+      |        ON lx.query_id = vc.query_id AND lx.doc_id = vc.doc_id),
+      |sfu AS (SELECT query_id, doc_id, lex_rank, vec_rank,
+      |         coalesce(1.0 / (60 + lex_rank), 0.0)
+      |           + coalesce(1.0 / (60 + vec_rank), 0.0) AS rrf_score
+      |       FROM f),
+      |rf AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY rrf_score DESC, doc_id) AS rank FROM sfu)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_score,
+      |       lex_rank, vec_rank
+      |FROM rf WHERE rank <= $Bm25TopK""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val vbase = emb.filter(col("vec_id") % 10 =!= 0)
+    val ivfLake = graft.sources.SignatureLake.incrementalIvfPostings(
+      spark, sf, vbase, emb.filter(col("vec_id") % 10 === 0))
+    val termLake = graft.sources.SignatureLake.incrementalTermPostings(
+      spark, sf, docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7))
+    val vec = knnFromPostings(emb, ivfLake,
+        centroids(vbase, cellsForCorpus(vbase.count())),
+        k = Bm25TopK, probes = 4,
+        queryFilter = col("vec_id") % Bm25QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val lex = bm25RankCapped(docs, termLake, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    rrfFuse(lex, vec, Bm25TopK)
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
     knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q, hybridRrfQ,
-    postingBudgetQ, cappedServeQ)
+    postingBudgetQ, cappedServeQ, hybridLakeQ)
 }

@@ -331,6 +331,30 @@ object SignatureLake {
     writeFamily(graft.operators.SimilarityOps.bm25Postings(docs),
       table, Seq("term"), SaveMode.Append)
 
+  /** Build the term-posting lake for `base` (overwrite), then
+    * [[appendTermPostings]] the `delta` batch — the batch twin of
+    * st15's streamed maintenance, in a private `inc_terms` namespace,
+    * memoized per (session, sfDir, slice) like the other incremental
+    * families. Returns the read-back of the UPDATED table:
+    * (doc_id, term, tf, dl) for base ∪ delta, bucketed by term, so
+    * the serve-side term join reads posting lists with zero exchange
+    * on the index side. Append order is invisible to serving: corpus
+    * stats derive from the rows, and the capped serve's champion tier
+    * is an order-independent per-term window. */
+  def incrementalTermPostings(spark: SparkSession, sfDir: String,
+      base: DataFrame, delta: DataFrame,
+      slice: String = "mod10"): DataFrame = {
+    evictStopped()
+    sweepOrphans(spark)
+    cache.computeIfAbsent(Key(spark, sfDir, s"inc_terms_$slice"), _ => {
+      val t = tableName(spark, sfDir, s"inc_terms_$slice")
+      writeFamily(graft.operators.SimilarityOps.bm25Postings(base),
+        t, Seq("term"), SaveMode.Overwrite)
+      appendTermPostings(spark, t, delta)
+      (t, spark.table(t))
+    })._2
+  }
+
   /** Build the ANN posting index for `base`, then
     * [[appendEmbeddingDelta]] the `delta` batch — d20's index path, in
     * a private `inc_ann` namespace (the shared read-only families

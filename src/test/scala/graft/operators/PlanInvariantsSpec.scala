@@ -670,4 +670,24 @@ class PlanInvariantsSpec extends SparkSpec {
     val pL = plan(joinedL)
     assert(pL.contains("SortMergeJoin") && !pL.contains("BroadcastHashJoin"), pL)
   }
+
+  test("s31: both hybrid legs SERVE off their lake tables — neither index is recomputed") {
+    val p = plan(SimilarityOps.hybridLakeQ.run(spark, sf001))
+    // the two incremental lakes appear as catalog-table scans
+    assert(p.contains("inc_ivf_mod10"),
+      s"vector leg must scan the IVF posting lake: ${p.take(3000)}")
+    assert(p.contains("inc_terms_mod10"),
+      s"lexical leg must scan the term posting lake: ${p.take(3000)}")
+    // re-deriving an index inside the serve would put its build
+    // machinery back in the plan: cell probing on the CORPUS side
+    // (posexplode of band buckets / a tokenize-explode of documents
+    // feeding a groupBy on (doc_id, term)). The serve plan tokenizes
+    // only the query sample (qt) — documents.text appears solely
+    // under the query-side filter — and the posting side arrives
+    // from the lake scans above.
+    assert(!p.contains("posexplode"),
+      "no band-bucket derivation may appear in a lake serve plan")
+    val vecScans = "graft_lake_".r.findAllIn(p).size
+    assert(vecScans >= 2, s"expected both lake scans in the plan, found $vecScans")
+  }
 }
