@@ -111,6 +111,15 @@ object LayoutOps {
     * per-(layout, file) min/max aggregation — a few dozen rows —
     * broadcasts into the probe grid. */
   private def pruneAudit(spark: SparkSession, u: DataFrame,
+      layouts: Seq[String]): DataFrame =
+    pruneAuditFull(spark, u, layouts).drop("append_hit")
+
+  /** [[pruneAudit]] plus the per-probe count of APPEND files hit
+    * (file_id ≥ [[ZFiles]] — ids the z-layout never assigns, so the
+    * discriminator reads off the footer relation alone): the input to
+    * q65's re-optimize decision, which must be computable from
+    * catalog state without scanning a row. */
+  private def pruneAuditFull(spark: SparkSession, u: DataFrame,
       layouts: Seq[String]): DataFrame = {
     import spark.implicits._
     val fs = u.groupBy(col("layout"), col("file_id"))
@@ -128,7 +137,8 @@ object LayoutOps {
           col("min_b") <= col("b_hi") && col("max_b") >= col("b_lo"),
         "left")
       .groupBy(col("layout"), col("probe_id"))
-      .agg(count(col("file_id")).as("files_hit"))
+      .agg(count(col("file_id")).as("files_hit"),
+        sum(when(col("file_id") >= ZFiles, 1L).otherwise(0L)).as("append_hit"))
   }
 
   /** Per (layout, probe): how many of the [[ZFiles]] files a min/max-
@@ -185,6 +195,75 @@ object LayoutOps {
         col("a"), col("b"))
     pruneAudit(spark, decayedBase.unionByName(deltaFiles).unionByName(reopt),
       Seq("decayed", "reoptimized"))
+  }
+
+  /** q65's rewrite budget, in file scans per audit period: re-z-order
+    * when the probe workload's APPEND-FILE scan tax exceeds the cost
+    * of one full rewrite of the partition's [[ZFiles]] files. An
+    * absolute posting-block-style constant (the s29 convention):
+    * what it trades off — one rewrite vs repeated unprunable append
+    * scans — is absolute work, not corpus-relative. Measured at the
+    * gate: the appended scenario's tax is 34 (4 arrival-ordered
+    * append files, nearly every probe scans all of them) vs the
+    * fresh scenario's 0 — both sides clear the 16 threshold with
+    * margin. */
+  val ReoptFileBudget = ZFiles.toLong
+
+  /** q65 — the re-optimize advisory ACTED ON (q64's decision twin,
+    * the q60→q61/q63 advisory→action pattern): per scenario, decide
+    * from FOOTER STATS ALONE whether to re-z-order, and emit the
+    * post-decision audit.
+    *
+    * Scenarios: `appended` is q64's decayed layout (base z-order + 4
+    * arrival-ordered append files — tax 34 > budget, so the advisory
+    * fires and `files_hit_after` is the re-optimized layout's audit);
+    * `fresh` is the same corpus z-ordered with no appends (tax 0, the
+    * advisory must NOT fire, after == before — the control branch
+    * that catches an estimator stuck on true). The decision input
+    * (append_hit per probe) comes from the same min/max footer
+    * relation the audit reads — at 100 TB this is a catalog query,
+    * no data scan. */
+  def layoutReoptAdvisory(spark: SparkSession, events: DataFrame): DataFrame = {
+    val all0 = maskedAB(events, withId = true)
+    val base = all0.filter(col("event_id") % 4 =!= 0)
+    val decayedBase = zAssign(base, rankBoundaries(base))
+      .select(lit("decayed").as("layout"), col("zfile").as("file_id"),
+        col("a"), col("b"))
+    val deltaFiles = all0.filter(col("event_id") % 4 === 0)
+      .select(lit("decayed").as("layout"),
+        expr("16 + (event_id DIV 4) % 4").as("file_id"), col("a"), col("b"))
+    val reopt = zAssign(all0, rankBoundaries(all0))
+      .select(lit("reoptimized").as("layout"), col("zfile").as("file_id"),
+        col("a"), col("b"))
+    val audit = pruneAuditFull(spark,
+      decayedBase.unionByName(deltaFiles).unionByName(reopt),
+      Seq("decayed", "reoptimized"))
+    val decayedAud = audit.filter(col("layout") === "decayed")
+    val reoptAud = audit.filter(col("layout") === "reoptimized")
+      .select(col("probe_id"), col("files_hit").as("__reopt_hit"))
+    val tax = decayedAud.agg(sum(col("append_hit")).as("append_tax"))
+    val appended = decayedAud
+      .join(reoptAud, "probe_id")
+      .crossJoin(broadcast(tax))
+      .select(lit("appended").as("scenario"), col("probe_id"),
+        col("files_hit").as("files_hit_before"), col("append_tax"),
+        (col("append_tax") > ReoptFileBudget).as("advise_reopt"),
+        when(col("append_tax") > ReoptFileBudget, col("__reopt_hit"))
+          .otherwise(col("files_hit")).as("files_hit_after"))
+    // the control scenario runs the SAME derived rule (no literal
+    // false): its own footer relation has no append files, so its
+    // tax is 0 and the advisory must come out negative
+    val freshAud = audit.filter(col("layout") === "reoptimized")
+    val freshTax = freshAud.agg(sum(col("append_hit")).as("append_tax"))
+    val fresh = freshAud
+      .crossJoin(broadcast(freshTax))
+      .select(lit("fresh").as("scenario"), col("probe_id"),
+        col("files_hit").as("files_hit_before"), col("append_tax"),
+        (col("append_tax") > ReoptFileBudget).as("advise_reopt"),
+        // re-z-ordering an already-fresh layout reproduces it, so the
+        // acted-on audit is files_hit on either branch
+        col("files_hit").as("files_hit_after"))
+    appended.unionByName(fresh)
   }
 
   // ---------------------------------------------------------- oracle SQL
@@ -269,6 +348,61 @@ object LayoutOps {
        |      SELECT 'reoptimized' AS layout, zfile AS file_id, a, b FROM kf),
        |${auditTailSql(Seq("decayed", "reoptimized"))}""".stripMargin
 
+  /** The q65 oracle: the q64 chain's audit tail widened with
+    * `append_hit`, then the decision + acted-on audit per scenario —
+    * one shared CTE generator with q57/q64 ([[zAssignCtesSql]] /
+    * [[auditTailSql]]'s fs/p/g prefix), so no two texts can state a
+    * different layout or footer relation. */
+  private def layoutReoptOracleSql: String = {
+    val probeValues = Probes
+      .map { case (id, aLo, aHi, bLo, bHi) => s"($id, $aLo, $aHi, $bLo, $bHi)" }
+      .mkString(", ")
+    s"""WITH $base0Sql,
+       |${zAssignCtesSql("event_id % 4 <> 0", "d")},
+       |${zAssignCtesSql("TRUE", "f")},
+       |u AS (SELECT 'decayed' AS layout, zfile AS file_id, a, b FROM kd
+       |      UNION ALL
+       |      SELECT 'decayed' AS layout, 16 + (event_id // 4) % 4 AS file_id, a, b
+       |      FROM base0 WHERE event_id % 4 = 0
+       |      UNION ALL
+       |      SELECT 'reoptimized' AS layout, zfile AS file_id, a, b FROM kf),
+       |fs AS (SELECT layout, file_id,
+       |              min(a) AS min_a, max(a) AS max_a,
+       |              min(b) AS min_b, max(b) AS max_b
+       |       FROM u GROUP BY 1, 2),
+       |p AS (SELECT * FROM (VALUES $probeValues)
+       |        AS t(probe_id, a_lo, a_hi, b_lo, b_hi)),
+       |g AS (SELECT l.layout, p.*
+       |      FROM (VALUES ('decayed'), ('reoptimized')) AS l(layout) CROSS JOIN p),
+       |aud AS (SELECT g.layout, g.probe_id,
+       |        CAST(count(fs.file_id) AS BIGINT) AS files_hit,
+       |        CAST(sum(CASE WHEN fs.file_id >= $ZFiles THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS append_hit
+       |        FROM g LEFT JOIN fs ON fs.layout = g.layout
+       |          AND fs.min_a <= g.a_hi AND fs.max_a >= g.a_lo
+       |          AND fs.min_b <= g.b_hi AND fs.max_b >= g.b_lo
+       |        GROUP BY 1, 2),
+       |dtax AS (SELECT CAST(sum(append_hit) AS BIGINT) AS append_tax
+       |         FROM aud WHERE layout = 'decayed'),
+       |ftax AS (SELECT CAST(sum(append_hit) AS BIGINT) AS append_tax
+       |         FROM aud WHERE layout = 'reoptimized'),
+       |ap AS (SELECT 'appended' AS scenario, a.probe_id,
+       |         a.files_hit AS files_hit_before, t.append_tax,
+       |         t.append_tax > $ReoptFileBudget AS advise_reopt,
+       |         CASE WHEN t.append_tax > $ReoptFileBudget THEN r.files_hit
+       |              ELSE a.files_hit END AS files_hit_after
+       |       FROM aud a
+       |       JOIN aud r ON r.probe_id = a.probe_id AND r.layout = 'reoptimized',
+       |            dtax t
+       |       WHERE a.layout = 'decayed'),
+       |fr AS (SELECT 'fresh' AS scenario, probe_id,
+       |         files_hit AS files_hit_before, t.append_tax,
+       |         t.append_tax > $ReoptFileBudget AS advise_reopt,
+       |         files_hit AS files_hit_after
+       |       FROM aud, ftax t WHERE layout = 'reoptimized')
+       |SELECT * FROM ap UNION ALL SELECT * FROM fr""".stripMargin
+  }
+
   /** q57 — the layout experiment at the gate: same rows, two layouts,
     * the pruning cost of every probe hash-checked in both engines. */
   val zorderAuditQ: GraftQuery =
@@ -283,5 +417,12 @@ object LayoutOps {
       layoutDecayAudit(spark, Tables.events(spark, sf))
     }
 
-  val all: Seq[GraftQuery] = Seq(zorderAuditQ, layoutDecayQ)
+  /** q65 — the re-optimize decision, derived from footers and acted
+    * on, with a fresh-layout control branch. */
+  val layoutReoptQ: GraftQuery =
+    GraftQuery("q65_reopt_advisory", layoutReoptOracleSql) { (spark, sf) =>
+      layoutReoptAdvisory(spark, Tables.events(spark, sf))
+    }
+
+  val all: Seq[GraftQuery] = Seq(zorderAuditQ, layoutDecayQ, layoutReoptQ)
 }

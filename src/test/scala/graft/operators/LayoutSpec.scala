@@ -122,4 +122,31 @@ class LayoutSpec extends SparkSpec {
         assert(dec >= re + 4, s"probe $p: append tax missing ($dec vs $re)")
     }
   }
+
+  test("q65: the advisory fires on the appended branch only, and acting on it pays") {
+    import spark.implicits._
+    val rows = for (u <- 0 until 64; w <- 0 until 64)
+      yield ((w * 64 + u).toLong, u.toLong, w * 6.0)
+    val ev = rows.toDF("event_id", "user_id", "value")
+    val out = LayoutOps.layoutReoptAdvisory(spark, ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5))).toMap
+    LayoutOps.Probes.foreach { case (p, _, _, _, _) =>
+      val (beforeA, taxA, adviseA, afterA) = out(("appended", p))
+      val (beforeF, taxF, adviseF, afterF) = out(("fresh", p))
+      // appended branch: the derived rule must FIRE and the acted-on
+      // audit must be the repaired layout's
+      assert(adviseA, s"probe $p: append tax $taxA must trip the advisory")
+      assert(taxA > LayoutOps.ReoptFileBudget, s"probe $p: tax $taxA under budget")
+      assert(afterA <= beforeA, s"probe $p: acting must not cost more ($afterA vs $beforeA)")
+      // control branch: same rule, no appends, must NOT fire
+      assert(!adviseF && taxF === 0L, s"probe $p: fresh branch fired (tax $taxF)")
+      assert(afterF === beforeF, s"probe $p: fresh after must equal before")
+    }
+    // the decision pays in aggregate over the probe workload
+    val sumBefore = LayoutOps.Probes.map(p => out(("appended", p._1))._1).sum
+    val sumAfter = LayoutOps.Probes.map(p => out(("appended", p._1))._4).sum
+    assert(sumAfter < sumBefore,
+      s"re-optimize must reduce total files scanned ($sumAfter vs $sumBefore)")
+  }
 }
