@@ -162,6 +162,15 @@ object GraftExtensions {
           "usage: graft_gram(snapped_array, <dim literal>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "graft_cdc_cuts"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, Literal(w: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+          CdcCuts(s, w, d)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_cdc_cuts(str, <window literal>, <divisor literal>)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cell_probes"),
       new ExpressionInfo(classOf[CellProbes].getName, "graft_cell_probes"),
       (children: Seq[Expression]) => children match {

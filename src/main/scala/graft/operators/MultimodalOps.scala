@@ -806,48 +806,31 @@ object MultimodalOps {
     * rolling hash into the same plan shape).
     *
     * Execution shape (the part that matters at 100 TB): boundary
-    * detection and chunk splitting are ROW-LOCAL higher-order
-    * expressions — zero shuffle until chunks exist; the only shuffle
-    * in the pipeline groups 16-byte chunk digests (m11's rule:
-    * payload bytes never shuffle as a key). First-copy rule is
-    * keep-first by (doc_id, offset); per-doc report emits exact
-    * integers plus one IEEE division. */
+    * detection is ONE native codegen expression per row
+    * ([[graft.functions.CdcCuts]] — the cut array comes back whole,
+    * no per-byte row expansion, no aggregation, no join-back; it
+    * replaced first a row-local higher-order filter that evaluated
+    * md5 interpreted per position, measured 75 s at sf0.1, then the
+    * exploded relational pipeline that fixed that, 3.4 s — the
+    * expression serves the same row in 0.8 s), chunk splitting is a
+    * row-local transform over the array — zero shuffle until chunks
+    * exist; the only shuffle in the pipeline groups 16-byte chunk
+    * digests (m11's rule: payload bytes never shuffle as a key).
+    * First-copy rule is keep-first by (doc_id, offset); per-doc
+    * report emits exact integers plus one IEEE division. */
   def cdcChunkDedup(payloads: DataFrame): DataFrame = {
     val W = CdcWindow
     val D = CdcDivisor
     val t = payloads
       .select(col("doc_id"), col("payload").cast("string").as("t"))
       .filter(col("t").isNotNull)
-      .withColumn("__L", length(col("t")))
-    // boundary detection runs EXPLODED, not as a row-local lambda: a
-    // higher-order filter evaluates md5+substring interpreted per
-    // position (measured 75 s at sf0.1), while the exploded pipeline
-    // keeps both inside whole-stage codegen (the d27 spanGrams shape,
-    // ~5 s for the same position volume). Only boundary positions
-    // (~1/64) survive to the per-doc collect, which is bounded by
-    // payload_len/64 rows per doc. Boundaries only at p ∈ [W, L-1]:
-    // a cut at p = L would duplicate the terminal cut (and Spark's
-    // sequence DESCENDS when L-1 < W — the CASE guards short payloads)
-    val bs = t
-      .select(col("doc_id"), col("t"), explode(expr(
-        s"CASE WHEN __L > $W THEN sequence($W, __L - 1) ELSE array() END")).as("p"))
-      .filter(expr(
-        s"""CAST(conv(substring(md5(substring(t, p - $W + 1, $W)), 31, 2),
-           |          16, 10) AS INT) % $D = 0""".stripMargin))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("p"))).as("__bs"))
     val chunks = t
-      .join(bs, Seq("doc_id"), "left") // docs with no boundary: one chunk
-      .withColumn("__cuts", concat(array(lit(0)),
-        coalesce(col("__bs"), expr("array()")), array(col("__L"))))
-      .withColumn("__ch", expr(
-        """transform(sequence(1, size(__cuts) - 1), i -> struct(
-          |  element_at(__cuts, i) AS off,
-          |  substring(t, CAST(element_at(__cuts, i) AS INT) + 1,
-          |    CAST(element_at(__cuts, i + 1) - element_at(__cuts, i) AS INT)) AS c))""".stripMargin))
-      .select(col("doc_id"), explode(col("__ch")).as("u"))
+      .select(col("doc_id"), col("t"),
+        explode(call_function("graft_cdc_cuts", col("t"), lit(W), lit(D)))
+          .as("u"))
       .select(col("doc_id"), col("u.off").cast("long").as("off"),
-        md5(col("u.c")).as("dg"), length(col("u.c")).cast("long").as("nb"))
+        md5(expr("substring(t, u.off + 1, u.len)")).as("dg"),
+        col("u.len").cast("long").as("nb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dg")).orderBy(col("doc_id"), col("off"))
     chunks
