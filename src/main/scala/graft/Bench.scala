@@ -42,6 +42,8 @@ object Bench {
     val lakeBuilds: Seq[(String, () => Unit)] = Seq(
       "minhash_sigs" -> (() => { sources.SignatureLake.portableSignatures(spark, sfDir); () }),
       "minhash_bands" -> (() => { sources.SignatureLake.portableBandKeys(spark, sfDir); () }),
+      "minhash_prod_bands" -> (() => { sources.SignatureLake.productionBandRows(spark, sfDir); () }),
+      "token_counts" -> (() => { sources.SignatureLake.tokenCounts(spark, sfDir); () }),
       "simhash_fp" -> (() => { sources.SignatureLake.portableFingerprints(spark, sfDir); () }),
       "ann_buckets" -> (() => { sources.SignatureLake.portableAnnBuckets(spark, sfDir); () }),
       "knn_exact" -> (() => { sources.SignatureLake.exactProbeGraph(spark, sfDir); () }))

