@@ -276,4 +276,25 @@ class SignatureLakeSpec extends SparkSpec {
         s"appended doc must be retrievable and top-ranked: ${top.toSeq}")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("incremental term lake: base+delta equals the full derivation; capped serve agrees") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val lake = SignatureLake.incrementalTermPostings(spark, sf001,
+      docs.filter(col("doc_id") % 10 =!= 7), docs.filter(col("doc_id") % 10 === 7))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long)] =
+      df.select(col("doc_id"), col("term"), col("tf"), col("dl")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // conservation: append order is invisible — the lake IS the
+    // full-corpus posting relation
+    assert(canon(lake) === canon(graft.operators.SimilarityOps.bm25Postings(docs)),
+      "base build + delta append must equal the from-scratch posting relation")
+    // the budget-capped serve (s31's lexical leg) is identical off
+    // lake and direct derivation — champion tier + stats are
+    // order-independent functions of the rows
+    def ranked(post: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      graft.operators.SimilarityOps.bm25RankCapped(docs, post, excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    assert(ranked(lake) === ranked(graft.operators.SimilarityOps.bm25Postings(docs)))
+  }
 }
