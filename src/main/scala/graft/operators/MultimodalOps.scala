@@ -818,19 +818,28 @@ object MultimodalOps {
     * digests (m11's rule: payload bytes never shuffle as a key).
     * First-copy rule is keep-first by (doc_id, offset); per-doc
     * report emits exact integers plus one IEEE division. */
-  def cdcChunkDedup(payloads: DataFrame): DataFrame = {
-    val W = CdcWindow
-    val D = CdcDivisor
-    val t = payloads
+  def cdcChunkDedup(payloads: DataFrame): DataFrame =
+    cdcReport(cdcChunks(payloads))
+
+  /** The chunk relation (doc_id, off, dg, nb) — what a CDC chunk
+    * INDEX stores per document, and st16's lake row format: each
+    * ingest batch chunks only its own payloads and appends
+    * digest-bucketed rows. */
+  def cdcChunks(payloads: DataFrame): DataFrame =
+    payloads
       .select(col("doc_id"), col("payload").cast("string").as("t"))
       .filter(col("t").isNotNull)
-    val chunks = t
       .select(col("doc_id"), col("t"),
-        explode(call_function("graft_cdc_cuts", col("t"), lit(W), lit(D)))
-          .as("u"))
+        explode(call_function("graft_cdc_cuts", col("t"),
+          lit(CdcWindow), lit(CdcDivisor))).as("u"))
       .select(col("doc_id"), col("u.off").cast("long").as("off"),
         md5(expr("substring(t, u.off + 1, u.len)")).as("dg"),
         col("u.len").cast("long").as("nb"))
+
+  /** The per-doc dedup report over any chunk relation (inline or
+    * lake-served): keep-first by (doc_id, off) within each digest
+    * group, exact integers + one IEEE division. */
+  def cdcReport(chunks: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dg")).orderBy(col("doc_id"), col("off"))
     chunks
@@ -845,8 +854,11 @@ object MultimodalOps {
         (col("dup_bytes").cast("double") / col("n_bytes")).as("dedup_ratio"))
   }
 
-  val cdcChunkDedupQ: GraftQuery = GraftQuery(
-    "m13_cdc_chunk_dedup", {
+  /** The m13 oracle's full text — the chunk rule, keep-first dedup,
+    * and per-doc report over the `documents` table. Shared verbatim
+    * by st16 (the stream-appended chunk lake must serve EXACTLY this
+    * relation), so the two rows cannot state a different chunking. */
+  private[graft] def cdcOracleSql: String = {
       val W = CdcWindow
       val D = CdcDivisor
       val hex = "0123456789abcdef"
@@ -880,7 +892,10 @@ object MultimodalOps {
         |       CAST(coalesce(sum(CASE WHEN r > 1 THEN nb END), 0) AS DOUBLE)
         |         / CAST(sum(nb) AS BIGINT) AS dedup_ratio
         |FROM rn GROUP BY doc_id""".stripMargin
-    }) { (spark, sf) =>
+  }
+
+  val cdcChunkDedupQ: GraftQuery = GraftQuery(
+    "m13_cdc_chunk_dedup", cdcOracleSql) { (spark, sf) =>
     cdcChunkDedup(asMultimodal(spark, sf))
   }
 

@@ -2870,26 +2870,35 @@ object SimilarityOps {
     * champion tier → candidate union → exact rescore → `rkc`.
     * Extends [[bm25OracleCtes]], so the full chain's `rk` is also in
     * scope (s30 compares the two). */
-  private[graft] def bm25CappedOracleCtes(selfPred: String): String = {
+  private[graft] def bm25CappedOracleCtes(selfPred: String): String =
+    s"""${bm25OracleCtes(selfPred)},
+      |${bm25CappedChainCtes(PostingBudget, "", selfPred)}""".stripMargin
+
+  /** One capped-serve chain (champion tier at `budget` → candidate
+    * union → exact rescore → `rkc$sfx`) over the shared prefix's
+    * qt/si — suffixed so several budgets can chain in one text (the
+    * s32 curve; s30/st15/s31 use the unsuffixed chain at
+    * [[PostingBudget]]). */
+  private[graft] def bm25CappedChainCtes(budget: Long, sfx: String,
+      selfPred: String): String = {
     // aggc's FROM has doc_id/query_id on two relations each — qualify
     // the shared predicate's references to the group keys (cd.*)
     val cappedPred = selfPred
       .replaceAll("\\bdoc_id\\b", "cd.doc_id")
       .replaceAll("\\bquery_id\\b", "cd.query_id")
-    s"""${bm25OracleCtes(selfPred)},
-      |champ AS (SELECT term, doc_id, s FROM (
+    s"""champ$sfx AS (SELECT term, doc_id, s FROM (
       |    SELECT *, row_number() OVER (PARTITION BY term
       |      ORDER BY s DESC, doc_id) AS pr FROM si) t
-      |  WHERE pr <= $PostingBudget),
-      |cand AS (SELECT DISTINCT q.query_id, p.doc_id
-      |         FROM qt q JOIN champ p USING (term)),
-      |aggc AS (SELECT cd.query_id, cd.doc_id,
+      |  WHERE pr <= $budget),
+      |cand$sfx AS (SELECT DISTINCT q.query_id, p.doc_id
+      |         FROM qt q JOIN champ$sfx p USING (term)),
+      |aggc$sfx AS (SELECT cd.query_id, cd.doc_id,
       |           CAST(sum(p.s) AS BIGINT) AS score_scaled
-      |         FROM cand cd JOIN qt q ON q.query_id = cd.query_id
+      |         FROM cand$sfx cd JOIN qt q ON q.query_id = cd.query_id
       |              JOIN si p ON p.term = q.term AND p.doc_id = cd.doc_id
       |         GROUP BY 1, 2 HAVING $cappedPred),
-      |rkc AS (SELECT *, row_number() OVER (PARTITION BY query_id
-      |          ORDER BY score_scaled DESC, doc_id) AS rank FROM aggc)""".stripMargin
+      |rkc$sfx AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score_scaled DESC, doc_id) AS rank FROM aggc$sfx)""".stripMargin
   }
 
   val bm25Q: GraftQuery = GraftQuery(
@@ -3174,11 +3183,80 @@ object SimilarityOps {
     rrfFuse(lex, vec, Bm25TopK)
   }
 
+  /** s32's budget sweep: a factor of 2 each side of the production
+    * [[PostingBudget]], plus the aggressive 64 tier — enough points
+    * to see the knee without an unbounded oracle text. */
+  val BudgetCurvePoints: Seq[Long] = Seq(64L, 128L, 256L, 512L)
+
+  /** s32 — the budget/quality CURVE for the capped lexical serve (the
+    * s18/s19 probe-curve device applied to s30's knob): per candidate
+    * budget, the capped serve's per-query overlap against the
+    * uncapped top-k, aggregated order-free (total_hits/total_k is ONE
+    * division of exact integers; min is order-free over
+    * one-division-per-query ratios — the float discipline). This is
+    * the decision data for TUNING the budget: where the curve knees
+    * is where a deployment sets its tier size; at sf0.1 the measured
+    * points are mean 0.30/0.54/0.82/0.98 for 64/128/256/512 — the
+    * production 256 sits at the knee, and the gate replays every
+    * point bit-for-bit. Scale shape: one impact relation feeds all
+    * four serves; each serve is budget-bounded per query, and the
+    * uncapped leg (audit tier) is computed once. */
+  val budgetCurveQ: GraftQuery = GraftQuery(
+    "s32_budget_overlap_curve", {
+      val chains = BudgetCurvePoints
+        .map(b => bm25CappedChainCtes(b, s"b$b", "TRUE")).mkString(",\n")
+      val legs = BudgetCurvePoints.map { b =>
+        s"""SELECT $b AS budget, n_queries, total_hits, total_k,
+           |       CAST(total_hits AS DOUBLE) / total_k AS mean_overlap,
+           |       min_overlap
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |        CAST(sum(h) AS BIGINT) AS total_hits,
+           |        CAST(sum(kf) AS BIGINT) AS total_k,
+           |        min(CAST(h AS DOUBLE) / kf) AS min_overlap
+           |      FROM (SELECT f.query_id, count(*) AS kf,
+           |              sum(CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+           |            FROM fl f LEFT JOIN
+           |              (SELECT query_id, doc_id FROM rkcb$b
+           |               WHERE rank <= $Bm25TopK) c2
+           |              ON c2.query_id = f.query_id AND c2.doc_id = f.doc_id
+           |            GROUP BY f.query_id) pq) t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${bm25OracleCtes("TRUE")},
+        |$chains,
+        |fl AS (SELECT query_id, doc_id FROM rk WHERE rank <= $Bm25TopK)
+        |$legs""".stripMargin
+    }) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val si = bm25Impacts(bm25Postings(docs))
+      .localCheckpoint() // one impact pass feeds the uncapped leg + every budget tier
+    val qt = bm25QueryTerms(docs, Bm25QueryMod)
+    val full = bm25RankImpacts(qt, si, Bm25TopK, excludeSelf = false)
+      .select(col("query_id"), col("doc_id"))
+    BudgetCurvePoints.map { b =>
+      val capped = bm25RankCappedImpacts(qt, si, Bm25TopK,
+          excludeSelf = false, budget = b)
+        .select(col("query_id").as("__cq"), col("doc_id").as("__cd"))
+      full.join(capped,
+          col("__cq") === col("query_id") && col("__cd") === col("doc_id"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("kf"),
+          sum(when(col("__cd").isNotNull, 1L).otherwise(0L)).as("h"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("h")).as("total_hits"), sum(col("kf")).as("total_k"),
+          min(col("h").cast("double") / col("kf")).as("min_overlap"))
+        .select(lit(b).as("budget"), col("n_queries"), col("total_hits"),
+          col("total_k"),
+          (col("total_hits").cast("double") / col("total_k")).as("mean_overlap"),
+          col("min_overlap"))
+    }.reduce(_.unionByName(_))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
     knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q, hybridRrfQ,
-    postingBudgetQ, cappedServeQ, hybridLakeQ)
+    postingBudgetQ, cappedServeQ, hybridLakeQ, budgetCurveQ)
 }

@@ -363,6 +363,20 @@ object SignatureLake {
     writeFamily(graft.operators.SimilarityOps.bm25Postings(docs),
       table, Seq("term"), SaveMode.Append)
 
+  /** CDC chunk-digest lake write/append (m13's chunk relation
+    * (doc_id, off, dg, nb) from
+    * [[graft.operators.MultimodalOps.cdcChunks]]): each ingest batch
+    * chunks only its own payloads and appends DIGEST-bucketed rows —
+    * the dedup report's keep-first window then reads its required
+    * distribution off the scan, and payload bytes never shuffle
+    * (only 16-byte digests are lake keys, m11's rule). SaveMode.
+    * Append validates the bucket spec, so a micro-batch can never
+    * de-bucket the index. */
+  def appendChunkDigests(spark: SparkSession, table: String,
+      payloads: DataFrame): Unit =
+    writeFamily(graft.operators.MultimodalOps.cdcChunks(payloads),
+      table, Seq("dg"), SaveMode.Append)
+
   /** Build the term-posting lake for `base` (overwrite), then
     * [[appendTermPostings]] the `delta` batch — the batch twin of
     * st15's streamed maintenance, in a private `inc_terms` namespace,

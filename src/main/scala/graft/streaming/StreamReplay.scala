@@ -1077,10 +1077,85 @@ object StreamReplay {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  /** st16 — the CDC chunk-digest lake joins the stream-maintained-
+    * index matrix (band keys st10/st12, tombstones st13, serving
+    * store st14, term postings st15 — and now block-level dedup
+    * state): the base 9/10 of the corpus is chunked once, then the
+    * delta slice (doc_id % 10 == 7) arrives through a real streaming
+    * query whose foreachBatch chunks ONLY its own payloads and
+    * appends digest-bucketed rows
+    * ([[graft.sources.SignatureLake.appendChunkDigests]] — payload
+    * bytes never ride a shuffle key, m11's rule, and the chunk rule
+    * is the graft_cdc_cuts expression, row-local per batch). The
+    * gate serves m13's FULL per-doc dedup report off the lake against
+    * m13's unchanged full-recompute oracle text (shared verbatim —
+    * [[graft.operators.MultimodalOps.cdcOracleSql]]): a lost or
+    * doubled chunk shifts a digest group's keep-first ranks and
+    * splits dup_bytes hashes corpus-wide. `n_delta_docs` pins that
+    * mid-stream documents actually REPORT (50/50/500 at the three
+    * sfs — non-vacuous), replayed by the oracle over its own result
+    * relation. */
+  val streamChunkLakeQ: GraftQuery = GraftQuery(
+    "st16_stream_chunk_lake", {
+      import graft.operators.MultimodalOps
+      s"""WITH res AS (${MultimodalOps.cdcOracleSql})
+        |SELECT r.*, (SELECT CAST(count(*) AS BIGINT) FROM res
+        |             WHERE doc_id % 10 = 7) AS n_delta_docs
+        |FROM res r""".stripMargin
+    }) { (spark, sf) =>
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    import graft.sources.SignatureLake
+    val isDelta = col("doc_id") % 10 === 7
+    val table = s"graft_lake_st16chunks_${sf.replaceAll("[^A-Za-z0-9]+", "_")}" +
+      s"_p${ProcessHandle.current().pid()}_s${nameCounter.incrementAndGet()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    SignatureLake.appendChunkDigests(spark, table,
+      MultimodalOps.asMultimodal(spark, sf).filter(!isDelta))
+    val delta = Tables.documents(spark, sf).filter(isDelta)
+      .select("doc_id", "source", "text")
+      .as[DocRow].collect().sortBy(_.doc_id).toSeq
+    val chunks = delta.grouped(math.max(1, (delta.size + 2) / 3)).toSeq
+    try {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckpt =
+        if (java.nio.file.Files.isDirectory(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft_st16")
+        else java.nio.file.Files.createTempDirectory("graft_st16")
+      try {
+        val source = MemoryStream[DocRow]
+        val q = source.toDS().toDF("doc_id", "source", "text")
+          .writeStream
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            SignatureLake.appendChunkDigests(spark, table,
+              batch.select(col("doc_id"),
+                col("text").cast("binary").as("payload"))))
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try {
+          chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
+        } finally q.stop()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      val served = MultimodalOps.cdcReport(spark.table(table))
+      val out = served.crossJoin(broadcast(
+        served.filter(col("doc_id") % 10 === 7)
+          .agg(count(lit(1)).as("n_delta_docs"))))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ,
     streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ, streamDedupQ,
     streamContentDedupQ, streamNearDupDedupQ, streamWindowCountsQ,
     streamIndexAppendQ, streamTombstoneQ, streamUpsertQ,
-    streamTermPostingsQ)
+    streamTermPostingsQ, streamChunkLakeQ)
 }
