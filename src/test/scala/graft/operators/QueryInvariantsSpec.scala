@@ -355,6 +355,23 @@ class QueryInvariantsSpec extends SparkSpec {
     // conservation: chunk bytes reassemble each payload exactly
     assert(out(1L).getAs[Long]("n_bytes") === body.length.toLong)
     assert(out(2L).getAs[Long]("n_bytes") === body.length.toLong + 36L)
+
+    // the comparison MEASURED, not asserted in prose: fixed 64-byte
+    // blocking on the same pair shares zero blocks — the insertion
+    // shifts every offset and no block boundary re-aligns
+    val fixedDup = payloads
+      .select(col("doc_id"), col("payload").cast("string").as("t"))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, CAST(ceil(length(t)/64.0) AS INT) - 1), " +
+          "i -> substring(t, i * 64 + 1, 64))")).as("c"))
+      .select(col("doc_id"), md5(col("c")).as("dg"), length(col("c")).as("nb"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dg")).orderBy(col("doc_id"))))
+      .filter(col("__rn") > 1)
+      .agg(coalesce(sum(col("nb")), lit(0L))).head.getLong(0)
+    assert(fixedDup === 0L,
+      s"fixed blocks must share nothing across the shifted pair, got $fixedDup dup bytes")
   }
 
   test("multimodal features: 16-dim, L1-normalized (m02)") {

@@ -42,6 +42,30 @@ class SignatureLakeSpec extends SparkSpec {
     SignatureLake.invalidate(spark)
   }
 
+  test("production band and token-count families: parity with direct derivation, bucketed serve") {
+    SignatureLake.invalidate(spark)
+    // the xxhash64 production family equals its cold derivation
+    val prod = SignatureLake.productionBandRows(spark, sf001)
+    val prodDirect = DedupOps.bandKeys(
+      DedupOps.minhashSignatures(Tables.documents(spark, sf001)))
+    assert(prod.exceptAll(prodDirect).isEmpty && prodDirect.exceptAll(prod).isEmpty,
+      "production band lake must equal a cold derivation")
+    // the token-frequency family equals the cold tokenize+count
+    val tc = SignatureLake.tokenCounts(spark, sf001)
+    val tcDirect = Tables.documents(spark, sf001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    assert(tc.exceptAll(tcDirect).isEmpty && tcDirect.exceptAll(tc).isEmpty,
+      "token-count lake must equal a cold derivation")
+    // the t06 serve shape: per-token aggregation reads the bucketed
+    // distribution off the scan — no exchange
+    val vocab = tc.groupBy(col("token")).agg(sum(col("tf")))
+    vocab.collect()
+    assert(!vocab.queryExecution.executedPlan.toString.contains("Exchange"),
+      "token-bucketed lake must serve the vocab aggregation with zero exchange")
+    SignatureLake.invalidate(spark)
+  }
+
   test("band-key read-back satisfies the bucket aggregation with ZERO exchange") {
     SignatureLake.invalidate(spark)
     val bands = SignatureLake.portableBandKeys(spark, sf001)
