@@ -3220,18 +3220,24 @@ object DedupOps {
     * swaps real encoder vectors and the trained k-means codebook
     * (s04) into the same plan; only the embed stage changes. */
   def semDedup(docs: DataFrame, tau: Double = SemDedupTau): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // The bag-of-words embedding runs EXPLODED (codegen md5 per token,
-    // map-combined histogram), not as a row-local higher-order
-    // 64×filter lambda, which evaluates interpreted (measured: the
-    // lambda shape cost ~37 s at sf0.1 across this plan's consumers;
-    // exploded + checkpointed it is ~2 s). The eager localCheckpoint
-    // is the p03 barrier lesson: withV feeds FOUR consumers (sizing
-    // count, codebook collect, both sides of the within-cell pair
-    // join). Null-text docs are excluded EXPLICITLY (the repo-wide
-    // d05/d14/s27 convention) — explode would drop them silently,
-    // and the stated population must match the oracle's.
+    val withV = semDedupEmbed(docs)
+    val cb = semDedupCodebook(withV, withV.count())
+    semDedupPrune(semDedupAssign(withV, cb), tau)
+  }
+
+  /** The hashed-BoW embedding stage (doc_id, v, nrm). The embedding
+    * runs EXPLODED (codegen md5 per token, map-combined histogram),
+    * not as a row-local higher-order 64×filter lambda, which
+    * evaluates interpreted (measured: the lambda shape cost ~37 s at
+    * sf0.1 across this plan's consumers; exploded + checkpointed it
+    * is ~2 s). The eager localCheckpoint is the p03 barrier lesson:
+    * withV feeds FOUR consumers (sizing count, codebook collect,
+    * both sides of the within-cell pair join). Null-text docs are
+    * excluded EXPLICITLY (the repo-wide d05/d14/s27 convention) —
+    * explode would drop them silently, and the stated population
+    * must match the oracle's. Row-local per document, so a delta
+    * batch embeds independently of the corpus (d33's append path). */
+  private[graft] def semDedupEmbed(docs: DataFrame): DataFrame = {
     val hist = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
@@ -3240,7 +3246,7 @@ object DedupOps {
         (conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long")
           % SemDedupDims).as("d"))
       .groupBy(col("doc_id"), col("d")).agg(count(lit(1)).as("c"))
-    val withV = hist
+    hist
       .groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("d"), col("c")))).as("m"))
       .select(col("doc_id"), expr(
@@ -3249,14 +3255,27 @@ object DedupOps {
         .as("v"))
       .withColumn("nrm", norm(col("v")))
       .localCheckpoint()
-    val n = withV.count() // once: sizes the codebook (the s03/s04 convention)
-    val k = SimilarityOps.cellsForCorpus(n)
-    val cb = withV.orderBy(col("doc_id")).limit(k).select(col("v")).collect()
+  }
+
+  /** First-⌈√n⌉ normalized codebook over the embed relation (the
+    * s03/s04 convention; `n` sizes it — the TRAINING population, so
+    * d33 passes its base count, not the full corpus's). */
+  private[graft] def semDedupCodebook(withV: DataFrame, n: Long): Array[Array[Double]] =
+    withV.orderBy(col("doc_id")).limit(SimilarityOps.cellsForCorpus(n))
+      .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
       .map { v =>
         val nn = math.sqrt(v.map(x => x * x).sum)
         v.map(_ / (if (nn == 0.0) 1.0 else nn))
       }
+
+  /** Assign under an EXPLICIT (frozen) codebook and attach the
+    * own-centroid cosine — (doc_id, cell, v, nrm, cent_sim), the
+    * semantic-cell lake's row format. */
+  private[graft] def semDedupAssign(withV: DataFrame,
+      cb: Array[Array[Double]]): DataFrame = {
+    val spark = withV.sparkSession
+    import spark.implicits._
     val cbId = graft.functions.CodebookRegistry.register(
       spark.sparkContext.broadcast(cb))
     // Dataset construction analyzes eagerly; the expression holds the
@@ -3270,9 +3289,15 @@ object DedupOps {
     // broadcasts; cent_sim = dot(v, ĉ)/|v| — the keep-rule key
     val cbDf = cb.zipWithIndex
       .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq.toDF("cell", "cv")
-    val withCent = assigned.join(broadcast(cbDf), Seq("cell"))
+    assigned.join(broadcast(cbDf), Seq("cell"))
       .withColumn("cent_sim", dot(col("v"), col("cv")) / col("nrm"))
       .select(col("doc_id"), col("cell"), col("v"), col("nrm"), col("cent_sim"))
+  }
+
+  /** The within-cell dominance prune over any assigned relation
+    * (inline or lake-served) — (doc_id, cell, cent_sim, removed). */
+  private[graft] def semDedupPrune(withCent: DataFrame,
+      tau: Double = SemDedupTau): DataFrame = {
     val rhs = withCent.select(col("cell"), col("doc_id").as("y"),
       col("v").as("vy"), col("nrm").as("ny"), col("cent_sim").as("cy"))
     val beaten = withCent.join(rhs, Seq("cell"))
@@ -3287,9 +3312,15 @@ object DedupOps {
         coalesce(col("__beaten"), lit(false)).as("removed"))
   }
 
-  val semDedupQ: GraftQuery = GraftQuery(
-    "d31_semdedup",
-    s"""WITH dims AS (SELECT doc_id,
+  /** The SemDeDup oracle chain (embed → codebook → assign → centroid
+    * cosine → dominance), ending at `cent`/`beaten`. `cbPred`
+    * restricts the codebook's TRAINING population (d31 trains on the
+    * full corpus, d33 on the base slice — the frozen-quantizer
+    * convention); assignment and pruning always run over every doc.
+    * ONE generator shared by both rows, so the two texts cannot
+    * state a different geometry. */
+  private def semDedupOracleCtes(cbPred: String): String =
+    s"""dims AS (SELECT doc_id,
       |    list_transform(string_split(text, ' '),
       |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % $SemDedupDims) AS ds
       |  FROM documents WHERE text IS NOT NULL),
@@ -3298,11 +3329,12 @@ object DedupOps {
       |      d -> CAST(len(list_filter(ds, x -> x = d)) AS DOUBLE)) AS v
       |  FROM dims),
       |n AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dense),
-      |tot AS (SELECT count(*) AS c FROM n),
+      |tot AS (SELECT count(*) AS c FROM n WHERE $cbPred),
       |cb AS (SELECT CAST(rn - 1 AS BIGINT) AS cell,
       |    list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS cv
       |  FROM (SELECT doc_id, v, nrm,
-      |          row_number() OVER (ORDER BY doc_id) AS rn FROM n) t, tot
+      |          row_number() OVER (ORDER BY doc_id) AS rn FROM n
+      |        WHERE $cbPred) t, tot
       |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(tot.c)) AS BIGINT)))),
       |scores AS (SELECT n.doc_id, cb.cell, list_dot_product(n.v, cb.cv) AS score
       |  FROM n CROSS JOIN cb),
@@ -3317,11 +3349,53 @@ object DedupOps {
       |  JOIN n ny ON ny.doc_id = cb2.doc_id
       |  WHERE list_dot_product(nx.v, ny.v) / (nx.nrm * ny.nrm) > $SemDedupTau
       |    AND (cb2.cent_sim < ca.cent_sim OR
-      |         (cb2.cent_sim = ca.cent_sim AND cb2.doc_id < ca.doc_id)))
+      |         (cb2.cent_sim = ca.cent_sim AND cb2.doc_id < ca.doc_id)))""".stripMargin
+
+  val semDedupQ: GraftQuery = GraftQuery(
+    "d31_semdedup",
+    s"""WITH ${semDedupOracleCtes("TRUE")}
       |SELECT c.doc_id, c.cell, c.cent_sim,
       |       (b.doc_id IS NOT NULL) AS removed
       |FROM cent c LEFT JOIN beaten b ON b.doc_id = c.doc_id""".stripMargin) {
     (spark, sf) => semDedup(Tables.documents(spark, sf))
+  }
+
+  /** d33 — INCREMENTAL SemDeDup: the semantic-cell index joins the
+    * incremental-maintenance matrix (band keys d12/d23/d28, ANN d26,
+    * IVF s20–s22, terms st15, chunks st16 — and now d31's family).
+    * The base 9/10 of the corpus embeds once, trains the
+    * first-⌈√n_base⌉ codebook, and writes cell-bucketed assignment
+    * rows; the delta slice (doc_id % 10 == 7) embeds INDEPENDENTLY
+    * (the hashed BoW is row-local) and appends under the SAME frozen
+    * codebook — cells never move under an append, only cell
+    * populations grow, exactly the s20 frozen-quantizer contract.
+    * The dominance prune then serves off the lake read-back: a new
+    * near-copy of an old doc lands in the old doc's cell and one of
+    * the two is pruned by the same replayable rule. The oracle
+    * re-derives the whole base-frozen chain bit-for-bit
+    * ([[semDedupOracleCtes]] with the codebook population restricted
+    * to the base slice); `n_delta` pins delta docs present in the
+    * served relation (non-vacuous at every sf). 100 TB shape: an
+    * ingest batch pays embed + assign on ITS OWN rows plus the
+    * in-cell prune; a retrain (new codebook) is a rebuild, a
+    * different operation with a different cost class. */
+  val semDedupIncrementalQ: GraftQuery = GraftQuery(
+    "d33_semdedup_incremental",
+    s"""WITH ${semDedupOracleCtes("doc_id % 10 <> 7")},
+      |res AS (SELECT c.doc_id, c.cell, c.cent_sim,
+      |          (b.doc_id IS NOT NULL) AS removed
+      |        FROM cent c LEFT JOIN beaten b ON b.doc_id = c.doc_id)
+      |SELECT r.*, (SELECT CAST(count(*) AS BIGINT) FROM res
+      |             WHERE doc_id % 10 = 7) AS n_delta
+      |FROM res r""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val isDelta = col("doc_id") % 10 === 7
+    val lake = graft.sources.SignatureLake.incrementalSemCells(
+      spark, sf, docs.filter(!isDelta), docs.filter(isDelta))
+    val served = semDedupPrune(lake)
+    served.crossJoin(broadcast(
+      served.filter(col("doc_id") % 10 === 7)
+        .agg(count(lit(1)).as("n_delta"))))
   }
 
   // ------------------------------------------------------------------
@@ -3391,5 +3465,6 @@ object DedupOps {
     incrementalEmbeddingQ, textEmbeddingConsistencyQ, containmentQ,
     lakeAppendQ, annLakeAppendQ, kmvVocabQ, kmvOverlapQ,
     exactSubstringQ, bandLakeDeleteQ, annLakeDeleteQ,
-    substringDecontaminateQ, spanFunnelQ, semDedupQ, editDistanceQ)
+    substringDecontaminateQ, spanFunnelQ, semDedupQ, editDistanceQ,
+    semDedupIncrementalQ)
 }

@@ -465,6 +465,32 @@ object SignatureLake {
     })._2
   }
 
+  /** SEMANTIC-CELL lake for incremental SemDeDup (d33): embed the
+    * base docs (hashed BoW — row-local, so the delta embeds
+    * independently), train the first-⌈√n_base⌉ codebook, write
+    * cell-bucketed assignment rows (doc_id, cell, v, nrm, cent_sim),
+    * then append the delta's assignments under the SAME frozen
+    * codebook — the s20 frozen-quantizer contract applied to the
+    * d31 family. Bucketed by cell: the dominance prune's within-cell
+    * pair join reads its distribution off the scan. Memoized like
+    * the other incremental families. */
+  def incrementalSemCells(spark: SparkSession, sfDir: String,
+      base: DataFrame, delta: DataFrame,
+      slice: String = "mod10"): DataFrame = {
+    evictStopped()
+    sweepOrphans(spark)
+    cache.computeIfAbsent(Key(spark, sfDir, s"inc_semcells_$slice"), _ => {
+      val t = tableName(spark, sfDir, s"inc_semcells_$slice")
+      val bv = DedupOps.semDedupEmbed(base)
+      val cb = DedupOps.semDedupCodebook(bv, bv.count())
+      writeFamily(DedupOps.semDedupAssign(bv, cb), t, Seq("cell"),
+        SaveMode.Overwrite)
+      writeFamily(DedupOps.semDedupAssign(DedupOps.semDedupEmbed(delta), cb),
+        t, Seq("cell"), SaveMode.Append)
+      (t, spark.table(t))
+    })._2
+  }
+
   /** LABELED IVF posting index (build + append, frozen codebook) —
     * the filtered-ANN attribute-in-index family: every posting row
     * carries the filter attribute (label) alongside the vector, so a

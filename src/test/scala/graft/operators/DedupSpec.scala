@@ -1016,4 +1016,35 @@ class DedupSpec extends SparkSpec {
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L },
       "unrelated doc never verified")
   }
+
+  test("d33: frozen-codebook append equals from-scratch assignment; delta docs prune cross-slice") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf001)
+    val isDelta = col("doc_id") % 10 === 7
+    val lake = graft.sources.SignatureLake.incrementalSemCells(
+      spark, sf001, docs.filter(!isDelta), docs.filter(isDelta))
+    // conservation (the s20 device on the semantic family): base
+    // build + frozen-codebook append == one-shot assignment of the
+    // FULL corpus under the same base-trained codebook
+    val baseV = DedupOps.semDedupEmbed(docs.filter(!isDelta))
+    val cb = DedupOps.semDedupCodebook(baseV, baseV.count())
+    val full = DedupOps.semDedupAssign(DedupOps.semDedupEmbed(docs), cb)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select(col("doc_id"), col("cell"), col("cent_sim")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(canon(lake) === canon(full),
+      "appended semantic cells must equal the from-scratch frozen-codebook assignment")
+    // the point of the index: a delta doc landing in an old doc's
+    // cell participates in dominance — some delta docs are pruned
+    // (3 at this sf, measured; >= 1 keeps the pin shift-tolerant)
+    val served = DedupOps.semDedupPrune(lake)
+    assert(served.filter(isDelta && col("removed")).count() >= 1L,
+      "at least one delta near-dup must be pruned against the base")
+    // and the dominance rule never empties a cell's dup component
+    val cells = served.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("r")).collect()
+    cells.foreach(c => assert(c.getLong(1) > c.getLong(2),
+      s"cell ${c.getLong(0)}: every member removed"))
+  }
 }
