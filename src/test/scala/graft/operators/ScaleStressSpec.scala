@@ -758,6 +758,37 @@ class ScaleStressSpec extends SparkSpec {
     * posting-block budget a WAND-style index enforces. */
   private val DfCeiling = 256L
 
+  test("d31/d33 SemDeDup at 10x: in-cell pair volume is the designed n^1.5, codebook stays sqrt-bounded") {
+    def volumes(d: DataFrame): (Long, Long, Long, Long) = {
+      val v = DedupOps.semDedupEmbed(d)
+      val cb = DedupOps.semDedupCodebook(v, v.count())
+      val sizes = DedupOps.semDedupAssign(v, cb).groupBy(col("cell")).count()
+      (sizes.agg(coalesce(sum(col("count") * col("count")), lit(0L))).head.getLong(0),
+        sizes.agg(coalesce(max(col("count")), lit(0L))).head.getLong(0),
+        cb.length.toLong, v.count())
+    }
+    val ((p1, m1, k1, n1), (p2, m2, k2, n2)) =
+      (volumes(stressDocs(N1)), volumes(stressDocs(N2)))
+    logScale("d31_cell_pair_volume", p1, p2)
+    logScale("d31_max_cell", m1, m2)
+    // the SemDeDup trade, stated: ceil(sqrt(n)) cells make the
+    // in-cell pair pass Θ(n^1.5) on a near-uniform corpus (measured
+    // 1.53 between these sizes — the 5% template family does NOT
+    // collapse into one cell, max cell stays ~2% of the corpus).
+    // 1.7 would mean a mega-cell forming (the d03 hot-bucket class);
+    // production trades differently by passing a k-means codebook
+    // sized for a TARGET cell size through the same semDedupAssign.
+    assert(expo(p1, p2) <= 1.7,
+      s"in-cell pair volume exponent ${expo(p1, p2)} suggests a mega-cell")
+    // the identity the plan relies on: pair volume is exactly the sum
+    // of squared cell sizes (no cross-cell pairs exist anywhere)
+    assert(p1 >= n1 && p2 >= n2 && m1 * m1 <= p1 && m2 * m2 <= p2)
+    // bounded driver state: the codebook never exceeds ceil(sqrt(n))
+    assert(k1 <= math.ceil(math.sqrt(n1.toDouble)).toLong + 1 &&
+      k2 <= math.ceil(math.sqrt(n2.toDouble)).toLong + 1,
+      s"codebook must stay sqrt-bounded: $k1/$n1, $k2/$n2")
+  }
+
   test("s30 capped serve at 10x: two-tier candidate mass tracks query count, not df mass") {
     val (d1, d2) = (stressDocs(N1).filter(col("text").isNotNull),
       stressDocs(N2).filter(col("text").isNotNull))
