@@ -189,7 +189,7 @@ object LayoutOps {
     // append files are ARRIVAL-ordered: consecutive event_ids land in
     // the same file, every file spans ~the whole key space
     val deltaFiles = delta.select(lit("decayed").as("layout"),
-      expr("16 + (event_id DIV 4) % 4").as("file_id"), col("a"), col("b"))
+      expr(s"$ZFiles + (event_id DIV 4) % 4").as("file_id"), col("a"), col("b"))
     val reopt = zAssign(all0, rankBoundaries(all0))
       .select(lit("reoptimized").as("layout"), col("zfile").as("file_id"),
         col("a"), col("b"))
@@ -231,7 +231,7 @@ object LayoutOps {
         col("a"), col("b"))
     val deltaFiles = all0.filter(col("event_id") % 4 === 0)
       .select(lit("decayed").as("layout"),
-        expr("16 + (event_id DIV 4) % 4").as("file_id"), col("a"), col("b"))
+        expr(s"$ZFiles + (event_id DIV 4) % 4").as("file_id"), col("a"), col("b"))
     val reopt = zAssign(all0, rankBoundaries(all0))
       .select(lit("reoptimized").as("layout"), col("zfile").as("file_id"),
         col("a"), col("b"))
@@ -342,7 +342,7 @@ object LayoutOps {
        |${zAssignCtesSql("TRUE", "f")},
        |u AS (SELECT 'decayed' AS layout, zfile AS file_id, a, b FROM kd
        |      UNION ALL
-       |      SELECT 'decayed' AS layout, 16 + (event_id // 4) % 4 AS file_id, a, b
+       |      SELECT 'decayed' AS layout, $ZFiles + (event_id // 4) % 4 AS file_id, a, b
        |      FROM base0 WHERE event_id % 4 = 0
        |      UNION ALL
        |      SELECT 'reoptimized' AS layout, zfile AS file_id, a, b FROM kf),
@@ -362,7 +362,7 @@ object LayoutOps {
        |${zAssignCtesSql("TRUE", "f")},
        |u AS (SELECT 'decayed' AS layout, zfile AS file_id, a, b FROM kd
        |      UNION ALL
-       |      SELECT 'decayed' AS layout, 16 + (event_id // 4) % 4 AS file_id, a, b
+       |      SELECT 'decayed' AS layout, $ZFiles + (event_id // 4) % 4 AS file_id, a, b
        |      FROM base0 WHERE event_id % 4 = 0
        |      UNION ALL
        |      SELECT 'reoptimized' AS layout, zfile AS file_id, a, b FROM kf),

@@ -2882,7 +2882,14 @@ object SimilarityOps {
   private[graft] def bm25CappedChainCtes(budget: Long, sfx: String,
       selfPred: String): String = {
     // aggc's FROM has doc_id/query_id on two relations each — qualify
-    // the shared predicate's references to the group keys (cd.*)
+    // the shared predicate's references to the group keys (cd.*).
+    // CONTRACT: selfPred references doc_id/query_id BARE (the rewrite
+    // is a blind token substitution — an already-qualified reference
+    // like `a.doc_id` would be silently rewritten into `a.cd.doc_id`);
+    // enforced here so a future caller fails loudly, not wrongly.
+    require(!selfPred.contains("."),
+      s"bm25CappedChainCtes: selfPred must reference doc_id/query_id " +
+        s"unqualified (got: $selfPred)")
     val cappedPred = selfPred
       .replaceAll("\\bdoc_id\\b", "cd.doc_id")
       .replaceAll("\\bquery_id\\b", "cd.query_id")

@@ -26,7 +26,8 @@ final class HourlyScheduler(
     lakeRoot: String,
     sink: AggregateSink,
     sentiment: TextClassifier = LexiconSentimentClassifier,
-    emotion: TextClassifier = KeywordEmotionClassifier) {
+    emotion: TextClassifier = KeywordEmotionClassifier,
+    maxDriverRows: Int = HourlyScheduler.MaxDriverAggRows) {
 
   /** Enrich one hour of lake rows with both classifiers. */
   def enrich(hourRows: DataFrame): DataFrame =
@@ -56,7 +57,18 @@ final class HourlyScheduler(
       val (batch, n) =
         try {
           val agg = HourlyAggregate.aggregate(enriched, stampTime = true)
-          val collected = agg.collect()
+          // bounded-grain contract, ENFORCED (the replaceHours rule —
+          // no implicit driver materialization): collect through a
+          // limit one past the bound, so a contract violation costs
+          // one extra row, never an unbounded driver heap, and fails
+          // with the diagnosis instead of an OOM.
+          val collected = agg.limit(maxDriverRows + 1).collect()
+          require(collected.length <= maxDriverRows,
+            s"HourlyScheduler.runOnce: hourly aggregate for $date $hour:00 " +
+              s"exceeds the per-(topic, hour) driver bound of $maxDriverRows " +
+              s"rows — the aggregate grain is per-topic, so this means " +
+              s"either a grain regression in HourlyAggregate or a topic " +
+              s"cardinality this deployment must raise maxDriverRows for")
           (spark.createDataFrame(
             java.util.Arrays.asList(collected: _*), agg.schema),
             collected.length.toLong)
@@ -96,4 +108,16 @@ final class HourlyScheduler(
     }
     results.result()
   }
+}
+
+object HourlyScheduler {
+  /** Driver-side bound on one cycle's aggregate (rows per hour = rows
+    * per topic by construction — HourlyAggregate joins two per-topic
+    * relations). The collect at [[HourlyScheduler.runOnce]] is sized by
+    * this, and a cycle whose aggregate exceeds it FAILS with the
+    * diagnosis instead of growing the driver heap: at a few hundred
+    * bytes per aggregate row, 10k rows is ~MBs — far under any driver
+    * budget — while any true grain regression (e.g. an accidental
+    * per-tweet aggregate) blows past it immediately. */
+  val MaxDriverAggRows = 10000
 }

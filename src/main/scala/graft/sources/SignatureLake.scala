@@ -105,6 +105,20 @@ object SignatureLake {
     extraTables.merge(spark, Set(t), _ ++ _); ()
   }
 
+  /** Deterministic identity of an incremental family's input split:
+    * the semantic hash of each frame's analyzed plan, hex-joined.
+    * Folded into every incremental family's memo key (and therefore
+    * its table name), so two callers passing DIFFERENT (base, delta)
+    * splits under the same slice name can never silently share one
+    * lake — they materialize distinct tables — while identical
+    * replays (registry rows, bench reps) still memo-hit: canonicalized
+    * plans hash stably across reconstructions within a session
+    * (verified against the actual caller pattern, fresh
+    * `read.parquet(...).filter(...)` per call). */
+  private def splitKey(dfs: DataFrame*): String =
+    dfs.map(df => java.lang.Integer.toHexString(
+      df.queryExecution.analyzed.semanticHash())).mkString("_")
+
   private def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
 
@@ -311,8 +325,9 @@ object SignatureLake {
       slice: String = "mod10"): DataFrame = {
     evictStopped()
     sweepOrphans(spark)
-    cache.computeIfAbsent(Key(spark, sfDir, s"inc_bands_$slice"), _ => {
-      val t = tableName(spark, sfDir, s"inc_bands_$slice")
+    val fam = s"inc_bands_${slice}_${splitKey(base, delta)}"
+    cache.computeIfAbsent(Key(spark, sfDir, fam), _ => {
+      val t = tableName(spark, sfDir, fam)
       writeFamily(DedupOps.portableBandKeys(DedupOps.portableSignatures(base)),
         t, Seq("band", "band_key"), SaveMode.Overwrite)
       appendBandDelta(spark, t, delta)
@@ -392,8 +407,9 @@ object SignatureLake {
       slice: String = "mod10"): DataFrame = {
     evictStopped()
     sweepOrphans(spark)
-    cache.computeIfAbsent(Key(spark, sfDir, s"inc_terms_$slice"), _ => {
-      val t = tableName(spark, sfDir, s"inc_terms_$slice")
+    val fam = s"inc_terms_${slice}_${splitKey(base, delta)}"
+    cache.computeIfAbsent(Key(spark, sfDir, fam), _ => {
+      val t = tableName(spark, sfDir, fam)
       writeFamily(graft.operators.SimilarityOps.bm25Postings(base),
         t, Seq("term"), SaveMode.Overwrite)
       appendTermPostings(spark, t, delta)
@@ -418,8 +434,9 @@ object SignatureLake {
       slice: String = "mod10"): DataFrame = {
     evictStopped()
     sweepOrphans(spark)
-    cache.computeIfAbsent(Key(spark, sfDir, s"inc_ann_$slice"), _ => {
-      val t = tableName(spark, sfDir, s"inc_ann_$slice")
+    val fam = s"inc_ann_${slice}_${splitKey(base, delta)}"
+    cache.computeIfAbsent(Key(spark, sfDir, fam), _ => {
+      val t = tableName(spark, sfDir, fam)
       writeFamily(annPostings(base), t, Seq("tbl", "bucket"), SaveMode.Overwrite)
       appendEmbeddingDelta(spark, t, delta)
       (t, spark.table(t))
@@ -454,8 +471,9 @@ object SignatureLake {
       slice: String = "mod10"): DataFrame = {
     evictStopped()
     sweepOrphans(spark)
-    cache.computeIfAbsent(Key(spark, sfDir, s"inc_ivf_$slice"), _ => {
-      val t = tableName(spark, sfDir, s"inc_ivf_$slice")
+    val fam = s"inc_ivf_${slice}_${splitKey(base, delta)}"
+    cache.computeIfAbsent(Key(spark, sfDir, fam), _ => {
+      val t = tableName(spark, sfDir, fam)
       val cb = SimilarityOps.centroids(base,
         SimilarityOps.cellsForCorpus(base.count()))
       writeFamily(SimilarityOps.cellAssignments(base, cb),
@@ -479,8 +497,9 @@ object SignatureLake {
       slice: String = "mod10"): DataFrame = {
     evictStopped()
     sweepOrphans(spark)
-    cache.computeIfAbsent(Key(spark, sfDir, s"inc_semcells_$slice"), _ => {
-      val t = tableName(spark, sfDir, s"inc_semcells_$slice")
+    val fam = s"inc_semcells_${slice}_${splitKey(base, delta)}"
+    cache.computeIfAbsent(Key(spark, sfDir, fam), _ => {
+      val t = tableName(spark, sfDir, fam)
       val bv = DedupOps.semDedupEmbed(base)
       val cb = DedupOps.semDedupCodebook(bv, bv.count())
       writeFamily(DedupOps.semDedupAssign(bv, cb), t, Seq("cell"),
@@ -503,8 +522,9 @@ object SignatureLake {
       slice: String = "mod10"): DataFrame = {
     evictStopped()
     sweepOrphans(spark)
-    cache.computeIfAbsent(Key(spark, sfDir, s"inc_ivf_lbl_$slice"), _ => {
-      val t = tableName(spark, sfDir, s"inc_ivf_lbl_$slice")
+    val fam = s"inc_ivf_lbl_${slice}_${splitKey(base, delta)}"
+    cache.computeIfAbsent(Key(spark, sfDir, fam), _ => {
+      val t = tableName(spark, sfDir, fam)
       val cb = SimilarityOps.centroids(base,
         SimilarityOps.cellsForCorpus(base.count()))
       writeFamily(SimilarityOps.cellAssignments(base, cb, Seq("label")),
@@ -632,7 +652,8 @@ object SignatureLake {
   def tombstonedBandIndex(spark: SparkSession, sfDir: String,
       base: DataFrame, delta: DataFrame, deleted: DataFrame,
       slice: String = "mod10del7"): TombstonedLake =
-    tombstonedFamily(spark, sfDir, s"del_bands_$slice",
+    tombstonedFamily(spark, sfDir,
+        s"del_bands_${slice}_${splitKey(base, delta, deleted)}",
         Seq("band", "band_key"), "doc_id", deleted)(
       DedupOps.portableBandKeys(DedupOps.portableSignatures(base)))(
       t => appendBandDelta(spark, t, delta))
@@ -642,7 +663,8 @@ object SignatureLake {
   def tombstonedAnnPostings(spark: SparkSession, sfDir: String,
       base: DataFrame, delta: DataFrame, deleted: DataFrame,
       slice: String = "mod10del7"): TombstonedLake =
-    tombstonedFamily(spark, sfDir, s"del_ann_$slice",
+    tombstonedFamily(spark, sfDir,
+        s"del_ann_${slice}_${splitKey(base, delta, deleted)}",
         Seq("tbl", "bucket"), "vec_id", deleted)(
       annPostings(base))(
       t => appendEmbeddingDelta(spark, t, delta))
@@ -657,7 +679,8 @@ object SignatureLake {
       slice: String = "mod10del7"): TombstonedLake = {
     lazy val cb = SimilarityOps.centroids(base,
       SimilarityOps.cellsForCorpus(base.count()))
-    tombstonedFamily(spark, sfDir, s"del_ivf_$slice",
+    tombstonedFamily(spark, sfDir,
+        s"del_ivf_${slice}_${splitKey(base, delta, deleted)}",
         Seq("cell"), "vec_id", deleted)(
       SimilarityOps.cellAssignments(base, cb))(
       t => appendIvfDelta(spark, t, delta, cb))

@@ -91,6 +91,36 @@ class EndToEndSpec extends SparkSpec {
       .agg(sum("counts")).collect().head.getLong(0) === 5)
   }
 
+  test("runOnce enforces the bounded-grain contract with a diagnosis, not an OOM") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val lake = Files.createTempDirectory("e2e_lake_g").toString
+    val ckpt = Files.createTempDirectory("e2e_ckpt_g").toString
+    val source = MemoryStream[KafkaMsg]
+    source.addData(hour10: _*)
+    val q = TweetIngest.startLake(TweetIngest.parse(source.toDF()), lake, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    val aggPath = Files.createTempDirectory("e2e_agg_g").toString + "/agg"
+    val sink = new ParquetAggregateSink(aggPath)
+    // two topics in hour 10, bound of 1 -> the guard must fire BEFORE
+    // anything is appended, and name the bound in its diagnosis
+    val tight = new HourlyScheduler(spark, lake, sink, maxDriverRows = 1)
+    val e = intercept[IllegalArgumentException] {
+      tight.runOnce(LocalDateTime.of(2022, 3, 1, 11, 30))
+    }
+    assert(e.getMessage.contains("driver bound"), e.getMessage)
+    assert(!new java.io.File(aggPath).exists(),
+      "a guard-failed cycle must not have appended a partial batch")
+    // the guard must not leak the per-cycle cache on the failure path
+    graft.sources.SignatureLake.invalidate(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "guard failure path must still unpersist the enriched frame")
+    // at the default bound the same cycle is fine
+    val ok = new HourlyScheduler(spark, lake, sink)
+    assert(ok.runOnce(LocalDateTime.of(2022, 3, 1, 11, 30)) === 2)
+  }
+
   test("corrected re-append: keep-first preserves batch 1, latestWins serves the fix") {
     import java.sql.Timestamp
     implicit val ctx = spark.sqlContext
