@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.expressions.Window
@@ -793,6 +793,31 @@ object MultimodalOps {
   val CdcWindow = 16
   val CdcDivisor = 64
 
+  /** Deterministic multi-byte UTF-8 suffix stitched onto every
+    * [[CdcSuffixMod]]-th document of the m13/st16 corpus (2- and
+    * 3-byte codepoints): byte length ≠ char length on those payloads,
+    * so a chunker that slices characters or counts chars as bytes
+    * diverges from the oracle ON THE GATE — the r14 ASCII caveat now
+    * has a fixture that would actually fire. */
+  val CdcNonAsciiSuffix = " δέλτα→Ωß±µ"
+  val CdcSuffixMod = 7
+
+  /** The CDC corpus's payload column: the document text with the
+    * non-ASCII suffix on every [[CdcSuffixMod]]-th doc, as BINARY
+    * (UTF-8 bytes). Shared by the m13 batch corpus and st16's
+    * streaming batches so the two rows chunk the identical bytes. */
+  def cdcPayloadCol(docId: Column, text: Column): Column =
+    concat(text,
+      when(docId % CdcSuffixMod === 3, lit(CdcNonAsciiSuffix))
+        .otherwise(lit(""))).cast("binary")
+
+  /** Documents as CDC payloads (doc_id, payload: binary) — m13/st16's
+    * corpus, non-ASCII on every [[CdcSuffixMod]]-th doc. */
+  def asCdcPayloads(spark: SparkSession, sf: String): DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        cdcPayloadCol(col("doc_id"), col("text")).as("payload"))
+
   /** m13 — content-defined chunking (CDC) block-level dedup, the
     * backup/storage-system classic (Muthitacharoen et al., LBFS,
     * SOSP'01): m11 dedups whole payloads by digest; this row dedups
@@ -824,16 +849,23 @@ object MultimodalOps {
   /** The chunk relation (doc_id, off, dg, nb) — what a CDC chunk
     * INDEX stores per document, and st16's lake row format: each
     * ingest batch chunks only its own payloads and appends
-    * digest-bucketed rows. */
+    * digest-bucketed rows. Everything is BYTE-typed end-to-end: the
+    * cut expression runs on the binary payload, the chunk is sliced
+    * with binary `substring` (byte offsets — a string substring is
+    * character-based and mis-slices multi-byte content), and the
+    * digest is md5 over the chunk's uppercase-hex encoding (the one
+    * byte-range digest DuckDB 1.0 can also state — see
+    * [[graft.functions.CdcCuts]]). `nb` therefore always equals the
+    * hashed slice's byte length, on any payload. */
   def cdcChunks(payloads: DataFrame): DataFrame =
     payloads
-      .select(col("doc_id"), col("payload").cast("string").as("t"))
-      .filter(col("t").isNotNull)
-      .select(col("doc_id"), col("t"),
-        explode(call_function("graft_cdc_cuts", col("t"),
+      .select(col("doc_id"), col("payload").cast("binary").as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("b"),
+        explode(call_function("graft_cdc_cuts", col("b"),
           lit(CdcWindow), lit(CdcDivisor))).as("u"))
       .select(col("doc_id"), col("u.off").cast("long").as("off"),
-        md5(expr("substring(t, u.off + 1, u.len)")).as("dg"),
+        md5(hex(expr("substring(b, u.off + 1, u.len)"))).as("dg"),
         col("u.len").cast("long").as("nb"))
 
   /** The per-doc dedup report over any chunk relation (inline or
@@ -855,33 +887,46 @@ object MultimodalOps {
   }
 
   /** The m13 oracle's full text — the chunk rule, keep-first dedup,
-    * and per-doc report over the `documents` table. Shared verbatim
-    * by st16 (the stream-appended chunk lake must serve EXACTLY this
-    * relation), so the two rows cannot state a different chunking. */
+    * and per-doc report over the `documents` table (with the
+    * non-ASCII suffix of [[asCdcPayloads]]). Shared verbatim by st16
+    * (the stream-appended chunk lake must serve EXACTLY this
+    * relation), so the two rows cannot state a different chunking.
+    *
+    * Byte-exactness without BLOB functions: DuckDB 1.0 has no
+    * md5(BLOB) and `substr` is character-based, so every byte range
+    * is addressed through `h = hex(encode(t))` — the payload's
+    * uppercase-hex VARCHAR, 2 chars per byte, where char arithmetic
+    * IS byte arithmetic — and hashed as md5 of the hex slice, the
+    * identical rule [[graft.functions.CdcCuts]] and [[cdcChunks]]
+    * compute on the binary payload. */
   private[graft] def cdcOracleSql: String = {
       val W = CdcWindow
       val D = CdcDivisor
       val hex = "0123456789abcdef"
-      s"""WITH dd AS (SELECT doc_id, text AS t, len(text) AS L FROM documents
-        |            WHERE text IS NOT NULL),
-        |cz AS (SELECT doc_id, t, L,
+      val sfx = CdcNonAsciiSuffix
+      s"""WITH dd AS (SELECT doc_id,
+        |              hex(encode(text || CASE WHEN doc_id % $CdcSuffixMod = 3
+        |                                      THEN '$sfx' ELSE '' END)) AS h,
+        |              octet_length(encode(text || CASE WHEN doc_id % $CdcSuffixMod = 3
+        |                                              THEN '$sfx' ELSE '' END)) AS L
+        |            FROM documents WHERE text IS NOT NULL),
+        |cz AS (SELECT doc_id, h, L,
         |         ([0] ||
         |          CASE WHEN L > $W THEN
         |            list_filter(range($W, L), p ->
-        |              ((strpos('$hex', substr(md5(substr(t, CAST(p AS INT) - ${W - 1}, $W)), 31, 1)) - 1) * 16
-        |               + strpos('$hex', substr(md5(substr(t, CAST(p AS INT) - ${W - 1}, $W)), 32, 1)) - 1)
+        |              ((strpos('$hex', substr(md5(substr(h, CAST(p - $W AS INT) * 2 + 1, ${W * 2})), 31, 1)) - 1) * 16
+        |               + strpos('$hex', substr(md5(substr(h, CAST(p - $W AS INT) * 2 + 1, ${W * 2})), 32, 1)) - 1)
         |              % $D = 0)
         |          ELSE [] END ||
         |          [L]) AS cuts
         |       FROM dd),
-        |ch AS (SELECT doc_id, u.off AS off, u.c AS c FROM
-        |         (SELECT doc_id, unnest(list_transform(range(1, len(cuts)), i ->
+        |ce AS (SELECT doc_id, CAST(u.off AS BIGINT) AS off,
+        |         md5(substr(h, CAST(u.off AS INT) * 2 + 1, CAST(u.nb AS INT) * 2)) AS dg,
+        |         CAST(u.nb AS BIGINT) AS nb FROM
+        |         (SELECT doc_id, h, unnest(list_transform(range(1, len(cuts)), i ->
         |            struct_pack(off := cuts[i],
-        |              c := substr(t, CAST(cuts[i] AS INT) + 1,
-        |                          CAST(cuts[i + 1] - cuts[i] AS INT))))) AS u
+        |              nb := cuts[i + 1] - cuts[i]))) AS u
         |          FROM cz) z),
-        |ce AS (SELECT doc_id, CAST(off AS BIGINT) AS off, md5(c) AS dg,
-        |         CAST(len(c) AS BIGINT) AS nb FROM ch),
         |rn AS (SELECT *, row_number() OVER (PARTITION BY dg
         |         ORDER BY doc_id, off) AS r FROM ce)
         |SELECT doc_id,
@@ -896,7 +941,7 @@ object MultimodalOps {
 
   val cdcChunkDedupQ: GraftQuery = GraftQuery(
     "m13_cdc_chunk_dedup", cdcOracleSql) { (spark, sf) =>
-    cdcChunkDedup(asMultimodal(spark, sf))
+    cdcChunkDedup(asCdcPayloads(spark, sf))
   }
 
   val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ,

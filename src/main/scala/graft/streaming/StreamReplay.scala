@@ -1112,7 +1112,7 @@ object StreamReplay {
       s"_p${ProcessHandle.current().pid()}_s${nameCounter.incrementAndGet()}"
     spark.sql(s"DROP TABLE IF EXISTS $table")
     SignatureLake.appendChunkDigests(spark, table,
-      MultimodalOps.asMultimodal(spark, sf).filter(!isDelta))
+      MultimodalOps.asCdcPayloads(spark, sf).filter(!isDelta))
     val delta = Tables.documents(spark, sf).filter(isDelta)
       .select("doc_id", "source", "text")
       .as[DocRow].collect().sortBy(_.doc_id).toSeq
@@ -1130,7 +1130,8 @@ object StreamReplay {
           .foreachBatch((batch: DataFrame, _: Long) =>
             SignatureLake.appendChunkDigests(spark, table,
               batch.select(col("doc_id"),
-                col("text").cast("binary").as("payload"))))
+                MultimodalOps.cdcPayloadCol(col("doc_id"), col("text"))
+                  .as("payload"))))
           .option("checkpointLocation", ckpt.toString)
           .start()
         try {
