@@ -44,6 +44,8 @@ object Bench {
       "minhash_bands" -> (() => { sources.SignatureLake.portableBandKeys(spark, sfDir); () }),
       "minhash_prod_bands" -> (() => { sources.SignatureLake.productionBandRows(spark, sfDir); () }),
       "token_counts" -> (() => { sources.SignatureLake.tokenCounts(spark, sfDir); () }),
+      "term_impacts" -> (() => { sources.SignatureLake.termImpacts(spark, sfDir); () }),
+      "term_champions" -> (() => { sources.SignatureLake.termChampions(spark, sfDir); () }),
       "simhash_fp" -> (() => { sources.SignatureLake.portableFingerprints(spark, sfDir); () }),
       "ann_buckets" -> (() => { sources.SignatureLake.portableAnnBuckets(spark, sfDir); () }),
       "knn_exact" -> (() => { sources.SignatureLake.exactProbeGraph(spark, sfDir); () }))

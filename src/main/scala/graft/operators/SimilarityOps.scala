@@ -2780,10 +2780,21 @@ object SimilarityOps {
     * at serve time, per-term window — the same one-time sort the lake
     * build pays. */
   private[graft] def bm25ChampionTier(si: DataFrame,
-      budget: Long = PostingBudget): DataFrame = {
+      budget: Long = PostingBudget): DataFrame =
+    bm25ImpactRanked(si).filter(col("pr") <= budget).drop("pr")
+
+  /** The impact relation WITH its per-term impact rank `pr` — the
+    * champion-tier lake's row format (term, doc_id, s, pr): the
+    * per-term sort is paid ONCE when this relation materializes
+    * (r15: the `term_champions` lake family), and every serve at any
+    * budget ≤ the materialized ceiling is a bucketed scan + `pr <=
+    * budget` filter — no window over the posting relation on any
+    * serve plan (PlanInvariantsSpec pins this). Budgets nest
+    * (pr ≤ 64 ⊂ pr ≤ 512), so ONE tier table serves the whole s32
+    * curve and the production [[PostingBudget]]. */
+  private[graft] def bm25ImpactRanked(si: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("term")).orderBy(col("s").desc, col("doc_id"))
-    si.withColumn("__pr", row_number().over(w))
-      .filter(col("__pr") <= budget).drop("__pr")
+    si.withColumn("pr", row_number().over(w).cast("long"))
   }
 
   /** BM25 serve BOUNDED BY THE POSTING BUDGET — the two-tier
@@ -2808,8 +2819,23 @@ object SimilarityOps {
   }
 
   private def bm25RankCappedImpacts(qt: DataFrame, si: DataFrame, k: Int,
-      excludeSelf: Boolean, budget: Long): DataFrame = {
-    val champ = bm25ChampionTier(si, budget)
+      excludeSelf: Boolean, budget: Long): DataFrame =
+    bm25RankCappedFromTier(qt, si, bm25ImpactRanked(si), k, excludeSelf, budget)
+
+  /** The capped serve off an EXPLICIT champion tier (rows carrying the
+    * persisted per-term rank `pr`): candidates from `tier.filter(pr <=
+    * budget)`, exact rescore against `si`. This is the production
+    * serve shape — tier and impacts are lake scans
+    * ([[graft.sources.SignatureLake.termImpacts]] /
+    * `termChampions`), so no serve ever re-sorts the posting
+    * relation. `budget` must be ≤ the tier's materialized ceiling
+    * (enforced: a budget past the ceiling would silently serve a
+    * truncated tier). */
+  private[graft] def bm25RankCappedFromTier(qt: DataFrame, si: DataFrame,
+      tier: DataFrame, k: Int, excludeSelf: Boolean, budget: Long): DataFrame = {
+    require(budget <= TierMaxBudget,
+      s"budget $budget exceeds the materialized tier ceiling $TierMaxBudget")
+    val champ = tier.filter(col("pr") <= budget)
     val cand = qt.join(champ, "term")
       .select(col("query_id"), col("doc_id")).distinct()
     val rescored = cand.join(qt, "query_id")
@@ -3079,12 +3105,15 @@ object SimilarityOps {
       |  ON c2.query_id = f.query_id AND c2.doc_id = f.doc_id
       |GROUP BY f.query_id""".stripMargin) { (spark, sf) =>
     val docs = Tables.documents(spark, sf)
-    val si = bm25Impacts(bm25Postings(docs))
-      .localCheckpoint() // three consumers: full rank, champion tier, rescore
+    // impacts + champion tier are LAKE SCANS (the per-term tier sort
+    // is paid at lake build — r15); the old shape localCheckpointed a
+    // per-run impact derivation and re-sorted it per serve
+    val si = graft.sources.SignatureLake.termImpacts(spark, sf)
+    val tier = graft.sources.SignatureLake.termChampions(spark, sf)
     val qt = bm25QueryTerms(docs, Bm25QueryMod)
     val full = bm25RankImpacts(qt, si, Bm25TopK, excludeSelf = false)
       .select(col("query_id"), col("doc_id"))
-    val capped = bm25RankCappedImpacts(qt, si, Bm25TopK,
+    val capped = bm25RankCappedFromTier(qt, si, tier, Bm25TopK,
         excludeSelf = false, budget = PostingBudget)
       .select(col("query_id").as("__cq"), col("doc_id").as("__cd"))
     val hits = sum(when(col("__cd").isNotNull, 1L).otherwise(0L))
@@ -3176,7 +3205,11 @@ object SimilarityOps {
     val vbase = emb.filter(col("vec_id") % 10 =!= 0)
     val ivfLake = graft.sources.SignatureLake.incrementalIvfPostings(
       spark, sf, vbase, emb.filter(col("vec_id") % 10 === 0))
-    val termLake = graft.sources.SignatureLake.incrementalTermPostings(
+    // the lexical leg reads the maintenance window's MATERIALIZED
+    // impact + champion-tier tables over the appended term lake
+    // (r15): the serve is two bucketed scans, never a re-sort of the
+    // posting relation
+    val termServe = graft.sources.SignatureLake.incrementalTermServe(
       spark, sf, docs.filter(col("doc_id") % 10 =!= 7),
       docs.filter(col("doc_id") % 10 === 7))
     val vec = knnFromPostings(emb, ivfLake,
@@ -3185,7 +3218,9 @@ object SimilarityOps {
         queryFilter = col("vec_id") % Bm25QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("vec_rank"))
-    val lex = bm25RankCapped(docs, termLake, excludeSelf = true)
+    val lex = bm25RankCappedFromTier(bm25QueryTerms(docs, Bm25QueryMod),
+        termServe.impacts, termServe.tier, Bm25TopK,
+        excludeSelf = true, budget = PostingBudget)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     rrfFuse(lex, vec, Bm25TopK)
   }
@@ -3194,6 +3229,16 @@ object SimilarityOps {
     * [[PostingBudget]], plus the aggressive 64 tier — enough points
     * to see the knee without an unbounded oracle text. */
   val BudgetCurvePoints: Seq[Long] = Seq(64L, 128L, 256L, 512L)
+
+  /** Ceiling of the materialized champion tier: the tier lake keeps
+    * rows with per-term impact rank ≤ this, so every budget the
+    * engine serves (the s32 curve and the production
+    * [[PostingBudget]]) is a FILTER on one table — and
+    * [[bm25RankCappedFromTier]] rejects a budget past it rather than
+    * silently serving a truncated tier. Referenced from
+    * [[graft.sources.SignatureLake]] at tier-build time, so the two
+    * sides cannot disagree. */
+  val TierMaxBudget: Long = BudgetCurvePoints.max
 
   /** s32 — the budget/quality CURVE for the capped lexical serve (the
     * s18/s19 probe-curve device applied to s30's knob): per candidate
@@ -3234,13 +3279,16 @@ object SimilarityOps {
         |$legs""".stripMargin
     }) { (spark, sf) =>
     val docs = Tables.documents(spark, sf)
-    val si = bm25Impacts(bm25Postings(docs))
-      .localCheckpoint() // one impact pass feeds the uncapped leg + every budget tier
+    // one materialized tier serves every curve point: budgets nest,
+    // so each leg is the same lake scan + `pr <= b` (r15 — the old
+    // shape re-windowed the checkpointed impacts once per budget)
+    val si = graft.sources.SignatureLake.termImpacts(spark, sf)
+    val tier = graft.sources.SignatureLake.termChampions(spark, sf)
     val qt = bm25QueryTerms(docs, Bm25QueryMod)
     val full = bm25RankImpacts(qt, si, Bm25TopK, excludeSelf = false)
       .select(col("query_id"), col("doc_id"))
     BudgetCurvePoints.map { b =>
-      val capped = bm25RankCappedImpacts(qt, si, Bm25TopK,
+      val capped = bm25RankCappedFromTier(qt, si, tier, Bm25TopK,
           excludeSelf = false, budget = b)
         .select(col("query_id").as("__cq"), col("doc_id").as("__cd"))
       full.join(capped,

@@ -1068,13 +1068,22 @@ object StreamReplay {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
         finally walk.close()
       }
-      val served = SimilarityOps.bm25RankCapped(docs, spark.table(table))
+      // post-stream maintenance write: materialize impacts + champion
+      // tier over the streamed lake, then serve off those tables —
+      // the production two-tier serve with no window over the posting
+      // relation on the serve plan (r15)
+      val termServe = SignatureLake.writeTermServeTables(spark, table)
+      val served = SimilarityOps.bm25RankCappedFromTier(
+        SimilarityOps.bm25QueryTerms(docs, SimilarityOps.Bm25QueryMod),
+        termServe.impacts, termServe.tier, SimilarityOps.Bm25TopK,
+        excludeSelf = false, budget = SimilarityOps.PostingBudget)
       val out = served.crossJoin(broadcast(
         served.filter(col("doc_id") % 10 === 7)
           .agg(count(lit(1)).as("n_delta_hits"))))
       spark.createDataFrame(
         java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    } finally Seq(table, s"${table}_si", s"${table}_tier")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   /** st16 — the CDC chunk-digest lake joins the stream-maintained-

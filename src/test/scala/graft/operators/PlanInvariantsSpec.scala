@@ -673,11 +673,16 @@ class PlanInvariantsSpec extends SparkSpec {
 
   test("s31: both hybrid legs SERVE off their lake tables — neither index is recomputed") {
     val p = plan(SimilarityOps.hybridLakeQ.run(spark, sf001))
-    // the two incremental lakes appear as catalog-table scans
+    // the vector leg scans the IVF posting lake; the lexical leg scans
+    // the maintenance window's materialized impact + champion-tier
+    // tables (r15 — the posting lake itself is read only at
+    // materialization time, not on the serve plan)
     assert(p.contains("inc_ivf_mod10"),
       s"vector leg must scan the IVF posting lake: ${p.take(3000)}")
-    assert(p.contains("inc_terms_mod10"),
-      s"lexical leg must scan the term posting lake: ${p.take(3000)}")
+    assert(p.contains("inc_term_si_mod10"),
+      s"lexical leg must scan the materialized impact table: ${p.take(3000)}")
+    assert(p.contains("inc_term_tier_mod10"),
+      s"lexical leg must scan the materialized champion tier: ${p.take(3000)}")
     // re-deriving an index inside the serve would put its build
     // machinery back in the plan: cell probing on the CORPUS side
     // (posexplode of band buckets / a tokenize-explode of documents
@@ -689,5 +694,20 @@ class PlanInvariantsSpec extends SparkSpec {
       "no band-bucket derivation may appear in a lake serve plan")
     val vecScans = "graft_lake_".r.findAllIn(p).size
     assert(vecScans >= 2, s"expected both lake scans in the plan, found $vecScans")
+  }
+
+  test("s30/s31: no serve plan windows over the posting relation — the tier sort is a build cost") {
+    // the champion tier's per-term sort must live at LAKE BUILD time;
+    // a serve plan containing a term-partitioned window would be
+    // re-deriving the tier per query batch (the r14 verdict's named
+    // serve-path index-build cost). The only windows a serve may
+    // carry are the per-query rank windows.
+    Seq(SimilarityOps.cappedServeQ, SimilarityOps.hybridLakeQ).foreach { q =>
+      val p = plan(q.run(spark, sf001))
+      assert(!p.contains("windowspecdefinition(term"),
+        s"${q.name}: serve plan re-sorts the posting relation:\n${p.take(3000)}")
+      assert(p.contains("term_champions") || p.contains("inc_term_tier"),
+        s"${q.name}: serve plan must scan a materialized champion tier")
+    }
   }
 }
