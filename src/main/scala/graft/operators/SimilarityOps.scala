@@ -2859,7 +2859,13 @@ object SimilarityOps {
     * ranking. `selfPred` injects the hybrid's self-exclusion before
     * the rank window. */
   private[graft] def bm25OracleCtes(selfPred: String): String =
-    s"""$bm25PrefixCtes,
+    bm25OracleCtesWhere(selfPred, "TRUE")
+
+  /** [[bm25OracleCtes]] over a RESTRICTED document corpus (`where` on
+    * the documents scan) — the d34 takedown chain replays the capped
+    * serve over exactly the surviving documents. */
+  private[graft] def bm25OracleCtesWhere(selfPred: String, where: String): String =
+    s"""${bm25PrefixCtesWhere(where)},
       |agg AS (SELECT q.query_id, p.doc_id,
       |          CAST(sum(p.s) AS BIGINT) AS score_scaled
       |        FROM qt q JOIN si p USING (term) GROUP BY 1, 2 HAVING $selfPred),
@@ -2871,9 +2877,11 @@ object SimilarityOps {
     * mirror of [[bm25Impacts]]/[[bm25QueryTerms]], shared by every
     * BM25 chain (s27/s28/s30/st15) so no two texts can state a
     * different score. */
-  private[graft] def bm25PrefixCtes: String =
+  private[graft] def bm25PrefixCtes: String = bm25PrefixCtesWhere("TRUE")
+
+  private[graft] def bm25PrefixCtesWhere(where: String): String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |              WHERE text IS NOT NULL),
+      |              WHERE text IS NOT NULL AND ($where)),
       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
       |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l
       |      FROM dl),
@@ -3307,11 +3315,83 @@ object SimilarityOps {
     }.reduce(_.unionByName(_))
   }
 
+  /** d34 — TERM-POSTING tombstone-delete conservation, ranking-level:
+    * the lexical index was the one family without a delete leg
+    * (bands d28, ANN d29, IVF s22, stream st13). A takedown against
+    * an inverted index is harder than against a signature lake:
+    * removing a doc's postings also shifts every df/N/avgdl-derived
+    * score, so row-level conservation alone would pass an index that
+    * still SERVES the deleted doc's influence. Gated here:
+    *
+    *  - the emitted relation is the production CAPPED serve
+    *    ([[bm25RankCapped]]) off the tombstone-MASKED lake view, with
+    *    stats/impacts derived POST-mask (mask before stats — the
+    *    [[graft.sources.SignatureLake.maskTombstones]] anti-join
+    *    composes under bm25Impacts because stats derive from rows);
+    *  - `matches_rebuild` pins that ranking equal, (query_id, rank)
+    *    by (doc_id, score), to the capped serve off a FROM-SCRATCH
+    *    posting derivation over the surviving corpus (the d28
+    *    independent-rebuild device — the rebuild never saw a
+    *    tombstone);
+    *  - `compact_matches` pins the physically rewritten generation
+    *    row-equal to the survivor rebuild's postings ((doc_id, term)
+    *    primary key, (tf, dl) payload).
+    *
+    * The oracle replays the capped chain over `documents` WHERE the
+    * takedown predicate excludes the tombstoned slice — bit-for-bit
+    * (snapped impacts, nested-budget tier, deterministic ties).
+    * Queries are the surviving sample (a deleted doc must not issue
+    * probes either). Audit-tier cost shape: the rebuild leg exists to
+    * gate the masked serve and runs on samples at 100 TB; the masked
+    * serve is what production runs between takedown and the next
+    * maintenance window. */
+  val termLakeDeleteQ: GraftQuery = GraftQuery(
+    "d34_term_lake_delete",
+    s"""WITH ${bm25OracleCtesWhere("TRUE",
+         s"doc_id % ${DedupOps.TombMod} <> ${DedupOps.TombRem}")},
+      |${bm25CappedChainCtes(PostingBudget, "", "TRUE")}
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_scaled,
+      |       TRUE AS matches_rebuild, TRUE AS compact_matches
+      |FROM rkc WHERE rank <= $Bm25TopK""".stripMargin) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val deleted = docs
+      .filter(col("doc_id") % DedupOps.TombMod === DedupOps.TombRem)
+      .select("doc_id")
+    val lake = graft.sources.SignatureLake.tombstonedTermPostings(spark, sf,
+      base = docs.filter(col("doc_id") % 10 =!= 7),
+      delta = docs.filter(col("doc_id") % 10 === 7),
+      deleted = deleted)
+    val survivors = docs
+      .filter(col("doc_id") % DedupOps.TombMod =!= DedupOps.TombRem)
+    val served = bm25RankCapped(survivors, lake.served)
+    val rebuilt = bm25RankCapped(survivors, bm25Postings(survivors))
+    val rankingOk = served
+      .select(col("query_id"), col("rank"),
+        struct(col("doc_id"), col("score_scaled")).as("__vs"))
+      .join(rebuilt.select(col("query_id"), col("rank"),
+          struct(col("doc_id"), col("score_scaled")).as("__vf")),
+        Seq("query_id", "rank"), "full_outer")
+      .agg((coalesce(sum(when(col("__vs") <=> col("__vf"), 0L).otherwise(1L)),
+        lit(0L)) === 0L).as("matches_rebuild"))
+    val compactOk = lake.compacted
+      .select(col("doc_id"), col("term"),
+        struct(col("tf"), col("dl")).as("__vs"))
+      .join(bm25Postings(survivors).select(col("doc_id"), col("term"),
+          struct(col("tf"), col("dl")).as("__vf")),
+        Seq("doc_id", "term"), "full_outer")
+      .agg((coalesce(sum(when(col("__vs") <=> col("__vf"), 0L).otherwise(1L)),
+        lit(0L)) === 0L).as("compact_matches"))
+    served
+      .crossJoin(broadcast(rankingOk))
+      .crossJoin(broadcast(compactOk))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
     knnIvfPqResidualQ, kCoreQ, ivfProbeCurveQ, ivfTrainedProbeCurveQ,
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
     knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q, hybridRrfQ,
-    postingBudgetQ, cappedServeQ, hybridLakeQ, budgetCurveQ)
+    postingBudgetQ, cappedServeQ, hybridLakeQ, budgetCurveQ,
+    termLakeDeleteQ)
 }

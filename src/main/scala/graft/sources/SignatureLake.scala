@@ -755,6 +755,25 @@ object SignatureLake {
       annPostings(base))(
       t => appendEmbeddingDelta(spark, t, delta))
 
+  /** TERM-POSTING index under the full lifecycle (d34's path) — the
+    * one index family that was missing its delete leg (band/ANN/IVF
+    * all gate deletes via d28/d29/s22): s27's build + st15-shaped
+    * append, then doc-id tombstones and the physical rewrite. The
+    * serve-side consequence is bigger here than for the signature
+    * families: corpus statistics (N, ΣL, df) derive from the lake
+    * rows, so a takedown must shift BM25 scoring — the d34 row
+    * therefore masks BEFORE stats derivation (bm25Impacts over the
+    * `served` view) and gates the re-derived RANKING, not just row
+    * conservation. */
+  def tombstonedTermPostings(spark: SparkSession, sfDir: String,
+      base: DataFrame, delta: DataFrame, deleted: DataFrame,
+      slice: String = "mod10del7"): TombstonedLake =
+    tombstonedFamily(spark, sfDir,
+        s"del_terms_${slice}_${splitKey(base, delta, deleted)}",
+        Seq("term"), "doc_id", deleted)(
+      SimilarityOps.bm25Postings(base))(
+      t => appendTermPostings(spark, t, delta))
+
   /** IVF posting index under the full lifecycle (s22's path). The
     * codebook is FROZEN at index build time — trained on the base
     * slice before the takedown arrived, and a delete never retrains

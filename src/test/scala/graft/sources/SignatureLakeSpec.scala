@@ -321,4 +321,48 @@ class SignatureLakeSpec extends SparkSpec {
         .toSeq.sorted
     assert(ranked(lake) === ranked(graft.operators.SimilarityOps.bm25Postings(docs)))
   }
+
+  test("term-lake tombstone delete: masked serve re-derives scoring; unmasked serve would not") {
+    SignatureLake.invalidate(spark)
+    val docs = graft.Tables.documents(spark, sf001)
+    val delMod = DedupOps.TombMod
+    val delRem = DedupOps.TombRem
+    val isDel = col("doc_id") % delMod === delRem
+    val lake = SignatureLake.tombstonedTermPostings(spark, sf001,
+      base = docs.filter(col("doc_id") % 10 =!= 7),
+      delta = docs.filter(col("doc_id") % 10 === 7),
+      deleted = docs.filter(isDel).select("doc_id"))
+    val survivors = docs.filter(!isDel)
+    def ranked(post: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      graft.operators.SimilarityOps.bm25RankCapped(survivors, post)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    val rebuilt = ranked(graft.operators.SimilarityOps.bm25Postings(survivors))
+    // the d34 gate's two claims, at spec grain
+    assert(ranked(lake.served) === rebuilt,
+      "masked serve (stats post-mask) must equal the survivor rebuild")
+    assert(ranked(lake.compacted) === rebuilt,
+      "rewritten generation must serve the identical ranking")
+    // TEETH: the PRE-delete lake serves a DIFFERENT ranking — deleted
+    // docs appear as results and their postings shift df/N/avgdl, so
+    // the equalities above cannot pass vacuously; this is exactly what
+    // a takedown that forgot to mask before stats derivation would
+    // have served
+    val unmasked = SignatureLake.incrementalTermPostings(spark, sf001,
+      docs.filter(col("doc_id") % 10 =!= 7), docs.filter(col("doc_id") % 10 === 7))
+    val stale = ranked(unmasked)
+    assert(stale !== rebuilt,
+      "fixture must make the unmasked serve observably different")
+    assert(graft.operators.SimilarityOps.bm25RankCapped(survivors, unmasked)
+      .filter(col("doc_id") % delMod === delRem).count() > 0,
+      "pre-delete index must retrievably serve tombstoned docs (non-vacuous)")
+    // physical claim: zero tombstoned rows on disk after the rewrite
+    assert(lake.compacted.filter(isDel).count() === 0L)
+    // and the rewrite keeps term bucketing — df reads stay zero-exchange
+    val dfAgg = lake.compacted.groupBy(col("term")).agg(count(lit(1)))
+    dfAgg.collect()
+    assert(!dfAgg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "rewritten term generation must stay bucketed by term")
+    SignatureLake.invalidate(spark)
+  }
 }
