@@ -2820,7 +2820,10 @@ object SimilarityOps {
 
   private def bm25RankCappedImpacts(qt: DataFrame, si: DataFrame, k: Int,
       excludeSelf: Boolean, budget: Long): DataFrame =
-    bm25RankCappedFromTier(qt, si, bm25ImpactRanked(si), k, excludeSelf, budget)
+    // the tier derives inline from the FULL impact relation here, so
+    // it is complete at any budget — no materialized ceiling applies
+    bm25RankCappedFromTier(qt, si, bm25ImpactRanked(si), k, excludeSelf,
+      budget, tierCeiling = Long.MaxValue)
 
   /** The capped serve off an EXPLICIT champion tier (rows carrying the
     * persisted per-term rank `pr`): candidates from `tier.filter(pr <=
@@ -2828,13 +2831,14 @@ object SimilarityOps {
     * serve shape — tier and impacts are lake scans
     * ([[graft.sources.SignatureLake.termImpacts]] /
     * `termChampions`), so no serve ever re-sorts the posting
-    * relation. `budget` must be ≤ the tier's materialized ceiling
-    * (enforced: a budget past the ceiling would silently serve a
-    * truncated tier). */
+    * relation. `budget` must be ≤ `tierCeiling`, the tier's
+    * materialized depth (enforced: a budget past the ceiling would
+    * silently serve a truncated tier). */
   private[graft] def bm25RankCappedFromTier(qt: DataFrame, si: DataFrame,
-      tier: DataFrame, k: Int, excludeSelf: Boolean, budget: Long): DataFrame = {
-    require(budget <= TierMaxBudget,
-      s"budget $budget exceeds the materialized tier ceiling $TierMaxBudget")
+      tier: DataFrame, k: Int, excludeSelf: Boolean, budget: Long,
+      tierCeiling: Long = TierMaxBudget): DataFrame = {
+    require(budget <= tierCeiling,
+      s"budget $budget exceeds the materialized tier ceiling $tierCeiling")
     val champ = tier.filter(col("pr") <= budget)
     val cand = qt.join(champ, "term")
       .select(col("query_id"), col("doc_id")).distinct()
@@ -2891,14 +2895,37 @@ object SimilarityOps {
       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
       |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:5])) AS term
       |       FROM toks WHERE doc_id % $Bm25QueryMod = 0),
-      |si AS (SELECT p.term, p.doc_id,
+      |si AS (${snappedImpactSelect("post", "df", "dl", "c")})""".stripMargin
+
+  /** The snapped-impact SELECT over explicit posting/df/doc-length/
+    * corpus-stats relations — ONE statement of the BM25 impact
+    * formula shared by the full prefix's `si` and every frozen-stats
+    * derivation (s33), so no two texts can state a different score. */
+  private def snappedImpactSelect(post: String, dfRel: String,
+      dl: String, c: String): String =
+    s"""SELECT p.term, p.doc_id,
       |         CAST(floor(
       |           ((2.0 * c.n - 2.0 * df.df + 1.0) / (2.0 * df.df + 1.0)) *
       |           ((44.0 * p.tf * c.l) /
       |            (20.0 * c.l * p.tf + 6.0 * c.l + 18.0 * d.dl * c.n))
       |           * $Bm25Scale + 0.5) AS BIGINT) AS s
-      |       FROM post p JOIN df USING (term)
-      |            JOIN dl d ON d.doc_id = p.doc_id, c)""".stripMargin
+      |       FROM $post p JOIN $dfRel df USING (term)
+      |            JOIN $dl d ON d.doc_id = p.doc_id, $c c""".stripMargin
+
+  /** Frozen-stats impact relation `si$sfx` over the base slice
+    * (`basePred` on doc_id): derived from the SHARED prefix's
+    * post/dl — same tokenization — with corpus stats (N, ΣL, df)
+    * computed over the base only, exactly what an impact snapshot
+    * materialized before the delta arrived would carry (s33's frozen
+    * chain). */
+  private[graft] def bm25FrozenSiCtes(basePred: String, sfx: String): String =
+    s"""pf$sfx AS (SELECT * FROM post WHERE $basePred),
+      |dlf$sfx AS (SELECT * FROM dl WHERE $basePred),
+      |cf$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |            CAST(sum(dl) AS BIGINT) AS l FROM dlf$sfx),
+      |dff$sfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |            FROM pf$sfx GROUP BY 1),
+      |si$sfx AS (${snappedImpactSelect(s"pf$sfx", s"dff$sfx", s"dlf$sfx", s"cf$sfx")})""".stripMargin
 
   /** The CAPPED serve's oracle chain (mirror of [[bm25RankCapped]]):
     * champion tier → candidate union → exact rescore → `rkc`.
@@ -2913,8 +2940,11 @@ object SimilarityOps {
     * qt/si — suffixed so several budgets can chain in one text (the
     * s32 curve; s30/st15/s31 use the unsuffixed chain at
     * [[PostingBudget]]). */
+  /** @param si name of the impact relation the chain serves off —
+    *        "si" (the shared full prefix) by default; s33 passes its
+    *        frozen-stats relations. */
   private[graft] def bm25CappedChainCtes(budget: Long, sfx: String,
-      selfPred: String): String = {
+      selfPred: String, si: String = "si"): String = {
     // aggc's FROM has doc_id/query_id on two relations each — qualify
     // the shared predicate's references to the group keys (cd.*).
     // CONTRACT: selfPred references doc_id/query_id BARE (the rewrite
@@ -2929,14 +2959,14 @@ object SimilarityOps {
       .replaceAll("\\bquery_id\\b", "cd.query_id")
     s"""champ$sfx AS (SELECT term, doc_id, s FROM (
       |    SELECT *, row_number() OVER (PARTITION BY term
-      |      ORDER BY s DESC, doc_id) AS pr FROM si) t
+      |      ORDER BY s DESC, doc_id) AS pr FROM $si) t
       |  WHERE pr <= $budget),
       |cand$sfx AS (SELECT DISTINCT q.query_id, p.doc_id
       |         FROM qt q JOIN champ$sfx p USING (term)),
       |aggc$sfx AS (SELECT cd.query_id, cd.doc_id,
       |           CAST(sum(p.s) AS BIGINT) AS score_scaled
       |         FROM cand$sfx cd JOIN qt q ON q.query_id = cd.query_id
-      |              JOIN si p ON p.term = q.term AND p.doc_id = cd.doc_id
+      |              JOIN $si p ON p.term = q.term AND p.doc_id = cd.doc_id
       |         GROUP BY 1, 2 HAVING $cappedPred),
       |rkc$sfx AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |          ORDER BY score_scaled DESC, doc_id) AS rank FROM aggc$sfx)""".stripMargin
@@ -3315,6 +3345,133 @@ object SimilarityOps {
     }.reduce(_.unionByName(_))
   }
 
+  /** s33's delta sizes — the appended slice as a fraction of the
+    * corpus the impact snapshot has NOT seen: 1/20 (a routine ingest)
+    * and 1/3 (a third of the index arrived since the last impact
+    * materialization). The s23 retrain-crossover device pointed at
+    * the lexical index's own staleness axis. */
+  val StaleDeltaMods: Seq[Int] = Seq(20, 3)
+
+  /** s33 refresh floor: re-materialize impacts + champion tier when
+    * the frozen-impact serve's mean top-k overlap vs the recomputed
+    * serve drops below this. Measured on the gate corpora (capped
+    * serve at [[PostingBudget]], overlap of frozen vs recomputed
+    * top-10): the 1/20 delta holds mean ≥ 0.90 at every sf
+    * (0.90/0.92/0.916) while the 1/3 delta falls to ≤ 0.66
+    * (0.60/0.66/0.638) — 0.75 separates the branches with ≥ 0.09
+    * margin both ways at all three sfs, so the advisory's negative
+    * AND positive branches are both exercised deterministically. */
+  val ImpactRefreshFloor = 0.75
+
+  /** The frozen-vs-recomputed staleness sweep behind s33: per delta
+    * mod, the production capped serve under (a) impacts + champion
+    * tier SNAPPED on the pre-append base — df/N/avgdl baked in at
+    * materialization time, appended docs entirely absent from the
+    * tier, which is exactly what a deployment serves between
+    * maintenance windows — and (b) impacts recomputed over the full
+    * appended corpus (the refresh's cost class buys this). Queries
+    * are the post-append sample (they arrive after the ingest either
+    * way). Emits one decision row per delta size: order-free overlap
+    * aggregates (total_hits/total_k — one division of exact longs;
+    * min over one-division per-query ratios), the
+    * [[ImpactRefreshFloor]] advisory, and the acted-on overlap
+    * (refresh ⇒ the serve IS the recomputed ranking ⇒ 1.0). */
+  def impactStalenessSweep(docs: DataFrame,
+      mods: Seq[Int] = StaleDeltaMods): DataFrame = {
+    val qt = bm25QueryTerms(docs, Bm25QueryMod)
+    val siFull = bm25Impacts(bm25Postings(docs))
+    val full = bm25RankCappedFromTier(qt, siFull, bm25ImpactRanked(siFull),
+        Bm25TopK, excludeSelf = false, budget = PostingBudget)
+      .select(col("query_id"), col("doc_id"))
+    mods.map { m =>
+      val base = docs.filter(col("doc_id") % m =!= 0)
+      val siF = bm25Impacts(bm25Postings(base))
+      val frozen = bm25RankCappedFromTier(qt, siF, bm25ImpactRanked(siF),
+          Bm25TopK, excludeSelf = false, budget = PostingBudget)
+        .select(col("query_id").as("__cq"), col("doc_id").as("__cd"))
+      val counts = docs.filter(col("text").isNotNull).agg(
+        count(lit(1)).as("n_corpus"),
+        sum(when(col("doc_id") % m === 0, 1L).otherwise(0L)).as("n_delta"))
+      val overlap = col("total_hits").cast("double") / col("total_k")
+      full.join(frozen,
+          col("__cq") === col("query_id") && col("__cd") === col("doc_id"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("kf"),
+          sum(when(col("__cd").isNotNull, 1L).otherwise(0L)).as("h"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("h")).as("total_hits"), sum(col("kf")).as("total_k"),
+          min(col("h").cast("double") / col("kf")).as("min_overlap"))
+        .crossJoin(broadcast(counts))
+        .select(lit(m.toLong).as("delta_mod"), col("n_delta"), col("n_corpus"),
+          col("n_queries"), col("total_hits"), col("total_k"),
+          overlap.as("mean_overlap"), col("min_overlap"),
+          (overlap < ImpactRefreshFloor).as("advise_refresh"),
+          when(overlap < ImpactRefreshFloor, lit(1.0))
+            .otherwise(overlap).as("overlap_after"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** s33 — IMPACT STALENESS under append, and the refresh rule acted
+    * on (the s23 crossover device pointed at the lexical index's own
+    * staleness axis): once the champion tier is materialized (r15),
+    * its snapped impacts bake in df/N/avgdl, and every
+    * `incrementalTermPostings` append makes them staler — appended
+    * docs are absent from the tier entirely and surviving scores
+    * drift. Per [[StaleDeltaMods]] delta size, the row measures the
+    * frozen-impact serve's top-k overlap against the recomputed
+    * serve, applies the [[ImpactRefreshFloor]] advisory (1/20 delta:
+    * holds, must NOT fire — the control branch; 1/3 delta: fires),
+    * and emits the acted-on overlap. The oracle replays BOTH chains
+    * bit-for-bit: the frozen chain's stats derive from the shared
+    * tokenization restricted to the base slice
+    * ([[bm25FrozenSiCtes]]), the recomputed chain is the standard
+    * capped chain, overlap is exact-integer division. Decision rule
+    * at 100 TB: re-run the impact/tier materialization when the
+    * sampled-probe overlap (this row's estimator) crosses the floor —
+    * the refresh costs one bucketed-lake pass; serving stale impacts
+    * costs ranking quality on every query. */
+  val impactStalenessQ: GraftQuery = GraftQuery(
+    "s33_impact_staleness", {
+      val frozenChains = StaleDeltaMods.map { m =>
+        s"""${bm25FrozenSiCtes(s"doc_id % $m <> 0", s"m$m")},
+           |${bm25CappedChainCtes(PostingBudget, s"f$m", "TRUE", si = s"sim$m")}""".stripMargin
+      }.mkString(",\n")
+      val legs = StaleDeltaMods.map { m =>
+        s"""SELECT CAST($m AS BIGINT) AS delta_mod, cnt.n_delta, cnt.n_corpus,
+           |       t.n_queries, t.total_hits, t.total_k,
+           |       CAST(t.total_hits AS DOUBLE) / t.total_k AS mean_overlap,
+           |       t.min_overlap,
+           |       CAST(t.total_hits AS DOUBLE) / t.total_k < $ImpactRefreshFloor
+           |         AS advise_refresh,
+           |       CASE WHEN CAST(t.total_hits AS DOUBLE) / t.total_k < $ImpactRefreshFloor
+           |            THEN 1.0
+           |            ELSE CAST(t.total_hits AS DOUBLE) / t.total_k END AS overlap_after
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |        CAST(sum(h) AS BIGINT) AS total_hits,
+           |        CAST(sum(kf) AS BIGINT) AS total_k,
+           |        min(CAST(h AS DOUBLE) / kf) AS min_overlap
+           |      FROM (SELECT f.query_id, count(*) AS kf,
+           |              sum(CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+           |            FROM (SELECT query_id, doc_id FROM rkc
+           |                  WHERE rank <= $Bm25TopK) f
+           |            LEFT JOIN (SELECT query_id, doc_id FROM rkcf$m
+           |                       WHERE rank <= $Bm25TopK) c2
+           |              ON c2.query_id = f.query_id AND c2.doc_id = f.doc_id
+           |            GROUP BY f.query_id) pq) t
+           |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+           |              CAST(sum(CASE WHEN doc_id % $m = 0 THEN 1 ELSE 0 END)
+           |                AS BIGINT) AS n_delta
+           |            FROM documents WHERE text IS NOT NULL) cnt""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${bm25OracleCtes("TRUE")},
+        |${bm25CappedChainCtes(PostingBudget, "", "TRUE")},
+        |$frozenChains
+        |$legs""".stripMargin
+    }) { (spark, sf) =>
+    impactStalenessSweep(Tables.documents(spark, sf))
+  }
+
   /** d34 — TERM-POSTING tombstone-delete conservation, ranking-level:
     * the lexical index was the one family without a delete leg
     * (bands d28, ANN d29, IVF s22, stream st13). A takedown against
@@ -3393,5 +3550,5 @@ object SimilarityOps {
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
     knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q, hybridRrfQ,
     postingBudgetQ, cappedServeQ, hybridLakeQ, budgetCurveQ,
-    termLakeDeleteQ)
+    termLakeDeleteQ, impactStalenessQ)
 }

@@ -662,5 +662,38 @@ class SimilaritySpec extends SparkSpec {
     val exact = SimilarityOps.bm25Rank(docs, SimilarityOps.bm25Postings(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(wide === exact, "uncapped-budget two-tier serve must equal the exact ranking")
+    // a MATERIALIZED tier, by contrast, rejects a budget past its
+    // ceiling instead of silently serving a truncated champion list
+    val qt = SimilarityOps.bm25QueryTerms(docs, SimilarityOps.Bm25QueryMod)
+    val si2 = SimilarityOps.bm25Impacts(SimilarityOps.bm25Postings(docs))
+    intercept[IllegalArgumentException] {
+      SimilarityOps.bm25RankCappedFromTier(qt, si2,
+        SimilarityOps.bm25ImpactRanked(si2), SimilarityOps.Bm25TopK,
+        excludeSelf = false, budget = SimilarityOps.TierMaxBudget + 1)
+    }
+  }
+
+  test("s33 impact staleness: both advisory branches fire correctly and acted-on serve is exact") {
+    val rows = SimilarityOps.impactStalenessQ.run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === SimilarityOps.StaleDeltaMods.map(_.toLong).toSet)
+    val routine = rows(20L) // 1/20 delta: the control branch — holds
+    assert(!routine.getAs[Boolean]("advise_refresh"),
+      s"routine ingest must not trigger a refresh: $routine")
+    assert(routine.getAs[Double]("overlap_after") ===
+      routine.getAs[Double]("mean_overlap"),
+      "un-refreshed serve keeps its measured overlap")
+    assert(routine.getAs[Double]("mean_overlap") >=
+      SimilarityOps.ImpactRefreshFloor)
+    val heavy = rows(3L) // 1/3 delta: staleness past the floor — fires
+    assert(heavy.getAs[Boolean]("advise_refresh"),
+      s"a third of the corpus unseen must trigger a refresh: $heavy")
+    assert(heavy.getAs[Double]("overlap_after") === 1.0,
+      "acted-on refresh serves the recomputed ranking exactly")
+    assert(heavy.getAs[Double]("mean_overlap") <
+      SimilarityOps.ImpactRefreshFloor)
+    // monotone staleness: more unseen delta, less overlap
+    assert(heavy.getAs[Double]("mean_overlap") <
+      routine.getAs[Double]("mean_overlap"))
   }
 }
