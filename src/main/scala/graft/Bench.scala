@@ -46,6 +46,8 @@ object Bench {
       "token_counts" -> (() => { sources.SignatureLake.tokenCounts(spark, sfDir); () }),
       "term_impacts" -> (() => { sources.SignatureLake.termImpacts(spark, sfDir); () }),
       "term_champions" -> (() => { sources.SignatureLake.termChampions(spark, sfDir); () }),
+      "shingle_index" -> (() => { sources.SignatureLake.shingleIndex(spark, sfDir); () }),
+      "shingle_sets" -> (() => { sources.SignatureLake.shingleSets(spark, sfDir); () }),
       "simhash_fp" -> (() => { sources.SignatureLake.portableFingerprints(spark, sfDir); () }),
       "ann_buckets" -> (() => { sources.SignatureLake.portableAnnBuckets(spark, sfDir); () }),
       "knn_exact" -> (() => { sources.SignatureLake.exactProbeGraph(spark, sfDir); () }))

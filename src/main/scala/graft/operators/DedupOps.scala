@@ -2622,10 +2622,28 @@ object DedupOps {
     * joins ride doc_id hash joins. Production systems sample rarer
     * (1/8, 1/16) as density grows — the rate is one literal in both
     * texts. */
+  /** The SAMPLED-shingle inverted-index relation (doc_id, shingle) —
+    * what d22's candidate generation reads; materialized as the
+    * `shingle_index` lake family (a deployment stores this beside
+    * the corpus like every other signature family). */
+  def sampledShingles(docs: DataFrame): DataFrame =
+    shingles(docs).filter(substring(md5(col("shingle")), 1, 1) < "8")
+
+  /** Per-doc shingle SET relation (doc_id, sh: array<string>) — the
+    * exact-verify side table; materialized as the `shingle_sets`
+    * lake family. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh"))
+
+  /** @param index pre-materialized [[sampledShingles]] (the lake
+    *        read-back); derived inline when absent
+    *  @param setsRel pre-materialized [[shingleSets]]; same rule */
   def containmentPairs(docs: DataFrame,
-      threshold: Double = ContainmentBar): DataFrame = {
-    val sampled = shingles(docs)
-      .filter(substring(md5(col("shingle")), 1, 1) < "8")
+      threshold: Double = ContainmentBar,
+      index: Option[DataFrame] = None,
+      setsRel: Option[DataFrame] = None): DataFrame = {
+    val sampled = index.getOrElse(sampledShingles(docs))
     val cand = bucketPairs(sampled, keyCols = Seq("shingle"),
       memberCols = Seq("doc_id"), MaxBandBucket,
       metric = "containment_shingle_guard")
@@ -2633,8 +2651,7 @@ object DedupOps {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sets = shingles(docs).groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("sh"))
+    val sets = setsRel.getOrElse(shingleSets(docs))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val containment = inter / least(size(col("sh_a")), size(col("sh_b")))
     val jac = inter / size(array_union(col("sh_a"), col("sh_b")))
@@ -2675,7 +2692,13 @@ object DedupOps {
       |FROM p
       |WHERE inter / least(la, lb) >= $ContainmentBar""".stripMargin) {
     (spark, sf) =>
-      containmentPairs(Tables.documents(spark, sf))
+      // serve off the materialized shingle families: the row times
+      // candidate expansion + exact verify; the index/sets derivation
+      // is a named lake_build (r15 — the r14 audit's attribution nit
+      // on the two heaviest rows)
+      containmentPairs(Tables.documents(spark, sf),
+        index = Some(graft.sources.SignatureLake.shingleIndex(spark, sf)),
+        setsRel = Some(graft.sources.SignatureLake.shingleSets(spark, sf)))
   }
 
   // ------------------------------------------------------------------

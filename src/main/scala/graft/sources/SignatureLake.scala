@@ -253,6 +253,23 @@ object SignatureLake {
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     }
 
+  /** SAMPLED-shingle inverted index (doc_id, shingle) — d22's
+    * candidate source (md5-nibble 1/2 universe sample), bucketed by
+    * shingle: the capped-bucket pair expansion — the containment
+    * row's first shuffle — reads its distribution off the scan. */
+  def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
+    get(spark, sfDir, "shingle_index", Seq("shingle")) {
+      DedupOps.sampledShingles(Tables.documents(spark, sfDir))
+    }
+
+  /** Per-doc shingle sets (doc_id, sh: array<string>) — d22's
+    * exact-verify side table, bucketed by doc_id (the verify joins
+    * candidates back by doc id). */
+  def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+    get(spark, sfDir, "shingle_sets", Seq("doc_id")) {
+      DedupOps.shingleSets(Tables.documents(spark, sfDir))
+    }
+
   /** Per-posting snapped BM25 impact relation (term, doc_id, s) for
     * the FULL document corpus — what a score-at-a-time index stores
     * per posting ([[graft.operators.SimilarityOps.bm25Impacts]] over
