@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -380,6 +381,92 @@ object CurationOps {
        |SELECT doc_id, shard, bin, fill - n_tokens AS tok_offset, n_tokens
        |FROM r""".stripMargin) { (spark, sf) =>
     packed(Tables.documents(spark, sf), PackShards, PackBudget)
+  }
+
+  /** pk06 cut length: tokens per training window. Shorter than
+    * [[PackBudget]] on purpose — the two packing disciplines are
+    * different operators with different knobs. */
+  val CutLen = 256L
+
+  /** pk06 — CONCATENATE-AND-CUT packing (the GPT-pretraining
+    * discipline, distinct from pk01's greedy bin packing): documents
+    * are concatenated in doc_id order into one token stream and cut
+    * into fixed [[CutLen]]-token windows; a document may straddle a
+    * cut, and the row reports, per document, its absolute token span
+    * and how many training sequences it touches — the
+    * boundary-crossing accounting an attention-masking / loss-masking
+    * pipeline needs.
+    *
+    * Scale shape — the reason this is NOT one corpus-wide window: the
+    * absolute token offset is a PREFIX SUM, computed two-tier like a
+    * distributed scan. Documents shard by contiguous doc_id range
+    * ([[PackShards]] ranges); within-shard running sums are a window
+    * partitioned by shard (parallel across shards), per-shard totals
+    * aggregate to a [[PackShards]]-row relation whose own cumsum — the
+    * only unpartitioned window — runs over 32 rows, then broadcasts
+    * back. A naive `Window.orderBy(doc_id)` with no partition would
+    * single-thread the corpus; this shape survives 100 TB because the
+    * unpartitioned step is O(shards), never O(docs). */
+  def concatCut(docs: DataFrame): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+    // contiguous-range sharding keeps concatenation order == (shard
+    // asc, doc_id asc) == global doc_id order
+    // exact integer DIV (the oracle's `//`) — a double division here
+    // could round differently at corpus-scale ids
+    val shardSize = toks.agg(
+      expr(s"CAST(max(doc_id) DIV $PackShards + 1 AS BIGINT)").as("__sz"))
+    val sharded = toks.crossJoin(broadcast(shardSize))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("doc_id DIV __sz").as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = sharded.withColumn("__run", sum(col("n_tokens")).over(w))
+    val wOff = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = sharded.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__off", sum(col("__tot")).over(wOff) - col("__tot"))
+      .select(col("shard"), col("__off"))
+    within.join(broadcast(offsets), "shard")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__off") + col("__run") - col("n_tokens")).as("tok_start"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start DIV $CutLen").as("first_seq"),
+        expr(s"(tok_start + n_tokens - 1) DIV $CutLen").as("last_seq"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        col("first_seq"), col("last_seq"),
+        (col("last_seq") - col("first_seq") + 1L).as("n_seqs"),
+        (col("first_seq") =!= col("last_seq")).as("crosses_cut"))
+  }
+
+  val concatCutQ: GraftQuery = GraftQuery(
+    "pk06_concat_cut",
+    s"""WITH tk AS (SELECT doc_id,
+       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |            FROM documents WHERE text IS NOT NULL),
+       |sz AS (SELECT CAST(max(doc_id) // $PackShards + 1 AS BIGINT) AS s FROM tk),
+       |sh AS (SELECT doc_id, n_tokens, doc_id // sz.s AS shard FROM tk, sz),
+       |wi AS (SELECT doc_id, n_tokens, shard,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS run
+       |       FROM sh),
+       |st AS (SELECT shard, sum(n_tokens) AS tot FROM sh GROUP BY shard),
+       |so AS (SELECT shard,
+       |         sum(tot) OVER (ORDER BY shard ROWS UNBOUNDED PRECEDING) - tot
+       |           AS off FROM st),
+       |sp AS (SELECT wi.doc_id, wi.n_tokens,
+       |         CAST(so.off + wi.run - wi.n_tokens AS BIGINT) AS tok_start
+       |       FROM wi JOIN so USING (shard))
+       |SELECT doc_id, n_tokens, tok_start,
+       |       tok_start // $CutLen AS first_seq,
+       |       (tok_start + n_tokens - 1) // $CutLen AS last_seq,
+       |       (tok_start + n_tokens - 1) // $CutLen - tok_start // $CutLen + 1
+       |         AS n_seqs,
+       |       tok_start // $CutLen <> (tok_start + n_tokens - 1) // $CutLen
+       |         AS crosses_cut
+       |FROM sp""".stripMargin) { (spark, sf) =>
+    concatCut(Tables.documents(spark, sf))
   }
 
   // ---------------------------------------------- t14 source reweight
@@ -908,5 +995,5 @@ object CurationOps {
     repetitionQ, qualityFilterQ, piiRedactQ, stratifiedSampleQ, packQ,
     sourceReweightQ, sourceQualityNormQ, tokenBudgetQ, mixtureWeightsQ,
     packStatsQ, truncationLossQ, mixtureOrderQ, packManifestQ,
-    curationFunnelQ)
+    curationFunnelQ, concatCutQ)
 }

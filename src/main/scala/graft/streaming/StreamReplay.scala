@@ -1162,10 +1162,93 @@ object StreamReplay {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  /** st17 — takedowns against the LEXICAL index arriving on the
+    * stream (st13's device pointed at the term lake, the stream twin
+    * of d34): the term-posting lake is built for the full corpus,
+    * then the tombstone batch (doc_id % 7 == 3, the standard takedown
+    * slice) arrives through a real streaming query whose foreachBatch
+    * appends doc-id tombstones per micro-batch — never an index
+    * rewrite. The gate serves the PRODUCTION capped ranking off the
+    * tombstone-MASKED view with corpus stats derived POST-mask (mask
+    * before stats — the d34 rule; for an inverted index a takedown
+    * must shift df/N/avgdl, not just hide rows), against the capped
+    * chain replayed over surviving documents. `n_deleted_results` is
+    * pinned at literal 0 by the oracle while the engine counts what
+    * the masked serve actually returned — a mask that leaked one
+    * posting would both split the ranking hash and flip this count. */
+  val streamTermTombstoneQ: GraftQuery = GraftQuery(
+    "st17_stream_term_tombstone", {
+      import graft.operators.DedupOps.{TombMod, TombRem}
+      import graft.operators.SimilarityOps
+      s"""WITH ${SimilarityOps.bm25OracleCtesWhere("TRUE",
+           s"doc_id % $TombMod <> $TombRem")},
+        |${SimilarityOps.bm25CappedChainCtes(
+           SimilarityOps.PostingBudget, "", "TRUE")},
+        |res AS (SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |               score_scaled
+        |        FROM rkc WHERE rank <= ${SimilarityOps.Bm25TopK})
+        |SELECT r.*, CAST(0 AS BIGINT) AS n_deleted_results
+        |FROM res r""".stripMargin
+    }) { (spark, sf) =>
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupOps.{TombMod, TombRem}
+    import graft.operators.SimilarityOps
+    import graft.sources.SignatureLake
+    val docs = Tables.documents(spark, sf)
+    val deleted = docs.filter(col("doc_id") % TombMod === TombRem)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val chunks = deleted.grouped(math.max(1, (deleted.size + 2) / 3)).toSeq
+    val table = s"graft_lake_st17terms_${sf.replaceAll("[^A-Za-z0-9]+", "_")}" +
+      s"_p${ProcessHandle.current().pid()}_s${nameCounter.incrementAndGet()}"
+    val tomb = s"${table}_tomb"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $tomb")
+    SignatureLake.appendTermPostings(spark, table, docs) // full-corpus build
+    try {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckpt =
+        if (java.nio.file.Files.isDirectory(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft_st17")
+        else java.nio.file.Files.createTempDirectory("graft_st17")
+      try {
+        val source = MemoryStream[Long]
+        val q = source.toDS().toDF("doc_id")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            SignatureLake.appendTombstones(spark, table, batch, "doc_id"); ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try {
+          chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
+        } finally q.stop()
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      val served = SignatureLake.maskTombstones(
+        spark.table(table), spark.table(tomb), "doc_id")
+      val survivors = docs.filter(col("doc_id") % TombMod =!= TombRem)
+      val ranking = SimilarityOps.bm25RankCapped(survivors, served)
+      val out = ranking.crossJoin(broadcast(ranking.agg(
+        coalesce(sum(when(col("doc_id") % TombMod === TombRem, 1L)
+          .otherwise(0L)), lit(0L)).as("n_deleted_results"))))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $tomb")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     streamTransitionsQ, streamAttributionQ, streamGapsQ, streamSessionsQ,
     streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ, streamDedupQ,
     streamContentDedupQ, streamNearDupDedupQ, streamWindowCountsQ,
     streamIndexAppendQ, streamTombstoneQ, streamUpsertQ,
-    streamTermPostingsQ, streamChunkLakeQ)
+    streamTermPostingsQ, streamChunkLakeQ, streamTermTombstoneQ)
 }

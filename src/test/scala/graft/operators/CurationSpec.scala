@@ -141,6 +141,53 @@ class CurationSpec extends SparkSpec {
     assert(out.size == n)
   }
 
+  test("pk06 concat-cut: spans tile the token stream in doc order; crossing accounting exact") {
+    val n = 240
+    val fixture = docs((0 until n).map(i =>
+      i.toLong -> Seq.fill(1 + (i * 11) % 37)("w").mkString(" ")): _*)
+    val out = CurationOps.concatCut(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .sortBy(_._1)
+    assert(out.length === n)
+    // the two-tier prefix sum must equal the sequential concatenation:
+    // doc i starts exactly where doc i-1 ended, from offset 0
+    var expectStart = 0L
+    out.foreach { case (id, ntok, start, first, last, nseq, crosses) =>
+      assert(start === expectStart, s"doc $id: gap or overlap in the token stream")
+      expectStart += ntok
+      assert(first === start / CurationOps.CutLen)
+      assert(last === (start + ntok - 1) / CurationOps.CutLen)
+      assert(nseq === last - first + 1)
+      assert(crosses === (first != last), s"doc $id crossing flag")
+    }
+    // total tokens conserve, and SOME docs cross cuts (token counts up
+    // to 37 against 256-token windows -> the fixture is non-vacuous)
+    assert(expectStart === out.map(_._2).sum)
+    assert(out.exists(_._7), "fixture must produce boundary-crossing docs")
+    assert(out.exists(!_._7), "and docs fully inside one window")
+  }
+
+  test("pk06 plan: prefix-sum windows partition by shard; the only unpartitioned window is O(shards)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val fixture = docs((0 until 100).map(i =>
+      i.toLong -> Seq.fill(1 + i % 7)("w").mkString(" ")): _*)
+    val df = CurationOps.concatCut(fixture)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size === 2, s"expected within-shard + shard-offset windows, got ${wins.size}")
+    wins.foreach { w =>
+      val partitioned = w.partitionSpec.nonEmpty
+      // an unpartitioned window is allowed ONLY above the per-shard
+      // aggregate (the O(shards) offset relation), never the corpus
+      if (!partitioned)
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"corpus-wide unpartitioned window:\n$w")
+      else
+        assert(w.partitionSpec.map(_.toString).exists(_.contains("shard")),
+          s"within-shard window must partition by shard:\n$w")
+    }
+  }
+
   test("pk05 manifest conserves docs, tokens, and id-sum; budget invariant visible in the artifact") {
     val fixture = docs((0 until 200).map(i =>
       i.toLong -> Seq.fill(1 + (i * 7) % 23)("w").mkString(" ")): _*)
