@@ -3342,7 +3342,14 @@ object DedupOps {
     * convention); assignment and pruning always run over every doc.
     * ONE generator shared by both rows, so the two texts cannot
     * state a different geometry. */
-  private def semDedupOracleCtes(cbPred: String): String =
+  /** @param popPred restricts the ASSIGNED/PRUNED population (d35
+    *        passes the takedown survivors); the codebook still trains
+    *        on `cbPred` alone — a frozen quantizer keeps the centroid
+    *        directions it learned before a takedown arrived (the
+    *        s22/d33 cells-never-move convention; a retrain is the
+    *        separately-priced rebuild). */
+  private def semDedupOracleCtes(cbPred: String,
+      popPred: String = "TRUE"): String =
     s"""dims AS (SELECT doc_id,
       |    list_transform(string_split(text, ' '),
       |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % $SemDedupDims) AS ds
@@ -3352,6 +3359,7 @@ object DedupOps {
       |      d -> CAST(len(list_filter(ds, x -> x = d)) AS DOUBLE)) AS v
       |  FROM dims),
       |n AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dense),
+      |np AS (SELECT * FROM n WHERE $popPred),
       |tot AS (SELECT count(*) AS c FROM n WHERE $cbPred),
       |cb AS (SELECT CAST(rn - 1 AS BIGINT) AS cell,
       |    list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS cv
@@ -3359,17 +3367,17 @@ object DedupOps {
       |          row_number() OVER (ORDER BY doc_id) AS rn FROM n
       |        WHERE $cbPred) t, tot
       |  WHERE rn <= greatest(4, least(65536, CAST(ceil(sqrt(tot.c)) AS BIGINT)))),
-      |scores AS (SELECT n.doc_id, cb.cell, list_dot_product(n.v, cb.cv) AS score
-      |  FROM n CROSS JOIN cb),
+      |scores AS (SELECT np.doc_id, cb.cell, list_dot_product(np.v, cb.cv) AS score
+      |  FROM np CROSS JOIN cb),
       |assign AS (SELECT doc_id, cell, score FROM (
       |    SELECT doc_id, cell, score, row_number() OVER (PARTITION BY doc_id
       |      ORDER BY score DESC, cell DESC) AS r FROM scores) t WHERE r = 1),
-      |cent AS (SELECT a.doc_id, a.cell, a.score / n.nrm AS cent_sim
-      |  FROM assign a JOIN n USING (doc_id)),
+      |cent AS (SELECT a.doc_id, a.cell, a.score / np.nrm AS cent_sim
+      |  FROM assign a JOIN np ON np.doc_id = a.doc_id),
       |beaten AS (SELECT DISTINCT ca.doc_id
       |  FROM cent ca JOIN cent cb2 ON ca.cell = cb2.cell AND ca.doc_id <> cb2.doc_id
-      |  JOIN n nx ON nx.doc_id = ca.doc_id
-      |  JOIN n ny ON ny.doc_id = cb2.doc_id
+      |  JOIN np nx ON nx.doc_id = ca.doc_id
+      |  JOIN np ny ON ny.doc_id = cb2.doc_id
       |  WHERE list_dot_product(nx.v, ny.v) / (nx.nrm * ny.nrm) > $SemDedupTau
       |    AND (cb2.cent_sim < ca.cent_sim OR
       |         (cb2.cent_sim = ca.cent_sim AND cb2.doc_id < ca.doc_id)))""".stripMargin
@@ -3419,6 +3427,73 @@ object DedupOps {
     served.crossJoin(broadcast(
       served.filter(col("doc_id") % 10 === 7)
         .agg(count(lit(1)).as("n_delta"))))
+  }
+
+  /** d35 — SEMANTIC-CELL tombstone delete, gated at PRUNE level: the
+    * last index family to gain its delete leg (bands d28, ANN d29,
+    * IVF s22, terms d34/st17). A takedown against a dedup index has
+    * sharper semantics than against a retrieval index: deleting a
+    * cell's dominance KEEPER must PROMOTE the documents it was
+    * suppressing (their near-dup witness is gone), so row-level
+    * conservation alone would pass an index that keeps pruning docs
+    * on the authority of deleted content. Gated here:
+    *
+    *  - the emitted relation is d31's full prune verdict served off
+    *    the tombstone-MASKED lake (the d33 build+append lifecycle,
+    *    then doc-id tombstones) — the dominance compare runs over
+    *    survivors only;
+    *  - `matches_rebuild` pins it equal, doc-for-doc (cell, cent_sim,
+    *    removed), to a from-scratch embed→assign→prune over the
+    *    surviving corpus under the SAME frozen base codebook (the
+    *    independent rebuild never saw a tombstone; cells never move
+    *    on delete — a retrain is the separately-priced rebuild);
+    *  - `compact_matches` pins the physically rewritten generation's
+    *    (doc_id → cell, cent_sim) rows to the survivor rebuild's
+    *    assignment.
+    *
+    * The oracle replays the base-frozen chain with the pruned
+    * POPULATION restricted to survivors ([[semDedupOracleCtes]]'s
+    * popPred) — bit-for-bit, including every promotion. The spec
+    * proves promotion has teeth on a constructed fixture (delete the
+    * keeper → its duplicate flips to kept). */
+  val semCellDeleteQ: GraftQuery = GraftQuery(
+    "d35_semcell_lake_delete",
+    s"""WITH ${semDedupOracleCtes("doc_id % 10 <> 7",
+         s"doc_id % $TombMod <> $TombRem")}
+      |SELECT c.doc_id, c.cell, c.cent_sim,
+      |       (b.doc_id IS NOT NULL) AS removed,
+      |       TRUE AS matches_rebuild, TRUE AS compact_matches
+      |FROM cent c LEFT JOIN beaten b ON b.doc_id = c.doc_id""".stripMargin) {
+    (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val isDelta = col("doc_id") % 10 === 7
+    val deleted = docs.filter(col("doc_id") % TombMod === TombRem)
+      .select("doc_id")
+    val lake = graft.sources.SignatureLake.tombstonedSemCells(spark, sf,
+      docs.filter(!isDelta), docs.filter(isDelta), deleted)
+    val served = semDedupPrune(lake.served)
+    // independent rebuild: survivors embedded and assigned from
+    // scratch under the SAME frozen base codebook, pruned fresh
+    val bv = semDedupEmbed(docs.filter(!isDelta))
+    val cb = semDedupCodebook(bv, bv.count())
+    val rebuilt = semDedupPrune(semDedupAssign(
+      semDedupEmbed(docs.filter(col("doc_id") % TombMod =!= TombRem)), cb))
+    def verdicts(df: DataFrame) = df.select(col("doc_id"),
+      struct(col("cell"), col("cent_sim"), col("removed")).as("vv"))
+    val serveOk = deleteAgreement(verdicts(served), verdicts(rebuilt),
+      Seq("doc_id"), "vv", "n_served", "matches_rebuild")
+      .select("matches_rebuild")
+    val compactOk = deleteAgreement(
+      lake.compacted.select(col("doc_id"),
+        struct(col("cell"), col("cent_sim")).as("vv")),
+      semDedupAssign(
+        semDedupEmbed(docs.filter(col("doc_id") % TombMod =!= TombRem)), cb)
+        .select(col("doc_id"), struct(col("cell"), col("cent_sim")).as("vv")),
+      Seq("doc_id"), "vv", "n_rows", "compact_matches")
+      .select("compact_matches")
+    served
+      .crossJoin(broadcast(serveOk))
+      .crossJoin(broadcast(compactOk))
   }
 
   // ------------------------------------------------------------------
@@ -3489,5 +3564,5 @@ object DedupOps {
     lakeAppendQ, annLakeAppendQ, kmvVocabQ, kmvOverlapQ,
     exactSubstringQ, bandLakeDeleteQ, annLakeDeleteQ,
     substringDecontaminateQ, spanFunnelQ, semDedupQ, editDistanceQ,
-    semDedupIncrementalQ)
+    semDedupIncrementalQ, semCellDeleteQ)
 }

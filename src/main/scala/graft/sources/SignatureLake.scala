@@ -808,6 +808,30 @@ object SignatureLake {
       t => appendIvfDelta(spark, t, delta, cb))
   }
 
+  /** SEMANTIC-CELL index under the full lifecycle (d35's path) — the
+    * last index family to gain its delete leg (bands d28, ANN d29,
+    * IVF s22, terms d34/st17). The codebook is FROZEN at build time
+    * — trained on the base slice INCLUDING docs a later takedown
+    * removes (the s22 cells-never-move convention: the centroid
+    * directions are derived aggregates; whether they constitute
+    * removable personal data is a policy question priced as a
+    * rebuild, not a delete). The interesting takedown semantics live
+    * downstream: deleting a cell's dominance KEEPER must promote the
+    * docs it was suppressing — the d35 row gates the whole prune
+    * relation, not just row conservation. */
+  def tombstonedSemCells(spark: SparkSession, sfDir: String,
+      base: DataFrame, delta: DataFrame, deleted: DataFrame,
+      slice: String = "mod10del7"): TombstonedLake = {
+    lazy val bv = DedupOps.semDedupEmbed(base)
+    lazy val cb = DedupOps.semDedupCodebook(bv, bv.count())
+    tombstonedFamily(spark, sfDir,
+        s"del_semcells_${slice}_${splitKey(base, delta, deleted)}",
+        Seq("cell"), "doc_id", deleted)(
+      DedupOps.semDedupAssign(bv, cb))(
+      t => writeFamily(DedupOps.semDedupAssign(DedupOps.semDedupEmbed(delta), cb),
+        t, Seq("cell"), SaveMode.Append))
+  }
+
   /** Drop (and delete — managed tables) every lake table owned by
     * `spark`. */
   def invalidate(spark: SparkSession): Unit = {

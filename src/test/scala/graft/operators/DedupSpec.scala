@@ -1047,4 +1047,37 @@ class DedupSpec extends SparkSpec {
     cells.foreach(c => assert(c.getLong(1) > c.getLong(2),
       s"cell ${c.getLong(0)}: every member removed"))
   }
+
+  test("d35: deleting a dominance keeper PROMOTES the doc it was suppressing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.sources.SignatureLake.invalidate(spark)
+    // docs 0-3 are the first-4 frozen codebook; 8/9 are identical
+    // copies of a non-codebook text, so pre-delete the id tie keeps 8
+    // and prunes 9 (the d31 tie rule). The takedown removes doc 8 —
+    // the KEEPER — and the masked prune must PROMOTE doc 9: its only
+    // dominance witness is gone.
+    def vocab(p: String) = (1 to 40).map(i => s"$p${i * 3 % 11}x").mkString(" ")
+    val dup = vocab("zz")
+    val fixture = ((0L to 3L).map(i => (i, vocab(s"a$i"))) ++
+      Seq((8L, dup), (9L, dup))).toDF("doc_id", "text")
+    // pre-delete baseline (non-vacuous): 9 is suppressed by 8
+    val pre = DedupOps.semDedup(fixture).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!pre(8L) && pre(9L), "fixture must suppress 9 under keeper 8")
+    val lake = graft.sources.SignatureLake.tombstonedSemCells(spark, "spec_d35",
+      base = fixture.filter(col("doc_id") =!= 9L),
+      delta = fixture.filter(col("doc_id") === 9L),
+      deleted = Seq(8L).toDF("doc_id"))
+    val post = DedupOps.semDedupPrune(lake.served).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!post.contains(8L), "the deleted keeper is gone from the serve")
+    assert(post(9L) === false,
+      "the suppressed copy must be PROMOTED once its keeper is deleted")
+    // the physically rewritten generation serves the same promotion
+    val postC = DedupOps.semDedupPrune(lake.compacted).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!postC.contains(8L) && postC(9L) === false)
+    graft.sources.SignatureLake.invalidate(spark)
+  }
 }
