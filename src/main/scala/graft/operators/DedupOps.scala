@@ -3114,7 +3114,7 @@ object DedupOps {
     * independent rebuild-without-deleted) on the family's primary key
     * and emit (row count of `side`, every-row-matches boolean) — the
     * d23 device pointed at the delete lifecycle. */
-  private def deleteAgreement(side: DataFrame, full: DataFrame,
+  private[operators] def deleteAgreement(side: DataFrame, full: DataFrame,
       keys: Seq[String], valueCol: String,
       nName: String, okName: String): DataFrame =
     side.withColumnRenamed(valueCol, "__vs")

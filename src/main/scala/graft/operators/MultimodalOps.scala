@@ -899,7 +899,13 @@ object MultimodalOps {
     * IS byte arithmetic — and hashed as md5 of the hex slice, the
     * identical rule [[graft.functions.CdcCuts]] and [[cdcChunks]]
     * compute on the binary payload. */
-  private[graft] def cdcOracleSql: String = {
+  private[graft] def cdcOracleSql: String = cdcOracleSqlWhere("TRUE")
+
+  /** [[cdcOracleSql]] over a RESTRICTED corpus (`where` on the
+    * documents scan) — d36's takedown chain replays the chunk
+    * relation and the keep-first report over exactly the surviving
+    * documents. */
+  private[graft] def cdcOracleSqlWhere(where: String): String = {
       val W = CdcWindow
       val D = CdcDivisor
       val hex = "0123456789abcdef"
@@ -909,7 +915,7 @@ object MultimodalOps {
         |                                      THEN '$sfx' ELSE '' END)) AS h,
         |              octet_length(encode(text || CASE WHEN doc_id % $CdcSuffixMod = 3
         |                                              THEN '$sfx' ELSE '' END)) AS L
-        |            FROM documents WHERE text IS NOT NULL),
+        |            FROM documents WHERE text IS NOT NULL AND ($where)),
         |cz AS (SELECT doc_id, h, L,
         |         ([0] ||
         |          CASE WHEN L > $W THEN
@@ -944,7 +950,57 @@ object MultimodalOps {
     cdcChunkDedup(asCdcPayloads(spark, sf))
   }
 
+  /** d36 — CHUNK-DIGEST lake tombstone delete, gated at REPORT level
+    * (the keep-first twin of d35's keeper promotion, closing the
+    * delete matrix: bands d28, ANN d29, IVF s22, terms d34/st17,
+    * semantic cells d35, chunks HERE). Deleting the doc that held a
+    * digest group's first copy must PROMOTE a later copy to first —
+    * its dup_bytes move to whoever now holds the first occurrence —
+    * so serving cached ranks past a takedown double-counts saved
+    * bytes. Gated: m13's full per-doc report served off the
+    * tombstone-MASKED lake (keep-first window re-run over survivors)
+    * ≡ the report over a from-scratch chunking of the surviving
+    * payloads (`matches_rebuild`), and the physically rewritten
+    * generation row-equals that chunking on the (doc_id, off) key
+    * (`compact_matches`). Oracle: the m13 chain restricted to
+    * surviving documents, bit-for-bit. */
+  val chunkLakeDeleteQ: GraftQuery = GraftQuery(
+    "d36_chunk_lake_delete",
+    s"""WITH res AS (${cdcOracleSqlWhere(
+         s"doc_id % ${DedupOps.TombMod} <> ${DedupOps.TombRem}")})
+      |SELECT r.*, TRUE AS matches_rebuild, TRUE AS compact_matches
+      |FROM res r""".stripMargin) { (spark, sf) =>
+    val isDelta = col("doc_id") % 10 === 7
+    val payloads = asCdcPayloads(spark, sf)
+    val deleted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % DedupOps.TombMod === DedupOps.TombRem)
+      .select("doc_id")
+    val lake = graft.sources.SignatureLake.tombstonedChunkDigests(spark, sf,
+      payloads.filter(!isDelta), payloads.filter(isDelta), deleted)
+    val served = cdcReport(lake.served)
+    val survivors = payloads
+      .filter(col("doc_id") % DedupOps.TombMod =!= DedupOps.TombRem)
+    val rebuilt = cdcReport(cdcChunks(survivors))
+    def report(df: DataFrame) = df.select(col("doc_id"),
+      struct(col("n_chunks"), col("n_bytes"), col("n_dup_chunks"),
+        col("dup_bytes"), col("dedup_ratio")).as("vv"))
+    val serveOk = DedupOps.deleteAgreement(report(served), report(rebuilt),
+      Seq("doc_id"), "vv", "n_docs", "matches_rebuild")
+      .select("matches_rebuild")
+    val compactOk = DedupOps.deleteAgreement(
+      lake.compacted.select(col("doc_id"), col("off"),
+        struct(col("dg"), col("nb")).as("vv")),
+      cdcChunks(survivors).select(col("doc_id"), col("off"),
+        struct(col("dg"), col("nb")).as("vv")),
+      Seq("doc_id", "off"), "vv", "n_rows", "compact_matches")
+      .select("compact_matches")
+    served
+      .crossJoin(broadcast(serveOk))
+      .crossJoin(broadcast(compactOk))
+  }
+
   val all: Seq[GraftQuery] = Seq(binaryMetaQ, featuresQ, frameSampleQ, resizeQ, phashDupQ,
     shardManifestQ, quarantineQ, sourceHistogramDriftQ, phashClustersQ,
-    entropyScreenQ, payloadDedupQ, payloadTakedownQ, cdcChunkDedupQ)
+    entropyScreenQ, payloadDedupQ, payloadTakedownQ, cdcChunkDedupQ,
+    chunkLakeDeleteQ)
 }

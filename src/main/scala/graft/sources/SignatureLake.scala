@@ -808,6 +808,22 @@ object SignatureLake {
       t => appendIvfDelta(spark, t, delta, cb))
   }
 
+  /** CDC CHUNK-DIGEST index under the full lifecycle (d36's path):
+    * m13's build + st16-shaped append, then doc-id tombstones and the
+    * physical rewrite. The dedup consequence mirrors d35's keeper
+    * promotion in keep-first form: deleting the doc that held a
+    * digest group's FIRST copy promotes a later copy to first, so the
+    * per-doc dedup report must be re-derived post-mask, never served
+    * from cached ranks. */
+  def tombstonedChunkDigests(spark: SparkSession, sfDir: String,
+      base: DataFrame, delta: DataFrame, deleted: DataFrame,
+      slice: String = "mod10del7"): TombstonedLake =
+    tombstonedFamily(spark, sfDir,
+        s"del_chunks_${slice}_${splitKey(base, delta, deleted)}",
+        Seq("dg"), "doc_id", deleted)(
+      graft.operators.MultimodalOps.cdcChunks(base))(
+      t => appendChunkDigests(spark, t, delta))
+
   /** SEMANTIC-CELL index under the full lifecycle (d35's path) — the
     * last index family to gain its delete leg (bands d28, ANN d29,
     * IVF s22, terms d34/st17). The codebook is FROZEN at build time

@@ -374,6 +374,32 @@ class QueryInvariantsSpec extends SparkSpec {
       s"fixed blocks must share nothing across the shifted pair, got $fixedDup dup bytes")
   }
 
+  test("d36: deleting the first-copy holder promotes the next copy's chunks") {
+    import spark.implicits._
+    graft.sources.SignatureLake.invalidate(spark)
+    val body = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val payloads = Seq((1L, body), (2L, body), (3L, "unrelated short"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    // pre-delete: doc 1 holds every first copy, doc 2 is all dups
+    val pre = MultimodalOps.cdcChunkDedup(payloads).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_bytes")).toMap
+    assert(pre(1L) === 0L && pre(2L) > 0L, s"fixture must dedup 2 against 1: $pre")
+    val lake = graft.sources.SignatureLake.tombstonedChunkDigests(spark, "spec_d36",
+      base = payloads.filter(col("doc_id") =!= 2L),
+      delta = payloads.filter(col("doc_id") === 2L),
+      deleted = Seq(1L).toDF("doc_id"))
+    Seq("served" -> lake.served, "compacted" -> lake.compacted).foreach {
+      case (tier, chunks) =>
+        val post = MultimodalOps.cdcReport(chunks).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_bytes")).toMap
+        assert(!post.contains(1L), s"$tier: deleted doc gone")
+        assert(post(2L) === 0L,
+          s"$tier: doc 2 must be PROMOTED to first-copy holder, got ${post(2L)} dup bytes")
+    }
+    graft.sources.SignatureLake.invalidate(spark)
+  }
+
   test("multimodal features: 16-dim, L1-normalized (m02)") {
     val f = MultimodalOps.featuresQ.run(spark, sf001)
     assert(f.filter(col("dim") =!= 16).count() === 0)
