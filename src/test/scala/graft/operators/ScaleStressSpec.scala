@@ -824,4 +824,57 @@ class ScaleStressSpec extends SparkSpec {
     assert(r1 <= q1 * 25 * DfCeiling && r2 <= q2 * 25 * DfCeiling,
       "rescore volume is bounded by queries x terms^2 x budget")
   }
+
+  test("tombstone mask at 10x: removed volume exact, the mask is a broadcast anti-join") {
+    // the delete legs' scale claim (d34/st17 and every *_tomb serve):
+    // between takedown and the maintenance window, the serve masks the
+    // index with an anti-join whose BUILD side is the tombstone set —
+    // KBs against a 100 TB index — so the index side never reshuffles
+    // and the masked volume is EXACTLY built − deleted at any size
+    val (d1, d2) = (stressDocs(N1).filter(col("text").isNotNull),
+      stressDocs(N2).filter(col("text").isNotNull))
+    def stats(d: DataFrame): (Long, Long, Long, String) = {
+      val post = SimilarityOps.bm25Postings(d)
+      val tomb = d.filter(col("doc_id") % DedupOps.TombMod === DedupOps.TombRem)
+        .select("doc_id")
+      val masked = graft.sources.SignatureLake.maskTombstones(post, tomb, "doc_id")
+      val deletedRows = post
+        .filter(col("doc_id") % DedupOps.TombMod === DedupOps.TombRem).count()
+      masked.collect()
+      (post.count(), masked.count(), deletedRows,
+        masked.queryExecution.executedPlan.toString)
+    }
+    val ((b1, m1, x1, p1), (b2, m2, x2, p2)) = (stats(d1), stats(d2))
+    assert(m1 === b1 - x1 && m2 === b2 - x2,
+      s"masked volume must be exactly built − deleted: $m1/$b1-$x1, $m2/$b2-$x2")
+    logScale("tomb_masked_rows", m1, m2)
+    assert(expo(m1, m2) <= 1.05, "masked index volume stays linear")
+    Seq(p1, p2).foreach { p =>
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"the tombstone mask must broadcast the delete set:\n${p.take(1500)}")
+    }
+  }
+
+  test("pk06 concat-cut at 10x: output linear, token stream tiles exactly, crossings bounded") {
+    val (d1, d2) = (stressDocs(N1), stressDocs(N2))
+    def stats(d: DataFrame): (Long, Long, Long, Long) = {
+      val out = CurationOps.concatCut(d)
+      val agg = out.agg(count(lit(1)), sum(col("n_tokens")),
+        max(col("tok_start") + col("n_tokens")),
+        sum(when(col("crosses_cut"), 1L).otherwise(0L))).head
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    }
+    val ((n1, t1, e1, c1), (n2, t2, e2, c2)) = (stats(d1), stats(d2))
+    // the two-tier prefix sum must tile [0, total_tokens) exactly:
+    // max(end) == sum(tokens) means no gap, overlap, or lost shard
+    // offset at either size
+    assert(e1 === t1 && e2 === t2, s"token stream must tile exactly: $e1/$t1, $e2/$t2")
+    logScale("pk06_docs", n1, n2)
+    assert(expo(n1, n2) <= 1.01, "per-doc output is linear")
+    // a doc crosses at most once per CutLen tokens it spans; with mean
+    // doc length ≪ CutLen the crossing count is bounded by the number
+    // of cuts ⌈total/CutLen⌉ (each cut splits at most one doc)
+    assert(c1 <= t1 / CurationOps.CutLen + 1 && c2 <= t2 / CurationOps.CutLen + 1,
+      s"each cut splits at most one doc: $c1 vs ${t1 / CurationOps.CutLen}")
+  }
 }
