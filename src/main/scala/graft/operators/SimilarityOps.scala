@@ -3543,6 +3543,68 @@ object SimilarityOps {
       .crossJoin(broadcast(compactOk))
   }
 
+  /** d37's delete fractions (ids with `doc_id % m == 0` tombstoned —
+    * residue 0 exists under every modulus, unlike the takedown
+    * families' fixed residue 3, which is unreachable mod 3):
+    * 1/50 — routine takedown traffic — and 1/3 — a bulk purge. */
+  val CompactDeleteMods: Seq[Int] = Seq(50, 3)
+
+  /** d37 compaction floor: rewrite the index generation when the
+    * masked serve's read amplification (index rows scanned / live
+    * rows served) exceeds this. Read amp under a deleted fraction f
+    * is ~1/(1−f): the 1/50 slice sits at ~1.02 and the 1/3 slice at
+    * ~1.5 on every gate corpus, so 1.25 separates the branches with
+    * wide margin — the advisory's negative and positive branches are
+    * both deterministic at every sf. */
+  val CompactAmpFloor = 1.25
+
+  /** d37 — MERGE-ON-READ vs COPY-ON-WRITE crossover for tombstoned
+    * indexes (the s23/s33 decision device pointed at the delete
+    * path): between takedown and compaction, every serve scans the
+    * full index and anti-joins the tombstones (d28–d36's masked
+    * tier) — cheap per takedown, but the dead rows still occupy scan
+    * bandwidth, and the read tax compounds forever until a rewrite
+    * retires them. Per [[CompactDeleteMods]] delete fraction, the row
+    * measures the term index's read amplification (exact integer
+    * counts, one IEEE division), applies the [[CompactAmpFloor]]
+    * advisory (routine takedowns: keep masking; bulk purge: compact),
+    * and emits the acted-on amplification (compaction rewrites the
+    * generation ⇒ 1.0). Decision rule at 100 TB: the mask costs one
+    * broadcast per serve; the rewrite costs one bucketed pass of the
+    * index — compact when the integrated scan tax crosses it, which
+    * this row's estimator prices. */
+  val compactionCrossoverQ: GraftQuery = GraftQuery(
+    "d37_compaction_crossover", {
+      val legs = CompactDeleteMods.map { m =>
+        s"""SELECT CAST($m AS BIGINT) AS del_mod, t.n_index, t.n_live,
+           |       t.n_index - t.n_live AS n_tomb_rows,
+           |       CAST(t.n_index AS DOUBLE) / t.n_live AS read_amp,
+           |       CAST(t.n_index AS DOUBLE) / t.n_live > $CompactAmpFloor
+           |         AS advise_compact,
+           |       CASE WHEN CAST(t.n_index AS DOUBLE) / t.n_live > $CompactAmpFloor
+           |            THEN 1.0
+           |            ELSE CAST(t.n_index AS DOUBLE) / t.n_live END AS amp_after
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS n_index,
+           |        CAST(sum(CASE WHEN doc_id % $m <> 0 THEN 1 ELSE 0 END)
+           |          AS BIGINT) AS n_live
+           |      FROM post) t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bm25PrefixCtes
+        |$legs""".stripMargin
+    }) { (spark, sf) =>
+    val post = bm25Postings(Tables.documents(spark, sf))
+    CompactDeleteMods.map { m =>
+      val amp = col("n_index").cast("double") / col("n_live")
+      post.agg(count(lit(1)).as("n_index"),
+          sum(when(col("doc_id") % m =!= 0, 1L).otherwise(0L)).as("n_live"))
+        .select(lit(m.toLong).as("del_mod"), col("n_index"), col("n_live"),
+          (col("n_index") - col("n_live")).as("n_tomb_rows"),
+          amp.as("read_amp"),
+          (amp > CompactAmpFloor).as("advise_compact"),
+          when(amp > CompactAmpFloor, lit(1.0)).otherwise(amp).as("amp_after"))
+    }.reduce(_ unionByName _)
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
@@ -3550,5 +3612,5 @@ object SimilarityOps {
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
     knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q, hybridRrfQ,
     postingBudgetQ, cappedServeQ, hybridLakeQ, budgetCurveQ,
-    termLakeDeleteQ, impactStalenessQ)
+    termLakeDeleteQ, impactStalenessQ, compactionCrossoverQ)
 }

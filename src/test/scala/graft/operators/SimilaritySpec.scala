@@ -696,4 +696,26 @@ class SimilaritySpec extends SparkSpec {
     assert(heavy.getAs[Double]("mean_overlap") <
       routine.getAs[Double]("mean_overlap"))
   }
+
+  test("d37 compaction crossover: routine takedowns keep masking, a bulk purge compacts") {
+    val rows = SimilarityOps.compactionCrossoverQ.run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === SimilarityOps.CompactDeleteMods.map(_.toLong).toSet)
+    val routine = rows(50L)
+    assert(!routine.getAs[Boolean]("advise_compact"),
+      s"a 2% delete must not trigger a rewrite: $routine")
+    assert(routine.getAs[Double]("amp_after") ===
+      routine.getAs[Double]("read_amp"))
+    val purge = rows(3L)
+    assert(purge.getAs[Boolean]("advise_compact"),
+      s"a 1/3 purge must trigger the rewrite: $purge")
+    assert(purge.getAs[Double]("amp_after") === 1.0,
+      "acted-on compaction serves at amplification 1.0")
+    // conservation: tomb rows + live rows == index rows, both legs
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_tomb_rows") + r.getAs[Long]("n_live") ===
+        r.getAs[Long]("n_index"))
+      assert(r.getAs[Double]("read_amp") >= 1.0)
+    }
+  }
 }
