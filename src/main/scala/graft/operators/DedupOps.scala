@@ -3473,11 +3473,16 @@ object DedupOps {
       docs.filter(!isDelta), docs.filter(isDelta), deleted)
     val served = semDedupPrune(lake.served)
     // independent rebuild: survivors embedded and assigned from
-    // scratch under the SAME frozen base codebook, pruned fresh
+    // scratch under the SAME frozen base codebook, pruned fresh.
+    // ONE survivor assignment feeds both gate legs — semDedupEmbed
+    // checkpoints eagerly, so a second derivation would re-run the
+    // row's dominant kernel, not fuse with the first
     val bv = semDedupEmbed(docs.filter(!isDelta))
     val cb = semDedupCodebook(bv, bv.count())
-    val rebuilt = semDedupPrune(semDedupAssign(
-      semDedupEmbed(docs.filter(col("doc_id") % TombMod =!= TombRem)), cb))
+    val survivorAssign = semDedupAssign(
+      semDedupEmbed(docs.filter(col("doc_id") % TombMod =!= TombRem)), cb)
+      .localCheckpoint()
+    val rebuilt = semDedupPrune(survivorAssign)
     def verdicts(df: DataFrame) = df.select(col("doc_id"),
       struct(col("cell"), col("cent_sim"), col("removed")).as("vv"))
     val serveOk = deleteAgreement(verdicts(served), verdicts(rebuilt),
@@ -3486,8 +3491,7 @@ object DedupOps {
     val compactOk = deleteAgreement(
       lake.compacted.select(col("doc_id"),
         struct(col("cell"), col("cent_sim")).as("vv")),
-      semDedupAssign(
-        semDedupEmbed(docs.filter(col("doc_id") % TombMod =!= TombRem)), cb)
+      survivorAssign
         .select(col("doc_id"), struct(col("cell"), col("cent_sim")).as("vv")),
       Seq("doc_id"), "vv", "n_rows", "compact_matches")
       .select("compact_matches")

@@ -801,6 +801,12 @@ object MultimodalOps {
     * has a fixture that would actually fire. */
   val CdcNonAsciiSuffix = " δέλτα→Ωß±µ"
   val CdcSuffixMod = 7
+  /** Suffix residue — deliberately DISJOINT from the takedown slice
+    * (TombMod = 7, TombRem = 3), so d36's survivor corpus keeps its
+    * non-ASCII payloads: a byte-offset regression that only
+    * manifests on multi-byte content in the restricted/delete path
+    * must still fail the gate. */
+  val CdcSuffixRem = 2
 
   /** The CDC corpus's payload column: the document text with the
     * non-ASCII suffix on every [[CdcSuffixMod]]-th doc, as BINARY
@@ -808,7 +814,7 @@ object MultimodalOps {
     * streaming batches so the two rows chunk the identical bytes. */
   def cdcPayloadCol(docId: Column, text: Column): Column =
     concat(text,
-      when(docId % CdcSuffixMod === 3, lit(CdcNonAsciiSuffix))
+      when(docId % CdcSuffixMod === CdcSuffixRem, lit(CdcNonAsciiSuffix))
         .otherwise(lit(""))).cast("binary")
 
   /** Documents as CDC payloads (doc_id, payload: binary) — m13/st16's
@@ -911,9 +917,9 @@ object MultimodalOps {
       val hex = "0123456789abcdef"
       val sfx = CdcNonAsciiSuffix
       s"""WITH dd AS (SELECT doc_id,
-        |              hex(encode(text || CASE WHEN doc_id % $CdcSuffixMod = 3
+        |              hex(encode(text || CASE WHEN doc_id % $CdcSuffixMod = $CdcSuffixRem
         |                                      THEN '$sfx' ELSE '' END)) AS h,
-        |              octet_length(encode(text || CASE WHEN doc_id % $CdcSuffixMod = 3
+        |              octet_length(encode(text || CASE WHEN doc_id % $CdcSuffixMod = $CdcSuffixRem
         |                                              THEN '$sfx' ELSE '' END)) AS L
         |            FROM documents WHERE text IS NOT NULL AND ($where)),
         |cz AS (SELECT doc_id, h, L,
@@ -980,7 +986,11 @@ object MultimodalOps {
     val served = cdcReport(lake.served)
     val survivors = payloads
       .filter(col("doc_id") % DedupOps.TombMod =!= DedupOps.TombRem)
-    val rebuilt = cdcReport(cdcChunks(survivors))
+    // ONE survivor chunking feeds both gate legs — the per-byte
+    // window kernel is the row's dominant cost, and the two broadcast
+    // legs would otherwise evaluate it independently
+    val survivorChunks = cdcChunks(survivors).localCheckpoint()
+    val rebuilt = cdcReport(survivorChunks)
     def report(df: DataFrame) = df.select(col("doc_id"),
       struct(col("n_chunks"), col("n_bytes"), col("n_dup_chunks"),
         col("dup_bytes"), col("dedup_ratio")).as("vv"))
@@ -990,7 +1000,7 @@ object MultimodalOps {
     val compactOk = DedupOps.deleteAgreement(
       lake.compacted.select(col("doc_id"), col("off"),
         struct(col("dg"), col("nb")).as("vv")),
-      cdcChunks(survivors).select(col("doc_id"), col("off"),
+      survivorChunks.select(col("doc_id"), col("off"),
         struct(col("dg"), col("nb")).as("vv")),
       Seq("doc_id", "off"), "vv", "n_rows", "compact_matches")
       .select("compact_matches")

@@ -3521,7 +3521,10 @@ object SimilarityOps {
     val survivors = docs
       .filter(col("doc_id") % DedupOps.TombMod =!= DedupOps.TombRem)
     val served = bm25RankCapped(survivors, lake.served)
-    val rebuilt = bm25RankCapped(survivors, bm25Postings(survivors))
+    // ONE survivor posting derivation feeds both gate legs (the
+    // rebuild serve and the compaction conservation join)
+    val survivorPost = bm25Postings(survivors).localCheckpoint()
+    val rebuilt = bm25RankCapped(survivors, survivorPost)
     val rankingOk = served
       .select(col("query_id"), col("rank"),
         struct(col("doc_id"), col("score_scaled")).as("__vs"))
@@ -3533,7 +3536,7 @@ object SimilarityOps {
     val compactOk = lake.compacted
       .select(col("doc_id"), col("term"),
         struct(col("tf"), col("dl")).as("__vs"))
-      .join(bm25Postings(survivors).select(col("doc_id"), col("term"),
+      .join(survivorPost.select(col("doc_id"), col("term"),
           struct(col("tf"), col("dl")).as("__vf")),
         Seq("doc_id", "term"), "full_outer")
       .agg((coalesce(sum(when(col("__vs") <=> col("__vf"), 0L).otherwise(1L)),

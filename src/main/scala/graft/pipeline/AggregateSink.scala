@@ -56,18 +56,10 @@ final class CompactingAggregateSink(
   private def staged = new java.io.File(path + ".old")
 
   /** Heal a crash between compact's two renames: `path` missing with a
-    * staged previous generation present → restore it. Also sweeps a
-    * stale `.upsert_batch` spill left by a JVM crash inside
-    * [[replaceHours]] (the spill is only ever live within one call's
-    * try/finally, so any copy found here is an orphan — deleting it is
-    * the disk-leak fix; the store itself was never touched before the
-    * "written" label, so no data recovery is needed). Idempotent. */
-  def recover(): Unit = {
+    * staged previous generation present → restore it. Idempotent. */
+  def recover(): Unit =
     if (!dir.exists() && staged.exists())
       require(staged.renameTo(dir), s"could not restore staged generation of $path")
-    val orphanSpill = new java.io.File(path + ".upsert_batch")
-    if (orphanSpill.exists()) deleteRecursively(orphanSpill)
-  }
 
   override def append(df: DataFrame): Unit = { recover(); inner.append(df) }
   override def readBack(spark: SparkSession): DataFrame = { recover(); inner.readBack(spark) }
@@ -142,6 +134,14 @@ final class CompactingAggregateSink(
     // never a driver OOM); the .compacting/.old swap machinery never
     // sees this path, it only feeds the generation plan.
     val tmpBatch = path + ".upsert_batch"
+    // sweep a stale spill left by a JVM crash inside a PREVIOUS
+    // replaceHours (the finally below normally deletes it). The sweep
+    // lives HERE, not in recover(): replaceHours is the spill's only
+    // writer, so at the start of a new call any existing copy is an
+    // orphan — whereas a sweep on the shared recover() path could
+    // delete a LIVE spill out from under a concurrent upsert when
+    // append()/readBack() interleave with it.
+    deleteRecursively(new java.io.File(tmpBatch))
     recomputed.write.mode("overwrite").parquet(tmpBatch)
     try {
       val batch = spark.read.parquet(tmpBatch)

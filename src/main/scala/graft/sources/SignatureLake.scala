@@ -483,23 +483,31 @@ object SignatureLake {
       slice: String = "mod10"): TermServeLake = {
     val lake = incrementalTermPostings(spark, sfDir, base, delta, slice)
     val sk = splitKey(base, delta)
-    val siFam = s"inc_term_si_${slice}_$sk"
-    val si = cache.computeIfAbsent(Key(spark, sfDir, siFam), _ => {
-      val t = tableName(spark, sfDir, siFam)
-      writeFamily(SimilarityOps.bm25Impacts(lake), t, Seq("term"),
-        SaveMode.Overwrite)
+    val si = cache.computeIfAbsent(Key(spark, sfDir, s"inc_term_si_${slice}_$sk"), _ => {
+      val t = tableName(spark, sfDir, s"inc_term_si_${slice}_$sk")
+      writeImpactsTable(lake, t)
       (t, spark.table(t))
     })._2
-    val tierFam = s"inc_term_tier_${slice}_$sk"
-    val tier = cache.computeIfAbsent(Key(spark, sfDir, tierFam), _ => {
-      val t = tableName(spark, sfDir, tierFam)
-      writeFamily(SimilarityOps.bm25ImpactRanked(si)
-          .filter(col("pr") <= SimilarityOps.TierMaxBudget),
-        t, Seq("term"), SaveMode.Overwrite)
+    val tier = cache.computeIfAbsent(Key(spark, sfDir, s"inc_term_tier_${slice}_$sk"), _ => {
+      val t = tableName(spark, sfDir, s"inc_term_tier_${slice}_$sk")
+      writeTierTable(si, t)
       (t, spark.table(t))
     })._2
     TermServeLake(si, tier)
   }
+
+  /** The ONE statement of the two serve-side materialization writes —
+    * shared by the memoized incremental family and st15's explicit
+    * post-stream write, so the tier cut can never diverge between the
+    * batch and streamed serves. */
+  private def writeImpactsTable(postings: DataFrame, table: String): Unit =
+    writeFamily(SimilarityOps.bm25Impacts(postings), table, Seq("term"),
+      SaveMode.Overwrite)
+
+  private def writeTierTable(impacts: DataFrame, table: String): Unit =
+    writeFamily(SimilarityOps.bm25ImpactRanked(impacts)
+        .filter(col("pr") <= SimilarityOps.TierMaxBudget),
+      table, Seq("term"), SaveMode.Overwrite)
 
   /** [[incrementalTermServe]] for an EXPLICIT posting table (st15's
     * streamed lake): derive + write `<table>_si` and `<table>_tier`
@@ -509,13 +517,10 @@ object SignatureLake {
   def writeTermServeTables(spark: SparkSession,
       postingTable: String): TermServeLake = {
     val siT = s"${postingTable}_si"
-    writeFamily(SimilarityOps.bm25Impacts(spark.table(postingTable)),
-      siT, Seq("term"), SaveMode.Overwrite)
+    writeImpactsTable(spark.table(postingTable), siT)
     registerExtra(spark, siT)
     val tierT = s"${postingTable}_tier"
-    writeFamily(SimilarityOps.bm25ImpactRanked(spark.table(siT))
-        .filter(col("pr") <= SimilarityOps.TierMaxBudget),
-      tierT, Seq("term"), SaveMode.Overwrite)
+    writeTierTable(spark.table(siT), tierT)
     registerExtra(spark, tierT)
     TermServeLake(spark.table(siT), spark.table(tierT))
   }

@@ -826,6 +826,12 @@ object StreamReplay {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS $tomb")
     SignatureLake.appendEmbeddingDelta(spark, table, emb) // full-corpus build
+    // bootstrap an EMPTY tombstone store before the stream: a corpus
+    // whose takedown slice is empty fires no micro-batch, and the
+    // masked serve below must degrade to a no-op takedown, not fail
+    // to resolve the side table
+    SignatureLake.appendTombstones(spark, table,
+      emb.select(col("vec_id")).limit(0), "vec_id")
     try {
       val shm = java.nio.file.Paths.get("/dev/shm")
       val ckpt =
@@ -1205,6 +1211,11 @@ object StreamReplay {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS $tomb")
     SignatureLake.appendTermPostings(spark, table, docs) // full-corpus build
+    // empty-tombstone bootstrap (st13's rule): an empty takedown
+    // slice must serve the unmasked ranking, not throw on the
+    // unresolvable side table
+    SignatureLake.appendTombstones(spark, table,
+      docs.select(col("doc_id")).limit(0), "doc_id")
     try {
       val shm = java.nio.file.Paths.get("/dev/shm")
       val ckpt =
