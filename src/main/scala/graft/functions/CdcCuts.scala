@@ -106,6 +106,14 @@ object CdcCuts {
     * re-encoding). */
   def computeBytes(bytes: Array[Byte], window: Int, divisor: Int): ArrayData = {
     val len = bytes.length
+    // the hex scratch buffer is len * 2 INTS — past 1 GiB the
+    // multiplication overflows to a negative array size; fail with a
+    // diagnosis instead (a payload that large should be pre-split
+    // upstream: CDC chunking exists to bound exactly this)
+    require(len <= Int.MaxValue / 2,
+      s"graft_cdc_cuts: payload of $len bytes exceeds the " +
+        s"${Int.MaxValue / 2}-byte hex-encoding bound; split the payload " +
+        "upstream before chunking")
     val hex = new Array[Byte](len * 2)
     var i = 0
     while (i < len) {

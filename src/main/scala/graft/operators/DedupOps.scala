@@ -886,10 +886,19 @@ object DedupOps {
     * prefilter pays once training-gram volume dwarfs the benchmark
     * (the 100 TB operating point, where d08 shuffles the full corpus
     * gram set and d09 ships a few MB of filter instead). */
-  def decontaminateBloom(
-      train: DataFrame, benchmark: DataFrame, gram: Int = DecontamGram,
-      fpp: Double = 0.01): DataFrame = {
-    val spark = train.sparkSession
+  /** The Bloom BUILD alone — the two driver-side actions (distinct
+    * gram count + treeAggregate) that size and fill the sketch. This
+    * is INDEX-BUILD cost, the same class as the signature/tier lake
+    * writes: a deployment builds the benchmark filter once per eval
+    * suite and every decontamination serve broadcasts it, so the
+    * bench attributes it as a named `lake_build` entry
+    * ([[graft.sources.SignatureLake.decontamBloomFilter]] memoizes it
+    * per (session, sfDir)) and the d09 row times probe + exact-join
+    * only (the d22/tier attribution rule). */
+  private[graft] def buildDecontamBloom(benchmark: DataFrame,
+      gram: Int = DecontamGram, fpp: Double = 0.01)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] = {
+    val spark = benchmark.sparkSession
     import spark.implicits._
     val benchGrams = tokenShingles(benchmark, gram).select(col("shingle"))
       .distinct().persist()
@@ -899,28 +908,48 @@ object DedupOps {
           math.max(1L, benchGrams.count()), fpp))(
         (bf, s) => { bf.putString(s); bf },
         (a, b) => { a.mergeInPlace(b); a })
-      val bloomId = graft.functions.BloomRegistry.register(
-        spark.sparkContext.broadcast(bloom))
-      val prefiltered = try {
-        // Dataset construction analyzes eagerly, so the resolved
-        // BloomContains holds the broadcast by the time this returns —
-        // the registry entry is only needed for this one analysis
-        tokenShingles(train, gram)
-          .filter(call_function("graft_bloom_contains", col("shingle"), lit(bloomId)))
-      } finally graft.functions.BloomRegistry.unregister(bloomId)
-      contaminationReport(train, prefiltered, benchGrams)
+      spark.sparkContext.broadcast(bloom)
     } finally benchGrams.unpersist()
-    // the returned plan re-derives benchGrams lazily at execution; the
-    // cache only served the two driver-side actions (count + bloom build)
+    // the serve plan re-derives benchGrams lazily at execution; the
+    // cache only served the two driver-side actions (count + build)
   }
+
+  /** The decontamination SERVE against a pre-built filter: drop
+    * non-matching training grams inside the scan stage via the
+    * codegen'd `graft_bloom_contains` probe, then the exact join
+    * removes the fpp sliver — identical output to [[decontaminate]]
+    * (Bloom filters have no false negatives). */
+  def decontaminateWithBloom(train: DataFrame, benchmark: DataFrame,
+      bloomBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      gram: Int = DecontamGram): DataFrame = {
+    val bloomId = graft.functions.BloomRegistry.register(bloomBc)
+    val prefiltered = try {
+      // Dataset construction analyzes eagerly, so the resolved
+      // BloomContains holds the broadcast by the time this returns —
+      // the registry entry is only needed for this one analysis
+      tokenShingles(train, gram)
+        .filter(call_function("graft_bloom_contains", col("shingle"), lit(bloomId)))
+    } finally graft.functions.BloomRegistry.unregister(bloomId)
+    contaminationReport(train, prefiltered,
+      tokenShingles(benchmark, gram).select(col("shingle")).distinct())
+  }
+
+  def decontaminateBloom(
+      train: DataFrame, benchmark: DataFrame, gram: Int = DecontamGram,
+      fpp: Double = 0.01): DataFrame =
+    decontaminateWithBloom(train, benchmark,
+      buildDecontamBloom(benchmark, gram, fpp), gram)
 
   val decontaminateBloomQ: GraftQuery = GraftQuery(
     "d09_decontaminate_bloom",
     decontaminateQ.oracle.get) { (spark, sf) =>
     val docs = Tables.documents(spark, sf)
-    decontaminateBloom(
+    // the filter build is a memoized lake artifact (named bench
+    // lake_build entry); this row times probe + exact-join only
+    decontaminateWithBloom(
       docs.filter(col("doc_id") % 50 =!= 0),
-      docs.filter(col("doc_id") % 50 === 0))
+      docs.filter(col("doc_id") % 50 === 0),
+      graft.sources.SignatureLake.decontamBloomFilter(spark, sf))
   }
 
   /** d16 flags a document when at least this fraction of its distinct
@@ -3557,6 +3586,112 @@ object DedupOps {
       editDistancePairs(Tables.documents(spark, sf))
   }
 
+  // ------------------------------------------------------------------
+  // d38: the compaction crossover generalized across index families
+  // ------------------------------------------------------------------
+
+  /** d38 — d37's merge-on-read vs copy-on-write crossover GENERALIZED
+    * to all six tombstoned index families (bands d28, ANN d29, IVF
+    * s22, terms d34/st17, semantic cells d35, chunks d36): the masked
+    * serve's read tax is identical in SHAPE everywhere — scan the full
+    * index, anti-join the tombstones — but its SIZE is per-family,
+    * because each family stores a different row multiplicity per
+    * deleted id (bands store [[Bands]] rows per doc with ≥1 shingle,
+    * ANN [[PortableAnnTables]] rows per vector, IVF and semantic
+    * cells one row per id, term postings one row per DISTINCT TERM of
+    * the doc, chunk digests one row per content-defined chunk — the
+    * last two are the non-uniform ones where doc-level fractions
+    * mis-price the scan tax). Per family × [[graft.operators.SimilarityOps.CompactDeleteMods]]
+    * delete fraction, the row measures exact read amplification
+    * (index rows / live rows — exact longs, one IEEE division off the
+    * family's own lake relation), applies the
+    * [[graft.operators.SimilarityOps.CompactAmpFloor]] advisory, and
+    * emits the acted-on amplification. Scale shape: one aggregate
+    * pass per family over a memoized lake read-back (bands/ANN/IVF/
+    * semcells/terms are bucketed-table scans; chunks pay the m13
+    * kernel once), both delete fractions counted in the SAME pass
+    * (conditional sums), never a per-fraction re-scan. Decision rule
+    * at 100 TB: compact family-by-family — a takedown batch that
+    * leaves band read-amp at 1.02 can put chunk read-amp past the
+    * floor when the deleted docs were the long ones. */
+  val familyCompactionQ: GraftQuery = GraftQuery(
+    "d38_family_compaction_sweep", {
+      import SimilarityOps.{CompactAmpFloor, CompactDeleteMods}
+      val rels = Seq(
+        "ann_postings" -> "(SELECT vec_id AS id FROM ab)",
+        "band_keys" -> "(SELECT doc_id AS id FROM bd)",
+        "chunk_digests" -> "(SELECT doc_id AS id FROM ce)",
+        // IVF cell assignment is a row-preserving map of the embedding
+        // table (every vector lands in exactly one cell), so its
+        // cardinality IS the vector count; same for the semantic-cell
+        // family over non-null-text documents
+        "ivf_postings" -> "(SELECT vec_id AS id FROM embeddings)",
+        "semantic_cells" ->
+          "(SELECT doc_id AS id FROM documents WHERE text IS NOT NULL)",
+        "term_postings" -> "(SELECT doc_id AS id FROM tposts)")
+      val legs = for { (fam, rel) <- rels; m <- CompactDeleteMods } yield
+        s"""SELECT '$fam' AS family, CAST($m AS BIGINT) AS del_mod,
+           |       t.n_index, t.n_live, t.n_index - t.n_live AS n_tomb_rows,
+           |       CAST(t.n_index AS DOUBLE) / t.n_live AS read_amp,
+           |       CAST(t.n_index AS DOUBLE) / t.n_live > $CompactAmpFloor
+           |         AS advise_compact,
+           |       CASE WHEN CAST(t.n_index AS DOUBLE) / t.n_live > $CompactAmpFloor
+           |            THEN 1.0
+           |            ELSE CAST(t.n_index AS DOUBLE) / t.n_live END AS amp_after
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS n_index,
+           |        CAST(sum(CASE WHEN id % $m <> 0 THEN 1 ELSE 0 END)
+           |          AS BIGINT) AS n_live
+           |      FROM $rel t0) t""".stripMargin
+      s"""WITH ${portableBandCtesWhere("TRUE")},
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ab AS ($portableAnnBucketsSql),
+        |tposts AS (SELECT doc_id, unnest(list_distinct(t)) AS term
+        |           FROM toks WHERE t IS NOT NULL),
+        |${MultimodalOps.cdcChunkCtes("TRUE")}
+        |${legs.mkString("\nUNION ALL\n")}""".stripMargin
+    }) { (spark, sf) =>
+    import SimilarityOps.{CompactAmpFloor, CompactDeleteMods}
+    val docs = Tables.documents(spark, sf)
+    val isDelta = col("doc_id") % 10 === 7
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val fams: Seq[(String, DataFrame, String)] = Seq(
+      ("ann_postings",
+        graft.sources.SignatureLake.portableAnnBuckets(spark, sf), "vec_id"),
+      ("band_keys",
+        graft.sources.SignatureLake.portableBandKeys(spark, sf), "doc_id"),
+      ("chunk_digests",
+        MultimodalOps.cdcChunks(MultimodalOps.asCdcPayloads(spark, sf)),
+        "doc_id"),
+      ("ivf_postings",
+        graft.sources.SignatureLake.incrementalIvfPostings(spark, sf,
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0)), "vec_id"),
+      ("semantic_cells",
+        graft.sources.SignatureLake.incrementalSemCells(spark, sf,
+          docs.filter(!isDelta), docs.filter(isDelta)), "doc_id"),
+      ("term_postings",
+        graft.sources.SignatureLake.termImpacts(spark, sf), "doc_id"))
+    fams.map { case (name, rel, idCol) =>
+      // BOTH delete fractions in one pass over the family relation
+      val liveCols = CompactDeleteMods.map(m =>
+        sum(when(col(idCol) % m =!= 0, 1L).otherwise(0L)).as(s"__l$m"))
+      val amp = col("n_index").cast("double") / col("n_live")
+      rel.agg(count(lit(1)).as("n_index"), liveCols: _*)
+        .select(lit(name).as("family"), col("n_index"),
+          explode(array(CompactDeleteMods.map(m =>
+            struct(lit(m.toLong).as("del_mod"), col(s"__l$m").as("n_live"))): _*))
+            .as("__x"))
+        .select(col("family"), col("__x.del_mod").as("del_mod"),
+          col("n_index"), col("__x.n_live").as("n_live"))
+        .select(col("family"), col("del_mod"), col("n_index"), col("n_live"),
+          (col("n_index") - col("n_live")).as("n_tomb_rows"),
+          amp.as("read_amp"),
+          (amp > CompactAmpFloor).as("advise_compact"),
+          when(amp > CompactAmpFloor, lit(1.0)).otherwise(amp).as("amp_after"))
+    }.reduce(_ unionByName _)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
@@ -3568,5 +3703,5 @@ object DedupOps {
     lakeAppendQ, annLakeAppendQ, kmvVocabQ, kmvOverlapQ,
     exactSubstringQ, bandLakeDeleteQ, annLakeDeleteQ,
     substringDecontaminateQ, spanFunnelQ, semDedupQ, editDistanceQ,
-    semDedupIncrementalQ, semCellDeleteQ)
+    semDedupIncrementalQ, semCellDeleteQ, familyCompactionQ)
 }

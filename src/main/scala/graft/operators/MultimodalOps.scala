@@ -911,12 +911,17 @@ object MultimodalOps {
     * documents scan) — d36's takedown chain replays the chunk
     * relation and the keep-first report over exactly the surviving
     * documents. */
-  private[graft] def cdcOracleSqlWhere(where: String): String = {
+  /** The CDC chunk-relation CTEs alone (dd → cz → ce, ending at the
+    * chunk relation `ce(doc_id, off, dg, nb)`) — the prefix of
+    * [[cdcOracleSqlWhere]], exposed so other rows (d38's per-family
+    * read-amplification) can count chunk rows without restating the
+    * chunk rule. */
+  private[graft] def cdcChunkCtes(where: String): String = {
       val W = CdcWindow
       val D = CdcDivisor
       val hex = "0123456789abcdef"
       val sfx = CdcNonAsciiSuffix
-      s"""WITH dd AS (SELECT doc_id,
+      s"""dd AS (SELECT doc_id,
         |              hex(encode(text || CASE WHEN doc_id % $CdcSuffixMod = $CdcSuffixRem
         |                                      THEN '$sfx' ELSE '' END)) AS h,
         |              octet_length(encode(text || CASE WHEN doc_id % $CdcSuffixMod = $CdcSuffixRem
@@ -938,7 +943,11 @@ object MultimodalOps {
         |         (SELECT doc_id, h, unnest(list_transform(range(1, len(cuts)), i ->
         |            struct_pack(off := cuts[i],
         |              nb := cuts[i + 1] - cuts[i]))) AS u
-        |          FROM cz) z),
+        |          FROM cz) z)""".stripMargin
+  }
+
+  private[graft] def cdcOracleSqlWhere(where: String): String =
+    s"""WITH ${cdcChunkCtes(where)},
         |rn AS (SELECT *, row_number() OVER (PARTITION BY dg
         |         ORDER BY doc_id, off) AS r FROM ce)
         |SELECT doc_id,
@@ -949,7 +958,6 @@ object MultimodalOps {
         |       CAST(coalesce(sum(CASE WHEN r > 1 THEN nb END), 0) AS DOUBLE)
         |         / CAST(sum(nb) AS BIGINT) AS dedup_ratio
         |FROM rn GROUP BY doc_id""".stripMargin
-  }
 
   val cdcChunkDedupQ: GraftQuery = GraftQuery(
     "m13_cdc_chunk_dedup", cdcOracleSql) { (spark, sf) =>

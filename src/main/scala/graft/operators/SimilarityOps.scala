@@ -2856,6 +2856,84 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_scaled"))
   }
 
+  /** The PRODUCTION serve between a takedown and the next tier recut:
+    * [[bm25RankCappedFromTier]] with the tombstone set anti-joined on
+    * BOTH lake scans — the champion tier (a deleted doc must not
+    * generate candidates) and the impact relation (it must not
+    * rescore either). The materialized impacts keep their baked-in
+    * pre-takedown corpus stats (df/N/avgdl still count the deleted
+    * docs), so surviving scores drift exactly as s33 prices for
+    * appends — the s34 row gates that drift against the
+    * [[ImpactRefreshFloor]] — but a deleted doc is ABSENT from every
+    * result, which is the takedown guarantee. d37's crossover decides
+    * when the drift (and the masked scan tax) is worth the recut.
+    * Scale shape: two bucketed lake scans + one tombstone anti-join
+    * per scan ([[graft.sources.SignatureLake.maskTombstones]] —
+    * broadcast under its row bound, shuffled past it); still no
+    * window over any posting relation on the serve plan. */
+  def bm25RankCappedFromTierMasked(qt: DataFrame, si: DataFrame,
+      tier: DataFrame, tombstones: DataFrame, k: Int, excludeSelf: Boolean,
+      budget: Long, tierCeiling: Long = TierMaxBudget): DataFrame =
+    bm25RankCappedFromTier(qt,
+      graft.sources.SignatureLake.maskTombstones(si, tombstones, "doc_id"),
+      graft.sources.SignatureLake.maskTombstones(tier, tombstones, "doc_id"),
+      k, excludeSelf, budget, tierCeiling)
+
+  /** The masked-tier serve's oracle chain off the shared full prefix
+    * (mirror of [[bm25RankCappedFromTierMasked]]): the champion tier
+    * is cut on the PRE-takedown impact relation `si` — per-term rank
+    * and corpus stats both bake in the deleted docs, exactly what the
+    * materialized `term_impacts`/`term_champions` tables carry between
+    * a takedown and the next recut — then tombstoned docs are masked
+    * out of the tier AND the rescore relation, and queries are the
+    * surviving sample (a deleted doc must not issue probes either).
+    * Ends at `rkm$sfx`; `qtm$sfx` (surviving queries) is also left in
+    * scope for rebuild chains that must probe with the same sample.
+    * Shared verbatim by s34 and st17 so the two texts cannot state a
+    * different masked serve. */
+  private[graft] def bm25MaskedTierChainCtes(mod: Int, rem: Int,
+      sfx: String = "", budget: Long = PostingBudget): String =
+    s"""qtm$sfx AS (SELECT * FROM qt WHERE query_id % $mod <> $rem),
+      |sim$sfx AS (SELECT * FROM si WHERE doc_id % $mod <> $rem),
+      |champm$sfx AS (SELECT term, doc_id, s FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY term
+      |      ORDER BY s DESC, doc_id) AS pr FROM si) t
+      |  WHERE pr <= $budget AND doc_id % $mod <> $rem),
+      |candm$sfx AS (SELECT DISTINCT q.query_id, p.doc_id
+      |         FROM qtm$sfx q JOIN champm$sfx p USING (term)),
+      |aggm$sfx AS (SELECT cd.query_id, cd.doc_id,
+      |           CAST(sum(p.s) AS BIGINT) AS score_scaled
+      |         FROM candm$sfx cd JOIN qtm$sfx q ON q.query_id = cd.query_id
+      |              JOIN sim$sfx p ON p.term = q.term AND p.doc_id = cd.doc_id
+      |         GROUP BY 1, 2),
+      |rkm$sfx AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score_scaled DESC, doc_id) AS rank FROM aggm$sfx)""".stripMargin
+
+  /** The survivor-REBUILD capped chain off the shared full prefix —
+    * what a tier RECUT serves after a takedown: corpus stats, impact
+    * ranks, and the query sample all restricted to the surviving
+    * slice. Ends at `rkr$sfx`. Shared verbatim by s34 (the rebuild
+    * reference the masked serve is priced against) and st18 (the
+    * post-recut serve itself), so the two texts cannot state a
+    * different rebuild. */
+  private[graft] def bm25SurvivorChainCtes(mod: Int, rem: Int,
+      sfx: String = "", budget: Long = PostingBudget): String =
+    s"""${bm25FrozenSiCtes(s"doc_id % $mod <> $rem", s"s$sfx")},
+      |qts$sfx AS (SELECT * FROM qt WHERE query_id % $mod <> $rem),
+      |champs$sfx AS (SELECT term, doc_id, s FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY term
+      |      ORDER BY s DESC, doc_id) AS pr FROM sis$sfx) t
+      |  WHERE pr <= $budget),
+      |cands$sfx AS (SELECT DISTINCT q.query_id, p.doc_id
+      |         FROM qts$sfx q JOIN champs$sfx p USING (term)),
+      |aggs$sfx AS (SELECT cd.query_id, cd.doc_id,
+      |           CAST(sum(p.s) AS BIGINT) AS score_scaled
+      |         FROM cands$sfx cd JOIN qts$sfx q ON q.query_id = cd.query_id
+      |              JOIN sis$sfx p ON p.term = q.term AND p.doc_id = cd.doc_id
+      |         GROUP BY 1, 2),
+      |rkr$sfx AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score_scaled DESC, doc_id) AS rank FROM aggs$sfx)""".stripMargin
+
   /** The s27 oracle's CTE chain (tokenize → postings → df → query
     * terms → snapped per-term scores → ranked per-doc totals), ending
     * at `rk(query_id, doc_id, score_scaled, rank)` — shared with the
@@ -2950,8 +3028,11 @@ object SimilarityOps {
     // CONTRACT: selfPred references doc_id/query_id BARE (the rewrite
     // is a blind token substitution — an already-qualified reference
     // like `a.doc_id` would be silently rewritten into `a.cd.doc_id`);
-    // enforced here so a future caller fails loudly, not wrongly.
-    require(!selfPred.contains("."),
+    // enforced here so a future caller fails loudly, not wrongly. The
+    // check targets the actual hazard — a QUALIFIED key reference —
+    // so predicates with legitimate non-identifier dots (decimal
+    // literals, function calls) stay usable.
+    require("""\w+\.(doc_id|query_id)\b""".r.findFirstIn(selfPred).isEmpty,
       s"bm25CappedChainCtes: selfPred must reference doc_id/query_id " +
         s"unqualified (got: $selfPred)")
     val cappedPred = selfPred
@@ -3363,6 +3444,30 @@ object SimilarityOps {
     * AND positive branches are both exercised deterministically. */
   val ImpactRefreshFloor = 0.75
 
+  /** Stream-path tier maintenance policy (st18 — the s33 refresh rule
+    * ACTED ON where the appends actually arrive): between maintenance
+    * windows the materialized impact/tier tables stay FROZEN; a recut
+    * triggers when the un-materialized delta fraction crosses this,
+    * or on ANY takedown (a takedown is a correctness event — s34's
+    * mask serves until the recut, but the recut itself must not wait
+    * on drift). The fraction is the estimator a deployment can afford
+    * PER MICRO-BATCH (two counters); the s33 overlap sweep is its
+    * calibration: a 1/20 delta (5%) holds mean overlap ≥ 0.90 at
+    * every sf while a 1/3 delta (33%) breaks the 0.75 floor — 0.15
+    * sits between the two measured operating points. A per-batch
+    * recut (st15's unconditional post-stream shape applied naively
+    * per batch) would pay a full si+tier rewrite per micro-batch;
+    * this policy pays it only when the calibration says the frozen
+    * tier is no longer serving within the floor. */
+  val TierRecutDeltaFraction = 0.15
+
+  /** The recut decision — two longs and a flag, evaluable inside any
+    * foreachBatch without touching the lake. */
+  def shouldRecutTier(docsSinceRecut: Long, docsTotal: Long,
+      takedown: Boolean): Boolean =
+    takedown ||
+      (docsTotal > 0 && docsSinceRecut.toDouble / docsTotal > TierRecutDeltaFraction)
+
   /** The frozen-vs-recomputed staleness sweep behind s33: per delta
     * mod, the production capped serve under (a) impacts + champion
     * tier SNAPPED on the pre-append base — df/N/avgdl baked in at
@@ -3608,6 +3713,96 @@ object SimilarityOps {
     }.reduce(_ unionByName _)
   }
 
+  /** s34 — the MATERIALIZED champion tier under takedown (the r15
+    * verdict's one correctness-at-scale hole, closed): production
+    * serves BM25 off the `term_impacts`/`term_champions` lake tables
+    * (s30/s31/s32), but until this row only the INLINE-derivation
+    * serve was takedown-gated (d34/st17 mask before stats) — nothing
+    * masked the tier tables themselves, so a deleted doc kept
+    * generating candidates and rescoring until the next recut. Gated
+    * here, on the production path:
+    *
+    *  - the serve is [[bm25RankCappedFromTierMasked]] off the SHARED
+    *    materialized lake families — tombstones anti-joined on both
+    *    the tier scan and the rescore scan, stats left stale (the
+    *    materialization predates the takedown, so df/N/avgdl still
+    *    count the deleted docs — recomputing them would be the recut,
+    *    a different operation priced by d37);
+    *  - `n_deleted_results` pins the takedown guarantee: the oracle
+    *    states literal 0 while the engine counts what the masked
+    *    serve actually returned — one leaked tier posting flips it;
+    *  - the ranking DRIFT the stale stats cost is measured against
+    *    the survivor REBUILD (fresh stats + fresh tier over surviving
+    *    docs — what a recut would serve) and gated within the s33
+    *    staleness floor: `floor_ok` pins mean overlap ≥
+    *    [[ImpactRefreshFloor]], so "serve masked until the next
+    *    maintenance window" is a PRICED policy, not a hope.
+    *
+    * The oracle replays both chains bit-for-bit off the shared
+    * tokenization: the masked chain cuts the tier on pre-takedown
+    * stats then masks ([[bm25MaskedTierChainCtes]] — shared verbatim
+    * with st17's streamed twin), the rebuild chain derives
+    * survivor-stats impacts ([[bm25FrozenSiCtes]] pointed at the
+    * survivor slice); overlap is exact-integer division. */
+  val maskedTierServeQ: GraftQuery = GraftQuery(
+    "s34_masked_tier_serve", {
+      import DedupOps.{TombMod, TombRem}
+      s"""WITH $bm25PrefixCtes,
+        |${bm25MaskedTierChainCtes(TombMod, TombRem)},
+        |${bm25SurvivorChainCtes(TombMod, TombRem)}
+        |SELECT t.n_queries, t.total_hits, t.total_k,
+        |       CAST(t.total_hits AS DOUBLE) / t.total_k AS mean_overlap,
+        |       t.min_overlap,
+        |       CAST(t.total_hits AS DOUBLE) / t.total_k >= $ImpactRefreshFloor
+        |         AS floor_ok,
+        |       CAST(0 AS BIGINT) AS n_deleted_results
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |        CAST(sum(h) AS BIGINT) AS total_hits,
+        |        CAST(sum(kf) AS BIGINT) AS total_k,
+        |        min(CAST(h AS DOUBLE) / kf) AS min_overlap
+        |      FROM (SELECT f.query_id, count(*) AS kf,
+        |              sum(CASE WHEN m2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+        |            FROM (SELECT query_id, doc_id FROM rkr
+        |                  WHERE rank <= $Bm25TopK) f
+        |            LEFT JOIN (SELECT query_id, doc_id FROM rkm
+        |                       WHERE rank <= $Bm25TopK) m2
+        |              ON m2.query_id = f.query_id AND m2.doc_id = f.doc_id
+        |            GROUP BY f.query_id) pq) t""".stripMargin
+    }) { (spark, sf) =>
+    import DedupOps.{TombMod, TombRem}
+    val docs = Tables.documents(spark, sf)
+    val si = graft.sources.SignatureLake.termImpacts(spark, sf)
+    val tier = graft.sources.SignatureLake.termChampions(spark, sf)
+    val deleted = docs.filter(col("doc_id") % TombMod === TombRem)
+      .select("doc_id")
+    val survivors = docs.filter(col("doc_id") % TombMod =!= TombRem)
+    val qt = bm25QueryTerms(survivors, Bm25QueryMod)
+    val masked = bm25RankCappedFromTierMasked(qt, si, tier, deleted,
+      Bm25TopK, excludeSelf = false, budget = PostingBudget)
+    // the rebuild leg is the audit tier (what the next recut would
+    // serve): fresh postings, fresh stats, fresh tier over survivors
+    val rebuilt = bm25RankCapped(survivors, bm25Postings(survivors))
+    val nDeleted = masked.agg(
+      coalesce(sum(when(col("doc_id") % TombMod === TombRem, 1L)
+        .otherwise(0L)), lit(0L)).as("n_deleted_results"))
+    val overlap = col("total_hits").cast("double") / col("total_k")
+    rebuilt.select(col("query_id"), col("doc_id"))
+      .join(masked.select(col("query_id").as("__cq"), col("doc_id").as("__cd")),
+        col("__cq") === col("query_id") && col("__cd") === col("doc_id"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("kf"),
+        sum(when(col("__cd").isNotNull, 1L).otherwise(0L)).as("h"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("h")).as("total_hits"), sum(col("kf")).as("total_k"),
+        min(col("h").cast("double") / col("kf")).as("min_overlap"))
+      .crossJoin(broadcast(nDeleted))
+      .select(col("n_queries"), col("total_hits"), col("total_k"),
+        overlap.as("mean_overlap"), col("min_overlap"),
+        (overlap >= ImpactRefreshFloor).as("floor_ok"),
+        col("n_deleted_results"))
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
@@ -3615,5 +3810,6 @@ object SimilarityOps {
     ivfLakeAppendQ, knnIvfLakeQ, ivfLakeDeleteQ, ivfRetrainCrossoverQ,
     knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q, hybridRrfQ,
     postingBudgetQ, cappedServeQ, hybridLakeQ, budgetCurveQ,
-    termLakeDeleteQ, impactStalenessQ, compactionCrossoverQ)
+    termLakeDeleteQ, impactStalenessQ, compactionCrossoverQ,
+    maskedTierServeQ)
 }

@@ -81,6 +81,12 @@ object SignatureLake {
 
   private val delCache = new ConcurrentHashMap[Key, TombstonedLake]()
 
+  /** Broadcast sketches (the third lake-artifact kind next to
+    * bucketed tables and codebooks) — currently the d09
+    * decontamination Bloom filter. */
+  private val bloomCache = new ConcurrentHashMap[Key,
+    org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
+
   /** Drop entries owned by stopped sessions — a session per job in a
     * long-lived JVM must not accumulate dead (session, DataFrame)
     * graphs in this static map. (The stopped session's catalog is gone
@@ -99,6 +105,10 @@ object SignatureLake {
     while (it3.hasNext) {
       if (it3.next().getKey.session.sparkContext.isStopped) it3.remove()
     }
+    val it4 = bloomCache.entrySet().iterator()
+    while (it4.hasNext) {
+      if (it4.next().getKey.session.sparkContext.isStopped) it4.remove()
+    }
   }
 
   private def registerExtra(spark: SparkSession, t: String): Unit = {
@@ -106,18 +116,28 @@ object SignatureLake {
   }
 
   /** Deterministic identity of an incremental family's input split:
-    * the semantic hash of each frame's analyzed plan, hex-joined.
-    * Folded into every incremental family's memo key (and therefore
-    * its table name), so two callers passing DIFFERENT (base, delta)
-    * splits under the same slice name can never silently share one
-    * lake — they materialize distinct tables — while identical
-    * replays (registry rows, bench reps) still memo-hit: canonicalized
-    * plans hash stably across reconstructions within a session
+    * an MD5 over each frame's CANONICALIZED plan string, truncated to
+    * 64 bits of hex, joined. Folded into every incremental family's
+    * memo key (and therefore its table name), so two callers passing
+    * DIFFERENT (base, delta) splits under the same slice name can
+    * never silently share one lake — they materialize distinct
+    * tables — while identical replays (registry rows, bench reps)
+    * still memo-hit: canonicalized plans normalize expression ids, so
+    * the string is stable across reconstructions within a session
     * (verified against the actual caller pattern, fresh
-    * `read.parquet(...).filter(...)` per call). */
+    * `read.parquet(...).filter(...)` per call). A 128-bit digest
+    * truncated to 64 bits replaces the earlier 32-bit semanticHash:
+    * at 32 bits a birthday collision between two different splits
+    * under the same slice would memo-hit and silently serve one
+    * split's lake to the other caller — exactly the silent-sharing
+    * failure this key exists to prevent. */
   private def splitKey(dfs: DataFrame*): String =
-    dfs.map(df => java.lang.Integer.toHexString(
-      df.queryExecution.analyzed.semanticHash())).mkString("_")
+    dfs.map { df =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(df.queryExecution.analyzed.canonicalized.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+    }.mkString("_")
 
   private def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
@@ -297,6 +317,23 @@ object SignatureLake {
       SimilarityOps.bm25ImpactRanked(si)
         .filter(col("pr") <= SimilarityOps.TierMaxBudget)
     }
+  }
+
+  /** Memoized decontamination Bloom filter over the benchmark fixture
+    * (every 50th document — the d08/d09 eval-suite stand-in): the two
+    * driver-side actions behind it (distinct gram count +
+    * treeAggregate fill) are INDEX-BUILD cost, paid once per
+    * (session, sfDir) and attributed as a named bench `lake_build`
+    * entry, so the d09 row times probe + exact-join only (the
+    * d22/tier attribution rule). A deployment builds this once per
+    * benchmark-suite release and serves every decontamination pass
+    * off the broadcast. */
+  def decontamBloomFilter(spark: SparkSession, sfDir: String)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] = {
+    evictStopped()
+    bloomCache.computeIfAbsent(Key(spark, sfDir, "decontam_bloom"), _ =>
+      DedupOps.buildDecontamBloom(
+        Tables.documents(spark, sfDir).filter(col("doc_id") % 50 === 0)))
   }
 
   /** Portable SimHash fingerprints (doc_id, sh0, sh1), bucketed by
@@ -698,12 +735,31 @@ object SignatureLake {
     tt
   }
 
+  /** Row bound for force-broadcasting the tombstone side of
+    * [[maskTombstones]]: 4M ids ≈ 32 MB of longs on every executor —
+    * comfortably inside a production broadcast budget. Past it the
+    * "takedown-batch sized" contract no longer holds (a bulk purge —
+    * d37's 1/3 slice — would ship a third of all doc ids to every
+    * task and OOM the driver at 100 TB), so the mask falls back to a
+    * shuffled anti-join on the bucketed id column instead of trusting
+    * the scaladoc. */
+  val MaskBroadcastMaxRows: Long = 4L * 1000 * 1000
+
   /** The between-compactions serve view: index rows whose id is not
-    * tombstoned. The tombstone side is takedown-batch sized (≪ index),
-    * so the anti-join broadcasts — no index-side shuffle. */
+    * tombstoned. The tombstone side is normally takedown-batch sized
+    * (≪ index), so the anti-join broadcasts — no index-side shuffle.
+    * That contract is ENFORCED, not assumed: the tombstone side is
+    * counted (one scan of a tiny id-keyed table — parquet-footer
+    * cheap) and past [[MaskBroadcastMaxRows]] the mask plans a
+    * shuffled anti-join instead of force-broadcasting a relation that
+    * only a scaladoc promised was small. */
   def maskTombstones(index: DataFrame, tombstones: DataFrame,
-      idCol: String): DataFrame =
-    index.join(broadcast(tombstones.select(idCol)), Seq(idCol), "left_anti")
+      idCol: String, maxBroadcastRows: Long = MaskBroadcastMaxRows): DataFrame = {
+    val tomb = tombstones.select(idCol)
+    if (tomb.count() <= maxBroadcastRows)
+      index.join(broadcast(tomb), Seq(idCol), "left_anti")
+    else index.join(tomb, Seq(idCol), "left_anti")
+  }
 
   /** Physical delete — the maintenance-window rewrite: a NEW bucketed
     * generation of the index without the tombstoned rows, after which

@@ -1170,29 +1170,35 @@ object StreamReplay {
 
   /** st17 — takedowns against the LEXICAL index arriving on the
     * stream (st13's device pointed at the term lake, the stream twin
-    * of d34): the term-posting lake is built for the full corpus,
-    * then the tombstone batch (doc_id % 7 == 3, the standard takedown
-    * slice) arrives through a real streaming query whose foreachBatch
-    * appends doc-id tombstones per micro-batch — never an index
-    * rewrite. The gate serves the PRODUCTION capped ranking off the
-    * tombstone-MASKED view with corpus stats derived POST-mask (mask
-    * before stats — the d34 rule; for an inverted index a takedown
-    * must shift df/N/avgdl, not just hide rows), against the capped
-    * chain replayed over surviving documents. `n_deleted_results` is
-    * pinned at literal 0 by the oracle while the engine counts what
-    * the masked serve actually returned — a mask that leaked one
-    * posting would both split the ranking hash and flip this count. */
+    * of d34), gated on the PRODUCTION TIER PATH (r16 — the r15
+    * verdict's hole): the term-posting lake is built for the full
+    * corpus and its impact + champion-tier tables are MATERIALIZED
+    * (the maintenance-window write — this happens BEFORE the takedown
+    * exists, so pre-takedown corpus stats are baked in, exactly the
+    * production timeline), then the tombstone batch (doc_id % 7 == 3,
+    * the standard takedown slice) arrives through a real streaming
+    * query whose foreachBatch appends doc-id tombstones per
+    * micro-batch — never an index rewrite, never a tier recut. The
+    * gate serves [[graft.operators.SimilarityOps.bm25RankCappedFromTierMasked]]
+    * off those materialized tables with the streamed tombstones
+    * anti-joined on BOTH scans, against the masked-tier chain
+    * replayed bit-for-bit (stale stats and all —
+    * [[graft.operators.SimilarityOps.bm25MaskedTierChainCtes]],
+    * shared verbatim with s34, which prices the drift; the
+    * mask-before-stats serve stays gated by d34's batch row).
+    * `n_deleted_results` is pinned at literal 0 by the oracle while
+    * the engine counts what the masked serve actually returned — one
+    * leaked tier posting would both split the ranking hash and flip
+    * this count. */
   val streamTermTombstoneQ: GraftQuery = GraftQuery(
     "st17_stream_term_tombstone", {
       import graft.operators.DedupOps.{TombMod, TombRem}
       import graft.operators.SimilarityOps
-      s"""WITH ${SimilarityOps.bm25OracleCtesWhere("TRUE",
-           s"doc_id % $TombMod <> $TombRem")},
-        |${SimilarityOps.bm25CappedChainCtes(
-           SimilarityOps.PostingBudget, "", "TRUE")},
+      s"""WITH ${SimilarityOps.bm25PrefixCtes},
+        |${SimilarityOps.bm25MaskedTierChainCtes(TombMod, TombRem)},
         |res AS (SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
         |               score_scaled
-        |        FROM rkc WHERE rank <= ${SimilarityOps.Bm25TopK})
+        |        FROM rkm WHERE rank <= ${SimilarityOps.Bm25TopK})
         |SELECT r.*, CAST(0 AS BIGINT) AS n_deleted_results
         |FROM res r""".stripMargin
     }) { (spark, sf) =>
@@ -1211,6 +1217,10 @@ object StreamReplay {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS $tomb")
     SignatureLake.appendTermPostings(spark, table, docs) // full-corpus build
+    // the maintenance window's serve-side materialization — written
+    // BEFORE any takedown arrives, so the impacts/tier bake in
+    // pre-takedown corpus stats (the production timeline s34 prices)
+    val termServe = SignatureLake.writeTermServeTables(spark, table)
     // empty-tombstone bootstrap (st13's rule): an empty takedown
     // slice must serve the unmasked ranking, not throw on the
     // unresolvable side table
@@ -1241,19 +1251,207 @@ object StreamReplay {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
         finally walk.close()
       }
-      val served = SignatureLake.maskTombstones(
-        spark.table(table), spark.table(tomb), "doc_id")
       val survivors = docs.filter(col("doc_id") % TombMod =!= TombRem)
-      val ranking = SimilarityOps.bm25RankCapped(survivors, served)
+      val ranking = SimilarityOps.bm25RankCappedFromTierMasked(
+        SimilarityOps.bm25QueryTerms(survivors, SimilarityOps.Bm25QueryMod),
+        termServe.impacts, termServe.tier, spark.table(tomb),
+        SimilarityOps.Bm25TopK, excludeSelf = false,
+        budget = SimilarityOps.PostingBudget)
       val out = ranking.crossJoin(broadcast(ranking.agg(
         coalesce(sum(when(col("doc_id") % TombMod === TombRem, 1L)
           .otherwise(0L)), lit(0L)).as("n_deleted_results"))))
       spark.createDataFrame(
         java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      spark.sql(s"DROP TABLE IF EXISTS $tomb")
-    }
+    } finally Seq(table, s"${table}_si", s"${table}_tier", tomb)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  /** st18 — the s33 REFRESH RULE wired into stream-path tier
+    * maintenance (st15 recuts si/tier unconditionally post-stream; a
+    * deployment recutting per micro-batch would pay a full tier
+    * rewrite per batch): the base 9/10 of the corpus is indexed and
+    * its impact + champion-tier tables materialized (recut #0), then
+    * the delta slice streams in THREE micro-batches whose
+    * foreachBatch appends postings and consults
+    * [[graft.operators.SimilarityOps.shouldRecutTier]] — the
+    * two-counter delta-fraction estimator calibrated by s33's overlap
+    * sweep — which must HOLD at every batch (the full delta is 10% of
+    * the corpus, under the 15% threshold: `mid_recuts` pinned 0, the
+    * advisory's negative branch). The frozen tier then serves the
+    * post-append query sample and the gate prices exactly what the
+    * hold cost: `frozen_mean_overlap` vs a full recompute, pinned
+    * within the [[graft.operators.SimilarityOps.ImpactRefreshFloor]]
+    * (`frozen_floor_ok` — the calibration honored, bit-for-bit via
+    * the frozen-stats chain). Finally a TAKEDOWN batch streams in and
+    * the advisory's other branch fires unconditionally
+    * (`total_recuts` pinned 1): the maintenance window folds the
+    * tombstones into a physical rewrite and recuts si/tier over the
+    * new generation, and the emitted ranking is that post-recut serve
+    * — which the oracle replays as the survivor-rebuild chain (fresh
+    * stats, fresh tier — shared verbatim with s34's rebuild
+    * reference), with `n_deleted_results` pinned 0. 100 TB shape:
+    * per-batch cost is two counters; the si+tier rewrite is paid only
+    * past the calibrated floor or on takedown. */
+  val streamTierMaintenanceQ: GraftQuery = GraftQuery(
+    "st18_stream_tier_maintenance", {
+      import graft.operators.DedupOps.{TombMod, TombRem}
+      import graft.operators.SimilarityOps
+      import SimilarityOps.{Bm25TopK, ImpactRefreshFloor, PostingBudget}
+      s"""WITH ${SimilarityOps.bm25PrefixCtes},
+        |${SimilarityOps.bm25CappedChainCtes(PostingBudget, "", "TRUE")},
+        |${SimilarityOps.bm25FrozenSiCtes("doc_id % 10 <> 7", "b")},
+        |${SimilarityOps.bm25CappedChainCtes(PostingBudget, "fb", "TRUE",
+           si = "sib")},
+        |${SimilarityOps.bm25SurvivorChainCtes(TombMod, TombRem)},
+        |fov AS (SELECT CAST(sum(h) AS BIGINT) AS th,
+        |          CAST(sum(kf) AS BIGINT) AS tk,
+        |          min(CAST(h AS DOUBLE) / kf) AS mino
+        |        FROM (SELECT f.query_id, count(*) AS kf,
+        |                sum(CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+        |              FROM (SELECT query_id, doc_id FROM rkc
+        |                    WHERE rank <= $Bm25TopK) f
+        |              LEFT JOIN (SELECT query_id, doc_id FROM rkcfb
+        |                         WHERE rank <= $Bm25TopK) c2
+        |                ON c2.query_id = f.query_id AND c2.doc_id = f.doc_id
+        |              GROUP BY f.query_id) pq)
+        |SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+        |       r.score_scaled,
+        |       CAST(fov.th AS DOUBLE) / fov.tk AS frozen_mean_overlap,
+        |       fov.mino AS frozen_min_overlap,
+        |       CAST(fov.th AS DOUBLE) / fov.tk >= $ImpactRefreshFloor
+        |         AS frozen_floor_ok,
+        |       CAST(0 AS BIGINT) AS mid_recuts,
+        |       CAST(1 AS BIGINT) AS total_recuts,
+        |       CAST(0 AS BIGINT) AS n_deleted_results
+        |FROM (SELECT query_id, rank, doc_id, score_scaled FROM rkr
+        |      WHERE rank <= $Bm25TopK) r, fov""".stripMargin
+    }) { (spark, sf) =>
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupOps.{TombMod, TombRem}
+    import graft.operators.SimilarityOps
+    import graft.sources.SignatureLake
+    val docs = Tables.documents(spark, sf)
+    val isDelta = col("doc_id") % 10 === 7
+    val table = s"graft_lake_st18terms_${sf.replaceAll("[^A-Za-z0-9]+", "_")}" +
+      s"_p${ProcessHandle.current().pid()}_s${nameCounter.incrementAndGet()}"
+    val tomb = s"${table}_tomb"
+    val g2 = s"${table}_g2"
+    val owned = Seq(table, s"${table}_si", s"${table}_tier", tomb,
+      g2, s"${g2}_si", s"${g2}_tier")
+    owned.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      SignatureLake.appendTermPostings(spark, table, docs.filter(!isDelta))
+      // recut #0 — the maintenance window's serve-side materialization
+      val termServe = SignatureLake.writeTermServeTables(spark, table)
+      val baseDocs = docs.filter(!isDelta).count()
+      val delta = docs.filter(isDelta).select("doc_id", "source", "text")
+        .as[DocRow].collect().sortBy(_.doc_id).toSeq
+      val chunks = delta.grouped(math.max(1, (delta.size + 2) / 3)).toSeq
+      var appendedDocs = 0L
+      var midRecuts = 0L
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      def ckptDir() =
+        if (java.nio.file.Files.isDirectory(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft_st18")
+        else java.nio.file.Files.createTempDirectory("graft_st18")
+      def rmCkpt(d: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(d)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      // ---- append stream: the advisory is consulted PER BATCH and
+      // must hold (two counters — the per-batch cost of this policy)
+      val ckpt1 = ckptDir()
+      try {
+        val source = MemoryStream[DocRow]
+        val q = source.toDS().toDF("doc_id", "source", "text")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            SignatureLake.appendTermPostings(spark, table, batch)
+            appendedDocs += batch.count()
+            if (SimilarityOps.shouldRecutTier(appendedDocs,
+                baseDocs + appendedDocs, takedown = false))
+              midRecuts += 1
+          }
+          .option("checkpointLocation", ckpt1.toString)
+          .start()
+        try {
+          chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
+        } finally q.stop()
+      } finally rmCkpt(ckpt1)
+      // the pre-stream si/tier materialization read the posting table,
+      // so THIS session holds a cached file listing for it — and the
+      // micro-batch appends ran through the stream's cloned session,
+      // which never invalidates the parent's cache. Refresh before any
+      // post-stream read (the standard move whenever another writer
+      // appended to a table you already scanned; without it the
+      // recompute leg silently reads the base generation)
+      spark.catalog.refreshTable(table)
+      // ---- the frozen tier keeps serving between windows; price the
+      // hold against a full recompute (the audit leg — s33's shape)
+      val qtFull = SimilarityOps.bm25QueryTerms(docs, SimilarityOps.Bm25QueryMod)
+      val frozen = SimilarityOps.bm25RankCappedFromTier(qtFull,
+          termServe.impacts, termServe.tier, SimilarityOps.Bm25TopK,
+          excludeSelf = false, budget = SimilarityOps.PostingBudget)
+        .select(col("query_id").as("__cq"), col("doc_id").as("__cd"))
+      val recomputed = SimilarityOps.bm25RankCapped(docs, spark.table(table))
+      val fOverlap = col("th").cast("double") / col("tk")
+      val frozenStats = recomputed.select(col("query_id"), col("doc_id"))
+        .join(frozen,
+          col("__cq") === col("query_id") && col("__cd") === col("doc_id"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("kf"),
+          sum(when(col("__cd").isNotNull, 1L).otherwise(0L)).as("h"))
+        .agg(sum(col("h")).as("th"), sum(col("kf")).as("tk"),
+          min(col("h").cast("double") / col("kf")).as("frozen_min_overlap"))
+        .select(fOverlap.as("frozen_mean_overlap"), col("frozen_min_overlap"),
+          (fOverlap >= SimilarityOps.ImpactRefreshFloor).as("frozen_floor_ok"))
+      // ---- takedown stream: tombstones per micro-batch; the
+      // advisory's other branch fires unconditionally
+      val deleted = docs.filter(col("doc_id") % TombMod === TombRem)
+        .select(col("doc_id")).as[Long].collect().sorted.toSeq
+      var totalRecuts = 0L
+      val ckpt2 = ckptDir()
+      try {
+        val source = MemoryStream[Long]
+        val q = source.toDS().toDF("doc_id")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            SignatureLake.appendTombstones(spark, table, batch, "doc_id"); ()
+          }
+          .option("checkpointLocation", ckpt2.toString)
+          .start()
+        try { source.addData(deleted: _*); q.processAllAvailable() }
+        finally q.stop()
+      } finally rmCkpt(ckpt2)
+      if (SimilarityOps.shouldRecutTier(0L, baseDocs + appendedDocs,
+          takedown = true)) {
+        // the maintenance window: fold tombstones into a new
+        // generation, recut si/tier over it
+        SignatureLake.rewriteWithoutTombstones(spark, table, tomb,
+          "doc_id", Seq("term"))
+        totalRecuts += 1
+      }
+      val g2Serve = SignatureLake.writeTermServeTables(spark, g2)
+      val survivors = docs.filter(col("doc_id") % TombMod =!= TombRem)
+      val served = SimilarityOps.bm25RankCappedFromTier(
+        SimilarityOps.bm25QueryTerms(survivors, SimilarityOps.Bm25QueryMod),
+        g2Serve.impacts, g2Serve.tier, SimilarityOps.Bm25TopK,
+        excludeSelf = false, budget = SimilarityOps.PostingBudget)
+      val out = served
+        .crossJoin(broadcast(frozenStats))
+        .withColumn("mid_recuts", lit(midRecuts))
+        .withColumn("total_recuts", lit(totalRecuts))
+        .crossJoin(broadcast(served.agg(
+          coalesce(sum(when(col("doc_id") % TombMod === TombRem, 1L)
+            .otherwise(0L)), lit(0L)).as("n_deleted_results"))))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally owned.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   val all: Seq[GraftQuery] = Seq(
@@ -1261,5 +1459,6 @@ object StreamReplay {
     streamEwmaQ, streamAnomalyQ, streamHeavyHittersQ, streamDedupQ,
     streamContentDedupQ, streamNearDupDedupQ, streamWindowCountsQ,
     streamIndexAppendQ, streamTombstoneQ, streamUpsertQ,
-    streamTermPostingsQ, streamChunkLakeQ, streamTermTombstoneQ)
+    streamTermPostingsQ, streamChunkLakeQ, streamTermTombstoneQ,
+    streamTierMaintenanceQ)
 }

@@ -710,4 +710,30 @@ class PlanInvariantsSpec extends SparkSpec {
         s"${q.name}: serve plan must scan a materialized champion tier")
     }
   }
+
+  test("s34: the MASKED tier serve stays window-free and scans the materialized tier") {
+    // the takedown mask must not smuggle the tier sort back onto the
+    // serve path: masking is an anti-join on both lake scans, the
+    // only windows are the per-query rank windows (s34's production
+    // serve — the rebuild leg inside the s34 ROW is audit-tier and
+    // deliberately excluded here)
+    import graft.operators.DedupOps.{TombMod, TombRem}
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf001)
+    val si = graft.sources.SignatureLake.termImpacts(spark, sf001)
+    val tier = graft.sources.SignatureLake.termChampions(spark, sf001)
+    val masked = SimilarityOps.bm25RankCappedFromTierMasked(
+      SimilarityOps.bm25QueryTerms(
+        docs.filter(col("doc_id") % TombMod =!= TombRem),
+        SimilarityOps.Bm25QueryMod),
+      si, tier,
+      docs.filter(col("doc_id") % TombMod === TombRem).select("doc_id"),
+      SimilarityOps.Bm25TopK, excludeSelf = false,
+      budget = SimilarityOps.PostingBudget)
+    val p = plan(masked)
+    assert(!p.contains("windowspecdefinition(term"),
+      s"masked-tier serve re-sorts the posting relation:\n${p.take(3000)}")
+    assert(p.contains("term_champions"),
+      "masked-tier serve must scan the materialized champion tier")
+  }
 }

@@ -718,4 +718,21 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("read_amp") >= 1.0)
     }
   }
+
+  test("st18 recut policy: holds under the calibrated fraction, fires past it, always fires on takedown") {
+    import SimilarityOps.shouldRecutTier
+    // st18's operating point: a 10% delta must HOLD (the s33
+    // calibration says 5% serves at >= 0.90 overlap; 15% is the
+    // threshold between the two measured points)
+    assert(!shouldRecutTier(10, 100, takedown = false))
+    // past the threshold the frozen tier is outside its calibration
+    assert(shouldRecutTier(20, 100, takedown = false))
+    // s33's own bulk operating point (1/3 delta) must fire
+    assert(shouldRecutTier(34, 102, takedown = false))
+    // a takedown is a correctness event — fires regardless of drift
+    assert(shouldRecutTier(0, 100, takedown = true))
+    // empty-lake bootstrap: no total, no drift-based fire, no crash
+    assert(!shouldRecutTier(0, 0, takedown = false))
+    assert(shouldRecutTier(0, 0, takedown = true))
+  }
 }

@@ -365,4 +365,67 @@ class SignatureLakeSpec extends SparkSpec {
       "rewritten term generation must stay bucketed by term")
     SignatureLake.invalidate(spark)
   }
+
+  test("masked-tier serve: tombstoned docs vanish from the PRODUCTION tier path (s34/st17's subject)") {
+    SignatureLake.invalidate(spark)
+    import graft.operators.SimilarityOps
+    val docs = graft.Tables.documents(spark, sf001)
+    val isDel = col("doc_id") % DedupOps.TombMod === DedupOps.TombRem
+    val si = SignatureLake.termImpacts(spark, sf001)
+    val tier = SignatureLake.termChampions(spark, sf001)
+    val deleted = docs.filter(isDel).select("doc_id")
+    val qt = SimilarityOps.bm25QueryTerms(docs.filter(!isDel),
+      SimilarityOps.Bm25QueryMod)
+    // TEETH: the UNMASKED materialized tier retrievably serves
+    // tombstoned docs — exactly the r15 hole (only the inline
+    // mask-before-stats serve was gated; the tier tables were not)
+    val unmasked = SimilarityOps.bm25RankCappedFromTier(qt, si, tier,
+      SimilarityOps.Bm25TopK, excludeSelf = false,
+      budget = SimilarityOps.PostingBudget)
+    assert(unmasked.filter(isDel).count() > 0,
+      "fixture must make the unmasked tier serve tombstoned docs (non-vacuous)")
+    val masked = SimilarityOps.bm25RankCappedFromTierMasked(qt, si, tier,
+      deleted, SimilarityOps.Bm25TopK, excludeSelf = false,
+      budget = SimilarityOps.PostingBudget)
+    masked.collect()
+    assert(masked.filter(isDel).count() === 0L,
+      "the masked tier path must serve zero tombstoned docs")
+    // every query still gets results (the mask removes docs, not queries)
+    assert(masked.select("query_id").distinct().count()
+      === unmasked.select("query_id").distinct().count(),
+      "masking must not drop whole query groups on this corpus")
+    SignatureLake.invalidate(spark)
+  }
+
+  test("maskTombstones: broadcast under the row bound, shuffled anti-join past it — identical rows") {
+    SignatureLake.invalidate(spark)
+    val docs = graft.Tables.documents(spark, sf001)
+    val post = graft.operators.SimilarityOps.bm25Postings(docs)
+    val tomb = docs.filter(col("doc_id") % DedupOps.TombMod === DedupOps.TombRem)
+      .select("doc_id")
+    val bc = SignatureLake.maskTombstones(post, tomb, "doc_id")
+    bc.collect()
+    val pBc = bc.queryExecution.executedPlan.toString
+    assert(pBc.contains("BroadcastHashJoin") && pBc.contains("LeftAnti"),
+      s"under the bound the tombstone side must broadcast:\n${pBc.take(1500)}")
+    assert(bc.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "under the bound the broadcast hint must be present")
+    // past the bound (forced here with bound=0) the mask must NOT
+    // trust the "takedown-batch sized" scaladoc: d37's bulk-purge
+    // branch tombstones a third of the corpus, and force-broadcasting
+    // that at 100 TB is an OOM, not a plan. The pin is on the HINT —
+    // the guard stops FORCING the broadcast; AQE remains free to pick
+    // one from real runtime stats (on this deliberately tiny fixture
+    // it does, which is correct — at 100 TB the bulk-purge stats
+    // would say otherwise and the planner would shuffle)
+    val sh = SignatureLake.maskTombstones(post, tomb, "doc_id",
+      maxBroadcastRows = 0L)
+    sh.collect()
+    assert(!sh.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "past the bound the mask must not carry a forced broadcast hint")
+    assert(sh.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "the fallback mask must still be an anti-join")
+    assert(bc.exceptAll(sh).isEmpty && sh.exceptAll(bc).isEmpty,
+      "both mask plans must produce identical rows")
+  }
 }
