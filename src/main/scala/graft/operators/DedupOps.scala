@@ -3614,7 +3614,14 @@ object DedupOps {
     * at 100 TB: compact family-by-family — a takedown batch that
     * leaves band read-amp at 1.02 can put chunk read-amp past the
     * floor when the deleted docs were the long ones. */
-  val familyCompactionQ: GraftQuery = GraftQuery(
+  // LAZY (with `all` below) to break an object-initialization cycle:
+  // this oracle reads SimilarityOps.CompactDeleteMods at construction,
+  // and SimilarityOps' own initializer reaches back into DedupOps
+  // (portableAnnBucketsSql from s10) BEFORE those constants are
+  // assigned — a consumer that touches SimilarityOps first would
+  // observe null mid-<clinit> (SimilaritySpec did). Deferring to
+  // first registry access runs after both objects are fully built.
+  lazy val familyCompactionQ: GraftQuery = GraftQuery(
     "d38_family_compaction_sweep", {
       import SimilarityOps.{CompactAmpFloor, CompactDeleteMods}
       val rels = Seq(
@@ -3692,7 +3699,7 @@ object DedupOps {
     }.reduce(_ unionByName _)
   }
 
-  val all: Seq[GraftQuery] = Seq(
+  lazy val all: Seq[GraftQuery] = Seq(
     exactQ, tokenSetQ, minhashQ, simhashQ, ngramJaccardQ, clustersQ,
     clusterRepsQ, decontaminateQ, decontaminateBloomQ, embeddingDupQ,
     coverageQ, portableCoverageQ, portableEmbeddingDupQ, incrementalQ,

@@ -3803,6 +3803,156 @@ object SimilarityOps {
         col("n_deleted_results"))
   }
 
+  /** s35's quantization widths — MANTISSA bits of the significant-
+    * bits truncation (stored impact ≈ a float with an m-bit mantissa
+    * and 6-bit exponent, so the stored width is m+6 bits against the
+    * exact 64). 2/4/8 spans the knee. */
+  val ImpactQuantBits: Seq[Int] = Seq(2, 4, 8)
+
+  /** s35 acceptance floor for the quantized serve's mean top-k overlap
+    * against the exact-impact serve. Measured on the gate corpora
+    * (significant-bits truncation): 8-mantissa-bit holds
+    * 0.96/0.98/0.972 across the three sfs while 4-bit tops out at
+    * 0.74/0.84/0.78 and 2-bit at ≤ 0.60 — 0.9 separates the chosen
+    * width from the rejected ones with ≥ 0.06 margin on both sides at
+    * every sf, so the "smallest m within the floor" advisory picks
+    * 8 deterministically (0.85 would have left 4-bit only 0.01 under
+    * at sf0.01 — too close to survive a corpus shift). */
+  val ImpactQuantFloor = 0.9
+
+  /** s35 — IMPACT QUANTIZATION curve for the materialized champion
+    * tier (the s32 budget-curve device pointed at the PAYLOAD axis):
+    * a 100 TB impact lake stores one `s` per posting, and the
+    * score-at-a-time storage trade quantizes it — here by
+    * SIGNIFICANT-BITS TRUNCATION, `q_m(s)` = s with all but its top
+    * m binary digits zeroed (an m-bit-mantissa float, stored in m+6
+    * bits), because the textbook GLOBAL LINEAR bucketing is the
+    * wrong scheme on a real impact distribution: measured on the
+    * gate corpus, median impact ≈ 402k, p99 ≈ 594k, max ≈ 32M — one
+    * rare-term outlier stretches the range 54× past the p99, linear
+    * 8-bit buckets collapse the entire p99 mass into ~5 of 256
+    * levels, and the measured overlap was 0.56 (this row's first
+    * draft — measure, don't copy constants). Truncation is
+    * skew-immune (relative error ≤ 2^−m per posting regardless of
+    * range), keeps cross-term additivity (absolute domain, unlike
+    * per-list scaling), and is EXACT integer arithmetic both engines
+    * (`length(bin(s))` is the integer log2; shifts are
+    * `div`/`*` by `1<<sh` — no libm, so the curve hash-matches).
+    * Per [[ImpactQuantBits]] mantissa width, the row serves the SAME
+    * candidate set (candidates come from the tier's per-term rank,
+    * which quantization does not move — only rescoring degrades),
+    * rescores with truncated impacts, and measures top-k overlap
+    * against the exact-impact serve (order-free exact-integer
+    * aggregates). The [[ImpactQuantFloor]] advisory is ACTED ON as
+    * "the smallest m within the floor" — `chosen` is TRUE on exactly
+    * one row per corpus. */
+  val impactQuantQ: GraftQuery = GraftQuery(
+    "s35_impact_quant_curve", {
+      val quantChains = ImpactQuantBits.map { b =>
+        // q_m(s): zero all but the top m significant bits — integer
+        // log2 via length(bin(s)), shift via // and * of 1<<sh
+        val q = s"""(p.s // (CAST(1 AS BIGINT) << greatest(length(bin(p.s)) - $b, 0)))
+           | * (CAST(1 AS BIGINT) << greatest(length(bin(p.s)) - $b, 0))""".stripMargin
+        s"""aggq$b AS (SELECT cd.query_id, cd.doc_id,
+           |           CAST(sum($q) AS BIGINT) AS qscore
+           |         FROM cand cd JOIN qt q ON q.query_id = cd.query_id
+           |              JOIN si p ON p.term = q.term AND p.doc_id = cd.doc_id
+           |         GROUP BY 1, 2),
+           |rkq$b AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |          ORDER BY qscore DESC, doc_id) AS rank FROM aggq$b),
+           |ovq$b AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |        CAST(sum(h) AS BIGINT) AS th, CAST(sum(kf) AS BIGINT) AS tk,
+           |        min(CAST(h AS DOUBLE) / kf) AS mino
+           |      FROM (SELECT f.query_id, count(*) AS kf,
+           |              sum(CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+           |            FROM (SELECT query_id, doc_id FROM rkc
+           |                  WHERE rank <= $Bm25TopK) f
+           |            LEFT JOIN (SELECT query_id, doc_id FROM rkq$b
+           |                       WHERE rank <= $Bm25TopK) c2
+           |              ON c2.query_id = f.query_id AND c2.doc_id = f.doc_id
+           |            GROUP BY f.query_id) pq)""".stripMargin
+      }.mkString(",\n")
+      def meets(b: Int) =
+        s"(SELECT CAST(th AS DOUBLE) / tk >= $ImpactQuantFloor FROM ovq$b)"
+      val legs = ImpactQuantBits.zipWithIndex.map { case (b, i) =>
+        val smaller = ImpactQuantBits.take(i)
+        val chosen =
+          if (smaller.isEmpty) meets(b)
+          else s"(${meets(b)} AND NOT (${smaller.map(meets).mkString(" OR ")}))"
+        s"""SELECT CAST($b AS BIGINT) AS bits, o.n_queries,
+           |       o.th AS total_hits, o.tk AS total_k,
+           |       CAST(o.th AS DOUBLE) / o.tk AS mean_overlap,
+           |       o.mino AS min_overlap,
+           |       CAST(o.th AS DOUBLE) / o.tk >= $ImpactQuantFloor AS meets_floor,
+           |       $chosen AS chosen
+           |FROM ovq$b o""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bm25PrefixCtes,
+        |${bm25CappedChainCtes(PostingBudget, "", "TRUE")},
+        |$quantChains
+        |$legs""".stripMargin
+    }) { (spark, sf) =>
+    val docs = Tables.documents(spark, sf)
+    val si0 = graft.sources.SignatureLake.termImpacts(spark, sf)
+    val tier = graft.sources.SignatureLake.termChampions(spark, sf)
+    val qt = bm25QueryTerms(docs, Bm25QueryMod)
+    // candidates off the materialized tier — identical for every
+    // width (quantization rescores, it never re-ranks the tier)
+    val cand = qt.join(tier.filter(col("pr") <= PostingBudget), "term")
+      .select(col("query_id"), col("doc_id")).distinct()
+    val si = si0
+    def serve(score: Column): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__sc").desc, col("doc_id"))
+      cand.join(qt, "query_id").join(si, Seq("term", "doc_id"))
+        .groupBy(col("query_id"), col("doc_id")).agg(sum(score).as("__sc"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= Bm25TopK)
+        .select(col("query_id"), col("doc_id"))
+    }
+    val exact = serve(col("s"))
+    // one overlap row per width, reference = the exact-impact serve
+    val ovs: Seq[(Int, DataFrame)] = ImpactQuantBits.map { b =>
+      // q_m(s): zero all but the top m significant bits (the mirror
+      // of the oracle's bin/shift text — no libm anywhere)
+      val sh = s"greatest(length(bin(s)) - $b, 0)"
+      val q = serve(expr(
+        s"(s div shiftleft(CAST(1 AS BIGINT), $sh)) * shiftleft(CAST(1 AS BIGINT), $sh)"))
+        .select(col("query_id").as("__cq"), col("doc_id").as("__cd"))
+      b -> exact.join(q,
+          col("__cq") === col("query_id") && col("__cd") === col("doc_id"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("kf"),
+          sum(when(col("__cd").isNotNull, 1L).otherwise(0L)).as("h"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("h")).as("th"), sum(col("kf")).as("tk"),
+          min(col("h").cast("double") / col("kf")).as("mino"))
+        .localCheckpoint()
+    }
+    val ov = ovs.toMap
+    def meetsCol(df: DataFrame) =
+      (col("th").cast("double") / col("tk") >= ImpactQuantFloor)
+    ImpactQuantBits.zipWithIndex.map { case (b, i) =>
+      val mean = col("th").cast("double") / col("tk")
+      val base = ov(b).select(col("n_queries"), col("th"), col("tk"),
+        col("mino"), meetsCol(ov(b)).as("__meets"))
+      // "chosen" = smallest width within the floor: this width meets
+      // it and no smaller one does
+      val smallerMeet = ImpactQuantBits.take(i).map(sb =>
+        ov(sb).select(meetsCol(ov(sb)).as(s"__m$sb")))
+      val joined = smallerMeet.foldLeft(base)((acc, d) => acc.crossJoin(broadcast(d)))
+      val chosen = ImpactQuantBits.take(i)
+        .map(sb => !col(s"__m$sb")).foldLeft(col("__meets"))(_ && _)
+      joined.select(lit(b.toLong).as("bits"), col("n_queries"),
+        col("th").as("total_hits"), col("tk").as("total_k"),
+        (col("th").cast("double") / col("tk")).as("mean_overlap"),
+        col("mino").as("min_overlap"),
+        col("__meets").as("meets_floor"),
+        chosen.as("chosen"))
+    }.reduce(_ unionByName _)
+  }
+
   val all: Seq[GraftQuery] = Seq(knnBruteQ, knnLshQ, knnIvfQ, knnIvfKmeansQ,
     knnFilteredQ, knnPqQ, rangeSearchQ, hardNegativesQ, mmrRerankQ, knnGraphQ,
     knnLshPortableQ, annRecallQ, graphRecallQ, rboEvalQ, knnIvfPqQ,
@@ -3811,5 +3961,5 @@ object SimilarityOps {
     knnIvfLakeFilteredQ, filteredRecallQ, knnSq8Q, bm25Q, hybridRrfQ,
     postingBudgetQ, cappedServeQ, hybridLakeQ, budgetCurveQ,
     termLakeDeleteQ, impactStalenessQ, compactionCrossoverQ,
-    maskedTierServeQ)
+    maskedTierServeQ, impactQuantQ)
 }

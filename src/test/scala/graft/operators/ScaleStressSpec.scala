@@ -855,6 +855,54 @@ class ScaleStressSpec extends SparkSpec {
     }
   }
 
+  test("masked-tier serve at 10x: deleted rows exactly absent, candidate volume stays budget-linear") {
+    // s34/st17's production shape under scale: the champion tier is
+    // masked by an anti-join (rows removed EXACTLY the deleted docs'
+    // tier rows) and candidate generation stays bounded by
+    // queries × terms × budget — the mask must not change the serve's
+    // complexity class, only subtract rows
+    import DedupOps.{TombMod, TombRem}
+    val (d1, d2) = (stressDocs(N1).filter(col("text").isNotNull),
+      stressDocs(N2).filter(col("text").isNotNull))
+    def stats(d: DataFrame): (Long, Long, Long, Long, Long) = {
+      val si = SimilarityOps.bm25Impacts(SimilarityOps.bm25Postings(d))
+      val tier = SimilarityOps.bm25ImpactRanked(si)
+        .filter(col("pr") <= SimilarityOps.PostingBudget)
+      val tomb = d.filter(col("doc_id") % TombMod === TombRem).select("doc_id")
+      val maskedTier = graft.sources.SignatureLake.maskTombstones(tier, tomb, "doc_id")
+      val qt = SimilarityOps.bm25QueryTerms(
+        d.filter(col("doc_id") % TombMod =!= TombRem), SimilarityOps.Bm25QueryMod)
+      val cand = qt.join(maskedTier, "term")
+        .select(col("query_id"), col("doc_id")).distinct().count()
+      val masked = SimilarityOps.bm25RankCappedFromTierMasked(qt, si,
+        SimilarityOps.bm25ImpactRanked(si), tomb, SimilarityOps.Bm25TopK,
+        excludeSelf = false, budget = SimilarityOps.PostingBudget,
+        tierCeiling = Long.MaxValue)
+      val leaked = masked.filter(col("doc_id") % TombMod === TombRem).count()
+      val tierRemoved = tier.count() - maskedTier.count()
+      val tierDeleted = tier.filter(col("doc_id") % TombMod === TombRem).count()
+      assert(tierRemoved === tierDeleted,
+        s"mask must remove exactly the deleted tier rows: $tierRemoved vs $tierDeleted")
+      (cand, masked.count(), leaked, tierDeleted,
+        qt.select(col("query_id")).distinct().count())
+    }
+    val ((c1, r1, l1, x1, q1), (c2, r2, l2, x2, q2)) = (stats(d1), stats(d2))
+    assert(l1 === 0L && l2 === 0L, "a deleted doc leaked through the masked tier")
+    assert(x1 > 0L && x2 > 0L, "fixture must tombstone retrievable tier rows (non-vacuous)")
+    logScale("masked_tier_cand", c1, c2)
+    logScale("masked_tier_results", r1, r2)
+    // N1 sits under the budget and N2 over it (the s30 regime-mixing
+    // caveat), so the exponent between the two points is not the pin;
+    // the complexity-class claims are the ABSOLUTE bound (candidates
+    // ≤ queries × 5 terms × budget at any df — the mask only
+    // subtracts) and the linear result volume
+    assert(c1 <= q1 * 5 * SimilarityOps.PostingBudget &&
+      c2 <= q2 * 5 * SimilarityOps.PostingBudget,
+      "masked-tier candidate volume must stay bounded by queries x terms x budget")
+    assert(expo(r1, r2) <= 1.05,
+      s"masked-tier result volume must stay linear, got ${expo(r1, r2)}")
+  }
+
   test("pk06 concat-cut at 10x: output linear, token stream tiles exactly, crossings bounded") {
     val (d1, d2) = (stressDocs(N1), stressDocs(N2))
     def stats(d: DataFrame): (Long, Long, Long, Long) = {

@@ -719,6 +719,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s35 impact quantization: overlap monotone in mantissa width, exactly one width chosen") {
+    val rows = SimilarityOps.impactQuantQ.run(spark, sf001).collect()
+    assert(rows.length === SimilarityOps.ImpactQuantBits.length)
+    val byBits = rows.map(r => r.getAs[Long]("bits") -> r).toMap
+    val overlaps = SimilarityOps.ImpactQuantBits
+      .map(b => byBits(b.toLong).getAs[Double]("mean_overlap"))
+    assert(overlaps === overlaps.sorted,
+      s"overlap must not decrease with more mantissa bits: $overlaps")
+    // the advisory must pick exactly one width, and it must meet the floor
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length === 1, s"exactly one width chosen, got ${chosen.length}")
+    assert(chosen.head.getAs[Boolean]("meets_floor"))
+    // every candidate the quantized serve returns comes from the same
+    // tier-bounded candidate set, so k never exceeds the exact serve's
+    rows.foreach(r => assert(r.getAs[Long]("total_hits") <= r.getAs[Long]("total_k")))
+  }
+
   test("st18 recut policy: holds under the calibrated fraction, fires past it, always fires on takedown") {
     import SimilarityOps.shouldRecutTier
     // st18's operating point: a 10% delta must HOLD (the s33
