@@ -34,14 +34,16 @@ object FixtureSlices {
   val takedown = Slice("takedown", DedupOps.TombMod, DedupOps.TombRem)
 
   /** The streamed/incremental ingest delta over documents
-    * (d23/d33/st15/st16/st18 and the term/semcell lake slices). */
-  val docDelta = Slice("doc_delta", 10, 7)
+    * (d33/d35/d36/d38/s31/st15/st16/st18 and the term/semcell lake
+    * slices) — derives from the operator constant, like takedown. */
+  val docDelta = Slice("doc_delta", DedupOps.DocDeltaMod, DedupOps.DocDeltaRem)
 
   /** The embedding-side ingest delta (d26/d29/s20/s31). */
   val embDelta = Slice("emb_delta", DedupOps.IncEmbMod, 0)
 
-  /** The band-lake ingest delta (d12/d28 use residue 0 of 10). */
-  val bandDelta = Slice("band_delta", 10, 0)
+  /** The band-lake ingest delta (d12/d28 split on
+    * [[DedupOps.BandDeltaRem]] of the same 10-way modulus). */
+  val bandDelta = Slice("band_delta", DedupOps.DocDeltaMod, DedupOps.BandDeltaRem)
 
   /** The CDC non-ASCII suffix (m13/st16/d36's multi-byte teeth). */
   val cdcSuffix =
@@ -71,8 +73,10 @@ object FixtureSlices {
   /** Pairs where slice A must CUT ACROSS slice B — the gate assumes A
     * exercises its property on both sides of B, so the spec asserts
     * A∩B and A∖B are both non-empty on the real corpus:
-    *  - (docDelta, takedown): the takedown must hit base AND delta
-    *    (d28's explicit claim, st17/st18's streamed twin);
+    *  - (docDelta, takedown): the d33-family takedowns (d35/d36,
+    *    st17/st18) must hit base AND delta;
+    *  - (bandDelta, takedown): d28's explicit claim — its delta is
+    *    the BAND split's residue, not docDelta's;
     *  - (embDelta, takedown): same on the vector side (d29/s22);
     *  - (querySample, takedown): surviving probes must exist (d34/
     *    s34/st17/st18 all issue queries from survivors) and deleted
@@ -81,6 +85,7 @@ object FixtureSlices {
     *    in the base build and mid-stream (st16's teeth). */
   val crossingPairs: Seq[(Slice, Slice)] = Seq(
     (docDelta, takedown),
+    (bandDelta, takedown),
     (embDelta, takedown),
     (querySample, takedown),
     (cdcSuffix, docDelta))

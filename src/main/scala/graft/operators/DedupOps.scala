@@ -81,6 +81,22 @@ object DedupOps {
   val TombMod = 7
   val TombRem = 3
 
+  /** Document-side ingest-delta slice (`doc_id % DocDeltaMod ==
+    * DocDeltaRem` streams/appends after the base build) — the ONE
+    * statement of the residue d23/d33/d35/d36/d38/s31/st15/st16/st18
+    * all split on, registered in [[graft.FixtureSlices]] so the
+    * property spec can pin it against the takedown slice on the real
+    * corpus. Declared up top for the same init-order reason as
+    * [[TombMod]]. */
+  val DocDeltaMod = 10
+  val DocDeltaRem = 7
+
+  /** The band-lake build/delta split's delta residue (d12/d28 use
+    * `doc_id % DocDeltaMod == BandDeltaRem`) — a DIFFERENT residue
+    * from [[DocDeltaRem]] on purpose, so the two incremental-family
+    * fixtures never silently collapse into one slice. */
+  val BandDeltaRem = 0
+
   /** doc_id + exploded distinct 3-token shingles (the MinHash
     * pipeline's fixed width; delegates to [[tokenShingles]] so the
     * shingling definition lives in exactly one place). */
@@ -869,23 +885,6 @@ object DedupOps {
       docs.filter(col("doc_id") % 50 === 0))
   }
 
-  /** d08 with a Bloom prefilter on the training side — the shape that
-    * matters at 100 TB, where the training corpus dwarfs the benchmark
-    * suite: build a Bloom filter (~1.2 bytes/gram at 1% fpp) over the
-    * benchmark grams with one bounded tree-aggregation, broadcast it,
-    * and drop non-matching training grams INSIDE the scan stage via
-    * the codegen'd `graft_bloom_contains` probe — so the exact-join
-    * shuffle carries only true hits plus the fpp sliver, instead of
-    * every distinct gram of the training corpus. Bloom filters have no
-    * false negatives and the exact join removes the false positives,
-    * so the result is IDENTICAL to [[decontaminate]] — d09 shares
-    * d08's oracle verbatim.
-    *
-    * Crossover measured at sf0.1: d09 ~1.2 s vs d08 ~0.9 s — below
-    * the crossover the two fixed bloom-build actions dominate; the
-    * prefilter pays once training-gram volume dwarfs the benchmark
-    * (the 100 TB operating point, where d08 shuffles the full corpus
-    * gram set and d09 ships a few MB of filter instead). */
   /** The Bloom BUILD alone — the two driver-side actions (distinct
     * gram count + treeAggregate) that size and fill the sketch. This
     * is INDEX-BUILD cost, the same class as the signature/tier lake
@@ -934,6 +933,23 @@ object DedupOps {
       tokenShingles(benchmark, gram).select(col("shingle")).distinct())
   }
 
+  /** d08 with a Bloom prefilter on the training side — the shape that
+    * matters at 100 TB, where the training corpus dwarfs the benchmark
+    * suite: build a Bloom filter (~1.2 bytes/gram at 1% fpp) over the
+    * benchmark grams ([[buildDecontamBloom]]), broadcast it, and drop
+    * non-matching training grams INSIDE the scan stage via the
+    * codegen'd probe ([[decontaminateWithBloom]]) — so the exact-join
+    * shuffle carries only true hits plus the fpp sliver, instead of
+    * every distinct gram of the training corpus. Bloom filters have no
+    * false negatives and the exact join removes the false positives,
+    * so the result is IDENTICAL to [[decontaminate]] — d09 shares
+    * d08's oracle verbatim.
+    *
+    * Crossover measured at sf0.1: d09 ~1.2 s vs d08 ~0.9 s — below
+    * the crossover the two fixed bloom-build actions dominate; the
+    * prefilter pays once training-gram volume dwarfs the benchmark
+    * (the 100 TB operating point, where d08 shuffles the full corpus
+    * gram set and d09 ships a few MB of filter instead). */
   def decontaminateBloom(
       train: DataFrame, benchmark: DataFrame, gram: Int = DecontamGram,
       fpp: Double = 0.01): DataFrame =
@@ -1691,7 +1707,7 @@ object DedupOps {
       |LEFT JOIN nc ON d.doc_id = nc.doc_id
       |LEFT JOIN nb ON d.doc_id = nb.doc_id""".stripMargin) { (spark, sf) =>
     val docs = Tables.documents(spark, sf)
-    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val delta = docs.filter(col("doc_id") % DocDeltaMod === BandDeltaRem)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     // derive the batch's signatures, APPEND to the on-disk index, read
     // the updated index back — the corpus side is never re-hashed
@@ -3176,8 +3192,8 @@ object DedupOps {
       |FROM bd""".stripMargin) { (spark, sf) =>
     val docs = Tables.documents(spark, sf)
     val lake = graft.sources.SignatureLake.tombstonedBandIndex(spark, sf,
-      base = docs.filter(col("doc_id") % 10 =!= 0),
-      delta = docs.filter(col("doc_id") % 10 === 0),
+      base = docs.filter(col("doc_id") % DocDeltaMod =!= BandDeltaRem),
+      delta = docs.filter(col("doc_id") % DocDeltaMod === BandDeltaRem),
       deleted = docs.filter(col("doc_id") % TombMod === TombRem)
         .select("doc_id"))
     val full = graft.sources.SignatureLake.portableBandKeys(spark, sf)
@@ -3441,20 +3457,20 @@ object DedupOps {
     * different operation with a different cost class. */
   val semDedupIncrementalQ: GraftQuery = GraftQuery(
     "d33_semdedup_incremental",
-    s"""WITH ${semDedupOracleCtes("doc_id % 10 <> 7")},
+    s"""WITH ${semDedupOracleCtes(s"doc_id % $DocDeltaMod <> $DocDeltaRem")},
       |res AS (SELECT c.doc_id, c.cell, c.cent_sim,
       |          (b.doc_id IS NOT NULL) AS removed
       |        FROM cent c LEFT JOIN beaten b ON b.doc_id = c.doc_id)
       |SELECT r.*, (SELECT CAST(count(*) AS BIGINT) FROM res
-      |             WHERE doc_id % 10 = 7) AS n_delta
+      |             WHERE doc_id % $DocDeltaMod = $DocDeltaRem) AS n_delta
       |FROM res r""".stripMargin) { (spark, sf) =>
     val docs = Tables.documents(spark, sf)
-    val isDelta = col("doc_id") % 10 === 7
+    val isDelta = col("doc_id") % DocDeltaMod === DocDeltaRem
     val lake = graft.sources.SignatureLake.incrementalSemCells(
       spark, sf, docs.filter(!isDelta), docs.filter(isDelta))
     val served = semDedupPrune(lake)
     served.crossJoin(broadcast(
-      served.filter(col("doc_id") % 10 === 7)
+      served.filter(col("doc_id") % DocDeltaMod === DocDeltaRem)
         .agg(count(lit(1)).as("n_delta"))))
   }
 
@@ -3487,7 +3503,7 @@ object DedupOps {
     * keeper → its duplicate flips to kept). */
   val semCellDeleteQ: GraftQuery = GraftQuery(
     "d35_semcell_lake_delete",
-    s"""WITH ${semDedupOracleCtes("doc_id % 10 <> 7",
+    s"""WITH ${semDedupOracleCtes(s"doc_id % $DocDeltaMod <> $DocDeltaRem",
          s"doc_id % $TombMod <> $TombRem")}
       |SELECT c.doc_id, c.cell, c.cent_sim,
       |       (b.doc_id IS NOT NULL) AS removed,
@@ -3495,7 +3511,7 @@ object DedupOps {
       |FROM cent c LEFT JOIN beaten b ON b.doc_id = c.doc_id""".stripMargin) {
     (spark, sf) =>
     val docs = Tables.documents(spark, sf)
-    val isDelta = col("doc_id") % 10 === 7
+    val isDelta = col("doc_id") % DocDeltaMod === DocDeltaRem
     val deleted = docs.filter(col("doc_id") % TombMod === TombRem)
       .select("doc_id")
     val lake = graft.sources.SignatureLake.tombstonedSemCells(spark, sf,
@@ -3659,7 +3675,7 @@ object DedupOps {
     }) { (spark, sf) =>
     import SimilarityOps.{CompactAmpFloor, CompactDeleteMods}
     val docs = Tables.documents(spark, sf)
-    val isDelta = col("doc_id") % 10 === 7
+    val isDelta = col("doc_id") % DocDeltaMod === DocDeltaRem
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val fams: Seq[(String, DataFrame, String)] = Seq(

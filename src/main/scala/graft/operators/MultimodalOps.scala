@@ -984,7 +984,7 @@ object MultimodalOps {
          s"doc_id % ${DedupOps.TombMod} <> ${DedupOps.TombRem}")})
       |SELECT r.*, TRUE AS matches_rebuild, TRUE AS compact_matches
       |FROM res r""".stripMargin) { (spark, sf) =>
-    val isDelta = col("doc_id") % 10 === 7
+    val isDelta = col("doc_id") % DedupOps.DocDeltaMod === DedupOps.DocDeltaRem
     val payloads = asCdcPayloads(spark, sf)
     val deleted = Tables.documents(spark, sf)
       .filter(col("doc_id") % DedupOps.TombMod === DedupOps.TombRem)

@@ -2873,11 +2873,17 @@ object SimilarityOps {
     * window over any posting relation on the serve plan. */
   def bm25RankCappedFromTierMasked(qt: DataFrame, si: DataFrame,
       tier: DataFrame, tombstones: DataFrame, k: Int, excludeSelf: Boolean,
-      budget: Long, tierCeiling: Long = TierMaxBudget): DataFrame =
+      budget: Long, tierCeiling: Long = TierMaxBudget): DataFrame = {
+    import graft.sources.SignatureLake.maskTombstones
+    // ONE count decides the mask strategy for both scans (the guard's
+    // decision is per-serve, not per-scan — and not per-execution:
+    // see maskTombstones' DECISION SCOPE note)
+    val nTomb = Some(tombstones.select("doc_id").count())
     bm25RankCappedFromTier(qt,
-      graft.sources.SignatureLake.maskTombstones(si, tombstones, "doc_id"),
-      graft.sources.SignatureLake.maskTombstones(tier, tombstones, "doc_id"),
+      maskTombstones(si, tombstones, "doc_id", knownTombRows = nTomb),
+      maskTombstones(tier, tombstones, "doc_id", knownTombRows = nTomb),
       k, excludeSelf, budget, tierCeiling)
+  }
 
   /** The masked-tier serve's oracle chain off the shared full prefix
     * (mirror of [[bm25RankCappedFromTierMasked]]): the champion tier
@@ -3329,8 +3335,8 @@ object SimilarityOps {
     // (r15): the serve is two bucketed scans, never a re-sort of the
     // posting relation
     val termServe = graft.sources.SignatureLake.incrementalTermServe(
-      spark, sf, docs.filter(col("doc_id") % 10 =!= 7),
-      docs.filter(col("doc_id") % 10 === 7))
+      spark, sf, docs.filter(col("doc_id") % DedupOps.DocDeltaMod =!= DedupOps.DocDeltaRem),
+      docs.filter(col("doc_id") % DedupOps.DocDeltaMod === DedupOps.DocDeltaRem))
     val vec = knnFromPostings(emb, ivfLake,
         centroids(vbase, cellsForCorpus(vbase.count())),
         k = Bm25TopK, probes = 4,
@@ -3620,8 +3626,8 @@ object SimilarityOps {
       .filter(col("doc_id") % DedupOps.TombMod === DedupOps.TombRem)
       .select("doc_id")
     val lake = graft.sources.SignatureLake.tombstonedTermPostings(spark, sf,
-      base = docs.filter(col("doc_id") % 10 =!= 7),
-      delta = docs.filter(col("doc_id") % 10 === 7),
+      base = docs.filter(col("doc_id") % DedupOps.DocDeltaMod =!= DedupOps.DocDeltaRem),
+      delta = docs.filter(col("doc_id") % DedupOps.DocDeltaMod === DedupOps.DocDeltaRem),
       deleted = deleted)
     val survivors = docs
       .filter(col("doc_id") % DedupOps.TombMod =!= DedupOps.TombRem)
@@ -3900,17 +3906,19 @@ object SimilarityOps {
     // width (quantization rescores, it never re-ranks the tier)
     val cand = qt.join(tier.filter(col("pr") <= PostingBudget), "term")
       .select(col("query_id"), col("doc_id")).distinct()
-    val si = si0
     def serve(score: Column): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("__sc").desc, col("doc_id"))
-      cand.join(qt, "query_id").join(si, Seq("term", "doc_id"))
+      cand.join(qt, "query_id").join(si0, Seq("term", "doc_id"))
         .groupBy(col("query_id"), col("doc_id")).agg(sum(score).as("__sc"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= Bm25TopK)
         .select(col("query_id"), col("doc_id"))
     }
-    val exact = serve(col("s"))
+    // the exact reference is shared by every width's overlap leg —
+    // checkpoint it ONCE so the three legs reuse the computed ranking
+    // instead of re-running the candidate join + rescore + window
+    val exact = serve(col("s")).localCheckpoint()
     // one overlap row per width, reference = the exact-impact serve
     val ovs: Seq[(Int, DataFrame)] = ImpactQuantBits.map { b =>
       // q_m(s): zero all but the top m significant bits (the mirror

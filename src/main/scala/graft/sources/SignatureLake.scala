@@ -752,11 +752,25 @@ object SignatureLake {
     * counted (one scan of a tiny id-keyed table — parquet-footer
     * cheap) and past [[MaskBroadcastMaxRows]] the mask plans a
     * shuffled anti-join instead of force-broadcasting a relation that
-    * only a scaladoc promised was small. */
+    * only a scaladoc promised was small.
+    *
+    * DECISION SCOPE: the count runs when the serve plan is
+    * CONSTRUCTED, and the chosen join strategy is frozen into that
+    * plan — re-executing one DataFrame across later takedown batches
+    * keeps the old decision. That is the intended granularity: every
+    * serve path here constructs its plan per query batch /
+    * maintenance window against a tombstone SNAPSHOT, and a
+    * deployment holding one view open across windows should rebuild
+    * it per window (the store only ever grows, so a stale decision
+    * can only err toward broadcasting too much — the guard exists
+    * for exactly that caller). Callers that already know the store's
+    * size pass `knownTombRows` and skip the count job — the masked
+    * serves count ONCE per serve, not once per scan. */
   def maskTombstones(index: DataFrame, tombstones: DataFrame,
-      idCol: String, maxBroadcastRows: Long = MaskBroadcastMaxRows): DataFrame = {
+      idCol: String, maxBroadcastRows: Long = MaskBroadcastMaxRows,
+      knownTombRows: Option[Long] = None): DataFrame = {
     val tomb = tombstones.select(idCol)
-    if (tomb.count() <= maxBroadcastRows)
+    if (knownTombRows.getOrElse(tomb.count()) <= maxBroadcastRows)
       index.join(broadcast(tomb), Seq(idCol), "left_anti")
     else index.join(tomb, Seq(idCol), "left_anti")
   }

@@ -61,6 +61,31 @@ object StreamReplay {
   private val SentinelUser = -1L
   private val nameCounter = new AtomicInteger()
 
+  /** /dev/shm-backed EPHEMERAL checkpoint dir (platform temp
+    * fallback) — replay checkpoints are throwaway scratch, and tmpfs
+    * spares the offset/commit/state fsyncs; production streams
+    * checkpoint to durable storage (TweetIngest). One definition for
+    * every replay row (st12–st18 had inline copies — a cleanup fix
+    * must not need N edits). */
+  private def scratchCkptDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
+  /** Depth-first delete of a scratch dir. Tolerates already-missing
+    * entries; the state-store straggler RETRY (a provider re-creating
+    * a file between walk and delete) lives only in the replay
+    * harness's own sweep, which is the one place it was observed. */
+  private def rmScratch(d: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(d)
+    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   /** st12's streamed ingest unit (explicit product encoder — tuple
     * encoders for Seq-valued fields don't derive inside the lambda). */
   final case class EmbRow(vec_id: Long, v: Seq[Double])
@@ -145,17 +170,10 @@ object StreamReplay {
     try {
       val source = MemoryStream[TypedEvent]
       val name = s"graft_replay_${nameCounter.incrementAndGet()}"
-      // replay checkpoints are EPHEMERAL scratch (the fixture replays
-      // from scratch every run): tmpfs spares ~0.8 s/row of offset/
-      // commit/state-delta fsyncs vs disk temp, falling back to the
-      // platform temp dir where /dev/shm doesn't exist, and the dir is
-      // deleted below. Production streams checkpoint to durable
-      // storage (TweetIngest).
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckpt =
-        if (java.nio.file.Files.isDirectory(shm))
-          java.nio.file.Files.createTempDirectory(shm, s"graft_replay_$name")
-        else java.nio.file.Files.createTempDirectory(s"graft_replay_$name")
+      // tmpfs spares ~0.8 s/row of offset/commit/state-delta fsyncs
+      // vs disk temp (see scratchCkptDir); deleted below with the
+      // straggler-tolerant sweep.
+      val ckpt = scratchCkptDir(s"graft_replay_$name")
       try {
         val q = build(source.toDS())
           .writeStream.format("memory").queryName(name)
@@ -717,11 +735,7 @@ object StreamReplay {
     SignatureLake.appendEmbeddingDelta(spark, table,
       emb.filter(col("vec_id") % 10 =!= 0)) // generation 0: the base build
     try {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckpt =
-        if (java.nio.file.Files.isDirectory(shm))
-          java.nio.file.Files.createTempDirectory(shm, "graft_st12")
-        else java.nio.file.Files.createTempDirectory("graft_st12")
+      val ckpt = scratchCkptDir("graft_st12")
       try {
         val source = MemoryStream[EmbRow]
         val q = source.toDS().toDF("vec_id", "v")
@@ -733,13 +747,7 @@ object StreamReplay {
         try {
           chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
         } finally q.stop()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      } finally rmScratch(ckpt)
       val postings = spark.table(table)
       val full = SignatureLake.portableAnnBuckets(spark, sf)
         .select(col("vec_id"), col("table").as("tbl"),
@@ -833,11 +841,7 @@ object StreamReplay {
     SignatureLake.appendTombstones(spark, table,
       emb.select(col("vec_id")).limit(0), "vec_id")
     try {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckpt =
-        if (java.nio.file.Files.isDirectory(shm))
-          java.nio.file.Files.createTempDirectory(shm, "graft_st13")
-        else java.nio.file.Files.createTempDirectory("graft_st13")
+      val ckpt = scratchCkptDir("graft_st13")
       try {
         val source = MemoryStream[Long]
         val q = source.toDS().toDF("vec_id")
@@ -850,13 +854,7 @@ object StreamReplay {
         try {
           chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
         } finally q.stop()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      } finally rmScratch(ckpt)
       val served = SignatureLake.maskTombstones(
         spark.table(table), spark.table(tomb), "vec_id")
       val full = SignatureLake.portableAnnBuckets(spark, sf)
@@ -965,11 +963,7 @@ object StreamReplay {
     val chunks = late.grouped(math.max(1, (late.size + 2) / 3)).toSeq
     val staging = java.nio.file.Files
       .createTempDirectory("graft_st14_staging").toString + "/docs"
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val ckpt =
-      if (java.nio.file.Files.isDirectory(shm))
-        java.nio.file.Files.createTempDirectory(shm, "graft_st14")
-      else java.nio.file.Files.createTempDirectory("graft_st14")
+    val ckpt = scratchCkptDir("graft_st14")
     try {
       val source = MemoryStream[DocRow]
       val q = source.toDS().toDF("doc_id", "source", "text")
@@ -995,15 +989,8 @@ object StreamReplay {
         .crossJoin(broadcast(store.agg(count(lit(1)).as("store_rows"))))
       spark.createDataFrame(
         java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      Seq(ckpt, java.nio.file.Paths.get(staging).getParent).foreach { d =>
-        val walk = java.nio.file.Files.walk(d)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
-    }
+    } finally Seq(ckpt, java.nio.file.Paths.get(staging).getParent)
+      .foreach(rmScratch)
   }
 
   /** st15 — the LEXICAL index joins the stream-maintained-index
@@ -1034,7 +1021,7 @@ object StreamReplay {
         |               score_scaled
         |        FROM rkc WHERE rank <= ${SimilarityOps.Bm25TopK})
         |SELECT r.*, (SELECT CAST(count(*) AS BIGINT) FROM res
-        |             WHERE doc_id % 10 = 7) AS n_delta_hits
+        |             WHERE doc_id % ${graft.operators.DedupOps.DocDeltaMod} = ${graft.operators.DedupOps.DocDeltaRem}) AS n_delta_hits
         |FROM res r""".stripMargin
     }) { (spark, sf) =>
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -1042,7 +1029,7 @@ object StreamReplay {
     import graft.operators.SimilarityOps
     import graft.sources.SignatureLake
     val docs = Tables.documents(spark, sf)
-    val isDelta = col("doc_id") % 10 === 7
+    val isDelta = col("doc_id") % graft.operators.DedupOps.DocDeltaMod === graft.operators.DedupOps.DocDeltaRem
     val table = s"graft_lake_st15terms_${sf.replaceAll("[^A-Za-z0-9]+", "_")}" +
       s"_p${ProcessHandle.current().pid()}_s${nameCounter.incrementAndGet()}"
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -1051,11 +1038,7 @@ object StreamReplay {
       .as[DocRow].collect().sortBy(_.doc_id).toSeq
     val chunks = delta.grouped(math.max(1, (delta.size + 2) / 3)).toSeq
     try {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckpt =
-        if (java.nio.file.Files.isDirectory(shm))
-          java.nio.file.Files.createTempDirectory(shm, "graft_st15")
-        else java.nio.file.Files.createTempDirectory("graft_st15")
+      val ckpt = scratchCkptDir("graft_st15")
       try {
         val source = MemoryStream[DocRow]
         val q = source.toDS().toDF("doc_id", "source", "text")
@@ -1067,13 +1050,7 @@ object StreamReplay {
         try {
           chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
         } finally q.stop()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      } finally rmScratch(ckpt)
       // post-stream maintenance write: materialize impacts + champion
       // tier over the streamed lake, then serve off those tables —
       // the production two-tier serve with no window over the posting
@@ -1084,7 +1061,7 @@ object StreamReplay {
         termServe.impacts, termServe.tier, SimilarityOps.Bm25TopK,
         excludeSelf = false, budget = SimilarityOps.PostingBudget)
       val out = served.crossJoin(broadcast(
-        served.filter(col("doc_id") % 10 === 7)
+        served.filter(col("doc_id") % graft.operators.DedupOps.DocDeltaMod === graft.operators.DedupOps.DocDeltaRem)
           .agg(count(lit(1)).as("n_delta_hits"))))
       spark.createDataFrame(
         java.util.Arrays.asList(out.collect(): _*), out.schema)
@@ -1115,14 +1092,14 @@ object StreamReplay {
       import graft.operators.MultimodalOps
       s"""WITH res AS (${MultimodalOps.cdcOracleSql})
         |SELECT r.*, (SELECT CAST(count(*) AS BIGINT) FROM res
-        |             WHERE doc_id % 10 = 7) AS n_delta_docs
+        |             WHERE doc_id % ${graft.operators.DedupOps.DocDeltaMod} = ${graft.operators.DedupOps.DocDeltaRem}) AS n_delta_docs
         |FROM res r""".stripMargin
     }) { (spark, sf) =>
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     import graft.operators.MultimodalOps
     import graft.sources.SignatureLake
-    val isDelta = col("doc_id") % 10 === 7
+    val isDelta = col("doc_id") % graft.operators.DedupOps.DocDeltaMod === graft.operators.DedupOps.DocDeltaRem
     val table = s"graft_lake_st16chunks_${sf.replaceAll("[^A-Za-z0-9]+", "_")}" +
       s"_p${ProcessHandle.current().pid()}_s${nameCounter.incrementAndGet()}"
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -1133,11 +1110,7 @@ object StreamReplay {
       .as[DocRow].collect().sortBy(_.doc_id).toSeq
     val chunks = delta.grouped(math.max(1, (delta.size + 2) / 3)).toSeq
     try {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckpt =
-        if (java.nio.file.Files.isDirectory(shm))
-          java.nio.file.Files.createTempDirectory(shm, "graft_st16")
-        else java.nio.file.Files.createTempDirectory("graft_st16")
+      val ckpt = scratchCkptDir("graft_st16")
       try {
         val source = MemoryStream[DocRow]
         val q = source.toDS().toDF("doc_id", "source", "text")
@@ -1152,16 +1125,10 @@ object StreamReplay {
         try {
           chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
         } finally q.stop()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      } finally rmScratch(ckpt)
       val served = MultimodalOps.cdcReport(spark.table(table))
       val out = served.crossJoin(broadcast(
-        served.filter(col("doc_id") % 10 === 7)
+        served.filter(col("doc_id") % graft.operators.DedupOps.DocDeltaMod === graft.operators.DedupOps.DocDeltaRem)
           .agg(count(lit(1)).as("n_delta_docs"))))
       spark.createDataFrame(
         java.util.Arrays.asList(out.collect(): _*), out.schema)
@@ -1227,11 +1194,7 @@ object StreamReplay {
     SignatureLake.appendTombstones(spark, table,
       docs.select(col("doc_id")).limit(0), "doc_id")
     try {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckpt =
-        if (java.nio.file.Files.isDirectory(shm))
-          java.nio.file.Files.createTempDirectory(shm, "graft_st17")
-        else java.nio.file.Files.createTempDirectory("graft_st17")
+      val ckpt = scratchCkptDir("graft_st17")
       try {
         val source = MemoryStream[Long]
         val q = source.toDS().toDF("doc_id")
@@ -1244,13 +1207,7 @@ object StreamReplay {
         try {
           chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
         } finally q.stop()
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ckpt)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      } finally rmScratch(ckpt)
       val survivors = docs.filter(col("doc_id") % TombMod =!= TombRem)
       val ranking = SimilarityOps.bm25RankCappedFromTierMasked(
         SimilarityOps.bm25QueryTerms(survivors, SimilarityOps.Bm25QueryMod),
@@ -1299,7 +1256,7 @@ object StreamReplay {
       import SimilarityOps.{Bm25TopK, ImpactRefreshFloor, PostingBudget}
       s"""WITH ${SimilarityOps.bm25PrefixCtes},
         |${SimilarityOps.bm25CappedChainCtes(PostingBudget, "", "TRUE")},
-        |${SimilarityOps.bm25FrozenSiCtes("doc_id % 10 <> 7", "b")},
+        |${SimilarityOps.bm25FrozenSiCtes(s"doc_id % ${graft.operators.DedupOps.DocDeltaMod} <> ${graft.operators.DedupOps.DocDeltaRem}", "b")},
         |${SimilarityOps.bm25CappedChainCtes(PostingBudget, "fb", "TRUE",
            si = "sib")},
         |${SimilarityOps.bm25SurvivorChainCtes(TombMod, TombRem)},
@@ -1332,7 +1289,7 @@ object StreamReplay {
     import graft.operators.SimilarityOps
     import graft.sources.SignatureLake
     val docs = Tables.documents(spark, sf)
-    val isDelta = col("doc_id") % 10 === 7
+    val isDelta = col("doc_id") % graft.operators.DedupOps.DocDeltaMod === graft.operators.DedupOps.DocDeltaRem
     val table = s"graft_lake_st18terms_${sf.replaceAll("[^A-Za-z0-9]+", "_")}" +
       s"_p${ProcessHandle.current().pid()}_s${nameCounter.incrementAndGet()}"
     val tomb = s"${table}_tomb"
@@ -1350,21 +1307,9 @@ object StreamReplay {
       val chunks = delta.grouped(math.max(1, (delta.size + 2) / 3)).toSeq
       var appendedDocs = 0L
       var midRecuts = 0L
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      def ckptDir() =
-        if (java.nio.file.Files.isDirectory(shm))
-          java.nio.file.Files.createTempDirectory(shm, "graft_st18")
-        else java.nio.file.Files.createTempDirectory("graft_st18")
-      def rmCkpt(d: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(d)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
       // ---- append stream: the advisory is consulted PER BATCH and
       // must hold (two counters — the per-batch cost of this policy)
-      val ckpt1 = ckptDir()
+      val ckpt1 = scratchCkptDir("graft_st18")
       try {
         val source = MemoryStream[DocRow]
         val q = source.toDS().toDF("doc_id", "source", "text")
@@ -1381,7 +1326,7 @@ object StreamReplay {
         try {
           chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
         } finally q.stop()
-      } finally rmCkpt(ckpt1)
+      } finally rmScratch(ckpt1)
       // the pre-stream si/tier materialization read the posting table,
       // so THIS session holds a cached file listing for it — and the
       // micro-batch appends ran through the stream's cloned session,
@@ -1415,7 +1360,7 @@ object StreamReplay {
       val deleted = docs.filter(col("doc_id") % TombMod === TombRem)
         .select(col("doc_id")).as[Long].collect().sorted.toSeq
       var totalRecuts = 0L
-      val ckpt2 = ckptDir()
+      val ckpt2 = scratchCkptDir("graft_st18")
       try {
         val source = MemoryStream[Long]
         val q = source.toDS().toDF("doc_id")
@@ -1427,21 +1372,32 @@ object StreamReplay {
           .start()
         try { source.addData(deleted: _*); q.processAllAvailable() }
         finally q.stop()
-      } finally rmCkpt(ckpt2)
-      if (SimilarityOps.shouldRecutTier(0L, baseDocs + appendedDocs,
-          takedown = true)) {
-        // the maintenance window: fold tombstones into a new
-        // generation, recut si/tier over it
-        SignatureLake.rewriteWithoutTombstones(spark, table, tomb,
-          "doc_id", Seq("term"))
-        totalRecuts += 1
-      }
-      val g2Serve = SignatureLake.writeTermServeTables(spark, g2)
+      } finally rmScratch(ckpt2)
       val survivors = docs.filter(col("doc_id") % TombMod =!= TombRem)
-      val served = SimilarityOps.bm25RankCappedFromTier(
-        SimilarityOps.bm25QueryTerms(survivors, SimilarityOps.Bm25QueryMod),
-        g2Serve.impacts, g2Serve.tier, SimilarityOps.Bm25TopK,
-        excludeSelf = false, budget = SimilarityOps.PostingBudget)
+      val qts = SimilarityOps.bm25QueryTerms(survivors, SimilarityOps.Bm25QueryMod)
+      // the advisory is consulted with the REAL counters (delta since
+      // recut #0 = everything the stream appended) — takedown=true
+      // short-circuits it today, but both arms are live: had the
+      // policy not fired, the serve would stay on the FROZEN tier
+      // with the tombstones masked (s34's shape), not on a g2 that
+      // was never written
+      val served =
+        if (SimilarityOps.shouldRecutTier(appendedDocs,
+            baseDocs + appendedDocs, takedown = true)) {
+          // the maintenance window: fold tombstones into a new
+          // generation, recut si/tier over it
+          SignatureLake.rewriteWithoutTombstones(spark, table, tomb,
+            "doc_id", Seq("term"))
+          totalRecuts += 1
+          val g2Serve = SignatureLake.writeTermServeTables(spark, g2)
+          SimilarityOps.bm25RankCappedFromTier(qts,
+            g2Serve.impacts, g2Serve.tier, SimilarityOps.Bm25TopK,
+            excludeSelf = false, budget = SimilarityOps.PostingBudget)
+        } else
+          SimilarityOps.bm25RankCappedFromTierMasked(qts,
+            termServe.impacts, termServe.tier, spark.table(tomb),
+            SimilarityOps.Bm25TopK,
+            excludeSelf = false, budget = SimilarityOps.PostingBudget)
       val out = served
         .crossJoin(broadcast(frozenStats))
         .withColumn("mid_recuts", lit(midRecuts))

@@ -43,8 +43,8 @@ class FixtureSlicesSpec extends SparkSpec {
     // (7 silenced probes there), and pinning the crossing at the
     // small corpora would pin a falsehood. The survivor side (A∖B)
     // holds at every sf via the non-emptiness test above.
-    val docIds = ids(Tables.documents(spark, "/root/testdata/sf0.1"), "doc_id")
-    val vecIds = ids(Tables.embeddings(spark, "/root/testdata/sf0.1"), "vec_id")
+    val docIds = ids(Tables.documents(spark, sf1), "doc_id")
+    val vecIds = ids(Tables.embeddings(spark, sf1), "vec_id")
     FixtureSlices.crossingPairs.foreach { case (a, b) =>
       val domain = if (a eq FixtureSlices.embDelta) vecIds else docIds
       val inA = domain.filter(a.contains)
@@ -83,6 +83,11 @@ class FixtureSlicesSpec extends SparkSpec {
     assert(FixtureSlices.cdcSuffix.mod === MultimodalOps.CdcSuffixMod.toLong &&
       FixtureSlices.cdcSuffix.rem === MultimodalOps.CdcSuffixRem.toLong)
     assert(FixtureSlices.querySample.mod === SimilarityOps.Bm25QueryMod.toLong)
+    assert(FixtureSlices.docDelta.mod === DedupOps.DocDeltaMod.toLong &&
+      FixtureSlices.docDelta.rem === DedupOps.DocDeltaRem.toLong)
+    assert(FixtureSlices.bandDelta.mod === DedupOps.DocDeltaMod.toLong &&
+      FixtureSlices.bandDelta.rem === DedupOps.BandDeltaRem.toLong)
+    assert(FixtureSlices.embDelta.mod === DedupOps.IncEmbMod.toLong)
     assert(FixtureSlices.compactSweep.map(_.mod) ===
       SimilarityOps.CompactDeleteMods.map(_.toLong))
     assert(FixtureSlices.staleSweep.map(_.mod) ===
