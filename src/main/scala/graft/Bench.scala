@@ -51,7 +51,8 @@ object Bench {
       "simhash_fp" -> (() => { sources.SignatureLake.portableFingerprints(spark, sfDir); () }),
       "ann_buckets" -> (() => { sources.SignatureLake.portableAnnBuckets(spark, sfDir); () }),
       "knn_exact" -> (() => { sources.SignatureLake.exactProbeGraph(spark, sfDir); () }),
-      "decontam_bloom" -> (() => { sources.SignatureLake.decontamBloomFilter(spark, sfDir); () }))
+      "decontam_bloom" -> (() => { sources.SignatureLake.decontamBloomFilter(spark, sfDir); () }),
+      "ivf_codebook" -> (() => { sources.SignatureLake.trainedIvfCodebook(spark, sfDir); () }))
     val lakeTimes = lakeBuilds.map { case (name, build) =>
       val t0 = System.nanoTime()
       val ok = try { build(); true } catch { case _: Throwable => false }

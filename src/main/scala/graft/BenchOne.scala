@@ -41,6 +41,13 @@ object BenchOne {
           % operators.SimilarityOps.GraphSampleMod === 0),
         1, operators.SimilarityOps.GraphK)
         .filter(org.apache.spark.sql.functions.col("mutual"))),
+      "m09_phash" -> ((s, sf) => operators.MultimodalOps.perceptualHashes(
+        operators.MultimodalOps.phashAuditUniverse(s, sf))),
+      "m09_pairs" -> ((s, sf) => operators.DedupOps.simhashPairsMulti(
+        operators.MultimodalOps.perceptualHashes(
+          operators.MultimodalOps.phashAuditUniverse(s, sf))
+          .withColumnRenamed("phash", "sh0"),
+        Seq("sh0"), operators.MultimodalOps.PhashMaxHamming)),
       "s17_peel" -> ((s, sf) => operators.SimilarityOps.kCorePeel(
         operators.SimilarityOps.knnGraphExact(
           embOf(s, sf).filter(org.apache.spark.sql.functions.col("vec_id")

@@ -564,12 +564,16 @@ object DedupOps {
     *
     * Execution shape: the convergence probe iterates PERSISTED rounds
     * (one count action per round — this is how every distributed CC
-    * implementation decides when to stop), then releases every cached
-    * frame and returns a clean k-round plan, so the caller's single
-    * consumption runs the whole propagation as one job and nothing
-    * stays pinned in executor memory. Per round: one shuffle joining
-    * edge targets to labels + one shuffle for the per-node min —
-    * both keyed on ids, no fixed-cardinality keys anywhere. */
+    * implementation decides when to stop), then returns the CONVERGED
+    * labels as an eager localCheckpoint (O(nodes) rows — the same
+    * storage class the probe rounds persist, released with the plan
+    * by the ContextCleaner) and unpersists every intermediate. The
+    * pre-r16 shape instead rebuilt a clean k-round plan for the
+    * caller, re-executing the whole propagation — and the edge
+    * pipeline under it — a second time at consumption. Per round: one
+    * shuffle joining edge targets to labels + one shuffle for the
+    * per-node min — both keyed on ids, no fixed-cardinality keys
+    * anywhere. */
   def connectedComponents(
       nodes: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -591,10 +595,7 @@ object DedupOps {
     try {
       // pair generation (the LSH + exact-verify pipeline upstream) is
       // the expensive subtree and every probe round reads it twice —
-      // persist for the probe's duration only. Cache resolution happens
-      // at execution, so after the finally releases it the returned
-      // plan re-evaluates edges fresh (one job; identical exchanges
-      // dedup at runtime).
+      // persist for the probe's duration only.
       cached += edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var cur = init
       var changed = 1L
@@ -608,8 +609,18 @@ object DedupOps {
         rounds += 1
       }
       require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+      // the converged labels ARE the result — hand them to the caller
+      // as an eager localCheckpoint (s17's kCorePeel discipline: the
+      // blocks are released by the ContextCleaner with the plan)
+      // instead of re-running the whole k-round propagation as one
+      // unrolled plan. The former re-execution doubled the edge
+      // pipeline's work and handed consumers a k-round-deep plan
+      // (m09's was 197k chars formatted) whose planning/codegen time
+      // alone was a visible share of the row; the checkpoint holds
+      // O(nodes) label rows — the same storage class the probe rounds
+      // above already persist.
+      cur.localCheckpoint(true)
     } finally cached.foreach(_.unpersist())
-    (0 until rounds).foldLeft(init)((l, _) => step(l))
   }
 
   /** Dedup clusters: every document labeled with its near-dup cluster
@@ -1863,7 +1874,21 @@ object DedupOps {
     * the oracle too, so parity holds by construction even on
     * boilerplate corpora). */
   def portableCandidatePairs(docs: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame =
-    bucketPairs(portableBandKeys(portableSignatures(docs)),
+    candidatePairsFromBands(portableBandKeys(portableSignatures(docs)), maxBucket)
+
+  /** The candidate expansion alone, over an ALREADY-DERIVED portable
+    * band-key relation — the serve half of [[portableCandidatePairs]],
+    * split out so consumers that are not auditing the derivation
+    * itself (d32) can run it over the materialized
+    * [[graft.sources.SignatureLake.portableBandKeys]] family instead
+    * of re-hashing the corpus (the d17/d22 lake-serve pattern; d14
+    * stays the self-contained row that keeps the honest derivation
+    * measured). Reading the bucketed lake table also makes the
+    * band-key aggregation exchange-free — the (band, band_key)
+    * distribution is paid once at lake-write time. */
+  def candidatePairsFromBands(bandRel: DataFrame,
+      maxBucket: Int = MaxBandBucket): DataFrame =
+    bucketPairs(bandRel,
       keyCols = Seq("band", "band_key"), memberCols = Seq("doc_id"),
       maxBucket, metric = "portable_band_guard")
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
@@ -3572,8 +3597,17 @@ object DedupOps {
     * corpus, and the bound is independent of document length.
     * `rel_dist` is an IEEE division of two exact integers (oracle
     * parity is bit-exact, per the verify discipline). */
-  def editDistancePairs(docs: DataFrame, maxDist: Int = MaxEditDist): DataFrame = {
-    val cand = portableCandidatePairs(docs)
+  /** @param bands the portable band-key relation — defaults to a fresh
+    *        derivation; the registry row passes the
+    *        [[graft.sources.SignatureLake]]'s materialized family so
+    *        the verify reads the lake index instead of re-hashing the
+    *        corpus (the d17 serve pattern; the candidate set is
+    *        IDENTICAL — d23 hash-gates lake == from-scratch — so the
+    *        emitted pairs cannot move) */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = MaxEditDist,
+      bands: DataFrame = null): DataFrame = {
+    val cand = candidatePairsFromBands(
+      Option(bands).getOrElse(portableBandKeys(portableSignatures(docs))))
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("__ta"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("__tb"))
     cand.join(ta, "doc_a").join(tb, "doc_b")
@@ -3599,7 +3633,8 @@ object DedupOps {
       |            JOIN documents b ON b.doc_id = c.doc_b
       |WHERE levenshtein(a.text, b.text) <= $MaxEditDist""".stripMargin) {
     (spark, sf) =>
-      editDistancePairs(Tables.documents(spark, sf))
+      editDistancePairs(Tables.documents(spark, sf),
+        bands = graft.sources.SignatureLake.portableBandKeys(spark, sf))
   }
 
   // ------------------------------------------------------------------

@@ -435,11 +435,20 @@ object SimilarityOps {
   /** IVF top-k over the TRAINED codebook — the production ANN path
     * (k-means internals are engine-specific, so the relation itself
     * has no SQL twin; the gate row below emits its recall contract). */
+  /** @param cb the trained codebook — defaults to an inline training;
+    *        the registry row passes the memoized
+    *        [[graft.sources.SignatureLake.trainedIvfCodebook]] lake
+    *        artifact (codebooks are index state; a serve never
+    *        retrains — the d09 attribution pattern) */
   def knnIvfKmeans(emb: DataFrame, k: Int = PortableKnnK,
-      queryFilter: Column = lit(true)): DataFrame = {
-    val n = emb.count() // once: sizes both the cell count and the k-means sample
+      queryFilter: Column = lit(true),
+      cb: Array[Array[Double]] = null): DataFrame = {
+    val codebook = Option(cb).getOrElse {
+      val n = emb.count() // once: sizes both the cell count and the k-means sample
+      kmeansCentroids(emb, cellsForCorpus(n), knownN = Some(n))
+    }
     knnIvf(emb, k = k, probes = 4,
-      codebook = df => kmeansCentroids(df, cellsForCorpus(n), knownN = Some(n)),
+      codebook = _ => codebook,
       queryFilter = queryFilter)
   }
 
@@ -456,7 +465,8 @@ object SimilarityOps {
     // scored edges, 1/mod of the probe→cell join volume; the k-means
     // codebook still trains on the full corpus/sample
     recallContract(
-      knnIvfKmeans(emb, queryFilter = col("vec_id") % GraphSampleMod === 0),
+      knnIvfKmeans(emb, queryFilter = col("vec_id") % GraphSampleMod === 0,
+        cb = graft.sources.SignatureLake.trainedIvfCodebook(spark, sf)),
       emb, IvfTrainedRecallFloor,
       exact = Some(graft.sources.SignatureLake.exactProbeGraph(spark, sf)))
   }
@@ -1929,9 +1939,11 @@ object SimilarityOps {
     }) { (spark, sf) =>
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val n = emb.count()
+    val n = emb.count() // sizes the cand-cap literal below
     val cells = cellsForCorpus(n)
-    val cb = kmeansCentroids(emb, cells, knownN = Some(n))
+    // the memoized codebook lake artifact — identical training
+    // (fixed seed, full corpus), paid once per session
+    val cb = graft.sources.SignatureLake.trainedIvfCodebook(spark, sf)
     val raw = ivfProbeSweep(emb, IvfCurveProbes, PortableKnnK, GraphSampleMod,
       Some(graft.sources.SignatureLake.exactProbeGraph(spark, sf)), _ => cb)
     val floorExpr = IvfTrainedCurveFloors.foldLeft(lit(Double.NaN))(
@@ -2224,9 +2236,15 @@ object SimilarityOps {
     * against the exact probe graph. Emits per delta size one row with
     * both mean recalls — the crossover artifact a deployment reads to
     * decide when delta routing distortion justifies the rebuild. */
+  /** @param fullCb the full-corpus retrained codebook — defaults to
+    *        inline training; the registry row passes the memoized
+    *        [[graft.sources.SignatureLake.trainedIvfCodebook]] (the
+    *        identical seeded training — the per-mod FROZEN codebooks
+    *        stay inline, their base slices are the row's subject) */
   def ivfRetrainSweep(emb: DataFrame, mods: Seq[Int] = RetrainDeltaMods,
       probes: Int = RetrainProbes, k: Int = PortableKnnK,
-      mod: Int = GraphSampleMod, exact: Option[DataFrame] = None): DataFrame = {
+      mod: Int = GraphSampleMod, exact: Option[DataFrame] = None,
+      fullCb: Array[Array[Double]] = null): DataFrame = {
     val n = emb.count()
     val ex = exactOr(exact, emb, mod, k)
       .select(col("src_id").as("vec_id"), col("dst_id").as("nid"))
@@ -2239,7 +2257,8 @@ object SimilarityOps {
           avg(col("hits").cast("double") / col("k_exact")).as(name))
     // one retrained codebook: the full corpus is the same for every
     // delta size, so the rebuild trains once
-    val cbFull = kmeansCentroids(emb, cellsForCorpus(n), knownN = Some(n))
+    val cbFull = Option(fullCb)
+      .getOrElse(kmeansCentroids(emb, cellsForCorpus(n), knownN = Some(n)))
     val retrained = meanRecall(cbFull, "recall_retrained")
       .select("recall_retrained")
     mods.map { m =>
@@ -2515,7 +2534,8 @@ object SimilarityOps {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     ivfRetrainSweep(emb,
-        exact = Some(graft.sources.SignatureLake.exactProbeGraph(spark, sf)))
+        exact = Some(graft.sources.SignatureLake.exactProbeGraph(spark, sf)),
+        fullCb = graft.sources.SignatureLake.trainedIvfCodebook(spark, sf))
       .select(
         col("delta_mod"), col("n_delta"), col("n_corpus"),
         col("delta_fraction"), col("n_probes"), col("k_exact"),

@@ -26,9 +26,18 @@ object Bucketing {
   /** Write `df` as a bucketed+sorted parquet table at `path`,
     * registered as `table` in the session catalog (external — dropping
     * the table keeps the files). */
+  /** The input is repartitioned by the bucket key into exactly
+    * `buckets` partitions first (same hash family as the bucket
+    * spec): Spark's bucketed write otherwise emits one file per
+    * (input task × bucket) — a small-files explosion on wide inputs
+    * and a serialized single-task sort+write on AQE-coalesced ones
+    * (SignatureLake.writeFamily's r16 measurement). One exchange at
+    * write time is the ingest-time-shuffle trade this module already
+    * documents. */
   def writeBucketed(
       df: DataFrame, table: String, path: String, key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, df.col(key))
+      .write
       .format("parquet")
       .option("path", path)
       .bucketBy(buckets, key)

@@ -87,6 +87,10 @@ object SignatureLake {
   private val bloomCache = new ConcurrentHashMap[Key,
     org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
 
+  /** Trained codebooks (bounded k·dim driver arrays — the codebook
+    * lake-artifact kind the scaladoc above names). */
+  private val codebookCache = new ConcurrentHashMap[Key, Array[Array[Double]]]()
+
   /** Drop entries owned by stopped sessions — a session per job in a
     * long-lived JVM must not accumulate dead (session, DataFrame)
     * graphs in this static map. (The stopped session's catalog is gone
@@ -108,6 +112,10 @@ object SignatureLake {
     val it4 = bloomCache.entrySet().iterator()
     while (it4.hasNext) {
       if (it4.next().getKey.session.sparkContext.isStopped) it4.remove()
+    }
+    val it5 = codebookCache.entrySet().iterator()
+    while (it5.hasNext) {
+      if (it5.next().getKey.session.sparkContext.isStopped) it5.remove()
     }
   }
 
@@ -165,11 +173,27 @@ object SignatureLake {
 
   /** Write `df` as a MANAGED bucketed+sorted parquet table — the lake
     * write. SaveMode.Append validates the existing bucket spec, so an
-    * incremental write can never silently de-bucket the index. */
+    * incremental write can never silently de-bucket the index.
+    *
+    * The input is REPARTITIONED by the bucket columns into exactly
+    * [[Buckets]] partitions first (same hash family as the bucket
+    * spec, so each write task holds exactly its own bucket). Spark's
+    * bucketed write does not do this by itself: each INPUT task
+    * writes one file per bucket it happens to hold, so an
+    * AQE-coalesced single-partition input serialized the whole
+    * sort+write through one task (minhash_sigs, measured r16), and a
+    * 32-partition input wrote 32×32 = 1024 tiny files
+    * (minhash_bands, ditto) that every read-back then had to list
+    * and open. One exchange at write time buys a parallel write AND
+    * one file per bucket — the ingest-time-shuffle trade this lake
+    * already advertises, now actually established by the writer. At
+    * 100 TB the same move is how bucketed tables hit their target
+    * file size (table_bytes / Buckets per file). */
   private def writeFamily(df: DataFrame, table: String,
       bucketCols: Seq[String], mode: SaveMode): Unit = {
     if (mode == SaveMode.Overwrite) preclean(df.sparkSession, table)
-    df.write.format("parquet")
+    df.repartition(Buckets, bucketCols.map(df.col): _*)
+      .write.format("parquet")
       .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode(mode)
@@ -334,6 +358,28 @@ object SignatureLake {
     bloomCache.computeIfAbsent(Key(spark, sfDir, "decontam_bloom"), _ =>
       DedupOps.buildDecontamBloom(
         Tables.documents(spark, sfDir).filter(col("doc_id") % 50 === 0)))
+  }
+
+  /** The full-corpus TRAINED IVF codebook (seeded Lloyd's,
+    * [[SimilarityOps.kmeansCentroids]] at the sqrt cell sizing) —
+    * memoized per (session, sfDir) as a codebook lake artifact. A
+    * production IVF index persists its trained codebook WITH the
+    * index (the codebook IS index state — every serve and every
+    * append quantizes against it); before r16 each consumer row
+    * (s04 serve, s19 probe curve, s23's rebuild leg) re-ran the
+    * identical 10-iteration training per execution. Deterministic:
+    * fixed seed, same input relation, so memoization changes no
+    * output — the d09 decontam-Bloom attribution precedent. Timed as
+    * the `ivf_codebook` bench lake_build entry. */
+  def trainedIvfCodebook(spark: SparkSession, sfDir: String): Array[Array[Double]] = {
+    evictStopped()
+    codebookCache.computeIfAbsent(Key(spark, sfDir, "ivf_codebook"), _ => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val n = emb.count()
+      SimilarityOps.kmeansCentroids(emb,
+        SimilarityOps.cellsForCorpus(n), knownN = Some(n))
+    })
   }
 
   /** Portable SimHash fingerprints (doc_id, sh0, sh1), bucketed by
