@@ -939,22 +939,11 @@ object CoreQueries {
       val rows = MultiFormat.Formats.map { fmt =>
         MultiFormat.write(base, s"$dir/$fmt", fmt)
         val back = MultiFormat.read(spark, s"$dir/$fmt", fmt, base.schema)
-        // multiset equality in ONE aggregation pass: +1/-1 signed union
-        // grouped on every column — empty residue ⟺ both exceptAll
-        // directions empty (each side's surplus rows survive with a
-        // nonzero count sum), but one shuffle and one action instead
-        // of two full anti-except plans per direction. count() rides
-        // the same pass as a second aggregate (sum of the -1 side).
-        val cols = base.columns.toSeq
-        val residue = base.select(cols.map(col): _*).withColumn("__s", lit(1L))
-          .unionByName(back.select(cols.map(col): _*).withColumn("__s", lit(-1L)))
-          .groupBy(cols.map(col): _*).agg(
-            sum(col("__s")).as("__d"),
-            sum(when(col("__s") === -1L, 1L).otherwise(0L)).as("__nb"))
-        val agg = residue.agg(
-          coalesce(sum(when(col("__d") =!= 0L, 1L).otherwise(0L)), lit(0L)).as("bad"),
-          coalesce(sum(col("__nb")), lit(0L)).as("n_back")).head()
-        (fmt, agg.getLong(1), agg.getLong(0) == 0L)
+        // one-pass multiset parity + read-back count (r16: replaces
+        // two exceptAll plans + a count — 3 actions/format → 1); see
+        // MultiFormat.roundTripStats
+        val (nBack, exact) = MultiFormat.roundTripStats(base, back)
+        (fmt, nBack, exact)
       }
       import spark.implicits._
       rows.toDF("format", "n_rows", "roundtrip_exact")

@@ -53,4 +53,26 @@ object MultiFormat {
     case other =>
       throw new IllegalArgumentException(s"unsupported text format: $other")
   }
+
+  /** Multiset round-trip parity in ONE aggregation pass: sign `base`
+    * rows +1 and `back` rows −1, group on every column, and look for
+    * any nonzero residue — empty residue ⟺ both `exceptAll`
+    * directions empty (a surplus on either side survives with a
+    * nonzero count sum), but one shuffle and one action instead of
+    * two anti-except plans plus a count (the r16 q55 shape). Returns
+    * (rows read back, exact?); the read-back row count rides the same
+    * pass as the −1-side sum. */
+  def roundTripStats(base: DataFrame, back: DataFrame): (Long, Boolean) = {
+    import org.apache.spark.sql.functions._
+    val cols = base.columns.toSeq
+    val residue = base.select(cols.map(col): _*).withColumn("__s", lit(1L))
+      .unionByName(back.select(cols.map(col): _*).withColumn("__s", lit(-1L)))
+      .groupBy(cols.map(col): _*).agg(
+        sum(col("__s")).as("__d"),
+        sum(when(col("__s") === -1L, 1L).otherwise(0L)).as("__nb"))
+    val agg = residue.agg(
+      coalesce(sum(when(col("__d") =!= 0L, 1L).otherwise(0L)), lit(0L)).as("bad"),
+      coalesce(sum(col("__nb")), lit(0L)).as("n_back")).head()
+    (agg.getLong(1), agg.getLong(0) == 0L)
+  }
 }

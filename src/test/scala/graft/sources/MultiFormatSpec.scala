@@ -45,6 +45,24 @@ class MultiFormatSpec extends SparkSpec {
       "micros truncation must surface as a parity failure, not pass silently")
   }
 
+  test("roundTripStats: one-pass parity agrees with exceptAll on equal, surplus, deficit and perturbed sides") {
+    val base = fixture
+    // equal: exact, and the count is the BACK side's row count
+    assert(MultiFormat.roundTripStats(base, base) === ((3L, true)))
+    // deficit (a base row missing from back) — must flip exact
+    val deficit = base.limit(2)
+    assert(MultiFormat.roundTripStats(base, deficit) === ((2L, false)))
+    // surplus (a duplicated back row) — multiset-sensitive, must flip
+    val surplus = base.unionAll(base.limit(1))
+    assert(MultiFormat.roundTripStats(base, surplus) === ((4L, false)))
+    // value perturbation — must flip, and agree with the exceptAll oracle
+    val perturbed = base.withColumn("v",
+      when(col("id") === 1L, col("v") + 1.0).otherwise(col("v")))
+    val (n, exact) = MultiFormat.roundTripStats(base, perturbed)
+    assert(n === 3L && !exact)
+    assert(!(base.exceptAll(perturbed).isEmpty && perturbed.exceptAll(base).isEmpty))
+  }
+
   test("gate row q55: both formats round-trip exact on the corpus") {
     import graft.operators.CoreQueries
     val out = CoreQueries.sourceFormats.run(spark, sf001).collect()

@@ -32,6 +32,24 @@ class SignatureLakeSpec extends SparkSpec {
     SignatureLake.invalidate(spark)
   }
 
+  test("bucketed lake write emits at most one data file per bucket (r16 layout fix)") {
+    SignatureLake.invalidate(spark)
+    // bands: the family that exploded to (tasks x buckets) files before
+    // the writer repartitioned by bucket key (1024 data files at sf0.1)
+    SignatureLake.portableBandKeys(spark, sf001)
+    val t = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_lake_minhash_bands"))
+    assert(t.nonEmpty)
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(t.head)).toString))
+    val dataFiles = Option(loc.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith("part-"))
+    assert(dataFiles <= SignatureLake.Buckets,
+      s"expected <= ${SignatureLake.Buckets} data files, found $dataFiles")
+    SignatureLake.invalidate(spark)
+  }
+
   test("fingerprint and ann-bucket families cover the corpus") {
     SignatureLake.invalidate(spark)
     val nDocs = Tables.documents(spark, sf001).count()
