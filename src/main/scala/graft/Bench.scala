@@ -52,7 +52,12 @@ object Bench {
       "ann_buckets" -> (() => { sources.SignatureLake.portableAnnBuckets(spark, sfDir); () }),
       "knn_exact" -> (() => { sources.SignatureLake.exactProbeGraph(spark, sfDir); () }),
       "decontam_bloom" -> (() => { sources.SignatureLake.decontamBloomFilter(spark, sfDir); () }),
-      "ivf_codebook" -> (() => { sources.SignatureLake.trainedIvfCodebook(spark, sfDir); () }))
+      "ivf_codebook" -> (() => { sources.SignatureLake.trainedIvfCodebook(spark, sfDir); () }),
+      // r17 additions (additions only — existing entries unchanged):
+      // the span-gram index (d27/d30/p04's shared input) and the
+      // m05/m09 shared perceptual-hash relation
+      "span_grams" -> (() => { sources.SignatureLake.spanGrams(spark, sfDir); () }),
+      "phash" -> (() => { sources.SignatureLake.perceptualHashes(spark, sfDir); () }))
     val lakeTimes = lakeBuilds.map { case (name, build) =>
       val t0 = System.nanoTime()
       val ok = try { build(); true } catch { case _: Throwable => false }

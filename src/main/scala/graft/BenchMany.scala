@@ -38,6 +38,8 @@ object BenchMany {
       sources.SignatureLake.exactProbeGraph(spark, sfDir)
       sources.SignatureLake.decontamBloomFilter(spark, sfDir)
       sources.SignatureLake.trainedIvfCodebook(spark, sfDir)
+      sources.SignatureLake.spanGrams(spark, sfDir)
+      sources.SignatureLake.perceptualHashes(spark, sfDir)
       println(f"[benchmany] lake builds: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 

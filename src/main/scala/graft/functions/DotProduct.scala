@@ -171,6 +171,21 @@ object GraftExtensions {
           "usage: graft_cdc_cuts(str, <window literal>, <divisor literal>)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_portable_minhash_sig"),
+      new ExpressionInfo(classOf[PortableMinHashSig].getName,
+        "graft_portable_minhash_sig"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, Literal(d: Int, IntegerType), Literal(l: Int, IntegerType)) =>
+          PortableMinHashSig(s, d, l)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_portable_minhash_sig(text, <digests literal>, <lanes literal>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_portable_simhash"),
+      new ExpressionInfo(classOf[PortableSimhashFp].getName,
+        "graft_portable_simhash"),
+      (children: Seq[Expression]) => PortableSimhashFp(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cell_probes"),
       new ExpressionInfo(classOf[CellProbes].getName, "graft_cell_probes"),
       (children: Seq[Expression]) => children match {

@@ -279,7 +279,10 @@ object DedupOps {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    jaccardVerify(Tables.documents(spark, sf), cand, threshold)
+    // verify sets off the shingle_sets lake family too (r17) — the
+    // last inline tokenization on this serve path
+    jaccardVerify(Tables.documents(spark, sf), cand, threshold,
+      setsRel = Some(graft.sources.SignatureLake.shingleSets(spark, sf)))
   }
 
   /** One-row pair-recall contract: |truth|, the floor literal, and
@@ -513,8 +516,12 @@ object DedupOps {
       simhashLaneCols(SimhashLanes), SimhashMaxHamming,
       metric = "d04_truth_band_guard")
     pairRecallContract(
+      // truth-side verify sets off the shingle_sets lake family (r17)
+      // — the production detector under audit (simhashDupPairs below)
+      // still derives everything inline
       jaccardVerify(docs, truthPairs.select(col("doc_a"), col("doc_b")),
-        ContractTruthJ),
+        ContractTruthJ,
+        setsRel = Some(graft.sources.SignatureLake.shingleSets(spark, sf))),
       simhashDupPairs(docs), SimhashRecallFloor)
   }
 
@@ -525,6 +532,30 @@ object DedupOps {
     * pairs. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     jaccardVerify(docs, candidatePairs(docs), threshold)
+
+  /** [[ngramJaccardPairs]] SERVED off the lake families (r17): the
+    * candidate stage reads the (band, band_key)-bucketed
+    * `minhash_prod_bands` table — the identical
+    * bandKeys∘minhashSignatures relation, derived once per
+    * (session, sf) at lake-build time — and the exact verify reads the
+    * `shingle_sets` table instead of re-tokenizing. The pair SET is
+    * identical by construction (same banded relation, same cap, same
+    * verify); consumers of the verified pairs that are not auditing
+    * the derivation (d18's provenance matrix, d19's threshold sweep)
+    * serve from here, while d05 keeps the self-contained honest
+    * derivation as the family's measured row (the d14 convention). */
+  def ngramJaccardPairsFromLake(spark: SparkSession, sf: String,
+      threshold: Double): DataFrame = {
+    val cand = bucketPairs(
+        graft.sources.SignatureLake.productionBandRows(spark, sf),
+        keyCols = Seq("band", "band_key"), memberCols = Seq("doc_id"),
+        MaxBandBucket, metric = "minhash_band_guard_lake_ngram")
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    jaccardVerify(Tables.documents(spark, sf), cand, threshold,
+      setsRel = Some(graft.sources.SignatureLake.shingleSets(spark, sf)))
+  }
 
   /** The oracle computes the same exact Jaccard over ALL pairs (a cross
     * join DuckDB may afford at sf0.01; the engine must not at 100 TB).
@@ -564,18 +595,35 @@ object DedupOps {
     *
     * Execution shape: the convergence probe iterates PERSISTED rounds
     * (one count action per round — this is how every distributed CC
-    * implementation decides when to stop), then returns the CONVERGED
-    * labels as an eager localCheckpoint (O(nodes) rows — the same
-    * storage class the probe rounds persist, released with the plan
-    * by the ContextCleaner) and unpersists every intermediate. The
-    * pre-r16 shape instead rebuilt a clean k-round plan for the
-    * caller, re-executing the whole propagation — and the edge
-    * pipeline under it — a second time at consumption. Per round: one
-    * shuffle joining edge targets to labels + one shuffle for the
-    * per-node min — both keyed on ids, no fixed-cardinality keys
-    * anywhere. */
+    * implementation decides when to stop), writes the CONVERGED labels
+    * (O(nodes) rows — the converged `cur` is still persisted from the
+    * probe, so the write reads cached blocks, never re-propagates) to
+    * a parquet artifact, unpersists every intermediate, and returns
+    * the read-back. The pre-r16 shape instead rebuilt a clean k-round
+    * plan for the caller, re-executing the whole propagation — and the
+    * edge pipeline under it — a second time at consumption; the r16
+    * shape handed back an eager localCheckpoint whose blocks were
+    * (a) freed only when the returned Dataset was GC'd via the
+    * ContextCleaner — dozens of CC calls across one long-lived JVM
+    * (the test runner, a multi-query session) accumulated unreleased
+    * block-manager state — and (b) non-reliable storage: an executor
+    * loss mid-consumption at cluster scale failed the job. The parquet
+    * artifact is the production handoff (d10 already shipped labels
+    * this way): blocks release HERE, the lineage truncation is
+    * identical, and at 100 TB the labels land on the shared FS like
+    * every other lake write. Per round: one shuffle joining edge
+    * targets to labels + one shuffle for the per-node min — both keyed
+    * on ids, no fixed-cardinality keys anywhere. */
+  /** @param outDir parquet destination for the converged labels
+    *        (overwritten). When absent, a deterministic tmp path keyed
+    *        on the md5 of the inputs' canonicalized plans — stable per
+    *        (nodes, pairs) shape, so warmup/rep loops overwrite one
+    *        directory instead of leaking one per invocation (d07's
+    *        stable-path rule; concurrent sessions racing the same
+    *        inputs are unsupported here, as there). */
   def connectedComponents(
-      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 25,
+      outDir: Option[String] = None): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
 
@@ -609,17 +657,23 @@ object DedupOps {
         rounds += 1
       }
       require(changed == 0, s"label propagation did not converge in $maxIters rounds")
-      // the converged labels ARE the result — hand them to the caller
-      // as an eager localCheckpoint (s17's kCorePeel discipline: the
-      // blocks are released by the ContextCleaner with the plan)
-      // instead of re-running the whole k-round propagation as one
-      // unrolled plan. The former re-execution doubled the edge
-      // pipeline's work and handed consumers a k-round-deep plan
-      // (m09's was 197k chars formatted) whose planning/codegen time
-      // alone was a visible share of the row; the checkpoint holds
-      // O(nodes) label rows — the same storage class the probe rounds
-      // above already persist.
-      cur.localCheckpoint(true)
+      // the converged labels ARE the result — materialize them as a
+      // parquet artifact (the write reads the probe's persisted
+      // blocks) and hand the caller the read-back: lineage truncated
+      // like the r16 localCheckpoint, but the block lifecycle ends in
+      // the finally below instead of at Dataset-GC time, and the
+      // artifact survives executor loss at cluster scale.
+      val spark = nodes.sparkSession
+      val dir = outDir.getOrElse {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Seq(nodes, pairs).foreach(df => md.update(
+          df.queryExecution.analyzed.canonicalized.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        val tag = md.digest().take(8).map(b => f"$b%02x").mkString
+        s"${System.getProperty("java.io.tmpdir")}/graft_cc_labels_$tag"
+      }
+      cur.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
     } finally cached.foreach(_.unpersist())
   }
 
@@ -708,13 +762,22 @@ object DedupOps {
       scala.util.hashing.MurmurHash3.stringHash(sf).toLong & 0xffffffffL)
     val tmp = System.getProperty("java.io.tmpdir")
     val pairsDir = s"$tmp/graft_d07_pairs_$sfTag"
-    ngramJaccardPairs(docs, 0.6).select(col("doc_a"), col("doc_b"))
+    // pair generation off the lake families (r17, the d18/d19 move):
+    // d07's audited subject is the COMPONENT computation — the
+    // verified-pair input is d05's relation, served from
+    // minhash_prod_bands + shingle_sets (identical pair set by
+    // construction; SignatureLakeSpec pins it, the d07 oracle
+    // hash-checks the clustering end-to-end)
+    ngramJaccardPairsFromLake(spark, sf, 0.6)
+      .select(col("doc_a"), col("doc_b"))
       .write.mode("overwrite").parquet(pairsDir)
     val pairs = spark.read.parquet(pairsDir)
     val outDir = s"$tmp/graft_d07_labels_$sfTag"
-    connectedComponents(docs.select(col("doc_id")), pairs)
-      .select(col("doc_id"), col("label").as("cluster_id"))
-      .write.mode("overwrite").parquet(outDir)
+    // the labels artifact IS connectedComponents' own materialization
+    // (r17: one parquet write, not checkpoint-then-rewrite); the
+    // (label → cluster_id) rename happens at read in [[clusterLabels]]
+    connectedComponents(docs.select(col("doc_id")), pairs,
+      outDir = Some(outDir))
     // evict only STOPPED sessions: a blanket clear would also drop a
     // live session's entry and silently re-run the full CC chain on
     // the next d10 call; live entries are bounded by live sessions
@@ -730,7 +793,7 @@ object DedupOps {
     val dir =
       if (recompute) computeClusterLabels(spark, sf)
       else labelsCache.getOrElse((spark, sf), computeClusterLabels(spark, sf))
-    spark.read.parquet(dir)
+    spark.read.parquet(dir).withColumnRenamed("label", "cluster_id")
   }
 
   /** Cluster-representative selection — the dedup output a pipeline
@@ -1223,9 +1286,18 @@ object DedupOps {
       |       CAST(v.pairs_verified AS BIGINT) AS pairs_verified,
       |       TRUE AS monotonic_ok
       |FROM d, e, v""".stripMargin) { (spark, sf) =>
+    // minhash side off the lake families (r17, verdict item 4): the
+    // band histogram reads minhash_prod_bands and the verified-pair
+    // line reads lake candidates + shingle_sets — identical relations
+    // by construction (d03-gated). The simhash and ann funnel legs
+    // keep their inline derivations: d11's xxhash64 simhash
+    // fingerprints and its corpus-sized ann plane count
+    // (planesForCorpus) have no lake family at this geometry.
     coverageContract(Tables.documents(spark, sf),
       Tables.embeddings(spark, sf)
-        .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")),
+      bandRel = Some(graft.sources.SignatureLake.productionBandRows(spark, sf)),
+      pairsRel = Some(ngramJaccardPairsFromLake(spark, sf, 0.0)))
   }
 
   /** The d11 contract relation: closed-form corpus counts (narrow
@@ -1235,10 +1307,12 @@ object DedupOps {
     * count, and the funnel-monotonicity boolean. The three count
     * aggregates are one-row frames broadcast into a cross join (the
     * grand-total pattern, `Relational.scala`). */
-  def coverageContract(docs: DataFrame, emb: DataFrame): DataFrame = {
+  def coverageContract(docs: DataFrame, emb: DataFrame,
+      bandRel: Option[DataFrame] = None,
+      pairsRel: Option[DataFrame] = None): DataFrame = {
     def stage(s: String): Column =
       coalesce(max(when(col("stage") === s, col("n"))), lit(0L))
-    val fun = coverageReport(docs, emb).agg(
+    val fun = coverageReport(docs, emb, bandRel, pairsRel).agg(
       (stage("minhash_rows_kept") + stage("minhash_rows_dropped"))
         .as("minhash_banded_rows"),
       (stage("simhash_rows_kept") + stage("simhash_rows_dropped"))
@@ -1281,9 +1355,18 @@ object DedupOps {
   private def sizes(banded: DataFrame, keys: Seq[String]): DataFrame =
     banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
 
-  def coverageReport(docs: DataFrame, emb: DataFrame): DataFrame = {
+  /** @param bandRel pre-materialized bandKeys∘minhashSignatures (the
+    *        `minhash_prod_bands` lake read-back); derived inline when
+    *        absent
+    *  @param pairsRel pre-built threshold-0 verified pairs
+    *        ([[ngramJaccardPairsFromLake]]); derived inline when
+    *        absent */
+  def coverageReport(docs: DataFrame, emb: DataFrame,
+      bandRel: Option[DataFrame] = None,
+      pairsRel: Option[DataFrame] = None): DataFrame = {
     val mh = guardAgg(
-      sizes(bandKeys(minhashSignatures(docs)), Seq("band", "band_key")),
+      sizes(bandRel.getOrElse(bandKeys(minhashSignatures(docs))),
+        Seq("band", "band_key")),
       MaxBandBucket, "minhash",
       extra = Seq(coalesce(sum(when(col("bn") <= MaxBandBucket,
         expr("bn * (bn - 1) div 2")).otherwise(0L)), lit(0L))
@@ -1292,7 +1375,7 @@ object DedupOps {
     // every pair): a second bucketPairs subtree in the same plan would
     // duplicate the observe metric name, which Spark rejects; the
     // verified line thresholds the UNROUNDED jaccard — d05's filter
-    val mhPairs = ngramJaccardPairs(docs, 0.0).agg(
+    val mhPairs = pairsRel.getOrElse(ngramJaccardPairs(docs, 0.0)).agg(
       count(lit(1)).as("minhash_pairs_distinct"),
       coalesce(sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)), lit(0L))
         .as("minhash_pairs_verified"))
@@ -1364,7 +1447,7 @@ object DedupOps {
     * from its in-memory relation. */
   private[operators] def portableFunnel(
       docs: DataFrame, bandRel: DataFrame, fps: DataFrame,
-      annBanded: DataFrame): DataFrame = {
+      annBanded: DataFrame, setsRel: Option[DataFrame] = None): DataFrame = {
     val mh = guardAgg(
       sizes(bandRel, Seq("band", "band_key")),
       MaxBandBucket, "minhash",
@@ -1377,7 +1460,7 @@ object DedupOps {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val mhPairs = jaccardVerify(docs, cand, 0.0)
+    val mhPairs = jaccardVerify(docs, cand, 0.0, setsRel)
       .agg(
         count(lit(1)).as("minhash_pairs_distinct"),
         coalesce(sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)), lit(0L))
@@ -1517,10 +1600,14 @@ object DedupOps {
     * without a lake. */
   val portableCoverageQ: GraftQuery = GraftQuery(
     "d11p_coverage_portable", portableCoverageSql) { (spark, sf) =>
+    // r17: the verify's shingle-set side now reads the shingle_sets
+    // lake family too — the funnel's LAST inline corpus tokenization
+    // is gone; every input is a materialized lake table
     val out = portableFunnel(Tables.documents(spark, sf),
       graft.sources.SignatureLake.portableBandKeys(spark, sf),
       graft.sources.SignatureLake.portableFingerprints(spark, sf),
-      graft.sources.SignatureLake.portableAnnBuckets(spark, sf))
+      graft.sources.SignatureLake.portableAnnBuckets(spark, sf),
+      setsRel = Some(graft.sources.SignatureLake.shingleSets(spark, sf)))
     spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
@@ -1734,7 +1821,10 @@ object DedupOps {
       // per scale in DedupSpec's license matrix)
       .filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)
       .dropDuplicates("doc_a", "doc_b")
-    incrementalVerdicts(delta, corpus, jaccardVerify(docs, cand, 0.6))
+    // verify sets off the shingle_sets lake family (r17) — the
+    // audited subject here is the APPEND path above, not the verify
+    incrementalVerdicts(delta, corpus, jaccardVerify(docs, cand, 0.6,
+      setsRel = Some(graft.sources.SignatureLake.shingleSets(spark, sf))))
   }
 
   // ------------------------------------------------------------------
@@ -1842,17 +1932,29 @@ object DedupOps {
     * (codegen'd, far cheaper per gram); this family exists so the
     * near-dup pipeline has an end-to-end hash-matched oracle row
     * rather than only spec-pinned contracts. */
-  def portableSignatures(docs: DataFrame): DataFrame = {
-    val nDigests = NumHashes / PortableLanes
-    val withH = shingles(docs).select(
-      col("doc_id") +: (0 until nDigests).map(i =>
-        md5(concat_ws(":", lit(i), col("shingle"))).as(s"h$i")): _*)
-    withH.groupBy(col("doc_id"))
-      .agg(array((0 until NumHashes).map { p =>
-        min(substring(col(s"h${p / PortableLanes}"),
-          (p % PortableLanes) * 8 + 1, 8))
-      }: _*).as("sig"))
-  }
+  def portableSignatures(docs: DataFrame): DataFrame =
+    // ONE native kernel call per row ([[graft.functions.PortableMinHashSig]],
+    // r17): tokenize → distinct 3-shingles → NumHashes/PortableLanes md5
+    // digests per shingle → per-lane minima, where the text already is.
+    // The r16 relational shape exploded one row per (doc, shingle),
+    // evaluated 8 md5 + hex expressions per row, and min-aggregated 32
+    // UTF8String lanes through a doc_id exchange — the signature
+    // relation is now scan → project → filter with ZERO exchange, and
+    // the lake build's only shuffle is the bucketed write's. Output is
+    // bit-identical (same md5 family, same lane carving — gated by the
+    // hash-checked d14/d17/d21/d23 oracle rows); docs without a
+    // 3-shingle (null/short text) yield NULL and are filtered, exactly
+    // the rows the old `size(toks) >= 3` filter dropped.
+    // the signability filter runs on a CHEAP predicate BELOW the
+    // kernel projection (the old tokenShingles filter, size(split) >=
+    // 3 — null text gives size -1): a `filter(sig.isNotNull)` ABOVE it
+    // would be pushed through the alias and evaluate the kernel TWICE
+    // per row (the guide §4.4 duplication, observed in the d17 plan
+    // pin), so the kernel must never be the filter's subject
+    docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        call_function("graft_portable_minhash_sig", col("text"),
+          lit(NumHashes / PortableLanes), lit(PortableLanes)).as("sig"))
 
   /** d03's 8×4 banding geometry over a portable signature column: one
     * array element per band, the '|'-joined run of hex minima (ORDER
@@ -1975,31 +2077,28 @@ object DedupOps {
     * that gives the simhash family an end-to-end hash-CHECKED oracle
     * row (d04 itself is no_oracle: xxhash64 has no ANSI twin). */
   def portableSimhashFingerprints(docs: DataFrame): DataFrame = {
-    // hash DISTINCT (doc, token) pairs and weight each ±1 by the
-    // occurrence count — identical sums (Σ over occurrences = Σ over
-    // distinct × count) with one md5 + 32 nibble parses per distinct
-    // token instead of per occurrence; the pre-aggregation shuffle is
-    // map-side combined on exactly the rows it then shrinks
-    val hx = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), col("cnt"), md5(col("token")).as("h"))
-    val nib = hx.select(col("doc_id") +: col("cnt") +: (1 to 32).map(j =>
-      conv(substring(col("h"), j, 1), 16, 10).cast("int").as(s"n$j")): _*)
-    val bitSums = for { l <- 0 until SimhashLanes; w <- 0 until 64 } yield {
-      val j = l * 16 + w / 4 + 1
-      val b = w % 4
-      sum(when(shiftright(col(s"n$j"), b).bitwiseAND(lit(1)) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s${l}_$w")
-    }
-    val laneVals = (0 until SimhashLanes).map { l =>
-      (0 until 64).map(w =>
-        when(col(s"s${l}_$w") > 0, shiftleft(lit(1L), w)).otherwise(lit(0L)))
-        .reduce(_.bitwiseOR(_)).as(s"sh$l")
-    }
-    nib.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id") +: laneVals: _*)
+    // ONE native kernel call per row ([[graft.functions.PortableSimhashFp]],
+    // r17): per-token counts → one md5 bit pool per DISTINCT token →
+    // 128 ±count bit sums → two majority lanes, where the text already
+    // is. The r16 relational shape grouped (doc, token) through an
+    // exchange, parsed 32 conv(substring) nibbles per distinct token,
+    // and folded 128 conditional sum aggregates through a second
+    // doc_id exchange — the fingerprint relation is now scan → project
+    // → filter with ZERO exchange. Output is bit-identical (same md5
+    // bit pool, same majority rule — gated by the hash-checked d15
+    // oracle row); null-text docs yield NULL and are filtered, exactly
+    // the rows the old explode dropped.
+    // null-text docs are dropped by a cheap filter BELOW the kernel
+    // projection (never `filter(fp.isNotNull)` above it — alias
+    // pushdown would evaluate the kernel twice per row, guide §4.4);
+    // the two lane extractions above one kernel projection stay ONE
+    // evaluation (CollapseProject keeps multi-referenced non-cheap
+    // expressions un-inlined — the MinHashBandKeys precedent)
+    val fp = call_function("graft_portable_simhash", col("text"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), fp.as("fp"))
+      .select(col("doc_id") +: (0 until SimhashLanes).map(l =>
+        col("fp").getItem(l).as(s"sh$l")): _*)
   }
 
   /** d15 oracle: same md5 bit pool, but verified by ALL-PAIRS Hamming
@@ -2167,9 +2266,10 @@ object DedupOps {
     * doc→source projection — two hash joins on doc id whose probe side
     * is the verified pair set (tiny next to the corpus), then a
     * map-side-combinable count per unordered source pair. */
-  def sourceOverlap(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+  def sourceOverlap(docs: DataFrame, threshold: Double = 0.6,
+      pairsRel: Option[DataFrame] = None): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    ngramJaccardPairs(docs, threshold)
+    pairsRel.getOrElse(ngramJaccardPairs(docs, threshold))
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .groupBy(least(col("sa"), col("sb")).as("source_a"),
@@ -2195,7 +2295,12 @@ object DedupOps {
       |FROM v JOIN documents da ON da.doc_id = v.doc_a
       |       JOIN documents db ON db.doc_id = v.doc_b
       |GROUP BY source_a, source_b""".stripMargin) { (spark, sf) =>
-    sourceOverlap(Tables.documents(spark, sf))
+    // verified pairs off the lake families (r17): candidates from
+    // minhash_prod_bands, verify sets from shingle_sets — this row is
+    // a provenance AGGREGATION over d05's pairs, not an audit of the
+    // derivation
+    sourceOverlap(Tables.documents(spark, sf),
+      pairsRel = Some(ngramJaccardPairsFromLake(spark, sf, 0.6)))
   }
 
   // ── KMV distinct / set-overlap sketches (d24, d25) ─────────────────
@@ -2217,15 +2322,35 @@ object DedupOps {
   /** Distinct (source, 3-shingle) pairs — d05's shingle convention
     * lifted to the source grain: one corpus scan, per-doc
     * `array_distinct`, then one hash aggregation keyed on the pair
-    * (map-side combinable). */
-  private[operators] def sourceShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
-      .select(col("source"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("source"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("shingle"))
-      .distinct()
+    * (map-side combinable).
+    * @param setsRel pre-materialized per-doc shingle sets
+    *        ([[shingleSets]] — the `shingle_sets` lake read-back);
+    *        when present the tokenize + per-doc distinct pass is
+    *        replaced by a doc_id-bucketed scan + explode + a doc-keyed
+    *        join to the (doc_id, source) projection — the SAME
+    *        relation by construction (per-doc distinct sets exploded
+    *        and re-distincted at the source grain ≡ the inline
+    *        derivation; d24/d25 re-evaluate this subtree 2–4× per
+    *        plan, and each re-evaluation becomes a table scan instead
+    *        of a corpus re-tokenization). Only valid at n = 3 (the
+    *        lake family's width — enforced). */
+  private[graft] def sourceShingles(docs: DataFrame, n: Int = 3,
+      setsRel: Option[DataFrame] = None): DataFrame =
+    setsRel match {
+      case Some(sets) =>
+        require(n == 3, s"shingle_sets lake family is 3-token shingles, asked n=$n")
+        sets.join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), explode(col("sh")).as("shingle"))
+          .distinct()
+      case None =>
+        docs
+          .select(col("source"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= n)
+          .select(col("source"), explode(array_distinct(
+            transform(sequence(lit(0), size(col("toks")) - n),
+              i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("shingle"))
+          .distinct()
+    }
 
   /** Shared oracle prefix for the KMV rows: the d18 tokenization
     * replayed at the source grain, then the per-source bottom-k of
@@ -2261,8 +2386,9 @@ object DedupOps {
     * asserted (KMV's error is probabilistic — the planted-fixture
     * KmvSketchSpec pins accuracy; under capacity exactness is a
     * theorem and IS asserted via `under_cap_exact`). */
-  def kmvVocab(docs: DataFrame, k: Int = KmvK): DataFrame = {
-    val perSource = sourceShingles(docs)
+  def kmvVocab(docs: DataFrame, k: Int = KmvK,
+      setsRel: Option[DataFrame] = None): DataFrame = {
+    val perSource = sourceShingles(docs, setsRel = setsRel)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_exact"),
         call_function("graft_kmv", md5(col("shingle")), lit(k)).as("sk"))
@@ -2310,7 +2436,13 @@ object DedupOps {
       |       abs(est / CAST(n_exact AS DOUBLE) - 1.0) AS rel_err,
       |       (n_exact >= $KmvK OR n_sketch = n_exact) AS under_cap_exact
       |FROM o""".stripMargin) { (spark, sf) =>
-    kmvVocab(Tables.documents(spark, sf))
+    // the (source, shingle) universe is served off the shingle_sets
+    // lake family (r17, the d32 lake-serve pattern): the sketch's
+    // input was previously re-tokenized from text per execution —
+    // this row was the single most expensive row in the calm r16
+    // window (22.7 s at 8 cores)
+    kmvVocab(Tables.documents(spark, sf),
+      setsRel = Some(graft.sources.SignatureLake.shingleSets(spark, sf)))
   }
 
   /** Cross-source content-overlap matrix from KMV sketches (d25) —
@@ -2330,16 +2462,22 @@ object DedupOps {
     * broadcast. The exact side is the one corpus-scale join, present
     * here because the row is an audit; the production estimate-only
     * path drops it. */
-  def kmvOverlap(docs: DataFrame, k: Int = KmvK): DataFrame = {
-    val shingleSets = sourceShingles(docs)
+  def kmvOverlap(docs: DataFrame, k: Int = KmvK,
+      setsRel: Option[DataFrame] = None): DataFrame = {
+    val shingleSets = sourceShingles(docs, setsRel = setsRel)
     val sk = shingleSets
       .groupBy(col("source"))
       .agg(call_function("graft_kmv", md5(col("shingle")), lit(k)).as("sk"))
     val e = sk.select(col("source"), explode(col("sk")).as("h"))
     val srcs = sk.select(col("source"))
-    // bounded |S|² pair relation — broadcast by construction
+    // bounded |S|² pair relation — broadcast by construction; the
+    // INNER broadcast hint matters too (r17): behind the lake-served
+    // shingle join the planner loses the tiny-side size estimate and
+    // planned this non-equi self-join as a CartesianProduct — the
+    // explicit hint pins BroadcastNestedLoopJoin (guide §3.1: use the
+    // hint when you know a side is small and estimates are wrong)
     val pairs = broadcast(srcs.select(col("source").as("source_a"))
-      .join(srcs.select(col("source").as("source_b")),
+      .join(broadcast(srcs.select(col("source").as("source_b"))),
         col("source_a") < col("source_b")))
     val memb = e.join(pairs, col("source") === col("source_a"))
       .select(col("source_a"), col("source_b"), col("h"),
@@ -2416,13 +2554,23 @@ object DedupOps {
       |       abs(CAST(n_both AS DOUBLE) / n_union_k
       |           - CAST(inter AS DOUBLE) / uni) AS abs_err
       |FROM o""".stripMargin) { (spark, sf) =>
-    kmvOverlap(Tables.documents(spark, sf))
+    // shingle universe off the shingle_sets lake family (r17): this
+    // plan re-evaluates the (source, shingle) subtree FOUR times
+    // (sketch, counts, both exact-intersection sides) — each was a
+    // full corpus re-tokenization, now a bucketed table scan
+    kmvOverlap(Tables.documents(spark, sf),
+      setsRel = Some(graft.sources.SignatureLake.shingleSets(spark, sf)))
   }
 
+  /** @param setsRel pre-materialized per-doc shingle sets (the
+    *        `shingle_sets` lake read-back — identical relation to the
+    *        inline derivation, d23-gated); derived inline when absent
+    *        (the self-contained audit rows d05/d14 keep the honest
+    *        derivation). */
   private[operators] def jaccardVerify(docs: DataFrame, pairs: DataFrame,
-      threshold: Double): DataFrame = {
-    val sets = shingles(docs).groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("sh"))
+      threshold: Double, setsRel: Option[DataFrame] = None): DataFrame = {
+    val sets = setsRel.getOrElse(shingles(docs).groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh")))
     // raw quotient (r7 audit): a ratio of exact integers is the same
     // IEEE division in both engines; a terminal round(,3) was the one
     // op whose shortest-string tie convention could diverge — and
@@ -2461,7 +2609,8 @@ object DedupOps {
     * PAIR table (pairs ≪ corpus) and two map-side-combinable
     * aggregations on it. The oracle recomputes all-pairs truth, which
     * agrees under d05's per-scale license. */
-  def thresholdCurve(docs: DataFrame): DataFrame = {
+  def thresholdCurve(docs: DataFrame,
+      pairsRel: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     val thDf = broadcast(spark.range(1)
       .select(explode(typedLit(ThresholdCurve)).as("threshold")))
@@ -2470,7 +2619,7 @@ object DedupOps {
     // plan-audited): explode both endpoints first, then each pair
     // contributes exactly two rows, so n_pairs = count/2 and n_docs =
     // countDistinct come from the same aggregation
-    val agg = ngramJaccardPairs(docs, ThresholdCurve.min)
+    val agg = pairsRel.getOrElse(ngramJaccardPairs(docs, ThresholdCurve.min))
       .crossJoin(thDf)
       .filter(col("jaccard") >= col("threshold"))
       .select(col("threshold"),
@@ -2509,7 +2658,10 @@ object DedupOps {
       |       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM th LEFT JOIN agg USING (threshold)
       |        LEFT JOIN da USING (threshold)""".stripMargin) { (spark, sf) =>
-    thresholdCurve(Tables.documents(spark, sf))
+    // verified pairs off the lake families (r17, the d18 move): the
+    // sweep is a consumer of d05's pairs, not a derivation audit
+    thresholdCurve(Tables.documents(spark, sf),
+      pairsRel = Some(ngramJaccardPairsFromLake(spark, sf, ThresholdCurve.min)))
   }
 
   /** Delta-slice modulus for d20 (every 10th vec_id is "new", the rest
@@ -2905,6 +3057,15 @@ object DedupOps {
         i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(L)))))))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
 
+  /** The span-gram relation over a document frame — what the
+    * `span_grams` lake family materializes
+    * ([[graft.sources.SignatureLake.spanGrams]]); consumers that are
+    * not auditing the derivation itself pass the lake read-back into
+    * [[exactSubstringDedup]] / [[substringDecontaminate]] instead of
+    * re-hashing the corpus per report (the d32 lake-serve pattern). */
+  def spanGramRelation(docs: DataFrame, minSpan: Int = MinSpanTokens): DataFrame =
+    spanGrams(tokenArrays(docs), minSpan)
+
   /** Shared span-coverage tail of d27/d30: given anchor rows
     * (doc_id, pos) marking flagged-L-gram start positions, recover
     * merged span structure (per-doc interval union via a running-max
@@ -2956,10 +3117,18 @@ object DedupOps {
           .otherwise(coalesce(col("dedup_text"), lit(""))).as("dedup_text"))
   }
 
-  def exactSubstringDedup(docs: DataFrame, minSpan: Int = MinSpanTokens): DataFrame = {
+  /** @param gramRel pre-materialized [[spanGramRelation]] of `docs`
+    *        (the `span_grams` lake read-back, doc_id-sliced to match
+    *        `docs` — gram rows are row-local, so a doc slice of the
+    *        full table IS the slice's gram relation); derived inline
+    *        when absent. Reading the h-bucketed lake table makes the
+    *        duplicate-gram aggregation and the anchor join
+    *        exchange-free on the gram side. */
+  def exactSubstringDedup(docs: DataFrame, minSpan: Int = MinSpanTokens,
+      gramRel: Option[DataFrame] = None): DataFrame = {
     val L = minSpan
     val toks = tokenArrays(docs)
-    val grams = spanGrams(toks, L)
+    val grams = gramRel.getOrElse(spanGrams(toks, L))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select("h")
     val anchors = grams.join(dup, "h").select(col("doc_id"), col("pos"))
@@ -2975,13 +3144,19 @@ object DedupOps {
     * set is deduplicated and broadcast (d08's small-side convention —
     * a benchmark suite is MBs against a 100 TB corpus), so the train
     * side never shuffles on the gram key. */
+  /** @param trainGrams / @param benchGrams pre-materialized
+    *        [[spanGramRelation]]s of the two sides (the `span_grams`
+    *        lake read-back, doc_id-sliced — see [[exactSubstringDedup]]);
+    *        derived inline when absent. */
   def substringDecontaminate(train: DataFrame, benchmark: DataFrame,
-      minSpan: Int = MinSpanTokens): DataFrame = {
+      minSpan: Int = MinSpanTokens,
+      trainGrams: Option[DataFrame] = None,
+      benchGrams: Option[DataFrame] = None): DataFrame = {
     val L = minSpan
     val toks = tokenArrays(train)
-    val evalHashes = spanGrams(tokenArrays(benchmark), L)
+    val evalHashes = benchGrams.getOrElse(spanGrams(tokenArrays(benchmark), L))
       .select(col("h")).distinct()
-    val anchors = spanGrams(toks, L)
+    val anchors = trainGrams.getOrElse(spanGrams(toks, L))
       .join(broadcast(evalHashes), "h")
       .select(col("doc_id"), col("pos"))
     spanCoverage(train, toks, anchors, L)
@@ -3060,7 +3235,12 @@ object DedupOps {
         |a AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
         |${spanCoverageOracleSql(L, "TRUE", "n_dup_spans", "n_covered", "dedup_text")}""".stripMargin
     }) { (spark, sf) =>
-    exactSubstringDedup(Tables.documents(spark, sf))
+    // gram index served off the h-bucketed span_grams lake family
+    // (r17): the duplicate-gram aggregation and anchor join read the
+    // materialized index; the only remaining source pass is the span
+    // reconstruction (text, not grams — inherent)
+    exactSubstringDedup(Tables.documents(spark, sf),
+      gramRel = Some(graft.sources.SignatureLake.spanGrams(spark, sf)))
   }
 
   /** d30 — span-level decontamination (the d08/d09/d16 ladder at SPAN
@@ -3089,9 +3269,15 @@ object DedupOps {
             "n_contam_spans", "n_contam_tokens", "clean_text")}""".stripMargin
     }) { (spark, sf) =>
     val docs = Tables.documents(spark, sf)
+    // both gram sides come off the span_grams lake family (r17):
+    // gram rows are per-doc row-local, so the doc_id slices of the
+    // full table ARE the slices' gram relations
+    val grams = graft.sources.SignatureLake.spanGrams(spark, sf)
     substringDecontaminate(
       docs.filter(col("doc_id") % 50 =!= 0),
-      docs.filter(col("doc_id") % 50 === 0))
+      docs.filter(col("doc_id") % 50 === 0),
+      trainGrams = Some(grams.filter(col("doc_id") % 50 =!= 0)),
+      benchGrams = Some(grams.filter(col("doc_id") % 50 === 0)))
   }
 
   /** p04 — the span-REWRITING curation funnel: where p03's stages
@@ -3151,19 +3337,27 @@ object DedupOps {
         |FROM r1 LEFT JOIN pd2 ON pd2.doc_id = r1.doc_id
         |        LEFT JOIN kept2 k2 ON k2.doc_id = r1.doc_id""".stripMargin
     }) { (spark, sf) =>
-    spanCurationFunnel(Tables.documents(spark, sf))
+    spanCurationFunnel(Tables.documents(spark, sf),
+      gramRel = Some(graft.sources.SignatureLake.spanGrams(spark, sf)))
   }
 
   /** The p04 relation over any (doc_id, text) frame (eval slice =
-    * d08's every-50th convention). */
-  def spanCurationFunnel(docs: DataFrame): DataFrame = {
-    val train1 = exactSubstringDedup(docs.filter(col("doc_id") % 50 =!= 0))
+    * d08's every-50th convention).
+    * @param gramRel pre-materialized [[spanGramRelation]] of `docs`
+    *        (the span_grams lake read-back) feeding stage 1's dedup
+    *        and stage 2's EVAL side; stage 2's train grams are over
+    *        stage 1's REWRITTEN text and always derive inline. */
+  def spanCurationFunnel(docs: DataFrame,
+      gramRel: Option[DataFrame] = None): DataFrame = {
+    val train1 = exactSubstringDedup(docs.filter(col("doc_id") % 50 =!= 0),
+        gramRel = gramRel.map(_.filter(col("doc_id") % 50 =!= 0)))
       .select(col("doc_id"), col("n_tokens"), col("n_covered"),
         col("dedup_text"))
       .localCheckpoint()
     val stage2 = substringDecontaminate(
       train1.select(col("doc_id"), col("dedup_text").as("text")),
-      docs.filter(col("doc_id") % 50 === 0))
+      docs.filter(col("doc_id") % 50 === 0),
+      benchGrams = gramRel.map(_.filter(col("doc_id") % 50 === 0)))
     train1
       .join(stage2.select(col("doc_id"), col("n_contam_tokens"),
         col("clean_text")), Seq("doc_id"))
@@ -3603,7 +3797,15 @@ object DedupOps {
     *        the verify reads the lake index instead of re-hashing the
     *        corpus (the d17 serve pattern; the candidate set is
     *        IDENTICAL — d23 hash-gates lake == from-scratch — so the
-    *        emitted pairs cannot move) */
+    *        emitted pairs cannot move).
+    *        INVARIANT (caller-owned): `bands` must be the band-key
+    *        relation OF `docs` — a relation derived from a different
+    *        corpus would silently drop or alter pairs through the
+    *        inner candidate joins, with no error. Every current caller
+    *        passes the full documents table on both sides; a future
+    *        caller slicing one side must slice the other identically
+    *        (gram/band rows are per-doc, so a doc_id filter on the
+    *        lake table is the correct slice — the d30 convention). */
   def editDistancePairs(docs: DataFrame, maxDist: Int = MaxEditDist,
       bands: DataFrame = null): DataFrame = {
     val cand = candidatePairsFromBands(

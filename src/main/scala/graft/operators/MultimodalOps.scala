@@ -369,8 +369,13 @@ object MultimodalOps {
     s"""WITH $phashPairsCtes
        |SELECT doc_a, doc_b, hamming FROM h
        |WHERE hamming <= $PhashMaxHamming""".stripMargin) { (spark, sf) =>
+    // phash relation off the shared lake family (r17, verdict item 5):
+    // m05 and m09 each decoded the payload universe independently —
+    // the derivation now runs once per (session, sf) as the `phash`
+    // lake_build entry and both rows read the table back
     DedupOps.simhashPairsMulti(
-      perceptualHashes(phashAuditUniverse(spark, sf)).withColumnRenamed("phash", "sh0"),
+      graft.sources.SignatureLake.perceptualHashes(spark, sf)
+        .withColumnRenamed("phash", "sh0"),
       Seq("sh0"), PhashMaxHamming)
   }
 
@@ -404,12 +409,21 @@ object MultimodalOps {
        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
        |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
        |FROM lab l JOIN sz s USING (cluster_id)""".stripMargin) { (spark, sf) =>
-    val ph = perceptualHashes(phashAuditUniverse(spark, sf))
+    // shared phash lake family (r17) — see m05; the CC propagation
+    // below is unchanged (its labels artifact is d07's kernel). The
+    // labels parquet path is pinned per sf (the d07 stable-path rule:
+    // the auto plan-keyed tag would embed the pid-named lake table and
+    // leak one tmp dir per JVM).
+    val sfTag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sf).toLong & 0xffffffffL)
+    val ccDir = s"${System.getProperty("java.io.tmpdir")}/graft_m09_labels_$sfTag"
+    val ph = graft.sources.SignatureLake.perceptualHashes(spark, sf)
     val pairs = DedupOps.simhashPairsMulti(
       ph.withColumnRenamed("phash", "sh0"), Seq("sh0"), PhashMaxHamming)
     val cc = DedupOps.connectedComponents(
       ph.select(col("doc_id")),
-      pairs.select(col("doc_a"), col("doc_b")))
+      pairs.select(col("doc_a"), col("doc_b")),
+      outDir = Some(ccDir))
       .withColumnRenamed("label", "cluster_id")
     val sizes = cc.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))

@@ -3507,11 +3507,24 @@ object SimilarityOps {
     * min over one-division per-query ratios), the
     * [[ImpactRefreshFloor]] advisory, and the acted-on overlap
     * (refresh ⇒ the serve IS the recomputed ranking ⇒ 1.0). */
+  /** @param fullServe pre-materialized (impacts, tier) for the FULL
+    *        corpus — the `term_impacts`/`term_champions` lake families
+    *        (identical relations: lake impacts ≡
+    *        bm25Impacts∘bm25Postings over documents, and the tier's
+    *        `pr ≤ TierMaxBudget` pre-cut is invisible at any serve
+    *        budget ≤ the ceiling since the serve re-filters
+    *        `pr ≤ budget` — budgets nest, the s30/s32 rule). Only the
+    *        RECOMPUTED leg reads it; the per-mod FROZEN legs are the
+    *        row's subject and always derive inline. */
   def impactStalenessSweep(docs: DataFrame,
-      mods: Seq[Int] = StaleDeltaMods): DataFrame = {
+      mods: Seq[Int] = StaleDeltaMods,
+      fullServe: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val qt = bm25QueryTerms(docs, Bm25QueryMod)
-    val siFull = bm25Impacts(bm25Postings(docs))
-    val full = bm25RankCappedFromTier(qt, siFull, bm25ImpactRanked(siFull),
+    val (siFull, tierFull) = fullServe.getOrElse {
+      val si = bm25Impacts(bm25Postings(docs))
+      (si, bm25ImpactRanked(si))
+    }
+    val full = bm25RankCappedFromTier(qt, siFull, tierFull,
         Bm25TopK, excludeSelf = false, budget = PostingBudget)
       .select(col("query_id"), col("doc_id"))
     mods.map { m =>
@@ -3600,7 +3613,15 @@ object SimilarityOps {
         |$frozenChains
         |$legs""".stripMargin
     }) { (spark, sf) =>
-    impactStalenessSweep(Tables.documents(spark, sf))
+    // the recomputed leg serves off the term_impacts/term_champions
+    // lake families (r17): the full-corpus impacts+tier were derived
+    // inline per execution although the identical tables already
+    // exist as lake artifacts (s30/s32 read them); the frozen legs —
+    // the audited subject — still derive inline per mod
+    impactStalenessSweep(Tables.documents(spark, sf),
+      fullServe = Some((
+        graft.sources.SignatureLake.termImpacts(spark, sf),
+        graft.sources.SignatureLake.termChampions(spark, sf))))
   }
 
   /** d34 — TERM-POSTING tombstone-delete conservation, ranking-level:

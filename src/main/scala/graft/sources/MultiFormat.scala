@@ -65,6 +65,13 @@ object MultiFormat {
   def roundTripStats(base: DataFrame, back: DataFrame): (Long, Boolean) = {
     import org.apache.spark.sql.functions._
     val cols = base.columns.toSeq
+    // a user column named like a temp column would be silently
+    // REPLACED by withColumn (becoming a constant grouping key) and
+    // quietly weaken the multiset comparison — fail loudly instead
+    // (r17, advisor)
+    require(!cols.exists(Set("__s", "__d", "__nb")),
+      s"roundTripStats: input schema collides with temp columns: " +
+        cols.filter(Set("__s", "__d", "__nb")).mkString(", "))
     val residue = base.select(cols.map(col): _*).withColumn("__s", lit(1L))
       .unionByName(back.select(cols.map(col): _*).withColumn("__s", lit(-1L)))
       .groupBy(cols.map(col): _*).agg(

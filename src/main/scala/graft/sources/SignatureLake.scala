@@ -390,6 +390,36 @@ object SignatureLake {
       DedupOps.portableSimhashFingerprints(Tables.documents(spark, sfDir))
     }
 
+  /** Span-gram index (doc_id, pos, h) — md5 of the
+    * [[graft.operators.DedupOps.MinSpanTokens]]-token window at every
+    * offset, the span families' gram relation, bucketed by h: the
+    * duplicate-gram aggregation and the anchor join back — the first
+    * two operations of every span consumer (d27's dedup, d30's
+    * decontamination, p04 stage 1) — read their distribution off the
+    * scan. Gram rows are PER-DOC row-local, so a doc_id slice of this
+    * table IS the gram relation of the sliced corpus (what d30/p04
+    * rely on). The one span input that can never come from here is
+    * p04 stage 2's grams over REWRITTEN text — derived inline, as it
+    * must be. At 100 TB this is the substring-dedup fingerprint index
+    * a production pipeline persists beside the corpus (the biggest
+    * family by rows — one row per token position — which is exactly
+    * why it is derived once and served, not re-hashed per report). */
+  def spanGrams(spark: SparkSession, sfDir: String): DataFrame =
+    get(spark, sfDir, "span_grams", Seq("h")) {
+      DedupOps.spanGramRelation(Tables.documents(spark, sfDir))
+    }
+
+  /** Perceptual-hash relation (doc_id, phash) over the phash audit
+    * universe — the m05/m09 shared derivation (each row decoded the
+    * payload bytes independently before r17), bucketed by doc_id (the
+    * pigeonhole band keys are derived per-radius downstream; doc_id is
+    * the one stable key — the simhash_fp convention). */
+  def perceptualHashes(spark: SparkSession, sfDir: String): DataFrame =
+    get(spark, sfDir, "phash", Seq("doc_id")) {
+      graft.operators.MultimodalOps.perceptualHashes(
+        graft.operators.MultimodalOps.phashAuditUniverse(spark, sfDir))
+    }
+
   /** Portable sign-LSH ANN buckets (vec_id, table, bucket), bucketed by
     * (table, bucket): occupancy stats and within-bucket pair expansion
     * group on exactly that key. */
@@ -982,6 +1012,14 @@ object SignatureLake {
     }
     val itDel = delCache.keySet().iterator()
     while (itDel.hasNext) { if (itDel.next().session eq spark) itDel.remove() }
+    // the broadcast/codebook artifacts must retire WITH the tables
+    // (r17, advisor): a session that invalidates the lake and
+    // regenerates its inputs would otherwise be served a stale trained
+    // codebook / Bloom filter from the pre-invalidation derivation
+    val itB = bloomCache.keySet().iterator()
+    while (itB.hasNext) { if (itB.next().session eq spark) itB.remove() }
+    val itC = codebookCache.keySet().iterator()
+    while (itC.hasNext) { if (itC.next().session eq spark) itC.remove() }
     Option(extraTables.remove(spark)).foreach(_.foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")))
   }

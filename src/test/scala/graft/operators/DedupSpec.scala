@@ -338,6 +338,24 @@ class DedupSpec extends SparkSpec {
     assert(cc(6L) === 6L, "singleton keeps its own label")
   }
 
+  test("connected components: no persisted blocks survive the call (r17 lifecycle)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(nodes, pairs)
+    assert(cc.count() === 6L) // consume the read-back
+    // the probe's persisted rounds AND the result's materialization
+    // must both be released when the call returns: the r16 shape
+    // (eager localCheckpoint) left blocks in the block manager until
+    // the returned Dataset was GC'd, which accumulated across dozens
+    // of CC calls in one long-lived JVM (the driver's r16 test run
+    // died mid-suite). The parquet-artifact shape holds ZERO blocks.
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"connectedComponents leaked persisted RDDs: ids ${after -- before}")
+  }
+
   test("d07 clusters: planted A~B~C collapse transitively on the fixture corpus") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok${i % 13}w").mkString(" ")
@@ -545,6 +563,54 @@ class DedupSpec extends SparkSpec {
     val matching = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
     assert(matching >= DedupOps.NumHashes / 2,
       s"near-dup should share most portable minhashes, got $matching")
+  }
+
+  test("r17 kernels: native portable minhash/simhash == relational md5 formulation (sf0.001)") {
+    // the r17 native kernels (PortableMinHashSig / PortableSimhashFp)
+    // replaced the explode + md5-expression + aggregate formulation;
+    // this pins BIT-equality against that reference on the real
+    // corpus, row for row (the d14/d15 oracle rows gate the same
+    // thing end-to-end at the driver)
+    val docs = graft.Tables.documents(spark, sf001)
+    // reference: the pre-r17 relational signature derivation
+    val nDigests = DedupOps.NumHashes / DedupOps.PortableLanes
+    val withH = DedupOps.tokenShingles(docs, 3).select(
+      col("doc_id") +: (0 until nDigests).map(i =>
+        org.apache.spark.sql.functions.md5(
+          concat_ws(":", lit(i), col("shingle"))).as(s"h$i")): _*)
+    val refSigs = withH.groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.array((0 until DedupOps.NumHashes).map { p =>
+        org.apache.spark.sql.functions.min(substring(col(s"h${p / DedupOps.PortableLanes}"),
+          (p % DedupOps.PortableLanes) * 8 + 1, 8))
+      }: _*).as("sig"))
+    val sigDiff = DedupOps.portableSignatures(docs).exceptAll(refSigs).count() +
+      refSigs.exceptAll(DedupOps.portableSignatures(docs)).count()
+    assert(sigDiff === 0L, s"native minhash kernel drifted from the md5 reference")
+    // reference: the pre-r17 relational fingerprint derivation
+    val hx = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"),
+        org.apache.spark.sql.functions.md5(col("token")).as("h"))
+    val nib = hx.select(col("doc_id") +: col("cnt") +: (1 to 32).map(j =>
+      conv(substring(col("h"), j, 1), 16, 10).cast("int").as(s"n$j")): _*)
+    val bitSums = for { l <- 0 until DedupOps.SimhashLanes; w <- 0 until 64 } yield {
+      val j = l * 16 + w / 4 + 1
+      val b = w % 4
+      sum(when(shiftright(col(s"n$j"), b).bitwiseAND(lit(1)) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s${l}_$w")
+    }
+    val laneVals = (0 until DedupOps.SimhashLanes).map { l =>
+      (0 until 64).map(w =>
+        when(col(s"s${l}_$w") > 0, shiftleft(lit(1L), w)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as(s"sh$l")
+    }
+    val refFp = nib.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: laneVals: _*)
+    val got = DedupOps.portableSimhashFingerprints(docs)
+    val fpDiff = got.exceptAll(refFp).count() + refFp.exceptAll(got).count()
+    assert(fpDiff === 0L, s"native simhash kernel drifted from the md5 reference")
   }
 
   test("t17 leakage-safe split: constant within every cluster, covers every doc") {

@@ -164,19 +164,20 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("d17: calibration plans ONE signature aggregation, not one per consumer") {
-    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    val aggs = DedupOps.minhashCalibration(
+  test("d17: calibration plans ONE signature derivation, not one per consumer") {
+    // r17: the signature is a row-local native kernel
+    // (graft_portable_minhash_sig), no longer a min-lane aggregate —
+    // the invariant is unchanged in spirit: banding and lane agreement
+    // must read ONE derivation subtree, never re-run the md5 family
+    // per consumer
+    val kernels = DedupOps.minhashCalibration(
       graft.Tables.documents(spark, sf001))
       .queryExecution.optimizedPlan.collect {
-        case a: Aggregate if a.aggregateExpressions.exists(
-          _.collectFirst { case u
-            if u.prettyName == "min" => u }.isDefined) => a
-      }
-    // the min-lane signature aggregate appears exactly once: banding
-    // and lane agreement both read the same subtree
-    assert(aggs.size === 1,
-      s"expected one signature aggregate, found ${aggs.size}")
+        case n => n.expressions.count(_.exists(
+          _.isInstanceOf[graft.functions.PortableMinHashSig]))
+      }.sum
+    assert(kernels === 1,
+      s"expected one signature kernel evaluation, found $kernels")
   }
 
   test("t21: the O(sources) rate table joins as a broadcast, not a shuffle") {
@@ -455,13 +456,21 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("d24: ONE corpus scan; exact count and KMV sketch ride the same aggregation") {
+  test("d24: no corpus re-tokenization — shingles off the lake; count and sketch share ONE aggregate") {
+    // r17: the (source, shingle) universe reads the shingle_sets lake
+    // family joined to the (doc_id, source) projection — exactly two
+    // scans (lake table + pruned corpus), the corpus scan never reads
+    // text, and the exact count + KMV sketch still ride the one
+    // distinct-shingle aggregation subtree (the original invariant)
     val df = DedupOps.kmvVocabQ.run(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans === 1,
+    assert(scans === 2,
+      s"expected shingle_sets lake scan + pruned corpus scan only:\n$p")
+    assert(!p.contains("text#"),
+      s"d24 must not read text — shingles come off the lake:\n$p")
+    assert("partial_graft_kmv".r.findAllIn(p).size === 1,
       s"exact count and sketch must share the one distinct-shingle subtree:\n$p")
-    assert(!p.contains("Join"), s"d24 is aggregation-only, no join operator:\n$p")
   }
 
   test("d25: pair stage is broadcast-joined on the bounded source relation; " +

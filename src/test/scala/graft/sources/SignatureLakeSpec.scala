@@ -50,6 +50,37 @@ class SignatureLakeSpec extends SparkSpec {
     SignatureLake.invalidate(spark)
   }
 
+  test("r17 families: span_grams and phash lake == cold derivations; lake-served consumers match inline") {
+    SignatureLake.invalidate(spark)
+    val docs = Tables.documents(spark, sf001)
+    // span-gram index ≡ the inline derivation, row for row
+    val lakeGrams = SignatureLake.spanGrams(spark, sf001)
+    val directGrams = DedupOps.spanGramRelation(docs)
+    assert(lakeGrams.exceptAll(directGrams).isEmpty &&
+      directGrams.exceptAll(lakeGrams).isEmpty,
+      "span_grams lake must equal a cold derivation")
+    // phash relation ≡ the inline derivation
+    val lakePh = SignatureLake.perceptualHashes(spark, sf001)
+    val directPh = graft.operators.MultimodalOps.perceptualHashes(
+      graft.operators.MultimodalOps.phashAuditUniverse(spark, sf001))
+    assert(lakePh.exceptAll(directPh).isEmpty &&
+      directPh.exceptAll(lakePh).isEmpty,
+      "phash lake must equal a cold derivation")
+    // the (source, shingle) universe served off shingle_sets ≡ inline
+    val served = DedupOps.sourceShingles(docs,
+      setsRel = Some(SignatureLake.shingleSets(spark, sf001)))
+    val inline = DedupOps.sourceShingles(docs)
+    assert(served.exceptAll(inline).isEmpty && inline.exceptAll(served).isEmpty,
+      "lake-served source shingles must equal the inline derivation")
+    // lake-served verified ngram pairs ≡ the self-contained d05 kernel
+    val servedPairs = DedupOps.ngramJaccardPairsFromLake(spark, sf001, 0.6)
+    val inlinePairs = DedupOps.ngramJaccardPairs(docs, 0.6)
+    assert(servedPairs.exceptAll(inlinePairs).isEmpty &&
+      inlinePairs.exceptAll(servedPairs).isEmpty,
+      "lake-served verified pairs must equal the inline d05 kernel")
+    SignatureLake.invalidate(spark)
+  }
+
   test("fingerprint and ann-bucket families cover the corpus") {
     SignatureLake.invalidate(spark)
     val nDocs = Tables.documents(spark, sf001).count()
