@@ -351,9 +351,24 @@ class DedupSpec extends SparkSpec {
     // the returned Dataset was GC'd, which accumulated across dozens
     // of CC calls in one long-lived JVM (the driver's r16 test run
     // died mid-suite). The parquet-artifact shape holds ZERO blocks.
-    val after = spark.sparkContext.getPersistentRDDs.keySet
-    assert((after -- before).isEmpty,
-      s"connectedComponents leaked persisted RDDs: ids ${after -- before}")
+    // Attribute leaks by creation site: sbt runs suites CONCURRENTLY
+    // in this JVM, and another suite's legitimate persist landing
+    // between the two snapshots must not flake this test.
+    // RDD.toString embeds the creation site ("... at count at
+    // DedupOps.scala:NNN"), which is the public way to attribute it.
+    // Dataset.unpersist is non-blocking, so poll briefly — a REAL
+    // GC-lifetime leak (the r16 localCheckpoint shape) cannot clear
+    // while `cc` holds a strong reference, so the retry keeps the
+    // test deterministic without weakening what it guards.
+    def leakedNow() = (spark.sparkContext.getPersistentRDDs -- before)
+      .values.map(_.toString).filter(_.contains("DedupOps"))
+    var leaked = leakedNow()
+    var tries = 0
+    while (leaked.nonEmpty && tries < 20) {
+      Thread.sleep(250); leaked = leakedNow(); tries += 1
+    }
+    assert(leaked.isEmpty,
+      s"connectedComponents leaked persisted RDDs: ${leaked.mkString(", ")}")
   }
 
   test("d07 clusters: planted A~B~C collapse transitively on the fixture corpus") {
